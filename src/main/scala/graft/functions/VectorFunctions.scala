@@ -1,0 +1,164 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.{ColumnBridge => ExpressionUtils}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** Native Catalyst expressions for embedding math (SURVEY §2 E54 [N]).
+  *
+  * A Scala UDF on `Array[Float]` deserializes the whole array per call and
+  * breaks whole-stage codegen; `zip_with`+`aggregate` stays in codegen but
+  * materializes an intermediate array per row. These expressions instead
+  * loop directly over the columnar `ArrayData` in generated code — one pass,
+  * no allocation — which is the difference between an ANN scan being
+  * memory-bandwidth-bound vs allocation-bound on a 100 TB corpus.
+  *
+  * Accumulation is in double regardless of element type (float embeddings
+  * are upcast per element), matching DuckDB's
+  * `list_cosine_similarity(list_transform(v, x -> x::DOUBLE), …)` so the
+  * oracle can hash-compare results.
+  */
+abstract class VectorBinaryExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  protected def elemType: DataType = left.dataType match {
+    case ArrayType(et, _) => et
+    case _ => DoubleType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(a, _), ArrayType(b, _))
+      if (a == FloatType || a == DoubleType) && a == b => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"expects two arrays of float or double of the same element type, " +
+        s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  @inline protected final def elem(a: ArrayData, i: Int): Double = elemType match {
+    case FloatType => a.getFloat(i).toDouble
+    case _ => a.getDouble(i)
+  }
+
+  protected final def getter: String = elemType match {
+    case FloatType => "getFloat"
+    case _ => "getDouble"
+  }
+}
+
+/** dot(a, b) = Σ a_i * b_i over min(len) elements. */
+case class VecDot(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += elem(a, i) * elem(b, i); i += 1 }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.$getter($i) * (double) $b.$getter($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot = copy(l, r)
+}
+
+/** cosine(a, b) = dot / (|a| * |b|), single fused pass over both arrays. */
+case class VecCosine(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = elem(a, i); val y = elem(b, i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.$getter($i);
+         |  double $y = (double) $b.$getter($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecCosine = copy(l, r)
+}
+
+/** |a| = sqrt(Σ a_i²). */
+case class VecNorm(child: Expression) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  private def getter: String = child.dataType match {
+    case ArrayType(FloatType, _) => "getFloat"
+    case _ => "getDouble"
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"expects an array of float or double, got ${child.dataType.catalogString}")
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    var s = 0.0; var i = 0
+    val isF = child.dataType == ArrayType(FloatType) ||
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    while (i < a.numElements()) {
+      val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+      s += x * x; i += 1
+    }
+    math.sqrt(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val s = ctx.freshName("s"); val x = ctx.freshName("x")
+      s"""
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  double $x = (double) $a.$getter($i);
+         |  $s += $x * $x;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): VecNorm = copy(c)
+}
+
+object VectorFunctions {
+  /** Column-API entry points. */
+  def vecDot(a: Column, b: Column): Column =
+    ExpressionUtils.column(VecDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def vecCosine(a: Column, b: Column): Column =
+    ExpressionUtils.column(VecCosine(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def vecNorm(a: Column): Column =
+    ExpressionUtils.column(VecNorm(ExpressionUtils.expression(a)))
+
+  /** SQL registration: `SELECT vec_cosine(a, b)` etc. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vec_dot", es => VecDot(es(0), es(1)), "builtin")
+    reg.createOrReplaceTempFunction("vec_cosine", es => VecCosine(es(0), es(1)), "builtin")
+    reg.createOrReplaceTempFunction("vec_norm", es => VecNorm(es.head), "builtin")
+  }
+}

@@ -1,0 +1,306 @@
+package graft.queries
+
+import graft.Tables._
+import graft.anomaly.{AnomalyOps, Scalers, Threshold}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** The rebuilt reference pipeline (SURVEY §2.P): dedup → scalers →
+  * window assembly → inference proxy → threshold → postprocess → ensemble
+  * → unified score, each as a declared, oracle-checked query over `events`
+  * (composite key ≅ (user_id, event_type), FIXTURES.md).
+  */
+object AnomalyQueries {
+
+  /** DuckDB 1.0.0 has no tanh — splice the exp identity. */
+  private def sqlTanh(x: String): String =
+    s"((exp(2*($x)) - 1) / (exp(2*($x)) + 1))"
+
+  private val eventKey = Seq("user_id", "event_type")
+
+  /** P2→P8 chain used by the flagship and the postprocess queries. */
+  private def scoredEvents(s: SparkSession, d: String): DataFrame = {
+    val conf = Seq("click", "purchase", "error", "signup", "view") // P2 config
+    val filtered = events(s, d).filter(col("event_type").isin(conf: _*))
+    AnomalyOps.rollingStats(filtered, eventKey, "ts", "event_id", "value", 12)
+      .filter(col("roll_cnt") === 12)
+      .withColumn("err", AnomalyOps.reconstructionError(col("value"), col("roll_avg")))
+      .withColumn("raw", AnomalyOps.rollingScore(col("err"), col("roll_avg"), col("roll_std")))
+      .withColumn("score", AnomalyOps.tanhNorm(col("raw")))
+  }
+
+  private val scoredSql: String =
+    s"""WITH w AS (
+       |  SELECT event_type, user_id, ts, event_id, value,
+       |    avg(value) OVER win AS roll_avg,
+       |    stddev_samp(value) OVER win AS roll_std,
+       |    count(*) OVER win AS roll_cnt
+       |  FROM events
+       |  WHERE event_type IN ('click','purchase','error','signup','view')
+       |  WINDOW win AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+       |    ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+       |), scored AS (
+       |  SELECT event_type, user_id, ts, event_id, value, roll_avg, roll_std,
+       |    10 * ${sqlTanh("abs(value - roll_avg) / (roll_avg + 3*roll_std + 0.000001)")} AS score
+       |  FROM w WHERE roll_cnt = 12
+       |)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P4: dedup — one event per (composite key, day), earliest kept.
+    "q32_dedup" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"),
+        date_trunc("day", col("ts"))).orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"),
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("sum_kept"))
+        .orderBy(col("event_type"))
+    }),
+
+    // P5: min-max scaler — fit per composite key, apply, verify range.
+    "q33_scaler_minmax" -> ((s, d) => {
+      val ev = events(s, d)
+      val fit = Scalers.minMaxFit(ev, Seq("event_type"), "value")
+      Scalers.minMaxApply(ev, fit, Seq("event_type"), "value")
+        .groupBy(col("event_type"))
+        .agg(round(avg(col("scaled")), 6).as("avg_scaled"),
+          round(min(col("scaled")), 6).as("min_scaled"),
+          round(max(col("scaled")), 6).as("max_scaled"))
+        .orderBy(col("event_type"))
+    }),
+
+    // P5: z-score scaler with ±3 clip.
+    "q34_scaler_zscore" -> ((s, d) => {
+      val ev = events(s, d)
+      val fit = Scalers.zScoreFit(ev, Seq("event_type"), "value")
+      Scalers.zScoreApply(ev, fit, Seq("event_type"), "value")
+        .groupBy(col("event_type"))
+        .agg(round(avg(col("zscore")), 6).as("avg_z"),
+          round(min(col("zscore")), 6).as("min_z"),
+          round(max(col("zscore")), 6).as("max_z"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // P5: log1p + tanh scaler (stateless transforms), NaN-scrub included.
+    "q35_scaler_log_tanh" -> ((s, d) => {
+      events(s, d)
+        .withColumn("t", Scalers.tanhScale(Scalers.scrub(Scalers.logTransform(col("value"))), 5.0))
+        .groupBy(col("event_type"))
+        .agg(round(avg(col("t")), 6).as("avg_t"),
+          round(max(col("t")), 6).as("max_t"))
+        .orderBy(col("event_type"))
+    }),
+
+    // P7 fit: one-pass μ+3σ threshold via the typed Aggregator (E49).
+    "q36_threshold_fit" -> ((s, d) => {
+      Threshold.fit(events(s, d), Seq("event_type"), "value", 3.0)
+        .select(col("event_type"), round(col("mean"), 6).as("mean"),
+          round(col("std"), 6).as("std"), col("n"),
+          round(col("threshold"), 6).as("threshold"))
+        .orderBy(col("event_type"))
+    }),
+
+    // P7 apply: score = value / fitted threshold, clipped to [0, 10].
+    "q37_threshold_score" -> ((s, d) => {
+      val ev = events(s, d)
+      val fit = Threshold.fit(ev, Seq("event_type"), "value", 3.0)
+        .select(col("event_type"), col("threshold"))
+      ev.join(broadcast(fit), "event_type")
+        .withColumn("score", Threshold.score(col("value"), col("threshold")))
+        .groupBy(col("event_type"))
+        .agg(round(avg(col("score")), 6).as("avg_score"),
+          sum(when(col("score") > 1.0, 1).otherwise(0)).as("n_above"))
+        .orderBy(col("event_type"))
+    }),
+
+    // P8: postprocess tanh-norm on the full rolling pipeline's raw score.
+    "q38_postprocess" -> ((s, d) => {
+      scoredEvents(s, d)
+        .groupBy(col("event_type"))
+        .agg(round(avg(col("score")), 6).as("avg_norm_score"),
+          round(max(col("score")), 6).as("max_norm_score"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // P9: ensemble — weighted mean of the static-threshold score and the
+    // z-score model (weights 0.6 / 0.4).
+    "q39_ensemble" -> ((s, d) => {
+      val ev = events(s, d)
+      val zfit = Scalers.zScoreFit(ev, Seq("event_type"), "value")
+      val tfit = Threshold.fit(ev, Seq("event_type"), "value", 3.0)
+        .select(col("event_type"), col("threshold"))
+      Scalers.zScoreApply(ev, zfit, Seq("event_type"), "value")
+        .join(broadcast(tfit), "event_type")
+        .withColumn("s_thresh", Threshold.score(col("value"), col("threshold")))
+        .withColumn("s_z", abs(col("zscore")) / lit(3.0) * lit(10.0))
+        .withColumn("ens", AnomalyOps.ensemble(Seq((col("s_thresh"), 0.6), (col("s_z"), 0.4))))
+        .groupBy(col("event_type"))
+        .agg(round(avg(col("ens")), 6).as("avg_ens"),
+          round(max(col("ens")), 6).as("max_ens"))
+        .orderBy(col("event_type"))
+    }),
+
+    // P10: unified anomaly — max member score per (day, namespace proxy).
+    "q40_unified" -> ((s, d) => {
+      val member = scoredEvents(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(max(col("score")).as("member_score"))
+      AnomalyOps.unifiedMax(member, Seq("day"), "member_score")
+        .select(col("day"), round(col("unified_score"), 6).as("unified_score"))
+        .orderBy(col("day"))
+    }),
+
+    // P3: window-matrix assembly (w=12 ordered arrays) — array plumbing
+    // verified via per-window fold (sum/12), scalar-projected for the oracle.
+    "q41_window_assemble" -> ((s, d) => {
+      AnomalyOps.assembleWindows(events(s, d), Seq("user_id"), "ts", "event_id", "value", 12)
+        .withColumn("win_mean",
+          aggregate(col("win_arr"), lit(0.0), (acc, x) => acc + x) / lit(12.0))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          round(avg(col("win_mean")), 6).as("avg_win_mean"))
+        .orderBy(col("user_id"))
+    }),
+
+    // FLAGSHIP (SURVEY §7.0): the whole pipeline P2→P10 + top-k (E31).
+    "q42_anomaly_topk" -> ((s, d) => anomalyTopK(s, d))
+  )
+
+  /** Flagship: per event_type, the top-5 anomalous hours by unified score. */
+  def anomalyTopK(s: SparkSession, d: String): DataFrame = {
+    val hourly = scoredEvents(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(max(col("score")).as("mx"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("mx").desc, col("hour"))
+    hourly.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("event_type"), col("hour"), round(col("mx"), 6).as("score"), col("rn"))
+      .orderBy(col("event_type"), col("rn"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q32_dedup" ->
+      """WITH ranked AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type, date_trunc('day', ts)
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |)
+        |SELECT event_type, count(*) AS n_kept,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_kept
+        |FROM ranked WHERE rn = 1
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q33_scaler_minmax" ->
+      """WITH fit AS (
+        |  SELECT event_type, min(value) AS fit_min, max(value) AS fit_max
+        |  FROM events GROUP BY event_type
+        |), applied AS (
+        |  SELECT e.event_type,
+        |    CASE WHEN fit_max = fit_min THEN 0.0
+        |         ELSE (value - fit_min) / (fit_max - fit_min) END AS scaled
+        |  FROM events e JOIN fit USING (event_type)
+        |)
+        |SELECT event_type, round(avg(scaled), 6) AS avg_scaled,
+        |  round(min(scaled), 6) AS min_scaled, round(max(scaled), 6) AS max_scaled
+        |FROM applied GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q34_scaler_zscore" ->
+      """WITH fit AS (
+        |  SELECT event_type, avg(value) AS fit_mean, stddev_samp(value) AS fit_std
+        |  FROM events GROUP BY event_type
+        |), applied AS (
+        |  SELECT e.event_type,
+        |    least(greatest((value - fit_mean) / (fit_std + 0.000000001), -3.0), 3.0) AS z
+        |  FROM events e JOIN fit USING (event_type)
+        |)
+        |SELECT event_type, round(avg(z), 6) AS avg_z, round(min(z), 6) AS min_z,
+        |  round(max(z), 6) AS max_z, count(*) AS n
+        |FROM applied GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q35_scaler_log_tanh" -> {
+      val t = sqlTanh("ln(1 + value) / 5.0")
+      s"""SELECT event_type, round(avg($t), 6) AS avg_t, round(max($t), 6) AS max_t
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
+
+    "q36_threshold_fit" ->
+      """SELECT event_type, round(avg(value), 6) AS mean,
+        |  round(stddev_samp(value), 6) AS std, count(*) AS n,
+        |  round(avg(value) + 3 * stddev_samp(value), 6) AS threshold
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q37_threshold_score" ->
+      """WITH fit AS (
+        |  SELECT event_type, avg(value) + 3 * stddev_samp(value) AS threshold
+        |  FROM events GROUP BY event_type
+        |), scored AS (
+        |  SELECT e.event_type,
+        |    least(greatest(value / (threshold + 0.000000001), 0.0), 10.0) AS score
+        |  FROM events e JOIN fit USING (event_type)
+        |)
+        |SELECT event_type, round(avg(score), 6) AS avg_score,
+        |  CAST(sum(CASE WHEN score > 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+        |FROM scored GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q38_postprocess" ->
+      s"""$scoredSql
+         |SELECT event_type, round(avg(score), 6) AS avg_norm_score,
+         |  round(max(score), 6) AS max_norm_score, count(*) AS n
+         |FROM scored GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q39_ensemble" ->
+      """WITH zfit AS (
+        |  SELECT event_type, avg(value) AS fit_mean, stddev_samp(value) AS fit_std,
+        |    avg(value) + 3 * stddev_samp(value) AS threshold
+        |  FROM events GROUP BY event_type
+        |), scored AS (
+        |  SELECT e.event_type,
+        |    least(greatest(value / (threshold + 0.000000001), 0.0), 10.0) AS s_thresh,
+        |    abs(least(greatest((value - fit_mean) / (fit_std + 0.000000001), -3.0), 3.0)) / 3.0 * 10.0 AS s_z
+        |  FROM events e JOIN zfit USING (event_type)
+        |)
+        |SELECT event_type,
+        |  round(avg((s_thresh * 0.6 + s_z * 0.4) / 1.0), 6) AS avg_ens,
+        |  round(max((s_thresh * 0.6 + s_z * 0.4) / 1.0), 6) AS max_ens
+        |FROM scored GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q40_unified" ->
+      s"""$scoredSql, member AS (
+         |  SELECT date_trunc('day', ts) AS day, event_type, max(score) AS member_score
+         |  FROM scored GROUP BY 1, 2
+         |)
+         |SELECT day, round(max(member_score), 6) AS unified_score
+         |FROM member GROUP BY day ORDER BY day""".stripMargin,
+
+    "q41_window_assemble" ->
+      """WITH wins AS (
+        |  SELECT user_id,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS win_arr
+        |  FROM events
+        |), full_wins AS (
+        |  SELECT user_id, list_sum(win_arr) / 12.0 AS win_mean
+        |  FROM wins WHERE len(win_arr) = 12
+        |)
+        |SELECT user_id, count(*) AS n_windows,
+        |  round(avg(win_mean), 6) AS avg_win_mean
+        |FROM full_wins GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q42_anomaly_topk" ->
+      s"""$scoredSql, hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS hour, max(score) AS mx
+         |  FROM scored GROUP BY 1, 2
+         |), ranked AS (
+         |  SELECT event_type, hour, mx,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY mx DESC, hour) AS rn
+         |  FROM hourly
+         |)
+         |SELECT event_type, hour, round(mx, 6) AS score, rn
+         |FROM ranked WHERE rn <= 5
+         |ORDER BY event_type, rn""".stripMargin
+  )
+}

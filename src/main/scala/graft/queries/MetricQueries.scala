@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.Tables._
+import graft.metrics.MetricRegistry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Monitoring parity queries (SURVEY §2.A A1–A5): each Prometheus metric
+  * family evaluated batch-style over the events stream, labelset =
+  * (namespace, metric name) ≅ ('ns' ⊕ user_id % 5, event_type).
+  */
+object MetricQueries {
+
+  private def labeled(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("namespace", concat(lit("ns"), pmod(col("user_id"), lit(5))))
+      .withColumn("metric", col("event_type"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1: Counter — monotone accumulation per labelset.
+    "q43_metric_counter" -> ((s, d) => {
+      MetricRegistry.counter(labeled(s, d), Seq("namespace", "metric"),
+        lit(1L))
+        .select(col("namespace"), col("metric"), col("n_inc"),
+          col("counter_total").cast("long").as("counter_total"))
+        .orderBy(col("namespace"), col("metric"))
+    }),
+
+    // A4: Gauge — last-write-wins per labelset.
+    "q44_metric_gauge" -> ((s, d) => {
+      MetricRegistry.gauge(labeled(s, d), Seq("namespace", "metric"),
+        "value", "ts", "event_id")
+        .select(col("namespace"), col("metric"),
+          round(col("gauge_value"), 2).as("gauge_value"))
+        .orderBy(col("namespace"), col("metric"))
+    }),
+
+    // A3: Summary — quantiles per labelset.
+    "q45_metric_summary" -> ((s, d) => {
+      MetricRegistry.summary(labeled(s, d), Seq("namespace", "metric"), "value")
+        .select(col("namespace"), col("metric"),
+          round(col("q50"), 6).as("q50"), round(col("q90"), 6).as("q90"),
+          round(col("q99"), 6).as("q99"), col("n_obs"))
+        .orderBy(col("namespace"), col("metric"))
+    }),
+
+    // A5: Histogram — fixed cumulative le-buckets per metric name.
+    "q46_metric_histogram" -> ((s, d) => {
+      MetricRegistry.histogram(labeled(s, d), Seq("metric"), "value",
+        Seq(1.0, 5.0, 10.0, 50.0, 100.0))
+        .select(col("metric"), col("le"), col("bucket_count"), col("cum_count"))
+        .orderBy(col("metric"), col("le"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q43_metric_counter" ->
+      """SELECT concat('ns', user_id % 5) AS namespace, event_type AS metric,
+        |  count(*) AS n_inc, count(*) AS counter_total
+        |FROM events GROUP BY 1, 2 ORDER BY namespace, metric""".stripMargin,
+
+    "q44_metric_gauge" ->
+      """WITH ranked AS (
+        |  SELECT concat('ns', user_id % 5) AS namespace, event_type AS metric, value,
+        |    row_number() OVER (PARTITION BY concat('ns', user_id % 5), event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT namespace, metric, round(value, 2) AS gauge_value
+        |FROM ranked WHERE rn = 1 ORDER BY namespace, metric""".stripMargin,
+
+    "q45_metric_summary" ->
+      """SELECT concat('ns', user_id % 5) AS namespace, event_type AS metric,
+        |  round(quantile_cont(value, 0.5), 6) AS q50,
+        |  round(quantile_cont(value, 0.9), 6) AS q90,
+        |  round(quantile_cont(value, 0.99), 6) AS q99,
+        |  count(*) AS n_obs
+        |FROM events GROUP BY 1, 2 ORDER BY namespace, metric""".stripMargin,
+
+    "q46_metric_histogram" ->
+      """WITH bucketed AS (
+        |  SELECT event_type AS metric,
+        |    CASE WHEN value <= 1.0 THEN 1.0 WHEN value <= 5.0 THEN 5.0
+        |         WHEN value <= 10.0 THEN 10.0 WHEN value <= 50.0 THEN 50.0
+        |         WHEN value <= 100.0 THEN 100.0 ELSE 'Infinity'::DOUBLE END AS le
+        |  FROM events
+        |), grouped AS (
+        |  SELECT metric, le, count(*) AS bucket_count FROM bucketed GROUP BY 1, 2
+        |)
+        |SELECT metric, le, bucket_count,
+        |  CAST(sum(bucket_count) OVER (PARTITION BY metric ORDER BY le
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_count
+        |FROM grouped ORDER BY metric, le""".stripMargin
+  )
+}

@@ -1,0 +1,345 @@
+package graft.queries
+
+import graft.Tables._
+import graft.functions.VectorFunctions
+import graft.text.TextOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** LLM-data-pipeline queries (SURVEY §2 E52–E56 [N]) over `documents` and
+  * `embeddings`: exact + near dedup (n-gram Jaccard, MinHash+LSH, SimHash),
+  * embedding similarity search (brute-force + LSH-bucketed ANN), text
+  * analysis, multimodal column plumbing.
+  *
+  * All hashing is md5-derived so DuckDB reproduces it bit-for-bit; all
+  * pair generation goes through an equi-join key (group, band bucket, or
+  * LSH bucket) — never an unkeyed cross join — which is what keeps these
+  * plans alive at 100 TB.
+  */
+object TextQueries {
+
+  private def docsWithTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d).withColumn("toks", TextOps.tokens(col("text")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // E52: exact dedup via content hash.
+    "q47_exact_dedup" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("h", TextOps.exactKey(col("text")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("n_distinct"),
+          (count(lit(1)) - countDistinct(col("h"))).as("n_dups"))
+        .orderBy(col("lang"))
+    }),
+
+    // E53: n-gram Jaccard near-dup — word 3-shingles, pairs keyed by
+    // (lang, source) so the join is an equi-join, not all-pairs.
+    "q48_ngram_jaccard" -> ((s, d) => {
+      val sh = docsWithTokens(s, d)
+        .select(col("lang"), col("source"), col("doc_id"),
+          TextOps.shingles(col("toks"), 3).as("sh"))
+      val a = sh.select(col("lang"), col("source"), col("doc_id").as("id1"), col("sh").as("sh1"))
+      val b = sh.select(col("lang"), col("source"), col("doc_id").as("id2"), col("sh").as("sh2"))
+      a.join(b, Seq("lang", "source")).filter(col("id1") < col("id2"))
+        .withColumn("jacc", TextOps.jaccard(col("sh1"), col("sh2")))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("jacc")), 6).as("avg_jacc"),
+          round(max(col("jacc")), 6).as("max_jacc"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    // E53 scale path: MinHash (k=8) + LSH banding (4 bands × 2 rows) —
+    // candidate pairs only where a band bucket collides.
+    "q49_minhash_lsh" -> ((s, d) => {
+      val sig = docsWithTokens(s, d)
+        .select(col("lang"), col("doc_id"),
+          TextOps.minhashSignature(TextOps.shingles(col("toks"), 3), 8).as("sig"))
+      val banded = sig.select(col("lang"), col("doc_id"), col("sig"),
+        explode(TextOps.bandKeys(col("sig"), 4, 2)).as("bk"))
+      val a = banded.select(col("lang"), col("bk"), col("doc_id").as("id1"), col("sig").as("sig1"))
+      val bnd = banded.select(col("lang"), col("bk"), col("doc_id").as("id2"), col("sig").as("sig2"))
+      a.join(bnd, Seq("lang", "bk")).filter(col("id1") < col("id2"))
+        .select(col("lang"), col("id1"), col("id2"),
+          aggregate(zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).as("n_equal"))
+        .distinct()
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_candidates"),
+          round(avg(col("n_equal").cast("double") / 8.0), 6).as("avg_est_sim"))
+        .orderBy(col("lang"))
+    }),
+
+    // E53: SimHash near-dup — 32-bit signatures, Hamming distance via
+    // bit_count(xor), pairs keyed by (lang, source).
+    "q50_simhash" -> ((s, d) => {
+      val sh = docsWithTokens(s, d)
+        .withColumn("__hs", TextOps.tokenHashes(col("toks")))
+        .withColumn("simhash", expr(TextOps.simhash32Sql))
+        .select(col("lang"), col("source"), col("doc_id"), col("simhash"))
+      val a = sh.select(col("lang"), col("source"), col("doc_id").as("id1"), col("simhash").as("h1"))
+      val b = sh.select(col("lang"), col("source"), col("doc_id").as("id2"), col("simhash").as("h2"))
+      a.join(b, Seq("lang", "source")).filter(col("id1") < col("id2"))
+        .withColumn("hamming", expr("bit_count(h1 ^ h2)").cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("hamming")), 6).as("avg_hamming"),
+          sum(when(col("hamming") <= 8, 1).otherwise(0)).as("n_close"))
+        .orderBy(col("lang"))
+    }),
+
+    // E54: brute-force top-k cosine similarity search — query vectors
+    // vec_id ∈ {0,1,2} against the whole corpus, via the native
+    // VecCosine codegen expression (single fused pass, no allocation).
+    "q51_embedding_topk" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val scored = emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("sim", VectorFunctions.vecCosine(col("embedding"), col("qv")))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // E54 scale path: LSH-bucketed ANN — 4 data-derived hyperplanes →
+    // 16 sign buckets; search only the query's bucket. Declared without
+    // oracle (sign boundaries are FP-sensitive cross-engine) → rows-only.
+    "q52_ann_lsh_buckets" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val planes = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("plane_id"), col("embedding").as("pv"))
+      val bucketed = emb.crossJoin(broadcast(planes))
+        .withColumn("bit", when(VectorFunctions.vecDot(col("embedding"), col("pv")) > 0, 1).otherwise(0))
+        .groupBy(col("vec_id"), col("embedding"))
+        .agg(sum(col("bit") * pow(lit(2), col("plane_id"))).cast("long").as("bucket"))
+      val q = bucketed.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
+      val cand = bucketed.join(q, "bucket").filter(col("vec_id") =!= col("query_id"))
+        .withColumn("sim", VectorFunctions.vecCosine(col("embedding"), col("qv")))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+      cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("vec_id"), round(col("sim"), 6).as("sim"),
+          col("bucket"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // E55: language breakdown + quality signals.
+    "q53_lang_quality" -> ((s, d) => {
+      docsWithTokens(s, d)
+        .withColumn("stop_ratio", TextOps.stopwordRatio(col("toks"), Seq("the", "a")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 6).as("avg_chars"),
+          round(avg(size(col("toks"))), 6).as("avg_tokens"),
+          round(avg(col("stop_ratio")), 6).as("avg_stop_ratio"),
+          sum(when(col("n_chars") < 200, 1).otherwise(0)).as("n_short"))
+        .orderBy(col("lang"))
+    }),
+
+    // E55: token statistics — explode to token grain, count + distinct +
+    // a BPE-ish subword proxy (vowel-run count via regexp_extract_all).
+    "q54_token_stats" -> ((s, d) => {
+      val docs = docsWithTokens(s, d)
+        .withColumn("n_subwords", size(expr("regexp_extract_all(text, '[aeiou]+', 0)")).cast("long"))
+      val tok = docs.select(col("lang"), col("n_subwords"), col("doc_id"),
+        explode(col("toks")).as("tok"))
+      tok.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("n_distinct_tokens"),
+          round(avg(length(col("tok"))), 6).as("avg_tok_len"))
+        .join(docs.groupBy(col("lang")).agg(sum(col("n_subwords")).as("n_subwords")), "lang")
+        .select(col("lang"), col("n_tokens"), col("n_distinct_tokens"),
+          col("avg_tok_len"), col("n_subwords"))
+        .orderBy(col("lang"))
+    }),
+
+    // E55: positional-weight fingerprint over the first 64 chars —
+    // deterministic rolling-hash stand-in, identical in both engines.
+    "q55_doc_fingerprint" -> ((s, d) => {
+      documents(s, d)
+        .withColumn("fp", expr(
+          """aggregate(
+            |  transform(sequence(1, least(length(text), 64)),
+            |    i -> CAST(i AS BIGINT) * ascii(substring(text, i, 1))),
+            |  0L, (acc, x) -> acc + x) % 2147483647""".stripMargin).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_distinct_fp"),
+          sum(col("fp")).as("fp_sum"))
+        .orderBy(col("lang"))
+    }),
+
+    // E56: multimodal column — struct(text payload as opaque binary,
+    // typed metadata, embedding); scalar projections for the oracle.
+    "q56_multimodal" -> ((s, d) => {
+      val docs = documents(s, d)
+      val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .withColumn("payload", struct(
+          encode(col("text"), "utf-8").as("blob"),
+          struct(col("lang"), col("source"), col("n_chars")).as("meta"),
+          col("embedding").as("vec")))
+        .select(col("doc_id"),
+          octet_length(col("payload.blob")).cast("long").as("n_bytes"),
+          col("payload.meta.lang").as("lang"),
+          size(col("payload.vec")).cast("long").as("dim"),
+          round(element_at(col("payload.vec"), 1).cast("double"), 6).as("e1"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private val shinglesSqlDuck: String =
+    """list_distinct([array_to_string(toks[i:i+2], ' ')
+      |  for i in generate_series(1, len(toks) - 2)])""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q47_exact_dedup" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  count(DISTINCT sha256(text)) AS n_distinct,
+        |  count(*) - count(DISTINCT sha256(text)) AS n_dups
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q48_ngram_jaccard" ->
+      s"""WITH t AS (
+         |  SELECT lang, source, doc_id,
+         |    string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM documents
+         |), sh AS (
+         |  SELECT lang, source, doc_id, $shinglesSqlDuck AS sh FROM t
+         |), pairs AS (
+         |  SELECT a.lang, a.source,
+         |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE AS jacc
+         |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source
+         |    AND a.doc_id < b.doc_id
+         |)
+         |SELECT lang, source, count(*) AS n_pairs,
+         |  round(avg(jacc), 6) AS avg_jacc, round(max(jacc), 6) AS max_jacc
+         |FROM pairs GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q49_minhash_lsh" ->
+      s"""WITH t AS (
+         |  SELECT lang, doc_id, string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM documents
+         |), sh AS (
+         |  SELECT lang, doc_id, $shinglesSqlDuck AS sh FROM t
+         |), sig AS (
+         |  SELECT lang, doc_id,
+         |    [list_min(list_transform(sh, s ->
+         |       CAST(concat('0x', substr(md5(concat('mh', j, '|', s)), 1, 12)) AS BIGINT)))
+         |     for j in generate_series(0, 7)] AS sig
+         |  FROM sh
+         |), banded AS (
+         |  SELECT lang, doc_id, sig, b AS band,
+         |    concat(sig[b*2+1], ',', sig[b*2+2]) AS key
+         |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bands
+         |), cand AS (
+         |  SELECT DISTINCT a.lang, a.doc_id AS id1, b.doc_id AS id2,
+         |    len([i for i in generate_series(1, 8) if a.sig[i] = b.sig[i]]) AS n_equal
+         |  FROM banded a JOIN banded b
+         |    ON a.lang = b.lang AND a.band = b.band AND a.key = b.key
+         |    AND a.doc_id < b.doc_id
+         |)
+         |SELECT lang, count(*) AS n_candidates,
+         |  round(avg(n_equal::DOUBLE / 8.0), 6) AS avg_est_sim
+         |FROM cand GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q50_simhash" ->
+      """WITH t AS (
+        |  SELECT lang, source, doc_id,
+        |    list_transform(list_distinct(string_split_regex(trim(text), '\s+')),
+        |      tok -> CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)) AS hs
+        |  FROM documents
+        |), sim AS (
+        |  SELECT lang, source, doc_id,
+        |    list_sum([CASE WHEN list_sum([CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END
+        |                                  for h in hs]) > 0
+        |              THEN (1::BIGINT << b) ELSE 0 END
+        |              for b in generate_series(0, 31)])::BIGINT AS simhash
+        |  FROM t
+        |), pairs AS (
+        |  SELECT a.lang, bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        |  FROM sim a JOIN sim b ON a.lang = b.lang AND a.source = b.source
+        |    AND a.doc_id < b.doc_id
+        |)
+        |SELECT lang, count(*) AS n_pairs, round(avg(hamming), 6) AS avg_hamming,
+        |  CAST(sum(CASE WHEN hamming <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_close
+        |FROM pairs GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q51_embedding_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id < 3
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv) AS sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+        |), ranked AS (
+        |  SELECT query_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, vec_id, round(sim, 6) AS sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q53_lang_quality" ->
+      """WITH t AS (
+        |  SELECT lang, n_chars, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(n_chars), 6) AS avg_chars,
+        |  round(avg(len(toks)), 6) AS avg_tokens,
+        |  round(avg(CASE WHEN len(toks) > 0
+        |    THEN len(list_filter(toks, t -> t IN ('the', 'a')))::DOUBLE / len(toks)::DOUBLE
+        |    ELSE 0.0 END), 6) AS avg_stop_ratio,
+        |  CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q54_token_stats" ->
+      """WITH docs AS (
+        |  SELECT lang, doc_id, string_split_regex(trim(text), '\s+') AS toks,
+        |    len(regexp_extract_all(text, '[aeiou]+')) AS n_subwords
+        |  FROM documents
+        |), tok AS (
+        |  SELECT lang, unnest(toks) AS tok FROM docs
+        |)
+        |SELECT t.lang, t.n_tokens, t.n_distinct_tokens, t.avg_tok_len, s.n_subwords
+        |FROM (
+        |  SELECT lang, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct_tokens,
+        |    round(avg(length(tok)), 6) AS avg_tok_len
+        |  FROM tok GROUP BY lang
+        |) t JOIN (
+        |  SELECT lang, CAST(sum(n_subwords) AS BIGINT) AS n_subwords FROM docs GROUP BY lang
+        |) s ON t.lang = s.lang
+        |ORDER BY t.lang""".stripMargin,
+
+    "q55_doc_fingerprint" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    list_sum([CAST(i AS BIGINT) * ascii(substring(text, i, 1))
+        |              for i in generate_series(1, least(length(text), 64))])
+        |      % 2147483647 AS fp
+        |  FROM documents
+        |)
+        |SELECT lang, count(*) AS n_docs, count(DISTINCT fp) AS n_distinct_fp,
+        |  CAST(sum(fp) AS BIGINT) AS fp_sum
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q56_multimodal" ->
+      """SELECT d.doc_id,
+        |  octet_length(encode(d.text)) AS n_bytes,
+        |  d.lang,
+        |  len(e.embedding) AS dim,
+        |  round(CAST(e.embedding[1] AS DOUBLE), 6) AS e1
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |ORDER BY d.doc_id""".stripMargin
+  )
+}

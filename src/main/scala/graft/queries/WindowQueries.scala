@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function battery (SURVEY §2 E25–E28): ranking, analytic,
+  * rows-bounded rolling frames, interval range frames, running totals.
+  * These are the primitives behind the reference's sliding-window
+  * assembler (P3) and the score query service (P14).
+  */
+object WindowQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // E25: row_number / rank / dense_rank / ntile over a total order.
+    "q19_rank_battery" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      customer(s, d)
+        .select(col("c_nationkey"), col("c_custkey"),
+          round(col("c_acctbal"), 2).as("c_acctbal"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("c_nationkey"), col("rn"))
+    }),
+
+    // E26: lag / lead / first_value per series.
+    "q20_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          round(col("value") - lag(col("value"), 1).over(w), 2).as("delta"),
+          first(col("value")).over(w).as("first_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // E27/P3: rows-bounded rolling stats, w=12 — the batch form of the
+    // reference's sliding-window assembler + preprocess stats.
+    "q21_rolling_stats" -> ((s, d) => {
+      graft.anomaly.AnomalyOps
+        .rollingStats(events(s, d), Seq("user_id"), "ts", "event_id", "value", 12)
+        .select(col("user_id"), col("event_id"),
+          round(col("roll_avg"), 6).as("roll_avg"),
+          round(col("roll_std"), 6).as("roll_std"),
+          col("roll_cnt"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // E28: event-time range frame — 1-hour trailing window in epoch micros
+    // (µs keeps Spark and the oracle on identical integer ordering keys).
+    "q22_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, Window.currentRow)
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+          round(sum(col("value")).over(w), 2).as("hour_sum"),
+          count(lit(1)).over(w).as("hour_cnt"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // E26/E27: running total (unbounded preceding frame), decimal-exact.
+    "q23_running_total" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double"), 2).as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q19_rank_battery" ->
+      """SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS c_acctbal,
+        |  row_number() OVER w AS rn, rank() OVER w AS rk,
+        |  dense_rank() OVER w AS drk, ntile(4) OVER w AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_nationkey, rn""".stripMargin,
+
+    "q20_lag_lead" ->
+      """SELECT user_id, event_id, value,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(value, 1) OVER w AS next_value,
+        |  round(value - lag(value, 1) OVER w, 2) AS delta,
+        |  first_value(value) OVER w AS first_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q21_rolling_stats" ->
+      """SELECT user_id, event_id,
+        |  round(avg(value) OVER w, 6) AS roll_avg,
+        |  round(stddev_samp(value) OVER w, 6) AS roll_std,
+        |  count(*) OVER w AS roll_cnt
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q22_range_frame" ->
+      """SELECT user_id, event_id,
+        |  round(sum(value) OVER w, 2) AS hour_sum,
+        |  count(*) OVER w AS hour_cnt
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q23_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE), 2) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
+  )
+}

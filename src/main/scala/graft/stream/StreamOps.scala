@@ -1,0 +1,121 @@
+package graft.stream
+
+import graft.Tables
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Typed event row for streaming stages (≅ the reference's stream payload,
+  * SURVEY §1.2: composite key (user_id, event_type), ts, value). */
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** Emitted window record (P3 output shape, FIXTURES.md B2). */
+case class WinOut(user_id: Long, event_type: String, end_ts: java.sql.Timestamp,
+                  win_mean: Double)
+
+/** Per-key assembler state: the trailing w−1 samples. */
+case class AsmState(buf: Seq[(Long, Double)])
+
+/** Structured Streaming operators (SURVEY §2 E41–E47, P1/P3/P4/P11).
+  *
+  * Test harness pattern: the batch parquet events are replayed through a
+  * `MemoryStream` in event-time-ordered chunks, so watermarks advance
+  * between micro-batches and append-mode operators flush deterministically.
+  * On a real cluster the same plans run unchanged off Kafka/file streams —
+  * only the source changes (P1).
+  */
+object StreamOps {
+
+  /** Replay the events table as `chunks` event-time-ordered micro-batches
+    * through `pipeline`, blocking until all data is processed; returns the
+    * committed result table. */
+  def replayEvents(spark: SparkSession, dir: String, name: String, chunks: Int)
+                  (pipeline: Dataset[Ev] => DataFrame, outputMode: OutputMode): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Ev].orderBy($"ts", $"event_id").collect()
+    val stream = MemoryStream[Ev]
+    val q = pipeline(stream.toDS())
+      .writeStream.outputMode(outputMode)
+      .format("memory").queryName(name)
+      .start()
+    try {
+      val per = math.max(1, math.ceil(rows.length.toDouble / chunks).toInt)
+      rows.grouped(per).foreach { chunk =>
+        stream.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  /** E41+E42: watermarked tumbling-window aggregation. */
+  def tumblingAgg(ds: Dataset[Ev]): DataFrame =
+    ds.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  /** E44/P4: streaming dedup within watermark on (key, day). */
+  def streamingDedup(ds: Dataset[Ev]): DataFrame =
+    ds.withColumn("day", date_trunc("day", col("ts")))
+      .withWatermark("ts", "25 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+
+  /** E43: session windows (30-minute gap) per user. */
+  def sessionize(ds: Dataset[Ev]): DataFrame =
+    ds.withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** E45/P3: exact-N sliding window assembler via flatMapGroupsWithState —
+    * the count-based window Spark's time-based `window()` cannot express
+    * (SURVEY §7.3 risk 1). State per key is the trailing w−1 samples,
+    * O(w) bounded; late/duplicate policy: batch-sorted by (ts, event_id).
+    */
+  def assembler(ds: Dataset[Ev], w: Int): Dataset[WinOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[AsmState, WinOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((uid, etype), events, state: GroupState[AsmState]) =>
+          val prior = if (state.exists) state.get.buf else Seq.empty
+          val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          var buf = prior.toVector
+          val out = Vector.newBuilder[WinOut]
+          sorted.foreach { e =>
+            buf = (buf :+ (e.event_id, e.value)).takeRight(w)
+            if (buf.length == w)
+              out += WinOut(uid, etype, e.ts, buf.map(_._2).sum / w)
+          }
+          state.update(AsmState(buf.takeRight(w - 1)))
+          out.result().iterator
+      }
+  }
+
+  /** E46/P13: stream–static join against a fitted model table, scoring each
+    * event as it arrives (per-batch model freshness, SURVEY §7.3 risk 5). */
+  def streamStaticScore(ds: Dataset[Ev], model: DataFrame): DataFrame =
+    ds.join(broadcast(model), "event_type")
+      .withColumn("score",
+        least(greatest(col("value") / (col("threshold") + lit(1e-9)), lit(0.0)), lit(10.0)))
+
+  /** E4/P11: foreachBatch train-request sink — emits deduplicated train
+    * requests (key + reason) for keys whose score exceeds the trigger;
+    * requests accumulate into an in-memory table per micro-batch. */
+  def trainRequestSink(spark: SparkSession, scored: DataFrame, trigger: Double,
+                       tableName: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $tableName (user_id LONG, event_type STRING, reason STRING) USING parquet")
+    scored.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.filter(col("score") > trigger)
+          .select(col("user_id"), col("event_type"), lit("score_exceeded").as("reason"))
+          .dropDuplicates("user_id", "event_type")
+          .write.mode("append").saveAsTable(tableName)
+      }
+  }
+}
