@@ -27,6 +27,7 @@ object SparkEntry {
       FunctionQueries.queries ++
       AnomalyQueries.queries ++
       MetricQueries.queries ++
+      RegistryQueries.queries ++
       TextQueries.queries ++
       StreamingQueries.queries
 
@@ -38,5 +39,6 @@ object SparkEntry {
       FunctionQueries.oracle ++
       AnomalyQueries.oracle ++
       MetricQueries.oracle ++
+      RegistryQueries.oracle ++
       TextQueries.oracle
 }

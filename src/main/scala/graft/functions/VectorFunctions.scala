@@ -157,8 +157,8 @@ object VectorFunctions {
   /** SQL registration: `SELECT vec_cosine(a, b)` etc. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("vec_dot", es => VecDot(es(0), es(1)), "builtin")
-    reg.createOrReplaceTempFunction("vec_cosine", es => VecCosine(es(0), es(1)), "builtin")
-    reg.createOrReplaceTempFunction("vec_norm", es => VecNorm(es.head), "builtin")
+    reg.createOrReplaceTempFunction("vec_dot", es => VecDot(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_cosine", es => VecCosine(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_norm", es => VecNorm(es.head), "scala_udf")
   }
 }

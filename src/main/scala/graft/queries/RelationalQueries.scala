@@ -120,16 +120,22 @@ object RelationalQueries {
     }),
 
     // E14: as-of join — score each event against the latest strictly-prior
-    // daily model (per event_type). Models are tiny → broadcast + ranked
-    // filter; documented scale path is a sort-merge as-of.
+    // daily model (per event_type). The as-of ranking runs at the join-key
+    // grain (event_type × day, tiny), NOT per event row — the resolved
+    // (day → model) map is then one broadcast equi-join onto the fact side.
+    // At 100 TB this keeps the rank shuffle O(keys), never O(rows).
     "q09_asof_join" -> ((s, d) => {
       val ev = events(s, d).withColumn("day", date_trunc("day", col("ts")))
       val model = ev.groupBy(col("event_type"), col("day").as("model_day"))
         .agg(avg(col("value")).as("model_avg"))
-      val joined = ev.join(broadcast(model), Seq("event_type"))
+      val days = ev.select(col("event_type"), col("day")).distinct()
+      val w = Window.partitionBy(col("event_type"), col("day"))
+        .orderBy(col("model_day").desc)
+      val asof = days.join(model, Seq("event_type"))
         .filter(col("model_day") < col("day"))
-      val w = Window.partitionBy(col("event_id")).orderBy(col("model_day").desc)
-      joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("event_type"), col("day"), col("model_avg"))
+      ev.join(broadcast(asof), Seq("event_type", "day"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_scored"),
           round(avg(abs(col("value") - col("model_avg"))), 6).as("avg_abs_err"))

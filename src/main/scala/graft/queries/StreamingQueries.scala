@@ -20,7 +20,7 @@ object StreamingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E41+E42: watermark + tumbling event-time windows.
     "s57_stream_tumbling" -> ((s, d) => {
-      val t = StreamOps.replayEvents(s, d, "s57_sink", 4)(
+      val t = StreamOps.replayEvents(s, d, "s57_sink", 2)(
         StreamOps.tumblingAgg, OutputMode.Complete)
       t.select(col("window.start").as("win_start"), col("event_type"), col("n"),
         round(col("sum_value"), 2).as("sum_value"))
@@ -29,7 +29,7 @@ object StreamingQueries {
 
     // E44/P4: streaming dedup within watermark.
     "s58_stream_dedup" -> ((s, d) => {
-      val t = StreamOps.replayEvents(s, d, "s58_sink", 4)(
+      val t = StreamOps.replayEvents(s, d, "s58_sink", 2)(
         ds => StreamOps.streamingDedup(ds).drop("day"), OutputMode.Append)
       t.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_kept"))
@@ -38,7 +38,7 @@ object StreamingQueries {
 
     // E43: session windows (30-min gap).
     "s59_stream_sessions" -> ((s, d) => {
-      val t = StreamOps.replayEvents(s, d, "s59_sink", 4)(
+      val t = StreamOps.replayEvents(s, d, "s59_sink", 2)(
         StreamOps.sessionize _, OutputMode.Append)
       t.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
@@ -47,7 +47,7 @@ object StreamingQueries {
 
     // E45/P3: exact-12 stateful window assembler (flatMapGroupsWithState).
     "s60_stream_assembler" -> ((s, d) => {
-      val t = StreamOps.replayEvents(s, d, "s60_sink", 4)(
+      val t = StreamOps.replayEvents(s, d, "s60_sink", 2)(
         ds => StreamOps.assembler(ds, 12).toDF(), OutputMode.Append)
       t.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_windows"),
@@ -59,7 +59,7 @@ object StreamingQueries {
     "s61_stream_static_score" -> ((s, d) => {
       val model = Threshold.fit(Tables.events(s, d), Seq("event_type"), "value", 3.0)
         .select(col("event_type"), col("threshold"))
-      val t = StreamOps.replayEvents(s, d, "s61_sink", 4)(
+      val t = StreamOps.replayEvents(s, d, "s61_sink", 2)(
         ds => StreamOps.streamStaticScore(ds, model), OutputMode.Append)
       t.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), round(avg(col("score")), 6).as("avg_score"))

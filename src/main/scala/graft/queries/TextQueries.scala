@@ -19,8 +19,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TextQueries {
 
+  /** Tokenized docs, repartitioned first: the source is a single parquet
+    * row-group (1 scan partition), and the md5-heavy shingle/signature
+    * projections run map-side BEFORE any join shuffle — without an explicit
+    * repartition they would execute single-threaded. At 100 TB the scan has
+    * thousands of natural splits and this becomes a no-op choice. */
   private def docsWithTokens(s: SparkSession, d: String): DataFrame =
-    documents(s, d).withColumn("toks", TextOps.tokens(col("text")))
+    documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("toks", TextOps.tokens(col("text")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E52: exact dedup via content hash.

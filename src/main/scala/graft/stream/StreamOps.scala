@@ -104,18 +104,18 @@ object StreamOps {
       .withColumn("score",
         least(greatest(col("value") / (col("threshold") + lit(1e-9)), lit(0.0)), lit(10.0)))
 
-  /** E4/P11: foreachBatch train-request sink — emits deduplicated train
-    * requests (key + reason) for keys whose score exceeds the trigger;
-    * requests accumulate into an in-memory table per micro-batch. */
-  def trainRequestSink(spark: SparkSession, scored: DataFrame, trigger: Double,
-                       tableName: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    spark.sql(s"CREATE TABLE IF NOT EXISTS $tableName (user_id LONG, event_type STRING, reason STRING) USING parquet")
+  /** E4/P11: foreachBatch train-request sink — emits per-batch-deduplicated
+    * train requests (key + reason) for keys whose score exceeds the
+    * trigger, appended to a parquet request table at `path` (the batch
+    * analogue of the reference's Redis-deduped UDSink,
+    * `CHANGELOG.md:530,479`). */
+  def trainRequestSink(scored: DataFrame, trigger: Double,
+                       path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     scored.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.filter(col("score") > trigger)
           .select(col("user_id"), col("event_type"), lit("score_exceeded").as("reason"))
           .dropDuplicates("user_id", "event_type")
-          .write.mode("append").saveAsTable(tableName)
+          .write.mode("append").parquet(path)
       }
-  }
 }

@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract smoke: entry returns rows; every declared query runs and
+  * every oracle key has a matching query (t1/t2 shape checks). */
+class EntrySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("entry returns >0 rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a declared query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("all batch queries run and return schema'd results on sf0.001") {
+    val failures = SparkEntry.queries.toSeq
+      .filterNot(_._1.startsWith("s")) // streaming smoked in StreamSpec
+      .flatMap { case (name, fn) =>
+        try {
+          val df = fn(spark, TestSpark.SF)
+          assert(df.schema.fields.nonEmpty)
+          df.count(); None
+        } catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+      }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native vector expressions (E54): codegen result ≡ builtin higher-order
+  * composition, SQL registration, null handling. */
+class VectorFunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def emb = Tables.embeddings(spark, TestSpark.SF).limit(50)
+
+  test("vecDot/vecCosine match zip_with+aggregate composition") {
+    val dbl = emb.withColumn("a", transform(col("embedding"), _.cast("double")))
+      .withColumn("b", reverse(col("a")))
+    val r = dbl.select(
+      VectorFunctions.vecDot(col("a"), col("b")).as("dot_native"),
+      aggregate(zip_with(col("a"), col("b"), _ * _), lit(0.0), _ + _).as("dot_builtin"),
+      VectorFunctions.vecCosine(col("a"), col("b")).as("cos_native"),
+      (aggregate(zip_with(col("a"), col("b"), _ * _), lit(0.0), _ + _) /
+        (sqrt(aggregate(zip_with(col("a"), col("a"), _ * _), lit(0.0), _ + _)) *
+          sqrt(aggregate(zip_with(col("b"), col("b"), _ * _), lit(0.0), _ + _)))).as("cos_builtin"))
+      .collect()
+    r.foreach { row =>
+      assert(math.abs(row.getDouble(0) - row.getDouble(1)) < 1e-9, "dot mismatch")
+      assert(math.abs(row.getDouble(2) - row.getDouble(3)) < 1e-9, "cosine mismatch")
+    }
+  }
+
+  test("float arrays accumulate in double") {
+    val r = emb.select(VectorFunctions.vecNorm(col("embedding")).as("n")).collect()
+    assert(r.forall(row => row.getDouble(0) > 0.0 && !row.getDouble(0).isNaN))
+  }
+
+  test("SQL registration: vec_cosine usable from spark.sql") {
+    VectorFunctions.register(spark)
+    Tables.embeddings(spark, TestSpark.SF).createOrReplaceTempView("emb_t")
+    val r = spark.sql(
+      "SELECT vec_cosine(embedding, embedding) c, vec_dot(embedding, embedding) d, vec_norm(embedding) n FROM emb_t LIMIT 5").collect()
+    r.foreach { row =>
+      assert(math.abs(row.getDouble(0) - 1.0) < 1e-9) // self-cosine = 1
+      assert(math.abs(row.getDouble(1) - row.getDouble(2) * row.getDouble(2)) < 1e-6)
+    }
+  }
+
+  test("null input propagates null") {
+    val r = emb.select(VectorFunctions.vecCosine(lit(null).cast("array<float>"), col("embedding")).as("c"))
+      .collect()
+    assert(r.forall(_.isNullAt(0)))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.anomaly
+
+import org.scalacheck.{Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One-pass threshold-fit Aggregator (E49): numeric parity with the naive
+  * two-pass formulas plus merge associativity (the property that makes
+  * map-side partial aggregation correct at scale). */
+class ThresholdSpec extends AnyFunSuite {
+
+  private def naive(xs: Seq[Double]): (Double, Double) = {
+    val m = xs.sum / xs.size
+    val v = xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+    (m, math.sqrt(v))
+  }
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("buffer add matches naive mean/std") {
+    check(Prop.forAll(org.scalacheck.Gen.nonEmptyListOf(org.scalacheck.Gen.choose(-1e3, 1e3))) { xs =>
+      val b = xs.foldLeft(StdDevBuf(0, 0, 0))(_.add(_))
+      val (m, s) = naive(xs)
+      math.abs(b.mean - m) < 1e-8 &&
+        (xs.size < 2 || math.abs(b.stddevSamp - s) < 1e-6)
+    })
+  }
+
+  test("merge of split buffers equals sequential buffer") {
+    check(Prop.forAll(
+      org.scalacheck.Gen.nonEmptyListOf(org.scalacheck.Gen.choose(-1e3, 1e3)),
+      org.scalacheck.Gen.nonEmptyListOf(org.scalacheck.Gen.choose(-1e3, 1e3))) { (a, b) =>
+      val seq = (a ++ b).foldLeft(StdDevBuf(0, 0, 0))(_.add(_))
+      val merged = a.foldLeft(StdDevBuf(0, 0, 0))(_.add(_))
+        .merge(b.foldLeft(StdDevBuf(0, 0, 0))(_.add(_)))
+      merged.n == seq.n &&
+        math.abs(merged.mean - seq.mean) < 1e-8 &&
+        math.abs(merged.m2 - seq.m2) < 1e-4
+    })
+  }
+
+  test("threshold = mean + k*std, score clipped to [0, limit]") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 100.0).toDF("v").withColumn("k", org.apache.spark.sql.functions.lit("a"))
+    val fit = Threshold.fit(df, Seq("k"), "v", 3.0).collect()(0)
+    val (m, s) = naive(Seq(1.0, 2.0, 3.0, 4.0, 100.0))
+    assert(math.abs(fit.getAs[Double]("threshold") - (m + 3 * s)) < 1e-6)
+    val scored = df.select(Threshold.score($"v" * 100, org.apache.spark.sql.functions.lit(fit.getAs[Double]("threshold"))).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(scored.forall(x => x >= 0.0 && x <= 10.0))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.metrics
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Monitoring parity (A1–A8): factory dispatch incl. the unknown-type
+  * failure (reference utility.py:55), right-biased label merge (A7,
+  * metrics.py:67), histogram bucket arithmetic, config instantiation
+  * (P16), and live metrics via df.observe (E47). */
+class MetricsSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  test("get_metric constructs all five kinds") {
+    val kinds = Seq("Counter", "Info", "Summary", "Gauge", "Histogram")
+    val built = kinds.map(k => MetricRegistry.getMetric(k, s"m_$k", "d"))
+    assert(built.map(_.kind.toString).toSet.size == 5)
+    assert(built.forall(_.meta.description == "d"))
+  }
+
+  test("unknown metric type raises (utility.py:55 parity)") {
+    val e = intercept[IllegalArgumentException] {
+      MetricRegistry.getMetric("Quantile", "m", "d")
+    }
+    assert(e.getMessage.contains("Unknown metric type"))
+  }
+
+  test("fromConfig builds the configured fleet (P16, FIXTURES.md B1)") {
+    val fleet = MetricRegistry.fromConfig(Seq(
+      PromMetricList("Counter", Seq(PromMetric("msg_processed_total", "messages processed",
+        Map("pipeline" -> "anomaly"), Map("namespace" -> "", "metric" -> "")))),
+      PromMetricList("Gauge", Seq(PromMetric("anomaly_score", "unified anomaly score")))))
+    assert(fleet.keySet == Set("msg_processed_total", "anomaly_score"))
+    assert(fleet("msg_processed_total").kind == MetricKind.Counter)
+    assert(fleet("msg_processed_total").meta.staticLabels("pipeline") == "anomaly")
+  }
+
+  test("label merge is right-biased (dict | dict semantics)") {
+    val df = Seq(1).toDF("x")
+      .withColumn("defaults", map(lit("pipeline"), lit("anomaly"), lit("source"), lit("default")))
+      .withColumn("callsite", map(lit("source"), lit("override")))
+    val merged = df.select(
+      MetricRegistry.mergeLabels(spark, $"defaults", $"callsite").as("m"))
+      .select(element_at($"m", "source"), element_at($"m", "pipeline"))
+      .collect()(0)
+    assert(merged.getString(0) == "override" && merged.getString(1) == "anomaly")
+  }
+
+  test("histogram buckets are cumulative and total to count") {
+    val df = Seq(0.5, 0.5, 3.0, 7.0, 200.0).map(("m", _)).toDF("metric", "v")
+    val h = MetricRegistry.histogram(df, Seq("metric"), "v", Seq(1.0, 5.0, 10.0))
+      .orderBy($"le").collect()
+    val les = h.map(_.getAs[Double]("le")).toSeq
+    assert(les == Seq(1.0, 5.0, 10.0, Double.PositiveInfinity))
+    assert(h.map(_.getAs[Long]("bucket_count")).toSeq == Seq(2L, 1L, 1L, 1L))
+    assert(h.map(_.getAs[Long]("cum_count")).toSeq == Seq(2L, 3L, 4L, 5L))
+  }
+
+  test("gauge is last-write-wins; counter accumulates (A1/A4)") {
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "m", 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), "m", 9.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), "m", 5.0)
+    ).toDF("event_id", "ts", "metric", "value")
+    val g = MetricRegistry.gauge(df, Seq("metric"), "value", "ts", "event_id").collect()(0)
+    assert(g.getAs[Double]("gauge_value") == 9.0)
+    val c = MetricRegistry.counter(df, Seq("metric"), lit(2L)).collect()(0)
+    assert(c.getAs[Long]("n_inc") == 3L && c.getAs[Long]("counter_total") == 6L)
+  }
+
+  test("live metric via df.observe + listener (E47 / A1 live twin)") {
+    @volatile var observed: Option[Long] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit = {
+        qe.observedMetrics.get("live_counter").foreach(r => observed = Some(r.getAs[Long]("n")))
+      }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      graft.Tables.events(spark, graft.TestSpark.SF)
+        .observe("live_counter", count(lit(1)).as("n"))
+        .collect()
+      var tries = 0
+      while (observed.isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
+      assert(observed.contains(1000L))
+    } finally spark.listenerManager.unregister(listener)
+  }
+}

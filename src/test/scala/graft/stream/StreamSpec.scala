@@ -1,0 +1,82 @@
+package graft.stream
+
+import graft.anomaly.AnomalyOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming-vs-batch parity (SURVEY §5.2 item 4): the streaming form of
+  * each operator must produce the batch twin's results on the same data. */
+class StreamSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  private val SF = graft.TestSpark.SF
+
+  test("exact-12 assembler: streaming ≡ batch window counts and means") {
+    val streamed = StreamOps.replayEvents(spark, SF, "t_asm", 3)(
+      ds => StreamOps.assembler(ds, 12).toDF(), OutputMode.Append)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n"), round(avg($"win_mean"), 6).as("m"))
+    val batch = AnomalyOps.assembleWindows(
+      graft.Tables.events(spark, SF), Seq("user_id", "event_type"), "ts", "event_id", "value", 12)
+      .withColumn("win_mean", aggregate($"win_arr", lit(0.0), _ + _) / lit(12.0))
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n"), round(avg($"win_mean"), 6).as("m"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("tumbling agg: streaming ≡ batch window() aggregation") {
+    val streamed = StreamOps.replayEvents(spark, SF, "t_tumble", 3)(
+      StreamOps.tumblingAgg, OutputMode.Complete)
+      .select($"window.start".as("ws"), $"event_type", $"n", round($"sum_value", 2).as("sv"))
+    val batch = graft.Tables.events(spark, SF)
+      .groupBy(window($"ts", "6 hours"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select($"window.start".as("ws"), $"event_type", $"n", round($"sum_value", 2).as("sv"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("streaming dedup keeps one row per (key, day)") {
+    val streamed = StreamOps.replayEvents(spark, SF, "t_dedup", 3)(
+      ds => StreamOps.streamingDedup(ds).drop("day"), OutputMode.Append)
+    val batchDistinct = graft.Tables.events(spark, SF)
+      .select($"user_id", $"event_type", date_trunc("day", $"ts").as("day")).distinct().count()
+    assert(streamed.count() == batchDistinct)
+  }
+
+  test("session windows: streaming flushed sessions ⊆ batch sessions, non-empty") {
+    val streamed = StreamOps.replayEvents(spark, SF, "t_sess", 3)(
+      StreamOps.sessionize _, OutputMode.Append)
+      .select($"sw.start".as("start"), $"user_id", $"n_events")
+    val batch = graft.Tables.events(spark, SF)
+      .groupBy(session_window($"ts", "30 minutes").as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"sw.start".as("start"), $"user_id", $"n_events")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty, "streamed session not present in batch form")
+  }
+
+  test("train-request sink collects deduplicated requests (P11)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val model = graft.anomaly.Threshold.fit(
+      graft.Tables.events(spark, SF), Seq("event_type"), "value", 0.0)
+      .select($"event_type", $"threshold")
+    val rows = graft.Tables.events(spark, SF)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Ev].orderBy($"ts").collect()
+    val stream = MemoryStream[Ev]
+    val dir = java.nio.file.Files.createTempDirectory("train_requests").toString + "/out"
+    val q = StreamOps.trainRequestSink(
+      StreamOps.streamStaticScore(stream.toDS(), model), 1.0, dir).start()
+    try {
+      rows.grouped(500).foreach { c => stream.addData(c.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val reqs = spark.read.parquet(dir)
+    assert(reqs.count() > 0)
+    assert(reqs.select($"reason").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("score_exceeded"))
+  }
+}

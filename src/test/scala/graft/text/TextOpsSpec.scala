@@ -1,0 +1,67 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Text operator semantics (E52–E55): shingle edge cases, jaccard bounds,
+  * deterministic hashing, simhash self-distance. */
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  test("shingles: short docs yield empty, not a descending-sequence bug") {
+    val df = Seq("one two", "one two three", "one two three four").toDF("text")
+      .select(TextOps.shingles(TextOps.tokens($"text"), 3).as("sh"))
+    val sizes = df.select(size($"sh")).collect().map(_.getInt(0)).toSeq
+    assert(sizes == Seq(0, 1, 2))
+  }
+
+  test("md5Hash48 is stable and 48-bit") {
+    val h = Seq("hello").toDF("t")
+      .select(TextOps.md5Hash48($"t", "mh0").as("h")).collect()(0).getLong(0)
+    val h2 = Seq("hello").toDF("t")
+      .select(TextOps.md5Hash48($"t", "mh0").as("h")).collect()(0).getLong(0)
+    assert(h == h2 && h >= 0 && h < (1L << 48))
+    // cross-check against java.security MessageDigest
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("mh0|hello".getBytes("UTF-8"))
+    val hex = md.map("%02x".format(_)).mkString.substring(0, 12)
+    assert(h == java.lang.Long.parseLong(hex, 16))
+  }
+
+  test("jaccard within [0,1]; identical sets = 1; disjoint = 0") {
+    val df = Seq(
+      (Seq("a", "b"), Seq("a", "b")),
+      (Seq("a", "b"), Seq("c", "d")),
+      (Seq("a", "b", "c"), Seq("b", "c", "d"))
+    ).toDF("x", "y").select(TextOps.jaccard($"x", $"y").as("j"))
+    val j = df.collect().map(_.getDouble(0)).toSeq
+    assert(j(0) == 1.0 && j(1) == 0.0 && math.abs(j(2) - 0.5) < 1e-12)
+  }
+
+  test("minhash signature: identical docs share full signature") {
+    val df = Seq("the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy dog").toDF("text")
+      .select(TextOps.minhashSignature(TextOps.shingles(TextOps.tokens($"text"), 3), 8).as("sig"))
+    val sigs = df.collect().map(_.getSeq[Long](0))
+    assert(sigs(0) == sigs(1) && sigs(0).length == 8)
+  }
+
+  test("simhash: identical docs → hamming 0; disjoint docs differ") {
+    val df = Seq("alpha beta gamma delta", "alpha beta gamma delta", "zz yy xx ww vv uu")
+      .toDF("text")
+      .withColumn("__hs", TextOps.tokenHashes(TextOps.tokens($"text")))
+      .withColumn("sh", expr(TextOps.simhash32Sql))
+    val hs = df.select($"sh").collect().map(_.getLong(0))
+    assert(hs(0) == hs(1))
+    assert(hs(0) != hs(2))
+    assert(hs.forall(h => h >= 0 && h <= 0xFFFFFFFFL))
+  }
+
+  test("stopword ratio") {
+    val r = Seq("the cat and the hat").toDF("text")
+      .select(TextOps.stopwordRatio(TextOps.tokens($"text"), Seq("the", "and")).as("r"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(r - 0.6) < 1e-12)
+  }
+}
