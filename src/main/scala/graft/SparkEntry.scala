@@ -29,6 +29,7 @@ object SparkEntry {
       MetricQueries.queries ++
       RegistryQueries.queries ++
       TextQueries.queries ++
+      ExtraQueries.queries ++
       StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -40,5 +41,6 @@ object SparkEntry {
       AnomalyQueries.oracle ++
       MetricQueries.oracle ++
       RegistryQueries.oracle ++
-      TextQueries.oracle
+      TextQueries.oracle ++
+      ExtraQueries.oracle
 }

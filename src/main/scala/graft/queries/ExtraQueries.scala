@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.Tables._
+import graft.functions.VectorFunctions
+import graft.text.Multimodal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Coverage completions: GROUPING SETS (E19), embedding-cosine near-dup
+  * (E53 [N]), the P14 range-query service shape, and multimodal feature
+  * extraction (E56 [N], rows-only).
+  */
+object ExtraQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // E19: explicit GROUPING SETS (rollup/cube siblings are q12/q13).
+    "q64_grouping_sets" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |  coalesce(o_orderpriority, 'ALL') AS priority,
+          |  count(*) AS n,
+          |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+          |FROM orders_v
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY status, priority""".stripMargin)
+    }),
+
+    // E53 [N]: embedding-cosine near-dup — pairs bucketed by label (an
+    // equi-join key), cosine via the native codegen expression.
+    "q65_embedding_neardup" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("label"), col("vec_id"), col("embedding"))
+      val a = e.select(col("label"), col("vec_id").as("id1"), col("embedding").as("v1"))
+      val b = e.select(col("label"), col("vec_id").as("id2"), col("embedding").as("v2"))
+      a.join(b, Seq("label")).filter(col("id1") < col("id2"))
+        .withColumn("cos", VectorFunctions.vecCosine(col("v1"), col("v2")))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(max(col("cos")), 6).as("max_cos"),
+          round(avg(col("cos")), 6).as("avg_cos"),
+          sum(when(col("cos") > 0.25, 1).otherwise(0)).as("n_near"))
+        .orderBy(col("label"))
+    }),
+
+    // P14: the range-query service shape — (series, start, end, step=hour)
+    // over the scored store; predicate pushes to the parquet scan.
+    "q66_range_query_service" -> ((s, d) => {
+      graft.Tables.eventsRange(s, d, "2024-01-10", "2024-01-20")
+        .filter(col("event_type").isin("error", "purchase"))
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("step_ts"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("value")), 6).as("avg_value"),
+          round(max(col("value")), 2).as("max_value"))
+        .orderBy(col("event_type"), col("step_ts"))
+    }),
+
+    // E56 [N]: multimodal feature extraction through the partition-batched
+    // decode-stub pipeline; rows-only (mapPartitions stub is not SQL).
+    "q67_multimodal_features" -> ((s, d) => {
+      val mm = Multimodal.multimodalTable(documents(s, d), embeddings(s, d))
+      val feats = Multimodal.extractFeatures(s, mm.select(col("doc_id"), col("payload.blob").as("blob")),
+        "doc_id", "blob").toDF()
+      feats.join(mm.select(col("doc_id"), col("payload.meta.lang").as("lang")),
+          feats("media_id") === col("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_media"),
+          round(avg(col("byte_mean")), 6).as("avg_byte_mean"),
+          round(avg(col("distinct_bytes")), 6).as("avg_distinct_bytes"),
+          sum(col("n_bytes")).as("total_bytes"))
+        .orderBy(col("lang"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q64_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+
+    "q65_embedding_neardup" ->
+      """WITH e AS (
+        |  SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), pairs AS (
+        |  SELECT a.label, list_cosine_similarity(a.v, b.v) AS cos
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |)
+        |SELECT label, count(*) AS n_pairs,
+        |  round(max(cos), 6) AS max_cos,
+        |  round(avg(cos), 6) AS avg_cos,
+        |  CAST(sum(CASE WHEN cos > 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_near
+        |FROM pairs GROUP BY label ORDER BY label""".stripMargin,
+
+    "q66_range_query_service" ->
+      """SELECT event_type, date_trunc('hour', ts) AS step_ts,
+        |  count(*) AS n,
+        |  round(avg(value), 6) AS avg_value,
+        |  round(max(value), 2) AS max_value
+        |FROM events
+        |WHERE event_type IN ('error', 'purchase')
+        |  AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+        |GROUP BY 1, 2 ORDER BY event_type, step_ts""".stripMargin
+  )
+}
