@@ -56,6 +56,33 @@ object ExtraQueries {
         .orderBy(col("event_type"), col("step_ts"))
     }),
 
+    // P17: rollouts — the composite key extended with a hash_id column
+    // (canary pod-template-hash; synthesized here as event_id % 3), scored
+    // per rollout slice exactly like the base series.
+    "q69_rollout_scores" -> ((s, d) => {
+      val ev = events(s, d)
+        .withColumn("hash_id", concat(lit("h"), pmod(col("event_id"), lit(3))))
+      val keyed = graft.anomaly.AnomalyOps.rollingStats(
+        ev, graft.anomaly.AnomalyOps.rolloutKeys(Seq("user_id", "event_type"), "hash_id"),
+        "ts", "event_id", "value", 6)
+        .filter(col("roll_cnt") === 6)
+      keyed.groupBy(col("event_type"), col("hash_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          round(avg(col("roll_avg")), 6).as("avg_roll_avg"))
+        .orderBy(col("event_type"), col("hash_id"))
+    }),
+
+    // E18: approximate distinct (HLL sketch) — declared WITHOUT oracle
+    // (sketch estimates are engine-specific; SURVEY E18 policy); accuracy
+    // vs exact is asserted in EntrySpec within rsd bounds.
+    "q70_approx_distinct" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // E56 [N]: multimodal feature extraction through the partition-batched
     // decode-stub pipeline; rows-only (mapPartitions stub is not SQL).
     "q67_multimodal_features" -> ((s, d) => {
@@ -96,6 +123,20 @@ object ExtraQueries {
         |  round(avg(cos), 6) AS avg_cos,
         |  CAST(sum(CASE WHEN cos > 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_near
         |FROM pairs GROUP BY label ORDER BY label""".stripMargin,
+
+    "q69_rollout_scores" ->
+      """WITH w AS (
+        |  SELECT event_type, concat('h', event_id % 3) AS hash_id,
+        |    avg(value) OVER win AS roll_avg,
+        |    count(*) OVER win AS roll_cnt
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id, event_type, concat('h', event_id % 3)
+        |    ORDER BY ts, event_id ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, hash_id, count(*) AS n_windows,
+        |  round(avg(roll_avg), 6) AS avg_roll_avg
+        |FROM w WHERE roll_cnt = 6
+        |GROUP BY 1, 2 ORDER BY event_type, hash_id""".stripMargin,
 
     "q66_range_query_service" ->
       """SELECT event_type, date_trunc('hour', ts) AS step_ts,

@@ -44,6 +44,16 @@ object MetricQueries {
         .orderBy(col("namespace"), col("metric"))
     }),
 
+    // A2: Info — constant key/value payload attached per labelset,
+    // projected as JSON for the oracle (map-typed oracle rows are out,
+    // SURVEY §7.3 risk 4).
+    "q68_metric_info" -> ((s, d) => {
+      MetricRegistry.info(labeled(s, d), Seq("namespace", "metric"),
+        Map("pipeline" -> "anomaly", "version" -> "0.8.1"))
+        .select(col("namespace"), col("metric"), to_json(col("info")).as("info_json"))
+        .orderBy(col("namespace"), col("metric"))
+    }),
+
     // A5: Histogram — fixed cumulative le-buckets per metric name.
     "q46_metric_histogram" -> ((s, d) => {
       MetricRegistry.histogram(labeled(s, d), Seq("metric"), "value",
@@ -76,6 +86,12 @@ object MetricQueries {
         |  round(quantile_cont(value, 0.99), 6) AS q99,
         |  count(*) AS n_obs
         |FROM events GROUP BY 1, 2 ORDER BY namespace, metric""".stripMargin,
+
+    "q68_metric_info" ->
+      """SELECT DISTINCT concat('ns', user_id % 5) AS namespace,
+        |  event_type AS metric,
+        |  '{"pipeline":"anomaly","version":"0.8.1"}' AS info_json
+        |FROM events ORDER BY namespace, metric""".stripMargin,
 
     "q46_metric_histogram" ->
       """WITH bucketed AS (

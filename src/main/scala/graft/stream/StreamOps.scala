@@ -104,6 +104,24 @@ object StreamOps {
       .withColumn("score",
         least(greatest(col("value") / (col("threshold") + lit(1e-9)), lit(0.0)), lit(10.0)))
 
+  /** P15: config hot-reload — the reference watched its omegaconf files and
+    * re-applied settings live (`CHANGELOG.md:116,173`); the streaming twin
+    * re-reads config at every micro-batch boundary inside foreachBatch, so
+    * a config change takes effect on the next batch without restarting the
+    * query. `readConf` stands in for the config source (file/table). */
+  def scoreWithReloadedConfig(ds: Dataset[Ev], readConf: () => Double,
+                              outPath: String): org.apache.spark.sql.streaming.DataStreamWriter[Ev] =
+    ds.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Ev], batchId: Long) =>
+        val threshold = readConf() // re-resolved per micro-batch
+        batch.toDF()
+          .withColumn("threshold_used", lit(threshold))
+          .withColumn("score",
+            least(greatest(col("value") / lit(threshold), lit(0.0)), lit(10.0)))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outPath)
+      }
+
   /** E4/P11: foreachBatch train-request sink — emits per-batch-deduplicated
     * train requests (key + reason) for keys whose score exceeds the
     * trigger, appended to a parquet request table at `path` (the batch

@@ -16,6 +16,16 @@ class EntrySpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("approx_count_distinct within rsd bounds of exact (E18)") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, TestSpark.SF)
+    val r = li.agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+      countDistinct(col("l_partkey")).as("exact")).collect()(0)
+    val (approx, exact) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.1, s"approx=$approx exact=$exact")
+  }
+
   test("all batch queries run and return schema'd results on sf0.001") {
     val failures = SparkEntry.queries.toSeq
       .filterNot(_._1.startsWith("s")) // streaming smoked in StreamSpec

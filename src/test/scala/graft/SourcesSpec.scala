@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source formats beyond parquet (E2 CSV/JSON) and the file-based
+  * streaming source (E3) — round-trip fidelity on the events table. */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ev = Tables.events(spark, TestSpark.SF)
+    .select($"event_id", $"user_id", $"event_type", $"value")
+
+  test("E2: CSV round-trip with header + explicit schema") {
+    val dir = java.nio.file.Files.createTempDirectory("csv_src").toString + "/out"
+    ev.write.option("header", "true").csv(dir)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val back = spark.read.option("header", "true").schema(schema).csv(dir)
+    assert(back.count() == ev.count())
+    assert(back.agg(sum($"value".cast("decimal(18,2)"))).collect()(0).getDecimal(0) ==
+      ev.agg(sum($"value".cast("decimal(18,2)"))).collect()(0).getDecimal(0))
+  }
+
+  test("E2: JSON round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("json_src").toString + "/out"
+    ev.write.json(dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == ev.count())
+    assert(back.select(countDistinct($"event_type")).collect()(0).getLong(0) == 5)
+  }
+
+  test("E3: file-based streaming source (readStream over parquet dir)") {
+    // Stage the raw events file into a stream-source directory; ts arrives
+    // as int64 nanos (the raw parquet type) and is rescaled in-stream.
+    val dir = java.nio.file.Files.createTempDirectory("stream_src").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.SF}/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "6 hours"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("file_src_sink").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("file_src_sink").agg(sum($"n")).collect()(0).getLong(0)
+    assert(got == 1000L)
+  }
+}

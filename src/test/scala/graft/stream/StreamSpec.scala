@@ -58,6 +58,28 @@ class StreamSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty, "streamed session not present in batch form")
   }
 
+  test("config hot-reload applies new threshold on next micro-batch (P15)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val confFile = java.nio.file.Files.createTempFile("graft_conf", ".txt")
+    java.nio.file.Files.writeString(confFile, "100.0")
+    val outDir = java.nio.file.Files.createTempDirectory("reload_out").toString + "/out"
+    val rows = graft.Tables.events(spark, SF)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Ev].orderBy($"ts").collect()
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.scoreWithReloadedConfig(stream.toDS(),
+      () => java.nio.file.Files.readString(confFile).trim.toDouble, outDir).start()
+    try {
+      stream.addData(rows.take(500).toSeq); q.processAllAvailable()
+      java.nio.file.Files.writeString(confFile, "200.0") // hot config change
+      stream.addData(rows.drop(500).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val used = spark.read.parquet(outDir)
+      .select($"threshold_used").distinct().collect().map(_.getDouble(0)).sorted.toSeq
+    assert(used == Seq(100.0, 200.0))
+  }
+
   test("train-request sink collects deduplicated requests (P11)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
