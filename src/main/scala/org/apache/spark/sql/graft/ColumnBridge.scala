@@ -13,4 +13,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Test-only: materialize a SparkSessionExtensions' injected functions
+    * into a registry (the session builder does this internally on create). */
+  def registerInto(exts: org.apache.spark.sql.SparkSessionExtensions,
+                   reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit =
+    exts.registerFunctions(reg)
 }

@@ -44,6 +44,15 @@ class VectorFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("GraftExtensions installs the native functions into a session") {
+    val exts = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(exts)
+    val reg = new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
+    org.apache.spark.sql.graft.ColumnBridge.registerInto(exts, reg)
+    assert(Seq("vec_dot", "vec_cosine", "vec_norm").forall(n =>
+      reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n))))
+  }
+
   test("null input propagates null") {
     val r = emb.select(VectorFunctions.vecCosine(lit(null).cast("array<float>"), col("embedding")).as("c"))
       .collect()
