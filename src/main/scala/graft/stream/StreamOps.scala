@@ -39,10 +39,18 @@ object StreamOps {
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .as[Ev].orderBy($"ts", $"event_id").collect()
     val stream = MemoryStream[Ev]
-    val q = pipeline(stream.toDS())
-      .writeStream.outputMode(outputMode)
-      .format("memory").queryName(name)
-      .start()
+    // Size state partitions to the key space (≈150 series here): the state
+    // store commits one delta file per partition per micro-batch, so excess
+    // partitions are pure per-batch overhead. Fixed at query start; a real
+    // deployment sizes this to series cardinality / executor count.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try pipeline(stream.toDS())
+        .writeStream.outputMode(outputMode)
+        .format("memory").queryName(name)
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
       val per = math.max(1, math.ceil(rows.length.toDouble / chunks).toInt)
       rows.grouped(per).foreach { chunk =>

@@ -58,6 +58,25 @@ class StreamSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty, "streamed session not present in batch form")
   }
 
+  test("assembler runs on the RocksDB state store (100 TB state path)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = StreamOps.replayEvents(spark, SF, "t_rocks", 3)(
+        ds => StreamOps.assembler(ds, 12).toDF(), OutputMode.Append)
+      val batchCount = AnomalyOps.assembleWindows(
+        graft.Tables.events(spark, SF), Seq("user_id", "event_type"), "ts", "event_id", "value", 12)
+        .count()
+      assert(streamed.count() == batchCount)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("config hot-reload applies new threshold on next micro-batch (P15)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
