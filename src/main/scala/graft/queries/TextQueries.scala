@@ -182,6 +182,17 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // E55 [N]: language-ID — char-bigram profiles trained per language,
+    // docs classified by profile overlap; output is the confusion matrix.
+    "q71_langid" -> ((s, d) => {
+      val docs = documents(s, d).repartition(s.sparkContext.defaultParallelism)
+      val profiles = graft.text.LangId.trainProfiles(docs)
+      graft.text.LangId.classify(docs, profiles)
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    }),
+
     // E56: multimodal column — struct(text payload as opaque binary,
     // typed metadata, embedding); scalar projections for the oracle.
     "q56_multimodal" -> ((s, d) => {
@@ -339,6 +350,33 @@ object TextQueries {
         |SELECT lang, count(*) AS n_docs, count(DISTINCT fp) AS n_distinct_fp,
         |  CAST(sum(fp) AS BIGINT) AS fp_sum
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q71_langid" ->
+      """WITH feats AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct([substring(text, i, 2)
+        |      for i in generate_series(1, greatest(least(length(text), 100) - 1, 1))]) AS bigrams
+        |  FROM documents
+        |), exploded AS (
+        |  SELECT doc_id, lang, unnest(bigrams) AS bg FROM feats
+        |), freq AS (
+        |  SELECT lang, bg, count(*) AS df FROM exploded GROUP BY 1, 2
+        |), prof AS (
+        |  SELECT lang AS profile_lang, bg FROM (
+        |    SELECT lang, bg, row_number() OVER (PARTITION BY lang ORDER BY df DESC, bg) AS rnk
+        |    FROM freq
+        |  ) WHERE rnk <= 20
+        |), scored AS (
+        |  SELECT e.doc_id, e.lang, p.profile_lang, count(*) AS score
+        |  FROM exploded e JOIN prof p ON e.bg = p.bg GROUP BY 1, 2, 3
+        |), pred AS (
+        |  SELECT doc_id, lang, profile_lang AS predicted FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, profile_lang) AS rn
+        |    FROM scored
+        |  ) WHERE rn = 1
+        |)
+        |SELECT lang, predicted, count(*) AS n
+        |FROM pred GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
 
     "q56_multimodal" ->
       """SELECT d.doc_id,

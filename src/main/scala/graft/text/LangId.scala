@@ -1,0 +1,46 @@
+package graft.text
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Language identification by character-n-gram profiles (E55 [N]): the
+  * classic heuristic — build a top-K bigram frequency profile per language
+  * from a labeled corpus, classify a document to the profile with the
+  * largest feature overlap. Everything is relational (explode → count →
+  * rank → join → argmax), so training and inference are each one Spark
+  * plan; the profile table is tiny and broadcast at inference.
+  *
+  * Determinism for the oracle: profile ranking ties break on bigram text;
+  * classification ties break on language name.
+  */
+object LangId {
+
+  /** Per-doc distinct bigram features. */
+  def features(docs: DataFrame, cap: Int = 100): DataFrame =
+    docs.withColumn("bigrams", expr(TextOps.charBigramsSql("text", cap)))
+
+  /** Train: top-K bigrams per language by document frequency. */
+  def trainProfiles(docs: DataFrame, topK: Int = 20, cap: Int = 100): DataFrame = {
+    val exploded = features(docs, cap)
+      .select(col("lang"), col("doc_id"), explode(col("bigrams")).as("bg"))
+    val freq = exploded.groupBy(col("lang"), col("bg"))
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("df").desc, col("bg"))
+    freq.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= topK)
+      .select(col("lang").as("profile_lang"), col("bg"))
+  }
+
+  /** Classify: score = |doc bigrams ∩ profile|, argmax over languages. */
+  def classify(docs: DataFrame, profiles: DataFrame, cap: Int = 100): DataFrame = {
+    val exploded = features(docs, cap)
+      .select(col("doc_id"), col("lang"), explode(col("bigrams")).as("bg"))
+    val scored = exploded.join(broadcast(profiles), Seq("bg"))
+      .groupBy(col("doc_id"), col("lang"), col("profile_lang"))
+      .agg(count(lit(1)).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("profile_lang"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("profile_lang").as("predicted"))
+  }
+}

@@ -72,4 +72,13 @@ object TextOps {
 
   /** Exact-dedup key: sha256 of the raw text (E52). */
   def exactKey(text: Column): Column = sha2(text, 256)
+
+  /** Distinct character bigrams of the first `cap` chars — the n-gram
+    * features for the language-ID heuristic (E55 [N]). SQL-expressed (via
+    * expr) because the DataFrame `substring` only takes literal positions;
+    * the SQL function accepts column args. */
+  def charBigramsSql(textCol: String, cap: Int = 100): String =
+    s"""array_distinct(transform(
+       |  sequence(1, greatest(least(length($textCol), $cap) - 1, 1)),
+       |  i -> substring($textCol, i, 2)))""".stripMargin
 }

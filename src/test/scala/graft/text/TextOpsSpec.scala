@@ -58,6 +58,16 @@ class TextOpsSpec extends AnyFunSuite {
     assert(hs.forall(h => h >= 0 && h <= 0xFFFFFFFFL))
   }
 
+  test("langid: profiles sized topK per lang; every doc classified") {
+    val docs = graft.Tables.documents(spark, graft.TestSpark.SF)
+    val profiles = LangId.trainProfiles(docs, topK = 20)
+    val perLang = profiles.groupBy($"profile_lang").count().collect()
+    assert(perLang.forall(_.getLong(1) == 20L))
+    val pred = LangId.classify(docs, profiles)
+    assert(pred.count() == docs.count())
+    assert(pred.filter($"predicted".isNull).count() == 0)
+  }
+
   test("stopword ratio") {
     val r = Seq("the cat and the hat").toDF("text")
       .select(TextOps.stopwordRatio(TextOps.tokens($"text"), Seq("the", "and")).as("r"))
