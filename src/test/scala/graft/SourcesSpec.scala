@@ -33,6 +33,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.select(countDistinct($"event_type")).collect()(0).getLong(0) == 5)
   }
 
+  test("partitioned layout: day filter prunes partitions at the scan (SCALE.md)") {
+    val dir = java.nio.file.Files.createTempDirectory("part_layout").toString + "/events"
+    Tables.events(spark, TestSpark.SF)
+      .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+      .write.partitionBy("day").parquet(dir)
+    val q = spark.read.parquet(dir).filter($"day" === "2024-01-05")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("2024-01-05"), scan.take(400))
+    val full = spark.read.parquet(dir)
+    assert(q.count() == full.filter(date_format($"ts", "yyyy-MM-dd") === "2024-01-05").count())
+  }
+
   test("E3: file-based streaming source (readStream over parquet dir)") {
     // Stage the raw events file into a stream-source directory; ts arrives
     // as int64 nanos (the raw parquet type) and is rescaled in-stream.
