@@ -60,6 +60,18 @@ object AnomalyOps {
   def unifiedMax(df: DataFrame, keys: Seq[String], score: String): DataFrame =
     df.groupBy(keys.map(col): _*).agg(max(col(score)).as("unified_score"))
 
+  /** P10 weighted variant: config-weighted mean over member metrics
+    * (weight map keyed by the member column, default weight 1.0). */
+  def unifiedWeighted(df: DataFrame, keys: Seq[String], score: String,
+                      member: String, weights: Map[String, Double]): DataFrame = {
+    val w = weights.foldLeft(lit(1.0)) { case (acc, (m, wt)) =>
+      when(col(member) === m, lit(wt)).otherwise(acc)
+    }
+    df.groupBy(keys.map(col): _*)
+      .agg(max(col(score)).as("unified_score"),
+        (sum(col(score) * w) / sum(w)).as("unified_weighted"))
+  }
+
   /** P18 derived ratio metric: error-rate = errors / total over the group. */
   def errorRate(isError: Column): Column =
     sum(when(isError, lit(1)).otherwise(lit(0))).cast("double") / count(lit(1))

@@ -144,13 +144,16 @@ object AnomalyQueries {
         .orderBy(col("event_type"))
     }),
 
-    // P10: unified anomaly — max member score per (day, namespace proxy).
+    // P10: unified anomaly — max member score per (day, namespace proxy),
+    // plus the config-weighted variant (error series weighted 2×).
     "q40_unified" -> ((s, d) => {
       val member = scoredEvents(s, d)
         .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
         .agg(max(col("score")).as("member_score"))
-      AnomalyOps.unifiedMax(member, Seq("day"), "member_score")
-        .select(col("day"), round(col("unified_score"), 6).as("unified_score"))
+      AnomalyOps.unifiedWeighted(member, Seq("day"), "member_score",
+          "event_type", Map("error" -> 2.0))
+        .select(col("day"), round(col("unified_score"), 6).as("unified_score"),
+          round(col("unified_weighted"), 6).as("unified_weighted"))
         .orderBy(col("day"))
     }),
 
@@ -161,8 +164,12 @@ object AnomalyQueries {
         .withColumn("win_mean",
           aggregate(col("win_arr"), lit(0.0), (acc, x) => acc + x) / lit(12.0))
         .groupBy(col("user_id"))
+        // decimal-summed (not averaged) for the same boundary-safety reason
+        // as q69: round6 of y/12 means never sits on a half-boundary, and
+        // the decimal sum is then exact in both engines.
         .agg(count(lit(1)).as("n_windows"),
-          round(avg(col("win_mean")), 6).as("avg_win_mean"))
+          round(sum(round(col("win_mean"), 6).cast("decimal(18,6)"))
+            .cast("double"), 4).as("sum_win_mean"))
         .orderBy(col("user_id"))
     }),
 
@@ -270,10 +277,12 @@ object AnomalyQueries {
 
     "q40_unified" ->
       s"""$scoredSql, member AS (
-         |  SELECT date_trunc('day', ts) AS day, event_type, max(score) AS member_score
+         |  SELECT date_trunc('day', ts) AS day, event_type, max(score) AS member_score,
+         |    CASE WHEN event_type = 'error' THEN 2.0 ELSE 1.0 END AS wt
          |  FROM scored GROUP BY 1, 2
          |)
-         |SELECT day, round(max(member_score), 6) AS unified_score
+         |SELECT day, round(max(member_score), 6) AS unified_score,
+         |  round(sum(member_score * wt) / sum(wt), 6) AS unified_weighted
          |FROM member GROUP BY day ORDER BY day""".stripMargin,
 
     "q41_window_assemble" ->
@@ -287,7 +296,7 @@ object AnomalyQueries {
         |  FROM wins WHERE len(win_arr) = 12
         |)
         |SELECT user_id, count(*) AS n_windows,
-        |  round(avg(win_mean), 6) AS avg_win_mean
+        |  round(CAST(sum(CAST(round(win_mean, 6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_win_mean
         |FROM full_wins GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q42_anomaly_topk" ->

@@ -66,9 +66,15 @@ object ExtraQueries {
         ev, graft.anomaly.AnomalyOps.rolloutKeys(Seq("user_id", "event_type"), "hash_id"),
         "ts", "event_id", "value", 6)
         .filter(col("roll_cnt") === 6)
+      // decimal-summed output: avg() here can land exactly on a round-6
+      // half-boundary (divisors 2^a·5^b make terminating decimals), where
+      // a 1-ulp cross-engine difference flips the rounding. Rounding each
+      // window mean first (y/6 averages — thirds — never sit on the
+      // boundary) and summing in DECIMAL is exact in both engines.
       keyed.groupBy(col("event_type"), col("hash_id"))
         .agg(count(lit(1)).as("n_windows"),
-          round(avg(col("roll_avg")), 6).as("avg_roll_avg"))
+          round(sum(round(col("roll_avg"), 6).cast("decimal(18,6)"))
+            .cast("double"), 4).as("sum_roll_avg"))
         .orderBy(col("event_type"), col("hash_id"))
     }),
 
@@ -134,7 +140,7 @@ object ExtraQueries {
         |    ORDER BY ts, event_id ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
         |)
         |SELECT event_type, hash_id, count(*) AS n_windows,
-        |  round(avg(roll_avg), 6) AS avg_roll_avg
+        |  round(CAST(sum(CAST(round(roll_avg, 6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_roll_avg
         |FROM w WHERE roll_cnt = 6
         |GROUP BY 1, 2 ORDER BY event_type, hash_id""".stripMargin,
 

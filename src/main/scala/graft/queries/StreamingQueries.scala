@@ -55,6 +55,25 @@ object StreamingQueries {
         .orderBy(col("event_type"))
     }),
 
+    // The reference's full vertex chain as ONE streaming plan (P2→P3→P6→
+    // P7→P8): exact-12 assembly (stateful) → model join → threshold score
+    // → tanh norm, then a deterministic batch rollup of the sink.
+    "s73_stream_pipeline" -> ((s, d) => {
+      val model = Threshold.fit(Tables.events(s, d), Seq("event_type"), "value", 3.0)
+        .select(col("event_type"), col("threshold"))
+      val t = StreamOps.replayEvents(s, d, "s73_sink", 2)(
+        ds => StreamOps.assembler(ds, 12).toDF()
+          .join(broadcast(model), "event_type")
+          .withColumn("score", graft.anomaly.AnomalyOps.tanhNorm(
+            graft.anomaly.Threshold.score(col("win_mean"), col("threshold")))),
+        OutputMode.Append)
+      t.groupBy(date_trunc("day", col("end_ts")).as("day"))
+        .agg(count(lit(1)).as("n_windows"),
+          round(max(col("score")), 6).as("max_score"),
+          round(avg(col("score")), 6).as("avg_score"))
+        .orderBy(col("day"))
+    }),
+
     // E46/P13+P6: stream–static model join scoring each arriving event.
     "s61_stream_static_score" -> ((s, d) => {
       val model = Threshold.fit(Tables.events(s, d), Seq("event_type"), "value", 3.0)

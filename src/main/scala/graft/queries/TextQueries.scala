@@ -182,6 +182,17 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // E54 [N] scale path #2: IVF ANN — inverted lists by nearest centroid,
+    // search only nprobe probed lists. Rows-only (argmax assignment near
+    // centroid boundaries is FP-order-sensitive cross-engine); recall vs
+    // brute force asserted in TextOpsSpec.
+    "q72_ann_ivf" -> ((s, d) => {
+      graft.text.Ivf.search(
+        embeddings(s, d).repartition(s.sparkContext.defaultParallelism),
+        queryIds = Seq(0L, 1L, 2L), k = 3, nCentroids = 8, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // E55 [N]: language-ID — char-bigram profiles trained per language,
     // docs classified by profile overlap; output is the confusion matrix.
     "q71_langid" -> ((s, d) => {

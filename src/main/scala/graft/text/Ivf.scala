@@ -1,0 +1,54 @@
+package graft.text
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** IVF-style approximate nearest neighbor (SURVEY E54 [N] scale path #2,
+  * beside the LSH sign-bucket variant): partition the corpus into inverted
+  * lists by nearest centroid, search only the query's `nprobe` nearest
+  * lists. Centroids here are data-derived (first k vectors — deterministic
+  * without RNG; a production build would k-means them, which changes only
+  * the centroid frame). Cost: assignment is one broadcast join over the
+  * corpus; each query scans ~nprobe/k of the data.
+  */
+object Ivf {
+
+  /** Assign every vector to its nearest centroid (inverted-list id). */
+  def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("centroid_id"))
+    emb.crossJoin(broadcast(centroids))
+      .withColumn("csim", VectorFunctions.vecCosine(col("embedding"), col("cv")))
+      .withColumn("crn", row_number().over(w)).filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id").as("list_id"))
+  }
+
+  /** Top-`nprobe` centroid lists per query vector. */
+  def probeLists(queries: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("centroid_id"))
+    queries.crossJoin(broadcast(centroids))
+      .withColumn("csim", VectorFunctions.vecCosine(col("qv"), col("cv")))
+      .withColumn("crn", row_number().over(w)).filter(col("crn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id").as("list_id"))
+  }
+
+  /** Search: exact cosine, but only inside the probed lists (equi-join on
+    * list_id — the pruning that survives 100 TB). */
+  def search(emb: DataFrame, queryIds: Seq[Long], k: Int, nCentroids: Int,
+             nprobe: Int): DataFrame = {
+    val centroids = emb.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val lists = assign(emb, centroids)
+    val queries = emb.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val probed = probeLists(queries, centroids, nprobe)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    lists.join(probed, "list_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", VectorFunctions.vecCosine(col("embedding"), col("qv")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"),
+        round(col("sim"), 6).as("sim"), col("list_id"))
+  }
+}
