@@ -19,16 +19,11 @@ object AnomalyQueries {
 
   private val eventKey = Seq("user_id", "event_type")
 
-  /** P2→P8 chain used by the flagship and the postprocess queries. */
-  private def scoredEvents(s: SparkSession, d: String): DataFrame = {
-    val conf = Seq("click", "purchase", "error", "signup", "view") // P2 config
-    val filtered = events(s, d).filter(col("event_type").isin(conf: _*))
-    AnomalyOps.rollingStats(filtered, eventKey, "ts", "event_id", "value", 12)
-      .filter(col("roll_cnt") === 12)
-      .withColumn("err", AnomalyOps.reconstructionError(col("value"), col("roll_avg")))
-      .withColumn("raw", AnomalyOps.rollingScore(col("err"), col("roll_avg"), col("roll_std")))
-      .withColumn("score", AnomalyOps.tanhNorm(col("raw")))
-  }
+  /** P2→P8 chain used by the flagship and the postprocess queries — the
+    * config-driven `Pipeline` facade (what a reference user calls). */
+  private def scoredEvents(s: SparkSession, d: String): DataFrame =
+    graft.anomaly.Pipeline.score(events(s, d), graft.anomaly.PipelineConfig(
+      metricFilter = Seq("click", "purchase", "error", "signup", "view")))
 
   private val scoredSql: String =
     s"""WITH w AS (

@@ -42,6 +42,15 @@ class ScalersSpec extends AnyFunSuite {
       out(2).getDouble(0) == 0.0 && out(3).getDouble(0) == 2.5 && out(4).isNullAt(0))
   }
 
+  test("Pipeline.score: full windows only, scores bounded, config filter applied") {
+    val out = Pipeline.score(ev, PipelineConfig(metricFilter = Seq("error", "click")))
+    assert(out.select($"event_type").distinct().collect()
+      .map(_.getString(0)).toSet == Set("error", "click"))
+    assert(out.filter($"roll_cnt" =!= 12).count() == 0)
+    val mm = out.agg(min($"score"), max($"score")).collect()(0)
+    assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 10.0)
+  }
+
   test("tanhNorm bounded [0,10] (saturating) and non-decreasing") {
     val df = Seq(0.0, 0.1, 0.5, 1.0, 2.0, 10.0, 100.0).toDF("x")
     val out = df.select(AnomalyOps.tanhNorm($"x").as("t")).collect().map(_.getDouble(0))
