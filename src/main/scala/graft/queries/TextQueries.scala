@@ -62,8 +62,9 @@ object TextQueries {
     // candidate pairs only where a band bucket collides.
     "q49_minhash_lsh" -> ((s, d) => {
       val sig = docsWithTokens(s, d)
+        .withColumn("bh", TextOps.minhashBase(TextOps.shingles(col("toks"), 3)))
         .select(col("lang"), col("doc_id"),
-          TextOps.minhashSignature(TextOps.shingles(col("toks"), 3), 8).as("sig"))
+          TextOps.minhashSignature(col("bh"), 8).as("sig"))
       val banded = sig.select(col("lang"), col("doc_id"), col("sig"),
         explode(TextOps.bandKeys(col("sig"), 4, 2)).as("bk"))
       val a = banded.select(col("lang"), col("bk"), col("doc_id").as("id1"), col("sig").as("sig1"))
@@ -258,12 +259,17 @@ object TextQueries {
          |  FROM documents
          |), sh AS (
          |  SELECT lang, doc_id, $shinglesSqlDuck AS sh FROM t
+         |), base AS (
+         |  SELECT lang, doc_id,
+         |    list_transform(sh, s ->
+         |      CAST(concat('0x', substr(md5(concat('mh|', s)), 1, 12)) AS BIGINT)) AS bh
+         |  FROM sh
          |), sig AS (
          |  SELECT lang, doc_id,
-         |    [list_min(list_transform(sh, s ->
-         |       CAST(concat('0x', substr(md5(concat('mh', j, '|', s)), 1, 12)) AS BIGINT)))
+         |    [list_min(list_transform(bh, h ->
+         |       (h * (2*j + 3) + 7919 * (j + 1)) % 2305843009213693951))
          |     for j in generate_series(0, 7)] AS sig
-         |  FROM sh
+         |  FROM base
          |), banded AS (
          |  SELECT lang, doc_id, sig, b AS band,
          |    concat(sig[b*2+1], ',', sig[b*2+2]) AS key

@@ -28,10 +28,25 @@ object TextOps {
   def md5Hash48(c: Column, seed: String): Column =
     conv(substring(md5(concat(lit(seed + "|"), c)), 1, 12), 16, 10).cast("long")
 
-  /** MinHash signature: k independent permutations approximated by k seeded
-    * md5 hashes; sig_j = min over shingles of h_j(shingle). */
-  def minhashSignature(shing: Column, k: Int): Column =
-    array((0 until k).map(j => array_min(transform(shing, sh => md5Hash48(sh, s"mh$j")))): _*)
+  /** MinHash base hashes: ONE md5 per shingle (not k) — the k permutations
+    * come from `minhashSignature`'s universal-hash family over these. */
+  def minhashBase(shing: Column): Column =
+    transform(shing, sh => md5Hash48(sh, "mh"))
+
+  /** Mersenne prime 2^61−1 for the universal hash family; a_j·h stays well
+    * under 2^63 for 48-bit h and small odd a_j (no bigint overflow in
+    * either engine). */
+  val MinhashP: Long = 2305843009213693951L
+
+  /** MinHash signature via universal hashing: sig_j = min over shingles of
+    * (a_j·h + b_j) mod p with h the single md5-derived base hash — k
+    * permutations cost k multiply-adds per shingle instead of k md5s
+    * (the difference between hash-bound and scan-bound at corpus scale). */
+  def minhashSignature(baseHashes: Column, k: Int): Column =
+    array((0 until k).map { j =>
+      val a = 2L * j + 3L; val b = 7919L * (j + 1)
+      array_min(transform(baseHashes, h => pmod(h * lit(a) + lit(b), lit(MinhashP))))
+    }: _*)
 
   /** LSH band key: hash of the signature slice for one band. Docs sharing a
     * band key are near-dup candidates — the join is then an equi-join on

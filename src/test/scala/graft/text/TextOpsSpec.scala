@@ -39,12 +39,14 @@ class TextOpsSpec extends AnyFunSuite {
     assert(j(0) == 1.0 && j(1) == 0.0 && math.abs(j(2) - 0.5) < 1e-12)
   }
 
-  test("minhash signature: identical docs share full signature") {
+  test("minhash signature: identical docs share full signature; one md5 per shingle") {
     val df = Seq("the quick brown fox jumps over the lazy dog",
       "the quick brown fox jumps over the lazy dog").toDF("text")
-      .select(TextOps.minhashSignature(TextOps.shingles(TextOps.tokens($"text"), 3), 8).as("sig"))
+      .select(TextOps.minhashSignature(
+        TextOps.minhashBase(TextOps.shingles(TextOps.tokens($"text"), 3)), 8).as("sig"))
     val sigs = df.collect().map(_.getSeq[Long](0))
     assert(sigs(0) == sigs(1) && sigs(0).length == 8)
+    assert(sigs(0).forall(h => h >= 0 && h < TextOps.MinhashP))
   }
 
   test("simhash: identical docs → hamming 0; disjoint docs differ") {
