@@ -24,10 +24,13 @@ case class StdDevBuf(n: Long, mean: Double, m2: Double) {
       StdDevBuf(nt, mean + d * o.n / nt, m2 + o.m2 + d * d * n * o.n / nt)
     }
   }
-  def stddevSamp: Double = if (n < 2) Double.NaN else math.sqrt(m2 / (n - 1))
+  /** None (→ SQL NULL) when n < 2, matching `stddev_samp` in both Spark SQL
+    * and DuckDB — NOT NaN, which is non-null and would defeat
+    * `coalesce(threshold, staticLimit)` fallback logic downstream. */
+  def stddevSamp: Option[Double] = if (n < 2) None else Some(math.sqrt(m2 / (n - 1)))
 }
 
-case class ThresholdModel(mean: Double, std: Double, n: Long, threshold: Double)
+case class ThresholdModel(mean: Double, std: Option[Double], n: Long, threshold: Option[Double])
 
 /** Threshold scorer (SURVEY §2 P7; reference StdDevThreshold,
   * `CHANGELOG.md:447,421,369`).
@@ -42,8 +45,10 @@ class ThresholdFit(k: Double) extends Aggregator[Double, StdDevBuf, ThresholdMod
   def zero: StdDevBuf = StdDevBuf(0L, 0.0, 0.0)
   def reduce(b: StdDevBuf, x: Double): StdDevBuf = b.add(x)
   def merge(a: StdDevBuf, b: StdDevBuf): StdDevBuf = a.merge(b)
-  def finish(b: StdDevBuf): ThresholdModel =
-    ThresholdModel(b.mean, b.stddevSamp, b.n, b.mean + k * b.stddevSamp)
+  def finish(b: StdDevBuf): ThresholdModel = {
+    val std = b.stddevSamp
+    ThresholdModel(b.mean, std, b.n, std.map(s => b.mean + k * s))
+  }
   def bufferEncoder: Encoder[StdDevBuf] = Encoders.product[StdDevBuf]
   def outputEncoder: Encoder[ThresholdModel] = Encoders.product[ThresholdModel]
 }

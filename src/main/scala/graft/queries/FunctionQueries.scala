@@ -116,9 +116,10 @@ object FunctionQueries {
     }),
 
     // E38/A7: map functions — defaults ⊕ call-site label merge with
-    // LAST_WIN (≅ dict | dict, reference metrics.py:67). Declared without
-    // oracle (DuckDB map literals differ; SURVEY §7.3) → rows-only check;
-    // full semantics asserted in MetricSpec scalatest.
+    // LAST_WIN (≅ dict | dict, reference metrics.py:67). Output projected
+    // to scalars (sorted key list as one string) so the driver compare can
+    // sort rows; the oracle re-derives the merge semantics relationally.
+    // Full map semantics additionally asserted in MetricsSpec.
     "q31_map_funcs" -> ((s, d) => {
       s.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       events(s, d)
@@ -127,14 +128,27 @@ object FunctionQueries {
         .withColumn("callsite", map(lit("source"), col("event_type"), lit("user"), col("user_id").cast("string")))
         .withColumn("merged", map_concat(col("defaults"), col("callsite")))
         .select(col("event_id"),
-          map_keys(col("merged")).as("keys"),
+          array_join(array_sort(map_keys(col("merged"))), ",").as("keys"),
+          size(map_keys(col("merged"))).cast("long").as("n_keys"),
           element_at(col("merged"), "source").as("source_label"),
-          element_at(col("merged"), "pipeline").as("pipeline_label"))
+          element_at(col("merged"), "pipeline").as("pipeline_label"),
+          element_at(col("merged"), "user").as("user_label"))
         .orderBy(col("event_id"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // Right-biased merge re-derived relationally: callsite 'source' wins
+    // over the default, defaults-only 'pipeline' survives, union of keys.
+    "q31_map_funcs" ->
+      """SELECT event_id,
+        |  'pipeline,source,user' AS keys,
+        |  CAST(3 AS BIGINT) AS n_keys,
+        |  event_type AS source_label,
+        |  'anomaly' AS pipeline_label,
+        |  CAST(user_id AS VARCHAR) AS user_label
+        |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin,
+
     "q24_string_funcs" ->
       """SELECT p_partkey, lower(p_name) AS lo, upper(p_brand) AS up,
         |  concat_ws('|', p_name, p_type) AS joined,

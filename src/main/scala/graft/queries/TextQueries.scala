@@ -262,12 +262,12 @@ object TextQueries {
          |), base AS (
          |  SELECT lang, doc_id,
          |    list_transform(sh, s ->
-         |      CAST(concat('0x', substr(md5(concat('mh|', s)), 1, 12)) AS BIGINT)) AS bh
+         |      concat(md5(concat('mhA|', s)), md5(concat('mhB|', s)))) AS bh
          |  FROM sh
          |), sig AS (
          |  SELECT lang, doc_id,
-         |    [list_min(list_transform(bh, h ->
-         |       (h * (2*j + 3) + 7919 * (j + 1)) % 2305843009213693951))
+         |    [list_min(list_transform(bh, s ->
+         |       CAST(concat('0x', substr(s, j*8 + 1, 8)) AS BIGINT)))
          |     for j in generate_series(0, 7)] AS sig
          |  FROM base
          |), banded AS (
@@ -371,8 +371,10 @@ object TextQueries {
     "q71_langid" ->
       """WITH feats AS (
         |  SELECT doc_id, lang,
-        |    list_distinct([substring(text, i, 2)
-        |      for i in generate_series(1, greatest(least(length(text), 100) - 1, 1))]) AS bigrams
+        |    CASE WHEN length(text) >= 2 THEN
+        |      list_distinct([substring(text, i, 2)
+        |        for i in generate_series(1, least(length(text), 100) - 1)])
+        |    ELSE [] END AS bigrams
         |  FROM documents
         |), exploded AS (
         |  SELECT doc_id, lang, unnest(bigrams) AS bg FROM feats
@@ -386,11 +388,14 @@ object TextQueries {
         |), scored AS (
         |  SELECT e.doc_id, e.lang, p.profile_lang, count(*) AS score
         |  FROM exploded e JOIN prof p ON e.bg = p.bg GROUP BY 1, 2, 3
-        |), pred AS (
-        |  SELECT doc_id, lang, profile_lang AS predicted FROM (
+        |), argmax AS (
+        |  SELECT doc_id, profile_lang AS predicted FROM (
         |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, profile_lang) AS rn
         |    FROM scored
         |  ) WHERE rn = 1
+        |), pred AS (
+        |  SELECT d.lang, coalesce(a.predicted, 'unknown') AS predicted
+        |  FROM documents d LEFT JOIN argmax a ON d.doc_id = a.doc_id
         |)
         |SELECT lang, predicted, count(*) AS n
         |FROM pred GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,

@@ -43,10 +43,14 @@ object ModelRegistry {
     * configured static upper limit. Left join + coalesce keeps the error
     * path on the same single plan. */
   def scoreWithFallback(facts: DataFrame, models: DataFrame, keys: Seq[String],
-                        value: String, staticLimit: Double): DataFrame =
+                        value: String, staticLimit: Double): DataFrame = {
+    // nanvl: a NaN threshold (e.g. an externally-written registry row) must
+    // take the static path, not silently poison every score for its key.
+    val thr = nanvl(col("threshold"), lit(null).cast("double"))
     facts.join(broadcast(models), keys, "left")
       .withColumn("model_source",
-        when(col("threshold").isNotNull, lit("fitted")).otherwise(lit("static")))
+        when(thr.isNotNull, lit("fitted")).otherwise(lit("static")))
       .withColumn("score",
-        Threshold.score(col(value), coalesce(col("threshold"), lit(staticLimit))))
+        Threshold.score(col(value), coalesce(thr, lit(staticLimit))))
+  }
 }

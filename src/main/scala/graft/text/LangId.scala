@@ -31,7 +31,10 @@ object LangId {
       .select(col("lang").as("profile_lang"), col("bg"))
   }
 
-  /** Classify: score = |doc bigrams ∩ profile|, argmax over languages. */
+  /** Classify: score = |doc bigrams ∩ profile|, argmax over languages.
+    * Docs sharing no bigram with ANY profile (empty/exotic text) are kept —
+    * left-joined back and labeled "unknown" — so the output covers every
+    * input doc, not just the matchable ones. */
   def classify(docs: DataFrame, profiles: DataFrame, cap: Int = 100): DataFrame = {
     val exploded = features(docs, cap)
       .select(col("doc_id"), col("lang"), explode(col("bigrams")).as("bg"))
@@ -40,7 +43,11 @@ object LangId {
       .agg(count(lit(1)).as("score"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("profile_lang"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang"), col("profile_lang").as("predicted"))
+    val argmax = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("profile_lang").as("predicted"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(argmax, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("predicted"), lit("unknown")).as("predicted"))
   }
 }

@@ -28,25 +28,33 @@ object TextOps {
   def md5Hash48(c: Column, seed: String): Column =
     conv(substring(md5(concat(lit(seed + "|"), c)), 1, 12), 16, 10).cast("long")
 
-  /** MinHash base hashes: ONE md5 per shingle (not k) — the k permutations
-    * come from `minhashSignature`'s universal-hash family over these. */
+  /** MinHash base hashes: TWO md5s per shingle (seeds "mhA"/"mhB"),
+    * concatenated into one 64-hex-char string = 256 independent bits.
+    * `minhashSignature` slices non-overlapping 32-bit chunks out of this,
+    * so the k permutations cost 2 md5s per shingle (not k) while every
+    * slot gets genuinely independent hash bits. (An earlier affine-map
+    * family over ONE 48-bit hash never wrapped mod p, so all slots were
+    * monotone in the same min — a degenerate estimator.) */
   def minhashBase(shing: Column): Column =
-    transform(shing, sh => md5Hash48(sh, "mh"))
+    transform(shing, sh =>
+      concat(md5(concat(lit("mhA|"), sh)), md5(concat(lit("mhB|"), sh))))
 
-  /** Mersenne prime 2^61−1 for the universal hash family; a_j·h stays well
-    * under 2^63 for 48-bit h and small odd a_j (no bigint overflow in
-    * either engine). */
-  val MinhashP: Long = 2305843009213693951L
+  /** Max slots derivable from the two md5s: 64 hex chars / 8 per slot. */
+  val MinhashMaxK: Int = 8
 
-  /** MinHash signature via universal hashing: sig_j = min over shingles of
-    * (a_j·h + b_j) mod p with h the single md5-derived base hash — k
-    * permutations cost k multiply-adds per shingle instead of k md5s
-    * (the difference between hash-bound and scan-bound at corpus scale). */
-  def minhashSignature(baseHashes: Column, k: Int): Column =
+  /** MinHash signature: sig_j = min over shingles of the j-th non-overlapping
+    * 32-bit chunk of the doc's 256 base-hash bits. Chunks of independent md5
+    * output bits are independent hash functions, so per-slot agreement is a
+    * faithful Bernoulli(J) sample; 32-bit values make shingle-collisions
+    * ~2^-32 (negligible at corpus scale). Mirrored bit-for-bit in DuckDB via
+    * `substr(md5 || md5, j*8+1, 8)`. */
+  def minhashSignature(baseHashes: Column, k: Int): Column = {
+    require(k <= MinhashMaxK, s"minhashSignature supports k <= $MinhashMaxK")
     array((0 until k).map { j =>
-      val a = 2L * j + 3L; val b = 7919L * (j + 1)
-      array_min(transform(baseHashes, h => pmod(h * lit(a) + lit(b), lit(MinhashP))))
+      array_min(transform(baseHashes, s =>
+        conv(substring(s, j * 8 + 1, 8), 16, 10).cast("long")))
     }: _*)
+  }
 
   /** LSH band key: hash of the signature slice for one band. Docs sharing a
     * band key are near-dup candidates — the join is then an equi-join on
@@ -91,9 +99,13 @@ object TextOps {
   /** Distinct character bigrams of the first `cap` chars — the n-gram
     * features for the language-ID heuristic (E55 [N]). SQL-expressed (via
     * expr) because the DataFrame `substring` only takes literal positions;
-    * the SQL function accepts column args. */
+    * the SQL function accepts column args. Texts shorter than 2 chars have
+    * NO bigrams — an empty array, not a spurious ''/single-char feature
+    * (which would pollute profiles as a shared fake bigram). */
   def charBigramsSql(textCol: String, cap: Int = 100): String =
-    s"""array_distinct(transform(
-       |  sequence(1, greatest(least(length($textCol), $cap) - 1, 1)),
-       |  i -> substring($textCol, i, 2)))""".stripMargin
+    s"""CASE WHEN length($textCol) >= 2 THEN
+       |  array_distinct(transform(
+       |    sequence(1, least(length($textCol), $cap) - 1),
+       |    i -> substring($textCol, i, 2)))
+       |ELSE CAST(array() AS array<string>) END""".stripMargin
 }

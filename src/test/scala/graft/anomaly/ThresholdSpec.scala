@@ -24,7 +24,7 @@ class ThresholdSpec extends AnyFunSuite {
       val b = xs.foldLeft(StdDevBuf(0, 0, 0))(_.add(_))
       val (m, s) = naive(xs)
       math.abs(b.mean - m) < 1e-8 &&
-        (xs.size < 2 || math.abs(b.stddevSamp - s) < 1e-6)
+        (xs.size < 2 || math.abs(b.stddevSamp.get - s) < 1e-6)
     })
   }
 
@@ -51,5 +51,33 @@ class ThresholdSpec extends AnyFunSuite {
     val scored = df.select(Threshold.score($"v" * 100, org.apache.spark.sql.functions.lit(fit.getAs[Double]("threshold"))).as("s"))
       .collect().map(_.getDouble(0))
     assert(scored.forall(x => x >= 0.0 && x <= 10.0))
+  }
+
+  test("singleton group fits NULL std/threshold, and fallback takes static path") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    // key "solo" has n=1 → stddev_samp undefined → std/threshold NULL
+    // (not NaN: NaN is non-null and would win the coalesce against the
+    // static limit, poisoning every downstream score for that key).
+    val df = Seq(("solo", 5.0), ("pair", 1.0), ("pair", 3.0)).toDF("k", "v")
+    val fit = Threshold.fit(df, Seq("k"), "v", 3.0)
+    val solo = fit.filter($"k" === "solo").collect()(0)
+    assert(solo.isNullAt(solo.fieldIndex("std")) && solo.isNullAt(solo.fieldIndex("threshold")))
+    val scored = graft.registry.ModelRegistry.scoreWithFallback(
+      df, fit.select($"k", $"threshold"), Seq("k"), "v", 10.0)
+    val bySrc = scored.collect().map(r => r.getAs[String]("k") -> r.getAs[String]("model_source")).toMap
+    assert(bySrc("solo") == "static" && bySrc("pair") == "fitted")
+    assert(!scored.collect().exists(r => r.getAs[Double]("score").isNaN))
+  }
+
+  test("NaN threshold in an external registry row routes to static path") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val facts = Seq(("a", 5.0)).toDF("k", "v")
+    val models = Seq(("a", Double.NaN)).toDF("k", "threshold")
+    val scored = graft.registry.ModelRegistry.scoreWithFallback(facts, models, Seq("k"), "v", 10.0)
+    val row = scored.collect()(0)
+    assert(row.getAs[String]("model_source") == "static")
+    assert(math.abs(row.getAs[Double]("score") - 0.5) < 1e-6)
   }
 }

@@ -68,22 +68,15 @@ class MetricsSpec extends AnyFunSuite {
     assert(c.getAs[Long]("n_inc") == 3L && c.getAs[Long]("counter_total") == 6L)
   }
 
-  test("live metric via df.observe + listener (E47 / A1 live twin)") {
-    @volatile var observed: Option[Long] = None
-    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit = {
-        qe.observedMetrics.get("live_counter").foreach(r => observed = Some(r.getAs[Long]("n")))
-      }
-      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
-    }
-    spark.listenerManager.register(listener)
-    try {
-      graft.Tables.events(spark, graft.TestSpark.SF)
-        .observe("live_counter", count(lit(1)).as("n"))
+  test("live metric via Observed (df.observe + listener, E47 / A1 live twin)") {
+    Observed.use(spark) { obs =>
+      obs.observe(graft.Tables.events(spark, graft.TestSpark.SF),
+        "live_counter", count(lit(1)).as("n"), sum(lit(2L)).as("amt"))
         .collect()
-      var tries = 0
-      while (observed.isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
-      assert(observed.contains(1000L))
-    } finally spark.listenerManager.unregister(listener)
+      val row = obs.await("live_counter")
+      assert(row.map(_.getAs[Long]("n")).contains(1000L))
+      assert(row.map(_.getAs[Long]("amt")).contains(2000L))
+      assert(obs.snapshot.contains("live_counter"))
+    }
   }
 }

@@ -39,14 +39,51 @@ class TextOpsSpec extends AnyFunSuite {
     assert(j(0) == 1.0 && j(1) == 0.0 && math.abs(j(2) - 0.5) < 1e-12)
   }
 
-  test("minhash signature: identical docs share full signature; one md5 per shingle") {
+  test("minhash signature: identical docs share full signature; slots 32-bit") {
     val df = Seq("the quick brown fox jumps over the lazy dog",
       "the quick brown fox jumps over the lazy dog").toDF("text")
       .select(TextOps.minhashSignature(
         TextOps.minhashBase(TextOps.shingles(TextOps.tokens($"text"), 3)), 8).as("sig"))
     val sigs = df.collect().map(_.getSeq[Long](0))
     assert(sigs(0) == sigs(1) && sigs(0).length == 8)
-    assert(sigs(0).forall(h => h >= 0 && h < TextOps.MinhashP))
+    assert(sigs(0).forall(h => h >= 0 && h <= 0xFFFFFFFFL))
+  }
+
+  test("minhash slots are independent permutations, not order-correlated") {
+    // 40 docs of random-ish distinct token soup; rank docs by each slot.
+    val docs = (0 until 40).map(i =>
+      (0 until 12).map(t => s"w${(i * 31 + t * 7) % 97}tok$t").mkString(" "))
+    val sigs = docs.toDF("text")
+      .select(TextOps.minhashSignature(
+        TextOps.minhashBase(TextOps.shingles(TextOps.tokens($"text"), 2)), 8).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    // For every slot pair (i, j), the doc-orderings induced by slot i and
+    // slot j must differ — the degenerate affine family ranked all slots
+    // identically (monotone functions of one min hash).
+    def ranking(slot: Int): Seq[Int] = sigs.indices.sortBy(d => sigs(d)(slot))
+    for (i <- 0 until 8; j <- (i + 1) until 8)
+      assert(ranking(i) != ranking(j), s"slots $i and $j rank docs identically")
+  }
+
+  test("minhash agreement estimates Jaccard") {
+    // Pairs built from a 40-token pool: doc A = tokens [0,24), doc B =
+    // tokens [8,32) → 1-shingle overlap 16/32 = 0.5. With k=8 and 24
+    // deterministic pair-variants, the mean slot-agreement must land near
+    // 0.5 (and strictly inside (0,1) — the broken estimator gave 0 or 1).
+    val pairs = (0 until 24).map { v =>
+      val pool = (0 until 40).map(t => s"v${v}t$t")
+      (pool.slice(0, 24).mkString(" "), pool.slice(8, 32).mkString(" "))
+    }
+    val df = pairs.toDF("a", "b")
+      .select(
+        TextOps.minhashSignature(TextOps.minhashBase(TextOps.shingles(TextOps.tokens($"a"), 1)), 8).as("sa"),
+        TextOps.minhashSignature(TextOps.minhashBase(TextOps.shingles(TextOps.tokens($"b"), 1)), 8).as("sb"))
+      .select(aggregate(zip_with($"sa", $"sb", (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).as("n_eq"))
+    val agr = df.collect().map(_.getInt(0))
+    val mean = agr.sum.toDouble / (agr.length * 8.0)
+    assert(math.abs(mean - 0.5) < 0.15, s"mean slot agreement $mean far from J=0.5")
+    assert(agr.exists(n => n > 0 && n < 8), "agreement collapsed to all-or-nothing")
   }
 
   test("simhash: identical docs → hamming 0; disjoint docs differ") {
@@ -84,6 +121,25 @@ class TextOpsSpec extends AnyFunSuite {
     val pred = LangId.classify(docs, profiles)
     assert(pred.count() == docs.count())
     assert(pred.filter($"predicted".isNull).count() == 0)
+  }
+
+  test("langid: no-overlap and sub-bigram docs classify as 'unknown', not dropped") {
+    val train = Seq((0L, "en", "the cat sat on the mat near the hat"),
+      (1L, "de", "der hund und der mund sind rund")).toDF("doc_id", "lang", "text")
+    val profiles = LangId.trainProfiles(train, topK = 10)
+    // "####" shares no bigram with either profile; "x" has no bigrams at all.
+    val docs = Seq((10L, "en", "the cat"), (11L, "??", "####"), (12L, "??", "x"))
+      .toDF("doc_id", "lang", "text")
+    val pred = LangId.classify(docs, profiles).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted")).toMap
+    assert(pred(10L) == "en" && pred(11L) == "unknown" && pred(12L) == "unknown")
+  }
+
+  test("char bigrams: empty and 1-char texts yield empty feature arrays") {
+    val sizes = Seq("", "x", "xy", "xyz").toDF("text")
+      .selectExpr(s"size(${TextOps.charBigramsSql("text")}) AS n")
+      .collect().map(_.getInt(0)).toSeq
+    assert(sizes == Seq(0, 0, 1, 2))
   }
 
   test("stopword ratio") {
