@@ -42,5 +42,6 @@ object SparkEntry {
       MetricQueries.oracle ++
       RegistryQueries.oracle ++
       TextQueries.oracle ++
-      ExtraQueries.oracle
+      ExtraQueries.oracle ++
+      StreamingQueries.oracle
 }

@@ -14,7 +14,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 object AnomalyQueries {
 
   /** DuckDB 1.0.0 has no tanh — splice the exp identity. */
-  private def sqlTanh(x: String): String =
+  private[queries] def sqlTanh(x: String): String =
     s"((exp(2*($x)) - 1) / (exp(2*($x)) + 1))"
 
   private val eventKey = Seq("user_id", "event_type")

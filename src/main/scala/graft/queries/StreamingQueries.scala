@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Streaming surface (SURVEY §2 E41–E47), declared WITHOUT oracle SQL —
-  * the driver records rows-only checks (SparkEntry.scala contract). Each
-  * query replays the events table through a MemoryStream in event-time
-  * chunks (watermarks advance across micro-batches), runs a Structured
-  * Streaming pipeline to completion, then returns a deterministic batch
-  * aggregation of the committed sink table. Streaming-vs-batch parity is
-  * asserted in StreamSpec.
+/** Streaming surface (SURVEY §2 E41–E47). Each query replays the events
+  * table through a MemoryStream in event-time chunks (watermarks advance
+  * across micro-batches), runs a Structured Streaming pipeline to
+  * completion, then returns a deterministic batch aggregation of the
+  * committed sink table. The replay is deterministic end-to-end, so most
+  * queries carry a full DuckDB oracle (the streaming result equals its
+  * batch-SQL twin); the exception is s59 — append-mode session windows
+  * never emit sessions still inside the final watermark, so its tail is
+  * structurally short of the batch answer → rows-only. Streaming-vs-batch
+  * parity is additionally asserted in StreamSpec.
   */
 object StreamingQueries {
 
@@ -49,9 +52,13 @@ object StreamingQueries {
     "s60_stream_assembler" -> ((s, d) => {
       val t = StreamOps.replayEvents(s, d, "s60_sink", 2)(
         ds => StreamOps.assembler(ds, 12).toDF(), OutputMode.Append)
+      // Decimal-summed (not averaged) win_means: pre-rounded decimal sums
+      // are exact in both engines, dodging FP shuffle-order drift (the q41
+      // pattern).
       t.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_windows"),
-          round(avg(col("win_mean")), 6).as("avg_win_mean"))
+          round(sum(round(col("win_mean"), 6).cast("decimal(18,6)"))
+            .cast("double"), 4).as("sum_win_mean"))
         .orderBy(col("event_type"))
     }),
 
@@ -70,7 +77,8 @@ object StreamingQueries {
       t.groupBy(date_trunc("day", col("end_ts")).as("day"))
         .agg(count(lit(1)).as("n_windows"),
           round(max(col("score")), 6).as("max_score"),
-          round(avg(col("score")), 6).as("avg_score"))
+          round(sum(round(col("score"), 6).cast("decimal(18,6)"))
+            .cast("double"), 4).as("sum_score"))
         .orderBy(col("day"))
     }),
 
@@ -81,12 +89,93 @@ object StreamingQueries {
       val t = StreamOps.replayEvents(s, d, "s61_sink", 2)(
         ds => StreamOps.streamStaticScore(ds, model), OutputMode.Append)
       t.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), round(avg(col("score")), 6).as("avg_score"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(round(col("score"), 6).cast("decimal(18,6)"))
+            .cast("double"), 4).as("sum_score"))
         .orderBy(col("event_type"))
     })
   )
 
-  /** No oracle entries — streaming is verified by rows-only checks here and
-    * batch-parity assertions in scalatest (SURVEY §5.2 item 4). */
-  val oracle: Map[String, String] = Map.empty
+  /** Batch-SQL twins of the streaming plans. The replay harness processes
+    * every event exactly once in event-time order with no late drops, so
+    * each committed sink table equals the corresponding batch query over
+    * the same events — which is exactly what a DuckDB oracle can check.
+    * (s59 excluded: append-mode sessions inside the final watermark never
+    * emit, so no batch SQL matches its tail.) */
+  val oracle: Map[String, String] = Map(
+    // Tumbling 6h windows are epoch-aligned in Spark: bucket by µs-epoch
+    // division. Decimal-routed value sum = bit-exact in both engines.
+    "s57_stream_tumbling" ->
+      """WITH t AS (
+        |  SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS win_start,
+        |    event_type, value
+        |  FROM events
+        |)
+        |SELECT win_start, event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        |FROM t GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    // Within-watermark dedup over ordered replay keeps exactly one row per
+    // (user, type, day): the streaming result is a distinct-count.
+    "s58_stream_dedup" ->
+      """WITH dedup AS (
+        |  SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS day
+        |  FROM events
+        |)
+        |SELECT event_type, count(*) AS n_kept
+        |FROM dedup GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Exact-12 assembler ≡ 12-row window frame (emit only full frames);
+    // list_sum preserves Spark's left-to-right in-order summation.
+    "s60_stream_assembler" ->
+      """WITH wins AS (
+        |  SELECT event_type,
+        |    list(value) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS win_arr
+        |  FROM events
+        |), full_wins AS (
+        |  SELECT event_type, list_sum(win_arr) / 12.0 AS win_mean
+        |  FROM wins WHERE len(win_arr) = 12
+        |)
+        |SELECT event_type, count(*) AS n_windows,
+        |  round(CAST(sum(CAST(round(win_mean, 6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_win_mean
+        |FROM full_wins GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Stream–static score: every event joins the batch-fitted model.
+    "s61_stream_static_score" ->
+      """WITH fit AS (
+        |  SELECT event_type, avg(value) + 3 * stddev_samp(value) AS threshold
+        |  FROM events GROUP BY event_type
+        |), scored AS (
+        |  SELECT e.event_type,
+        |    least(greatest(e.value / (f.threshold + 0.000000001), 0.0), 10.0) AS score
+        |  FROM events e JOIN fit f USING (event_type)
+        |)
+        |SELECT event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(round(score, 6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_score
+        |FROM scored GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Full vertex chain: assemble → model join → threshold → tanh norm.
+    "s73_stream_pipeline" ->
+      s"""WITH wins AS (
+         |  SELECT user_id, event_type, ts AS end_ts,
+         |    list(value) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+         |      ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS win_arr
+         |  FROM events
+         |), full_wins AS (
+         |  SELECT event_type, end_ts, list_sum(win_arr) / 12.0 AS win_mean
+         |  FROM wins WHERE len(win_arr) = 12
+         |), fit AS (
+         |  SELECT event_type, avg(value) + 3 * stddev_samp(value) AS threshold
+         |  FROM events GROUP BY event_type
+         |), scored AS (
+         |  SELECT date_trunc('day', end_ts) AS day,
+         |    10 * ${AnomalyQueries.sqlTanh(
+                 "least(greatest(win_mean / (threshold + 0.000000001), 0.0), 10.0)")} AS score
+         |  FROM full_wins JOIN fit USING (event_type)
+         |)
+         |SELECT day, count(*) AS n_windows, round(max(score), 6) AS max_score,
+         |  round(CAST(sum(CAST(round(score, 6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_score
+         |FROM scored GROUP BY day ORDER BY day""".stripMargin
+  )
 }

@@ -28,32 +28,47 @@ object TextOps {
   def md5Hash48(c: Column, seed: String): Column =
     conv(substring(md5(concat(lit(seed + "|"), c)), 1, 12), 16, 10).cast("long")
 
-  /** MinHash base hashes: TWO md5s per shingle (seeds "mhA"/"mhB"),
-    * concatenated into one 64-hex-char string = 256 independent bits.
-    * `minhashSignature` slices non-overlapping 32-bit chunks out of this,
-    * so the k permutations cost 2 md5s per shingle (not k) while every
-    * slot gets genuinely independent hash bits. (An earlier affine-map
-    * family over ONE 48-bit hash never wrapped mod p, so all slots were
-    * monotone in the same min — a degenerate estimator.) */
-  def minhashBase(shing: Column): Column =
-    transform(shing, sh =>
-      concat(md5(concat(lit("mhA|"), sh)), md5(concat(lit("mhB|"), sh))))
-
   /** Max slots derivable from the two md5s: 64 hex chars / 8 per slot. */
   val MinhashMaxK: Int = 8
 
-  /** MinHash signature: sig_j = min over shingles of the j-th non-overlapping
-    * 32-bit chunk of the doc's 256 base-hash bits. Chunks of independent md5
-    * output bits are independent hash functions, so per-slot agreement is a
-    * faithful Bernoulli(J) sample; 32-bit values make shingle-collisions
-    * ~2^-32 (negligible at corpus scale). Mirrored bit-for-bit in DuckDB via
-    * `substr(md5 || md5, j*8+1, 8)`. */
-  def minhashSignature(baseHashes: Column, k: Int): Column = {
+  /** MinHash base hashes: TWO md5s per shingle (seeds "mhA"/"mhB"),
+    * concatenated into 64 hex chars = 256 independent bits, then pre-parsed
+    * into `MinhashMaxK` non-overlapping 32-bit longs. The k permutations
+    * cost 2 md5s per shingle (not k) while every slot gets genuinely
+    * independent hash bits. (An earlier affine-map family over ONE 48-bit
+    * hash never wrapped mod p, so all slots were monotone in the same min —
+    * a degenerate estimator.) Parsing happens HERE, once per shingle — the
+    * nested transform binds the hex string as a lambda variable, so the
+    * md5s aren't re-evaluated per chunk, and `minhashSignature`'s fold then
+    * touches only longs. Keep this as its own column (e.g. `withColumn`):
+    * a non-cheap alias is not inlined by CollapseProject, so downstream
+    * multi-reference stays one evaluation. */
+  def minhashBase(shing: Column): Column =
+    transform(
+      transform(shing, sh =>
+        concat(md5(concat(lit("mhA|"), sh)), md5(concat(lit("mhB|"), sh)))),
+      s => transform(sequence(lit(0), lit(MinhashMaxK - 1)),
+        j => conv(substring(s, j * 8 + 1, lit(8)), 16, 10).cast("long")))
+
+  /** MinHash signature: sig_j = min over shingles of the j-th 32-bit chunk —
+    * ONE fold over the chunk arrays (element-wise `least` against a
+    * MaxValue-seeded accumulator), not k separate array walks. Chunks of
+    * independent md5 output bits are independent hash functions, so per-slot
+    * agreement is a faithful Bernoulli(J) sample; 32-bit values make
+    * shingle-collisions ~2^-32 (negligible at corpus scale). Mirrored
+    * bit-for-bit in DuckDB via `substr(md5 || md5, j*8+1, 8)`. Empty
+    * shingle sets yield all-null slots (= `list_min([])` in the oracle). */
+  def minhashSignature(baseChunks: Column, k: Int): Column = {
     require(k <= MinhashMaxK, s"minhashSignature supports k <= $MinhashMaxK")
-    array((0 until k).map { j =>
-      array_min(transform(baseHashes, s =>
-        conv(substring(s, j * 8 + 1, 8), 16, 10).cast("long")))
-    }: _*)
+    val folded = aggregate(
+      baseChunks,
+      array_repeat(lit(Long.MaxValue), k),
+      // slice: zip_with pads the shorter side with nulls, so a k < MaxK
+      // accumulator would silently grow back to MaxK slots.
+      (acc, x) => zip_with(acc, if (k < MinhashMaxK) slice(x, 1, k) else x,
+        (a, b) => least(a, b)))
+    when(size(baseChunks) > 0, folded)
+      .otherwise(array((0 until k).map(_ => lit(null).cast("long")): _*))
   }
 
   /** LSH band key: hash of the signature slice for one band. Docs sharing a
