@@ -67,6 +67,20 @@ object Threshold {
         :+ col("model.n").as("n") :+ col("model.threshold").as("threshold")): _*)
   }
 
+  /** Builtin-aggregate twin of [[fit]] — same output schema and NULL
+    * semantics (stddev_samp is NULL at n < 2, so threshold is too). Use
+    * this on fact-scale inputs: `avg`/`stddev_samp`/`count` stay inside
+    * whole-stage codegen with map-side partials, where the typed
+    * Aggregator pays per-row object ser/de. [[fit]] remains the E24/E49
+    * demonstration and the two are asserted numerically equal in
+    * ThresholdSpec. */
+  def fitBuiltin(df: DataFrame, keys: Seq[String], value: String, k: Double = 3.0): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(avg(col(value)).as("mean"),
+        stddev_samp(col(value)).as("std"),
+        count(col(value)).as("n"))
+      .withColumn("threshold", col("mean") + lit(k) * col("std"))
+
   /** Score: err / threshold, clipped into [0, limit]. */
   def score(err: Column, threshold: Column, limit: Double = 10.0): Column =
     least(greatest(err / (threshold + lit(1e-9)), lit(0.0)), lit(limit))

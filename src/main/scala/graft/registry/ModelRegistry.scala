@@ -15,10 +15,12 @@ object ModelRegistry {
 
   /** P12 trainer: fit one threshold model per (key, training day) from that
     * day's history. One grouped aggregation — partial aggregation map-side,
-    * one shuffle on the composite key + day. */
+    * one shuffle on the composite key + day. Uses the builtin-aggregate fit
+    * (codegen'd partials) rather than the typed Aggregator: at fact scale
+    * the trainer reads the full history, so the aggregation is the job. */
   def train(events: DataFrame, keys: Seq[String], value: String,
             ts: String, k: Double = 3.0): DataFrame =
-    Threshold.fit(
+    Threshold.fitBuiltin(
       events.withColumn("trained_at", date_trunc("day", col(ts))),
       keys :+ "trained_at", value, k)
 

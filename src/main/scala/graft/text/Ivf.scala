@@ -15,13 +15,30 @@ import org.apache.spark.sql.DataFrame
   */
 object Ivf {
 
-  /** Assign every vector to its nearest centroid (inverted-list id). */
+  /** Assign every vector to its nearest centroid (inverted-list id).
+    *
+    * Map-side argmax: the centroid table is tiny by construction (it must
+    * fit a k-means model), so it is collected and folded over as a literal
+    * array INSIDE the row projection — no crossJoin row inflation (k× the
+    * corpus), no argmax shuffle. At 100 TB the corpus never moves; only the
+    * centroid array (KBs–MBs) ships inside the task binaries. Ties break to
+    * the smallest centroid_id (fold keeps the earlier entry of the
+    * id-sorted array). */
   def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("centroid_id"))
-    emb.crossJoin(broadcast(centroids))
-      .withColumn("csim", VectorFunctions.vecCosine(col("embedding"), col("cv")))
-      .withColumn("crn", row_number().over(w)).filter(col("crn") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id").as("list_id"))
+    val cents = centroids.select(col("centroid_id").cast("long"), col("cv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    val centArr = array(cents.map { case (id, v) =>
+      struct(lit(id).as("id"), typedlit(v).as("cv"))
+    }: _*)
+    val scored = transform(centArr, c =>
+      struct(VectorFunctions.vecCosine(col("embedding"), c.getField("cv")).as("sim"),
+        c.getField("id").as("id")))
+    val best = aggregate(scored,
+      struct(lit(-2.0).as("sim"), lit(-1L).as("id")),
+      (acc, x) => when(x.getField("sim") > acc.getField("sim"), x).otherwise(acc))
+    emb.select(col("vec_id"), col("embedding"), best.getField("id").as("list_id"))
   }
 
   /** Top-`nprobe` centroid lists per query vector. */
@@ -44,7 +61,9 @@ object Ivf {
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val probed = probeLists(queries, centroids, nprobe)
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
-    lists.join(probed, "list_id")
+    // probed is (n_queries × nprobe) rows — broadcast it so the corpus-side
+    // inverted lists are filtered map-side instead of shuffled on list_id.
+    lists.join(broadcast(probed), "list_id")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", VectorFunctions.vecCosine(col("embedding"), col("qv")))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

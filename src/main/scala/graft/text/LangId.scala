@@ -32,22 +32,23 @@ object LangId {
   }
 
   /** Classify: score = |doc bigrams ∩ profile|, argmax over languages.
-    * Docs sharing no bigram with ANY profile (empty/exotic text) are kept —
-    * left-joined back and labeled "unknown" — so the output covers every
-    * input doc, not just the matchable ones. */
+    * Docs sharing no bigram with ANY profile (empty/exotic text) are kept:
+    * every doc contributes a score-0 "unknown" baseline row into the same
+    * argmax, which any real profile match (score ≥ 1) beats. Union-into-
+    * the-existing-window costs no extra shuffle, where a left-join-back of
+    * the argmax result would re-shuffle at doc grain. */
   def classify(docs: DataFrame, profiles: DataFrame, cap: Int = 100): DataFrame = {
     val exploded = features(docs, cap)
       .select(col("doc_id"), col("lang"), explode(col("bigrams")).as("bg"))
     val scored = exploded.join(broadcast(profiles), Seq("bg"))
       .groupBy(col("doc_id"), col("lang"), col("profile_lang"))
       .agg(count(lit(1)).as("score"))
+    val baseline = docs.select(col("doc_id"), col("lang"),
+      lit("unknown").as("profile_lang"), lit(0L).as("score"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("profile_lang"))
-    val argmax = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("profile_lang").as("predicted"))
-    docs.select(col("doc_id"), col("lang"))
-      .join(argmax, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("lang"),
-        coalesce(col("predicted"), lit("unknown")).as("predicted"))
+    scored.unionByName(baseline)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("profile_lang").as("predicted"))
   }
 }

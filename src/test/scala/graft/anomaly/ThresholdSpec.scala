@@ -70,6 +70,24 @@ class ThresholdSpec extends AnyFunSuite {
     assert(!scored.collect().exists(r => r.getAs[Double]("score").isNaN))
   }
 
+  test("builtin fit matches the typed-Aggregator fit (schema and values)") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.5), ("b", 7.0), ("b", 9.0), ("solo", 4.0))
+      .toDF("k", "v")
+    val agg = Threshold.fit(df, Seq("k"), "v", 3.0).orderBy($"k").collect()
+    val blt = Threshold.fitBuiltin(df, Seq("k"), "v", 3.0).orderBy($"k").collect()
+    assert(agg.map(_.schema.fieldNames.toSeq).toSeq == blt.map(_.schema.fieldNames.toSeq).toSeq)
+    agg.zip(blt).foreach { case (x, y) =>
+      // columns: k, mean, std, n, threshold
+      assert(x.getString(0) == y.getString(0) && x.getLong(3) == y.getLong(3))
+      Seq(1, 2, 4).foreach { i =>
+        assert(x.isNullAt(i) == y.isNullAt(i))
+        if (!x.isNullAt(i)) assert(math.abs(x.getDouble(i) - y.getDouble(i)) < 1e-9)
+      }
+    }
+  }
+
   test("NaN threshold in an external registry row routes to static path") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
