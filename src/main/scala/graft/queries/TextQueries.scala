@@ -205,6 +205,41 @@ object TextQueries {
         .orderBy(col("lang"), col("predicted"))
     }),
 
+    // [N] flagship corpus curation: the full training-data cleaning chain
+    // as ONE declarative plan — quality gate → exact dedup (keep lowest
+    // doc_id per content hash) → MinHash+LSH near-dup removal (drop the
+    // higher doc_id of any candidate pair with estimated sim >= 0.5) →
+    // per-(lang, source) survivor rollup. Every pair-generation step is
+    // keyed (hash group or LSH bucket): no unkeyed cross join anywhere, so
+    // the same plan prunes identically at 100 TB.
+    "q74_corpus_curation" -> ((s, d) => {
+      val quality = docsWithTokens(s, d)
+        .withColumn("n_toks", size(col("toks")))
+        .filter(col("n_chars") >= 100 && col("n_toks") >= 15)
+      val wExact = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+      val exact = quality
+        .withColumn("h", TextOps.exactKey(col("text")))
+        .withColumn("rn", row_number().over(wExact)).filter(col("rn") === 1)
+        .drop("rn", "h")
+      val sig = exact
+        .withColumn("bh", TextOps.minhashBase(TextOps.shingles(col("toks"), 3)))
+        .select(col("lang"), col("source"), col("doc_id"), col("n_chars"),
+          TextOps.minhashSignature(col("bh"), 8).as("sig"))
+      val banded = sig.select(col("lang"), col("doc_id"), col("sig"),
+        explode(TextOps.bandKeys(col("sig"), 4, 2)).as("bk"))
+      val lhs = banded.select(col("lang"), col("bk"), col("doc_id").as("id1"), col("sig").as("sig1"))
+      val rhs = banded.select(col("lang"), col("bk"), col("doc_id").as("id2"), col("sig").as("sig2"))
+      val drops = lhs.join(rhs, Seq("lang", "bk")).filter(col("id1") < col("id2"))
+        .filter(aggregate(
+          zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v) >= 4)
+        .select(col("id2").as("doc_id")).distinct()
+      sig.join(drops, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // E56: multimodal column — struct(text payload as opaque binary,
     // typed metadata, embedding); scalar projections for the oracle.
     "q56_multimodal" -> ((s, d) => {
@@ -399,6 +434,48 @@ object TextQueries {
         |)
         |SELECT lang, predicted, count(*) AS n
         |FROM pred GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+
+    "q74_corpus_curation" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, source, n_chars, text,
+         |    string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM documents
+         |), quality AS (
+         |  SELECT * FROM t WHERE n_chars >= 100 AND len(toks) >= 15
+         |), exact AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+         |    FROM quality
+         |  ) WHERE rn = 1
+         |), sh AS (
+         |  SELECT lang, source, doc_id, n_chars, $shinglesSqlDuck AS sh FROM exact
+         |), base AS (
+         |  SELECT lang, source, doc_id, n_chars,
+         |    list_transform(sh, s ->
+         |      concat(md5(concat('mhA|', s)), md5(concat('mhB|', s)))) AS bh
+         |  FROM sh
+         |), sig AS (
+         |  SELECT lang, source, doc_id, n_chars,
+         |    [list_min(list_transform(bh, s ->
+         |       CAST(concat('0x', substr(s, j*8 + 1, 8)) AS BIGINT)))
+         |     for j in generate_series(0, 7)] AS sig
+         |  FROM base
+         |), banded AS (
+         |  SELECT lang, doc_id, sig, b AS band,
+         |    concat(sig[b*2+1], ',', sig[b*2+2]) AS key
+         |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bands
+         |), drops AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM banded a JOIN banded b
+         |    ON a.lang = b.lang AND a.band = b.band AND a.key = b.key
+         |    AND a.doc_id < b.doc_id
+         |  WHERE len([i for i in generate_series(1, 8) if a.sig[i] = b.sig[i]]) >= 4
+         |)
+         |SELECT lang, source, count(*) AS n_kept,
+         |  CAST(sum(n_chars) AS BIGINT) AS kept_chars
+         |FROM sig
+         |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
     "q56_multimodal" ->
       """SELECT d.doc_id,

@@ -28,6 +28,12 @@ case class AsmState(buf: Seq[(Long, Double)])
   */
 object StreamOps {
 
+  /** Ordered replay rows per sf dir, collected once per JVM — every
+    * streaming query replays the same frame, so re-collecting and
+    * re-sorting 100k rows per query is pure repeated driver work. */
+  private val replayCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Ev]]()
+
   /** Replay the events table as `chunks` event-time-ordered micro-batches
     * through `pipeline`, blocking until all data is processed; returns the
     * committed result table. */
@@ -35,9 +41,10 @@ object StreamOps {
                   (pipeline: Dataset[Ev] => DataFrame, outputMode: OutputMode): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val rows = Tables.events(spark, dir)
-      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
-      .as[Ev].orderBy($"ts", $"event_id").collect()
+    val rows = replayCache.computeIfAbsent(dir, d =>
+      Tables.events(spark, d)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[Ev].orderBy($"ts", $"event_id").collect())
     val stream = MemoryStream[Ev]
     // Size state partitions to the key space (≈150 series here): the state
     // store commits one delta file per partition per micro-batch, so excess

@@ -113,6 +113,14 @@ class TextOpsSpec extends AnyFunSuite {
     assert(res.agg(org.apache.spark.sql.functions.min($"sim")).collect()(0).getDouble(0) > 0.0)
   }
 
+  test("IVF assignment is map-side: no exchange in the assign plan") {
+    val emb = graft.Tables.embeddings(spark, graft.TestSpark.SF)
+    val centroids = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("cv"))
+    val plan = Ivf.assign(emb, centroids).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assign should not shuffle:\n$plan")
+  }
+
   test("langid: profiles sized topK per lang; every doc classified") {
     val docs = graft.Tables.documents(spark, graft.TestSpark.SF)
     val profiles = LangId.trainProfiles(docs, topK = 20)
@@ -140,6 +148,18 @@ class TextOpsSpec extends AnyFunSuite {
       .selectExpr(s"size(${TextOps.charBigramsSql("text")}) AS n")
       .collect().map(_.getInt(0)).toSeq
     assert(sizes == Seq(0, 0, 1, 2))
+  }
+
+  test("corpus curation: survivors respect the quality gate and shrink the corpus") {
+    val docs = graft.Tables.documents(spark, graft.TestSpark.SF)
+    val out = graft.queries.TextQueries.queries("q74_corpus_curation")(
+      spark, graft.TestSpark.SF).collect()
+    assert(out.nonEmpty)
+    val kept = out.map(_.getAs[Long]("n_kept")).sum
+    assert(kept > 0 && kept <= docs.count())
+    // every survivor passed the >= 100 chars gate, so the char sum must too
+    out.foreach(r =>
+      assert(r.getAs[Long]("kept_chars") >= 100L * r.getAs[Long]("n_kept")))
   }
 
   test("stopword ratio") {
