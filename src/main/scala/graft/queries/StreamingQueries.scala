@@ -11,12 +11,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * table through a MemoryStream in event-time chunks (watermarks advance
   * across micro-batches), runs a Structured Streaming pipeline to
   * completion, then returns a deterministic batch aggregation of the
-  * committed sink table. The replay is deterministic end-to-end, so most
-  * queries carry a full DuckDB oracle (the streaming result equals its
-  * batch-SQL twin); the exception is s59 — append-mode session windows
-  * never emit sessions still inside the final watermark, so its tail is
-  * structurally short of the batch answer → rows-only. Streaming-vs-batch
-  * parity is additionally asserted in StreamSpec.
+  * committed sink table. The replay is deterministic end-to-end, so every
+  * query carries a full DuckDB oracle (the streaming result equals its
+  * batch-SQL twin); s59 needs the flushTail watermark sentinel to close
+  * its final sessions first (append mode holds them back otherwise).
+  * Streaming-vs-batch parity is additionally asserted in StreamSpec.
   */
 object StreamingQueries {
 
@@ -39,11 +38,15 @@ object StreamingQueries {
         .orderBy(col("event_type"))
     }),
 
-    // E43: session windows (30-min gap).
+    // E43: session windows (30-min gap). flushTail: a watermark-advancing
+    // sentinel (user_id −1, filtered below) closes the final sessions that
+    // append mode would otherwise hold back at stop — making the committed
+    // sink equal to full batch sessionization, hence oracle-checkable.
     "s59_stream_sessions" -> ((s, d) => {
-      val t = StreamOps.replayEvents(s, d, "s59_sink", 2)(
+      val t = StreamOps.replayEvents(s, d, "s59_sink", 2, flushTail = true)(
         StreamOps.sessionize _, OutputMode.Append)
-      t.groupBy(col("user_id"))
+      t.filter(col("user_id") >= 0)
+        .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
         .orderBy(col("user_id"))
     }),
@@ -114,6 +117,21 @@ object StreamingQueries {
         |SELECT win_start, event_type, count(*) AS n,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
         |FROM t GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    // 30-min-gap sessions ≡ gaps-and-islands: a new session starts where
+    // the in-user gap is >= 30 min (session_window's end bound is
+    // exclusive). The flushTail sentinel guarantees every session emitted.
+    "s59_stream_sessions" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts))
+        |      OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+        |  FROM events
+        |)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // Within-watermark dedup over ordered replay keeps exactly one row per
     // (user, type, day): the streaming result is a distinct-count.

@@ -37,7 +37,16 @@ object StreamOps {
   /** Replay the events table as `chunks` event-time-ordered micro-batches
     * through `pipeline`, blocking until all data is processed; returns the
     * committed result table. */
-  def replayEvents(spark: SparkSession, dir: String, name: String, chunks: Int)
+  /** Sentinel that advances the watermark past every real event (10 days
+    * beyond `maxTs`), flushing append-mode state that would otherwise be
+    * held back at query stop. Carries user_id = -1 so pipelines can filter
+    * its own emission out of the sink. */
+  def flushSentinel(maxTs: java.sql.Timestamp): Ev =
+    Ev(-1L, new java.sql.Timestamp(maxTs.getTime + 10L * 24 * 3600 * 1000),
+      -1L, "__flush__", 0.0)
+
+  def replayEvents(spark: SparkSession, dir: String, name: String, chunks: Int,
+                   flushTail: Boolean = false)
                   (pipeline: Dataset[Ev] => DataFrame, outputMode: OutputMode): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -62,6 +71,10 @@ object StreamOps {
       val per = math.max(1, math.ceil(rows.length.toDouble / chunks).toInt)
       rows.grouped(per).foreach { chunk =>
         stream.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      if (flushTail && rows.nonEmpty) {
+        stream.addData(flushSentinel(rows.last.ts))
         q.processAllAvailable()
       }
     } finally q.stop()
