@@ -223,7 +223,7 @@ object TextQueries {
         .drop("rn", "h")
       val sig = exact
         .withColumn("bh", TextOps.minhashBase(TextOps.shingles(col("toks"), 3)))
-        .select(col("lang"), col("source"), col("doc_id"), col("n_chars"),
+        .select(col("lang"), col("doc_id"),
           TextOps.minhashSignature(col("bh"), 8).as("sig"))
       val banded = sig.select(col("lang"), col("doc_id"), col("sig"),
         explode(TextOps.bandKeys(col("sig"), 4, 2)).as("bk"))
@@ -233,8 +233,13 @@ object TextQueries {
         .filter(aggregate(
           zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v) >= 4)
-        .select(col("id2").as("doc_id")).distinct()
-      sig.join(drops, Seq("doc_id"), "left_anti")
+        .select(col("id2").as("doc_id"))
+      // no distinct on drops: left_anti is set-semantics on the right side
+      // already, so deduplicating first would just add a shuffle.
+      // Anti-join from the PRE-signature frame: the survivor side needs no
+      // minhash work, so signatures are computed once (drops branch only).
+      exact.select(col("lang"), col("source"), col("doc_id"), col("n_chars"))
+        .join(drops, Seq("doc_id"), "left_anti")
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
         .orderBy(col("lang"), col("source"))
