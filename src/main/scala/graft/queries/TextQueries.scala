@@ -213,9 +213,14 @@ object TextQueries {
     // keyed (hash group or LSH bucket): no unkeyed cross join anywhere, so
     // the same plan prunes identically at 100 TB.
     "q74_corpus_curation" -> ((s, d) => {
+      // The dedup subtree is referenced by both the drops branch and the
+      // survivor branch and thus computes twice; a production corpus run
+      // persists `exact` between the two (bounded: ids + text), which
+      // changes no plan shape here. Tokens are materialized as a named
+      // column up front (measured fastest; an inline tokens() inside
+      // shingles' HOF lambdas would re-split per element).
       val quality = docsWithTokens(s, d)
-        .withColumn("n_toks", size(col("toks")))
-        .filter(col("n_chars") >= 100 && col("n_toks") >= 15)
+        .filter(col("n_chars") >= 100 && size(col("toks")) >= 15)
       val wExact = Window.partitionBy(col("h")).orderBy(col("doc_id"))
       val exact = quality
         .withColumn("h", TextOps.exactKey(col("text")))
