@@ -250,6 +250,38 @@ object TextQueries {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // E55 depth: TF-IDF top terms per language. tf = n_td/len_d,
+    // idf = ln((N+1)/(df_t+1)) (smoothed); per-language relevance = sum of
+    // per-doc tf·idf, pre-rounded into decimals so the cross-engine sum is
+    // exact, ranked top-3 with term tiebreak. Three aggregations + one
+    // term-keyed join — every shuffle is on (doc), (term) or (lang, term);
+    // the corpus-size scalar rides in as a broadcast, not a driver count.
+    "q75_tfidf" -> ((s, d) => {
+      val tok = docsWithTokens(s, d)
+        .select(col("lang"), col("doc_id"), explode(col("toks")).as("tok"))
+      val len = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("len_d"))
+      val tf = tok.groupBy(col("lang"), col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("n_td"))
+      val dfreq = tok.select(col("doc_id"), col("tok")).distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("df_t"))
+      val ndocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val contrib = tf
+        .join(len, "doc_id")
+        .join(dfreq, "tok")
+        .crossJoin(broadcast(ndocs))
+        .withColumn("tfidf", round(
+          col("n_td").cast("double") / col("len_d").cast("double") *
+            log((col("n_docs") + 1).cast("double") / (col("df_t") + 1).cast("double")),
+          9).cast("decimal(28,9)"))
+      val byLang = contrib.groupBy(col("lang"), col("tok"))
+        .agg(sum(col("tfidf")).as("rel"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("rel").desc, col("tok"))
+      byLang.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .select(col("lang"), col("rank").cast("long").as("rank"), col("tok"),
+          round(col("rel").cast("double"), 6).as("relevance"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // E56: multimodal column — struct(text payload as opaque binary,
     // typed metadata, embedding); scalar projections for the oracle.
     "q56_multimodal" -> ((s, d) => {
@@ -486,6 +518,35 @@ object TextQueries {
          |FROM sig
          |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
          |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q75_tfidf" ->
+      """WITH tok AS (
+        |  SELECT lang, doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |), len AS (
+        |  SELECT doc_id, count(*) AS len_d FROM tok GROUP BY doc_id
+        |), tf AS (
+        |  SELECT lang, doc_id, tok, count(*) AS n_td FROM tok GROUP BY 1, 2, 3
+        |), dfreq AS (
+        |  SELECT tok, count(*) AS df_t FROM (SELECT DISTINCT doc_id, tok FROM tok) GROUP BY tok
+        |), n AS (
+        |  SELECT count(*) AS n_docs FROM documents
+        |), contrib AS (
+        |  SELECT tf.lang, tf.tok,
+        |    CAST(round(
+        |      tf.n_td::DOUBLE / len.len_d::DOUBLE *
+        |        ln((n.n_docs + 1)::DOUBLE / (dfreq.df_t + 1)::DOUBLE),
+        |      9) AS DECIMAL(28,9)) AS tfidf
+        |  FROM tf JOIN len USING (doc_id) JOIN dfreq USING (tok) CROSS JOIN n
+        |), by_lang AS (
+        |  SELECT lang, tok, sum(tfidf) AS rel FROM contrib GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT lang, tok, rel,
+        |    row_number() OVER (PARTITION BY lang ORDER BY rel DESC, tok) AS rank
+        |  FROM by_lang
+        |)
+        |SELECT lang, rank, tok, round(CAST(rel AS DOUBLE), 6) AS relevance
+        |FROM ranked WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
 
     "q56_multimodal" ->
       """SELECT d.doc_id,
