@@ -7,8 +7,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Coverage completions: GROUPING SETS (E19), embedding-cosine near-dup
-  * (E53 [N]), the P14 range-query service shape, and multimodal feature
-  * extraction (E56 [N], rows-only).
+  * (E53 [N]), the P14 range-query service shape, CSV/JSON scan round-trip
+  * (E2), and multimodal feature extraction (E56 [N], rows-only).
   */
 object ExtraQueries {
 
@@ -89,6 +89,27 @@ object ExtraQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // E2 end-to-end: round-trip one dim through CSV and one through JSON
+    // (the text formats config/fixture ingest uses), scan them back with
+    // explicit schemas, and join — checked against the original parquet
+    // via the oracle. Integer/string columns only: no FP-text round-trip
+    // ambiguity.
+    "q76_csv_json_scan" -> ((s, d) => {
+      val tmp = s"/tmp/graft_e2_${new java.io.File(d).getName}"
+      val nat = nation(s, d)
+      val reg = region(s, d)
+      nat.write.mode("overwrite").option("header", "true").csv(s"$tmp/nation_csv")
+      reg.write.mode("overwrite").json(s"$tmp/region_json")
+      val natCsv = s.read.option("header", "true").schema(nat.schema).csv(s"$tmp/nation_csv")
+      val regJson = s.read.schema(reg.schema).json(s"$tmp/region_json")
+      natCsv.join(regJson, natCsv("n_regionkey") === regJson("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_nations"),
+          min(col("n_name")).as("first_nation"),
+          max(col("n_name")).as("last_nation"))
+        .orderBy(col("r_name"))
+    }),
+
     // E56 [N]: multimodal feature extraction through the partition-batched
     // decode-stub pipeline; rows-only (mapPartitions stub is not SQL).
     "q67_multimodal_features" -> ((s, d) => {
@@ -143,6 +164,15 @@ object ExtraQueries {
         |  round(CAST(sum(CAST(round(roll_avg, 6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_roll_avg
         |FROM w WHERE roll_cnt = 6
         |GROUP BY 1, 2 ORDER BY event_type, hash_id""".stripMargin,
+
+    // The oracle reads the ORIGINAL parquet: if the CSV/JSON round-trip
+    // corrupted anything (types, quoting, nulls), the hashes diverge.
+    "q76_csv_json_scan" ->
+      """SELECT r.r_name, count(*) AS n_nations,
+        |  min(n.n_name) AS first_nation,
+        |  max(n.n_name) AS last_nation
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
 
     "q66_range_query_service" ->
       """SELECT event_type, date_trunc('hour', ts) AS step_ts,
