@@ -12,11 +12,25 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first timed query doesn't absorb JIT cost.
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Streaming warmup: one throwaway micro-batch query loads the
+    // StreamExecution/state-store machinery (class loading + codegen)
+    // outside any timed window.
+    try {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val q = ms.toDS().groupBy($"value").count()
+        .writeStream.outputMode("complete").format("memory").queryName("warmup").start()
+      ms.addData(1L, 2L, 3L)
+      q.processAllAvailable(); q.stop()
+    } catch { case _: Throwable => () }
+    // Sorted execution order: Map iteration order varies run-to-run, which
+    // moves cache/JIT effects between queries and inflates variance.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
