@@ -257,17 +257,18 @@ object TextQueries {
     // term-keyed join — every shuffle is on (doc), (term) or (lang, term);
     // the corpus-size scalar rides in as a broadcast, not a driver count.
     "q75_tfidf" -> ((s, d) => {
+      // len_d rides through the explode (functionally dependent on doc_id,
+      // so adding it to the tf grouping key is free), and df_t comes from a
+      // count-over-tok window on tf — which is already (doc, term) distinct
+      // — instead of a second explode + distinct + join. 11 → 6 shuffles.
       val tok = docsWithTokens(s, d)
-        .select(col("lang"), col("doc_id"), explode(col("toks")).as("tok"))
-      val len = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("len_d"))
-      val tf = tok.groupBy(col("lang"), col("doc_id"), col("tok"))
+        .select(col("lang"), col("doc_id"), size(col("toks")).as("len_d"),
+          explode(col("toks")).as("tok"))
+      val tf = tok.groupBy(col("lang"), col("doc_id"), col("len_d"), col("tok"))
         .agg(count(lit(1)).as("n_td"))
-      val dfreq = tok.select(col("doc_id"), col("tok")).distinct()
-        .groupBy(col("tok")).agg(count(lit(1)).as("df_t"))
       val ndocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
       val contrib = tf
-        .join(len, "doc_id")
-        .join(dfreq, "tok")
+        .withColumn("df_t", count(lit(1)).over(Window.partitionBy(col("tok"))))
         .crossJoin(broadcast(ndocs))
         .withColumn("tfidf", round(
           col("n_td").cast("double") / col("len_d").cast("double") *

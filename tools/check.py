@@ -53,6 +53,8 @@ fails, passes, skips = [], 0, 0
 names = ONLY if ONLY else sorted(oracle.keys())
 for name in names:
     sql = oracle.get(name)
+    if sql is None:
+        continue  # rows-only query named explicitly; reported below
     spark_path = f"{OUT}/{name}"
     if not os.path.isdir(spark_path):
         fails.append((name, "spark output missing")); continue
