@@ -110,6 +110,23 @@ object ExtraQueries {
         .orderBy(col("r_name"))
     }),
 
+    // P1/P14 full parity: the DSv2 range-query connector (TableProvider →
+    // Batch → PartitionReader, partitioned by series × 6h slice) pulling a
+    // day of 3 series at 60s step, rolled up hourly. The generator payload
+    // is md5-derived, so DuckDB rebuilds the identical samples from
+    // generate_series — the oracle checks the whole connector path.
+    "q77_prom_source" -> ((s, d) => {
+      s.read.format("graft.sources.PromRangeSource")
+        .option("start", "1704067200").option("end", "1704153600")
+        .option("stepSeconds", "60").option("series", "cpu,mem,disk")
+        .load()
+        .groupBy(col("series"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,1)")).cast("double"), 1).as("sum_value"),
+          round(max(col("value")), 1).as("max_value"))
+        .orderBy(col("series"), col("hour"))
+    }),
+
     // E56 [N]: multimodal feature extraction through the partition-batched
     // decode-stub pipeline; rows-only (mapPartitions stub is not SQL).
     "q67_multimodal_features" -> ((s, d) => {
@@ -173,6 +190,22 @@ object ExtraQueries {
         |  max(n.n_name) AS last_nation
         |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
+
+    "q77_prom_source" ->
+      """WITH s AS (
+        |  SELECT unnest(['cpu', 'mem', 'disk']) AS series
+        |), secs AS (
+        |  SELECT unnest(generate_series(1704067200, 1704153599, 60)) AS sec
+        |), samples AS (
+        |  SELECT series, make_timestamp(sec * 1000000) AS ts,
+        |    (CAST(concat('0x', substr(md5(concat(series, '|', sec)), 1, 12)) AS BIGINT)
+        |      % 1000) / 10.0 AS value
+        |  FROM s, secs
+        |)
+        |SELECT series, date_trunc('hour', ts) AS hour, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,1))) AS DOUBLE), 1) AS sum_value,
+        |  round(max(value), 1) AS max_value
+        |FROM samples GROUP BY 1, 2 ORDER BY series, hour""".stripMargin,
 
     "q66_range_query_service" ->
       """SELECT event_type, date_trunc('hour', ts) AS step_ts,

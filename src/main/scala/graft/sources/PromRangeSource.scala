@@ -1,0 +1,120 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 range-query source (SURVEY §2 P1/P14 "full parity" item —
+  * the reference pulled history via the Prometheus fetcher's
+  * `query_range(query, start, end, step)`, reference `CHANGELOG.md:90`).
+  *
+  * The real deployment points this connector at a PromQL HTTP endpoint; in
+  * this repo (zero egress) the "endpoint" is a deterministic sample
+  * generator, so the CONNECTOR machinery — `TableProvider` → `ScanBuilder`
+  * → `Batch` → `PartitionReaderFactory` → `PartitionReader` — is fully
+  * real and testable, and the payload is md5-derived so DuckDB reproduces
+  * it bit-for-bit for the oracle.
+  *
+  * Scale design: one `InputPartition` per (series × 6h time slice) — the
+  * same split a PromQL fetcher shards range pulls by. Executors read
+  * slices in parallel; a month × 10k series fans out to ~1.2M independent
+  * partitions with no driver-side materialization.
+  *
+  * Usage:
+  * {{{
+  * spark.read.format("graft.sources.PromRangeSource")
+  *   .option("start", "1704067200")   // epoch seconds, inclusive
+  *   .option("end",   "1704153600")   // epoch seconds, exclusive
+  *   .option("stepSeconds", "60")
+  *   .option("series", "cpu,mem,disk")
+  *   .load()                           // => (series STRING, ts TIMESTAMP, value DOUBLE)
+  * }}}
+  */
+class PromRangeSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PromRangeSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new PromRangeTable(properties.asScala.toMap)
+}
+
+object PromRangeSource {
+  val schema: StructType = StructType(Seq(
+    StructField("series", StringType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  val SliceSeconds: Long = 6L * 3600
+
+  /** Deterministic sample: (md5("series|sec") first-12-hex % 1000) / 10 —
+    * mirrored in DuckDB as
+    * `(CAST(concat('0x', substr(md5(series || '|' || sec), 1, 12)) AS BIGINT) % 1000) / 10.0`. */
+  def sampleValue(series: String, sec: Long): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$series|$sec".getBytes("UTF-8"))
+    val hex = md.map("%02x".format(_)).mkString.substring(0, 12)
+    (java.lang.Long.parseLong(hex, 16) % 1000L) / 10.0
+  }
+}
+
+class PromRangeTable(props: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = s"prom_range(${props.getOrElse("series", "")})"
+  override def schema(): StructType = PromRangeSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PromRangeScan(props ++ options.asScala)
+}
+
+/** One slice of one series: rows at `start + i*step` for ts ∈ [from, to). */
+case class PromSlice(series: String, fromSec: Long, toSec: Long, stepSec: Long)
+  extends InputPartition
+
+class PromRangeScan(props: Map[String, String]) extends ScanBuilder with Scan with Batch {
+  private def long(key: String): Long = props.getOrElse(key,
+    throw new IllegalArgumentException(s"PromRangeSource: missing option '$key'")).toLong
+
+  override def build(): Scan = this
+  override def readSchema(): StructType = PromRangeSource.schema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val start = long("start"); val end = long("end"); val step = long("stepSeconds")
+    require(step > 0 && end >= start, "PromRangeSource: need end >= start, stepSeconds > 0")
+    val series = props.getOrElse("series", "").split(",").map(_.trim).filter(_.nonEmpty)
+    val slice = PromRangeSource.SliceSeconds
+    (for {
+      s <- series.toSeq
+      // slice boundaries snap to the step grid so each sample lands in
+      // exactly one partition: from = first step-aligned sec >= sliceStart.
+      sliceStart <- start until end by slice
+    } yield {
+      val firstIdx = (sliceStart - start + step - 1) / step
+      val from = start + firstIdx * step
+      val to = math.min(sliceStart + slice, end)
+      PromSlice(s, from, to, step)
+    }).filter(p => p.fromSec < p.toSec).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+      val p = partition.asInstanceOf[PromSlice]
+      new PartitionReader[InternalRow] {
+        private var sec = p.fromSec - p.stepSec
+        override def next(): Boolean = { sec += p.stepSec; sec < p.toSec }
+        override def get(): InternalRow =
+          InternalRow(UTF8String.fromString(p.series), sec * 1000000L,
+            PromRangeSource.sampleValue(p.series, sec))
+        override def close(): Unit = ()
+      }
+    }
+  }
+}

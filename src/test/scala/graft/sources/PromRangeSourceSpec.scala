@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DSv2 range-query connector (P1/P14): partition fan-out, step-grid
+  * alignment at slice boundaries, payload determinism, exclusive end. */
+class PromRangeSourceSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  private def read(start: Long, end: Long, step: Long, series: String) =
+    spark.read.format("graft.sources.PromRangeSource")
+      .option("start", start.toString).option("end", end.toString)
+      .option("stepSeconds", step.toString).option("series", series)
+      .load()
+
+  test("row count = series × steps; end is exclusive; no slice-boundary dupes") {
+    val day = read(1704067200L, 1704153600L, 60L, "cpu,mem")
+    assert(day.count() == 2L * 1440L)
+    assert(day.select($"series", $"ts").distinct().count() == 2L * 1440L)
+    // a step that does not divide the 6h slice (7200-1? use 420s = 7min):
+    // slice snapping must neither duplicate nor drop grid points.
+    val odd = read(1704067200L, 1704153600L, 420L, "cpu")
+    val expected = (1704153600L - 1704067200L + 419L) / 420L
+    assert(odd.count() == expected)
+    assert(odd.select($"ts").distinct().count() == expected)
+  }
+
+  test("reads fan out over series × 6h slices") {
+    val day = read(1704067200L, 1704153600L, 60L, "cpu,mem,disk")
+    assert(day.rdd.getNumPartitions == 3 * 4) // 24h / 6h slices per series
+  }
+
+  test("payload is deterministic and matches the generator function") {
+    val row = read(1704067200L, 1704067260L, 60L, "cpu").collect()(0)
+    assert(row.getAs[Double]("value") == PromRangeSource.sampleValue("cpu", 1704067200L))
+    assert(row.getAs[java.sql.Timestamp]("ts").getTime == 1704067200000L)
+  }
+}
