@@ -5,7 +5,8 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -78,9 +79,44 @@ class PromRangeTable(props: Map[String, String]) extends Table with SupportsRead
 case class PromSlice(series: String, fromSec: Long, toSec: Long, stepSec: Long)
   extends InputPartition
 
-class PromRangeScan(props: Map[String, String]) extends ScanBuilder with Scan with Batch {
+class PromRangeScan(props: Map[String, String])
+  extends ScanBuilder with Scan with Batch with SupportsPushDownFilters {
   private def long(key: String): Long = props.getOrElse(key,
     throw new IllegalArgumentException(s"PromRangeSource: missing option '$key'")).toLong
+
+  // Pruning bounds tightened by pushed filters. Conservative by design:
+  // every filter is also RETURNED as remaining (Spark re-applies it after
+  // the scan), so pruning only skips whole slices / series that cannot
+  // match — it can shrink IO, never change results.
+  private var tsLowSec: Long = Long.MinValue
+  private var tsHighSec: Long = Long.MaxValue
+  private var seriesKeep: Option[Set[String]] = None
+  private var pruned: Array[Filter] = Array.empty
+
+  private def tsSec(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp => Some(t.getTime / 1000L)
+    case i: java.time.Instant => Some(i.getEpochSecond)
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val used = filters.filter {
+      case GreaterThanOrEqual("ts", v) => tsSec(v).exists { s => tsLowSec = tsLowSec.max(s); true }
+      case GreaterThan("ts", v)        => tsSec(v).exists { s => tsLowSec = tsLowSec.max(s); true }
+      case LessThanOrEqual("ts", v)    => tsSec(v).exists { s => tsHighSec = tsHighSec.min(s + 1); true }
+      case LessThan("ts", v)           => tsSec(v).exists { s => tsHighSec = tsHighSec.min(s + 1); true }
+      case EqualTo("series", v: String) =>
+        seriesKeep = Some(seriesKeep.getOrElse(Set(v)).intersect(Set(v))); true
+      case In("series", vs) =>
+        val set = vs.collect { case s: String => s }.toSet
+        seriesKeep = Some(seriesKeep.fold(set)(_.intersect(set))); true
+      case _ => false
+    }
+    pruned = used
+    filters // all remain — Spark re-applies them post-scan
+  }
+
+  override def pushedFilters(): Array[Filter] = pruned
 
   override def build(): Scan = this
   override def readSchema(): StructType = PromRangeSource.schema
@@ -90,12 +126,14 @@ class PromRangeScan(props: Map[String, String]) extends ScanBuilder with Scan wi
     val start = long("start"); val end = long("end"); val step = long("stepSeconds")
     require(step > 0 && end >= start, "PromRangeSource: need end >= start, stepSeconds > 0")
     val series = props.getOrElse("series", "").split(",").map(_.trim).filter(_.nonEmpty)
+      .filter(s => seriesKeep.forall(_.contains(s)))
     val slice = PromRangeSource.SliceSeconds
     (for {
       s <- series.toSeq
       // slice boundaries snap to the step grid so each sample lands in
       // exactly one partition: from = first step-aligned sec >= sliceStart.
       sliceStart <- start until end by slice
+      if sliceStart + slice > tsLowSec && sliceStart < tsHighSec
     } yield {
       val firstIdx = (sliceStart - start + step - 1) / step
       val from = start + firstIdx * step

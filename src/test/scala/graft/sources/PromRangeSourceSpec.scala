@@ -32,6 +32,24 @@ class PromRangeSourceSpec extends AnyFunSuite {
     assert(day.rdd.getNumPartitions == 3 * 4) // 24h / 6h slices per series
   }
 
+  test("ts and series filters prune slices without changing results") {
+    val base = read(1704067200L, 1704153600L, 60L, "cpu,mem,disk")
+    // last 6 hours only → 1 slice per series instead of 4
+    val tail = base.filter($"ts" >= lit("2024-01-01 18:00:00").cast("timestamp"))
+    assert(tail.count() == 3L * 360L)
+    assert(tail.rdd.getNumPartitions == 3)
+    // one series → a third of the partitions
+    val one = base.filter($"series" === "mem")
+    assert(one.count() == 1440L)
+    assert(one.rdd.getNumPartitions == 4)
+    // combined, plus correctness of an off-slice boundary (re-applied post-scan)
+    val mid = base.filter($"series" === "cpu" &&
+      $"ts" >= lit("2024-01-01 02:30:00").cast("timestamp") &&
+      $"ts" < lit("2024-01-01 03:30:00").cast("timestamp"))
+    assert(mid.count() == 60L)
+    assert(mid.rdd.getNumPartitions == 1)
+  }
+
   test("payload is deterministic and matches the generator function") {
     val row = read(1704067200L, 1704067260L, 60L, "cpu").collect()(0)
     assert(row.getAs[Double]("value") == PromRangeSource.sampleValue("cpu", 1704067200L))
