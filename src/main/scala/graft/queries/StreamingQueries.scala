@@ -85,6 +85,25 @@ object StreamingQueries {
         .orderBy(col("day"))
     }),
 
+    // P1 stream-in via the custom DSv2 micro-batch connector: the range is
+    // served 6h per trigger behind a time-based offset; complete-mode agg
+    // over the drained stream equals the batch read, so the oracle is the
+    // same SQL as the batch q77.
+    "s78_stream_prom_source" -> ((s, d) => {
+      val q = s.readStream.format("graft.sources.PromRangeSource")
+        .option("start", "1704067200").option("end", "1704153600")
+        .option("stepSeconds", "60").option("series", "cpu,mem,disk")
+        .option("batchSeconds", "21600")
+        .load()
+        .groupBy(col("series"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,1)")).cast("double"), 1).as("sum_value"))
+        .writeStream.outputMode(OutputMode.Complete)
+        .format("memory").queryName("s78_sink").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("s78_sink").orderBy(col("series"), col("hour"))
+    }),
+
     // E46/P13+P6: stream–static model join scoring each arriving event.
     "s61_stream_static_score" -> ((s, d) => {
       val model = Threshold.fit(Tables.events(s, d), Seq("event_type"), "value", 3.0)
@@ -158,6 +177,22 @@ object StreamingQueries {
         |SELECT event_type, count(*) AS n_windows,
         |  round(CAST(sum(CAST(round(win_mean, 6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_win_mean
         |FROM full_wins GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Micro-batch connector drained to completion ≡ the batch range read.
+    "s78_stream_prom_source" ->
+      """WITH s AS (
+        |  SELECT unnest(['cpu', 'mem', 'disk']) AS series
+        |), secs AS (
+        |  SELECT unnest(generate_series(1704067200, 1704153599, 60)) AS sec
+        |), samples AS (
+        |  SELECT series, make_timestamp(sec * 1000000) AS ts,
+        |    (CAST(concat('0x', substr(md5(concat(series, '|', sec)), 1, 12)) AS BIGINT)
+        |      % 1000) / 10.0 AS value
+        |  FROM s, secs
+        |)
+        |SELECT series, date_trunc('hour', ts) AS hour, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,1))) AS DOUBLE), 1) AS sum_value
+        |FROM samples GROUP BY 1, 2 ORDER BY series, hour""".stripMargin,
 
     // Stream–static score: every event joins the batch-fitted model.
     "s61_stream_static_score" ->

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -64,15 +65,73 @@ object PromRangeSource {
     val hex = md.map("%02x".format(_)).mkString.substring(0, 12)
     (java.lang.Long.parseLong(hex, 16) % 1000L) / 10.0
   }
+
+  /** Shared by the batch scan and the micro-batch stream. */
+  val readerFactory: PartitionReaderFactory = new PartitionReaderFactory {
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+      val p = partition.asInstanceOf[PromSlice]
+      new PartitionReader[InternalRow] {
+        private var sec = p.fromSec - p.stepSec
+        override def next(): Boolean = { sec += p.stepSec; sec < p.toSec }
+        override def get(): InternalRow =
+          InternalRow(UTF8String.fromString(p.series), sec * 1000000L,
+            PromRangeSource.sampleValue(p.series, sec))
+        override def close(): Unit = ()
+      }
+    }
+  }
 }
 
 class PromRangeTable(props: Map[String, String]) extends Table with SupportsRead {
   override def name(): String = s"prom_range(${props.getOrElse("series", "")})"
   override def schema(): StructType = PromRangeSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PromRangeScan(props ++ options.asScala)
+}
+
+/** Time-based streaming offset: everything before `sec` has been served. */
+case class PromOffset(sec: Long) extends Offset {
+  override def json(): String = sec.toString
+}
+
+/** Micro-batch face of the connector (the reference's live scrape path,
+  * P1 "stream in"): each trigger serves the next `batchSeconds` of the
+  * range as one batch of (series × slice) partitions, advancing a
+  * time-based offset until `end`. Deterministic — replaying the full
+  * range to completion equals the batch read, which is what lets the
+  * streaming query carry the same DuckDB oracle. */
+class PromMicroBatch(props: Map[String, String]) extends MicroBatchStream {
+  private val start = props("start").toLong
+  private val end = props("end").toLong
+  private val step = props("stepSeconds").toLong
+  private val batchSec = props.getOrElse("batchSeconds", "21600").toLong
+  private var planned: Long = start
+
+  override def initialOffset(): Offset = PromOffset(start)
+  override def latestOffset(): Offset = {
+    planned = math.min(end, math.max(planned, start) + batchSec)
+    PromOffset(planned)
+  }
+  override def deserializeOffset(json: String): Offset = PromOffset(json.toLong)
+  override def commit(offset: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(startOff: Offset, endOff: Offset): Array[InputPartition] = {
+    val a = startOff.asInstanceOf[PromOffset].sec
+    val b = endOff.asInstanceOf[PromOffset].sec
+    val series = props.getOrElse("series", "").split(",").map(_.trim).filter(_.nonEmpty)
+    series.toSeq.map { s =>
+      // grid stays anchored at the global start so batch boundaries never
+      // duplicate or drop a sample.
+      val firstIdx = (a - start + step - 1) / step
+      PromSlice(s, start + firstIdx * step, b, step)
+    }.filter(p => p.fromSec < p.toSec).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    PromRangeSource.readerFactory
 }
 
 /** One slice of one series: rows at `start + i*step` for ts ∈ [from, to). */
@@ -142,17 +201,9 @@ class PromRangeScan(props: Map[String, String])
     }).filter(p => p.fromSec < p.toSec).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
-    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-      val p = partition.asInstanceOf[PromSlice]
-      new PartitionReader[InternalRow] {
-        private var sec = p.fromSec - p.stepSec
-        override def next(): Boolean = { sec += p.stepSec; sec < p.toSec }
-        override def get(): InternalRow =
-          InternalRow(UTF8String.fromString(p.series), sec * 1000000L,
-            PromRangeSource.sampleValue(p.series, sec))
-        override def close(): Unit = ()
-      }
-    }
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    PromRangeSource.readerFactory
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new PromMicroBatch(props)
 }

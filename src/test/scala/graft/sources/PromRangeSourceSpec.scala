@@ -50,6 +50,21 @@ class PromRangeSourceSpec extends AnyFunSuite {
     assert(mid.rdd.getNumPartitions == 1)
   }
 
+  test("micro-batch stream drains the range in multiple batches and equals the batch read") {
+    val q = spark.readStream.format("graft.sources.PromRangeSource")
+      .option("start", "1704067200").option("end", "1704153600")
+      .option("stepSeconds", "300").option("series", "cpu,mem")
+      .option("batchSeconds", "21600")
+      .load()
+      .groupBy($"series").agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory").queryName("prom_mb").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("prom_mb").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == Map("cpu" -> 288L, "mem" -> 288L)) // 86400/300 per series
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2, "expected multiple micro-batches")
+  }
+
   test("payload is deterministic and matches the generator function") {
     val row = read(1704067200L, 1704067260L, 60L, "cpu").collect()(0)
     assert(row.getAs[Double]("value") == PromRangeSource.sampleValue("cpu", 1704067200L))
