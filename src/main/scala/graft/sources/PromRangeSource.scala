@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -66,17 +66,25 @@ object PromRangeSource {
     (java.lang.Long.parseLong(hex, 16) % 1000L) / 10.0
   }
 
-  /** Shared by the batch scan and the micro-batch stream. */
-  val readerFactory: PartitionReaderFactory = new PartitionReaderFactory {
-    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-      val p = partition.asInstanceOf[PromSlice]
-      new PartitionReader[InternalRow] {
-        private var sec = p.fromSec - p.stepSec
-        override def next(): Boolean = { sec += p.stepSec; sec < p.toSec }
-        override def get(): InternalRow =
-          InternalRow(UTF8String.fromString(p.series), sec * 1000000L,
-            PromRangeSource.sampleValue(p.series, sec))
-        override def close(): Unit = ()
+  /** Reader factory emitting exactly the (possibly pruned) column set, in
+    * the requested order. Shared by the batch scan and the micro-batch
+    * stream (the stream reads the full schema). */
+  def readerFactory(fields: Seq[String]): PartitionReaderFactory = {
+    val fieldArr = fields.toArray
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val p = partition.asInstanceOf[PromSlice]
+        new PartitionReader[InternalRow] {
+          private var sec = p.fromSec - p.stepSec
+          override def next(): Boolean = { sec += p.stepSec; sec < p.toSec }
+          override def get(): InternalRow =
+            InternalRow(fieldArr.map {
+              case "series" => UTF8String.fromString(p.series)
+              case "ts" => sec * 1000000L
+              case "value" => PromRangeSource.sampleValue(p.series, sec)
+            }: _*)
+          override def close(): Unit = ()
+        }
       }
     }
   }
@@ -131,7 +139,7 @@ class PromMicroBatch(props: Map[String, String]) extends MicroBatchStream {
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    PromRangeSource.readerFactory
+    PromRangeSource.readerFactory(PromRangeSource.schema.fieldNames.toSeq)
 }
 
 /** One slice of one series: rows at `start + i*step` for ts ∈ [from, to). */
@@ -139,7 +147,8 @@ case class PromSlice(series: String, fromSec: Long, toSec: Long, stepSec: Long)
   extends InputPartition
 
 class PromRangeScan(props: Map[String, String])
-  extends ScanBuilder with Scan with Batch with SupportsPushDownFilters {
+  extends ScanBuilder with Scan with Batch
+  with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private def long(key: String): Long = props.getOrElse(key,
     throw new IllegalArgumentException(s"PromRangeSource: missing option '$key'")).toLong
 
@@ -177,8 +186,12 @@ class PromRangeScan(props: Map[String, String])
 
   override def pushedFilters(): Array[Filter] = pruned
 
+  private var required: StructType = PromRangeSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
   override def build(): Scan = this
-  override def readSchema(): StructType = PromRangeSource.schema
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -202,7 +215,7 @@ class PromRangeScan(props: Map[String, String])
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    PromRangeSource.readerFactory
+    PromRangeSource.readerFactory(required.fieldNames.toSeq)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new PromMicroBatch(props)

@@ -65,6 +65,14 @@ class PromRangeSourceSpec extends AnyFunSuite {
     assert(q.recentProgress.count(_.numInputRows > 0) >= 2, "expected multiple micro-batches")
   }
 
+  test("column pruning reaches the scan") {
+    val df = read(1704067200L, 1704070800L, 60L, "cpu").select($"value")
+    val scanOutput = df.queryExecution.executedPlan.collectLeaves().head.output.map(_.name)
+    assert(scanOutput == Seq("value"), s"scan should emit only 'value', got $scanOutput")
+    assert(df.collect().length == 60)
+    assert(df.collect()(0).getDouble(0) == PromRangeSource.sampleValue("cpu", 1704067200L))
+  }
+
   test("payload is deterministic and matches the generator function") {
     val row = read(1704067200L, 1704067260L, 60L, "cpu").collect()(0)
     assert(row.getAs[Double]("value") == PromRangeSource.sampleValue("cpu", 1704067200L))
