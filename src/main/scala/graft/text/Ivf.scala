@@ -8,12 +8,33 @@ import org.apache.spark.sql.DataFrame
 /** IVF-style approximate nearest neighbor (SURVEY E54 [N] scale path #2,
   * beside the LSH sign-bucket variant): partition the corpus into inverted
   * lists by nearest centroid, search only the query's `nprobe` nearest
-  * lists. Centroids here are data-derived (first k vectors — deterministic
-  * without RNG; a production build would k-means them, which changes only
-  * the centroid frame). Cost: assignment is one broadcast join over the
-  * corpus; each query scans ~nprobe/k of the data.
+  * lists. Two centroid sources: first-k vectors (deterministic without
+  * RNG — what the oracle-adjacent q72 uses) and [[kmeansCentroids]]
+  * (MLlib KMeans, the production path — seeded, but partitioning-order
+  * sensitive, hence spec-verified rather than hash-verified). Cost:
+  * assignment is map-side over the corpus; each query scans ~nprobe/k of
+  * the data.
   */
 object Ivf {
+
+  /** Production centroids: MLlib k-means over the embedding column,
+    * returned in the (centroid_id, cv: array&lt;float&gt;) shape
+    * [[assign]]/[[search]] expect. The model is tiny (k × dim) and lives
+    * on the driver — exactly the precondition for map-side assignment. */
+  def kmeansCentroids(emb: DataFrame, k: Int, seed: Long = 7L,
+                      maxIter: Int = 10): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val feats = emb.select(
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("features").fit(feats)
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat).toSeq) }
+      .toDF("centroid_id", "cv")
+  }
 
   /** Assign every vector to its nearest centroid (inverted-list id).
     *
@@ -51,11 +72,19 @@ object Ivf {
   }
 
   /** Search: exact cosine, but only inside the probed lists (equi-join on
-    * list_id — the pruning that survives 100 TB). */
+    * list_id — the pruning that survives 100 TB). Deterministic first-k
+    * centroids; use [[searchWith]] + [[kmeansCentroids]] for the trained
+    * variant. */
   def search(emb: DataFrame, queryIds: Seq[Long], k: Int, nCentroids: Int,
              nprobe: Int): DataFrame = {
     val centroids = emb.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    searchWith(emb, centroids, queryIds, k, nprobe)
+  }
+
+  /** Search against an explicit centroid frame (e.g. [[kmeansCentroids]]). */
+  def searchWith(emb: DataFrame, centroids: DataFrame, queryIds: Seq[Long],
+                 k: Int, nprobe: Int): DataFrame = {
     val lists = assign(emb, centroids)
     val queries = emb.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))

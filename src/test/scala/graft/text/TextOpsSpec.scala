@@ -121,6 +121,32 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"assign should not shuffle:\n$plan")
   }
 
+  test("MLlib k-means centroids drive IVF search with reasonable recall") {
+    val emb = graft.Tables.embeddings(spark, graft.TestSpark.SF)
+    val cents = Ivf.kmeansCentroids(emb, k = 8)
+    assert(cents.count() == 8)
+    val dim = emb.select(size($"embedding")).collect()(0).getInt(0)
+    assert(cents.select(size($"cv")).collect().forall(_.getInt(0) == dim))
+    val res = Ivf.searchWith(emb, cents, Seq(0L, 1L, 2L), k = 3, nprobe = 2)
+    val byQuery = res.groupBy($"query_id").count().collect()
+    assert(byQuery.length == 3 && byQuery.forall(_.getLong(1) == 3L))
+    // recall vs brute force: probing 2 of 8 trained lists should recover a
+    // meaningful share of the true top-3.
+    val q = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
+    val brute = emb.crossJoin(broadcast(q)).filter($"vec_id" =!= $"query_id")
+      .withColumn("sim", graft.functions.VectorFunctions.vecCosine($"embedding", $"qv"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = res.select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"kmeans-IVF recall $recall too low")
+  }
+
   test("langid: profiles sized topK per lang; every doc classified") {
     val docs = graft.Tables.documents(spark, graft.TestSpark.SF)
     val profiles = LangId.trainProfiles(docs, topK = 20)
