@@ -34,9 +34,6 @@ object StreamOps {
   private val replayCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Ev]]()
 
-  /** Replay the events table as `chunks` event-time-ordered micro-batches
-    * through `pipeline`, blocking until all data is processed; returns the
-    * committed result table. */
   /** Sentinel that advances the watermark past every real event (10 days
     * beyond `maxTs`), flushing append-mode state that would otherwise be
     * held back at query stop. Carries user_id = -1 so pipelines can filter
@@ -45,6 +42,9 @@ object StreamOps {
     Ev(-1L, new java.sql.Timestamp(maxTs.getTime + 10L * 24 * 3600 * 1000),
       -1L, "__flush__", 0.0)
 
+  /** Replay the events table as `chunks` event-time-ordered micro-batches
+    * through `pipeline`, blocking until all data is processed; returns the
+    * committed result table. */
   def replayEvents(spark: SparkSession, dir: String, name: String, chunks: Int,
                    flushTail: Boolean = false)
                   (pipeline: Dataset[Ev] => DataFrame, outputMode: OutputMode): DataFrame = {
