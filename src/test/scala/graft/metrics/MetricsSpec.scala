@@ -68,6 +68,23 @@ class MetricsSpec extends AnyFunSuite {
     assert(c.getAs[Long]("n_inc") == 3L && c.getAs[Long]("counter_total") == 6L)
   }
 
+  test("summary scale path: percentile_approx tracks exact percentile (E21/A3)") {
+    // MetricRegistry.summary documents swapping exact percentile for
+    // percentile_approx at corpus scale — pin that the sketch stays within
+    // 2% rank error of exact on a real value column.
+    val ev = graft.Tables.events(spark, graft.TestSpark.SF)
+    val row = ev.agg(
+      expr("percentile(value, 0.9)").as("exact"),
+      expr("percentile_approx(value, 0.9, 10000)").as("approx"),
+      expr("percentile(value, 0.5)").as("exact50"),
+      expr("percentile_approx(value, 0.5, 10000)").as("approx50")).collect()(0)
+    val n = ev.count().toDouble
+    def rankOf(v: Double): Double =
+      ev.filter($"value" <= v).count() / n
+    assert(math.abs(rankOf(row.getDouble(1)) - 0.9) < 0.02)
+    assert(math.abs(rankOf(row.getDouble(3)) - 0.5) < 0.02)
+  }
+
   test("live metric via Observed (df.observe + listener, E47 / A1 live twin)") {
     Observed.use(spark) { obs =>
       obs.observe(graft.Tables.events(spark, graft.TestSpark.SF),
