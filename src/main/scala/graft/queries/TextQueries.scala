@@ -283,6 +283,46 @@ object TextQueries {
         .orderBy(col("lang"), col("rank"))
     }),
 
+    // [N] reproducible stratified sampling: hash-gate per doc (md5 of the
+    // id, NOT rand() — reruns, engines, and backfills all agree), with
+    // per-language rates broadcast in as a tiny dim. The sample decision is
+    // a map-side projection; no shuffle beyond the rollup.
+    "q79_hash_sample" -> ((s, d) => {
+      import s.implicits._
+      val rates = Seq(("en", 30), ("de", 20), ("fr", 20), ("es", 10), ("zh", 50))
+        .toDF("lang", "rate")
+      val gated = documents(s, d)
+        .join(broadcast(rates), Seq("lang"), "left")
+        .withColumn("bucket",
+          pmod(conv(substring(md5(concat(lit("smp|"), col("doc_id"))), 1, 12), 16, 10)
+            .cast("long"), lit(100)))
+        .withColumn("sampled", col("bucket") < coalesce(col("rate"), lit(0)))
+      gated.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("sampled"), 1).otherwise(0)).as("n_sampled"),
+          round(sum(when(col("sampled"), col("n_chars")).otherwise(0)).cast("double") /
+            sum(col("n_chars")).cast("double"), 6).as("char_fraction"))
+        .orderBy(col("lang"))
+    }),
+
+    // [N] reproducible train/val/test split: the same hash gate carved into
+    // 80/10/10 ranges — every engine and every rerun assigns each doc to
+    // the same split, which is what makes downstream eval hermetic.
+    "q80_dataset_split" -> ((s, d) => {
+      val split = documents(s, d)
+        .withColumn("bucket",
+          pmod(conv(substring(md5(concat(lit("split|"), col("doc_id"))), 1, 12), 16, 10)
+            .cast("long"), lit(100)))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+      split.groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"),
+          countDistinct(col("doc_id")).as("n_distinct"))
+        .orderBy(col("lang"), col("split"))
+    }),
+
     // E56: multimodal column — struct(text payload as opaque binary,
     // typed metadata, embedding); scalar projections for the oracle.
     "q56_multimodal" -> ((s, d) => {
@@ -548,6 +588,38 @@ object TextQueries {
         |)
         |SELECT lang, rank, tok, round(CAST(rel AS DOUBLE), 6) AS relevance
         |FROM ranked WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
+
+    "q79_hash_sample" ->
+      """WITH rates AS (
+        |  SELECT * FROM (VALUES ('en', 30), ('de', 20), ('fr', 20), ('es', 10), ('zh', 50))
+        |    AS t(lang, rate)
+        |), gated AS (
+        |  SELECT d.lang, d.n_chars,
+        |    (CAST(concat('0x', substr(md5(concat('smp|', d.doc_id)), 1, 12)) AS BIGINT) % 100)
+        |      < coalesce(r.rate, 0) AS sampled
+        |  FROM documents d LEFT JOIN rates r ON d.lang = r.lang
+        |)
+        |SELECT lang, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  round(CAST(sum(CASE WHEN sampled THEN n_chars ELSE 0 END) AS DOUBLE) /
+        |    CAST(sum(n_chars) AS DOUBLE), 6) AS char_fraction
+        |FROM gated GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q80_dataset_split" ->
+      """WITH b AS (
+        |  SELECT lang, n_chars, doc_id,
+        |    CAST(concat('0x', substr(md5(concat('split|', doc_id)), 1, 12)) AS BIGINT) % 100 AS bucket
+        |  FROM documents
+        |), sp AS (
+        |  SELECT lang, n_chars, doc_id,
+        |    CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM b
+        |)
+        |SELECT lang, split, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  count(DISTINCT doc_id) AS n_distinct
+        |FROM sp GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
 
     "q56_multimodal" ->
       """SELECT d.doc_id,
