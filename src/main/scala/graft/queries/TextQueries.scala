@@ -323,6 +323,36 @@ object TextQueries {
         .orderBy(col("lang"), col("split"))
     }),
 
+    // [N] decontamination: test-split docs sharing ANY 8-token shingle
+    // with a train doc are eval leakage. Both sides reduce to distinct
+    // 48-bit shingle hashes, so the check is an equi-join on the hash —
+    // at corpus scale the train side is a distinct-hash table (orders of
+    // magnitude smaller than text), never an all-pairs comparison.
+    "q81_decontamination" -> ((s, d) => {
+      val split = docsWithTokens(s, d)
+        .withColumn("bucket",
+          pmod(conv(substring(md5(concat(lit("split|"), col("doc_id"))), 1, 12), 16, 10)
+            .cast("long"), lit(100)))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+        .withColumn("sh8",
+          transform(TextOps.shingles(col("toks"), 8), sh => TextOps.md5Hash48(sh, "dc")))
+      val trainHashes = split.filter(col("split") === "train")
+        .select(explode(col("sh8")).as("h")).distinct()
+      val testSh = split.filter(col("split") === "test")
+        .select(col("lang"), col("doc_id"), explode(col("sh8")).as("h"))
+      val contaminated = testSh.join(trainHashes, "h")
+        .select(col("lang"), col("doc_id")).distinct()
+      split.filter(col("split") === "test")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_test"))
+        .join(contaminated.groupBy(col("lang")).agg(count(lit(1)).as("n_contaminated")),
+          Seq("lang"), "left")
+        .select(col("lang"), col("n_test"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+        .orderBy(col("lang"))
+    }),
+
     // E56: multimodal column — struct(text payload as opaque binary,
     // typed metadata, embedding); scalar projections for the oracle.
     "q56_multimodal" -> ((s, d) => {
@@ -620,6 +650,40 @@ object TextQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
         |  count(DISTINCT doc_id) AS n_distinct
         |FROM sp GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+    "q81_decontamination" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    CAST(concat('0x', substr(md5(concat('split|', doc_id)), 1, 12)) AS BIGINT)
+        |      % 100 AS bucket
+        |  FROM documents
+        |), sp AS (
+        |  SELECT doc_id, lang, toks,
+        |    CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM t
+        |), sh AS (
+        |  SELECT doc_id, lang, split,
+        |    list_distinct([CAST(concat('0x',
+        |        substr(md5(concat('dc|', array_to_string(toks[i:i+7], ' '))), 1, 12)) AS BIGINT)
+        |      for i in generate_series(1, len(toks) - 7)]) AS hs
+        |  FROM sp
+        |), train_h AS (
+        |  SELECT DISTINCT unnest(hs) AS h FROM sh WHERE split = 'train'
+        |), test_h AS (
+        |  SELECT lang, doc_id, unnest(hs) AS h FROM sh WHERE split = 'test'
+        |), contaminated AS (
+        |  SELECT DISTINCT e.lang, e.doc_id
+        |  FROM test_h e JOIN train_h t ON e.h = t.h
+        |)
+        |SELECT s.lang, count(*) AS n_test,
+        |  coalesce(any_value(c.n), 0)::BIGINT AS n_contaminated
+        |FROM sh s LEFT JOIN (
+        |  SELECT lang, count(*) AS n FROM contaminated GROUP BY lang
+        |) c ON s.lang = c.lang
+        |WHERE s.split = 'test'
+        |GROUP BY s.lang ORDER BY s.lang""".stripMargin,
 
     "q56_multimodal" ->
       """SELECT d.doc_id,
