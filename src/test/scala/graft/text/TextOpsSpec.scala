@@ -188,6 +188,27 @@ class TextOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("kept_chars") >= 100L * r.getAs[Long]("n_kept")))
   }
 
+  test("hash-gated split partitions the corpus; sample rate tracks the gate") {
+    val docs = graft.Tables.documents(spark, graft.TestSpark.SF)
+    val splits = graft.queries.TextQueries.queries("q80_dataset_split")(
+      spark, graft.TestSpark.SF).collect()
+    // every doc in exactly one split: per-split doc counts sum to the corpus
+    assert(splits.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    assert(splits.forall(r => r.getAs[Long]("n_docs") == r.getAs[Long]("n_distinct")))
+    val sample = graft.queries.TextQueries.queries("q79_hash_sample")(
+      spark, graft.TestSpark.SF).collect()
+    val rates = Map("en" -> 0.30, "de" -> 0.20, "fr" -> 0.20, "es" -> 0.10, "zh" -> 0.50)
+    sample.foreach { r =>
+      val got = r.getAs[Long]("n_sampled").toDouble / r.getAs[Long]("n_total")
+      val want = rates(r.getAs[String]("lang"))
+      assert(math.abs(got - want) < 0.15, s"${r.getAs[String]("lang")}: $got vs $want")
+    }
+    val decon = graft.queries.TextQueries.queries("q81_decontamination")(
+      spark, graft.TestSpark.SF).collect()
+    assert(decon.forall(r =>
+      r.getAs[Long]("n_contaminated") <= r.getAs[Long]("n_test")))
+  }
+
   test("stopword ratio") {
     val r = Seq("the cat and the hat").toDF("text")
       .select(TextOps.stopwordRatio(TextOps.tokens($"text"), Seq("the", "and")).as("r"))
