@@ -31,10 +31,26 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver keeps only a ~2000-char tail of this process's output, so
+    // the printed JSON line must stay well under that or the leading
+    // {"metric"... gets truncated and the line never parses (this is what
+    // nulled BENCH_r01/r02). Strategy: print a compact line — total plus the
+    // 15 slowest queries — and write the full per-query map to a file.
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0 // Double.toString is locale-safe
+    val total = r3(if (results.nonEmpty) results.values.sum else 0.0)
+    val fullJson = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString(
+        s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":{""",
+        ",", "}}")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    val slowest = results.toSeq.sortBy(-_._2).take(15)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$slowest,"full":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -30,6 +30,8 @@ object SparkEntry {
       RegistryQueries.queries ++
       TextQueries.queries ++
       ExtraQueries.queries ++
+      ReshapeQueries.queries ++
+      CurationQueries.queries ++
       StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -43,5 +45,7 @@ object SparkEntry {
       RegistryQueries.oracle ++
       TextQueries.oracle ++
       ExtraQueries.oracle ++
+      ReshapeQueries.oracle ++
+      CurationQueries.oracle ++
       StreamingQueries.oracle
 }
