@@ -12,6 +12,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first timed query doesn't absorb JIT cost.
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    // Parquet-reader warmup: the vectorized reader + footer machinery class-
+    // loads on first touch (~1s), which otherwise lands on whichever query
+    // sorts first. region is 5 rows — the read itself is free.
+    try spark.read.parquet(s"$sfDir/region.parquet").count()
+    catch { case _: Throwable => () }
     // Streaming warmup: one throwaway micro-batch query loads the
     // StreamExecution/state-store machinery (class loading + codegen)
     // outside any timed window.

@@ -213,12 +213,9 @@ object TextQueries {
     // keyed (hash group or LSH bucket): no unkeyed cross join anywhere, so
     // the same plan prunes identically at 100 TB.
     "q74_corpus_curation" -> ((s, d) => {
-      // The dedup subtree is referenced by both the drops branch and the
-      // survivor branch and thus computes twice; a production corpus run
-      // persists `exact` between the two (bounded: ids + text), which
-      // changes no plan shape here. Tokens are materialized as a named
-      // column up front (measured fastest; an inline tokens() inside
-      // shingles' HOF lambdas would re-split per element).
+      // Tokens are materialized as a named column up front (measured
+      // fastest; an inline tokens() inside shingles' HOF lambdas would
+      // re-split per element).
       val quality = docsWithTokens(s, d)
         .filter(col("n_chars") >= 100 && size(col("toks")) >= 15)
       val wExact = Window.partitionBy(col("h")).orderBy(col("doc_id"))
@@ -226,10 +223,19 @@ object TextQueries {
         .withColumn("h", TextOps.exactKey(col("text")))
         .withColumn("rn", row_number().over(wExact)).filter(col("rn") === 1)
         .drop("rn", "h")
+      // Signature frame carries the survivor columns and is PERSISTED: it
+      // feeds two consumers on different keys ((lang, band) self-join vs
+      // doc_id anti-join), so exchange reuse can't collapse them — without
+      // the persist the whole tokenize→sha→window→minhash chain runs
+      // twice (measured: 5 parquet scans of documents, ~35% more time).
+      // The persisted frame is bounded — ids, dims, and an 8-long sig; NO
+      // text/token columns — which is exactly what a 100 TB corpus run
+      // would checkpoint between the pair stage and the survivor stage.
       val sig = exact
         .withColumn("bh", TextOps.minhashBase(TextOps.shingles(col("toks"), 3)))
-        .select(col("lang"), col("doc_id"),
+        .select(col("lang"), col("source"), col("n_chars"), col("doc_id"),
           TextOps.minhashSignature(col("bh"), 8).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val banded = sig.select(col("lang"), col("doc_id"), col("sig"),
         explode(TextOps.bandKeys(col("sig"), 4, 2)).as("bk"))
       val lhs = banded.select(col("lang"), col("bk"), col("doc_id").as("id1"), col("sig").as("sig1"))
@@ -241,9 +247,7 @@ object TextQueries {
         .select(col("id2").as("doc_id"))
       // no distinct on drops: left_anti is set-semantics on the right side
       // already, so deduplicating first would just add a shuffle.
-      // Anti-join from the PRE-signature frame: the survivor side needs no
-      // minhash work, so signatures are computed once (drops branch only).
-      exact.select(col("lang"), col("source"), col("doc_id"), col("n_chars"))
+      sig.select(col("lang"), col("source"), col("doc_id"), col("n_chars"))
         .join(drops, Seq("doc_id"), "left_anti")
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
