@@ -32,6 +32,7 @@ object SparkEntry {
       ExtraQueries.queries ++
       ReshapeQueries.queries ++
       CurationQueries.queries ++
+      PromQlQueries.queries ++
       StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -47,5 +48,6 @@ object SparkEntry {
       ExtraQueries.oracle ++
       ReshapeQueries.oracle ++
       CurationQueries.oracle ++
+      PromQlQueries.oracle ++
       StreamingQueries.oracle
 }

@@ -121,6 +121,57 @@ object CurationQueries {
           round(max(col("ce")), 6).as("max_ce"),
           sum(when(col("ce") > 7.0, 1).otherwise(0)).as("n_high"))
         .orderBy(col("lang"))
+    }),
+
+    // Dedup CLUSTERS from LSH candidate pairs: transitive closure via
+    // iterative min-label propagation (graft.text.Components) — a~b, b~c
+    // lands a,b,c in ONE cluster even when a,c never share a band. The
+    // oracle computes the same closure with a recursive CTE. Outputs are
+    // all integers (cluster counts/sizes).
+    "q92_dedup_clusters" -> ((s, d) => {
+      val sig = docsWithTokens(s, d)
+        .withColumn("bh", TextOps.minhashBase(TextOps.shingles(col("toks"), 3)))
+        .select(col("lang"), col("doc_id"),
+          TextOps.minhashSignature(col("bh"), 8).as("sig"))
+      val banded = sig.select(col("lang"), col("doc_id"), col("sig"),
+        explode(TextOps.bandKeys(col("sig"), 4, 2)).as("bk"))
+      val lhs = banded.select(col("lang"), col("bk"), col("doc_id").as("id1"), col("sig").as("sig1"))
+      val rhs = banded.select(col("lang"), col("bk"), col("doc_id").as("id2"), col("sig").as("sig2"))
+      val pairs = lhs.join(rhs, Seq("lang", "bk")).filter(col("id1") < col("id2"))
+        .filter(aggregate(
+          zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v) >= 4)
+        .select(col("id1"), col("id2")).distinct()
+      val nodes = documents(s, d).select(col("lang"), col("doc_id"))
+      val comp = graft.text.Components.connectedComponents(nodes, pairs, "doc_id")
+      val sizes = comp.groupBy(col("lang"), col("component"))
+        .agg(count(lit(1)).as("sz"))
+      sizes.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_clusters"),
+          max(col("sz")).as("max_cluster_size"),
+          sum(when(col("sz") >= 2, col("sz")).otherwise(0)).as("n_docs_multi"))
+        .orderBy(col("lang"))
+    }),
+
+    // Zipf / vocabulary coverage: how many frequency-ranked terms cover
+    // 50/90/99% of each language's token mass. The thresholds are integer
+    // cross-multiplications (cum*2 >= total etc.) — no FP anywhere.
+    "q93_vocab_coverage" -> ((s, d) => {
+      val tok = docsWithTokens(s, d)
+        .select(col("lang"), explode(col("toks")).as("tok"))
+      val freq = tok.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tok"))
+      val ranked = freq
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("cum", sum(col("cnt"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+      ranked.groupBy(col("lang"))
+        .agg(count(lit(1)).as("vocab_size"),
+          min(when(col("cum") * 2 >= col("total"), col("rnk"))).as("n_terms_50"),
+          min(when(col("cum") * 10 >= col("total") * 9, col("rnk"))).as("n_terms_90"),
+          min(when(col("cum") * 100 >= col("total") * 99, col("rnk"))).as("n_terms_99"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -209,6 +260,75 @@ object CurationQueries {
         |  round(CAST(sum(CAST(ce AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_ce,
         |  round(max(ce), 6) AS max_ce,
         |  CAST(sum(CASE WHEN ce > 7.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
-        |FROM ce GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM ce GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q92_dedup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT lang, doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT lang, doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ')
+        |      for i in generate_series(1, len(toks) - 2)]) AS sh
+        |  FROM t
+        |), base AS (
+        |  SELECT lang, doc_id,
+        |    list_transform(sh, s ->
+        |      concat(md5(concat('mhA|', s)), md5(concat('mhB|', s)))) AS bh
+        |  FROM sh
+        |), sig AS (
+        |  SELECT lang, doc_id,
+        |    [list_min(list_transform(bh, s ->
+        |       CAST(concat('0x', substr(s, j*8 + 1, 8)) AS BIGINT)))
+        |     for j in generate_series(0, 7)] AS sig
+        |  FROM base
+        |), banded AS (
+        |  SELECT lang, doc_id, sig, b AS band,
+        |    concat(sig[b*2+1], ',', sig[b*2+2]) AS key
+        |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bands
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM banded a JOIN banded b
+        |    ON a.lang = b.lang AND a.band = b.band AND a.key = b.key
+        |    AND a.doc_id < b.doc_id
+        |  WHERE len([i for i in generate_series(1, 8) if a.sig[i] = b.sig[i]]) >= 4
+        |), edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION ALL SELECT id2, id1 FROM pairs
+        |), reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |), lbl AS (
+        |  SELECT d.lang, d.doc_id,
+        |    least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component
+        |  FROM documents d LEFT JOIN reach r ON d.doc_id = r.a
+        |  GROUP BY d.lang, d.doc_id
+        |), sizes AS (
+        |  SELECT lang, component, count(*) AS sz FROM lbl GROUP BY 1, 2
+        |)
+        |SELECT lang, count(*) AS n_clusters, max(sz) AS max_cluster_size,
+        |  CAST(sum(CASE WHEN sz >= 2 THEN sz ELSE 0 END) AS BIGINT) AS n_docs_multi
+        |FROM sizes GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q93_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |), freq AS (
+        |  SELECT lang, tok, count(*) AS cnt FROM tok GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT lang, cnt,
+        |    row_number() OVER w AS rnk,
+        |    sum(cnt) OVER (w ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cnt) OVER (PARTITION BY lang) AS total
+        |  FROM freq
+        |  WINDOW w AS (PARTITION BY lang ORDER BY cnt DESC, tok)
+        |)
+        |SELECT lang, count(*) AS vocab_size,
+        |  min(CASE WHEN cum * 2 >= total THEN rnk END) AS n_terms_50,
+        |  min(CASE WHEN cum * 10 >= total * 9 THEN rnk END) AS n_terms_90,
+        |  min(CASE WHEN cum * 100 >= total * 99 THEN rnk END) AS n_terms_99
+        |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

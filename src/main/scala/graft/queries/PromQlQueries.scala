@@ -1,0 +1,136 @@
+package graft.queries
+
+import graft.Tables._
+import graft.metrics.PromQl
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** PromQL query-semantics parity (P1/P14 depth): the reference consumes
+  * `query_range` pulls and its scores are scraped back into Prometheus, so
+  * the engine ships the three canonical PromQL behaviors as declared,
+  * oracle-checked queries — counter `increase()`/`resets()` with reset
+  * handling, instant-vector staleness lookback, and
+  * `histogram_quantile()` interpolation. Implementations in
+  * `graft.metrics.PromQl`.
+  */
+object PromQlQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // increase()/resets(): per-series adjacent deltas, value drops count
+    // from zero (the Prometheus counter-reset rule), rolled up per
+    // (metric, day). Decimal-routed sum: contributions are rounded then
+    // summed exactly, so partition order can't move a digit.
+    "q89_counter_increase" -> ((s, d) => {
+      PromQl.counterIncrease(events(s, d),
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_samples"),
+          sum(col("reset")).cast("long").as("n_resets"),
+          round(sum(round(col("inc"), 6).cast("decimal(18,6)"))
+            .cast("double"), 4).as("sum_increase"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Instant query at T with a 24h staleness lookback: latest sample per
+    // (user, metric) series, stale series drop out; per-metric rollup.
+    "q90_instant_query" -> ((s, d) => {
+      PromQl.instantVector(events(s, d), Seq("user_id", "event_type"),
+        "ts", "event_id", "2024-01-15 12:00:00", "24 HOURS")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_series"),
+          round(sum(round(col("value"), 6).cast("decimal(18,6)"))
+            .cast("double"), 4).as("sum_value"),
+          round(max(col("value")), 6).as("max_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // histogram_quantile(q) for q in {0.5, 0.9, 0.99} from fixed le-buckets
+    // (10, 25, 50, 100, 250, +Inf) per metric: cumulative counts, linear
+    // interpolation inside the target bucket, +Inf clamps to the highest
+    // finite bound. Counts are integers and the interpolation is one
+    // fixed-shape expression -> cross-engine exact.
+    "q91_histogram_quantile" -> ((s, d) => {
+      PromQl.histogramQuantile(events(s, d), Seq("event_type"), "value",
+        bounds = Seq(10, 25, 50, 100, 250), quantiles = Seq(0.5, 0.9, 0.99))
+        .select(col("event_type"), col("q"),
+          round(col("quantile_value"), 6).as("quantile_value"))
+        .orderBy(col("event_type"), col("q"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q89_counter_increase" ->
+      """WITH d AS (
+        |  SELECT event_type, ts, value,
+        |    lag(value) OVER (PARTITION BY user_id, event_type
+        |                     ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), i AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CASE WHEN prev IS NULL THEN 0.0
+        |         WHEN value - prev < 0 THEN value
+        |         ELSE value - prev END AS inc,
+        |    CASE WHEN value - prev < 0 THEN 1 ELSE 0 END AS reset
+        |  FROM d
+        |)
+        |SELECT event_type, day, count(*) AS n_samples,
+        |  CAST(sum(reset) AS BIGINT) AS n_resets,
+        |  round(CAST(sum(CAST(round(inc, 6) AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |    AS sum_increase
+        |FROM i GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+
+    "q90_instant_query" ->
+      """WITH lastv AS (
+        |  SELECT event_type, user_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |    AND ts > TIMESTAMP '2024-01-15 12:00:00' - INTERVAL 24 HOURS
+        |)
+        |SELECT event_type, count(*) AS n_series,
+        |  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |    AS sum_value,
+        |  round(max(value), 6) AS max_value
+        |FROM lastv WHERE rn = 1 GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q91_histogram_quantile" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CASE WHEN value <= 10 THEN 0 WHEN value <= 25 THEN 1
+        |         WHEN value <= 50 THEN 2 WHEN value <= 100 THEN 3
+        |         WHEN value <= 250 THEN 4 ELSE 5 END AS bk
+        |  FROM events
+        |), counts AS (
+        |  SELECT event_type, bk, count(*) AS cnt FROM b GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT event_type, bk, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bk) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS total
+        |  FROM counts
+        |), qs AS (
+        |  -- q stays DECIMAL so rank = q*total is exact; the interpolation
+        |  -- numerator is DECIMAL too — one double division at the end
+        |  -- (same fixed shape as the Spark plan).
+        |  SELECT unnest([CAST(0.5 AS DECIMAL(6,4)), 0.9, 0.99]) AS q
+        |), picked AS (
+        |  SELECT c.event_type, qs.q, c.bk, c.cnt, c.cum, c.total,
+        |    qs.q * c.total AS rank,
+        |    row_number() OVER (PARTITION BY c.event_type, qs.q ORDER BY c.bk) AS rn
+        |  FROM cum c CROSS JOIN qs
+        |  WHERE c.cum >= qs.q * c.total
+        |)
+        |SELECT event_type, CAST(q AS DOUBLE) AS q, round(
+        |  CASE WHEN bk = 5 THEN 250.0 ELSE
+        |    (CASE bk WHEN 0 THEN 0.0 WHEN 1 THEN 10.0 WHEN 2 THEN 25.0
+        |             WHEN 3 THEN 50.0 WHEN 4 THEN 100.0 END)
+        |    + CAST((rank - (cum - cnt)) *
+        |      CAST((CASE bk WHEN 0 THEN 10.0 WHEN 1 THEN 25.0 WHEN 2 THEN 50.0
+        |                WHEN 3 THEN 100.0 WHEN 4 THEN 250.0 END)
+        |       - (CASE bk WHEN 0 THEN 0.0 WHEN 1 THEN 10.0 WHEN 2 THEN 25.0
+        |                  WHEN 3 THEN 50.0 WHEN 4 THEN 100.0 END) AS DECIMAL(10,1))
+        |      AS DOUBLE) / cnt
+        |  END, 6) AS quantile_value
+        |FROM picked WHERE rn = 1 ORDER BY event_type, q""".stripMargin
+  )
+}

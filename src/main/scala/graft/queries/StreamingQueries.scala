@@ -104,6 +104,20 @@ object StreamingQueries {
       s.table("s78_sink").orderBy(col("series"), col("hour"))
     }),
 
+    // PromQL increase()/resets() as a stateful stream (O(1) state per
+    // series); the committed sink equals the batch lag-window form, so the
+    // oracle is the same SQL as q89.
+    "s94_stream_increase" -> ((s, d) => {
+      val t = StreamOps.replayEvents(s, d, "s94_sink", 2)(
+        ds => StreamOps.streamingIncrease(ds).toDF(), OutputMode.Append)
+      t.groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_samples"),
+          sum(col("reset")).cast("long").as("n_resets"),
+          round(sum(round(col("inc"), 6).cast("decimal(18,6)"))
+            .cast("double"), 4).as("sum_increase"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // E46/P13+P6: stream–static model join scoring each arriving event.
     "s61_stream_static_score" -> ((s, d) => {
       val model = Threshold.fit(Tables.events(s, d), Seq("event_type"), "value", 3.0)
@@ -207,6 +221,27 @@ object StreamingQueries {
         |SELECT event_type, count(*) AS n,
         |  round(CAST(sum(CAST(round(score, 6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_score
         |FROM scored GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Streaming increase() equals the batch lag-window form (q89's SQL).
+    "s94_stream_increase" ->
+      """WITH d AS (
+        |  SELECT event_type, ts, value,
+        |    lag(value) OVER (PARTITION BY user_id, event_type
+        |                     ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), i AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CASE WHEN prev IS NULL THEN 0.0
+        |         WHEN value - prev < 0 THEN value
+        |         ELSE value - prev END AS inc,
+        |    CASE WHEN value - prev < 0 THEN 1 ELSE 0 END AS reset
+        |  FROM d
+        |)
+        |SELECT event_type, day, count(*) AS n_samples,
+        |  CAST(sum(reset) AS BIGINT) AS n_resets,
+        |  round(CAST(sum(CAST(round(inc, 6) AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |    AS sum_increase
+        |FROM i GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
 
     // Full vertex chain: assemble → model join → threshold → tanh norm.
     "s73_stream_pipeline" ->

@@ -18,6 +18,13 @@ case class WinOut(user_id: Long, event_type: String, end_ts: java.sql.Timestamp,
 /** Per-key assembler state: the trailing w−1 samples. */
 case class AsmState(buf: Seq[(Long, Double)])
 
+/** Emitted per-sample increase record (PromQL `increase()`, streaming form). */
+case class IncOut(user_id: Long, event_type: String, ts: java.sql.Timestamp,
+                  inc: Double, reset: Int)
+
+/** Per-series counter state: the last observed value. */
+case class IncState(last: Double)
+
 /** Structured Streaming operators (SURVEY §2 E41–E47, P1/P3/P4/P11).
   *
   * Test harness pattern: the batch parquet events are replayed through a
@@ -122,6 +129,33 @@ object StreamOps {
           }
           state.update(AsmState(buf.takeRight(w - 1)))
           out.result().iterator
+      }
+  }
+
+  /** PromQL `increase()`/`resets()` as a stateful stream (the live twin of
+    * `metrics.PromQl.counterIncrease`): per-series state is ONE double (the
+    * last observed value), each arriving sample emits its increase with the
+    * Prometheus counter-reset rule (a drop counts from zero). State is O(1)
+    * per series — the shape that holds at 10M live series. */
+  def streamingIncrease(ds: Dataset[Ev]): Dataset[IncOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[IncState, IncOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, events, state: GroupState[IncState]) =>
+          val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          var last = if (state.exists) Some(state.get.last) else None
+          val out = sorted.map { e =>
+            val (inc, reset) = last match {
+              case None => (0.0, 0)
+              case Some(p) if e.value - p < 0 => (e.value, 1)
+              case Some(p) => (e.value - p, 0)
+            }
+            last = Some(e.value)
+            IncOut(e.user_id, e.event_type, e.ts, inc, reset)
+          }
+          last.foreach(v => state.update(IncState(v)))
+          out.iterator
       }
   }
 

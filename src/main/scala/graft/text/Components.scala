@@ -1,0 +1,59 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components by iterative min-label propagation — the step that
+  * turns near-dup candidate PAIRS (LSH output) into dedup CLUSTERS so one
+  * canonical doc survives per group (transitive closure: a~b, b~c ⇒ one
+  * cluster {a,b,c} even when a,c never collide in a band).
+  *
+  * Each iteration is one distributed join + agg (label[x] ← min of own and
+  * neighbors' labels); the driver only checks convergence. Iteration count
+  * is bounded by the cluster diameter — near-dup clusters are shallow
+  * (duplicates of a common source), so a handful of passes converge even at
+  * corpus scale, and every pass is shuffle-keyed by doc id. This is the
+  * standard large-graph CC shape (GraphX/GraphFrames do the same loop).
+  *
+  * Lineage control: each round's labels are `localCheckpoint(eager)`-ed.
+  * Without truncation the logical plan NESTS the previous round's plan
+  * twice (self-referential join), i.e. 2^iterations nodes — at ~9 rounds
+  * even formatting the plan OOMs. Local checkpoints (executor storage) are
+  * the right trade here; a multi-tenant cluster job would use reliable
+  * `checkpoint()` to a DFS dir instead.
+  */
+object Components {
+
+  /** @param nodes (id, plus any carried columns) — every doc, singletons too
+    * @param pairs (id1, id2) undirected candidate edges
+    * @return nodes plus a `component` column = min node id reachable */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+                          idCol: String, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col(idCol), col(idCol).as("component"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("b") === labels(idCol))
+        .groupBy(col("a")).agg(min(col("component")).as("__nbr"))
+      val next = labels.join(nbrMin, labels(idCol) === nbrMin("a"), "left")
+        .select(labels(idCol),
+          least(col("component"), coalesce(col("__nbr"), col("component")))
+            .as("component"))
+        .localCheckpoint(true) // truncate lineage; also materializes for the count
+      val changed = next.alias("n")
+        .join(labels.withColumnRenamed("component", "__old").alias("o"), idCol)
+        .filter(col("component") =!= col("__old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    nodes.join(labels.withColumnRenamed(idCol, "__id"),
+      nodes(idCol) === col("__id")).drop("__id")
+  }
+}

@@ -26,6 +26,20 @@ class StreamSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming increase(): stateful stream ≡ batch lag form incl. resets") {
+    val streamed = StreamOps.replayEvents(spark, SF, "t_inc", 3)(
+      ds => StreamOps.streamingIncrease(ds).toDF(), OutputMode.Append)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"reset").as("resets"),
+        round(sum(round($"inc", 6).cast("decimal(18,6)")).cast("double"), 4).as("total"))
+    val batch = graft.metrics.PromQl.counterIncrease(
+      graft.Tables.events(spark, SF), Seq("user_id", "event_type"), "ts", "event_id", "value")
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"reset").as("resets"),
+        round(sum(round($"inc", 6).cast("decimal(18,6)")).cast("double"), 4).as("total"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("tumbling agg: streaming ≡ batch window() aggregation") {
     val streamed = StreamOps.replayEvents(spark, SF, "t_tumble", 3)(
       StreamOps.tumblingAgg, OutputMode.Complete)
