@@ -34,6 +34,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      finally CacheBag.drain() // release query-local persisted frames
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     // The driver keeps only a ~2000-char tail of this process's output, so
@@ -49,13 +50,22 @@ object Bench {
         s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":{""",
         ",", "}}")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (fullJson + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    // On write failure advertise "full":null (and delete any stale file
+    // first) so a consumer never reads a previous run's dump as current.
+    val fullRef =
+      try {
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(outPath))
+        java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+          (fullJson + "\n").getBytes("UTF-8"))
+        "\"" + outPath + "\""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] full-dump write failed: ${e.getMessage}")
+        "null"
+      }
     val slowest = results.toSeq.sortBy(-_._2).take(15)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$slowest,"full":"$outPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$slowest,"full":$fullRef,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

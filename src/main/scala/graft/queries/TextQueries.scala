@@ -188,18 +188,31 @@ object TextQueries {
     // centroid boundaries is FP-order-sensitive cross-engine); recall vs
     // brute force asserted in TextOpsSpec.
     "q72_ann_ivf" -> ((s, d) => {
-      graft.text.Ivf.search(
-        embeddings(s, d).repartition(s.sparkContext.defaultParallelism),
-        queryIds = Seq(0L, 1L, 2L), k = 3, nCentroids = 8, nprobe = 2)
+      // Raw emb feeds the centroid collect + query broadcast (pruned scans);
+      // only the corpus side of the assignment is repartitioned for map-side
+      // cosine parallelism (the test parquet is a single row-group).
+      val emb = embeddings(s, d)
+      graft.text.Ivf.search(emb,
+        queryIds = Seq(0L, 1L, 2L), k = 3, nCentroids = 8, nprobe = 2,
+        corpus = Some(emb.repartition(s.sparkContext.defaultParallelism)))
         .orderBy(col("query_id"), col("rank"))
     }),
 
     // E55 [N]: language-ID — char-bigram profiles trained per language,
     // docs classified by profile overlap; output is the confusion matrix.
+    // The exploded (lang, doc_id, bigram) frame feeds BOTH train and
+    // classify on different keys ((lang,bg) agg vs bg-join + doc_id agg),
+    // so it is computed once and persisted — bounded (ids + 2-char
+    // bigrams, no text), same rationale as q74's signature frame. Without
+    // it the explode of up-to-99 bigrams × every doc runs twice.
     "q71_langid" -> ((s, d) => {
       val docs = documents(s, d).repartition(s.sparkContext.defaultParallelism)
-      val profiles = graft.text.LangId.trainProfiles(docs)
-      graft.text.LangId.classify(docs, profiles)
+      val exploded = graft.CacheBag.register(
+        graft.text.LangId.explodedFeatures(docs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val profiles = graft.text.LangId.trainProfilesFrom(exploded)
+      graft.text.LangId.classifyFrom(exploded,
+          docs.select(col("doc_id"), col("lang")), profiles)
         .groupBy(col("lang"), col("predicted"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("predicted"))
@@ -231,11 +244,12 @@ object TextQueries {
       // The persisted frame is bounded — ids, dims, and an 8-long sig; NO
       // text/token columns — which is exactly what a 100 TB corpus run
       // would checkpoint between the pair stage and the survivor stage.
-      val sig = exact
+      // CacheBag-registered: the harness unpersists it after the action.
+      val sig = graft.CacheBag.register(exact
         .withColumn("bh", TextOps.minhashBase(TextOps.shingles(col("toks"), 3)))
         .select(col("lang"), col("source"), col("n_chars"), col("doc_id"),
           TextOps.minhashSignature(col("bh"), 8).as("sig"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val banded = sig.select(col("lang"), col("doc_id"), col("sig"),
         explode(TextOps.bandKeys(col("sig"), 4, 2)).as("bk"))
       val lhs = banded.select(col("lang"), col("bk"), col("doc_id").as("id1"), col("sig").as("sig1"))

@@ -74,18 +74,27 @@ object Ivf {
   /** Search: exact cosine, but only inside the probed lists (equi-join on
     * list_id — the pruning that survives 100 TB). Deterministic first-k
     * centroids; use [[searchWith]] + [[kmeansCentroids]] for the trained
-    * variant. */
+    * variant.
+    *
+    * `corpus` (optional) is a differently-partitioned view of the SAME
+    * vectors, used only for the scan side of [[assign]]. Centroids and
+    * queries always come from `emb` — they are tiny vec_id filters that
+    * push to the parquet scan, and each one executes its own job (a driver
+    * collect / a broadcast build). Deriving them from an
+    * already-repartitioned frame would make each of those jobs pay a full
+    * exchange of the corpus to extract a handful of rows (measured 2.4×
+    * on q72 in round 3). */
   def search(emb: DataFrame, queryIds: Seq[Long], k: Int, nCentroids: Int,
-             nprobe: Int): DataFrame = {
+             nprobe: Int, corpus: Option[DataFrame] = None): DataFrame = {
     val centroids = emb.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
-    searchWith(emb, centroids, queryIds, k, nprobe)
+    searchWith(emb, centroids, queryIds, k, nprobe, corpus)
   }
 
   /** Search against an explicit centroid frame (e.g. [[kmeansCentroids]]). */
   def searchWith(emb: DataFrame, centroids: DataFrame, queryIds: Seq[Long],
-                 k: Int, nprobe: Int): DataFrame = {
-    val lists = assign(emb, centroids)
+                 k: Int, nprobe: Int, corpus: Option[DataFrame] = None): DataFrame = {
+    val lists = assign(corpus.getOrElse(emb), centroids)
     val queries = emb.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val probed = probeLists(queries, centroids, nprobe)
