@@ -43,6 +43,67 @@ object PromQl {
       .drop("__prev", "__delta")
   }
 
+  /** PromQL `rate()`: the reset-aware increase over a trailing range
+    * window, normalized per second. Per sample, the frame is the trailing
+    * `windowSec` seconds ([t − windowSec + 1, t] on whole-second grain —
+    * the (T−w, T] range-vector selection), and
+    * `rate = sum(inc over frame) / windowSec`. Counter resets inside the
+    * window contribute the post-reset value via [[counterIncrease]], which
+    * is exactly Prometheus's reset rule applied per adjacent pair.
+    *
+    * Determinism: per-sample increases are rounded to 6 digits and summed
+    * as DECIMAL inside the range frame (windowed decimal sums are exact and
+    * association-free — a raw double moving-window sum would let the two
+    * engines associate additions differently), leaving ONE double division
+    * by the window length. Plan shape: one partition-by-series window with
+    * a bounded range frame — no extra shuffle beyond counterIncrease's. */
+  def rate(samples: DataFrame, seriesKey: Seq[String], tsCol: String,
+           orderCol: String, valueCol: String, windowSec: Int): DataFrame = {
+    val w = Window.partitionBy(seriesKey.map(col): _*)
+      .orderBy(col(tsCol).cast("long"))
+      .rangeBetween(-(windowSec - 1L), Window.currentRow)
+    counterIncrease(samples, seriesKey, tsCol, orderCol, valueCol)
+      .withColumn("rate",
+        sum(round(col("inc"), 6).cast("decimal(18,6)")).over(w)
+          .cast("double") / windowSec)
+  }
+
+  /** `*_over_time` aggregations over a trailing range window per series:
+    * adds `sum_ot` (exact DECIMAL), `count_ot`, `avg_ot`, `max_ot`,
+    * `min_ot` for the trailing `windowSec` seconds. The sum routes through
+    * an exact windowed DECIMAL (same rationale as [[rate]]); max/min/count
+    * are order-insensitive by nature. `avg_ot` is the one quotient
+    * (sum_ot / count_ot, a single double division) — downstream rollups
+    * that need cross-engine hash parity should aggregate `sum_ot` /
+    * `count_ot` rather than re-round the quotient (rounding a quotient
+    * whose divisor is 2^a·5^b can land exactly on a round-half boundary).
+    * One window spec — all aggregates share the single series-keyed sort. */
+  def overTime(samples: DataFrame, seriesKey: Seq[String], tsCol: String,
+               valueCol: String, windowSec: Int): DataFrame = {
+    val w = Window.partitionBy(seriesKey.map(col): _*)
+      .orderBy(col(tsCol).cast("long"))
+      .rangeBetween(-(windowSec - 1L), Window.currentRow)
+    samples
+      .withColumn("count_ot", count(lit(1)).over(w))
+      .withColumn("sum_ot",
+        sum(round(col(valueCol), 6).cast("decimal(18,6)")).over(w)
+          .cast("decimal(18,6)"))
+      .withColumn("avg_ot", col("sum_ot").cast("double") / col("count_ot"))
+      .withColumn("max_ot", max(col(valueCol)).over(w))
+      .withColumn("min_ot", min(col(valueCol)).over(w))
+  }
+
+  /** PromQL `topk(k, v by (group))`: the k largest-valued series of an
+    * instant vector within each group, rank attached. Ties break on
+    * `tieCols` so the selection is total-ordered and oracle-checkable. */
+  def topk(vector: DataFrame, k: Int, groupKey: Seq[String],
+           valueCol: String, tieCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(groupKey.map(col): _*)
+      .orderBy(col(valueCol).desc +: tieCols.map(col(_).asc): _*)
+    vector.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Instant query: latest sample per series with ts in (T - lookback, T].
     * Series with no sample inside the lookback are stale and drop out —
     * exactly Prometheus staleness semantics. */
@@ -66,7 +127,12 @@ object PromQl {
     * numerator `(rank − prevCum)·(hi − lo)`; only ONE double division (by
     * the bucket count) and one addition remain, a fixed shape both engines
     * evaluate identically. A pure-double rank was observed to land 1 ulp
-    * apart across engines exactly on a round-6 half boundary. */
+    * apart across engines exactly on a round-6 half boundary.
+    *
+    * Precision contract: bucket bounds are carried at decimal scale 8 —
+    * bounds with more than 8 fractional digits are rounded in the
+    * interpolation width; totals must stay below 10^14 (rank is
+    * decimal(18,4)). Both are far beyond any real le-bucket layout. */
   def histogramQuantile(samples: DataFrame, groupKey: Seq[String],
                         valueCol: String, bounds: Seq[Double],
                         quantiles: Seq[Double]): DataFrame = {
@@ -93,7 +159,15 @@ object PromQl {
       case ((b, i), els) => when(col("__b") === i, b).otherwise(els)
     } // +Inf bucket clamps to highest finite bound
     cum.join(broadcast(qDf))
-      .withColumn("__rank", col("q").cast("decimal(6,4)") * col("__total"))
+      // rank pinned at decimal(18,4): exact for totals < 10^14, and keeps
+      // the product below — (18,4)-diff × (15,8)-width = decimal(34,12) —
+      // inside precision 38, so Spark never silently rounds it. Width at
+      // scale 8 represents real le-bounds (0.05, 0.25, …) exactly; a
+      // narrower (10,1) cast was rounding sub-0.1 widths and skewing the
+      // interpolation up to 2×. Precision contract (scaladoc'd): bounds
+      // with > 8 fractional digits would be rounded here.
+      .withColumn("__rank",
+        (col("q").cast("decimal(6,4)") * col("__total")).cast("decimal(18,4)"))
       .filter(col("__cum") >= col("__rank"))
       .withColumn("__rn", row_number().over(wPick))
       .filter(col("__rn") === 1)
@@ -101,7 +175,7 @@ object PromQl {
         when(col("__b") === bounds.size, lit(bounds.last))
           .otherwise(lo +
             ((col("__rank") - (col("__cum") - col("__cnt"))) *
-              (hi - lo).cast("decimal(10,1)")).cast("double") / col("__cnt")))
+              (hi - lo).cast("decimal(15,8)")).cast("double") / col("__cnt")))
       .select(gcols ++ Seq(col("q"), col("quantile_value")): _*)
   }
 }

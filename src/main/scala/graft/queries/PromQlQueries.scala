@@ -44,6 +44,50 @@ object PromQlQueries {
         .orderBy(col("event_type"))
     }),
 
+    // rate(): the reset-aware increase over a trailing 6h range window,
+    // per second — the single most-used PromQL function. Per-sample rates
+    // (deterministic: windowed DECIMAL sum of rounded incs, one double
+    // division by the window length) rolled up per (metric, day) with the
+    // same decimal-routed sum discipline.
+    "q95_rate" -> ((s, d) => {
+      PromQl.rate(events(s, d), Seq("user_id", "event_type"),
+          "ts", "event_id", "value", windowSec = 21600)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_samples"),
+          round(sum(round(col("rate"), 6).cast("decimal(18,6)"))
+            .cast("double"), 4).as("sum_rate"),
+          round(max(col("rate")), 6).as("max_rate"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // topk(3, v by (event_type)): vector aggregation over the instant
+    // vector at T — the 3 largest-valued series per metric, ties on
+    // user_id so the selection is total-ordered.
+    "q96_promql_topk" -> ((s, d) => {
+      val iv = PromQl.instantVector(events(s, d), Seq("user_id", "event_type"),
+        "ts", "event_id", "2024-01-15 12:00:00", "24 HOURS")
+      PromQl.topk(iv, 3, Seq("event_type"), "value", Seq("user_id"))
+        .select(col("event_type"), col("rank"), col("user_id"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("event_type"), col("rank"))
+    }),
+
+    // *_over_time over a trailing 12h range window per series
+    // (sum/count/max/min_over_time), rolled up per metric. The rollup
+    // consumes sum_ot/count_ot (exact decimals), not the avg_ot quotient —
+    // see PromQl.overTime's determinism note.
+    "q97_over_time" -> ((s, d) => {
+      PromQl.overTime(events(s, d), Seq("user_id", "event_type"),
+          "ts", "value", windowSec = 43200)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_samples"),
+          round(sum(col("sum_ot")).cast("double"), 4).as("total_ot"),
+          round(max(col("max_ot")), 6).as("max_max_ot"),
+          round(min(col("min_ot")), 6).as("min_min_ot"),
+          sum(col("count_ot")).as("sum_count_ot"))
+        .orderBy(col("event_type"))
+    }),
+
     // histogram_quantile(q) for q in {0.5, 0.9, 0.99} from fixed le-buckets
     // (10, 25, 50, 100, 250, +Inf) per metric: cumulative counts, linear
     // interpolation inside the target bucket, +Inf clamps to the highest
@@ -93,6 +137,72 @@ object PromQlQueries {
         |    AS sum_value,
         |  round(max(value), 6) AS max_value
         |FROM lastv WHERE rn = 1 GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q95_rate" ->
+      """WITH d AS (
+        |  SELECT user_id, event_type, ts, value,
+        |    lag(value) OVER (PARTITION BY user_id, event_type
+        |                     ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), i AS (
+        |  SELECT user_id, event_type, ts,
+        |    epoch_us(ts) // 1000000 AS sec,
+        |    CASE WHEN prev IS NULL THEN 0.0
+        |         WHEN value - prev < 0 THEN value
+        |         ELSE value - prev END AS inc
+        |  FROM d
+        |), r AS (
+        |  SELECT event_type, ts,
+        |    CAST(sum(CAST(round(inc, 6) AS DECIMAL(18,6)))
+        |      OVER (PARTITION BY user_id, event_type ORDER BY sec
+        |            RANGE BETWEEN 21599 PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE) / 21600 AS rate
+        |  FROM i
+        |)
+        |SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n_samples,
+        |  round(CAST(sum(CAST(round(rate, 6) AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |    AS sum_rate,
+        |  round(max(rate), 6) AS max_rate
+        |FROM r GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+
+    "q96_promql_topk" ->
+      """WITH lastv AS (
+        |  SELECT event_type, user_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |    AND ts > TIMESTAMP '2024-01-15 12:00:00' - INTERVAL 24 HOURS
+        |), iv AS (
+        |  SELECT event_type, user_id, value FROM lastv WHERE rn = 1
+        |), ranked AS (
+        |  SELECT event_type, user_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value DESC, user_id) AS rank
+        |  FROM iv
+        |)
+        |SELECT event_type, rank, user_id, round(value, 6) AS value
+        |FROM ranked WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+
+    "q97_over_time" ->
+      """WITH w AS (
+        |  SELECT event_type,
+        |    count(*) OVER win AS count_ot,
+        |    CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) OVER win
+        |      AS DECIMAL(18,6)) AS sum_ot,
+        |    max(value) OVER win AS max_ot,
+        |    min(value) OVER win AS min_ot
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id, event_type
+        |                 ORDER BY epoch_us(ts) // 1000000
+        |                 RANGE BETWEEN 43199 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, count(*) AS n_samples,
+        |  round(CAST(sum(sum_ot) AS DOUBLE), 4) AS total_ot,
+        |  round(max(max_ot), 6) AS max_max_ot,
+        |  round(min(min_ot), 6) AS min_min_ot,
+        |  CAST(sum(count_ot) AS BIGINT) AS sum_count_ot
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q91_histogram_quantile" ->
       """WITH b AS (

@@ -22,8 +22,10 @@ case class AsmState(buf: Seq[(Long, Double)])
 case class IncOut(user_id: Long, event_type: String, ts: java.sql.Timestamp,
                   inc: Double, reset: Int)
 
-/** Per-series counter state: the last observed value. */
-case class IncState(last: Double)
+/** Per-series counter state: the last observed value plus its event-time
+  * position (ts ms, ts nanos, event_id) — the position makes out-of-order
+  * arrivals detectable (see [[StreamOps.streamingIncrease]]). */
+case class IncState(last: Double, tsMs: Long, tsNanos: Int, eventId: Long)
 
 /** Structured Streaming operators (SURVEY §2 E41–E47, P1/P3/P4/P11).
   *
@@ -133,28 +135,43 @@ object StreamOps {
   }
 
   /** PromQL `increase()`/`resets()` as a stateful stream (the live twin of
-    * `metrics.PromQl.counterIncrease`): per-series state is ONE double (the
-    * last observed value), each arriving sample emits its increase with the
-    * Prometheus counter-reset rule (a drop counts from zero). State is O(1)
-    * per series — the shape that holds at 10M live series. */
+    * `metrics.PromQl.counterIncrease`): per-series state is one double plus
+    * its event-time position; each arriving sample emits its increase with
+    * the Prometheus counter-reset rule (a drop counts from zero). State is
+    * O(1) per series — the shape that holds at 10M live series.
+    *
+    * Out-of-order policy: a sample at or before the state's last position
+    * (ts, event_id) is LATE — comparing it against a newer last-value would
+    * record a spurious reset and corrupt the state. Late samples are
+    * dropped, matching Prometheus's remote-write behavior (out-of-order
+    * samples are rejected at ingestion). With an in-order source (the
+    * replay harness sorts globally) nothing is ever dropped, so batch
+    * parity is unchanged. */
   def streamingIncrease(ds: Dataset[Ev]): Dataset[IncOut] = {
     import ds.sparkSession.implicits._
+    val posOrd = implicitly[Ordering[(Long, Int, Long)]]
     ds.groupByKey(e => (e.user_id, e.event_type))
       .flatMapGroupsWithState[IncState, IncOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (_, events, state: GroupState[IncState]) =>
           val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
-          var last = if (state.exists) Some(state.get.last) else None
-          val out = sorted.map { e =>
-            val (inc, reset) = last match {
-              case None => (0.0, 0)
-              case Some(p) if e.value - p < 0 => (e.value, 1)
-              case Some(p) => (e.value - p, 0)
+          var last = if (state.exists) Some(state.get) else None
+          val out = sorted.flatMap { e =>
+            val pos = (e.ts.getTime, e.ts.getNanos, e.event_id)
+            last match {
+              case Some(p) if posOrd.gteq((p.tsMs, p.tsNanos, p.eventId), pos) =>
+                None // late arrival: drop, leave state at the newer sample
+              case _ =>
+                val (inc, reset) = last match {
+                  case None => (0.0, 0)
+                  case Some(p) if e.value - p.last < 0 => (e.value, 1)
+                  case Some(p) => (e.value - p.last, 0)
+                }
+                last = Some(IncState(e.value, pos._1, pos._2, pos._3))
+                Some(IncOut(e.user_id, e.event_type, e.ts, inc, reset))
             }
-            last = Some(e.value)
-            IncOut(e.user_id, e.event_type, e.ts, inc, reset)
           }
-          last.foreach(v => state.update(IncState(v)))
+          last.foreach(state.update)
           out.iterator
       }
   }

@@ -27,7 +27,13 @@ object Components {
 
   /** @param nodes (id, plus any carried columns) — every doc, singletons too
     * @param pairs (id1, id2) undirected candidate edges
-    * @return nodes plus a `component` column = min node id reachable */
+    * @return nodes plus a `component` column = min node id reachable
+    * @throws IllegalStateException when the propagation has not converged
+    *         after `maxIter` rounds (cluster path-diameter > maxIter) —
+    *         returning the partial labels would silently split one true
+    *         cluster into several. Raise `maxIter` (rounds are cheap, the
+    *         bound exists to catch pathological inputs) or pre-contract
+    *         obvious duplicates before calling. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           idCol: String, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
@@ -53,6 +59,11 @@ object Components {
       iter += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIter iterations — " +
+          "a cluster with path-diameter > maxIter would be silently split; " +
+          "raise maxIter for this input")
     nodes.join(labels.withColumnRenamed(idCol, "__id"),
       nodes(idCol) === col("__id")).drop("__id")
   }

@@ -40,6 +40,28 @@ class StreamSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming increase(): late out-of-order sample dropped, no spurious reset") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val q = StreamOps.streamingIncrease(ms.toDS()).toDF()
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("t_inc_late").start()
+    def ev(id: Long, min: Int, v: Double) =
+      Ev(id, java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00"), 1L, "cpu", v)
+    try {
+      ms.addData(ev(1, 0, 10.0), ev(2, 2, 30.0)); q.processAllAvailable()
+      // arrives after the 10:02 sample but carries ts 10:01: late. Against
+      // last=30 it would look like a reset — must be dropped instead.
+      ms.addData(ev(3, 1, 20.0)); q.processAllAvailable()
+      ms.addData(ev(4, 3, 35.0)); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("t_inc_late").orderBy($"ts")
+      .select($"inc", $"reset").collect()
+    assert(rows.length == 3) // the late sample emitted nothing
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(0.0, 20.0, 5.0))
+    assert(rows.map(_.getInt(1)).sum == 0)
+  }
+
   test("tumbling agg: streaming ≡ batch window() aggregation") {
     val streamed = StreamOps.replayEvents(spark, SF, "t_tumble", 3)(
       StreamOps.tumblingAgg, OutputMode.Complete)
