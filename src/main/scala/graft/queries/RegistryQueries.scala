@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables._
+import graft.anomaly.{AnomalyOps, Pca}
 import graft.registry.ModelRegistry
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -37,6 +38,31 @@ object RegistryQueries {
         .groupBy(col("event_type"), col("model_source"))
         .agg(count(lit(1)).as("n"), round(avg(col("score")), 6).as("avg_score"))
         .orderBy(col("event_type"), col("model_source"))
+    }),
+
+    // P12→P13→P6 with a TRAINED model (the autoencoder stand-in,
+    // reference CHANGELOG.md:139): per-key PCA fitted on pre-cutoff window
+    // vectors (distributed covariance agg + driver eigen — Pca.scala),
+    // registered with a trained_at stamp, resolved through the same as-of
+    // lookup as q63, then post-cutoff windows scored by reconstruction
+    // error map-side. Declared rows-only (eigenvectors are FP-iteration
+    // outputs, not reproducible in a SQL oracle); semantics pinned in
+    // PcaSpec incl. the planted-anomaly ordering vs the rolling-mean proxy.
+    "q98_pca_recon" -> ((s, d) => {
+      val cutoff = lit("2024-01-15").cast("timestamp")
+      val wins = AnomalyOps.assembleWindows(events(s, d),
+        Seq("user_id", "event_type"), "ts", "event_id", "value", 12)
+      val registry = Pca.fit(wins.filter(col("ts") < cutoff),
+          "event_type", "win_arr", dim = 12, k = 3)
+        .withColumn("trained_at", lit("2024-01-14").cast("timestamp"))
+      val resolved = ModelRegistry.latestAsOf(registry, Seq("event_type"), cutoff)
+      Pca.reconstructionError(wins.filter(col("ts") >= cutoff), resolved,
+          "event_type", "win_arr")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_windows"),
+          round(avg(col("recon_err")), 2).as("avg_err"),
+          round(max(col("recon_err")), 2).as("max_err"))
+        .orderBy(col("event_type"))
     })
   )
 

@@ -64,6 +64,33 @@ object WindowQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // SCALE.md escape hatch, declared + oracle-checked: rolling windows
+    // over a MONSTER series via time-slice salting. The series key here is
+    // event_type alone — 5 series × 20k rows each at sf0.1, each exactly
+    // the one-task-per-series shape a plain window produces. Slicing by
+    // week re-keys every window shuffle to (event_type, week) and the
+    // previous slice's last w−1 rows replay as overlap, so the output is
+    // row-identical to the direct window (the oracle computes the direct
+    // form). Rollup uses the s60 discipline: in-order frame sum via
+    // aggregate() mirrored by DuckDB list_sum, decimal-routed.
+    "q99_salted_window" -> ((s, d) => {
+      val w = 8
+      val wins = graft.relational.Skew.slicedRollingWindows(
+        events(s, d), Seq("event_type"), "ts", "event_id", "value", w,
+        date_trunc("week", col("ts")), "7 DAYS")
+        .withColumn("win_mean",
+          aggregate(col("win_arr"), lit(0.0), (a, x) => a + x) / w)
+      // w = 8 is a pure power of two, so 6-decimal win_means often end in
+      // an exact …50 — the final round(…,4) must happen ON THE DECIMAL in
+      // both engines (decimal half-up is well-defined; rounding the double
+      // instead sees …49999 and goes the other way on exact halves).
+      wins.groupBy(col("event_type"), col("__slice").as("week"))
+        .agg(count(lit(1)).as("n_windows"),
+          round(sum(round(col("win_mean"), 6).cast("decimal(18,6)")), 4)
+            .cast("double").as("sum_win_mean"))
+        .orderBy(col("event_type"), col("week"))
+    }),
+
     // E26/E27: running total (unbounded preceding frame), decimal-exact.
     "q23_running_total" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -115,6 +142,28 @@ object WindowQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    // The oracle is the DIRECT (unsalted) per-series window — the salted
+    // plan must reproduce it row-for-row. list() + list_sum mirrors
+    // Spark's collect_list + left-to-right aggregate() fold exactly.
+    "q99_salted_window" ->
+      """WITH wins AS (
+        |  SELECT event_type, ts,
+        |    list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS win_arr
+        |  FROM events
+        |), fw AS (
+        |  SELECT event_type, date_trunc('week', ts) AS week,
+        |    list_sum(win_arr) / 8.0 AS win_mean
+        |  FROM wins WHERE len(win_arr) = 8
+        |)
+        |SELECT event_type, week, count(*) AS n_windows,
+        |  -- round on the DECIMAL (exact half-up), then cast: w = 8 makes
+        |  -- …50-ending 6-decimal sums common, and double-side rounding
+        |  -- disagrees with Spark's decimal-side rounding on exact halves
+        |  CAST(round(sum(CAST(round(win_mean, 6) AS DECIMAL(18,6))), 4) AS DOUBLE)
+        |    AS sum_win_mean
+        |FROM fw GROUP BY 1, 2 ORDER BY event_type, week""".stripMargin,
 
     "q23_running_total" ->
       """SELECT o_custkey, o_orderkey,

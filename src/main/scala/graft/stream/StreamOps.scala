@@ -64,6 +64,16 @@ object StreamOps {
         .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
         .as[Ev].orderBy($"ts", $"event_id").collect())
     val stream = MemoryStream[Ev]
+    // Checkpoint on tmpfs when available: every micro-batch fsyncs offsets/
+    // commit/state-delta files, and for a seconds-long replay that metadata
+    // I/O dominates. RAM-backed /dev/shm makes those fsyncs free; a real
+    // deployment points this at a DFS dir instead (durability matters
+    // there, not here — the replay is rebuilt from scratch each run).
+    val shm = new java.io.File("/dev/shm")
+    val ckptBase = if (shm.isDirectory && shm.canWrite) shm
+                   else new java.io.File(sys.props("java.io.tmpdir"))
+    val ckpt = new java.io.File(ckptBase,
+      s"graft-ckpt-$name-${java.util.UUID.randomUUID().toString.take(8)}")
     // Size state partitions to the key space (≈150 series here): the state
     // store commits one delta file per partition per micro-batch, so excess
     // partitions are pure per-batch overhead. Fixed at query start; a real
@@ -73,6 +83,7 @@ object StreamOps {
     val q =
       try pipeline(stream.toDS())
         .writeStream.outputMode(outputMode)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
         .format("memory").queryName(name)
         .start()
       finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
@@ -86,8 +97,16 @@ object StreamOps {
         stream.addData(flushSentinel(rows.last.ts))
         q.processAllAvailable()
       }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      deleteRecursively(ckpt)
+    }
     spark.table(name)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 
   /** E41+E42: watermarked tumbling-window aggregation. */

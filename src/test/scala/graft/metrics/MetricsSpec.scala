@@ -96,4 +96,25 @@ class MetricsSpec extends AnyFunSuite {
       assert(obs.snapshot.contains("live_counter"))
     }
   }
+
+  test("A8: HTTP exposition serves the Observed snapshot in Prometheus text format") {
+    Observed.use(spark) { obs =>
+      obs.observe(graft.Tables.events(spark, graft.TestSpark.SF),
+        "scrape_me", count(lit(1)).as("n"), sum(lit(3L)).as("amt"))
+        .collect()
+      assert(obs.await("scrape_me").isDefined)
+      val srv = new MetricsServer(obs) // port 0 → ephemeral
+      try {
+        val url = new java.net.URI(
+          s"http://127.0.0.1:${srv.boundPort}/metrics").toURL
+        val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val body = scala.io.Source.fromInputStream(conn.getInputStream).mkString
+        assert(conn.getResponseCode == 200)
+        assert(conn.getContentType.startsWith("text/plain"))
+        assert(body.contains("# TYPE graft_scrape_me gauge"))
+        assert(body.contains("graft_scrape_me_n 1000.0"))
+        assert(body.contains("graft_scrape_me_amt 3000.0"))
+      } finally srv.close()
+    }
+  }
 }

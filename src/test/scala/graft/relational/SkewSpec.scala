@@ -23,6 +23,35 @@ class SkewSpec extends AnyFunSuite {
     assert(direct.exceptAll(salted).isEmpty && salted.exceptAll(direct).isEmpty)
   }
 
+  test("sliced rolling window ≡ direct monster-series window; slices bound task input") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables.events(spark, graft.TestSpark.SF)
+    val w = 8
+    val sliced = Skew.slicedRollingWindows(ev, Seq("event_type"), "ts",
+        "event_id", "value", w, date_trunc("week", $"ts"), "7 DAYS")
+      .select($"event_type", $"event_id", $"win_arr")
+    val direct = ev.withColumn("win_arr", collect_list($"value").over(
+        Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+          .rowsBetween(-(w - 1), Window.currentRow)))
+      .filter(size($"win_arr") === w)
+      .select($"event_type", $"event_id", $"win_arr")
+    assert(sliced.exceptAll(direct).isEmpty && direct.exceptAll(sliced).isEmpty)
+    // the salt stage bounds per-task rows: window shuffles key on
+    // (event_type, week), so the largest task input is a week's share of a
+    // series, not the whole series
+    val serMax = ev.groupBy($"event_type").count()
+      .agg(max("count")).head.getLong(0)
+    val sliceMax = ev.groupBy($"event_type", date_trunc("week", $"ts")).count()
+      .agg(max("count")).head.getLong(0)
+    assert(sliceMax * 3 < serMax, s"slicing didn't bound input: $sliceMax vs $serMax")
+    // every window exchange in the plan carries the slice key
+    val planStr = sliced.queryExecution.executedPlan.toString
+    val parts = "hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(planStr).map(_.group(1)).toSeq
+    assert(parts.nonEmpty && parts.forall(_.contains("__slice")),
+      parts.mkString("; "))
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -176,6 +176,44 @@ class TextOpsSpec extends AnyFunSuite {
     assert(sizes == Seq(0, 0, 1, 2))
   }
 
+  test("q48/q50 pair generation is band-keyed — no block-only all-pairs join") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    Seq("q48_ngram_jaccard", "q50_simhash").foreach { q =>
+      val df = graft.queries.TextQueries.queries(q)(spark, graft.TestSpark.SF)
+      val conds = df.queryExecution.optimizedPlan.collect {
+        case j: Join => j.condition.map(_.sql).getOrElse("")
+      }
+      // every join that carries the block key must ALSO carry a band key —
+      // the old O(n²)-in-block shape joined on (lang, source) alone.
+      val blockJoins = conds.filter(_.contains("lang"))
+      assert(blockJoins.nonEmpty, s"$q: expected a lang-keyed candidate join")
+      blockJoins.foreach { c =>
+        assert(c.contains("bk") || c.contains("band") || c.contains("pfx"),
+          s"$q: pair join keyed only by block: $c")
+      }
+    }
+    graft.CacheBag.drain()
+  }
+
+  test("q50 byte-banding provably covers Hamming <= 3 (pigeonhole fixture)") {
+    // h2 = h1 with 3 bits flipped in 3 DIFFERENT bytes — worst case for
+    // 4-byte banding (only one byte left intact); must still be found.
+    val h1 = 0x12345678L
+    val h2 = h1 ^ 0x01010100L // flip one bit in bytes 1, 2, 3; byte 0 intact
+    val df = Seq((1L, h1), (2L, h2)).toDF("doc_id", "simhash")
+      .withColumn("lang", lit("en")).withColumn("source", lit("web"))
+    val banded = df.select($"lang", $"source", $"doc_id", $"simhash",
+        explode(expr("transform(sequence(0, 3), b -> " +
+          "struct(b AS band, CAST(shiftright(simhash, b * 8) % 256 AS INT) AS pfx))")).as("bk"))
+      .select($"lang", $"source", $"doc_id", $"simhash",
+        $"bk.band".as("band"), $"bk.pfx".as("pfx"))
+    val a = banded.select($"band", $"pfx", $"doc_id".as("id1"), $"simhash".as("h1"))
+    val b = banded.select($"band", $"pfx", $"doc_id".as("id2"), $"simhash".as("h2"))
+    val pairs = a.join(b, Seq("band", "pfx")).filter($"id1" < $"id2")
+      .select($"id1", $"id2").distinct().collect()
+    assert(pairs.length == 1 && pairs.head.getLong(0) == 1L)
+  }
+
   test("corpus curation: survivors respect the quality gate and shrink the corpus") {
     val docs = graft.Tables.documents(spark, graft.TestSpark.SF)
     val out = graft.queries.TextQueries.queries("q74_corpus_curation")(
