@@ -95,13 +95,24 @@ object PromQl {
 
   /** PromQL `topk(k, v by (group))`: the k largest-valued series of an
     * instant vector within each group, rank attached. Ties break on
-    * `tieCols` so the selection is total-ordered and oracle-checkable. */
+    * `tieCols` so the selection is total-ordered and oracle-checkable.
+    *
+    * The global form (empty `groupKey`) goes through sort+limit, which
+    * Spark compiles to TakeOrderedAndProject — per-partition top-k merged
+    * at the driver — instead of a single-partition window that would pull
+    * every series into one task; only the k survivors are then ranked. */
   def topk(vector: DataFrame, k: Int, groupKey: Seq[String],
            valueCol: String, tieCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(groupKey.map(col): _*)
-      .orderBy(col(valueCol).desc +: tieCols.map(col(_).asc): _*)
-    vector.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    val ord = col(valueCol).desc +: tieCols.map(col(_).asc)
+    if (groupKey.isEmpty) {
+      val w = Window.orderBy(ord: _*)
+      vector.orderBy(ord: _*).limit(k)
+        .withColumn("rank", row_number().over(w).cast("long"))
+    } else {
+      val w = Window.partitionBy(groupKey.map(col): _*).orderBy(ord: _*)
+      vector.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+    }
   }
 
   /** Instant query: latest sample per series with ts in (T - lookback, T].

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables._
-import graft.metrics.PromQl
+import graft.metrics.{PromQl, PromQlParser}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -88,6 +88,33 @@ object PromQlQueries {
         .orderBy(col("event_type"))
     }),
 
+    // The PromQL PARSER end-to-end: a query STRING compiled onto the
+    // PromQl transforms. topk over per-series rate — rank on the raw
+    // doubles (identical cross-engine), round only in the output; the
+    // final round-9 is half-boundary-safe because the rate divisor 86400
+    // carries a factor of 3 (non-terminating decimal quotient).
+    "q100_promql_parse_topk" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      PromQlParser.eval(src, "topk(3, rate(purchase[24h]))",
+          "2024-01-15 12:00:00")
+        .select(col("rank"), col("user_id"), col("event_type"),
+          round(col("value"), 9).as("value"))
+        .orderBy(col("rank"))
+    }),
+
+    // Parser: anchored negative-regex matcher + range aggregation +
+    // vector aggregation, one string.
+    "q101_promql_parse_agg" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      PromQlParser.eval(src,
+          """sum by (event_type) (max_over_time({event_type!~"err.*"}[12h]))""",
+          "2024-01-15 12:00:00")
+        .select(col("event_type"), round(col("value"), 4).as("value"))
+        .orderBy(col("event_type"))
+    }),
+
     // histogram_quantile(q) for q in {0.5, 0.9, 0.99} from fixed le-buckets
     // (10, 25, 50, 100, 250, +Inf) per metric: cumulative counts, linear
     // interpolation inside the target bucket, +Inf clamps to the highest
@@ -137,6 +164,44 @@ object PromQlQueries {
         |    AS sum_value,
         |  round(max(value), 6) AS max_value
         |FROM lastv WHERE rn = 1 GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q100_promql_parse_topk" ->
+      """WITH w AS (
+        |  SELECT user_id, event_type, ts, event_id, value FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |    AND ts >  TIMESTAMP '2024-01-15 12:00:00' - INTERVAL 24 HOURS
+        |), d AS (
+        |  SELECT user_id, event_type, value,
+        |    lag(value) OVER (PARTITION BY user_id, event_type
+        |                     ORDER BY ts, event_id) AS prev
+        |  FROM w
+        |), r AS (
+        |  SELECT user_id, event_type,
+        |    CAST(sum(CAST(round(CASE WHEN prev IS NULL THEN 0.0
+        |      WHEN value - prev < 0 THEN value ELSE value - prev END, 6)
+        |      AS DECIMAL(18,6))) AS DOUBLE) / 86400 AS value
+        |  FROM d GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT user_id, event_type, value,
+        |    row_number() OVER (ORDER BY value DESC, user_id, event_type) AS rank
+        |  FROM r
+        |)
+        |SELECT rank, user_id, event_type, round(value, 9) AS value
+        |FROM ranked WHERE rank <= 3 ORDER BY rank""".stripMargin,
+
+    "q101_promql_parse_agg" ->
+      """WITH w AS (
+        |  SELECT user_id, event_type, value FROM events
+        |  WHERE NOT regexp_matches(CAST(event_type AS VARCHAR), '^(?:err.*)$')
+        |    AND ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |    AND ts >  TIMESTAMP '2024-01-15 12:00:00' - INTERVAL 12 HOURS
+        |), m AS (
+        |  SELECT user_id, event_type, max(value) AS v FROM w GROUP BY 1, 2
+        |)
+        |SELECT event_type,
+        |  round(CAST(sum(CAST(round(v, 6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS value
+        |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q95_rate" ->
       """WITH d AS (

@@ -77,8 +77,13 @@ object TextQueries {
         explode(TextOps.bandKeys(col("sig"), 8, 1)).as("bk"))
       val a = banded.select(col("lang"), col("source"), col("bk"), col("doc_id").as("id1"))
       val b = banded.select(col("lang"), col("source"), col("bk"), col("doc_id").as("id2"))
-      val cand = a.join(b, Seq("lang", "source", "bk")).filter(col("id1") < col("id2"))
-        .select(col("lang"), col("source"), col("id1"), col("id2")).distinct()
+      // cand is persisted (pairs of ids — tiny): it feeds both the
+      // candidate-doc id list and the final verification join, and without
+      // the persist the band self-join + distinct would run twice.
+      val cand = graft.CacheBag.register(
+        a.join(b, Seq("lang", "source", "bk")).filter(col("id1") < col("id2"))
+          .select(col("lang"), col("source"), col("id1"), col("id2")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val candIds = cand.select(
         explode(array(col("id1"), col("id2"))).as("doc_id")).distinct()
       val candSh = toks.join(broadcast(candIds), Seq("doc_id"))

@@ -180,6 +180,10 @@ class TextOpsSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     Seq("q48_ngram_jaccard", "q50_simhash").foreach { q =>
       val df = graft.queries.TextQueries.queries(q)(spark, graft.TestSpark.SF)
+      // unpersist the query-local frames FIRST: a registered persist would
+      // fold its subtree (incl. the band join) into an InMemoryRelation,
+      // hiding it from the logical-plan walk below
+      graft.CacheBag.drain()
       val conds = df.queryExecution.optimizedPlan.collect {
         case j: Join => j.condition.map(_.sql).getOrElse("")
       }
