@@ -135,6 +135,42 @@ class StreamSpec extends AnyFunSuite {
     assert(used == Seq(100.0, 200.0))
   }
 
+  test("config file-watch: ConfigWatcher snapshot swaps on edit and feeds the stream (P15)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_watch")
+    val confFile = dir.resolve("scoring.conf")
+    java.nio.file.Files.writeString(confFile, "# scoring config\nthreshold=100.0\n")
+    val w = new ConfigWatcher(confFile)
+    try {
+      assert(w.getDouble("threshold", -1.0) == 100.0)
+      assert(w.get("missing").isEmpty && w.getDouble("missing", 7.0) == 7.0)
+      // the watcher half: an edit swaps the snapshot without any reader I/O
+      java.nio.file.Files.writeString(confFile,
+        "# scoring config\nthreshold=250.0\nextra=x\n")
+      assert(w.awaitValue("threshold")(_.contains("250.0")),
+        "watch event did not deliver the edited value")
+      assert(w.snapshot("extra") == "x")
+      // the stream half: next micro-batch scores with the new threshold
+      val outDir = java.nio.file.Files.createTempDirectory("watch_out").toString + "/out"
+      val rows = graft.Tables.events(spark, SF)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[Ev].orderBy($"ts").collect()
+      val stream = MemoryStream[Ev]
+      val q = StreamOps.scoreWithReloadedConfig(stream.toDS(),
+        () => w.getDouble("threshold", 1.0), outDir).start()
+      try {
+        stream.addData(rows.take(500).toSeq); q.processAllAvailable()
+        java.nio.file.Files.writeString(confFile, "threshold=500.0\n")
+        assert(w.awaitValue("threshold")(_.contains("500.0")))
+        stream.addData(rows.drop(500).toSeq); q.processAllAvailable()
+      } finally q.stop()
+      val used = spark.read.parquet(outDir)
+        .select($"threshold_used").distinct().collect().map(_.getDouble(0)).sorted.toSeq
+      assert(used == Seq(250.0, 500.0))
+    } finally w.close()
+  }
+
   test("train-request sink collects deduplicated requests (P11)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
