@@ -107,8 +107,9 @@ object PromQlParser {
     }
 
     private val aggFns = Set("sum", "avg", "min", "max", "count")
-    private val rangeFns = Set("rate", "increase", "sum_over_time",
-      "avg_over_time", "max_over_time", "min_over_time", "count_over_time")
+    private val rangeFns = Set("rate", "increase", "delta", "irate",
+      "sum_over_time", "avg_over_time", "max_over_time", "min_over_time",
+      "count_over_time")
 
     def parseExpr(): Ast = peek match {
       case Some(Ident("topk")) =>
@@ -263,6 +264,31 @@ object PromQlParser {
           val total = decSum(col("inc"))
           inc.groupBy(keyCols: _*)
             .agg((if (fn == "rate") total / w.toDouble else total).as("value"))
+        case "delta" =>
+          // gauge delta: last − first sample in the window (baseline form,
+          // no boundary extrapolation); series order is (ts, orderCol)
+          val ord = struct(col(src.tsCol), col(src.orderCol))
+          inWindow.groupBy(keyCols: _*)
+            .agg((max_by(v, ord) - min_by(v, ord)).as("value"))
+        case "irate" =>
+          // instantaneous rate from the LAST TWO samples, reset-aware;
+          // Δt in integer micros then one double division — both engines
+          // compute the identical quotient
+          val w2 = Window.partitionBy(keyCols: _*)
+            .orderBy(col(src.tsCol).desc, col(src.orderCol).desc)
+          inWindow.withColumn("__rn", row_number().over(w2))
+            .filter(col("__rn") <= 2)
+            .groupBy(keyCols: _*)
+            .agg(
+              max(when(col("__rn") === 1, v)).as("__v1"),
+              max(when(col("__rn") === 2, v)).as("__v2"),
+              max(when(col("__rn") === 1, unix_micros(col(src.tsCol)))).as("__t1"),
+              max(when(col("__rn") === 2, unix_micros(col(src.tsCol)))).as("__t2"))
+            .filter(col("__v2").isNotNull) // a lone sample has no rate
+            .select(keyCols :+
+              (when(col("__v1") < col("__v2"), col("__v1"))
+                .otherwise(col("__v1") - col("__v2")) /
+                ((col("__t1") - col("__t2")) / 1000000.0)).as("value"): _*)
         case "sum_over_time" =>
           inWindow.groupBy(keyCols: _*).agg(decSum(v).as("value"))
         case "count_over_time" =>

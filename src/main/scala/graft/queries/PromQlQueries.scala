@@ -115,6 +115,29 @@ object PromQlQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Parser: gauge delta (last − first per series over the window),
+    // rolled up with the decimal discipline.
+    "q102_promql_delta" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      PromQlParser.eval(src, "sum by (event_type) (delta(signup[24h]))",
+          "2024-01-15 12:00:00")
+        .select(col("event_type"), round(col("value"), 4).as("value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Parser: irate (last-two-samples instantaneous rate, reset-aware);
+    // max is order-insensitive so the rollup is FP-safe.
+    "q103_promql_irate" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      PromQlParser.eval(src,
+          """max by (event_type) (irate({event_type=~"click|view"}[24h]))""",
+          "2024-01-15 12:00:00")
+        .select(col("event_type"), round(col("value"), 6).as("value"))
+        .orderBy(col("event_type"))
+    }),
+
     // histogram_quantile(q) for q in {0.5, 0.9, 0.99} from fixed le-buckets
     // (10, 25, 50, 100, 250, +Inf) per metric: cumulative counts, linear
     // interpolation inside the target bucket, +Inf clamps to the highest
@@ -202,6 +225,57 @@ object PromQlQueries {
         |SELECT event_type,
         |  round(CAST(sum(CAST(round(v, 6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS value
         |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q102_promql_delta" ->
+      """WITH w AS (
+        |  SELECT user_id, event_type, ts, event_id, value FROM events
+        |  WHERE event_type = 'signup'
+        |    AND ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |    AND ts >  TIMESTAMP '2024-01-15 12:00:00' - INTERVAL 24 HOURS
+        |), ranked AS (
+        |  SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM w
+        |), d AS (
+        |  SELECT user_id, event_type,
+        |    max(CASE WHEN rd = 1 THEN value END)
+        |      - max(CASE WHEN ra = 1 THEN value END) AS value
+        |  FROM ranked GROUP BY 1, 2
+        |)
+        |SELECT event_type,
+        |  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |    AS value
+        |FROM d GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q103_promql_irate" ->
+      """WITH w AS (
+        |  SELECT user_id, event_type, ts, event_id, value FROM events
+        |  WHERE regexp_matches(CAST(event_type AS VARCHAR), '^(?:click|view)$')
+        |    AND ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |    AND ts >  TIMESTAMP '2024-01-15 12:00:00' - INTERVAL 24 HOURS
+        |), ranked AS (
+        |  SELECT user_id, event_type, value, epoch_us(ts) AS us,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM w
+        |), two AS (
+        |  SELECT user_id, event_type,
+        |    max(CASE WHEN rd = 1 THEN value END) AS v1,
+        |    max(CASE WHEN rd = 2 THEN value END) AS v2,
+        |    max(CASE WHEN rd = 1 THEN us END) AS t1,
+        |    max(CASE WHEN rd = 2 THEN us END) AS t2
+        |  FROM ranked WHERE rd <= 2 GROUP BY 1, 2
+        |), r AS (
+        |  SELECT event_type,
+        |    (CASE WHEN v1 < v2 THEN v1 ELSE v1 - v2 END)
+        |      / ((t1 - t2) / 1000000.0) AS value
+        |  FROM two WHERE v2 IS NOT NULL
+        |)
+        |SELECT event_type, round(max(value), 6) AS value
+        |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q95_rate" ->
       """WITH d AS (

@@ -76,6 +76,30 @@ class PromQlParserSpec extends AnyFunSuite {
     assert(out == Map("cpu" -> 16.0))
   }
 
+  test("delta = last − first; irate uses the last two samples with the reset rule") {
+    // gauge: 10 -> 4 -> 16 over 3 minutes
+    val g = Seq((1L, ts(0), 10.0), (2L, ts(1), 4.0), (3L, ts(2), 16.0))
+      .toDF("event_id", "ts", "value")
+      .withColumn("user_id", lit(1L)).withColumn("event_type", lit("mem"))
+    val d = eval(src(g), "delta(mem[1h])", "2024-01-01 10:30:00")
+      .select("value").head().getDouble(0)
+    assert(d == 6.0) // 16 − 10, not min/max
+    val ir = eval(src(g), "irate(mem[1h])", "2024-01-01 10:30:00")
+      .select("value").head().getDouble(0)
+    assert(math.abs(ir - (16.0 - 4.0) / 60.0) < 1e-12) // last two only
+    // counter reset between the last two samples: 50 -> 7
+    val c = Seq((1L, ts(0), 50.0), (2L, ts(1), 7.0))
+      .toDF("event_id", "ts", "value")
+      .withColumn("user_id", lit(1L)).withColumn("event_type", lit("cpu"))
+    val ir2 = eval(src(c), "irate(cpu[1h])", "2024-01-01 10:30:00")
+      .select("value").head().getDouble(0)
+    assert(math.abs(ir2 - 7.0 / 60.0) < 1e-12) // counts from zero
+    // a lone sample has no instantaneous rate
+    val lone = Seq((1L, ts(0), 5.0)).toDF("event_id", "ts", "value")
+      .withColumn("user_id", lit(1L)).withColumn("event_type", lit("cpu"))
+    assert(eval(src(lone), "irate(cpu[1h])", "2024-01-01 10:30:00").count() == 0)
+  }
+
   test("topk tie-break is total-ordered on the series key") {
     val df = Seq(
       (1L, ts(0), 5L, "cpu", 9.0), (2L, ts(0), 3L, "cpu", 9.0),

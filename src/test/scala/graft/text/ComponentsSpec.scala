@@ -21,15 +21,27 @@ class ComponentsSpec extends AnyFunSuite {
     assert(comp(99L) == 99L)
   }
 
-  test("long path converges within the iteration cap (diameter bound)") {
-    // path 0-1-2-...-9: min-label needs ~log(d) doubling-free passes here
-    // (this implementation is linear per hop worst case: 9 hops < 20 cap)
-    val n = 10
+  test("long path converges within the iteration cap (pointer doubling, O(log d))") {
+    // path 0-1-2-...-299: pure neighbor-min propagation moves the label
+    // one hop per round (299 rounds — would trip the maxIter=12 cap and
+    // throw); pointer doubling squares the reach per round, so ~9 rounds
+    // close the 299-diameter chain.
+    val n = 300
     val nodes = (0 until n).map(_.toLong).toDF("id")
     val pairs = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("id1", "id2")
-    val comp = Components.connectedComponents(nodes, pairs, "id")
+    val comp = Components.connectedComponents(nodes, pairs, "id", maxIter = 12)
       .select(countDistinct(col("component"))).collect()(0).getLong(0)
     assert(comp == 1L)
+  }
+
+  test("non-convergence at the cap throws instead of returning split clusters") {
+    val n = 40
+    val nodes = (0 until n).map(_.toLong).toDF("id")
+    val pairs = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("id1", "id2")
+    val e = intercept[IllegalStateException] {
+      Components.connectedComponents(nodes, pairs, "id", maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
   }
 
   test("carried columns survive and cluster stats aggregate correctly") {
