@@ -102,8 +102,10 @@ object PromQl {
     * at the driver — instead of a single-partition window that would pull
     * every series into one task; only the k survivors are then ranked. */
   def topk(vector: DataFrame, k: Int, groupKey: Seq[String],
-           valueCol: String, tieCols: Seq[String]): DataFrame = {
-    val ord = col(valueCol).desc +: tieCols.map(col(_).asc)
+           valueCol: String, tieCols: Seq[String],
+           asc: Boolean = false): DataFrame = {
+    val vOrd = if (asc) col(valueCol).asc else col(valueCol).desc
+    val ord = vOrd +: tieCols.map(col(_).asc)
     if (groupKey.isEmpty) {
       val w = Window.orderBy(ord: _*)
       vector.orderBy(ord: _*).limit(k)
