@@ -20,11 +20,17 @@ object CacheBag {
   /** Register a persisted frame for post-action cleanup; returns it. */
   def register(df: DataFrame): DataFrame = { frames.add(df); df }
 
-  /** Unpersist every registered frame (non-blocking) and empty the bag. */
-  def drain(): Unit = {
+  /** Unpersist every registered frame and empty the bag.
+    *
+    * `blocking = true` is for timed harnesses (Bench): a non-blocking drain
+    * lets one query's async block eviction bleed into the NEXT query's
+    * wall-clock, which was measured as ±40% run-to-run variance on
+    * identical code. Interactive/serving callers keep the non-blocking
+    * default — eviction latency doesn't belong on their critical path. */
+  def drain(blocking: Boolean = false): Unit = {
     var df = frames.poll()
     while (df != null) {
-      try df.unpersist(blocking = false)
+      try df.unpersist(blocking)
       catch { case _: Throwable => () }
       df = frames.poll()
     }

@@ -146,6 +146,55 @@ object PromQl {
     * bounds with more than 8 fractional digits are rounded in the
     * interpolation width; totals must stay below 10^14 (rank is
     * decimal(18,4)). Both are far beyond any real le-bucket layout. */
+  /** `histogram_quantile(q, buckets)` over an `le`-LABELED VECTOR — the
+    * form the PromQL parser feeds: one row per (labels, le) carrying the
+    * CUMULATIVE bucket count/rate in `value` (the Prometheus bucket data
+    * model; `le` is a string, `"+Inf"` for the top bucket). Groups by
+    * every non-le label column, interpolates linearly inside the first
+    * bucket whose cumulative value reaches q·total, and clamps the +Inf
+    * bucket to the highest finite bound — the same semantics as
+    * [[histogramQuantile]], which buckets raw samples itself.
+    *
+    * Determinism contract (mirrors [[histogramQuantile]]): cumulative
+    * values round-6 to DECIMAL, rank = q·total in DECIMAL, the
+    * interpolation numerator in DECIMAL (width at scale 8), ONE double
+    * division by the bucket's own count. Plan shape: two windows and a
+    * filter, all partitioned by the label columns — no shuffle beyond the
+    * grouping the child vector already has. */
+  def histogramQuantileVector(buckets: DataFrame, q: Double): DataFrame = {
+    val groupCols = buckets.columns
+      .filterNot(c => c == "le" || c == "value" || c == "rank").toSeq
+    val gcols = groupCols.map(col)
+    val wOrd = Window.partitionBy(gcols: _*).orderBy(col("__le"))
+    val wAll = Window.partitionBy(gcols: _*)
+    val zeroDec = lit(0).cast("decimal(18,6)")
+    val d = buckets
+      .withColumn("__le",
+        when(col("le") === "+Inf", lit(Double.PositiveInfinity))
+          .otherwise(col("le").cast("double")))
+      .withColumn("__cum", round(col("value"), 6).cast("decimal(18,6)"))
+      .withColumn("__prev_cum", lag(col("__cum"), 1).over(wOrd))
+      .withColumn("__lo", lag(col("__le"), 1).over(wOrd)) // null = first bucket, lower edge 0
+      .withColumn("__total", max(col("__cum")).over(wAll)) // cumulative ⇒ max = +Inf bucket
+      .withColumn("__rank",
+        (lit(q).cast("decimal(6,4)") * col("__total")).cast("decimal(24,10)"))
+    d.filter(col("__cum") >= col("__rank"))
+      .withColumn("__rn", row_number().over(wOrd))
+      .filter(col("__rn") === 1)
+      .withColumn("value",
+        when(col("__le") === lit(Double.PositiveInfinity), col("__lo"))
+          .otherwise(coalesce(col("__lo"), lit(0.0)) +
+            // rank-diff pinned at decimal(18,10): exact for totals < 10^8,
+            // and keeps the product — (18,10) × (15,8) = decimal(34,18) —
+            // inside precision 38 in BOTH engines (DuckDB mirrors this
+            // cast), so neither silently rounds it.
+            ((col("__rank") - coalesce(col("__prev_cum"), zeroDec)).cast("decimal(18,10)") *
+              (col("__le") - coalesce(col("__lo"), lit(0.0))).cast("decimal(15,8)"))
+              .cast("double") /
+            (col("__cum") - coalesce(col("__prev_cum"), zeroDec)).cast("double")))
+      .select(gcols :+ col("value"): _*)
+  }
+
   def histogramQuantile(samples: DataFrame, groupKey: Seq[String],
                         valueCol: String, bounds: Seq[Double],
                         quantiles: Seq[Double]): DataFrame = {

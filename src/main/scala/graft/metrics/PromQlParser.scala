@@ -10,18 +10,32 @@ import org.apache.spark.sql.{Column, DataFrame}
   * their query STRINGS against the engine (the reference consumed
   * `query_range` pulls and PromQL exprs; `reference/CHANGELOG.md:10,90`).
   *
-  * Supported grammar (instant-query evaluation at a fixed time T):
+  * Supported grammar (instant evaluation at T via [[eval]]; step-grid
+  * `query_range` evaluation via [[evalRange]]):
   * {{{
-  *   expr     := agg | range | selector
-  *   agg      := ('sum'|'avg'|'min'|'max'|'count') by? '(' expr ')' by?
-  *             | 'topk' '(' INT ',' expr ')' by?
-  *   by       := 'by' '(' label (',' label)* ')'
-  *   range    := ('rate'|'increase'|'sum_over_time'|'avg_over_time'|
-  *                'max_over_time'|'min_over_time'|'count_over_time')
-  *               '(' selector '[' DURATION ']' ')'
+  *   expr     := mul (('+'|'-') matching? mul)*
+  *   mul      := unary (('*'|'/') matching? unary)*
+  *   matching := ('on'|'ignoring') '(' label (',' label)* ')'
+  *   unary    := '(' expr ')' | NUMBER | agg | range | hist | selector offset?
+  *   agg      := ('sum'|'avg'|'min'|'max'|'count') grouping? '(' expr ')' grouping?
+  *             | 'topk' '(' INT ',' expr ')' grouping?
+  *   grouping := ('by'|'without') '(' label (',' label)* ')'
+  *   hist     := 'histogram_quantile' '(' NUMBER ',' expr ')'
+  *   range    := ('rate'|'increase'|'delta'|'irate'|'sum_over_time'|
+  *                'avg_over_time'|'max_over_time'|'min_over_time'|
+  *                'count_over_time')
+  *               '(' selector '[' DURATION ']' offset? ')'
+  *   offset   := 'offset' DURATION
   *   selector := metric matchers? | matchers
   *   matcher  := label ('='|'!='|'=~'|'!~') STRING
   * }}}
+  *
+  * Binary operators compile to a series-keyed equi-join on the matching
+  * labels (inner join = Prometheus label-mismatch drop; result keeps the
+  * lhs label set; one-to-one cardinality is the query author's contract,
+  * as in Prometheus without group_left/right). `histogram_quantile`
+  * expects its child vector to carry an `le` label with cumulative bucket
+  * values — the Prometheus bucket data model.
   *
   * Semantics follow Prometheus: the metric name selects on the source's
   * `metricCol`; regex matchers are fully anchored; a bare selector is an
@@ -46,16 +60,30 @@ object PromQlParser {
   // ---------- AST ----------
   sealed trait Ast
   final case class Matcher(label: String, op: String, value: String)
-  final case class Selector(metric: Option[String], matchers: Seq[Matcher]) extends Ast
+  final case class Selector(metric: Option[String], matchers: Seq[Matcher],
+                            offsetSec: Long = 0L) extends Ast
   final case class RangeFn(fn: String, sel: Selector, windowSec: Long) extends Ast
-  final case class AggBy(fn: String, by: Seq[String], child: Ast) extends Ast
+  /** `without=true` groups by all labels EXCEPT `by` (PromQL `without`). */
+  final case class AggBy(fn: String, by: Seq[String], child: Ast,
+                         without: Boolean = false) extends Ast
   final case class TopK(k: Int, by: Seq[String], child: Ast) extends Ast
+  /** Vector arithmetic `lhs op rhs` with PromQL vector matching: join on
+    * `on` labels / all-common-labels minus `ignoring` labels. `matching =
+    * Some((isOn, labels))`; None = match on all common label columns. */
+  final case class BinOp(op: String, lhs: Ast, rhs: Ast,
+                         matching: Option[(Boolean, Seq[String])]) extends Ast
+  /** A bare number: scalar operand of a BinOp (`rate(m[5m]) * 100`). */
+  final case class ScalarLit(v: Double) extends Ast
+  /** `histogram_quantile(q, expr)`: child must evaluate to a vector with an
+    * `le` label carrying cumulative bucket counts (Prometheus data model). */
+  final case class HistQuantile(q: Double, child: Ast) extends Ast
 
   // ---------- Lexer ----------
   private sealed trait Tok
   private final case class Ident(s: String) extends Tok
   private final case class Str(s: String) extends Tok
   private final case class Num(n: Long) extends Tok
+  private final case class Flt(d: Double) extends Tok
   private final case class Dur(seconds: Long) extends Tok
   private final case class Sym(s: String) extends Tok
 
@@ -72,13 +100,20 @@ object PromQlParser {
       } else if (c.isDigit) {
         val j = q.indexWhere(ch => !ch.isDigit, i)
         val end = if (j < 0) q.length else j
-        val n = q.substring(i, end).toLong
-        if (end < q.length && "smhd".contains(q(end))) {
-          val mult = q(end) match {
-            case 's' => 1L; case 'm' => 60L; case 'h' => 3600L; case 'd' => 86400L
-          }
-          out += Dur(n * mult); i = end + 1
-        } else { out += Num(n); i = end }
+        if (end < q.length && q(end) == '.') {
+          // float literal (scalar operand / histogram_quantile φ)
+          val j2 = q.indexWhere(ch => !ch.isDigit, end + 1)
+          val end2 = if (j2 < 0) q.length else j2
+          out += Flt(q.substring(i, end2).toDouble); i = end2
+        } else {
+          val n = q.substring(i, end).toLong
+          if (end < q.length && "smhd".contains(q(end))) {
+            val mult = q(end) match {
+              case 's' => 1L; case 'm' => 60L; case 'h' => 3600L; case 'd' => 86400L
+            }
+            out += Dur(n * mult); i = end + 1
+          } else { out += Num(n); i = end }
+        }
       } else if (c == '"' || c == '\'') {
         val end = q.indexOf(c, i + 1)
         require(end > 0, s"unterminated string at $i in: $q")
@@ -111,7 +146,72 @@ object PromQlParser {
       "sum_over_time", "avg_over_time", "max_over_time", "min_over_time",
       "count_over_time")
 
-    def parseExpr(): Ast = peek match {
+    /** Binary operators, standard precedence: `* /` bind tighter than
+      * `+ -`, both left-associative, each optionally carrying a
+      * `on(...)`/`ignoring(...)` vector-matching modifier. */
+    def parseExpr(): Ast = {
+      var left = parseMulDiv()
+      var go = true
+      while (go) peek match {
+        case Some(Sym(op @ ("+" | "-"))) =>
+          next(); val m = parseMatchingOpt(); left = BinOp(op, left, parseMulDiv(), m)
+        case _ => go = false
+      }
+      left
+    }
+
+    private def parseMulDiv(): Ast = {
+      var left = parseUnary()
+      var go = true
+      while (go) peek match {
+        case Some(Sym(op @ ("*" | "/"))) =>
+          next(); val m = parseMatchingOpt(); left = BinOp(op, left, parseUnary(), m)
+        case _ => go = false
+      }
+      left
+    }
+
+    /** `on (l, ...)` / `ignoring (l, ...)` after a binary operator. */
+    private def parseMatchingOpt(): Option[(Boolean, Seq[String])] = peek match {
+      case Some(Ident(kw @ ("on" | "ignoring"))) if toks.drop(1).headOption.contains(Sym("(")) =>
+        next()
+        Some((kw == "on", parseLabelList()))
+      case _ => None
+    }
+
+    private def parseLabelList(): Seq[String] = {
+      expect("(")
+      val labels = Seq.newBuilder[String]
+      var done = peek.contains(Sym(")"))
+      if (done) next()
+      while (!done) next() match {
+        case Ident(l) => labels += l
+          peek match {
+            case Some(Sym(",")) => next()
+            case Some(Sym(")")) => next(); done = true
+            case other => fail(s"expected ',' or ')' in label list, got $other")
+          }
+        case other => fail(s"expected a label name, got $other")
+      }
+      labels.result()
+    }
+
+    def parseUnary(): Ast = peek match {
+      case Some(Sym("(")) =>
+        next(); val e = parseExpr(); expect(")"); e
+      case Some(Num(n)) => next(); ScalarLit(n.toDouble)
+      case Some(Flt(d)) => next(); ScalarLit(d)
+      case Some(Ident("histogram_quantile")) =>
+        next(); expect("(")
+        val q = next() match {
+          case Flt(d) => d
+          case Num(n) => n.toDouble
+          case other => fail(s"histogram_quantile expects a quantile, got $other")
+        }
+        expect(",")
+        val child = parseExpr()
+        expect(")")
+        HistQuantile(q, child)
       case Some(Ident("topk")) =>
         next(); expect("(")
         val k = next() match {
@@ -121,7 +221,8 @@ object PromQlParser {
         expect(",")
         val child = parseExpr()
         expect(")")
-        TopK(k, parseByOpt(), child)
+        val by = parseByOpt()
+        TopK(k, by.map(_._2).getOrElse(Seq.empty), child)
       case Some(Ident(fn)) if aggFns(fn) && !selectorAhead =>
         next()
         val byBefore = parseByOpt()
@@ -129,18 +230,34 @@ object PromQlParser {
         val child = parseExpr()
         expect(")")
         val byAfter = parseByOpt()
-        AggBy(fn, if (byBefore.nonEmpty) byBefore else byAfter, child)
+        val by = byBefore.orElse(byAfter)
+        AggBy(fn, by.map(_._2).getOrElse(Seq.empty), child,
+          without = by.exists(_._1))
       case Some(Ident(fn)) if rangeFns(fn) =>
         next(); expect("(")
-        val sel = parseSelector()
+        val sel0 = parseSelector()
         expect("[")
         val w = next() match {
           case Dur(s) => s
           case other => fail(s"expected a duration like 6h, got $other")
         }
-        expect("]"); expect(")")
+        expect("]")
+        val sel = parseOffsetOpt(sel0)
+        expect(")")
         RangeFn(fn, sel, w)
-      case _ => parseSelector()
+      case _ => parseOffsetOpt(parseSelector())
+    }
+
+    /** `offset <dur>` selector modifier: shifts this selector's evaluation
+      * window into the past. */
+    private def parseOffsetOpt(sel: Selector): Selector = peek match {
+      case Some(Ident("offset")) =>
+        next()
+        next() match {
+          case Dur(s) => sel.copy(offsetSec = s)
+          case other => fail(s"offset expects a duration like 1h, got $other")
+        }
+      case _ => sel
     }
 
     /** An aggregate keyword can also be a metric NAME (`sum{...}` is a
@@ -152,22 +269,13 @@ object PromQlParser {
       case _ => false
     }
 
-    def parseByOpt(): Seq[String] = peek match {
-      case Some(Ident("by")) =>
-        next(); expect("(")
-        val labels = Seq.newBuilder[String]
-        var done = false
-        while (!done) next() match {
-          case Ident(l) => labels += l
-            peek match {
-              case Some(Sym(",")) => next()
-              case Some(Sym(")")) => next(); done = true
-              case other => fail(s"expected ',' or ')' in by-clause, got $other")
-            }
-          case other => fail(s"expected a label in by-clause, got $other")
-        }
-        labels.result()
-      case _ => Seq.empty
+    /** `by (l, ...)` / `without (l, ...)` grouping clause; the Boolean is
+      * true for `without`. */
+    def parseByOpt(): Option[(Boolean, Seq[String])] = peek match {
+      case Some(Ident(kw @ ("by" | "without"))) =>
+        next()
+        Some((kw == "without", parseLabelList()))
+      case _ => None
     }
 
     def parseSelector(): Selector = {
@@ -220,6 +328,45 @@ object PromQlParser {
   private def decSum(c: Column): Column =
     sum(round(c, 6).cast("decimal(18,6)")).cast("double")
 
+  /** Columns that are never vector labels in a compiled frame. */
+  private val nonLabelCols = Set("value", "rank", "__step")
+
+  /** Shift an eval-time literal back by a selector's `offset` — constant
+    * arithmetic on the driver (timestamps are wall-clock strings in the
+    * session's UTC zone, so LocalDateTime math is exact). */
+  private def shiftTs(evalTs: String, offsetSec: Long): String =
+    if (offsetSec == 0L) evalTs
+    else java.time.LocalDateTime.parse(evalTs.replace(' ', 'T'))
+      .minusSeconds(offsetSec)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+
+  private def binApply(op: String, a: Column, b: Column): Column = op match {
+    case "+" => a + b
+    case "-" => a - b
+    case "*" => a * b
+    case "/" =>
+      // IEEE-754 semantics, the Prometheus contract: x/0 is ±Inf, 0/0 is
+      // NaN. Spark's ANSI mode (default in 4.x) would raise instead, so
+      // the zero-divisor branches are made explicit; the guarded division
+      // only evaluates when b ≠ 0 (CaseWhen branches are lazy).
+      when(b === 0.0,
+        when(a > 0, lit(Double.PositiveInfinity))
+          .when(a < 0, lit(Double.NegativeInfinity))
+          .otherwise(lit(Double.NaN)))
+        .otherwise(a / b)
+  }
+
+  /** PromQL vector matching for a binary operator: the join key set.
+    * Default = all label columns the two sides share; `on(ls)` = exactly
+    * `ls`; `ignoring(ls)` = the shared labels minus `ls`. */
+  private def matchKeys(lLabels: Seq[String], rLabels: Seq[String],
+                        matching: Option[(Boolean, Seq[String])]): Seq[String] =
+    matching match {
+      case Some((true, ls))  => ls
+      case Some((false, ls)) => lLabels.intersect(rLabels).filterNot(ls.contains)
+      case None              => lLabels.intersect(rLabels)
+    }
+
   private def matcherCond(src: PromSource, sel: Selector): Column = {
     val metricCond = sel.metric.map(m => col(src.metricCol) === lit(m))
     val ms = sel.matchers.map { m =>
@@ -244,11 +391,11 @@ object PromQlParser {
                       lookback: String): DataFrame = ast match {
     case sel: Selector =>
       PromQl.instantVector(src.df.filter(matcherCond(src, sel)), src.seriesKey,
-          src.tsCol, src.orderCol, evalTs, lookback)
+          src.tsCol, src.orderCol, shiftTs(evalTs, sel.offsetSec), lookback)
         .select(src.seriesKey.map(col) :+ col(src.valueCol).as("value"): _*)
 
     case RangeFn(fn, sel, w) =>
-      val t = to_timestamp(lit(evalTs))
+      val t = to_timestamp(lit(shiftTs(evalTs, sel.offsetSec)))
       val inWindow = src.df.filter(matcherCond(src, sel))
         .filter(col(src.tsCol) <= t &&
           col(src.tsCol) > t - expr(s"INTERVAL $w SECONDS"))
@@ -303,24 +450,242 @@ object PromQlParser {
           inWindow.groupBy(keyCols: _*).agg(min(v).as("value"))
       }
 
-    case AggBy(fn, by, child) =>
+    case AggBy(fn, by, child, without) =>
       val vec = compile(src, child, evalTs, lookback)
-      val gcols = by.map(col)
-      val v = col("value")
-      val agg = fn match {
-        case "sum"   => decSum(v)
-        case "avg"   => decSum(v) / count(lit(1))
-        case "min"   => min(v)
-        case "max"   => max(v)
-        case "count" => count(lit(1)).cast("double")
-      }
-      if (by.isEmpty) vec.agg(agg.as("value"))
-      else vec.groupBy(gcols: _*).agg(agg.as("value"))
+      val groupBy =
+        if (without) vec.columns.filterNot(c => nonLabelCols(c) || by.contains(c)).toSeq
+        else by
+      aggVector(vec, fn, groupBy)
 
     case TopK(k, by, child) =>
       val vec = compile(src, child, evalTs, lookback)
       // total order: ties on every non-value label column
       val tieCols = vec.columns.filterNot(c => c == "value" || by.contains(c)).toSeq
       PromQl.topk(vec, k, by, "value", tieCols)
+
+    case BinOp(op, lhs, rhs, matching) => (lhs, rhs) match {
+      case (ScalarLit(_), ScalarLit(_)) =>
+        throw new IllegalArgumentException(
+          "scalar-only expressions are not instant vectors; fold constants in the query")
+      case (ScalarLit(a), r) => // scalar op vector: map-side projection
+        compile(src, r, evalTs, lookback)
+          .withColumn("value", binApply(op, lit(a), col("value")))
+      case (l, ScalarLit(b)) =>
+        compile(src, l, evalTs, lookback)
+          .withColumn("value", binApply(op, col("value"), lit(b)))
+      case (l, r) =>
+        // Vector-vector arithmetic compiles to a series-keyed EQUI-JOIN on
+        // the matching labels: inner join = Prometheus's label-mismatch
+        // drop; the result keeps the lhs label set (one-to-one matching —
+        // cardinality discipline is the query author's, as in Prometheus
+        // without group_left/right). Both sides shuffle on the same key,
+        // and at 10M series this is one partitioned join, never a scan
+        // blow-up.
+        val lv = compile(src, l, evalTs, lookback)
+        val rv = compile(src, r, evalTs, lookback)
+        val lLabels = lv.columns.filterNot(nonLabelCols).toSeq
+        val rLabels = rv.columns.filterNot(nonLabelCols).toSeq
+        val keys = matchKeys(lLabels, rLabels, matching)
+        require(keys.nonEmpty,
+          s"no matching labels between operands of '$op' (lhs=$lLabels rhs=$rLabels)")
+        val r2 = rv.select(keys.map(col) :+ col("value").as("__rv"): _*)
+        lv.select(lLabels.map(col) :+ col("value"): _*)
+          .join(r2, keys, "inner")
+          .withColumn("value", binApply(op, col("value"), col("__rv")))
+          .drop("__rv")
+    }
+
+    case HistQuantile(q, child) =>
+      val vec = compile(src, child, evalTs, lookback)
+      require(vec.columns.contains("le"),
+        "histogram_quantile needs an 'le'-labeled bucket vector (the Prometheus data model)")
+      PromQl.histogramQuantileVector(vec, q)
+
+    case ScalarLit(_) =>
+      throw new IllegalArgumentException(
+        "a bare scalar is not an instant vector; use it as a binary-operator operand")
+  }
+
+  /** Shared vector-aggregation shape for `by`/`without` grouping (instant
+    * and grid compilers): decimal-routed sums, one double division for avg. */
+  private def aggVector(vec: DataFrame, fn: String, groupBy: Seq[String]): DataFrame = {
+    val v = col("value")
+    val agg = fn match {
+      case "sum"   => decSum(v)
+      case "avg"   => decSum(v) / count(lit(1))
+      case "min"   => min(v)
+      case "max"   => max(v)
+      case "count" => count(lit(1)).cast("double")
+    }
+    if (groupBy.isEmpty) vec.agg(agg.as("value"))
+    else vec.groupBy(groupBy.map(col): _*).agg(agg.as("value"))
+  }
+
+  // ---------- query_range: step-grid evaluation ----------
+
+  /** Evaluate `query` on the step grid of a Prometheus `query_range` call:
+    * T_i = start + i·step for i in [0, (end−start)/step], each step
+    * carrying the same semantics [[eval]] gives a single instant. Output:
+    * label columns + `step_ts` (timestamp) + `value` (+ `rank` for topk).
+    *
+    * Scale shape — NO per-step loop and NO range join: each sample is
+    * exploded onto the (bounded) set of grid steps whose evaluation window
+    * contains it — at most ⌈window/step⌉ (or ⌈lookback/step⌉) rows per
+    * sample — and everything downstream is grouped/joined on
+    * (series, step) like any other keyed aggregation. A month-long grid
+    * over 10M series is one generate-project plus one shuffle, with the
+    * explode factor under the caller's control via `step`. This is the
+    * reference fetcher's actual contract — `(query, start, end, step)` →
+    * per-step values (`reference/CHANGELOG.md:90`). */
+  def evalRange(src: PromSource, query: String, startTs: String, endTs: String,
+                stepSec: Long, lookbackSec: Long = 300L): DataFrame = {
+    require(stepSec > 0, "step must be positive")
+    def us(s: String): Long =
+      java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
+    val startUs = us(startTs)
+    val endUs = us(endTs)
+    require(endUs >= startUs, "end must be >= start")
+    val stepUs = stepSec * 1000000L
+    val g = new GridCompiler(src, startUs, stepUs,
+      nSteps = (endUs - startUs) / stepUs, lookbackUs = lookbackSec * 1000000L)
+    g.compile(parse(query))
+      .withColumn("step_ts",
+        timestamp_micros(lit(startUs) + col("__step") * lit(stepUs)))
+      .drop("__step")
+  }
+
+  /** Compiles an AST onto the step grid: every produced frame carries a
+    * `__step` grid-index column, and every grouping/join/window includes
+    * it — the grid dimension rides the same shuffles as the series key. */
+  private final class GridCompiler(src: PromSource, startUs: Long, stepUs: Long,
+                                   nSteps: Long, lookbackUs: Long) {
+    private def emptySteps = array().cast("array<bigint>")
+
+    /** Grid indices i with T_i >= t and T_i < horizon, clamped to [0, n].
+      * Boundary-exact: the deltas are day-scale micros (≪ 2^53) and an
+      * on-grid delta divides exactly in IEEE double, so ceil() lands on
+      * the integer itself. */
+    private def stepsFor(tUs: Column, horizonUs: Column): Column = {
+      val iMin = greatest(
+        ceil((tUs - lit(startUs)).cast("double") / lit(stepUs.toDouble)).cast("long"),
+        lit(0L))
+      val iMax = least(
+        ceil((horizonUs - lit(startUs)).cast("double") / lit(stepUs.toDouble)).cast("long") - 1,
+        lit(nSteps))
+      when(iMin <= iMax, sequence(iMin, iMax)).otherwise(emptySteps)
+    }
+
+    /** Sample event-time in grid micros; `offset` shifts the series
+      * forward (a sample at t evaluates as if at t + offset). */
+    private def teCol(offsetSec: Long): Column =
+      unix_micros(col(src.tsCol)) + lit(offsetSec * 1000000L)
+
+    def compile(ast: Ast): DataFrame = ast match {
+      case sel: Selector =>
+        // instant vector per step: latest sample within (T − lookback, T]
+        val te = teCol(sel.offsetSec)
+        val keyCols = src.seriesKey.map(col)
+        src.df.filter(matcherCond(src, sel))
+          .withColumn("__step", explode(stepsFor(te, te + lit(lookbackUs))))
+          .groupBy(keyCols :+ col("__step"): _*)
+          .agg(max_by(col(src.valueCol),
+            struct(col(src.tsCol), col(src.orderCol))).as("value"))
+
+      case RangeFn(fn, sel, w) =>
+        val wUs = w * 1000000L
+        val te = teCol(sel.offsetSec)
+        val keyCols = src.seriesKey.map(col)
+        val v = col(src.valueCol)
+        val ord = struct(col(src.tsCol), col(src.orderCol))
+        val filtered = src.df.filter(matcherCond(src, sel))
+        fn match {
+          case "rate" | "increase" =>
+            // Reset-aware increases computed ONCE per series (adjacent
+            // pairs are the same globally as within any contiguous time
+            // window), then exploded onto the steps whose window holds
+            // BOTH pair endpoints — T in [t, prev_t + w) — which is
+            // exactly the instant-eval semantics where the window's first
+            // sample contributes 0.
+            val wSeries = Window.partitionBy(keyCols: _*)
+              .orderBy(col(src.tsCol), col(src.orderCol))
+            val inc = PromQl.counterIncrease(filtered, src.seriesKey,
+                src.tsCol, src.orderCol, src.valueCol)
+              .withColumn("__prev_te", lag(te, 1).over(wSeries))
+            val steps = when(col("__prev_te").isNull, emptySteps)
+              .otherwise(stepsFor(te, col("__prev_te") + lit(wUs)))
+            val total = sum(round(col("inc"), 6).cast("decimal(18,6)")).cast("double")
+            inc.withColumn("__step", explode(steps))
+              .groupBy(keyCols :+ col("__step"): _*)
+              .agg((if (fn == "rate") total / w.toDouble else total).as("value"))
+          case "delta" =>
+            filtered.withColumn("__step", explode(stepsFor(te, te + lit(wUs))))
+              .groupBy(keyCols :+ col("__step"): _*)
+              .agg((max_by(v, ord) - min_by(v, ord)).as("value"))
+          case "sum_over_time" | "count_over_time" | "avg_over_time"
+             | "max_over_time" | "min_over_time" =>
+            val grouped = filtered
+              .withColumn("__step", explode(stepsFor(te, te + lit(wUs))))
+              .groupBy(keyCols :+ col("__step"): _*)
+            fn match {
+              case "sum_over_time"   => grouped.agg(decSum(v).as("value"))
+              case "count_over_time" => grouped.agg(count(lit(1)).cast("double").as("value"))
+              case "avg_over_time"   => grouped.agg((decSum(v) / count(lit(1))).as("value"))
+              case "max_over_time"   => grouped.agg(max(v).as("value"))
+              case "min_over_time"   => grouped.agg(min(v).as("value"))
+            }
+          case other =>
+            throw new IllegalArgumentException(
+              s"$other is not supported in range (grid) evaluation")
+        }
+
+      case AggBy(fn, by, child, without) =>
+        val vec = compile(child)
+        val groupBy =
+          (if (without) vec.columns.filterNot(c => nonLabelCols(c) || by.contains(c)).toSeq
+           else by) :+ "__step"
+        aggVector(vec, fn, groupBy)
+
+      case TopK(k, by, child) =>
+        val vec = compile(child)
+        val tieCols = vec.columns.filterNot(c => nonLabelCols(c) || by.contains(c)).toSeq
+        PromQl.topk(vec, k, by :+ "__step", "value", tieCols)
+
+      case BinOp(op, lhs, rhs, matching) => (lhs, rhs) match {
+        case (ScalarLit(_), ScalarLit(_)) =>
+          throw new IllegalArgumentException(
+            "scalar-only expressions are not instant vectors; fold constants in the query")
+        case (ScalarLit(a), r) =>
+          compile(r).withColumn("value", binApply(op, lit(a), col("value")))
+        case (l, ScalarLit(b)) =>
+          compile(l).withColumn("value", binApply(op, col("value"), lit(b)))
+        case (l, r) =>
+          val lv = compile(l)
+          val rv = compile(r)
+          val lLabels = lv.columns.filterNot(nonLabelCols).toSeq
+          val rLabels = rv.columns.filterNot(nonLabelCols).toSeq
+          val keys0 = matchKeys(lLabels, rLabels, matching)
+          require(keys0.nonEmpty,
+            s"no matching labels between operands of '$op' (lhs=$lLabels rhs=$rLabels)")
+          val keys = keys0 :+ "__step"
+          val r2 = rv.select(keys.map(col) :+ col("value").as("__rv"): _*)
+          lv.select((lLabels :+ "__step").map(col) :+ col("value"): _*)
+            .join(r2, keys, "inner")
+            .withColumn("value", binApply(op, col("value"), col("__rv")))
+            .drop("__rv")
+      }
+
+      case HistQuantile(q, child) =>
+        val vec = compile(child)
+        require(vec.columns.contains("le"),
+          "histogram_quantile needs an 'le'-labeled bucket vector (the Prometheus data model)")
+        // histogramQuantileVector groups on all non-le label columns,
+        // which here includes __step — the grid rides along for free.
+        PromQl.histogramQuantileVector(vec, q)
+
+      case ScalarLit(_) =>
+        throw new IllegalArgumentException(
+          "a bare scalar is not an instant vector; use it as a binary-operator operand")
+    }
   }
 }

@@ -138,6 +138,92 @@ object PromQlQueries {
         .orderBy(col("event_type"))
     }),
 
+    // PromQL BINARY OPERATOR (vector / vector): the ratio of two rates —
+    // the reference's own derived-metric shape ("fuzzy error rate"). The
+    // two sides match on user_id (all-common-labels after `sum by`), and
+    // the inner join drops label-mismatched series — users with clicks but
+    // no views vanish, exactly Prometheus.
+    "q104_promql_binop_ratio" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      PromQlParser.eval(src,
+          "sum by (user_id) (rate(click[24h])) / sum by (user_id) (rate(view[24h]))",
+          "2024-01-15 12:00:00")
+        .select(col("user_id"), round(col("value"), 6).as("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Binary operator with an explicit on(...) matching clause: per-series
+    // range spread (max_over_time − min_over_time), FP-order-safe since
+    // max/min are order-insensitive and the difference is one subtraction.
+    "q105_promql_binop_diff" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      PromQlParser.eval(src,
+          "max_over_time(purchase[24h]) - on (user_id, event_type) min_over_time(purchase[24h])",
+          "2024-01-15 12:00:00")
+        .select(col("user_id"), col("event_type"), round(col("value"), 6).as("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // histogram_quantile THROUGH THE PARSER, on the Prometheus bucket data
+    // model: cumulative le-labeled bucket series built from raw samples
+    // (each sample lands in every bucket at/above its value), counted per
+    // series over the window, summed to per-(metric, le) cumulative
+    // counts, then interpolated — `histogram_quantile(0.9, sum by (...,
+    // le) (count_over_time(...)))`, the canonical Prometheus idiom.
+    "q106_promql_histogram" -> ((s, d) => {
+      val ev = events(s, d)
+      val buckets = ev.select(
+        col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        explode(array_compact(array(
+          when(col("value") <= 10, lit("10")),
+          when(col("value") <= 25, lit("25")),
+          when(col("value") <= 50, lit("50")),
+          when(col("value") <= 100, lit("100")),
+          when(col("value") <= 250, lit("250")),
+          lit("+Inf")))).as("le"),
+        col("value"))
+      val src = PromQlParser.PromSource(buckets, "event_type",
+        Seq("user_id", "event_type", "le"), "ts", "event_id", "value")
+      PromQlParser.eval(src,
+          """histogram_quantile(0.9, sum by (event_type, le) (count_over_time({le=~".+"}[24h])))""",
+          "2024-01-15 12:00:00")
+        .select(col("event_type"), round(col("value"), 6).as("quantile_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // query_range: rate() evaluated on a step grid (9 steps × 3h over one
+    // day, 6h range window) — the reference fetcher's actual contract
+    // (query, start, end, step) → per-step values. Counter resets fall
+    // inside step windows and contribute via the reset rule. Scale shape:
+    // each adjacent sample pair explodes onto ≤ window/step = 2 grid
+    // cells; no per-step loop, no range join.
+    "q107_range_rate" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      PromQlParser.evalRange(src, "rate(purchase[6h])",
+          "2024-01-14 00:00:00", "2024-01-15 00:00:00", stepSec = 10800)
+        .select(col("user_id"), col("event_type"), col("step_ts"),
+          round(col("value"), 9).as("value"))
+        .orderBy(col("user_id"), col("event_type"), col("step_ts"))
+    }),
+
+    // query_range: instant-vector selector with `offset` on the grid,
+    // aggregated with `without` — per step, the latest sample per series
+    // within the (shifted) staleness lookback, summed across users.
+    "q108_range_instant" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      PromQlParser.evalRange(src,
+          """sum without (user_id) ({event_type=~"click|view"} offset 1h)""",
+          "2024-01-14 00:00:00", "2024-01-15 00:00:00", stepSec = 10800,
+          lookbackSec = 7200)
+        .select(col("event_type"), col("step_ts"),
+          round(col("value"), 4).as("value"))
+        .orderBy(col("event_type"), col("step_ts"))
+    }),
+
     // histogram_quantile(q) for q in {0.5, 0.9, 0.99} from fixed le-buckets
     // (10, 25, 50, 100, 250, +Inf) per metric: cumulative counts, linear
     // interpolation inside the target bucket, +Inf clamps to the highest
@@ -342,6 +428,140 @@ object PromQlQueries {
         |  round(min(min_ot), 6) AS min_min_ot,
         |  CAST(sum(count_ot) AS BIGINT) AS sum_count_ot
         |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q104_promql_binop_ratio" ->
+      """WITH w AS (
+        |  SELECT user_id, event_type, ts, event_id, value FROM events
+        |  WHERE event_type IN ('click', 'view')
+        |    AND ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |    AND ts >  TIMESTAMP '2024-01-15 12:00:00' - INTERVAL 24 HOURS
+        |), d AS (
+        |  SELECT user_id, event_type, value,
+        |    lag(value) OVER (PARTITION BY user_id, event_type
+        |                     ORDER BY ts, event_id) AS prev
+        |  FROM w
+        |), r AS (
+        |  SELECT user_id, event_type,
+        |    CAST(sum(CAST(round(CASE WHEN prev IS NULL THEN 0.0
+        |      WHEN value - prev < 0 THEN value ELSE value - prev END, 6)
+        |      AS DECIMAL(18,6))) AS DOUBLE) / 86400 AS rate
+        |  FROM d GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT user_id, event_type,
+        |    CAST(sum(CAST(round(rate, 6) AS DECIMAL(18,6))) AS DOUBLE) AS v
+        |  FROM r GROUP BY 1, 2
+        |)
+        |-- DuckDB's x/0 is NaN, not IEEE ±Inf; spell out the Prometheus
+        |-- zero-divisor branches to match the engine.
+        |SELECT c.user_id,
+        |  CASE WHEN vw.v = 0 THEN
+        |    CASE WHEN c.v > 0 THEN CAST('infinity' AS DOUBLE)
+        |         WHEN c.v < 0 THEN CAST('-infinity' AS DOUBLE)
+        |         ELSE CAST('nan' AS DOUBLE) END
+        |  ELSE round(c.v / vw.v, 6) END AS value
+        |FROM (SELECT user_id, v FROM agg WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, v FROM agg WHERE event_type = 'view') vw USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "q105_promql_binop_diff" ->
+      """WITH w AS (
+        |  SELECT user_id, event_type, value FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |    AND ts >  TIMESTAMP '2024-01-15 12:00:00' - INTERVAL 24 HOURS
+        |)
+        |SELECT user_id, event_type, round(max(value) - min(value), 6) AS value
+        |FROM w GROUP BY 1, 2 ORDER BY user_id""".stripMargin,
+
+    // Mirrors histogramQuantileVector exactly: cumulative le-bucket counts
+    // (rows only for cum > 0, like the Spark-side vector), lag-based
+    // bucket edges, DECIMAL rank and numerator, ONE double division.
+    "q106_promql_histogram" ->
+      """WITH w AS (
+        |  SELECT event_type, value FROM events
+        |  WHERE ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |    AND ts >  TIMESTAMP '2024-01-15 12:00:00' - INTERVAL 24 HOURS
+        |), bounds AS (
+        |  SELECT * FROM (VALUES (0, 10.0), (1, 25.0), (2, 50.0), (3, 100.0),
+        |                        (4, 250.0), (5, NULL)) AS t(idx, bound)
+        |), cum0 AS (
+        |  SELECT w.event_type, b.idx, b.bound,
+        |    count(*) FILTER (WHERE b.bound IS NULL OR w.value <= b.bound) AS cum
+        |  FROM w CROSS JOIN bounds b GROUP BY 1, 2, 3
+        |), e AS (
+        |  SELECT event_type, idx, bound,
+        |    CAST(cum AS DECIMAL(18,6)) AS cum_d,
+        |    lag(CAST(cum AS DECIMAL(18,6))) OVER win AS prev_cum,
+        |    lag(bound) OVER win AS lo,
+        |    max(CAST(cum AS DECIMAL(18,6))) OVER (PARTITION BY event_type) AS total
+        |  FROM cum0 WHERE cum > 0
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY idx)
+        |), p AS (
+        |  SELECT event_type, idx, bound, cum_d, prev_cum, lo,
+        |    CAST(CAST(0.9 AS DECIMAL(6,4)) * total AS DECIMAL(24,10)) AS rnk
+        |  FROM e
+        |), picked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY idx) AS rn
+        |  FROM p WHERE cum_d >= rnk
+        |)
+        |SELECT event_type, round(
+        |  CASE WHEN bound IS NULL THEN lo
+        |  ELSE coalesce(lo, 0.0) +
+        |    CAST(CAST(rnk - coalesce(prev_cum, CAST(0 AS DECIMAL(18,6)))
+        |           AS DECIMAL(18,10)) *
+        |         CAST(bound - coalesce(lo, 0.0) AS DECIMAL(15,8)) AS DOUBLE)
+        |    / CAST(cum_d - coalesce(prev_cum, CAST(0 AS DECIMAL(18,6))) AS DOUBLE)
+        |  END, 6) AS quantile_value
+        |FROM picked WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    // Grid semantics: an adjacent (prev, cur) sample pair contributes its
+    // reset-aware inc to every step T with cur_ts <= T < prev_ts + 6h —
+    // both endpoints inside the trailing window, the instant-eval rule.
+    "q107_range_rate" ->
+      """WITH steps AS (
+        |  SELECT make_timestamp((1705190400 + i * 10800) * 1000000) AS step_ts
+        |  FROM (SELECT unnest(generate_series(0, 8)) AS i)
+        |), d AS (
+        |  SELECT user_id, event_type, ts, value,
+        |    lag(value) OVER win AS prev, lag(ts) OVER win AS prev_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |  WINDOW win AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |), pairs AS (
+        |  SELECT user_id, event_type, ts, prev_ts,
+        |    CASE WHEN value - prev < 0 THEN value ELSE value - prev END AS inc
+        |  FROM d WHERE prev IS NOT NULL
+        |), j AS (
+        |  SELECT p.user_id, p.event_type, s.step_ts,
+        |    CAST(sum(CAST(round(p.inc, 6) AS DECIMAL(18,6))) AS DOUBLE) / 21600
+        |      AS value
+        |  FROM steps s JOIN pairs p
+        |    ON p.ts <= s.step_ts AND p.prev_ts > s.step_ts - INTERVAL 6 HOURS
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT user_id, event_type, step_ts, round(value, 9) AS value
+        |FROM j ORDER BY user_id, event_type, step_ts""".stripMargin,
+
+    // offset 1h shifts each sample to ts + 1h; a step T sees the latest
+    // shifted sample in (T − 2h, T].
+    "q108_range_instant" ->
+      """WITH steps AS (
+        |  SELECT make_timestamp((1705190400 + i * 10800) * 1000000) AS step_ts
+        |  FROM (SELECT unnest(generate_series(0, 8)) AS i)
+        |), w AS (
+        |  SELECT user_id, event_type, ts, event_id, value FROM events
+        |  WHERE event_type IN ('click', 'view')
+        |), iv AS (
+        |  SELECT s.step_ts, w.user_id, w.event_type, w.value,
+        |    row_number() OVER (PARTITION BY s.step_ts, w.user_id, w.event_type
+        |                       ORDER BY w.ts DESC, w.event_id DESC) AS rn
+        |  FROM steps s JOIN w
+        |    ON w.ts + INTERVAL 1 HOUR <= s.step_ts
+        |   AND w.ts + INTERVAL 1 HOUR > s.step_ts - INTERVAL 2 HOURS
+        |)
+        |SELECT event_type, step_ts,
+        |  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |    AS value
+        |FROM iv WHERE rn = 1 GROUP BY 1, 2 ORDER BY event_type, step_ts""".stripMargin,
 
     "q91_histogram_quantile" ->
       """WITH b AS (

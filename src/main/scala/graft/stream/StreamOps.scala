@@ -79,7 +79,7 @@ object StreamOps {
     // partitions are pure per-batch overhead. Fixed at query start; a real
     // deployment sizes this to series cardinality / executor count.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     val q =
       try pipeline(stream.toDS())
         .writeStream.outputMode(outputMode)

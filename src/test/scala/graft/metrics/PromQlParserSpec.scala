@@ -33,7 +33,7 @@ class PromQlParserSpec extends AnyFunSuite {
   }
 
   test("parse: malformed queries raise with context") {
-    Seq("rate(cpu[6h)", "sum by () (cpu)", "topk(x, cpu)", "{}", "cpu} extra")
+    Seq("rate(cpu[6h)", "a +", "topk(x, cpu)", "{}", "cpu} extra")
       .foreach { q =>
         val e = intercept[IllegalArgumentException](parse(q))
         assert(e.getMessage.contains("PromQL parse error"), q)
@@ -98,6 +98,152 @@ class PromQlParserSpec extends AnyFunSuite {
     val lone = Seq((1L, ts(0), 5.0)).toDF("event_id", "ts", "value")
       .withColumn("user_id", lit(1L)).withColumn("event_type", lit("cpu"))
     assert(eval(src(lone), "irate(cpu[1h])", "2024-01-01 10:30:00").count() == 0)
+  }
+
+  test("parse: binary operators, precedence, matching modifiers, offset, without") {
+    // * binds tighter than -, both left-associative
+    assert(parse("a - b * c") ==
+      BinOp("-", Selector(Some("a"), Nil),
+        BinOp("*", Selector(Some("b"), Nil), Selector(Some("c"), Nil), None), None))
+    // parens override precedence
+    assert(parse("(a - b) * c") ==
+      BinOp("*", BinOp("-", Selector(Some("a"), Nil), Selector(Some("b"), Nil), None),
+        Selector(Some("c"), Nil), None))
+    // on/ignoring attach to their operator
+    assert(parse("a / on (user_id) b") ==
+      BinOp("/", Selector(Some("a"), Nil), Selector(Some("b"), Nil),
+        Some((true, Seq("user_id")))))
+    assert(parse("a + ignoring (env) b") ==
+      BinOp("+", Selector(Some("a"), Nil), Selector(Some("b"), Nil),
+        Some((false, Seq("env")))))
+    // scalar literals on either side
+    assert(parse("rate(cpu[5m]) * 100") ==
+      BinOp("*", RangeFn("rate", Selector(Some("cpu"), Nil), 300L),
+        ScalarLit(100.0), None))
+    assert(parse("0.5 + cpu") ==
+      BinOp("+", ScalarLit(0.5), Selector(Some("cpu"), Nil), None))
+    // offset on instant and range selectors
+    assert(parse("cpu offset 1h") == Selector(Some("cpu"), Nil, 3600L))
+    assert(parse("rate(cpu[5m] offset 30m)") ==
+      RangeFn("rate", Selector(Some("cpu"), Nil, 1800L), 300L))
+    // without grouping
+    assert(parse("sum without (user_id) (cpu)") ==
+      AggBy("sum", Seq("user_id"), Selector(Some("cpu"), Nil), without = true))
+    // histogram_quantile
+    assert(parse("histogram_quantile(0.9, rate(m[5m]))") ==
+      HistQuantile(0.9, RangeFn("rate", Selector(Some("m"), Nil), 300L)))
+  }
+
+  test("binop: default matching joins on common labels; mismatches drop") {
+    val df = Seq(
+      (1L, ts(0), 1L, "cpu", 8.0), (2L, ts(0), 2L, "cpu", 6.0),
+      (3L, ts(0), 1L, "mem", 2.0)) // user 2 has no mem series
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = eval(src(df), """{event_type="cpu"} / on (user_id) {event_type="mem"}""",
+        "2024-01-01 10:02:00")
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("value")).toMap
+    assert(out == Map(1L -> 4.0)) // user 2 dropped (label mismatch)
+  }
+
+  test("binop: ignoring() removes labels from the match key") {
+    val df = Seq(
+      (1L, ts(0), 1L, "cpu", 9.0), (2L, ts(0), 1L, "mem", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // event_type differs between sides; ignoring(event_type) matches on user_id
+    val out = eval(src(df),
+        """{event_type="cpu"} - ignoring (event_type) {event_type="mem"}""",
+        "2024-01-01 10:02:00")
+      .select("value").head().getDouble(0)
+    assert(out == 5.0)
+    // but DEFAULT matching (all common labels incl. event_type) drops all
+    assert(eval(src(df), """{event_type="cpu"} - {event_type="mem"}""",
+      "2024-01-01 10:02:00").count() == 0)
+  }
+
+  test("binop: scalar operand is a map-side projection; x/0 follows IEEE") {
+    val df = Seq((1L, ts(0), 1L, "cpu", 7.0), (2L, ts(0), 2L, "cpu", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val scaled = eval(src(df), "cpu * 100", "2024-01-01 10:02:00")
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("value")).toMap
+    assert(scaled == Map(1L -> 700.0, 2L -> 0.0))
+    val div = eval(src(df), """cpu / {event_type="cpu"}""", "2024-01-01 10:02:00")
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("value")).toMap
+    assert(div(1L) == 1.0)
+    assert(div(2L).isNaN) // 0/0
+    val inv = eval(src(df), """100 / {event_type="cpu"}""", "2024-01-01 10:02:00")
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("value")).toMap
+    assert(inv(2L) == Double.PositiveInfinity) // 100/0
+  }
+
+  test("offset shifts the evaluation window into the past") {
+    val df = Seq((1L, ts(0), 10.0), (2L, ts(30), 99.0))
+      .toDF("event_id", "ts", "value")
+      .withColumn("user_id", lit(1L)).withColumn("event_type", lit("cpu"))
+    // at 10:31 the latest sample is 99; offset 30m re-evaluates at 10:01
+    val now = eval(src(df), "cpu", "2024-01-01 10:31:00", lookback = "10 MINUTES")
+      .select("value").head().getDouble(0)
+    val back = eval(src(df), "cpu offset 30m", "2024-01-01 10:31:00",
+      lookback = "10 MINUTES").select("value").head().getDouble(0)
+    assert(now == 99.0 && back == 10.0)
+  }
+
+  test("without groups by every label except the listed ones") {
+    val df = Seq(
+      (1L, ts(0), 1L, "cpu", 3.0), (2L, ts(0), 2L, "cpu", 4.0),
+      (3L, ts(0), 1L, "mem", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = eval(src(df), """sum without (user_id) ({event_type=~".+"})""",
+        "2024-01-01 10:02:00")
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Double]("value")).toMap
+    assert(out == Map("cpu" -> 7.0, "mem" -> 5.0))
+  }
+
+  test("histogram_quantile interpolates le-labeled cumulative buckets") {
+    // one giant series of bucket counters: cum counts 10 (le=1), 30 (le=2), 40 (+Inf)
+    val df = Seq(
+      (1L, ts(0), 1L, "lat", "1", 10.0), (2L, ts(0), 1L, "lat", "2", 30.0),
+      (3L, ts(0), 1L, "lat", "+Inf", 40.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "le", "value")
+    val s = PromSource(df, "event_type", Seq("user_id", "event_type", "le"),
+      "ts", "event_id", "value")
+    val q50 = eval(s, """histogram_quantile(0.5, sum by (event_type, le) ({le=~".+"}))""",
+      "2024-01-01 10:02:00").select("value").head().getDouble(0)
+    // rank = 20: inside (1, 2], lo=1, cnt=20, prevCum=10 → 1 + 10/20 * 1 = 1.5
+    assert(math.abs(q50 - 1.5) < 1e-12)
+    val q99 = eval(s, """histogram_quantile(0.99, sum by (event_type, le) ({le=~".+"}))""",
+      "2024-01-01 10:02:00").select("value").head().getDouble(0)
+    assert(q99 == 2.0) // +Inf bucket clamps to the highest finite bound
+  }
+
+  test("evalRange: grid rate uses only pairs fully inside each step window") {
+    // samples at 10:00(v=10), 10:20(v=30), 10:40(v=35); step=20m, window=30m
+    val df = Seq((1L, ts(0), 10.0), (2L, ts(20), 30.0), (3L, ts(40), 35.0))
+      .toDF("event_id", "ts", "value")
+      .withColumn("user_id", lit(1L)).withColumn("event_type", lit("cpu"))
+    val out = PromQlParser.evalRange(src(df), "increase(cpu[30m])",
+        "2024-01-01 10:00:00", "2024-01-01 11:00:00", stepSec = 1200)
+      .collect()
+      .map(r => r.getAs[java.sql.Timestamp]("step_ts").toString -> r.getAs[Double]("value"))
+      .toMap
+    // T=10:20 window (09:50,10:20]: pair(10:00→10:20) inside → 20
+    // T=10:40 window (10:10,10:40]: pair(10:20→10:40) inside; pair(10:00→10:20)
+    //   has its prev endpoint outside → only 5
+    // T=10:00 and T=11:00: no pair fully inside → absent
+    assert(out == Map("2024-01-01 10:20:00.0" -> 20.0, "2024-01-01 10:40:00.0" -> 5.0))
+  }
+
+  test("evalRange: instant selector applies staleness per step") {
+    val df = Seq((1L, ts(0), 42.0))
+      .toDF("event_id", "ts", "value")
+      .withColumn("user_id", lit(1L)).withColumn("event_type", lit("cpu"))
+    val out = PromQlParser.evalRange(src(df), "cpu",
+        "2024-01-01 10:00:00", "2024-01-01 10:30:00", stepSec = 600,
+        lookbackSec = 900)
+      .collect()
+      .map(r => r.getAs[java.sql.Timestamp]("step_ts").toString -> r.getAs[Double]("value"))
+      .toMap
+    // sample at 10:00 is live for T in [10:00, 10:15) → steps 10:00, 10:10
+    assert(out == Map("2024-01-01 10:00:00.0" -> 42.0, "2024-01-01 10:10:00.0" -> 42.0))
   }
 
   test("topk tie-break is total-ordered on the series key") {
