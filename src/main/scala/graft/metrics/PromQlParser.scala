@@ -13,9 +13,14 @@ import org.apache.spark.sql.{Column, DataFrame}
   * Supported grammar (instant evaluation at T via [[eval]]; step-grid
   * `query_range` evaluation via [[evalRange]]):
   * {{{
-  *   expr     := mul (('+'|'-') matching? mul)*
+  *   expr     := or
+  *   or       := andun ('or' matching? andun)*
+  *   andun    := cmp (('and'|'unless') matching? cmp)*
+  *   cmp      := add (('=='|'!='|'>'|'<'|'>='|'<=') 'bool'? matching? add)*
+  *   add      := mul (('+'|'-') matching? mul)*
   *   mul      := unary (('*'|'/') matching? unary)*
   *   matching := ('on'|'ignoring') '(' label (',' label)* ')'
+  *               (('group_left'|'group_right') ('(' label (',' label)* ')')?)?
   *   unary    := '(' expr ')' | NUMBER | agg | range | hist | selector offset?
   *   agg      := ('sum'|'avg'|'min'|'max'|'count') grouping? '(' expr ')' grouping?
   *             | 'topk' '(' INT ',' expr ')' grouping?
@@ -33,9 +38,20 @@ import org.apache.spark.sql.{Column, DataFrame}
   * Binary operators compile to a series-keyed equi-join on the matching
   * labels (inner join = Prometheus label-mismatch drop; result keeps the
   * lhs label set; one-to-one cardinality is the query author's contract,
-  * as in Prometheus without group_left/right). `histogram_quantile`
-  * expects its child vector to carry an `le` label with cumulative bucket
-  * values — the Prometheus bucket data model.
+  * as in Prometheus without group_left/right). `group_left`/`group_right`
+  * declare many-to-one matching: the result keeps the MANY side's label
+  * set plus any listed copy-labels taken from the one side (the rollouts
+  * canary shape — per-hash_id series over a namespace-level aggregate,
+  * `reference/CHANGELOG.md:499,481`); uniqueness of the one side per match
+  * key is the author's contract, as in Prometheus. Comparison operators
+  * filter the left vector (`expr > N` — the reference's static-threshold
+  * output stage, `reference/CHANGELOG.md:369,421`); with `bool` they keep
+  * every sample and project 1.0/0.0. Set operators compile to the same
+  * keyed join machinery: `and` = left-semi, `unless` = left-anti, `or` =
+  * union plus an anti-join on the match key (right side fills only where
+  * the left has no sample). `histogram_quantile` expects its child vector
+  * to carry an `le` label with cumulative bucket values — the Prometheus
+  * bucket data model.
   *
   * Semantics follow Prometheus: the metric name selects on the source's
   * `metricCol`; regex matchers are fully anchored; a bare selector is an
@@ -67,11 +83,18 @@ object PromQlParser {
   final case class AggBy(fn: String, by: Seq[String], child: Ast,
                          without: Boolean = false) extends Ast
   final case class TopK(k: Int, by: Seq[String], child: Ast) extends Ast
-  /** Vector arithmetic `lhs op rhs` with PromQL vector matching: join on
-    * `on` labels / all-common-labels minus `ignoring` labels. `matching =
-    * Some((isOn, labels))`; None = match on all common label columns. */
+  /** `group_left`/`group_right` many-to-one modifier: `left` marks which
+    * side is MANY; `copy` lists labels copied over from the one side. */
+  final case class Grp(left: Boolean, copy: Seq[String])
+  /** Vector operator `lhs op rhs` (arithmetic `+ - * /`, comparison
+    * `== != > < >= <=`, set `and or unless`) with PromQL vector matching:
+    * join on `on` labels / all-common-labels minus `ignoring` labels.
+    * `matching = Some((isOn, labels))`; None = match on all common label
+    * columns. `bool` turns a comparison from a filter into a 0/1 value. */
   final case class BinOp(op: String, lhs: Ast, rhs: Ast,
-                         matching: Option[(Boolean, Seq[String])]) extends Ast
+                         matching: Option[(Boolean, Seq[String])],
+                         group: Option[Grp] = None,
+                         bool: Boolean = false) extends Ast
   /** A bare number: scalar operand of a BinOp (`rate(m[5m]) * 100`). */
   final case class ScalarLit(v: Double) extends Ast
   /** `histogram_quantile(q, expr)`: child must evaluate to a vector with an
@@ -120,8 +143,11 @@ object PromQlParser {
         out += Str(q.substring(i + 1, end)); i = end + 1
       } else if (c == '!' || c == '=') {
         val two = q.substring(i, math.min(i + 2, q.length))
-        if (two == "!=" || two == "=~" || two == "!~") { out += Sym(two); i += 2 }
+        if (two == "!=" || two == "=~" || two == "!~" || two == "==") { out += Sym(two); i += 2 }
         else { out += Sym("="); i += 1 }
+      } else if (c == '<' || c == '>') {
+        if (i + 1 < q.length && q(i + 1) == '=') { out += Sym(s"$c="); i += 2 }
+        else { out += Sym(c.toString); i += 1 }
       } else { out += Sym(c.toString); i += 1 }
     }
     out.result()
@@ -146,15 +172,63 @@ object PromQlParser {
       "sum_over_time", "avg_over_time", "max_over_time", "min_over_time",
       "count_over_time")
 
-    /** Binary operators, standard precedence: `* /` bind tighter than
-      * `+ -`, both left-associative, each optionally carrying a
-      * `on(...)`/`ignoring(...)` vector-matching modifier. */
-    def parseExpr(): Ast = {
+    /** Binary operators, PromQL precedence (tightest → loosest): `* /`,
+      * `+ -`, comparisons, `and unless`, `or` — all left-associative, each
+      * optionally carrying an `on(...)`/`ignoring(...)` vector-matching
+      * modifier (comparison/arithmetic also `group_left`/`group_right`,
+      * comparison also `bool`). */
+    def parseExpr(): Ast = parseOr()
+
+    private def parseOr(): Ast = {
+      var left = parseAndUnless()
+      var go = true
+      while (go) peek match {
+        case Some(Ident("or")) =>
+          next(); val (m, g) = parseMatchingOpt()
+          left = BinOp("or", left, parseAndUnless(), m, g)
+        case _ => go = false
+      }
+      left
+    }
+
+    private def parseAndUnless(): Ast = {
+      var left = parseCmp()
+      var go = true
+      while (go) peek match {
+        case Some(Ident(op @ ("and" | "unless"))) =>
+          next(); val (m, g) = parseMatchingOpt()
+          left = BinOp(op, left, parseCmp(), m, g)
+        case _ => go = false
+      }
+      left
+    }
+
+    private val cmpSyms = Set("==", "!=", ">", "<", ">=", "<=")
+
+    private def parseCmp(): Ast = {
+      var left = parseAddSub()
+      var go = true
+      while (go) peek match {
+        case Some(Sym(op)) if cmpSyms(op) =>
+          next()
+          val bool = peek match {
+            case Some(Ident("bool")) => next(); true
+            case _ => false
+          }
+          val (m, g) = parseMatchingOpt()
+          left = BinOp(op, left, parseAddSub(), m, g, bool)
+        case _ => go = false
+      }
+      left
+    }
+
+    private def parseAddSub(): Ast = {
       var left = parseMulDiv()
       var go = true
       while (go) peek match {
         case Some(Sym(op @ ("+" | "-"))) =>
-          next(); val m = parseMatchingOpt(); left = BinOp(op, left, parseMulDiv(), m)
+          next(); val (m, g) = parseMatchingOpt()
+          left = BinOp(op, left, parseMulDiv(), m, g)
         case _ => go = false
       }
       left
@@ -165,18 +239,33 @@ object PromQlParser {
       var go = true
       while (go) peek match {
         case Some(Sym(op @ ("*" | "/"))) =>
-          next(); val m = parseMatchingOpt(); left = BinOp(op, left, parseUnary(), m)
+          next(); val (m, g) = parseMatchingOpt()
+          left = BinOp(op, left, parseUnary(), m, g)
         case _ => go = false
       }
       left
     }
 
-    /** `on (l, ...)` / `ignoring (l, ...)` after a binary operator. */
-    private def parseMatchingOpt(): Option[(Boolean, Seq[String])] = peek match {
+    /** `on (l, ...)` / `ignoring (l, ...)` after a binary operator,
+      * optionally followed by `group_left`/`group_right` with an optional
+      * copy-label list (a '(' right after the keyword is ALWAYS the label
+      * list, as in Prometheus — parenthesize the rhs to disambiguate). */
+    private def parseMatchingOpt(): (Option[(Boolean, Seq[String])], Option[Grp]) = peek match {
       case Some(Ident(kw @ ("on" | "ignoring"))) if toks.drop(1).headOption.contains(Sym("(")) =>
         next()
-        Some((kw == "on", parseLabelList()))
-      case _ => None
+        val m = Some((kw == "on", parseLabelList()))
+        val g = peek match {
+          case Some(Ident(gkw @ ("group_left" | "group_right"))) =>
+            next()
+            val copy = peek match {
+              case Some(Sym("(")) => parseLabelList()
+              case _ => Seq.empty[String]
+            }
+            Some(Grp(gkw == "group_left", copy))
+          case _ => None
+        }
+        (m, g)
+      case _ => (None, None)
     }
 
     private def parseLabelList(): Seq[String] = {
