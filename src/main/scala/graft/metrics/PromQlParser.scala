@@ -429,6 +429,9 @@ object PromQlParser {
       .minusSeconds(offsetSec)
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
 
+  /** Arithmetic value projection ONLY — comparisons and set operators are
+    * join/filter shapes, not value maps, and route through [[binOpVec]] /
+    * [[binOpScalar]]; anything else here is a compiler bug, so fail loud. */
   private def binApply(op: String, a: Column, b: Column): Column = op match {
     case "+" => a + b
     case "-" => a - b
@@ -443,6 +446,105 @@ object PromQlParser {
           .when(a < 0, lit(Double.NegativeInfinity))
           .otherwise(lit(Double.NaN)))
         .otherwise(a / b)
+    case other => throw new IllegalArgumentException(
+      s"binApply handles arithmetic only; got '$other'")
+  }
+
+  private val cmpOps = Set("==", "!=", ">", "<", ">=", "<=")
+  private val setOps = Set("and", "or", "unless")
+
+  private def cmpPred(op: String, a: Column, b: Column): Column = op match {
+    case "==" => a === b
+    case "!=" => a =!= b
+    case ">"  => a > b
+    case "<"  => a < b
+    case ">=" => a >= b
+    case "<=" => a <= b
+  }
+
+  /** Scalar–vector binary operator. Arithmetic projects map-side.
+    * Comparisons FILTER the vector keeping the VECTOR's sample value no
+    * matter which side the scalar is on (`5 > x` keeps x's value — the
+    * Prometheus filter rule); under `bool` every sample stays and the
+    * value becomes 1.0/0.0. Set operators have no scalar form. */
+  private def binOpScalar(op: String, vec: DataFrame, scalar: Double,
+                          scalarOnLeft: Boolean, boolMode: Boolean): DataFrame = {
+    val v = col("value")
+    val (a, b) = if (scalarOnLeft) (lit(scalar), v) else (v, lit(scalar))
+    if (cmpOps(op)) {
+      val pred = cmpPred(op, a, b)
+      if (boolMode) vec.withColumn("value", when(pred, 1.0).otherwise(0.0))
+      else vec.filter(pred)
+    } else if (setOps(op)) throw new IllegalArgumentException(
+      s"set operator '$op' is not defined between a scalar and a vector")
+    else vec.withColumn("value", binApply(op, a, b))
+  }
+
+  /** Vector–vector binary operator: one series-keyed equi-join (or
+    * semi/anti/union for set ops) on the matching labels — both sides
+    * shuffle on the same key, so at 10M series this stays one partitioned
+    * exchange regardless of operator. `gridKey` threads the `__step`
+    * column through every join for `query_range` evaluation.
+    *
+    * Cardinality: without `group_left`/`group_right` the result keeps the
+    * lhs label set (one-to-one matching, the author's contract as in
+    * Prometheus); with it, the MANY side's labels plus the listed
+    * copy-labels taken from the one side — the rollouts canary shape
+    * (per-hash_id series over a namespace-level aggregate,
+    * `reference/CHANGELOG.md:499,481`). Comparisons filter (keep the lhs
+    * sample iff the predicate holds — the static-threshold output stage,
+    * `reference/CHANGELOG.md:369,421`) unless `bool`, which keeps every
+    * matched pair and projects 1.0/0.0. */
+  private def binOpVec(op: String, lv: DataFrame, rv: DataFrame,
+                       matching: Option[(Boolean, Seq[String])],
+                       group: Option[Grp], boolMode: Boolean,
+                       gridKey: Seq[String]): DataFrame = {
+    val lLabels = lv.columns.filterNot(nonLabelCols).toSeq
+    val rLabels = rv.columns.filterNot(nonLabelCols).toSeq
+    val keys0 = matchKeys(lLabels, rLabels, matching)
+    require(keys0.nonEmpty,
+      s"no matching labels between operands of '$op' (lhs=$lLabels rhs=$rLabels)")
+    val keys = keys0 ++ gridKey
+
+    // value-bearing comparison/arithmetic after the join: `lval op rval`
+    // is always lhs-op-rhs regardless of which side the join kept.
+    def finish(j: DataFrame, lval: Column, rval: Column, tmp: String): DataFrame =
+      if (cmpOps(op)) {
+        if (boolMode)
+          j.withColumn("value", when(cmpPred(op, lval, rval), 1.0).otherwise(0.0)).drop(tmp)
+        else j.filter(cmpPred(op, lval, rval)).withColumn("value", lval).drop(tmp)
+      } else j.withColumn("value", binApply(op, lval, rval)).drop(tmp)
+
+    op match {
+      // Set operators: the rhs is projected to its key columns before the
+      // exchange, so only keys ship; semi/anti dedup the rhs for free.
+      case "and" => lv.join(rv.select(keys.map(col): _*), keys, "left_semi")
+      case "unless" => lv.join(rv.select(keys.map(col): _*), keys, "left_anti")
+      case "or" =>
+        // lhs samples, plus rhs samples whose match key has no lhs sample.
+        // A DataFrame needs one schema, so labels the other side lacks
+        // fill with NULL (Prometheus leaves the label unset).
+        val rOnly = rv.join(lv.select(keys.map(col): _*), keys, "left_anti")
+        lv.unionByName(rOnly, allowMissingColumns = true)
+      case _ => group match {
+        case None =>
+          val r2 = rv.select(keys.map(col) :+ col("value").as("__rv"): _*)
+          finish(lv.select((lLabels ++ gridKey).map(col) :+ col("value"): _*)
+            .join(r2, keys, "inner"), col("value"), col("__rv"), "__rv")
+        case Some(Grp(true, copy)) => // group_left: lhs is the MANY side
+          require(copy.forall(c => !lLabels.contains(c) && rLabels.contains(c)),
+            s"group_left copy labels $copy must exist on the rhs and not collide with lhs labels $lLabels")
+          val r2 = rv.select((keys ++ copy).distinct.map(col) :+ col("value").as("__rv"): _*)
+          finish(lv.select((lLabels ++ gridKey).map(col) :+ col("value"): _*)
+            .join(r2, keys, "inner"), col("value"), col("__rv"), "__rv")
+        case Some(Grp(false, copy)) => // group_right: rhs is the MANY side
+          require(copy.forall(c => !rLabels.contains(c) && lLabels.contains(c)),
+            s"group_right copy labels $copy must exist on the lhs and not collide with rhs labels $rLabels")
+          val l2 = lv.select((keys ++ copy).distinct.map(col) :+ col("value").as("__lv"): _*)
+          finish(rv.select((rLabels ++ gridKey).map(col) :+ col("value"): _*)
+            .join(l2, keys, "inner"), col("__lv"), col("value"), "__lv")
+      }
+    }
   }
 
   /** PromQL vector matching for a binary operator: the join key set.
@@ -552,36 +654,20 @@ object PromQlParser {
       val tieCols = vec.columns.filterNot(c => c == "value" || by.contains(c)).toSeq
       PromQl.topk(vec, k, by, "value", tieCols)
 
-    case BinOp(op, lhs, rhs, matching) => (lhs, rhs) match {
+    case BinOp(op, lhs, rhs, matching, group, boolMode) => (lhs, rhs) match {
       case (ScalarLit(_), ScalarLit(_)) =>
         throw new IllegalArgumentException(
           "scalar-only expressions are not instant vectors; fold constants in the query")
-      case (ScalarLit(a), r) => // scalar op vector: map-side projection
-        compile(src, r, evalTs, lookback)
-          .withColumn("value", binApply(op, lit(a), col("value")))
+      case (ScalarLit(a), r) =>
+        binOpScalar(op, compile(src, r, evalTs, lookback), a,
+          scalarOnLeft = true, boolMode)
       case (l, ScalarLit(b)) =>
-        compile(src, l, evalTs, lookback)
-          .withColumn("value", binApply(op, col("value"), lit(b)))
+        binOpScalar(op, compile(src, l, evalTs, lookback), b,
+          scalarOnLeft = false, boolMode)
       case (l, r) =>
-        // Vector-vector arithmetic compiles to a series-keyed EQUI-JOIN on
-        // the matching labels: inner join = Prometheus's label-mismatch
-        // drop; the result keeps the lhs label set (one-to-one matching —
-        // cardinality discipline is the query author's, as in Prometheus
-        // without group_left/right). Both sides shuffle on the same key,
-        // and at 10M series this is one partitioned join, never a scan
-        // blow-up.
-        val lv = compile(src, l, evalTs, lookback)
-        val rv = compile(src, r, evalTs, lookback)
-        val lLabels = lv.columns.filterNot(nonLabelCols).toSeq
-        val rLabels = rv.columns.filterNot(nonLabelCols).toSeq
-        val keys = matchKeys(lLabels, rLabels, matching)
-        require(keys.nonEmpty,
-          s"no matching labels between operands of '$op' (lhs=$lLabels rhs=$rLabels)")
-        val r2 = rv.select(keys.map(col) :+ col("value").as("__rv"): _*)
-        lv.select(lLabels.map(col) :+ col("value"): _*)
-          .join(r2, keys, "inner")
-          .withColumn("value", binApply(op, col("value"), col("__rv")))
-          .drop("__rv")
+        binOpVec(op, compile(src, l, evalTs, lookback),
+          compile(src, r, evalTs, lookback), matching, group, boolMode,
+          gridKey = Nil)
     }
 
     case HistQuantile(q, child) =>
@@ -740,28 +826,17 @@ object PromQlParser {
         val tieCols = vec.columns.filterNot(c => nonLabelCols(c) || by.contains(c)).toSeq
         PromQl.topk(vec, k, by :+ "__step", "value", tieCols)
 
-      case BinOp(op, lhs, rhs, matching) => (lhs, rhs) match {
+      case BinOp(op, lhs, rhs, matching, group, boolMode) => (lhs, rhs) match {
         case (ScalarLit(_), ScalarLit(_)) =>
           throw new IllegalArgumentException(
             "scalar-only expressions are not instant vectors; fold constants in the query")
         case (ScalarLit(a), r) =>
-          compile(r).withColumn("value", binApply(op, lit(a), col("value")))
+          binOpScalar(op, compile(r), a, scalarOnLeft = true, boolMode)
         case (l, ScalarLit(b)) =>
-          compile(l).withColumn("value", binApply(op, col("value"), lit(b)))
+          binOpScalar(op, compile(l), b, scalarOnLeft = false, boolMode)
         case (l, r) =>
-          val lv = compile(l)
-          val rv = compile(r)
-          val lLabels = lv.columns.filterNot(nonLabelCols).toSeq
-          val rLabels = rv.columns.filterNot(nonLabelCols).toSeq
-          val keys0 = matchKeys(lLabels, rLabels, matching)
-          require(keys0.nonEmpty,
-            s"no matching labels between operands of '$op' (lhs=$lLabels rhs=$rLabels)")
-          val keys = keys0 :+ "__step"
-          val r2 = rv.select(keys.map(col) :+ col("value").as("__rv"): _*)
-          lv.select((lLabels :+ "__step").map(col) :+ col("value"): _*)
-            .join(r2, keys, "inner")
-            .withColumn("value", binApply(op, col("value"), col("__rv")))
-            .drop("__rv")
+          binOpVec(op, compile(l), compile(r), matching, group, boolMode,
+            gridKey = Seq("__step"))
       }
 
       case HistQuantile(q, child) =>
