@@ -224,6 +224,64 @@ object PromQlQueries {
         .orderBy(col("event_type"), col("step_ts"))
     }),
 
+    // Comparison operators through the parser: the reference's
+    // static-threshold output stage is `expr > N` — filter mode keeps the
+    // sample's own value; the same expression under `bool` projects
+    // 1.0/0.0 for every sample. One query exercises both faces: filter
+    // rows carry op='gt', bool rows op='gt_bool' (only the 1.0 hits, so
+    // the two row sets coincide and the values differ).
+    "q109_promql_cmp" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      val filt = PromQlParser.eval(src, """{event_type=~".+"} > 120""",
+          "2024-01-15 12:00:00", lookback = "24 HOURS")
+        .withColumn("op", lit("gt"))
+      val boolv = PromQlParser.eval(src, """{event_type=~".+"} > bool 120""",
+          "2024-01-15 12:00:00", lookback = "24 HOURS")
+        .filter(col("value") === 1.0)
+        .withColumn("op", lit("gt_bool"))
+      filt.unionByName(boolv)
+        .select(col("op"), col("user_id"), col("event_type"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("op"), col("user_id"), col("event_type"))
+    }),
+
+    // Set operators through the parser: click series for users who also
+    // have a purchase series (`and` = left-semi on the match key) and for
+    // users who do not (`unless` = left-anti) — together they partition
+    // the click instant vector.
+    "q110_promql_setops" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      def run(q: String, tag: String) =
+        PromQlParser.eval(src, q, "2024-01-15 12:00:00", lookback = "24 HOURS")
+          .withColumn("op", lit(tag))
+      run("""{event_type="click"} and ignoring (event_type) {event_type="purchase"}""", "and")
+        .unionByName(
+          run("""{event_type="click"} unless ignoring (event_type) {event_type="purchase"}""", "unless"))
+        .select(col("op"), col("user_id"), round(col("value"), 6).as("value"))
+        .orderBy(col("op"), col("user_id"))
+    }),
+
+    // group_left many-to-one matching: each series' share of its user's
+    // total — per-series vectors over a user-level aggregate, the rollouts
+    // canary join shape (per-hash_id series over a namespace aggregate).
+    // The many (lhs) side keeps its labels; division routes through the
+    // IEEE zero-divisor branches (totals here are sums of nonnegative
+    // rounded samples, and a zero total forces every contributing sample
+    // to round to 0, so the oracle's 0/0 → NaN branch is reachable only
+    // when engine and oracle agree on it).
+    "q111_promql_group_left" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      PromQlParser.eval(src,
+          """{event_type=~".+"} / on (user_id) group_left sum by (user_id) ({event_type=~".+"})""",
+          "2024-01-15 12:00:00", lookback = "24 HOURS")
+        .select(col("user_id"), col("event_type"),
+          round(col("value"), 6).as("share"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // histogram_quantile(q) for q in {0.5, 0.9, 0.99} from fixed le-buckets
     // (10, 25, 50, 100, 250, +Inf) per metric: cumulative counts, linear
     // interpolation inside the target bucket, +Inf clamps to the highest
@@ -562,6 +620,70 @@ object PromQlQueries {
         |  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE), 4)
         |    AS value
         |FROM iv WHERE rn = 1 GROUP BY 1, 2 ORDER BY event_type, step_ts""".stripMargin,
+
+    "q109_promql_cmp" ->
+      """WITH lastv AS (
+        |  SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |    AND ts > TIMESTAMP '2024-01-15 12:00:00' - INTERVAL 24 HOURS
+        |), iv AS (
+        |  SELECT user_id, event_type, value FROM lastv WHERE rn = 1
+        |)
+        |SELECT 'gt' AS op, user_id, event_type, round(value, 6) AS value
+        |FROM iv WHERE value > 120
+        |UNION ALL
+        |SELECT 'gt_bool', user_id, event_type, 1.0
+        |FROM iv WHERE value > 120
+        |ORDER BY op, user_id, event_type""".stripMargin,
+
+    "q110_promql_setops" ->
+      """WITH lastv AS (
+        |  SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |    AND ts > TIMESTAMP '2024-01-15 12:00:00' - INTERVAL 24 HOURS
+        |), iv AS (
+        |  SELECT user_id, event_type, value FROM lastv WHERE rn = 1
+        |), click AS (SELECT user_id, value FROM iv WHERE event_type = 'click'),
+        |purch AS (SELECT user_id FROM iv WHERE event_type = 'purchase')
+        |SELECT 'and' AS op, user_id, round(value, 6) AS value FROM click
+        |WHERE user_id IN (SELECT user_id FROM purch)
+        |UNION ALL
+        |SELECT 'unless', user_id, round(value, 6) FROM click
+        |WHERE user_id NOT IN (SELECT user_id FROM purch)
+        |ORDER BY op, user_id""".stripMargin,
+
+    // Mirrors the engine exactly: the one side's total is the
+    // decimal-routed sum; the share is ONE double division (plus the IEEE
+    // zero-divisor branches DuckDB doesn't share).
+    "q111_promql_group_left" ->
+      """WITH lastv AS (
+        |  SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |    AND ts > TIMESTAMP '2024-01-15 12:00:00' - INTERVAL 24 HOURS
+        |), iv AS (
+        |  SELECT user_id, event_type, value FROM lastv WHERE rn = 1
+        |), tot AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS tv
+        |  FROM iv GROUP BY 1
+        |)
+        |SELECT iv.user_id, iv.event_type,
+        |  CASE WHEN t.tv = 0 THEN
+        |    CASE WHEN iv.value > 0 THEN CAST('infinity' AS DOUBLE)
+        |         WHEN iv.value < 0 THEN CAST('-infinity' AS DOUBLE)
+        |         ELSE CAST('nan' AS DOUBLE) END
+        |  ELSE round(iv.value / t.tv, 6) END AS share
+        |FROM iv JOIN tot t USING (user_id)
+        |ORDER BY iv.user_id, iv.event_type""".stripMargin,
 
     "q91_histogram_quantile" ->
       """WITH b AS (

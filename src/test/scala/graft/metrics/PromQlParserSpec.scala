@@ -246,6 +246,101 @@ class PromQlParserSpec extends AnyFunSuite {
     assert(out == Map("2024-01-01 10:00:00.0" -> 42.0, "2024-01-01 10:10:00.0" -> 42.0))
   }
 
+  test("parse: comparisons, bool, set operators, group_left/right precedence") {
+    val (a, b, c) = (Selector(Some("a"), Nil), Selector(Some("b"), Nil),
+      Selector(Some("c"), Nil))
+    // comparison binds tighter than 'and'; 'and' tighter than 'or'
+    assert(parse("a > b and c") ==
+      BinOp("and", BinOp(">", a, b, None), c, None))
+    assert(parse("a and b or c") ==
+      BinOp("or", BinOp("and", a, b, None), c, None))
+    assert(parse("a unless b") == BinOp("unless", a, b, None))
+    // bool modifier on a comparison
+    assert(parse("a == bool 5") ==
+      BinOp("==", a, ScalarLit(5.0), None, None, bool = true))
+    assert(parse("a >= b") == BinOp(">=", a, b, None))
+    // group_left with and without a copy-label list
+    assert(parse("a / on (x) group_left (t) b") ==
+      BinOp("/", a, b, Some((true, Seq("x"))), Some(Grp(true, Seq("t")))))
+    assert(parse("a * on (x) group_right b") ==
+      BinOp("*", a, b, Some((true, Seq("x"))), Some(Grp(false, Nil))))
+  }
+
+  test("comparison filters keep the vector's value; bool projects 1/0") {
+    val df = Seq((1L, ts(0), 1L, "cpu", 7.0), (2L, ts(0), 2L, "cpu", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    def run(q: String) = eval(src(df), q, "2024-01-01 10:02:00")
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("value")).toMap
+    // filter mode drops non-satisfying samples, value untouched
+    assert(run("cpu > 5") == Map(1L -> 7.0))
+    // scalar on the LEFT still keeps the VECTOR's value (5 > x ⇒ x stays)
+    assert(run("5 > cpu") == Map(2L -> 3.0))
+    // bool keeps every sample, projecting 1.0/0.0
+    assert(run("cpu > bool 5") == Map(1L -> 1.0, 2L -> 0.0))
+    assert(run("5 >= bool cpu") == Map(1L -> 0.0, 2L -> 1.0))
+    // vector-vector comparison: filter on the joined pair, lhs value kept
+    val two = Seq(
+      (1L, ts(0), 1L, "cpu", 8.0), (2L, ts(0), 1L, "mem", 2.0),
+      (3L, ts(0), 2L, "cpu", 1.0), (4L, ts(0), 2L, "mem", 6.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val vv = eval(src(two),
+        """{event_type="cpu"} > ignoring (event_type) {event_type="mem"}""",
+        "2024-01-01 10:02:00")
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("value")).toMap
+    assert(vv == Map(1L -> 8.0)) // user 2: 1 > 6 fails, dropped
+  }
+
+  test("set operators: and = semi, unless = anti, or = union-with-fill") {
+    val df = Seq(
+      (1L, ts(0), 1L, "cpu", 8.0), (2L, ts(0), 2L, "cpu", 6.0),
+      (3L, ts(0), 1L, "mem", 2.0)) // user 2 has no mem series
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    def run(q: String) = eval(src(df), q, "2024-01-01 10:02:00")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+        r.getAs[Double]("value")).toMap
+    assert(run("""{event_type="cpu"} and ignoring (event_type) {event_type="mem"}""") ==
+      Map((1L, "cpu") -> 8.0))
+    assert(run("""{event_type="cpu"} unless ignoring (event_type) {event_type="mem"}""") ==
+      Map((2L, "cpu") -> 6.0))
+    // or: every mem sample, plus cpu samples for users with no mem series
+    assert(run("""{event_type="mem"} or ignoring (event_type) {event_type="cpu"}""") ==
+      Map((1L, "mem") -> 2.0, (2L, "cpu") -> 6.0))
+  }
+
+  test("group_left/group_right: many-to-one matching with copy labels") {
+    // tier is a per-user label: the aggregated ONE side keeps it, the MANY
+    // side (per event_type) does not — group_left(tier) copies it over.
+    val df = Seq(
+      (1L, ts(0), 1L, "cpu", "a", 3.0), (2L, ts(0), 1L, "mem", "a", 5.0),
+      (3L, ts(0), 2L, "cpu", "b", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "tier", "value")
+    val s = PromSource(df, "event_type", Seq("user_id", "event_type", "tier"),
+      "ts", "event_id", "value")
+    def toMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[String]("tier")) -> r.getAs[Double]("value")).toMap
+    val expected = Map(
+      (1L, "cpu", "a") -> 15.0, (1L, "mem", "a") -> 25.0, (2L, "cpu", "b") -> 4.0)
+    val gl = eval(s,
+      """sum by (user_id, event_type) ({event_type=~".+"}) * on (user_id) group_left (tier) max by (user_id, tier) ({event_type=~".+"})""",
+      "2024-01-01 10:02:00")
+    assert(toMap(gl.collect()) == expected)
+    // group_right mirrors: the one side is on the LEFT, copy labels flow
+    // from it; lhs-op-rhs order is preserved (multiplication commutes so
+    // the values coincide by construction).
+    val gr = eval(s,
+      """max by (user_id, tier) ({event_type=~".+"}) * on (user_id) group_right (tier) sum by (user_id, event_type) ({event_type=~".+"})""",
+      "2024-01-01 10:02:00")
+    assert(toMap(gr.collect()) == expected)
+    // non-commutative check of operand order under group_right:
+    // one-side max minus many-side sum
+    val diff = eval(s,
+      """max by (user_id, tier) ({event_type=~".+"}) - on (user_id) group_right (tier) sum by (user_id, event_type) ({event_type=~".+"})""",
+      "2024-01-01 10:02:00")
+    assert(toMap(diff.collect()) == Map(
+      (1L, "cpu", "a") -> 2.0, (1L, "mem", "a") -> 0.0, (2L, "cpu", "b") -> 0.0))
+  }
+
   test("topk tie-break is total-ordered on the series key") {
     val df = Seq(
       (1L, ts(0), 5L, "cpu", 9.0), (2L, ts(0), 3L, "cpu", 9.0),
