@@ -68,22 +68,27 @@ object Pca {
     models.toDF(keyCol, "n", "mean", "pcs")
   }
 
+  /** `‖xc − Σ_j (pc_j·xc)·pc_j‖²` as one array expression over (vector,
+    * model mean, model pcs) columns — map-side at fact grain, shared by
+    * the batch scorer below and the streaming face
+    * ([[graft.stream.StreamOps.streamPcaScore]]). */
+  def reconErrExpr(vec: org.apache.spark.sql.Column, mean: org.apache.spark.sql.Column,
+                   pcs: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val xc = zip_with(vec, mean, (x, m) => x - m)
+    val projs = transform(pcs, p =>
+      aggregate(zip_with(p, xc, (a, b) => a * b), lit(0.0), (s, v) => s + v))
+    val recon = aggregate(
+      zip_with(projs, pcs, (c, p) => transform(p, v => c * v)),
+      array_repeat(lit(0.0), size(vec)),
+      (acc, a) => zip_with(acc, a, (x, y) => x + y))
+    aggregate(zip_with(xc, recon, (x, r) => (x - r) * (x - r)),
+      lit(0.0), (s, v) => s + v)
+  }
+
   /** Reconstruction error per window vector: broadcast-join the model on
-    * `keyCol`, then `recon_err = ‖xc − Σ_j (pc_j·xc)·pc_j‖²` entirely in
-    * array expressions — map-side at fact grain. */
+    * `keyCol`, then [[reconErrExpr]] — map-side at fact grain. */
   def reconstructionError(windows: DataFrame, models: DataFrame,
                           keyCol: String, vecCol: String): DataFrame =
     windows.join(broadcast(models.select(col(keyCol), col("mean"), col("pcs"))), keyCol)
-      .withColumn("__xc", zip_with(col(vecCol), col("mean"), (x, m) => x - m))
-      .withColumn("__projs", transform(col("pcs"), p =>
-        aggregate(zip_with(p, col("__xc"), (a, b) => a * b),
-          lit(0.0), (s, v) => s + v)))
-      .withColumn("__recon", aggregate(
-        zip_with(col("__projs"), col("pcs"), (c, p) => transform(p, v => c * v)),
-        array_repeat(lit(0.0), size(col(vecCol))),
-        (acc, a) => zip_with(acc, a, (x, y) => x + y)))
-      .withColumn("recon_err", aggregate(
-        zip_with(col("__xc"), col("__recon"), (x, r) => (x - r) * (x - r)),
-        lit(0.0), (s, v) => s + v))
-      .drop("__xc", "__projs", "__recon")
+      .withColumn("recon_err", reconErrExpr(col(vecCol), col("mean"), col("pcs")))
 }

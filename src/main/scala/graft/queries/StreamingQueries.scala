@@ -124,6 +124,37 @@ object StreamingQueries {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // P6 streaming face with TRAINED models: stateful window assembly →
+    // stream–static left join against the PCA registry (trained on the
+    // pre-cutoff batch, resolved as-of, with 'error' withheld to exercise
+    // the static-fallback path) → reconstruction error where fitted,
+    // static-threshold score where not. The oracle pins the
+    // SQL-expressible faces exactly — window counts per (key, path) and
+    // the decimal-summed static-path scores; fitted-path recon values are
+    // FP-iteration outputs (same declared policy as q98) and their
+    // streaming-vs-batch equality is pinned in StreamSpec instead.
+    "s112_stream_pca_score" -> ((s, d) => {
+      val cutoff = lit("2024-01-15").cast("timestamp")
+      val wins = graft.anomaly.AnomalyOps.assembleWindows(Tables.events(s, d),
+        Seq("user_id", "event_type"), "ts", "event_id", "value", 12)
+      val registry = graft.anomaly.Pca.fit(wins.filter(col("ts") < cutoff),
+          "event_type", "win_arr", dim = 12, k = 3)
+        .filter(col("event_type") =!= "error")
+        .withColumn("trained_at", lit("2024-01-14").cast("timestamp"))
+      val resolved = graft.registry.ModelRegistry
+        .latestAsOf(registry, Seq("event_type"), cutoff)
+      val t = StreamOps.replayEvents(s, d, "s112_sink", 1)(
+        ds => StreamOps.streamPcaScore(ds, resolved, staticLimit = 250.0),
+        OutputMode.Append)
+      t.groupBy(col("event_type"), col("model_source"))
+        .agg(count(lit(1)).as("n_windows"),
+          round(sum(when(col("model_source") === "static",
+              round(col("score"), 6).cast("decimal(18,6)"))
+            .otherwise(lit(0).cast("decimal(18,6)")))
+            .cast("double"), 4).as("sum_static_score"))
+        .orderBy(col("event_type"), col("model_source"))
+    }),
+
     // E46/P13+P6: stream–static model join scoring each arriving event.
     "s61_stream_static_score" -> ((s, d) => {
       val model = Threshold.fit(Tables.events(s, d), Seq("event_type"), "value", 3.0)
@@ -213,6 +244,29 @@ object StreamingQueries {
         |SELECT series, date_trunc('hour', ts) AS hour, count(*) AS n,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,1))) AS DOUBLE), 1) AS sum_value
         |FROM samples GROUP BY 1, 2 ORDER BY series, hour""".stripMargin,
+
+    // Streaming PCA scoring: counts per (key, model path) and static-path
+    // scores are SQL-expressible; every non-'error' key trains a model on
+    // the pre-cutoff window (all keys span the full range), so the path
+    // assignment is static in the oracle.
+    "s112_stream_pca_score" ->
+      """WITH wins AS (
+        |  SELECT event_type,
+        |    list(value) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS win_arr
+        |  FROM events
+        |), full_wins AS (
+        |  SELECT event_type, list_sum(win_arr) / 12.0 AS win_mean
+        |  FROM wins WHERE len(win_arr) = 12
+        |)
+        |SELECT event_type,
+        |  CASE WHEN event_type <> 'error' THEN 'fitted' ELSE 'static' END AS model_source,
+        |  count(*) AS n_windows,
+        |  round(CAST(sum(CASE WHEN event_type = 'error'
+        |    THEN CAST(round(least(greatest(win_mean / (250.0 + 0.000000001), 0.0), 10.0), 6)
+        |         AS DECIMAL(18,6))
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE), 4) AS sum_static_score
+        |FROM full_wins GROUP BY 1, 2 ORDER BY event_type, model_source""".stripMargin,
 
     // Stream–static score: every event joins the batch-fitted model.
     "s61_stream_static_score" ->

@@ -18,6 +18,11 @@ case class WinOut(user_id: Long, event_type: String, end_ts: java.sql.Timestamp,
 /** Per-key assembler state: the trailing w−1 samples. */
 case class AsmState(buf: Seq[(Long, Double)])
 
+/** Emitted window record carrying the FULL vector (trained-model scoring
+  * needs the shape, not just the mean). */
+case class WinVec(user_id: Long, event_type: String, end_ts: java.sql.Timestamp,
+                  win_arr: Seq[Double])
+
 /** Emitted per-sample increase record (PromQL `increase()`, streaming form). */
 case class IncOut(user_id: Long, event_type: String, ts: java.sql.Timestamp,
                   inc: Double, reset: Int)
@@ -152,6 +157,52 @@ object StreamOps {
           out.result().iterator
       }
   }
+
+  /** [[assembler]] emitting the full window VECTOR instead of its mean —
+    * the input shape for trained per-key models (P6). Same state bound
+    * (trailing w−1 samples per key) and late/duplicate policy. */
+  def assemblerVec(ds: Dataset[Ev], w: Int): Dataset[WinVec] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[AsmState, WinVec](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((uid, etype), events, state: GroupState[AsmState]) =>
+          val prior = if (state.exists) state.get.buf else Seq.empty
+          val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          var buf = prior.toVector
+          val out = Vector.newBuilder[WinVec]
+          sorted.foreach { e =>
+            buf = (buf :+ (e.event_id, e.value)).takeRight(w)
+            if (buf.length == w)
+              out += WinVec(uid, etype, e.ts, buf.map(_._2))
+          }
+          state.update(AsmState(buf.takeRight(w - 1)))
+          out.result().iterator
+      }
+  }
+
+  /** P6 streaming face with TRAINED models (the reference's live scoring
+    * path with error fallback, `reference/CHANGELOG.md:139,124`): assemble
+    * exact-`w` window vectors statefully, stream–static LEFT join against
+    * the broadcast PCA registry on the model key, score by reconstruction
+    * error where a model resolved and by the static threshold on the
+    * window mean where none did (`model_source` records which path). The
+    * model frame is registry-sized (broadcast); the stateful assembly is
+    * the only shuffle at fact grain — the same plan shape at 10M series. */
+  def streamPcaScore(ds: Dataset[Ev], models: DataFrame, staticLimit: Double,
+                     w: Int = 12): DataFrame =
+    assemblerVec(ds, w).toDF()
+      .join(broadcast(models.select(col("event_type"), col("mean"), col("pcs"))),
+        Seq("event_type"), "left")
+      .withColumn("win_mean",
+        aggregate(col("win_arr"), lit(0.0), (s, v) => s + v) / w)
+      .withColumn("model_source",
+        when(col("pcs").isNotNull, lit("fitted")).otherwise(lit("static")))
+      .withColumn("score",
+        when(col("pcs").isNotNull,
+          graft.anomaly.Pca.reconErrExpr(col("win_arr"), col("mean"), col("pcs")))
+          .otherwise(graft.anomaly.Threshold.score(col("win_mean"), lit(staticLimit))))
+      .drop("mean", "pcs")
 
   /** PromQL `increase()`/`resets()` as a stateful stream (the live twin of
     * `metrics.PromQl.counterIncrease`): per-series state is one double plus

@@ -26,6 +26,36 @@ class StreamSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming PCA scoring ≡ batch reconstruction error; fallback on missing model") {
+    val events = graft.Tables.events(spark, SF)
+    val wins = AnomalyOps.assembleWindows(events,
+      Seq("user_id", "event_type"), "ts", "event_id", "value", 12)
+    // train on everything EXCEPT 'error' — its windows must take the
+    // static path in the stream
+    val models = graft.anomaly.Pca.fit(
+      wins.filter($"event_type" =!= "error"), "event_type", "win_arr", dim = 12, k = 3)
+    val streamed = StreamOps.replayEvents(spark, SF, "t_pca", 3)(
+      ds => StreamOps.streamPcaScore(ds, models, staticLimit = 250.0), OutputMode.Append)
+    // fitted path: per-window scores equal the batch scorer's recon_err on
+    // the identical windows (same models, same expression) — keyed by
+    // (series, end_ts) so the comparison is row-level, not aggregate
+    val sf = streamed.filter($"model_source" === "fitted")
+      .select($"user_id", $"event_type", $"end_ts", round($"score", 9).as("v"))
+    val bf = graft.anomaly.Pca.reconstructionError(
+        wins.filter($"event_type" =!= "error"), models, "event_type", "win_arr")
+      .select($"user_id", $"event_type", $"ts".as("end_ts"), round($"recon_err", 9).as("v"))
+    assert(sf.exceptAll(bf).isEmpty && bf.exceptAll(sf).isEmpty)
+    // static path: exactly the 'error' windows, scored by the threshold rule
+    val st = streamed.filter($"model_source" === "static")
+    assert(st.filter($"event_type" =!= "error").count() == 0)
+    val expected = wins.filter($"event_type" === "error")
+      .withColumn("wm", aggregate($"win_arr", lit(0.0), _ + _) / lit(12.0))
+      .select($"user_id", $"event_type", $"ts".as("end_ts"),
+        round(graft.anomaly.Threshold.score($"wm", lit(250.0)), 9).as("v"))
+    val got = st.select($"user_id", $"event_type", $"end_ts", round($"score", 9).as("v"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
   test("streaming increase(): stateful stream ≡ batch lag form incl. resets") {
     val streamed = StreamOps.replayEvents(spark, SF, "t_inc", 3)(
       ds => StreamOps.streamingIncrease(ds).toDF(), OutputMode.Append)
