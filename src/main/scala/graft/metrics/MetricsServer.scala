@@ -20,8 +20,12 @@ import org.apache.spark.sql.Row
   *
   * The query endpoints exist only when a [[PromQlParser.PromSource]] is
   * bound; an instant/range result is vector-sized (series × steps, not
-  * samples), so the driver-side collect here is the same driver-sized
-  * shape every Prometheus API server has.
+  * samples) — but a high-cardinality selector can still make that vector
+  * arbitrarily large, so the collect is HARD-CAPPED at `maxResultRows`:
+  * the plan fetches `limit(max + 1)` and an over-limit result returns a
+  * 422 `too_many_results` error instead of materializing every series in
+  * driver memory (the only unbounded driver collect the round-7 audit
+  * found in the tree).
   *
   * JDK built-in `HttpServer`, zero dependencies, one daemon executor;
   * `port = 0` binds an ephemeral port (read it back via [[boundPort]]).
@@ -29,7 +33,8 @@ import org.apache.spark.sql.Row
   * namespace exactly like the reference's sidecar-scraped endpoint.
   */
 final class MetricsServer(observed: Observed, port: Int = 0,
-                          promSource: Option[PromQlParser.PromSource] = None)
+                          promSource: Option[PromQlParser.PromSource] = None,
+                          maxResultRows: Int = 10000)
     extends AutoCloseable {
 
   private val server =
@@ -50,7 +55,8 @@ final class MetricsServer(observed: Observed, port: Int = 0,
         throw new IllegalArgumentException("missing 'query' parameter"))
       val t = MetricsServer.parseTime(params.getOrElse("time",
         throw new IllegalArgumentException("missing 'time' parameter")))
-      val rows = PromQlParser.eval(src, query, t).collect()
+      val rows = MetricsServer.collectCapped(
+        PromQlParser.eval(src, query, t), maxResultRows)
       MetricsServer.vectorJson(rows, MetricsServer.epochSec(t))
     })
     server.createContext("/api/v1/query_range", MetricsServer.jsonHandler { params =>
@@ -59,8 +65,8 @@ final class MetricsServer(observed: Observed, port: Int = 0,
       val start = MetricsServer.parseTime(need("start"))
       val end = MetricsServer.parseTime(need("end"))
       val step = need("step").toLong
-      val rows = PromQlParser.evalRange(src, need("query"), start, end, step)
-        .collect()
+      val rows = MetricsServer.collectCapped(
+        PromQlParser.evalRange(src, need("query"), start, end, step), maxResultRows)
       MetricsServer.matrixJson(rows)
     })
   }
@@ -73,6 +79,22 @@ final class MetricsServer(observed: Observed, port: Int = 0,
 }
 
 object MetricsServer {
+
+  /** An over-limit query result (→ HTTP 422, Prometheus's execution-error
+    * class): the server refuses to materialize it rather than buffering an
+    * unbounded series set on the driver. */
+  final class ResultTooLarge(val max: Int) extends RuntimeException(
+    s"query result exceeds $max rows; narrow the selector or raise maxResultRows")
+
+  /** `limit(max+1)` then collect: the executor-side plan ships at most
+    * max+1 rows regardless of result cardinality; the +1 row distinguishes
+    * "exactly max" from "over the cap". */
+  private[metrics] def collectCapped(df: org.apache.spark.sql.DataFrame,
+                                     max: Int): Array[Row] = {
+    val rows = df.limit(max + 1).collect()
+    if (rows.length > max) throw new ResultTooLarge(max)
+    rows
+  }
 
   private def sanitize(s: String): String =
     s.map(c => if (c.isLetterOrDigit || c == '_') c else '_')
@@ -191,6 +213,9 @@ object MetricsServer {
               }.toMap
             (200, f(params))
           } catch {
+            case e: ResultTooLarge =>
+              val msg = jsonEscape(String.valueOf(e.getMessage))
+              (422, s"""{"status":"error","errorType":"too_many_results","error":"$msg"}""")
             case e: Throwable =>
               val msg = jsonEscape(String.valueOf(e.getMessage))
               (400, s"""{"status":"error","errorType":"bad_data","error":"$msg"}""")

@@ -97,6 +97,37 @@ class MetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("P14: query endpoint serves vector JSON; over-limit result returns 422") {
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "cpu", 7.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 2L, "cpu", 3.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 3L, "cpu", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val src = PromQlParser.PromSource(df, "event_type",
+      Seq("user_id", "event_type"), "ts", "event_id", "value")
+    def get(port: Int, q: String): (Int, String) = {
+      val url = new java.net.URI(s"http://127.0.0.1:$port/api/v1/query?query=" +
+        java.net.URLEncoder.encode(q, "UTF-8") +
+        "&time=2024-01-01T10:02:00Z").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val code = conn.getResponseCode
+      val in = if (code == 200) conn.getInputStream else conn.getErrorStream
+      (code, scala.io.Source.fromInputStream(in).mkString)
+    }
+    Observed.use(spark) { obs =>
+      // a 3-series vector under a cap of 2 must refuse, not collect
+      val capped = new MetricsServer(obs, promSource = Some(src), maxResultRows = 2)
+      try {
+        val (code, body) = get(capped.boundPort, "cpu")
+        assert(code == 422 && body.contains("too_many_results"))
+        // a narrowed selector under the cap still serves
+        val (ok, vec) = get(capped.boundPort, """cpu{user_id="1"}""")
+        assert(ok == 200 && vec.contains(""""resultType":"vector""""))
+        assert(vec.contains(""""value":[1704103320,"7.0"]"""))
+      } finally capped.close()
+    }
+  }
+
   test("A8: HTTP exposition serves the Observed snapshot in Prometheus text format") {
     Observed.use(spark) { obs =>
       obs.observe(graft.Tables.events(spark, graft.TestSpark.SF),
