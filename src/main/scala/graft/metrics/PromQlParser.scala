@@ -21,11 +21,15 @@ import org.apache.spark.sql.{Column, DataFrame}
   *   mul      := unary (('*'|'/') matching? unary)*
   *   matching := ('on'|'ignoring') '(' label (',' label)* ')'
   *               (('group_left'|'group_right') ('(' label (',' label)* ')')?)?
-  *   unary    := '(' expr ')' | NUMBER | agg | range | hist | selector offset?
-  *   agg      := ('sum'|'avg'|'min'|'max'|'count') grouping? '(' expr ')' grouping?
+  *   unary    := '(' expr ')' | NUMBER | agg | range | hist | absent
+  *             | selector offset?
+  *   agg      := ('sum'|'avg'|'min'|'max'|'count'|'stddev'|'stdvar')
+  *               grouping? '(' expr ')' grouping?
   *             | 'topk' '(' INT ',' expr ')' grouping?
+  *             | 'quantile' grouping? '(' NUMBER ',' expr ')' grouping?
   *   grouping := ('by'|'without') '(' label (',' label)* ')'
   *   hist     := 'histogram_quantile' '(' NUMBER ',' expr ')'
+  *   absent   := 'absent' '(' selector offset? ')'
   *   range    := ('rate'|'increase'|'delta'|'irate'|'sum_over_time'|
   *                'avg_over_time'|'max_over_time'|'min_over_time'|
   *                'count_over_time')
@@ -83,6 +87,13 @@ object PromQlParser {
   final case class AggBy(fn: String, by: Seq[String], child: Ast,
                          without: Boolean = false) extends Ast
   final case class TopK(k: Int, by: Seq[String], child: Ast) extends Ast
+  /** `quantile(φ, v)` vector aggregation: φ-quantile (linear interpolation
+    * between sorted sample values, the Prometheus rule) per group. */
+  final case class AggQuantile(phi: Double, by: Seq[String], child: Ast,
+                               without: Boolean = false) extends Ast
+  /** `absent(selector)`: one sample (value 1, labels from the selector's
+    * equality matchers) iff the selector matches nothing; empty otherwise. */
+  final case class Absent(sel: Selector) extends Ast
   /** `group_left`/`group_right` many-to-one modifier: `left` marks which
     * side is MANY; `copy` lists labels copied over from the one side. */
   final case class Grp(left: Boolean, copy: Seq[String])
@@ -167,7 +178,8 @@ object PromQlParser {
       case other => fail(s"expected '$sym', got $other")
     }
 
-    private val aggFns = Set("sum", "avg", "min", "max", "count")
+    private val aggFns = Set("sum", "avg", "min", "max", "count",
+      "stddev", "stdvar")
     private val rangeFns = Set("rate", "increase", "delta", "irate",
       "sum_over_time", "avg_over_time", "max_over_time", "min_over_time",
       "count_over_time")
@@ -312,6 +324,26 @@ object PromQlParser {
         expect(")")
         val by = parseByOpt()
         TopK(k, by.map(_._2).getOrElse(Seq.empty), child)
+      case Some(Ident("quantile")) if !selectorAhead =>
+        next()
+        val byBefore = parseByOpt()
+        expect("(")
+        val phi = next() match {
+          case Flt(d) => d
+          case Num(n) => n.toDouble
+          case other => fail(s"quantile expects a quantile φ, got $other")
+        }
+        expect(",")
+        val child = parseExpr()
+        expect(")")
+        val by = byBefore.orElse(parseByOpt())
+        AggQuantile(phi, by.map(_._2).getOrElse(Seq.empty), child,
+          without = by.exists(_._1))
+      case Some(Ident("absent")) if !selectorAhead =>
+        next(); expect("(")
+        val sel = parseOffsetOpt(parseSelector())
+        expect(")")
+        Absent(sel)
       case Some(Ident(fn)) if aggFns(fn) && !selectorAhead =>
         next()
         val byBefore = parseByOpt()
@@ -654,6 +686,17 @@ object PromQlParser {
       val tieCols = vec.columns.filterNot(c => c == "value" || by.contains(c)).toSeq
       PromQl.topk(vec, k, by, "value", tieCols)
 
+    case AggQuantile(phi, by, child, without) =>
+      val vec = compile(src, child, evalTs, lookback)
+      val groupBy =
+        if (without) vec.columns.filterNot(c => nonLabelCols(c) || by.contains(c)).toSeq
+        else by
+      aggVector(vec, "quantile", groupBy, phi)
+
+    case Absent(sel) =>
+      absentFrame(src.df.sparkSession.range(1).toDF(), sel,
+        compile(src, sel, evalTs, lookback), extraKey = Nil)
+
     case BinOp(op, lhs, rhs, matching, group, boolMode) => (lhs, rhs) match {
       case (ScalarLit(_), ScalarLit(_)) =>
         throw new IllegalArgumentException(
@@ -682,18 +725,42 @@ object PromQlParser {
   }
 
   /** Shared vector-aggregation shape for `by`/`without` grouping (instant
-    * and grid compilers): decimal-routed sums, one double division for avg. */
-  private def aggVector(vec: DataFrame, fn: String, groupBy: Seq[String]): DataFrame = {
+    * and grid compilers): decimal-routed sums, one double division for avg;
+    * stddev/stdvar are POPULATION moments (the Prometheus definition);
+    * quantile is the linear-interpolation φ-quantile (`phi` is only read
+    * for fn = "quantile"). */
+  private def aggVector(vec: DataFrame, fn: String, groupBy: Seq[String],
+                        phi: Double = Double.NaN): DataFrame = {
     val v = col("value")
     val agg = fn match {
-      case "sum"   => decSum(v)
-      case "avg"   => decSum(v) / count(lit(1))
-      case "min"   => min(v)
-      case "max"   => max(v)
-      case "count" => count(lit(1)).cast("double")
+      case "sum"      => decSum(v)
+      case "avg"      => decSum(v) / count(lit(1))
+      case "min"      => min(v)
+      case "max"      => max(v)
+      case "count"    => count(lit(1)).cast("double")
+      case "stddev"   => stddev_pop(v)
+      case "stdvar"   => var_pop(v)
+      case "quantile" => percentile(v, lit(phi))
     }
     if (groupBy.isEmpty) vec.agg(agg.as("value"))
     else vec.groupBy(groupBy.map(col): _*).agg(agg.as("value"))
+  }
+
+  /** `absent(sel)` over a compiled instant vector: at most one output row
+    * (labels = the selector's equality matchers, value 1.0), produced by an
+    * anti-join against a one-row probe of the vector — no driver-side
+    * emptiness branch, so the plan stays lazy/distributed. `extraCols`
+    * threads the grid's step column through (grid absent anti-joins the
+    * step domain against the steps that have samples). */
+  private def absentFrame(base: DataFrame, sel: Selector,
+                          vec: DataFrame, extraKey: Seq[String]): DataFrame = {
+    val eqCols = sel.matchers.filter(_.op == "=")
+      .map(m => lit(m.value).as(m.label))
+    val one = base.select(extraKey.map(col) ++ eqCols :+ lit(1.0).as("value"): _*)
+    if (extraKey.isEmpty)
+      one.join(vec.limit(1).select(lit(1).as("__probe")), lit(true), "left_anti")
+    else
+      one.join(vec.select(extraKey.map(col): _*).distinct(), extraKey, "left_anti")
   }
 
   // ---------- query_range: step-grid evaluation ----------
@@ -825,6 +892,20 @@ object PromQlParser {
         val vec = compile(child)
         val tieCols = vec.columns.filterNot(c => nonLabelCols(c) || by.contains(c)).toSeq
         PromQl.topk(vec, k, by :+ "__step", "value", tieCols)
+
+      case AggQuantile(phi, by, child, without) =>
+        val vec = compile(child)
+        val groupBy =
+          (if (without) vec.columns.filterNot(c => nonLabelCols(c) || by.contains(c)).toSeq
+           else by) :+ "__step"
+        aggVector(vec, "quantile", groupBy, phi)
+
+      case Absent(sel) =>
+        // per-step absence: the full step domain anti-joined against the
+        // steps where the selector has a live sample
+        val steps = src.df.sparkSession.range(nSteps + 1)
+          .select(col("id").as("__step"))
+        absentFrame(steps, sel, compile(sel), extraKey = Seq("__step"))
 
       case BinOp(op, lhs, rhs, matching, group, boolMode) => (lhs, rhs) match {
         case (ScalarLit(_), ScalarLit(_)) =>

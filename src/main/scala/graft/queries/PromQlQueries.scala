@@ -282,6 +282,40 @@ object PromQlQueries {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // Aggregation round-out through the parser: stddev/stdvar (POPULATION
+    // moments, the Prometheus definition) and quantile (linear
+    // interpolation) per metric over the instant vector. stddev routes
+    // through sqrt(var_pop); round 6 absorbs the engines' last-ulp moment
+    // differences (the q62 precedent).
+    "q113_promql_agg_ext" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      def run(q: String, tag: String) =
+        PromQlParser.eval(src, q, "2024-01-15 12:00:00", lookback = "24 HOURS")
+          .withColumn("fn", lit(tag))
+      run("""stddev by (event_type) ({event_type=~".+"})""", "stddev")
+        .unionByName(run("""stdvar by (event_type) ({event_type=~".+"})""", "stdvar"))
+        .unionByName(run("""quantile by (event_type) (0.9, {event_type=~".+"})""", "quantile"))
+        .select(col("fn"), col("event_type"), round(col("value"), 6).as("value"))
+        .orderBy(col("fn"), col("event_type"))
+    }),
+
+    // absent() through the parser: one 1.0-sample (labels from the
+    // equality matchers) for a selector that matches nothing, empty for a
+    // live one — the alerting primitive for dead series. Both faces in one
+    // result, presence derived from the data on both engines.
+    "q114_promql_absent" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      def run(q: String, tag: String) =
+        PromQlParser.eval(src, q, "2024-01-15 12:00:00", lookback = "24 HOURS")
+          .withColumn("which", lit(tag))
+      run("absent(nosuch_metric)", "missing")
+        .unionByName(run("absent(click)", "present"))
+        .select(col("which"), col("value"))
+        .orderBy(col("which"))
+    }),
+
     // histogram_quantile(q) for q in {0.5, 0.9, 0.99} from fixed le-buckets
     // (10, 25, 50, 100, 250, +Inf) per metric: cumulative counts, linear
     // interpolation inside the target bucket, +Inf clamps to the highest
@@ -620,6 +654,42 @@ object PromQlQueries {
         |  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE), 4)
         |    AS value
         |FROM iv WHERE rn = 1 GROUP BY 1, 2 ORDER BY event_type, step_ts""".stripMargin,
+
+    "q113_promql_agg_ext" ->
+      """WITH lastv AS (
+        |  SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |    AND ts > TIMESTAMP '2024-01-15 12:00:00' - INTERVAL 24 HOURS
+        |), iv AS (
+        |  SELECT user_id, event_type, value FROM lastv WHERE rn = 1
+        |)
+        |SELECT 'stddev' AS fn, event_type, round(stddev_pop(value), 6) AS value
+        |FROM iv GROUP BY event_type
+        |UNION ALL
+        |SELECT 'stdvar', event_type, round(var_pop(value), 6) FROM iv GROUP BY event_type
+        |UNION ALL
+        |SELECT 'quantile', event_type, round(quantile_cont(value, 0.9), 6)
+        |FROM iv GROUP BY event_type
+        |ORDER BY fn, event_type""".stripMargin,
+
+    // Presence is derived from the data on both engines: each arm emits
+    // its 1.0-sample only when the selector matches nothing in the
+    // lookback window.
+    "q114_promql_absent" ->
+      """WITH w AS (
+        |  SELECT event_type FROM events
+        |  WHERE ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |    AND ts > TIMESTAMP '2024-01-15 12:00:00' - INTERVAL 24 HOURS
+        |)
+        |SELECT 'missing' AS which, 1.0 AS value
+        |WHERE NOT EXISTS (SELECT 1 FROM w WHERE event_type = 'nosuch_metric')
+        |UNION ALL
+        |SELECT 'present', 1.0
+        |WHERE NOT EXISTS (SELECT 1 FROM w WHERE event_type = 'click')
+        |ORDER BY which""".stripMargin,
 
     "q109_promql_cmp" ->
       """WITH lastv AS (

@@ -341,6 +341,36 @@ class PromQlParserSpec extends AnyFunSuite {
       (1L, "cpu", "a") -> 2.0, (1L, "mem", "a") -> 0.0, (2L, "cpu", "b") -> 0.0))
   }
 
+  test("stddev/stdvar/quantile aggregations and absent()") {
+    // values 2, 4, 6 per metric: pop variance = 8/3, stddev = sqrt(8/3)
+    val df = Seq(
+      (1L, ts(0), 1L, "cpu", 2.0), (2L, ts(0), 2L, "cpu", 4.0),
+      (3L, ts(0), 3L, "cpu", 6.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    def run(q: String) = eval(src(df), q, "2024-01-01 10:02:00")
+      .select("value").head().getDouble(0)
+    assert(math.abs(run("stdvar by (event_type) (cpu)") - 8.0 / 3) < 1e-12)
+    assert(math.abs(run("stddev by (event_type) (cpu)") - math.sqrt(8.0 / 3)) < 1e-12)
+    // linear interpolation between sorted values: φ=0.75 → 4 + 0.5·2 = 5
+    assert(run("quantile by (event_type) (0.75, cpu)") == 5.0)
+    assert(run("quantile(0.5, cpu)") == 4.0) // ungrouped median
+    // absent: empty for a live selector, one labeled 1.0-sample otherwise
+    assert(eval(src(df), "absent(cpu)", "2024-01-01 10:02:00").count() == 0)
+    val miss = eval(src(df), """absent(mem{user_id="7"})""", "2024-01-01 10:02:00")
+      .collect()
+    assert(miss.length == 1)
+    assert(miss(0).getAs[String]("user_id") == "7" && miss(0).getAs[Double]("value") == 1.0)
+    // grid absent: 42.0-sample at 10:00 is live (15m lookback) for the
+    // first two 10-min steps; absent() fires on the later steps only
+    val lone = Seq((1L, ts(0), 42.0)).toDF("event_id", "ts", "value")
+      .withColumn("user_id", lit(1L)).withColumn("event_type", lit("cpu"))
+    val gridAbs = PromQlParser.evalRange(src(lone), "absent(cpu)",
+        "2024-01-01 10:00:00", "2024-01-01 10:30:00", stepSec = 600,
+        lookbackSec = 900)
+      .collect().map(_.getAs[java.sql.Timestamp]("step_ts").toString).sorted
+    assert(gridAbs.toSeq == Seq("2024-01-01 10:20:00.0", "2024-01-01 10:30:00.0"))
+  }
+
   test("topk tie-break is total-ordered on the series key") {
     val df = Seq(
       (1L, ts(0), 5L, "cpu", 9.0), (2L, ts(0), 3L, "cpu", 9.0),
