@@ -22,18 +22,28 @@ import org.apache.spark.sql.{Column, DataFrame}
   *   matching := ('on'|'ignoring') '(' label (',' label)* ')'
   *               (('group_left'|'group_right') ('(' label (',' label)* ')')?)?
   *   unary    := '(' expr ')' | NUMBER | agg | range | hist | absent
-  *             | selector offset?
+  *             | vecfn | labelfn | selector offset?
   *   agg      := ('sum'|'avg'|'min'|'max'|'count'|'stddev'|'stdvar')
   *               grouping? '(' expr ')' grouping?
-  *             | 'topk' '(' INT ',' expr ')' grouping?
+  *             | ('topk'|'bottomk') '(' INT ',' expr ')' grouping?
   *             | 'quantile' grouping? '(' NUMBER ',' expr ')' grouping?
   *   grouping := ('by'|'without') '(' label (',' label)* ')'
   *   hist     := 'histogram_quantile' '(' NUMBER ',' expr ')'
   *   absent   := 'absent' '(' selector offset? ')'
-  *   range    := ('rate'|'increase'|'delta'|'irate'|'sum_over_time'|
-  *                'avg_over_time'|'max_over_time'|'min_over_time'|
-  *                'count_over_time')
+  *   vecfn    := ('abs'|'ceil'|'floor'|'sqrt'|'exp'|'ln'|'log2'|'log10'|
+  *                'sgn') '(' expr ')'
+  *             | 'round' '(' expr (',' NUMBER)? ')'
+  *             | 'clamp' '(' expr ',' NUMBER ',' NUMBER ')'
+  *             | ('clamp_min'|'clamp_max') '(' expr ',' NUMBER ')'
+  *   labelfn  := 'label_replace' '(' expr ',' STR ',' STR ',' STR ',' STR ')'
+  *             | 'label_join' '(' expr ',' STR ',' STR (',' STR)* ')'
+  *   range    := ('rate'|'increase'|'delta'|'irate'|'deriv'|
+  *                'sum_over_time'|'avg_over_time'|'max_over_time'|
+  *                'min_over_time'|'count_over_time'|'last_over_time'|
+  *                'present_over_time'|'stddev_over_time'|'stdvar_over_time')
   *               '(' selector '[' DURATION ']' offset? ')'
+  *             | 'quantile_over_time' '(' NUMBER ',' selector '[' DURATION ']' offset? ')'
+  *             | 'predict_linear' '(' selector '[' DURATION ']' offset? ',' NUMBER ')'
   *   offset   := 'offset' DURATION
   *   selector := metric matchers? | matchers
   *   matcher  := label ('='|'!='|'=~'|'!~') STRING
@@ -82,11 +92,25 @@ object PromQlParser {
   final case class Matcher(label: String, op: String, value: String)
   final case class Selector(metric: Option[String], matchers: Seq[Matcher],
                             offsetSec: Long = 0L) extends Ast
-  final case class RangeFn(fn: String, sel: Selector, windowSec: Long) extends Ast
+  /** `param` carries the extra scalar of `quantile_over_time` (φ) and
+    * `predict_linear` (the horizon t, seconds). (An Option, not a NaN
+    * default: NaN ≠ NaN would break AST equality.) */
+  final case class RangeFn(fn: String, sel: Selector, windowSec: Long,
+                           param: Option[Double] = None) extends Ast
   /** `without=true` groups by all labels EXCEPT `by` (PromQL `without`). */
   final case class AggBy(fn: String, by: Seq[String], child: Ast,
                          without: Boolean = false) extends Ast
-  final case class TopK(k: Int, by: Seq[String], child: Ast) extends Ast
+  /** `bottom=true` is `bottomk` (ascending selection). */
+  final case class TopK(k: Int, by: Seq[String], child: Ast,
+                        bottom: Boolean = false) extends Ast
+  /** Map-side scalar function over a vector's values (`abs`, `clamp`, …);
+    * `args` holds the function's numeric arguments. */
+  final case class VecFn(fn: String, child: Ast, args: Seq[Double] = Nil) extends Ast
+  /** `label_replace`/`label_join`: `sepOrRepl` is the replacement string
+    * (replace) or separator (join); `regex` only for replace. */
+  final case class LabelFn(fn: String, child: Ast, dst: String,
+                           sepOrRepl: String, srcs: Seq[String],
+                           regex: String = "") extends Ast
   /** `quantile(φ, v)` vector aggregation: φ-quantile (linear interpolation
     * between sorted sample values, the Prometheus rule) per group. */
   final case class AggQuantile(phi: Double, by: Seq[String], child: Ast,
@@ -180,9 +204,36 @@ object PromQlParser {
 
     private val aggFns = Set("sum", "avg", "min", "max", "count",
       "stddev", "stdvar")
-    private val rangeFns = Set("rate", "increase", "delta", "irate",
+    private val rangeFns = Set("rate", "increase", "delta", "irate", "deriv",
       "sum_over_time", "avg_over_time", "max_over_time", "min_over_time",
-      "count_over_time")
+      "count_over_time", "last_over_time", "present_over_time",
+      "stddev_over_time", "stdvar_over_time")
+    private val vecFns1 = Set("abs", "ceil", "floor", "sqrt", "exp", "ln",
+      "log2", "log10", "sgn")
+
+    private def parseNum(): Double = next() match {
+      case Flt(d) => d
+      case Num(n) => n.toDouble
+      case other => fail(s"expected a number, got $other")
+    }
+
+    private def parseStr(): String = next() match {
+      case Str(s) => s
+      case other => fail(s"expected a quoted string, got $other")
+    }
+
+    /** `selector '[' DURATION ']' offset?` — the shared tail of every
+      * range-vector function. */
+    private def parseRangeArg(): (Selector, Long) = {
+      val sel0 = parseSelector()
+      expect("[")
+      val w = next() match {
+        case Dur(s) => s
+        case other => fail(s"expected a duration like 6h, got $other")
+      }
+      expect("]")
+      (parseOffsetOpt(sel0), w)
+    }
 
     /** Binary operators, PromQL precedence (tightest → loosest): `* /`,
       * `+ -`, comparisons, `and unless`, `or` — all left-associative, each
@@ -313,17 +364,72 @@ object PromQlParser {
         val child = parseExpr()
         expect(")")
         HistQuantile(q, child)
-      case Some(Ident("topk")) =>
+      case Some(Ident(kw @ ("topk" | "bottomk"))) =>
         next(); expect("(")
         val k = next() match {
           case Num(n) => n.toInt
-          case other => fail(s"topk expects an integer k, got $other")
+          case other => fail(s"$kw expects an integer k, got $other")
         }
         expect(",")
         val child = parseExpr()
         expect(")")
         val by = parseByOpt()
-        TopK(k, by.map(_._2).getOrElse(Seq.empty), child)
+        TopK(k, by.map(_._2).getOrElse(Seq.empty), child,
+          bottom = kw == "bottomk")
+      case Some(Ident("quantile_over_time")) =>
+        next(); expect("(")
+        val phi = parseNum()
+        expect(",")
+        val (sel, w) = parseRangeArg()
+        expect(")")
+        RangeFn("quantile_over_time", sel, w, Some(phi))
+      case Some(Ident("predict_linear")) =>
+        next(); expect("(")
+        val (sel, w) = parseRangeArg()
+        expect(",")
+        val horizon = parseNum()
+        expect(")")
+        RangeFn("predict_linear", sel, w, Some(horizon))
+      case Some(Ident(fn)) if vecFns1(fn) && !selectorAhead =>
+        next(); expect("(")
+        val child = parseExpr()
+        expect(")")
+        VecFn(fn, child)
+      case Some(Ident("round")) if !selectorAhead =>
+        next(); expect("(")
+        val child = parseExpr()
+        val to = peek match {
+          case Some(Sym(",")) => next(); Seq(parseNum())
+          case _ => Nil
+        }
+        expect(")")
+        VecFn("round", child, to)
+      case Some(Ident(fn @ ("clamp" | "clamp_min" | "clamp_max"))) if !selectorAhead =>
+        next(); expect("(")
+        val child = parseExpr()
+        expect(",")
+        val a = parseNum()
+        val b = if (fn == "clamp") { expect(","); Seq(parseNum()) } else Nil
+        expect(")")
+        VecFn(fn, child, a +: b)
+      case Some(Ident("label_replace")) =>
+        next(); expect("(")
+        val child = parseExpr()
+        expect(","); val dst = parseStr()
+        expect(","); val repl = parseStr()
+        expect(","); val srcLabel = parseStr()
+        expect(","); val regex = parseStr()
+        expect(")")
+        LabelFn("label_replace", child, dst, repl, Seq(srcLabel), regex)
+      case Some(Ident("label_join")) =>
+        next(); expect("(")
+        val child = parseExpr()
+        expect(","); val dst = parseStr()
+        expect(","); val sep = parseStr()
+        val srcs = Seq.newBuilder[String]
+        while (peek.contains(Sym(","))) { next(); srcs += parseStr() }
+        expect(")")
+        LabelFn("label_join", child, dst, sep, srcs.result())
       case Some(Ident("quantile")) if !selectorAhead =>
         next()
         val byBefore = parseByOpt()
@@ -356,14 +462,7 @@ object PromQlParser {
           without = by.exists(_._1))
       case Some(Ident(fn)) if rangeFns(fn) =>
         next(); expect("(")
-        val sel0 = parseSelector()
-        expect("[")
-        val w = next() match {
-          case Dur(s) => s
-          case other => fail(s"expected a duration like 6h, got $other")
-        }
-        expect("]")
-        val sel = parseOffsetOpt(sel0)
+        val (sel, w) = parseRangeArg()
         expect(")")
         RangeFn(fn, sel, w)
       case _ => parseOffsetOpt(parseSelector())
@@ -484,6 +583,80 @@ object PromQlParser {
 
   private val cmpOps = Set("==", "!=", ">", "<", ">=", "<=")
   private val setOps = Set("and", "or", "unless")
+
+  /** Map-side scalar function over a vector's `value` column. */
+  private def vecFnApply(fn: String, v: Column, args: Seq[Double]): Column = fn match {
+    case "abs"   => abs(v)
+    case "ceil"  => ceil(v).cast("double")
+    case "floor" => floor(v).cast("double")
+    case "sqrt"  => sqrt(v)
+    case "exp"   => exp(v)
+    case "ln"    => log(v)
+    case "log2"  => log2(v)
+    case "log10" => log10(v)
+    case "sgn"   => signum(v)
+    case "round" =>
+      // PromQL round(v, to=1): nearest multiple of `to`, ties round UP
+      val to = args.headOption.getOrElse(1.0)
+      floor(v / to + 0.5).cast("double") * to
+    case "clamp"     => least(greatest(v, lit(args(0))), lit(args(1)))
+    case "clamp_min" => greatest(v, lit(args(0)))
+    case "clamp_max" => least(v, lit(args(0)))
+  }
+
+  /** `label_replace` (set `dst` from `src` captures iff the ANCHORED regex
+    * matches the whole src value — the Prometheus rule — else keep any
+    * existing dst) / `label_join` (dst = srcs joined on the separator).
+    * Missing labels read as "", as in Prometheus. */
+  private def labelFnApply(df: DataFrame, lf: LabelFn): DataFrame = lf.fn match {
+    case "label_replace" =>
+      val anchored = s"^(?:${lf.regex})$$"
+      def strOf(c: String): Column =
+        if (df.columns.contains(c)) coalesce(col(c).cast("string"), lit("")) else lit("")
+      val existing =
+        if (df.columns.contains(lf.dst)) col(lf.dst).cast("string")
+        else lit(null).cast("string")
+      val src = strOf(lf.srcs.head)
+      df.withColumn(lf.dst,
+        when(src.rlike(anchored), regexp_replace(src, anchored, lf.sepOrRepl))
+          .otherwise(existing))
+    case "label_join" =>
+      val parts = lf.srcs.map(c =>
+        if (df.columns.contains(c)) coalesce(col(c).cast("string"), lit(""))
+        else lit(""))
+      df.withColumn(lf.dst, concat_ws(lf.sepOrRepl, parts: _*))
+  }
+
+  /** Least-squares slope/prediction over a range window from EXACT sums:
+    * x (micros before the evaluation instant) and y (6-dp-rounded value)
+    * accumulate as decimals — order-insensitive — and the final slope/
+    * intercept arithmetic is one fixed double expression, so both engines
+    * compute the identical result. `horizonSec` = NaN → deriv (slope/sec);
+    * otherwise predict_linear's value at T + horizon. Series with <2
+    * samples drop out (no line), the Prometheus rule.
+    *
+    * DECIMAL(14,0) bounds the range window at ~3 years of micros — far
+    * past any real deriv window — and keeps every product (x·x → 29
+    * digits, x·y → 33) inside both engines' 38-digit decimal ceiling. */
+  private def linearFit(samples: DataFrame, keyCols: Seq[Column],
+                        xUs: Column, y: Column, horizonSec: Double): DataFrame = {
+    val xd = xUs.cast("decimal(14,0)")
+    val yd = round(y, 6).cast("decimal(18,6)")
+    val agg = samples.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(xd).cast("double").as("__sx"),
+        sum(yd).cast("double").as("__sy"),
+        sum(xd * yd).cast("double").as("__sxy"),
+        sum(xd * xd).cast("double").as("__sxx"))
+      .filter(col("__n") >= 2)
+    val n = col("__n").cast("double")
+    val slopeUs = (n * col("__sxy") - col("__sx") * col("__sy")) /
+      (n * col("__sxx") - col("__sx") * col("__sx"))
+    val value =
+      if (horizonSec.isNaN) slopeUs * 1e6
+      else (col("__sy") - slopeUs * col("__sx")) / n + slopeUs * (horizonSec * 1e6)
+    agg.select(keyCols :+ value.as("value"): _*)
+  }
 
   private def cmpPred(op: String, a: Column, b: Column): Column = op match {
     case "==" => a === b
@@ -617,7 +790,7 @@ object PromQlParser {
           src.tsCol, src.orderCol, shiftTs(evalTs, sel.offsetSec), lookback)
         .select(src.seriesKey.map(col) :+ col(src.valueCol).as("value"): _*)
 
-    case RangeFn(fn, sel, w) =>
+    case RangeFn(fn, sel, w, param) =>
       val t = to_timestamp(lit(shiftTs(evalTs, sel.offsetSec)))
       val inWindow = src.df.filter(matcherCond(src, sel))
         .filter(col(src.tsCol) <= t &&
@@ -671,6 +844,21 @@ object PromQlParser {
           inWindow.groupBy(keyCols: _*).agg(max(v).as("value"))
         case "min_over_time" =>
           inWindow.groupBy(keyCols: _*).agg(min(v).as("value"))
+        case "last_over_time" =>
+          inWindow.groupBy(keyCols: _*)
+            .agg(max_by(v, struct(col(src.tsCol), col(src.orderCol))).as("value"))
+        case "present_over_time" =>
+          inWindow.groupBy(keyCols: _*).agg(max(lit(1.0)).as("value"))
+        case "stddev_over_time" =>
+          inWindow.groupBy(keyCols: _*).agg(stddev_pop(v).as("value"))
+        case "stdvar_over_time" =>
+          inWindow.groupBy(keyCols: _*).agg(var_pop(v).as("value"))
+        case "quantile_over_time" =>
+          inWindow.groupBy(keyCols: _*).agg(percentile(v, lit(param.get)).as("value"))
+        case "deriv" | "predict_linear" =>
+          linearFit(inWindow, keyCols,
+            unix_micros(col(src.tsCol)) - unix_micros(t), v,
+            if (fn == "deriv") Double.NaN else param.get)
       }
 
     case AggBy(fn, by, child, without) =>
@@ -680,11 +868,18 @@ object PromQlParser {
         else by
       aggVector(vec, fn, groupBy)
 
-    case TopK(k, by, child) =>
+    case TopK(k, by, child, bottom) =>
       val vec = compile(src, child, evalTs, lookback)
       // total order: ties on every non-value label column
       val tieCols = vec.columns.filterNot(c => c == "value" || by.contains(c)).toSeq
-      PromQl.topk(vec, k, by, "value", tieCols)
+      PromQl.topk(vec, k, by, "value", tieCols, asc = bottom)
+
+    case VecFn(fn, child, args) =>
+      compile(src, child, evalTs, lookback)
+        .withColumn("value", vecFnApply(fn, col("value"), args))
+
+    case lf: LabelFn =>
+      labelFnApply(compile(src, lf.child, evalTs, lookback), lf)
 
     case AggQuantile(phi, by, child, without) =>
       val vec = compile(src, child, evalTs, lookback)
@@ -834,7 +1029,7 @@ object PromQlParser {
           .agg(max_by(col(src.valueCol),
             struct(col(src.tsCol), col(src.orderCol))).as("value"))
 
-      case RangeFn(fn, sel, w) =>
+      case RangeFn(fn, sel, w, param) =>
         val wUs = w * 1000000L
         val te = teCol(sel.offsetSec)
         val keyCols = src.seriesKey.map(col)
@@ -865,7 +1060,9 @@ object PromQlParser {
               .groupBy(keyCols :+ col("__step"): _*)
               .agg((max_by(v, ord) - min_by(v, ord)).as("value"))
           case "sum_over_time" | "count_over_time" | "avg_over_time"
-             | "max_over_time" | "min_over_time" =>
+             | "max_over_time" | "min_over_time" | "last_over_time"
+             | "present_over_time" | "stddev_over_time" | "stdvar_over_time"
+             | "quantile_over_time" =>
             val grouped = filtered
               .withColumn("__step", explode(stepsFor(te, te + lit(wUs))))
               .groupBy(keyCols :+ col("__step"): _*)
@@ -875,7 +1072,21 @@ object PromQlParser {
               case "avg_over_time"   => grouped.agg((decSum(v) / count(lit(1))).as("value"))
               case "max_over_time"   => grouped.agg(max(v).as("value"))
               case "min_over_time"   => grouped.agg(min(v).as("value"))
+              case "last_over_time"  => grouped.agg(max_by(v, ord).as("value"))
+              case "present_over_time" => grouped.agg(max(lit(1.0)).as("value"))
+              case "stddev_over_time" => grouped.agg(stddev_pop(v).as("value"))
+              case "stdvar_over_time" => grouped.agg(var_pop(v).as("value"))
+              case "quantile_over_time" =>
+                grouped.agg(percentile(v, lit(param.get)).as("value"))
             }
+          case "deriv" | "predict_linear" =>
+            // x is measured from each step's evaluation instant T_i, so
+            // the fit per (series, step) matches the instant semantics
+            val exploded = filtered
+              .withColumn("__step", explode(stepsFor(te, te + lit(wUs))))
+            linearFit(exploded, keyCols :+ col("__step"),
+              te - (lit(startUs) + col("__step") * lit(stepUs)), v,
+              if (fn == "deriv") Double.NaN else param.get)
           case other =>
             throw new IllegalArgumentException(
               s"$other is not supported in range (grid) evaluation")
@@ -888,10 +1099,16 @@ object PromQlParser {
            else by) :+ "__step"
         aggVector(vec, fn, groupBy)
 
-      case TopK(k, by, child) =>
+      case TopK(k, by, child, bottom) =>
         val vec = compile(child)
         val tieCols = vec.columns.filterNot(c => nonLabelCols(c) || by.contains(c)).toSeq
-        PromQl.topk(vec, k, by :+ "__step", "value", tieCols)
+        PromQl.topk(vec, k, by :+ "__step", "value", tieCols, asc = bottom)
+
+      case VecFn(fn, child, args) =>
+        compile(child).withColumn("value", vecFnApply(fn, col("value"), args))
+
+      case lf: LabelFn =>
+        labelFnApply(compile(lf.child), lf)
 
       case AggQuantile(phi, by, child, without) =>
         val vec = compile(child)

@@ -316,6 +316,55 @@ object PromQlQueries {
         .orderBy(col("which"))
     }),
 
+    // Scalar vector functions + label manipulation through the parser in
+    // one expression: PromQL round (ties-up to a multiple), clamp, and
+    // label_join building a composite series label. Every step is a fixed
+    // double-arithmetic expression (×/÷ by 0.5 and floor are exact), so
+    // the twin is bit-identical.
+    "q115_promql_fns" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      PromQlParser.eval(src,
+          """label_join(clamp(round({event_type=~".+"}, 0.5), 10, 200), "series", "|", "user_id", "event_type")""",
+          "2024-01-15 12:00:00", lookback = "24 HOURS")
+        .select(col("user_id"), col("event_type"), col("series"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // *_over_time round-out per series (last / quantile / stddev over a
+    // trailing 12h window) — three faces of the same grouped-window shape,
+    // tagged and unioned.
+    "q116_promql_over_time_ext" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      def run(q: String, tag: String) =
+        PromQlParser.eval(src, q, "2024-01-15 12:00:00")
+          .withColumn("fn", lit(tag))
+      run("""last_over_time({event_type="purchase"}[12h])""", "last")
+        .unionByName(run("""quantile_over_time(0.5, {event_type="purchase"}[12h])""", "q50"))
+        .unionByName(run("""stddev_over_time({event_type="purchase"}[12h])""", "stddev"))
+        .select(col("fn"), col("user_id"), round(col("value"), 6).as("value"))
+        .orderBy(col("fn"), col("user_id"))
+    }),
+
+    // deriv/predict_linear: least-squares trend per series from EXACT
+    // decimal sums (x = micros before T as DECIMAL(14,0), y = 6-dp-rounded
+    // DECIMAL) with the slope/intercept arithmetic one fixed double
+    // expression — the only cross-engine-deterministic way to oracle an
+    // FP regression. predict_linear extrapolates 1h past T.
+    "q117_promql_deriv" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      def run(q: String, tag: String) =
+        PromQlParser.eval(src, q, "2024-01-15 12:00:00")
+          .withColumn("fn", lit(tag))
+      run("""deriv({event_type="click"}[24h])""", "deriv")
+        .unionByName(run("""predict_linear({event_type="click"}[24h], 3600)""", "predict"))
+        .select(col("fn"), col("user_id"), round(col("value"), 9).as("value"))
+        .orderBy(col("fn"), col("user_id"))
+    }),
+
     // histogram_quantile(q) for q in {0.5, 0.9, 0.99} from fixed le-buckets
     // (10, 25, 50, 100, 250, +Inf) per metric: cumulative counts, linear
     // interpolation inside the target bucket, +Inf clamps to the highest
@@ -654,6 +703,77 @@ object PromQlQueries {
         |  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE), 4)
         |    AS value
         |FROM iv WHERE rn = 1 GROUP BY 1, 2 ORDER BY event_type, step_ts""".stripMargin,
+
+    "q115_promql_fns" ->
+      """WITH lastv AS (
+        |  SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |    AND ts > TIMESTAMP '2024-01-15 12:00:00' - INTERVAL 24 HOURS
+        |)
+        |SELECT user_id, event_type,
+        |  CAST(user_id AS VARCHAR) || '|' || event_type AS series,
+        |  round(least(greatest(floor(value / 0.5 + 0.5) * 0.5, 10.0), 200.0), 6)
+        |    AS value
+        |FROM lastv WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q116_promql_over_time_ext" ->
+      """WITH w AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |    AND ts >  TIMESTAMP '2024-01-15 12:00:00' - INTERVAL 12 HOURS
+        |), lastv AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM w
+        |)
+        |SELECT 'last' AS fn, user_id, round(value, 6) AS value
+        |FROM lastv WHERE rn = 1
+        |UNION ALL
+        |SELECT 'q50', user_id, round(quantile_cont(value, 0.5), 6)
+        |FROM w GROUP BY user_id
+        |UNION ALL
+        |SELECT 'stddev', user_id, round(stddev_pop(value), 6)
+        |FROM w GROUP BY user_id
+        |ORDER BY fn, user_id""".stripMargin,
+
+    // Mirrors linearFit exactly: decimal-exact sums, then ONE fixed double
+    // expression for slope/intercept — identical IEEE arithmetic on both
+    // engines, so even round(…, 9) is safe. (DECIMAL(19,0) here, not the
+    // engine's 14: DuckDB decimals ≤18 digits are int64-backed and its
+    // products overflow; 19 forces int128 storage. Exactness is what
+    // matters for parity, not the declared width.)
+    "q117_promql_deriv" ->
+      """WITH w AS (
+        |  SELECT user_id,
+        |    CAST(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-15 12:00:00')
+        |         AS DECIMAL(19,0)) AS x,
+        |    CAST(round(value, 6) AS DECIMAL(18,6)) AS y
+        |  FROM events
+        |  WHERE event_type = 'click'
+        |    AND ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |    AND ts >  TIMESTAMP '2024-01-15 12:00:00' - INTERVAL 24 HOURS
+        |), s AS (
+        |  SELECT user_id, count(*) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy, CAST(sum(x * x) AS DOUBLE) AS sxx
+        |  FROM w GROUP BY user_id HAVING count(*) >= 2
+        |), fit AS (
+        |  SELECT user_id, n, sx, sy,
+        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_us
+        |  FROM s
+        |)
+        |SELECT 'deriv' AS fn, user_id, round(slope_us * 1000000.0, 9) AS value
+        |FROM fit
+        |UNION ALL
+        |SELECT 'predict', user_id,
+        |  round((sy - slope_us * sx) / n + slope_us * (3600.0 * 1000000.0), 9)
+        |FROM fit
+        |ORDER BY fn, user_id""".stripMargin,
 
     "q113_promql_agg_ext" ->
       """WITH lastv AS (

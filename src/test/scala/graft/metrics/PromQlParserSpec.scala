@@ -371,6 +371,73 @@ class PromQlParserSpec extends AnyFunSuite {
     assert(gridAbs.toSeq == Seq("2024-01-01 10:20:00.0", "2024-01-01 10:30:00.0"))
   }
 
+  test("scalar vector functions: abs/clamp/round ties-up; bottomk ascends") {
+    val df = Seq(
+      (1L, ts(0), 1L, "cpu", 7.25), (2L, ts(0), 2L, "cpu", 2.0),
+      (3L, ts(0), 3L, "cpu", 9.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    def run(q: String) = eval(src(df), q, "2024-01-01 10:02:00")
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("value")).toMap
+    assert(run("clamp(cpu, 3, 8)") == Map(1L -> 7.25, 2L -> 3.0, 3L -> 8.0))
+    assert(run("clamp_min(cpu, 4)") == Map(1L -> 7.25, 2L -> 4.0, 3L -> 9.0))
+    // round to multiples of 0.5; 7.25 is a tie → rounds UP (PromQL rule)
+    assert(run("round(cpu, 0.5)") == Map(1L -> 7.5, 2L -> 2.0, 3L -> 9.0))
+    assert(run("floor(cpu)") == Map(1L -> 7.0, 2L -> 2.0, 3L -> 9.0))
+    assert(run("sqrt(clamp_max(cpu, 4))") == Map(1L -> 2.0, 2L -> math.sqrt(2.0), 3L -> 2.0))
+    val bk = eval(src(df), "bottomk(2, cpu)", "2024-01-01 10:02:00")
+      .orderBy($"rank").select("rank", "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bk == Seq((1L, 2L), (2L, 1L))) // smallest first
+  }
+
+  test("over_time round-out: last/present/stddev/stdvar/quantile") {
+    val df = Seq((1L, ts(0), 2.0), (2L, ts(1), 4.0), (3L, ts(2), 6.0))
+      .toDF("event_id", "ts", "value")
+      .withColumn("user_id", lit(1L)).withColumn("event_type", lit("cpu"))
+    def run(q: String) = eval(src(df), q, "2024-01-01 10:30:00")
+      .select("value").head().getDouble(0)
+    assert(run("last_over_time(cpu[1h])") == 6.0)
+    assert(run("present_over_time(cpu[1h])") == 1.0)
+    assert(math.abs(run("stdvar_over_time(cpu[1h])") - 8.0 / 3) < 1e-12)
+    assert(math.abs(run("stddev_over_time(cpu[1h])") - math.sqrt(8.0 / 3)) < 1e-12)
+    assert(run("quantile_over_time(0.5, cpu[1h])") == 4.0)
+    // absent window → no row at all
+    assert(eval(src(df), "present_over_time(mem[1h])", "2024-01-01 10:30:00").count() == 0)
+  }
+
+  test("deriv is the least-squares slope; predict_linear extrapolates it") {
+    // (10:00, 0) and (10:10, 60): slope = 0.1/s; at T=10:10 the fitted
+    // line passes through 60, so +600 s predicts 120
+    val df = Seq((1L, ts(0), 0.0), (2L, ts(10), 60.0))
+      .toDF("event_id", "ts", "value")
+      .withColumn("user_id", lit(1L)).withColumn("event_type", lit("cpu"))
+    def run(q: String) = eval(src(df), q, "2024-01-01 10:10:00")
+      .select("value").head().getDouble(0)
+    assert(math.abs(run("deriv(cpu[1h])") - 0.1) < 1e-12)
+    assert(math.abs(run("predict_linear(cpu[1h], 600)") - 120.0) < 1e-9)
+    // a lone sample fits no line
+    val lone = Seq((1L, ts(0), 5.0)).toDF("event_id", "ts", "value")
+      .withColumn("user_id", lit(1L)).withColumn("event_type", lit("cpu"))
+    assert(eval(src(lone), "deriv(cpu[1h])", "2024-01-01 10:10:00").count() == 0)
+  }
+
+  test("label_replace anchors and keeps unmatched rows; label_join concatenates") {
+    val df = Seq(
+      (1L, ts(0), 1L, "cpu_total", 5.0), (2L, ts(0), 2L, "mem", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = eval(src(df),
+        """label_replace({event_type=~".+"}, "kind", "$1", "event_type", "(cpu)_.*")""",
+        "2024-01-01 10:02:00")
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[String]("kind")).toMap
+    // cpu_total matches (full anchor) → kind=cpu; mem doesn't → kind null
+    assert(out == Map("cpu_total" -> "cpu", "mem" -> null))
+    val joined = eval(src(df),
+        """label_join({event_type="mem"}, "series", "|", "user_id", "event_type")""",
+        "2024-01-01 10:02:00")
+      .select("series").head().getString(0)
+    assert(joined == "2|mem")
+  }
+
   test("topk tie-break is total-ordered on the series key") {
     val df = Seq(
       (1L, ts(0), 5L, "cpu", 9.0), (2L, ts(0), 3L, "cpu", 9.0),
