@@ -21,9 +21,10 @@ import org.apache.spark.sql.{Column, DataFrame}
   *   mul      := unary (('*'|'/') matching? unary)*
   *   matching := ('on'|'ignoring') '(' label (',' label)* ')'
   *               (('group_left'|'group_right') ('(' label (',' label)* ')')?)?
-  *   unary    := '(' expr ')' | NUMBER | agg | range | hist | absent
-  *             | vecfn | labelfn | selector offset?
-  *   agg      := ('sum'|'avg'|'min'|'max'|'count'|'stddev'|'stdvar')
+  *   unary    := ('(' expr ')' | NUMBER | agg | range | hist | absent
+  *             | vecfn | labelfn | selector offset?) subq?
+  *   subq     := '[' DURATION ':' DURATION ']'   (under *_over_time only)
+  *   agg      := ('sum'|'avg'|'min'|'max'|'count'|'stddev'|'stdvar'|'group')
   *               grouping? '(' expr ')' grouping?
   *             | ('topk'|'bottomk') '(' INT ',' expr ')' grouping?
   *             | 'quantile' grouping? '(' NUMBER ',' expr ')' grouping?
@@ -106,6 +107,17 @@ object PromQlParser {
   /** Map-side scalar function over a vector's values (`abs`, `clamp`, …);
     * `args` holds the function's numeric arguments. */
   final case class VecFn(fn: String, child: Ast, args: Seq[Double] = Nil) extends Ast
+  /** `selector '[' DUR ']'` — a range vector; only valid as a range
+    * function's argument (enforced at compile). */
+  final case class RangeVec(sel: Selector, windowSec: Long) extends Ast
+  /** `expr '[' RANGE ':' STEP ']'` — a PromQL subquery: the inner
+    * expression evaluated on a step grid over the trailing range; only
+    * valid under a `*_over_time` function (enforced at compile). */
+  final case class Subquery(child: Ast, rangeSec: Long, stepSec: Long) extends Ast
+  /** A `*_over_time` function applied to a [[Subquery]] — the
+    * `max_over_time(rate(m[5m])[1h:5m])` alerting idiom. */
+  final case class RangeSub(fn: String, sub: Subquery,
+                            param: Option[Double] = None) extends Ast
   /** `label_replace`/`label_join`: `sepOrRepl` is the replacement string
     * (replace) or separator (join); `regex` only for replace. */
   final case class LabelFn(fn: String, child: Ast, dst: String,
@@ -151,7 +163,10 @@ object PromQlParser {
     while (i < q.length) {
       val c = q(i)
       if (c.isWhitespace) i += 1
-      else if (c.isLetter || c == '_' || c == ':') {
+      // ':' CONTINUES an identifier (recording-rule names like
+      // job:rate:5m) but never starts one — a leading ':' must lex as the
+      // subquery range/step separator.
+      else if (c.isLetter || c == '_') {
         val j = q.indexWhere(ch => !(ch.isLetterOrDigit || ch == '_' || ch == ':'), i)
         val end = if (j < 0) q.length else j
         out += Ident(q.substring(i, end)); i = end
@@ -203,7 +218,7 @@ object PromQlParser {
     }
 
     private val aggFns = Set("sum", "avg", "min", "max", "count",
-      "stddev", "stdvar")
+      "stddev", "stdvar", "group")
     private val rangeFns = Set("rate", "increase", "delta", "irate", "deriv",
       "sum_over_time", "avg_over_time", "max_over_time", "min_over_time",
       "count_over_time", "last_over_time", "present_over_time",
@@ -222,18 +237,14 @@ object PromQlParser {
       case other => fail(s"expected a quoted string, got $other")
     }
 
-    /** `selector '[' DURATION ']' offset?` — the shared tail of every
-      * range-vector function. */
-    private def parseRangeArg(): (Selector, Long) = {
-      val sel0 = parseSelector()
-      expect("[")
-      val w = next() match {
-        case Dur(s) => s
-        case other => fail(s"expected a duration like 6h, got $other")
+    /** A range-vector function's parsed argument: classic
+      * `selector[dur]` → [[RangeFn]]; `expr[range:step]` → [[RangeSub]]. */
+    private def rangeArg(fn: String, arg: Ast, param: Option[Double]): Ast =
+      arg match {
+        case RangeVec(sel, w) => RangeFn(fn, sel, w, param)
+        case sub: Subquery => RangeSub(fn, sub, param)
+        case other => fail(s"$fn expects a range vector or subquery, got $other")
       }
-      expect("]")
-      (parseOffsetOpt(sel0), w)
-    }
 
     /** Binary operators, PromQL precedence (tightest → loosest): `* /`,
       * `+ -`, comparisons, `and unless`, `or` — all left-associative, each
@@ -348,7 +359,39 @@ object PromQlParser {
       labels.result()
     }
 
-    def parseUnary(): Ast = peek match {
+    /** A unary expression plus an optional `'[' DUR (':' DUR)? ']'`
+      * suffix: `sel[6h]` is a range vector (offset may follow, modifying
+      * the selector); `expr[1h:5m]` is a subquery over any expression. */
+    def parseUnary(): Ast = {
+      val e = parseUnary0()
+      peek match {
+        case Some(Sym("[")) =>
+          next()
+          val r = next() match {
+            case Dur(s) => s
+            case other => fail(s"expected a duration like 6h, got $other")
+          }
+          peek match {
+            case Some(Sym(":")) =>
+              next()
+              val st = next() match {
+                case Dur(s) => s
+                case other => fail(s"expected a step duration, got $other")
+              }
+              expect("]")
+              Subquery(e, r, st)
+            case _ =>
+              expect("]")
+              e match {
+                case sel: Selector => RangeVec(parseOffsetOpt(sel), r)
+                case other => fail(s"a [range] suffix needs a plain selector, got $other")
+              }
+          }
+        case _ => e
+      }
+    }
+
+    private def parseUnary0(): Ast = peek match {
       case Some(Sym("(")) =>
         next(); val e = parseExpr(); expect(")"); e
       case Some(Num(n)) => next(); ScalarLit(n.toDouble)
@@ -380,16 +423,16 @@ object PromQlParser {
         next(); expect("(")
         val phi = parseNum()
         expect(",")
-        val (sel, w) = parseRangeArg()
+        val arg = parseUnary()
         expect(")")
-        RangeFn("quantile_over_time", sel, w, Some(phi))
+        rangeArg("quantile_over_time", arg, Some(phi))
       case Some(Ident("predict_linear")) =>
         next(); expect("(")
-        val (sel, w) = parseRangeArg()
+        val arg = parseUnary()
         expect(",")
         val horizon = parseNum()
         expect(")")
-        RangeFn("predict_linear", sel, w, Some(horizon))
+        rangeArg("predict_linear", arg, Some(horizon))
       case Some(Ident(fn)) if vecFns1(fn) && !selectorAhead =>
         next(); expect("(")
         val child = parseExpr()
@@ -462,9 +505,9 @@ object PromQlParser {
           without = by.exists(_._1))
       case Some(Ident(fn)) if rangeFns(fn) =>
         next(); expect("(")
-        val (sel, w) = parseRangeArg()
+        val arg = parseUnary()
         expect(")")
-        RangeFn(fn, sel, w)
+        rangeArg(fn, arg, None)
       case _ => parseOffsetOpt(parseSelector())
     }
 
@@ -559,6 +602,11 @@ object PromQlParser {
     else java.time.LocalDateTime.parse(evalTs.replace(' ', 'T'))
       .minusSeconds(offsetSec)
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+
+  /** Plain `yyyy-MM-dd HH:mm:ss` (session UTC) → epoch micros. */
+  private def usOf(ts: String): Long =
+    java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
 
   /** Arithmetic value projection ONLY — comparisons and set operators are
     * join/filter shapes, not value maps, and route through [[binOpVec]] /
@@ -881,6 +929,46 @@ object PromQlParser {
     case lf: LabelFn =>
       labelFnApply(compile(src, lf.child, evalTs, lookback), lf)
 
+    // Subquery under a *_over_time: evaluate the inner expression on the
+    // trailing step grid via the SAME GridCompiler query_range uses (one
+    // generate-project + keyed shuffles — no per-step loop), then fold the
+    // grid samples per series. Inner instant selectors use the Prometheus
+    // default 5m lookback, as in Prometheus subqueries.
+    case RangeSub(fn, sub, param) =>
+      require(sub.stepSec > 0, "subquery step must be positive")
+      val stepUs = sub.stepSec * 1000000L
+      val endUs = usOf(evalTs)
+      // grid points T − i·step for i·step < range, oldest first
+      val nSteps = (sub.rangeSec - 1) / sub.stepSec
+      val g = new GridCompiler(src, endUs - nSteps * stepUs, stepUs, nSteps,
+        lookbackUs = 300L * 1000000L)
+      val sg = g.compile(sub.child)
+      val labels = sg.columns.filterNot(nonLabelCols).toSeq
+      val grouped =
+        if (labels.isEmpty) sg.groupBy()
+        else sg.groupBy(labels.map(col): _*)
+      val v = col("value")
+      fn match {
+        case "sum_over_time"     => grouped.agg(decSum(v).as("value"))
+        case "count_over_time"   => grouped.agg(count(lit(1)).cast("double").as("value"))
+        case "avg_over_time"     => grouped.agg((decSum(v) / count(lit(1))).as("value"))
+        case "max_over_time"     => grouped.agg(max(v).as("value"))
+        case "min_over_time"     => grouped.agg(min(v).as("value"))
+        case "last_over_time"    => grouped.agg(max_by(v, col("__step")).as("value"))
+        case "present_over_time" => grouped.agg(max(lit(1.0)).as("value"))
+        case "stddev_over_time"  => grouped.agg(stddev_pop(v).as("value"))
+        case "stdvar_over_time"  => grouped.agg(var_pop(v).as("value"))
+        case "quantile_over_time" =>
+          grouped.agg(percentile(v, lit(param.get)).as("value"))
+        case other => throw new IllegalArgumentException(
+          s"$other over a subquery is not supported; use a *_over_time function")
+      }
+
+    case rv: RangeVec => throw new IllegalArgumentException(
+      s"a range vector ($rv) is only valid as a range function's argument")
+    case sq: Subquery => throw new IllegalArgumentException(
+      s"a subquery ($sq) is only valid under a *_over_time function")
+
     case AggQuantile(phi, by, child, without) =>
       val vec = compile(src, child, evalTs, lookback)
       val groupBy =
@@ -935,6 +1023,7 @@ object PromQlParser {
       case "count"    => count(lit(1)).cast("double")
       case "stddev"   => stddev_pop(v)
       case "stdvar"   => var_pop(v)
+      case "group"    => max(lit(1.0))
       case "quantile" => percentile(v, lit(phi))
     }
     if (groupBy.isEmpty) vec.agg(agg.as("value"))
@@ -977,11 +1066,8 @@ object PromQlParser {
   def evalRange(src: PromSource, query: String, startTs: String, endTs: String,
                 stepSec: Long, lookbackSec: Long = 300L): DataFrame = {
     require(stepSec > 0, "step must be positive")
-    def us(s: String): Long =
-      java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
-    val startUs = us(startTs)
-    val endUs = us(endTs)
+    val startUs = usOf(startTs)
+    val endUs = usOf(endTs)
     require(endUs >= startUs, "end must be >= start")
     val stepUs = stepSec * 1000000L
     val g = new GridCompiler(src, startUs, stepUs,
@@ -1148,6 +1234,13 @@ object PromQlParser {
       case ScalarLit(_) =>
         throw new IllegalArgumentException(
           "a bare scalar is not an instant vector; use it as a binary-operator operand")
+
+      case _: RangeSub | _: Subquery =>
+        throw new IllegalArgumentException(
+          "subqueries are not supported in query_range evaluation (a grid of grids); " +
+            "evaluate the subquery per instant instead")
+      case rv: RangeVec => throw new IllegalArgumentException(
+        s"a range vector ($rv) is only valid as a range function's argument")
     }
   }
 }

@@ -365,6 +365,20 @@ object PromQlQueries {
         .orderBy(col("fn"), col("user_id"))
     }),
 
+    // Subquery — the canonical alerting idiom `max_over_time(rate(...)[R:S])`:
+    // the inner rate evaluates on a 4-point 3h grid over the trailing 12h
+    // (one generate-project through the SAME GridCompiler as query_range —
+    // no per-step loop), and the outer max folds the grid per series.
+    "q118_promql_subquery" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      PromQlParser.eval(src, "max_over_time(rate(purchase[6h])[12h:3h])",
+          "2024-01-15 12:00:00")
+        .select(col("user_id"), col("event_type"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("user_id"))
+    }),
+
     // histogram_quantile(q) for q in {0.5, 0.9, 0.99} from fixed le-buckets
     // (10, 25, 50, 100, 250, +Inf) per metric: cumulative counts, linear
     // interpolation inside the target bucket, +Inf clamps to the highest
@@ -703,6 +717,33 @@ object PromQlQueries {
         |  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE), 4)
         |    AS value
         |FROM iv WHERE rn = 1 GROUP BY 1, 2 ORDER BY event_type, step_ts""".stripMargin,
+
+    // Subquery grid points: T − 9h, −6h, −3h, T (epoch 1705287600 + i·3h);
+    // rate per point = decimal-summed increases of pairs fully inside the
+    // trailing 6h window (the q107 rule); outer max is order-insensitive.
+    "q118_promql_subquery" ->
+      """WITH steps AS (
+        |  SELECT make_timestamp((1705287600 + i * 10800) * 1000000) AS step_ts
+        |  FROM (SELECT unnest(generate_series(0, 3)) AS i)
+        |), d AS (
+        |  SELECT user_id, event_type, ts, value,
+        |    lag(value) OVER win AS prev, lag(ts) OVER win AS prev_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |  WINDOW win AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |), pairs AS (
+        |  SELECT user_id, event_type, ts, prev_ts,
+        |    CASE WHEN value - prev < 0 THEN value ELSE value - prev END AS inc
+        |  FROM d WHERE prev IS NOT NULL
+        |), r AS (
+        |  SELECT p.user_id, p.event_type, s.step_ts,
+        |    CAST(sum(CAST(round(p.inc, 6) AS DECIMAL(18,6))) AS DOUBLE) / 21600
+        |      AS rate
+        |  FROM steps s JOIN pairs p
+        |    ON p.ts <= s.step_ts AND p.prev_ts > s.step_ts - INTERVAL 6 HOURS
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT user_id, event_type, round(max(rate), 6) AS value
+        |FROM r GROUP BY 1, 2 ORDER BY user_id""".stripMargin,
 
     "q115_promql_fns" ->
       """WITH lastv AS (

@@ -438,6 +438,35 @@ class PromQlParserSpec extends AnyFunSuite {
     assert(joined == "2|mem")
   }
 
+  test("subquery: *_over_time over a step-gridded inner expression") {
+    assert(parse("max_over_time(rate(cpu[5m])[1h:10m])") ==
+      RangeSub("max_over_time",
+        Subquery(RangeFn("rate", Selector(Some("cpu"), Nil), 300L), 3600L, 600L)))
+    // counter 0→60→240 at 10:00/10:10/10:20; rate[15m] at the grid points
+    // 10:10 (pair 10:00→10:10, inc 60) and 10:20 (pair 10:10→10:20,
+    // inc 180) — the 15m window holds one adjacent pair per point (a 10m
+    // window would EXCLUDE both: the trailing window is left-open, so a
+    // prev sample exactly w before T is outside it)
+    val df = Seq((1L, ts(0), 0.0), (2L, ts(10), 60.0), (3L, ts(20), 240.0))
+      .toDF("event_id", "ts", "value")
+      .withColumn("user_id", lit(1L)).withColumn("event_type", lit("cpu"))
+    def run(q: String) = eval(src(df), q, "2024-01-01 10:20:00")
+      .select("value").head().getDouble(0)
+    assert(math.abs(run("max_over_time(rate(cpu[15m])[20m:10m])") - 180.0 / 900) < 1e-12)
+    assert(math.abs(run("min_over_time(rate(cpu[15m])[20m:10m])") - 60.0 / 900) < 1e-12)
+    assert(run("count_over_time(rate(cpu[15m])[20m:10m])") == 2.0)
+    // last_over_time picks the newest grid point; avg is the decimal mean
+    assert(math.abs(run("last_over_time(rate(cpu[15m])[20m:10m])") - 180.0 / 900) < 1e-12)
+    assert(math.abs(run("avg_over_time(rate(cpu[15m])[20m:10m])") - 0.1333335) < 1e-9)
+    // subquery over an aggregated expression (parenthesized)
+    assert(math.abs(
+      run("max_over_time((sum by (event_type) (rate(cpu[15m])))[20m:10m])") - 180.0 / 900) < 1e-12)
+    // a non-over_time function over a subquery is rejected
+    val e = intercept[IllegalArgumentException](
+      eval(src(df), "rate(cpu[20m:10m])", "2024-01-01 10:20:00"))
+    assert(e.getMessage.contains("subquery"))
+  }
+
   test("topk tie-break is total-ordered on the series key") {
     val df = Seq(
       (1L, ts(0), 5L, "cpu", 9.0), (2L, ts(0), 3L, "cpu", 9.0),
