@@ -392,6 +392,14 @@ object PromQlParser {
     }
 
     private def parseUnary0(): Ast = peek match {
+      // unary sign: -5 folds into the literal; -vector multiplies by −1
+      case Some(Sym("-")) =>
+        next()
+        parseUnary() match {
+          case ScalarLit(v) => ScalarLit(-v)
+          case e => BinOp("*", ScalarLit(-1.0), e, None)
+        }
+      case Some(Sym("+")) => next(); parseUnary()
       case Some(Sym("(")) =>
         next(); val e = parseExpr(); expect(")"); e
       case Some(Num(n)) => next(); ScalarLit(n.toDouble)

@@ -120,6 +120,14 @@ class PromQlParserSpec extends AnyFunSuite {
     assert(parse("rate(cpu[5m]) * 100") ==
       BinOp("*", RangeFn("rate", Selector(Some("cpu"), Nil), 300L),
         ScalarLit(100.0), None))
+    // unary sign: -5 folds; -vector multiplies by −1; a - -b parses
+    assert(parse("cpu * -5") ==
+      BinOp("*", Selector(Some("cpu"), Nil), ScalarLit(-5.0), None))
+    assert(parse("-cpu") ==
+      BinOp("*", ScalarLit(-1.0), Selector(Some("cpu"), Nil), None))
+    assert(parse("a - -b") ==
+      BinOp("-", Selector(Some("a"), Nil),
+        BinOp("*", ScalarLit(-1.0), Selector(Some("b"), Nil), None), None))
     assert(parse("0.5 + cpu") ==
       BinOp("+", ScalarLit(0.5), Selector(Some("cpu"), Nil), None))
     // offset on instant and range selectors
