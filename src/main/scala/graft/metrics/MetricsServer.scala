@@ -2,6 +2,7 @@ package graft.metrics
 
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 
 /** A8 + P14: the engine's HTTP face — Prometheus text-format exposition
   * plus the Prometheus HTTP query API.
@@ -16,7 +17,13 @@ import org.apache.spark.sql.Row
   *  - `GET /api/v1/query_range?query=...&start=...&end=...&step=...` —
   *    step-grid evaluation through [[PromQlParser.evalRange]], returned as
   *    `matrix` JSON (the fetcher's `query_range` contract,
-  *    `reference/CHANGELOG.md:90`).
+  *    `reference/CHANGELOG.md:90`). `step` accepts seconds or a duration
+  *    (`5m`), as in Prometheus.
+  *  - `GET /api/v1/labels`, `/api/v1/label/<name>/values`,
+  *    `/api/v1/series?match[]=<selector>` — the metadata endpoints
+  *    Prometheus clients use for discovery, served from the bound
+  *    source's label columns / distinct values / matching series (each a
+  *    distinct-aggregation plan, capped like the query endpoints).
   *
   * The query endpoints exist only when a [[PromQlParser.PromSource]] is
   * bound; an instant/range result is vector-sized (series × steps, not
@@ -64,10 +71,41 @@ final class MetricsServer(observed: Observed, port: Int = 0,
         throw new IllegalArgumentException(s"missing '$k' parameter"))
       val start = MetricsServer.parseTime(need("start"))
       val end = MetricsServer.parseTime(need("end"))
-      val step = need("step").toLong
+      val step = MetricsServer.parseDurationSec(need("step"))
       val rows = MetricsServer.collectCapped(
         PromQlParser.evalRange(src, need("query"), start, end, step), maxResultRows)
       MetricsServer.matrixJson(rows)
+    })
+    server.createContext("/api/v1/labels", MetricsServer.jsonHandler { _ =>
+      // the data model's label set is the source's series-key columns
+      val names = (src.seriesKey :+ "__name__").distinct.sorted
+      s"""{"status":"success","data":[${names.map(n => "\"" + n + "\"").mkString(",")}]}"""
+    })
+    server.createContext("/api/v1/label/", MetricsServer.jsonHandler2 { (path, _) =>
+      // /api/v1/label/<name>/values
+      val name = path.stripPrefix("/api/v1/label/").stripSuffix("/values")
+      val colName = if (name == "__name__") src.metricCol else name
+      require(src.seriesKey.contains(colName) || colName == src.metricCol,
+        s"unknown label: $name")
+      val rows = MetricsServer.collectCapped(
+        src.df.select(col(colName).cast("string").as("v"))
+          .distinct().orderBy(col("v")), maxResultRows)
+      val vals = rows.map(r => "\"" + MetricsServer.jsonEscape(r.getString(0)) + "\"")
+      s"""{"status":"success","data":[${vals.mkString(",")}]}"""
+    })
+    server.createContext("/api/v1/series", MetricsServer.jsonHandler { params =>
+      val sel = params.getOrElse("match[]",
+        throw new IllegalArgumentException("missing 'match[]' parameter"))
+      val rows = MetricsServer.collectCapped(
+        PromQlParser.seriesFor(src, sel), maxResultRows)
+      val labels = rows.headOption.toSeq
+        .flatMap(_.schema.fields.zipWithIndex.map { case (f, i) => (f.name, i) })
+      val items = rows.map { r =>
+        labels.map { case (n, i) =>
+          s""""${MetricsServer.jsonEscape(n)}":"${MetricsServer.jsonEscape(String.valueOf(r.get(i)))}""""
+        }.mkString("{", ",", "}")
+      }
+      s"""{"status":"success","data":[${items.mkString(",")}]}"""
     })
   }
   server.setExecutor(null) // serve on the listener thread; scrape QPS is ~1/15s
@@ -138,6 +176,17 @@ object MetricsServer {
     else s
   }
 
+  /** Prometheus step syntax: bare (fractional) seconds or a duration like
+    * `5m`; returns whole seconds. */
+  private[metrics] def parseDurationSec(s: String): Long =
+    if (s.nonEmpty && s.last.isLetter) {
+      val mult = s.last match {
+        case 's' => 1L; case 'm' => 60L; case 'h' => 3600L; case 'd' => 86400L
+        case other => throw new IllegalArgumentException(s"bad duration unit: $other")
+      }
+      s.dropRight(1).toLong * mult
+    } else s.toDouble.toLong
+
   private[metrics] def epochSec(plainTs: String): Long =
     java.time.LocalDateTime.parse(plainTs.replace(' ', 'T'))
       .toEpochSecond(java.time.ZoneOffset.UTC)
@@ -199,6 +248,11 @@ object MetricsServer {
   /** Wraps a params → JSON function as a handler with Prometheus-style
     * error payloads (400 + `status: error`). */
   private def jsonHandler(f: Map[String, String] => String): HttpHandler =
+    jsonHandler2((_, params) => f(params))
+
+  /** [[jsonHandler]] that also passes the request path (for path-shaped
+    * endpoints like `/api/v1/label/<name>/values`). */
+  private def jsonHandler2(f: (String, Map[String, String]) => String): HttpHandler =
     new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         val (code, body) =
@@ -211,7 +265,7 @@ object MetricsServer {
                   .decode(kv.substring(eq + 1), "UTF-8")
                 k -> v
               }.toMap
-            (200, f(params))
+            (200, f(ex.getRequestURI.getPath, params))
           } catch {
             case e: ResultTooLarge =>
               val msg = jsonEscape(String.valueOf(e.getMessage))

@@ -839,6 +839,18 @@ object PromQlParser {
            lookback: String = "5 MINUTES"): DataFrame =
     compile(src, parse(query), evalTs, lookback)
 
+  /** The distinct series (label sets) a plain selector matches — the
+    * `/api/v1/series` metadata contract. One distinct-aggregation plan. */
+  def seriesFor(src: PromSource, selector: String): DataFrame =
+    parse(selector) match {
+      case sel: Selector =>
+        src.df.filter(matcherCond(src, sel))
+          .select(src.seriesKey.map(col): _*)
+          .distinct().orderBy(src.seriesKey.map(col): _*)
+      case other => throw new IllegalArgumentException(
+        s"match[] must be a plain series selector, got $other")
+    }
+
   private def compile(src: PromSource, ast: Ast, evalTs: String,
                       lookback: String): DataFrame = ast match {
     case sel: Selector =>

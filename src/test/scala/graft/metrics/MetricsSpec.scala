@@ -128,6 +128,46 @@ class MetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("P14: query_range matrix JSON + metadata endpoints (labels/values/series)") {
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "cpu", 7.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "cpu", 9.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 2L, "mem", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val src = PromQlParser.PromSource(df, "event_type",
+      Seq("user_id", "event_type"), "ts", "event_id", "value")
+    def get(port: Int, pathAndQuery: String): (Int, String) = {
+      val url = new java.net.URI(s"http://127.0.0.1:$port$pathAndQuery").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val code = conn.getResponseCode
+      val in = if (code == 200) conn.getInputStream else conn.getErrorStream
+      (code, scala.io.Source.fromInputStream(in).mkString)
+    }
+    Observed.use(spark) { obs =>
+      val srv = new MetricsServer(obs, promSource = Some(src))
+      try {
+        // query_range with a duration-string step: one cpu series, two steps
+        val (mc, matrix) = get(srv.boundPort,
+          "/api/v1/query_range?query=cpu&start=2024-01-01T10:00:00Z" +
+            "&end=2024-01-01T10:05:00Z&step=5m")
+        assert(mc == 200 && matrix.contains(""""resultType":"matrix""""))
+        assert(matrix.contains(""""values":[[1704103200,"7.0"],[1704103500,"9.0"]]"""))
+        val (lc, labels) = get(srv.boundPort, "/api/v1/labels")
+        assert(lc == 200 && labels.contains("\"event_type\"") && labels.contains("\"user_id\""))
+        val (vc, vals) = get(srv.boundPort, "/api/v1/label/event_type/values")
+        assert(vc == 200 && vals.contains("""["cpu","mem"]"""))
+        val (nc, names) = get(srv.boundPort, "/api/v1/label/__name__/values")
+        assert(nc == 200 && names.contains("""["cpu","mem"]"""))
+        val (sc, series) = get(srv.boundPort,
+          "/api/v1/series?match[]=" + java.net.URLEncoder.encode("""{event_type="cpu"}""", "UTF-8"))
+        assert(sc == 200 &&
+          series.contains(""""data":[{"user_id":"1","event_type":"cpu"}]"""))
+        val (bc, err) = get(srv.boundPort, "/api/v1/label/nope/values")
+        assert(bc == 400 && err.contains("unknown label"))
+      } finally srv.close()
+    }
+  }
+
   test("A8: HTTP exposition serves the Observed snapshot in Prometheus text format") {
     Observed.use(spark) { obs =>
       obs.observe(graft.Tables.events(spark, graft.TestSpark.SF),
