@@ -600,7 +600,32 @@ object PromQlParser {
     sum(round(c, 6).cast("decimal(18,6)")).cast("double")
 
   /** Columns that are never vector labels in a compiled frame. */
-  private val nonLabelCols = Set("value", "rank", "__step")
+  private val nonLabelCols = Set("value", "rank", "__step", "__substep")
+
+  /** The `*_over_time` fold shared by grid range functions and subquery
+    * evaluation (instant + grid): one grouped aggregation; `lastOrd`
+    * supplies the ordering for `last_over_time`. */
+  private def overTimeAgg(grouped: org.apache.spark.sql.RelationalGroupedDataset,
+                          fn: String, v: Column, param: Option[Double],
+                          lastOrd: Column): DataFrame = fn match {
+    case "sum_over_time"     => grouped.agg(decSum(v).as("value"))
+    case "count_over_time"   => grouped.agg(count(lit(1)).cast("double").as("value"))
+    case "avg_over_time"     => grouped.agg((decSum(v) / count(lit(1))).as("value"))
+    case "max_over_time"     => grouped.agg(max(v).as("value"))
+    case "min_over_time"     => grouped.agg(min(v).as("value"))
+    case "last_over_time"    => grouped.agg(max_by(v, lastOrd).as("value"))
+    case "present_over_time" => grouped.agg(max(lit(1.0)).as("value"))
+    case "stddev_over_time"  => grouped.agg(stddev_pop(v).as("value"))
+    case "stdvar_over_time"  => grouped.agg(var_pop(v).as("value"))
+    case "quantile_over_time" => grouped.agg(percentile(v, lit(param.get)).as("value"))
+    case other => throw new IllegalArgumentException(
+      s"$other is not a *_over_time fold")
+  }
+
+  private val overTimeFns = Set("sum_over_time", "count_over_time",
+    "avg_over_time", "max_over_time", "min_over_time", "last_over_time",
+    "present_over_time", "stddev_over_time", "stdvar_over_time",
+    "quantile_over_time")
 
   /** Shift an eval-time literal back by a selector's `offset` — constant
     * arithmetic on the driver (timestamps are wall-clock strings in the
@@ -956,6 +981,8 @@ object PromQlParser {
     // default 5m lookback, as in Prometheus subqueries.
     case RangeSub(fn, sub, param) =>
       require(sub.stepSec > 0, "subquery step must be positive")
+      require(overTimeFns(fn),
+        s"$fn over a subquery is not supported; use a *_over_time function")
       val stepUs = sub.stepSec * 1000000L
       val endUs = usOf(evalTs)
       // grid points T − i·step for i·step < range, oldest first
@@ -967,22 +994,7 @@ object PromQlParser {
       val grouped =
         if (labels.isEmpty) sg.groupBy()
         else sg.groupBy(labels.map(col): _*)
-      val v = col("value")
-      fn match {
-        case "sum_over_time"     => grouped.agg(decSum(v).as("value"))
-        case "count_over_time"   => grouped.agg(count(lit(1)).cast("double").as("value"))
-        case "avg_over_time"     => grouped.agg((decSum(v) / count(lit(1))).as("value"))
-        case "max_over_time"     => grouped.agg(max(v).as("value"))
-        case "min_over_time"     => grouped.agg(min(v).as("value"))
-        case "last_over_time"    => grouped.agg(max_by(v, col("__step")).as("value"))
-        case "present_over_time" => grouped.agg(max(lit(1.0)).as("value"))
-        case "stddev_over_time"  => grouped.agg(stddev_pop(v).as("value"))
-        case "stdvar_over_time"  => grouped.agg(var_pop(v).as("value"))
-        case "quantile_over_time" =>
-          grouped.agg(percentile(v, lit(param.get)).as("value"))
-        case other => throw new IllegalArgumentException(
-          s"$other over a subquery is not supported; use a *_over_time function")
-      }
+      overTimeAgg(grouped, fn, col("value"), param, lastOrd = col("__step"))
 
     case rv: RangeVec => throw new IllegalArgumentException(
       s"a range vector ($rv) is only valid as a range function's argument")
@@ -1165,26 +1177,11 @@ object PromQlParser {
             filtered.withColumn("__step", explode(stepsFor(te, te + lit(wUs))))
               .groupBy(keyCols :+ col("__step"): _*)
               .agg((max_by(v, ord) - min_by(v, ord)).as("value"))
-          case "sum_over_time" | "count_over_time" | "avg_over_time"
-             | "max_over_time" | "min_over_time" | "last_over_time"
-             | "present_over_time" | "stddev_over_time" | "stdvar_over_time"
-             | "quantile_over_time" =>
-            val grouped = filtered
-              .withColumn("__step", explode(stepsFor(te, te + lit(wUs))))
-              .groupBy(keyCols :+ col("__step"): _*)
-            fn match {
-              case "sum_over_time"   => grouped.agg(decSum(v).as("value"))
-              case "count_over_time" => grouped.agg(count(lit(1)).cast("double").as("value"))
-              case "avg_over_time"   => grouped.agg((decSum(v) / count(lit(1))).as("value"))
-              case "max_over_time"   => grouped.agg(max(v).as("value"))
-              case "min_over_time"   => grouped.agg(min(v).as("value"))
-              case "last_over_time"  => grouped.agg(max_by(v, ord).as("value"))
-              case "present_over_time" => grouped.agg(max(lit(1.0)).as("value"))
-              case "stddev_over_time" => grouped.agg(stddev_pop(v).as("value"))
-              case "stdvar_over_time" => grouped.agg(var_pop(v).as("value"))
-              case "quantile_over_time" =>
-                grouped.agg(percentile(v, lit(param.get)).as("value"))
-            }
+          case f if overTimeFns(f) =>
+            overTimeAgg(
+              filtered.withColumn("__step", explode(stepsFor(te, te + lit(wUs))))
+                .groupBy(keyCols :+ col("__step"): _*),
+              f, v, param, lastOrd = ord)
           case "deriv" | "predict_linear" =>
             // x is measured from each step's evaluation instant T_i, so
             // the fit per (series, step) matches the instant semantics
@@ -1255,10 +1252,35 @@ object PromQlParser {
         throw new IllegalArgumentException(
           "a bare scalar is not an instant vector; use it as a binary-operator operand")
 
-      case _: RangeSub | _: Subquery =>
-        throw new IllegalArgumentException(
-          "subqueries are not supported in query_range evaluation (a grid of grids); " +
-            "evaluate the subquery per instant instead")
+      // Subquery on the outer grid — NOT a grid of grids: the inner
+      // expression evaluates ONCE on a shared fine grid (substep
+      // resolution, aligned to the outer start and extended back by the
+      // subquery range), and each fine-grid sample then explodes onto the
+      // ≤ ⌈range/step⌉ outer steps whose trailing window holds it — the
+      // same bounded generate-project shape as every other grid operator.
+      // A day-long query_range over a 1h:5m subquery evaluates the inner
+      // rate ~300 times total, not 288 × 12.
+      case RangeSub(fn, sub, param) =>
+        require(sub.stepSec > 0, "subquery step must be positive")
+        require(overTimeFns(fn),
+          s"$fn over a subquery is not supported; use a *_over_time function")
+        val subUs = sub.stepSec * 1000000L
+        val rangeUs = sub.rangeSec * 1000000L
+        val nBack = (rangeUs - 1) / subUs
+        val innerStart = startUs - nBack * subUs
+        val innerN = (startUs + nSteps * stepUs - innerStart) / subUs
+        val inner = new GridCompiler(src, innerStart, subUs, innerN,
+          lookbackUs = 300L * 1000000L)
+        val ig = inner.compile(sub.child).withColumnRenamed("__step", "__substep")
+        val tAbs = lit(innerStart) + col("__substep") * lit(subUs)
+        val exploded = ig.withColumn("__step",
+          explode(stepsFor(tAbs, tAbs + lit(rangeUs))))
+        val labels = ig.columns.filterNot(nonLabelCols).toSeq
+        overTimeAgg(exploded.groupBy((labels :+ "__step").map(col): _*),
+          fn, col("value"), param, lastOrd = col("__substep"))
+
+      case sq: Subquery => throw new IllegalArgumentException(
+        s"a subquery ($sq) is only valid under a *_over_time function")
       case rv: RangeVec => throw new IllegalArgumentException(
         s"a range vector ($rv) is only valid as a range function's argument")
     }

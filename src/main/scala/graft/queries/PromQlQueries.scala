@@ -379,6 +379,21 @@ object PromQlQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Subquery ON the query_range grid: the inner rate evaluates once on
+    // a shared 3h fine grid (extended one substep before the window
+    // start), and each fine sample folds onto the outer 6h steps whose
+    // trailing 6h window holds it — inner work scales with fine-grid
+    // size, not outer-steps × substeps.
+    "q119_range_subquery" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      PromQlParser.evalRange(src, "max_over_time(rate(purchase[6h])[6h:3h])",
+          "2024-01-14 00:00:00", "2024-01-15 00:00:00", stepSec = 21600)
+        .select(col("user_id"), col("event_type"), col("step_ts"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("user_id"), col("event_type"), col("step_ts"))
+    }),
+
     // histogram_quantile(q) for q in {0.5, 0.9, 0.99} from fixed le-buckets
     // (10, 25, 50, 100, 250, +Inf) per metric: cumulative counts, linear
     // interpolation inside the target bucket, +Inf clamps to the highest
@@ -744,6 +759,39 @@ object PromQlQueries {
         |)
         |SELECT user_id, event_type, round(max(rate), 6) AS value
         |FROM r GROUP BY 1, 2 ORDER BY user_id""".stripMargin,
+
+    // Fine grid: 2024-01-13 21:00 (epoch 1705179600) + j·3h for j in 0..9;
+    // rate per fine point = q107's pairs rule; outer 6h steps (1705190400
+    // + i·6h) fold the fine points inside their trailing 6h window.
+    "q119_range_subquery" ->
+      """WITH fine AS (
+        |  SELECT make_timestamp((1705179600 + j * 10800) * 1000000) AS fts
+        |  FROM (SELECT unnest(generate_series(0, 9)) AS j)
+        |), d AS (
+        |  SELECT user_id, event_type, ts, value,
+        |    lag(value) OVER win AS prev, lag(ts) OVER win AS prev_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |  WINDOW win AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |), pairs AS (
+        |  SELECT user_id, event_type, ts, prev_ts,
+        |    CASE WHEN value - prev < 0 THEN value ELSE value - prev END AS inc
+        |  FROM d WHERE prev IS NOT NULL
+        |), r AS (
+        |  SELECT p.user_id, p.event_type, f.fts,
+        |    CAST(sum(CAST(round(p.inc, 6) AS DECIMAL(18,6))) AS DOUBLE) / 21600
+        |      AS rate
+        |  FROM fine f JOIN pairs p
+        |    ON p.ts <= f.fts AND p.prev_ts > f.fts - INTERVAL 6 HOURS
+        |  GROUP BY 1, 2, 3
+        |), steps AS (
+        |  SELECT make_timestamp((1705190400 + i * 21600) * 1000000) AS step_ts
+        |  FROM (SELECT unnest(generate_series(0, 4)) AS i)
+        |)
+        |SELECT r.user_id, r.event_type, s.step_ts, round(max(r.rate), 6) AS value
+        |FROM steps s JOIN r
+        |  ON r.fts <= s.step_ts AND r.fts > s.step_ts - INTERVAL 6 HOURS
+        |GROUP BY 1, 2, 3
+        |ORDER BY user_id, event_type, step_ts""".stripMargin,
 
     "q115_promql_fns" ->
       """WITH lastv AS (

@@ -473,6 +473,18 @@ class PromQlParserSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       eval(src(df), "rate(cpu[20m:10m])", "2024-01-01 10:20:00"))
     assert(e.getMessage.contains("subquery"))
+    // subquery on the query_range grid: inner rate evaluates once on the
+    // shared fine grid (10:10/10:20 carry pairs → 1/15 and 0.2), each
+    // fine sample folds onto the outer steps whose 20m window holds it
+    val grid = PromQlParser.evalRange(src(df),
+        "max_over_time(rate(cpu[15m])[20m:10m])",
+        "2024-01-01 10:20:00", "2024-01-01 10:40:00", stepSec = 600)
+      .collect()
+      .map(r => r.getAs[java.sql.Timestamp]("step_ts").toString -> r.getAs[Double]("value"))
+      .toMap
+    assert(grid.keySet == Set("2024-01-01 10:20:00.0", "2024-01-01 10:30:00.0"))
+    assert(math.abs(grid("2024-01-01 10:20:00.0") - 0.2) < 1e-12)
+    assert(math.abs(grid("2024-01-01 10:30:00.0") - 0.2) < 1e-12)
   }
 
   test("topk tie-break is total-ordered on the series key") {
