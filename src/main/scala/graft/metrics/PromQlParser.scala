@@ -219,7 +219,8 @@ object PromQlParser {
 
     private val aggFns = Set("sum", "avg", "min", "max", "count",
       "stddev", "stdvar", "group")
-    private val rangeFns = Set("rate", "increase", "delta", "irate", "deriv",
+    private val rangeFns = Set("rate", "increase", "delta", "irate", "idelta",
+      "deriv", "resets", "changes",
       "sum_over_time", "avg_over_time", "max_over_time", "min_over_time",
       "count_over_time", "last_over_time", "present_over_time",
       "stddev_over_time", "stdvar_over_time")
@@ -906,13 +907,14 @@ object PromQlParser {
           val ord = struct(col(src.tsCol), col(src.orderCol))
           inWindow.groupBy(keyCols: _*)
             .agg((max_by(v, ord) - min_by(v, ord)).as("value"))
-        case "irate" =>
-          // instantaneous rate from the LAST TWO samples, reset-aware;
-          // Δt in integer micros then one double division — both engines
-          // compute the identical quotient
+        case "irate" | "idelta" =>
+          // from the LAST TWO samples: irate is the reset-aware rate (Δt
+          // in integer micros then one double division — both engines
+          // compute the identical quotient); idelta is the plain last
+          // difference (gauge semantics, no reset rule, no division)
           val w2 = Window.partitionBy(keyCols: _*)
             .orderBy(col(src.tsCol).desc, col(src.orderCol).desc)
-          inWindow.withColumn("__rn", row_number().over(w2))
+          val two = inWindow.withColumn("__rn", row_number().over(w2))
             .filter(col("__rn") <= 2)
             .groupBy(keyCols: _*)
             .agg(
@@ -920,11 +922,29 @@ object PromQlParser {
               max(when(col("__rn") === 2, v)).as("__v2"),
               max(when(col("__rn") === 1, unix_micros(col(src.tsCol)))).as("__t1"),
               max(when(col("__rn") === 2, unix_micros(col(src.tsCol)))).as("__t2"))
-            .filter(col("__v2").isNotNull) // a lone sample has no rate
-            .select(keyCols :+
-              (when(col("__v1") < col("__v2"), col("__v1"))
-                .otherwise(col("__v1") - col("__v2")) /
-                ((col("__t1") - col("__t2")) / 1000000.0)).as("value"): _*)
+            .filter(col("__v2").isNotNull) // a lone sample has no pair
+          val value =
+            if (fn == "idelta") col("__v1") - col("__v2")
+            else when(col("__v1") < col("__v2"), col("__v1"))
+              .otherwise(col("__v1") - col("__v2")) /
+              ((col("__t1") - col("__t2")) / 1000000.0)
+          two.select(keyCols :+ value.as("value"): _*)
+        case "resets" =>
+          // count of counter resets among the window's samples; a lone
+          // sample yields 0 (the sample defines presence), as in
+          // Prometheus
+          PromQl.counterIncrease(inWindow, src.seriesKey,
+              src.tsCol, src.orderCol, src.valueCol)
+            .groupBy(keyCols: _*)
+            .agg(sum(col("reset")).cast("double").as("value"))
+        case "changes" =>
+          // count of value CHANGES between consecutive in-window samples
+          val wSeries = Window.partitionBy(keyCols: _*)
+            .orderBy(col(src.tsCol), col(src.orderCol))
+          inWindow.withColumn("__prev", lag(v, 1).over(wSeries))
+            .groupBy(keyCols: _*)
+            .agg(sum(when(col("__prev").isNotNull && col("__prev") =!= v, 1)
+              .otherwise(0)).cast("double").as("value"))
         case "sum_over_time" =>
           inWindow.groupBy(keyCols: _*).agg(decSum(v).as("value"))
         case "count_over_time" =>
@@ -1182,6 +1202,26 @@ object PromQlParser {
               filtered.withColumn("__step", explode(stepsFor(te, te + lit(wUs))))
                 .groupBy(keyCols :+ col("__step"): _*),
               f, v, param, lastOrd = ord)
+          case "resets" | "changes" =>
+            // samples define presence (instant-style explode → a
+            // lone-sample step emits 0); a global-adjacent pair counts
+            // toward a step iff its prev endpoint is also inside that
+            // step's window — adjacency within a contiguous window equals
+            // global adjacency, so this matches the instant semantics
+            val wSeries = Window.partitionBy(keyCols: _*)
+              .orderBy(col(src.tsCol), col(src.orderCol))
+            val paired = filtered
+              .withColumn("__prev", lag(v, 1).over(wSeries))
+              .withColumn("__prev_te", lag(te, 1).over(wSeries))
+              .withColumn("__step", explode(stepsFor(te, te + lit(wUs))))
+            val stepT = lit(startUs) + col("__step") * lit(stepUs)
+            val pairIn = col("__prev_te").isNotNull &&
+              stepT < col("__prev_te") + lit(wUs)
+            val hit =
+              if (fn == "resets") pairIn && v < col("__prev")
+              else pairIn && v =!= col("__prev")
+            paired.groupBy(keyCols :+ col("__step"): _*)
+              .agg(sum(when(hit, 1).otherwise(0)).cast("double").as("value"))
           case "deriv" | "predict_linear" =>
             // x is measured from each step's evaluation instant T_i, so
             // the fit per (series, step) matches the instant semantics

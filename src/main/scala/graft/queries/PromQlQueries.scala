@@ -394,6 +394,24 @@ object PromQlQueries {
         .orderBy(col("user_id"), col("event_type"), col("step_ts"))
     }),
 
+    // Counter-shape functions through the parser: resets (counter drops),
+    // changes (value transitions), idelta (last difference) per series
+    // over a trailing 24h window — integer counts and one exact
+    // subtraction, so the twin matches bit-for-bit.
+    "q120_promql_counter_fns" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      def run(q: String, tag: String) =
+        PromQlParser.eval(src, q, "2024-01-15 12:00:00")
+          .withColumn("fn", lit(tag))
+      run("""resets({event_type=~".+"}[24h])""", "resets")
+        .unionByName(run("""changes({event_type=~".+"}[24h])""", "changes"))
+        .unionByName(run("""idelta({event_type=~".+"}[24h])""", "idelta"))
+        .select(col("fn"), col("user_id"), col("event_type"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("fn"), col("user_id"), col("event_type"))
+    }),
+
     // histogram_quantile(q) for q in {0.5, 0.9, 0.99} from fixed le-buckets
     // (10, 25, 50, 100, 250, +Inf) per metric: cumulative counts, linear
     // interpolation inside the target bucket, +Inf clamps to the highest
@@ -792,6 +810,35 @@ object PromQlQueries {
         |  ON r.fts <= s.step_ts AND r.fts > s.step_ts - INTERVAL 6 HOURS
         |GROUP BY 1, 2, 3
         |ORDER BY user_id, event_type, step_ts""".stripMargin,
+
+    "q120_promql_counter_fns" ->
+      """WITH w AS (
+        |  SELECT user_id, event_type, ts, event_id, value FROM events
+        |  WHERE ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |    AND ts >  TIMESTAMP '2024-01-15 12:00:00' - INTERVAL 24 HOURS
+        |), p AS (
+        |  SELECT user_id, event_type, value,
+        |    lag(value) OVER win AS prev,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM w
+        |  WINDOW win AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |)
+        |SELECT 'resets' AS fn, user_id, event_type,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END)
+        |       AS DOUBLE) AS value
+        |FROM p GROUP BY 2, 3
+        |UNION ALL
+        |SELECT 'changes', user_id, event_type,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND value <> prev THEN 1 ELSE 0 END)
+        |       AS DOUBLE)
+        |FROM p GROUP BY 2, 3
+        |UNION ALL
+        |SELECT 'idelta', user_id, event_type,
+        |  round(max(CASE WHEN rd = 1 THEN value END)
+        |        - max(CASE WHEN rd = 2 THEN value END), 6)
+        |FROM p GROUP BY 2, 3 HAVING count(*) >= 2
+        |ORDER BY fn, user_id, event_type""".stripMargin,
 
     "q115_promql_fns" ->
       """WITH lastv AS (

@@ -487,6 +487,33 @@ class PromQlParserSpec extends AnyFunSuite {
     assert(math.abs(grid("2024-01-01 10:30:00.0") - 0.2) < 1e-12)
   }
 
+  test("resets/changes count window transitions; idelta is the last difference") {
+    // 10 → 10 → 4 → 9 → 9: resets 1 (10→4); changes 2 (10→4, 4→9)
+    val df = Seq((1L, ts(0), 10.0), (2L, ts(1), 10.0), (3L, ts(2), 4.0),
+      (4L, ts(3), 9.0), (5L, ts(4), 9.0))
+      .toDF("event_id", "ts", "value")
+      .withColumn("user_id", lit(1L)).withColumn("event_type", lit("cpu"))
+    def run(q: String) = eval(src(df), q, "2024-01-01 10:30:00")
+      .select("value").head().getDouble(0)
+    assert(run("resets(cpu[1h])") == 1.0)
+    assert(run("changes(cpu[1h])") == 2.0)
+    assert(run("idelta(cpu[1h])") == 0.0) // 9 − 9
+    // lone sample: present but zero transitions
+    val lone = Seq((1L, ts(0), 5.0)).toDF("event_id", "ts", "value")
+      .withColumn("user_id", lit(1L)).withColumn("event_type", lit("cpu"))
+    assert(eval(src(lone), "changes(cpu[1h])", "2024-01-01 10:30:00")
+      .select("value").head().getDouble(0) == 0.0)
+    // grid form: per-step windows see different transition sets; the
+    // 10:02 step's 2m window holds samples 10:01/10:02 (one change);
+    // the 10:04 step's holds 10:03/10:04 (none)
+    val grid = PromQlParser.evalRange(src(df), "changes(cpu[2m])",
+        "2024-01-01 10:02:00", "2024-01-01 10:04:00", stepSec = 120)
+      .collect()
+      .map(r => r.getAs[java.sql.Timestamp]("step_ts").toString -> r.getAs[Double]("value"))
+      .toMap
+    assert(grid == Map("2024-01-01 10:02:00.0" -> 1.0, "2024-01-01 10:04:00.0" -> 0.0))
+  }
+
   test("topk tie-break is total-ordered on the series key") {
     val df = Seq(
       (1L, ts(0), 5L, "cpu", 9.0), (2L, ts(0), 3L, "cpu", 9.0),
