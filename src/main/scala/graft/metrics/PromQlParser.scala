@@ -144,6 +144,9 @@ object PromQlParser {
                          bool: Boolean = false) extends Ast
   /** A bare number: scalar operand of a BinOp (`rate(m[5m]) * 100`). */
   final case class ScalarLit(v: Double) extends Ast
+  /** `time()`: the evaluation timestamp as a scalar — the instant T in an
+    * instant query, each step's own T_i on the `query_range` grid. */
+  case object TimeFn extends Ast
   /** `histogram_quantile(q, expr)`: child must evaluate to a vector with an
     * `le` label carrying cumulative bucket counts (Prometheus data model). */
   final case class HistQuantile(q: Double, child: Ast) extends Ast
@@ -464,6 +467,10 @@ object PromQlParser {
         val b = if (fn == "clamp") { expect(","); Seq(parseNum()) } else Nil
         expect(")")
         VecFn(fn, child, a +: b)
+      case Some(Ident("time"))
+        if toks.drop(1).headOption.contains(Sym("(")) &&
+           toks.drop(2).headOption.contains(Sym(")")) =>
+        next(); next(); next(); TimeFn
       case Some(Ident("label_replace")) =>
         next(); expect("(")
         val child = parseExpr()
@@ -754,10 +761,10 @@ object PromQlParser {
     * matter which side the scalar is on (`5 > x` keeps x's value — the
     * Prometheus filter rule); under `bool` every sample stays and the
     * value becomes 1.0/0.0. Set operators have no scalar form. */
-  private def binOpScalar(op: String, vec: DataFrame, scalar: Double,
+  private def binOpScalar(op: String, vec: DataFrame, scalar: Column,
                           scalarOnLeft: Boolean, boolMode: Boolean): DataFrame = {
     val v = col("value")
-    val (a, b) = if (scalarOnLeft) (lit(scalar), v) else (v, lit(scalar))
+    val (a, b) = if (scalarOnLeft) (scalar, v) else (v, scalar)
     if (cmpOps(op)) {
       val pred = cmpPred(op, a, b)
       if (boolMode) vec.withColumn("value", when(pred, 1.0).otherwise(0.0))
@@ -1032,21 +1039,27 @@ object PromQlParser {
       absentFrame(src.df.sparkSession.range(1).toDF(), sel,
         compile(src, sel, evalTs, lookback), extraKey = Nil)
 
-    case BinOp(op, lhs, rhs, matching, group, boolMode) => (lhs, rhs) match {
-      case (ScalarLit(_), ScalarLit(_)) =>
-        throw new IllegalArgumentException(
-          "scalar-only expressions are not instant vectors; fold constants in the query")
-      case (ScalarLit(a), r) =>
-        binOpScalar(op, compile(src, r, evalTs, lookback), a,
-          scalarOnLeft = true, boolMode)
-      case (l, ScalarLit(b)) =>
-        binOpScalar(op, compile(src, l, evalTs, lookback), b,
-          scalarOnLeft = false, boolMode)
-      case (l, r) =>
-        binOpVec(op, compile(src, l, evalTs, lookback),
-          compile(src, r, evalTs, lookback), matching, group, boolMode,
-          gridKey = Nil)
-    }
+    case BinOp(op, lhs, rhs, matching, group, boolMode) =>
+      def scalarOf(a: Ast): Option[Column] = a match {
+        case ScalarLit(v) => Some(lit(v))
+        case TimeFn => Some(lit(usOf(evalTs) / 1000000.0))
+        case _ => None
+      }
+      (scalarOf(lhs), scalarOf(rhs)) match {
+        case (Some(_), Some(_)) =>
+          throw new IllegalArgumentException(
+            "scalar-only expressions are not instant vectors; fold constants in the query")
+        case (Some(a), None) =>
+          binOpScalar(op, compile(src, rhs, evalTs, lookback), a,
+            scalarOnLeft = true, boolMode)
+        case (None, Some(b)) =>
+          binOpScalar(op, compile(src, lhs, evalTs, lookback), b,
+            scalarOnLeft = false, boolMode)
+        case (None, None) =>
+          binOpVec(op, compile(src, lhs, evalTs, lookback),
+            compile(src, rhs, evalTs, lookback), matching, group, boolMode,
+            gridKey = Nil)
+      }
 
     case HistQuantile(q, child) =>
       val vec = compile(src, child, evalTs, lookback)
@@ -1054,7 +1067,7 @@ object PromQlParser {
         "histogram_quantile needs an 'le'-labeled bucket vector (the Prometheus data model)")
       PromQl.histogramQuantileVector(vec, q)
 
-    case ScalarLit(_) =>
+    case ScalarLit(_) | TimeFn =>
       throw new IllegalArgumentException(
         "a bare scalar is not an instant vector; use it as a binary-operator operand")
   }
@@ -1267,18 +1280,27 @@ object PromQlParser {
           .select(col("id").as("__step"))
         absentFrame(steps, sel, compile(sel), extraKey = Seq("__step"))
 
-      case BinOp(op, lhs, rhs, matching, group, boolMode) => (lhs, rhs) match {
-        case (ScalarLit(_), ScalarLit(_)) =>
-          throw new IllegalArgumentException(
-            "scalar-only expressions are not instant vectors; fold constants in the query")
-        case (ScalarLit(a), r) =>
-          binOpScalar(op, compile(r), a, scalarOnLeft = true, boolMode)
-        case (l, ScalarLit(b)) =>
-          binOpScalar(op, compile(l), b, scalarOnLeft = false, boolMode)
-        case (l, r) =>
-          binOpVec(op, compile(l), compile(r), matching, group, boolMode,
-            gridKey = Seq("__step"))
-      }
+      case BinOp(op, lhs, rhs, matching, group, boolMode) =>
+        // time() on the grid is each step's own evaluation instant — a
+        // column over __step, riding the same projection as a literal
+        def scalarOf(a: Ast): Option[Column] = a match {
+          case ScalarLit(v) => Some(lit(v))
+          case TimeFn =>
+            Some((lit(startUs) + col("__step") * lit(stepUs)) / 1000000.0)
+          case _ => None
+        }
+        (scalarOf(lhs), scalarOf(rhs)) match {
+          case (Some(_), Some(_)) =>
+            throw new IllegalArgumentException(
+              "scalar-only expressions are not instant vectors; fold constants in the query")
+          case (Some(a), None) =>
+            binOpScalar(op, compile(rhs), a, scalarOnLeft = true, boolMode)
+          case (None, Some(b)) =>
+            binOpScalar(op, compile(lhs), b, scalarOnLeft = false, boolMode)
+          case (None, None) =>
+            binOpVec(op, compile(lhs), compile(rhs), matching, group, boolMode,
+              gridKey = Seq("__step"))
+        }
 
       case HistQuantile(q, child) =>
         val vec = compile(child)
@@ -1288,7 +1310,7 @@ object PromQlParser {
         // which here includes __step — the grid rides along for free.
         PromQl.histogramQuantileVector(vec, q)
 
-      case ScalarLit(_) =>
+      case ScalarLit(_) | TimeFn =>
         throw new IllegalArgumentException(
           "a bare scalar is not an instant vector; use it as a binary-operator operand")
 

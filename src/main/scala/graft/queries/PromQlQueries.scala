@@ -412,6 +412,21 @@ object PromQlQueries {
         .orderBy(col("fn"), col("user_id"), col("event_type"))
     }),
 
+    // time() on the query_range grid: each live (series, step) cell
+    // projects its own evaluation instant — the building block of
+    // age-style expressions (`time() - last_seen`). Presence per step via
+    // the 2h lookback; the value is exactly the step's epoch second.
+    "q121_promql_time" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      PromQlParser.evalRange(src, """{event_type=~"click|view"} * 0 + time()""",
+          "2024-01-14 00:00:00", "2024-01-15 00:00:00", stepSec = 10800,
+          lookbackSec = 7200)
+        .select(col("user_id"), col("event_type"), col("step_ts"),
+          round(col("value"), 1).as("value"))
+        .orderBy(col("user_id"), col("event_type"), col("step_ts"))
+    }),
+
     // histogram_quantile(q) for q in {0.5, 0.9, 0.99} from fixed le-buckets
     // (10, 25, 50, 100, 250, +Inf) per metric: cumulative counts, linear
     // interpolation inside the target bucket, +Inf clamps to the highest
@@ -810,6 +825,22 @@ object PromQlQueries {
         |  ON r.fts <= s.step_ts AND r.fts > s.step_ts - INTERVAL 6 HOURS
         |GROUP BY 1, 2, 3
         |ORDER BY user_id, event_type, step_ts""".stripMargin,
+
+    "q121_promql_time" ->
+      """WITH steps AS (
+        |  SELECT make_timestamp((1705190400 + i * 10800) * 1000000) AS step_ts
+        |  FROM (SELECT unnest(generate_series(0, 8)) AS i)
+        |), w AS (
+        |  SELECT user_id, event_type, ts FROM events
+        |  WHERE event_type IN ('click', 'view')
+        |), live AS (
+        |  SELECT DISTINCT s.step_ts, w.user_id, w.event_type
+        |  FROM steps s JOIN w
+        |    ON w.ts <= s.step_ts AND w.ts > s.step_ts - INTERVAL 2 HOURS
+        |)
+        |SELECT user_id, event_type, step_ts,
+        |  round(CAST(epoch(step_ts) AS DOUBLE), 1) AS value
+        |FROM live ORDER BY user_id, event_type, step_ts""".stripMargin,
 
     "q120_promql_counter_fns" ->
       """WITH w AS (

@@ -514,6 +514,25 @@ class PromQlParserSpec extends AnyFunSuite {
     assert(grid == Map("2024-01-01 10:02:00.0" -> 1.0, "2024-01-01 10:04:00.0" -> 0.0))
   }
 
+  test("time() is the evaluation instant; per-step on the grid") {
+    val df = Seq((1L, ts(0), 1L, "cpu", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // 2024-01-01 10:02:00 UTC = 1704103320
+    val inst = eval(src(df), "time() - cpu * 0", "2024-01-01 10:02:00")
+      .select("value").head().getDouble(0)
+    assert(inst == 1704103320.0)
+    // grid: each step carries its own T_i
+    val grid = PromQlParser.evalRange(src(df), "cpu * 0 + time()",
+        "2024-01-01 10:00:00", "2024-01-01 10:10:00", stepSec = 600,
+        lookbackSec = 1200)
+      .collect()
+      .map(r => r.getAs[java.sql.Timestamp]("step_ts").toString -> r.getAs[Double]("value"))
+      .toMap
+    assert(grid == Map(
+      "2024-01-01 10:00:00.0" -> 1704103200.0,
+      "2024-01-01 10:10:00.0" -> 1704103800.0))
+  }
+
   test("topk tie-break is total-ordered on the series key") {
     val df = Seq(
       (1L, ts(0), 5L, "cpu", 9.0), (2L, ts(0), 3L, "cpu", 9.0),
