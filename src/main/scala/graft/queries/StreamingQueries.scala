@@ -246,23 +246,31 @@ object StreamingQueries {
         |FROM samples GROUP BY 1, 2 ORDER BY series, hour""".stripMargin,
 
     // Streaming PCA scoring: counts per (key, model path) and static-path
-    // scores are SQL-expressible; every non-'error' key trains a model on
-    // the pre-cutoff window (all keys span the full range), so the path
-    // assignment is static in the oracle.
+    // scores are SQL-expressible. The fitted set is DERIVED from the
+    // data — a non-'error' type has a model iff it produced at least one
+    // complete 12-window before the cutoff (at sf0.001 some types don't,
+    // and correctly fall back to the static path).
     "s112_stream_pca_score" ->
-      """WITH wins AS (
-        |  SELECT event_type,
+      """WITH numbered AS (
+        |  SELECT user_id, event_type, ts, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn,
         |    list(value) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
         |      ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS win_arr
         |  FROM events
+        |), fitted AS (
+        |  SELECT DISTINCT event_type FROM numbered
+        |  WHERE rn >= 12 AND ts < TIMESTAMP '2024-01-15' AND event_type <> 'error'
         |), full_wins AS (
-        |  SELECT event_type, list_sum(win_arr) / 12.0 AS win_mean
-        |  FROM wins WHERE len(win_arr) = 12
+        |  SELECT event_type,
+        |    event_type IN (SELECT event_type FROM fitted) AS has_model,
+        |    list_sum(win_arr) / 12.0 AS win_mean
+        |  FROM numbered WHERE len(win_arr) = 12
         |)
         |SELECT event_type,
-        |  CASE WHEN event_type <> 'error' THEN 'fitted' ELSE 'static' END AS model_source,
+        |  CASE WHEN has_model THEN 'fitted' ELSE 'static' END AS model_source,
         |  count(*) AS n_windows,
-        |  round(CAST(sum(CASE WHEN event_type = 'error'
+        |  round(CAST(sum(CASE WHEN NOT has_model
         |    THEN CAST(round(least(greatest(win_mean / (250.0 + 0.000000001), 0.0), 10.0), 6)
         |         AS DECIMAL(18,6))
         |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE), 4) AS sum_static_score
