@@ -62,10 +62,14 @@ object PromQl {
     val w = Window.partitionBy(seriesKey.map(col): _*)
       .orderBy(col(tsCol).cast("long"))
       .rangeBetween(-(windowSec - 1L), Window.currentRow)
+    // rate_winsum (the EXACT decimal window sum) rides along so rollups
+    // can aggregate decimals and divide ONCE at the end — re-rounding the
+    // per-sample quotient invites round-half boundaries that the two
+    // oracle engines resolve differently (observed once at sf0.1).
     counterIncrease(samples, seriesKey, tsCol, orderCol, valueCol)
-      .withColumn("rate",
-        sum(round(col("inc"), 6).cast("decimal(18,6)")).over(w)
-          .cast("double") / windowSec)
+      .withColumn("rate_winsum",
+        sum(round(col("inc"), 6).cast("decimal(18,6)")).over(w))
+      .withColumn("rate", col("rate_winsum").cast("double") / windowSec)
   }
 
   /** `*_over_time` aggregations over a trailing range window per series:

@@ -45,17 +45,17 @@ object PromQlQueries {
     }),
 
     // rate(): the reset-aware increase over a trailing 6h range window,
-    // per second — the single most-used PromQL function. Per-sample rates
-    // (deterministic: windowed DECIMAL sum of rounded incs, one double
-    // division by the window length) rolled up per (metric, day) with the
-    // same decimal-routed sum discipline.
+    // per second — the single most-used PromQL function. The rollup sums
+    // the EXACT decimal window sums and divides once at the end (summing
+    // 6-dp-rounded per-sample quotients hit a round-half boundary the two
+    // engines resolved differently at sf0.1); max is order-insensitive
+    // over bit-identical quotients.
     "q95_rate" -> ((s, d) => {
       PromQl.rate(events(s, d), Seq("user_id", "event_type"),
           "ts", "event_id", "value", windowSec = 21600)
         .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
         .agg(count(lit(1)).as("n_samples"),
-          round(sum(round(col("rate"), 6).cast("decimal(18,6)"))
-            .cast("double"), 4).as("sum_rate"),
+          round(sum(col("rate_winsum")).cast("double") / 21600, 4).as("sum_rate"),
           round(max(col("rate")), 6).as("max_rate"))
         .orderBy(col("event_type"), col("day"))
     }),
@@ -566,6 +566,8 @@ object PromQlQueries {
         |SELECT event_type, round(max(value), 6) AS value
         |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
 
+    // Mirrors the engine: decimal window sums aggregate exactly and the
+    // day-level sum divides ONCE — both engines round the same double.
     "q95_rate" ->
       """WITH d AS (
         |  SELECT user_id, event_type, ts, value,
@@ -581,16 +583,14 @@ object PromQlQueries {
         |  FROM d
         |), r AS (
         |  SELECT event_type, ts,
-        |    CAST(sum(CAST(round(inc, 6) AS DECIMAL(18,6)))
+        |    sum(CAST(round(inc, 6) AS DECIMAL(18,6)))
         |      OVER (PARTITION BY user_id, event_type ORDER BY sec
-        |            RANGE BETWEEN 21599 PRECEDING AND CURRENT ROW)
-        |      AS DOUBLE) / 21600 AS rate
+        |            RANGE BETWEEN 21599 PRECEDING AND CURRENT ROW) AS winsum
         |  FROM i
         |)
         |SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n_samples,
-        |  round(CAST(sum(CAST(round(rate, 6) AS DECIMAL(18,6))) AS DOUBLE), 4)
-        |    AS sum_rate,
-        |  round(max(rate), 6) AS max_rate
+        |  round(CAST(sum(winsum) AS DOUBLE) / 21600, 4) AS sum_rate,
+        |  round(max(CAST(winsum AS DOUBLE) / 21600), 6) AS max_rate
         |FROM r GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
 
     "q96_promql_topk" ->
