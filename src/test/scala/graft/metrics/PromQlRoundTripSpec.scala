@@ -1,0 +1,218 @@
+package graft.metrics
+
+import graft.metrics.PromQlParser._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parser round-trip property: for every generatable AST,
+  * `parse(print(ast)) == ast`. This mechanically pins operator
+  * precedence, modifier binding (`bool`, `on`/`ignoring`,
+  * `group_left`/`group_right` copy lists, `by`/`without`, `offset`),
+  * duration lexing, unary-sign folding, and the subquery suffix — the
+  * grammar corners a hand-written example suite samples thinly.
+  *
+  * The printer parenthesizes every binary operand and prints an explicit
+  * `group_left ()` for an empty copy list (a '(' after the keyword is
+  * ALWAYS the label list, so a parenthesized rhs would otherwise bind
+  * as copy labels — the parser's documented Prometheus-matching rule).
+  */
+class PromQlRoundTripSpec extends AnyFunSuite {
+
+  // ---------- printer ----------
+  private def durS(sec: Long): String = s"${sec}s"
+
+  private def printSel(s: Selector): String = {
+    val ms = if (s.matchers.isEmpty) ""
+    else s.matchers.map(m => s"""${m.label}${m.op}"${m.value}"""")
+      .mkString("{", ", ", "}")
+    val off = if (s.offsetSec == 0) "" else s" offset ${durS(s.offsetSec)}"
+    s"${s.metric.getOrElse("")}$ms$off"
+  }
+
+  private def printMatching(m: Option[(Boolean, Seq[String])],
+                            g: Option[Grp]): String = {
+    val mm = m.map { case (isOn, ls) =>
+      s"${if (isOn) "on" else "ignoring"} (${ls.mkString(", ")}) "
+    }.getOrElse("")
+    val gg = g.map { grp =>
+      s"${if (grp.left) "group_left" else "group_right"} (${grp.copy.mkString(", ")}) "
+    }.getOrElse("")
+    mm + gg
+  }
+
+  private def print(ast: Ast): String = ast match {
+    case s: Selector => printSel(s)
+    case ScalarLit(v) => if (v < 0) s"($v)" else v.toString
+    case TimeFn => "time()"
+    case RangeFn(fn, sel, w, None) => s"$fn(${printSel(sel)}[${durS(w)}])"
+    case RangeFn("predict_linear", sel, w, Some(p)) =>
+      s"predict_linear(${printSel(sel)}[${durS(w)}], $p)"
+    case RangeFn(fn, sel, w, Some(p)) => s"$fn($p, ${printSel(sel)}[${durS(w)}])"
+    case AggBy(fn, by, child, without) =>
+      val kw = if (without) "without" else "by"
+      s"$fn $kw (${by.mkString(", ")}) (${print(child)})"
+    case AggQuantile(phi, by, child, without) =>
+      val kw = if (without) "without" else "by"
+      s"quantile $kw (${by.mkString(", ")}) ($phi, ${print(child)})"
+    case TopK(k, by, child, bottom) =>
+      val fn = if (bottom) "bottomk" else "topk"
+      val tail = if (by.isEmpty) "" else s" by (${by.mkString(", ")})"
+      s"$fn($k, ${print(child)})$tail"
+    case BinOp(op, lhs, rhs, m, g, bool) =>
+      val b = if (bool) "bool " else ""
+      s"(${print(lhs)}) $op $b${printMatching(m, g)}(${print(rhs)})"
+    case HistQuantile(q, child) => s"histogram_quantile($q, ${print(child)})"
+    case VecFn(fn, child, Nil) => s"$fn(${print(child)})"
+    case VecFn(fn, child, args) =>
+      s"$fn(${print(child)}, ${args.mkString(", ")})"
+    case LabelFn("label_replace", child, dst, repl, srcs, regex) =>
+      s"""label_replace(${print(child)}, "$dst", "$repl", "${srcs.head}", "$regex")"""
+    case LabelFn(fn, child, dst, sep, srcs, _) =>
+      s"""$fn(${print(child)}, "$dst", "$sep", ${srcs.map("\"" + _ + "\"").mkString(", ")})"""
+    case Absent(sel) => s"absent(${printSel(sel)})"
+    case RangeSub(fn, Subquery(child, r, st), None) =>
+      s"$fn((${print(child)})[${durS(r)}:${durS(st)}])"
+    case RangeSub(fn, Subquery(child, r, st), Some(p)) =>
+      s"$fn($p, (${print(child)})[${durS(r)}:${durS(st)}])"
+    case other => fail(s"printer has no case for $other")
+  }
+
+  // ---------- generators ----------
+  private val labels = Gen.oneOf("job", "env", "pod", "zone")
+  private val metrics = Gen.oneOf("cpu", "mem", "http_requests_total")
+  private val durations = Gen.oneOf(60L, 300L, 3600L)
+  private val scalars = Gen.oneOf(0.5, 2.0, 100.0, -3.5)
+  private val phis = Gen.oneOf(0.5, 0.9, 0.99)
+
+  private val genMatcher: Gen[Matcher] = for {
+    l <- labels
+    op <- Gen.oneOf("=", "!=", "=~", "!~")
+    v <- Gen.oneOf("prod", "a.c", "x1")
+  } yield Matcher(l, op, v)
+
+  private val genSelector: Gen[Selector] = for {
+    metric <- Gen.option(metrics)
+    n <- Gen.choose(if (metric.isEmpty) 1 else 0, 2)
+    ms <- Gen.listOfN(n, genMatcher)
+    off <- Gen.oneOf(0L, 60L)
+  } yield Selector(metric, ms.distinctBy(_.label), off)
+
+  private val overTime = Gen.oneOf("sum_over_time", "avg_over_time",
+    "max_over_time", "min_over_time", "count_over_time", "last_over_time",
+    "present_over_time", "stddev_over_time", "stdvar_over_time")
+
+  private val genRangeFn: Gen[Ast] = for {
+    kind <- Gen.choose(0, 3)
+    fn <- kind match {
+      case 0 => Gen.oneOf("rate", "increase", "delta", "irate", "idelta",
+        "deriv", "resets", "changes")
+      case _ => overTime
+    }
+    sel <- genSelector
+    w <- durations
+  } yield RangeFn(fn, sel, w)
+
+  private val genQuantOverTime: Gen[Ast] = for {
+    phi <- phis; sel <- genSelector; w <- durations
+  } yield RangeFn("quantile_over_time", sel, w, Some(phi))
+
+  private val genPredict: Gen[Ast] = for {
+    sel <- genSelector; w <- durations; h <- Gen.oneOf(600.0, 3600.0)
+  } yield RangeFn("predict_linear", sel, w, Some(h))
+
+  private def genAst(depth: Int): Gen[Ast] =
+    if (depth <= 0)
+      Gen.oneOf(genSelector, genRangeFn, genQuantOverTime, genPredict)
+    else Gen.frequency(
+      3 -> genSelector,
+      3 -> genRangeFn,
+      1 -> genQuantOverTime,
+      1 -> genPredict,
+      2 -> (for {
+        fn <- Gen.oneOf("sum", "avg", "min", "max", "count", "stddev",
+          "stdvar", "group")
+        by <- Gen.listOfN(2, labels).map(_.distinct)
+        without <- Gen.oneOf(true, false)
+        child <- genAst(depth - 1)
+      } yield AggBy(fn, by, child, without)),
+      1 -> (for {
+        phi <- phis
+        by <- Gen.listOfN(1, labels)
+        child <- genAst(depth - 1)
+      } yield AggQuantile(phi, by, child)),
+      1 -> (for {
+        k <- Gen.choose(1, 5)
+        by <- Gen.listOfN(1, labels)
+        bottom <- Gen.oneOf(true, false)
+        child <- genAst(depth - 1)
+      } yield TopK(k, by, child, bottom)),
+      3 -> (for {
+        arith <- Gen.oneOf("+", "-", "*", "/")
+        cmp <- Gen.oneOf("==", "!=", ">", "<", ">=", "<=")
+        set <- Gen.oneOf("and", "or", "unless")
+        kind <- Gen.choose(0, 2)
+        op = kind match { case 0 => arith; case 1 => cmp; case 2 => set }
+        bool <- if (kind == 1) Gen.oneOf(true, false) else Gen.const(false)
+        m <- Gen.option(for {
+          isOn <- Gen.oneOf(true, false)
+          ls <- Gen.listOfN(2, labels).map(_.distinct)
+        } yield (isOn, ls))
+        // group modifiers require an explicit matching clause and apply
+        // to arithmetic/comparison only (the parser attaches them there)
+        g <- if (kind != 2 && m.isDefined)
+          Gen.option(for {
+            left <- Gen.oneOf(true, false)
+            copy <- Gen.listOfN(1, Gen.oneOf("tier", "team")).map(_.distinct)
+            empty <- Gen.oneOf(true, false)
+          } yield Grp(left, if (empty) Nil else copy))
+        else Gen.const(None)
+        lhs <- Gen.frequency(4 -> genAst(depth - 1), 1 -> scalars.map(ScalarLit),
+          1 -> Gen.const(TimeFn))
+        rhs <- Gen.frequency(4 -> genAst(depth - 1), 1 -> scalars.map(ScalarLit),
+          1 -> Gen.const(TimeFn))
+      } yield BinOp(op, lhs, rhs, m, g, bool)),
+      1 -> genAst(depth - 1).map(HistQuantile(0.9, _)),
+      2 -> (for {
+        fn <- Gen.oneOf("abs", "ceil", "floor", "sqrt", "exp", "sgn")
+        child <- genAst(depth - 1)
+      } yield VecFn(fn, child)),
+      1 -> (for {
+        child <- genAst(depth - 1)
+        args <- Gen.oneOf(Seq(0.5), Seq(2.0, 8.0))
+        fn = if (args.size == 2) "clamp" else "round"
+      } yield VecFn(fn, child, args)),
+      1 -> (for {
+        child <- genAst(depth - 1)
+        dst <- Gen.oneOf("kind", "grp")
+        src <- labels
+      } yield LabelFn("label_replace", child, dst, "$1", Seq(src), "(a)_.*")),
+      1 -> (for {
+        child <- genAst(depth - 1)
+        dst <- Gen.oneOf("series", "joined")
+        srcs <- Gen.listOfN(2, labels).map(_.distinct)
+      } yield LabelFn("label_join", child, dst, "|", srcs)),
+      1 -> genSelector.map(Absent(_)),
+      1 -> (for {
+        fn <- overTime
+        child <- genAst(depth - 1)
+        r <- Gen.oneOf(3600L, 7200L)
+        st <- Gen.oneOf(300L, 600L)
+      } yield RangeSub(fn, Subquery(child, r, st))))
+
+  test("parse(print(ast)) == ast for 500 random ASTs") {
+    val prop = Prop.forAll(genAst(3)) { ast =>
+      val printed = print(ast)
+      val reparsed =
+        try parse(printed)
+        catch {
+          case e: Throwable =>
+            fail(s"failed to parse [$printed] from $ast: ${e.getMessage}")
+        }
+      if (reparsed != ast)
+        fail(s"round-trip mismatch:\n  printed: $printed\n  from:    $ast\n  got:     $reparsed")
+      true
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
