@@ -130,6 +130,10 @@ object PromQlParser {
   /** `absent(selector)`: one sample (value 1, labels from the selector's
     * equality matchers) iff the selector matches nothing; empty otherwise. */
   final case class Absent(sel: Selector) extends Ast
+  /** `timestamp(selector)`: each live series' value becomes the epoch
+    * second of its most recent sample (the `time() - timestamp(v)` age
+    * idiom's right-hand side). */
+  final case class TimestampFn(sel: Selector) extends Ast
   /** `group_left`/`group_right` many-to-one modifier: `left` marks which
     * side is MANY; `copy` lists labels copied over from the one side. */
   final case class Grp(left: Boolean, copy: Seq[String])
@@ -509,6 +513,11 @@ object PromQlParser {
         val sel = parseOffsetOpt(parseSelector())
         expect(")")
         Absent(sel)
+      case Some(Ident("timestamp")) if !selectorAhead =>
+        next(); expect("(")
+        val sel = parseOffsetOpt(parseSelector())
+        expect(")")
+        TimestampFn(sel)
       case Some(Ident(fn)) if aggFns(fn) && !selectorAhead =>
         next()
         val byBefore = parseByOpt()
@@ -1039,6 +1048,15 @@ object PromQlParser {
       absentFrame(src.df.sparkSession.range(1).toDF(), sel,
         compile(src, sel, evalTs, lookback), extraKey = Nil)
 
+    case TimestampFn(sel) =>
+      // the newest in-lookback sample's epoch second per series (offset
+      // shifts the window; the reported timestamp stays the sample's own)
+      val t = to_timestamp(lit(shiftTs(evalTs, sel.offsetSec)))
+      src.df.filter(matcherCond(src, sel))
+        .filter(col(src.tsCol) <= t && col(src.tsCol) > t - expr(s"INTERVAL $lookback"))
+        .groupBy(src.seriesKey.map(col): _*)
+        .agg((max(unix_micros(col(src.tsCol))).cast("double") / 1000000.0).as("value"))
+
     case BinOp(op, lhs, rhs, matching, group, boolMode) =>
       def scalarOf(a: Ast): Option[Column] = a match {
         case ScalarLit(v) => Some(lit(v))
@@ -1279,6 +1297,13 @@ object PromQlParser {
         val steps = src.df.sparkSession.range(nSteps + 1)
           .select(col("id").as("__step"))
         absentFrame(steps, sel, compile(sel), extraKey = Seq("__step"))
+
+      case TimestampFn(sel) =>
+        val te = teCol(sel.offsetSec)
+        src.df.filter(matcherCond(src, sel))
+          .withColumn("__step", explode(stepsFor(te, te + lit(lookbackUs))))
+          .groupBy(src.seriesKey.map(col) :+ col("__step"): _*)
+          .agg((max(unix_micros(col(src.tsCol))).cast("double") / 1000000.0).as("value"))
 
       case BinOp(op, lhs, rhs, matching, group, boolMode) =>
         // time() on the grid is each step's own evaluation instant — a

@@ -427,6 +427,20 @@ object PromQlQueries {
         .orderBy(col("user_id"), col("event_type"), col("step_ts"))
     }),
 
+    // The canonical staleness-alerting expression: seconds since each
+    // series' last sample — time() (scalar-on-left arithmetic) minus
+    // timestamp() (newest in-lookback sample's epoch). Epoch arithmetic
+    // on identical doubles, so the twin matches exactly.
+    "q122_promql_age" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      PromQlParser.eval(src, """time() - timestamp({event_type=~".+"})""",
+          "2024-01-15 12:00:00", lookback = "24 HOURS")
+        .select(col("user_id"), col("event_type"),
+          round(col("value"), 6).as("age_sec"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // histogram_quantile(q) for q in {0.5, 0.9, 0.99} from fixed le-buckets
     // (10, 25, 50, 100, 250, +Inf) per metric: cumulative counts, linear
     // interpolation inside the target bucket, +Inf clamps to the highest
@@ -825,6 +839,17 @@ object PromQlQueries {
         |  ON r.fts <= s.step_ts AND r.fts > s.step_ts - INTERVAL 6 HOURS
         |GROUP BY 1, 2, 3
         |ORDER BY user_id, event_type, step_ts""".stripMargin,
+
+    "q122_promql_age" ->
+      """WITH w AS (
+        |  SELECT user_id, event_type, ts FROM events
+        |  WHERE ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |    AND ts > TIMESTAMP '2024-01-15 12:00:00' - INTERVAL 24 HOURS
+        |)
+        |SELECT user_id, event_type,
+        |  round(1705320000.0 - CAST(epoch_us(max(ts)) AS DOUBLE) / 1000000.0, 6)
+        |    AS age_sec
+        |FROM w GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
 
     "q121_promql_time" ->
       """WITH steps AS (

@@ -533,6 +533,20 @@ class PromQlParserSpec extends AnyFunSuite {
       "2024-01-01 10:10:00.0" -> 1704103800.0))
   }
 
+  test("timestamp() is the newest sample's epoch; time() - timestamp() is age") {
+    val df = Seq((1L, ts(0), 10.0), (2L, ts(5), 99.0))
+      .toDF("event_id", "ts", "value")
+      .withColumn("user_id", lit(1L)).withColumn("event_type", lit("cpu"))
+    def run(q: String) = eval(src(df), q, "2024-01-01 10:07:00")
+      .select("value").head().getDouble(0)
+    // 2024-01-01 10:05:00 UTC = 1704103500
+    assert(run("timestamp(cpu)") == 1704103500.0)
+    assert(run("time() - timestamp(cpu)") == 120.0)
+    // stale series (outside lookback) drop out entirely
+    assert(eval(src(df), "timestamp(cpu)", "2024-01-01 11:00:00")
+      .count() == 0)
+  }
+
   test("topk tie-break is total-ordered on the series key") {
     val df = Seq(
       (1L, ts(0), 5L, "cpu", 9.0), (2L, ts(0), 3L, "cpu", 9.0),
