@@ -89,6 +89,7 @@ final class MetricsServer(observed: Observed, port: Int = 0,
         s"unknown label: $name")
       val rows = MetricsServer.collectCapped(
         src.df.select(col(colName).cast("string").as("v"))
+          .filter(col("v").isNotNull) // a NULL label value is "unset", not a value
           .distinct().orderBy(col("v")), maxResultRows)
       val vals = rows.map(r => "\"" + MetricsServer.jsonEscape(r.getString(0)) + "\"")
       s"""{"status":"success","data":[${vals.mkString(",")}]}"""
@@ -108,12 +109,19 @@ final class MetricsServer(observed: Observed, port: Int = 0,
       s"""{"status":"success","data":[${items.mkString(",")}]}"""
     })
   }
-  server.setExecutor(null) // serve on the listener thread; scrape QPS is ~1/15s
+  // A small pool, not the listener thread: the query/metadata endpoints
+  // run full Spark jobs, and head-of-line blocking there would make a
+  // slow query_range drop concurrent /metrics scrapes.
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-metrics-server"); t.setDaemon(true); t
+    })
+  server.setExecutor(pool)
   server.start()
 
   def boundPort: Int = server.getAddress.getPort
 
-  override def close(): Unit = server.stop(0)
+  override def close(): Unit = { server.stop(0); pool.shutdownNow(): Unit }
 }
 
 object MetricsServer {
@@ -176,15 +184,24 @@ object MetricsServer {
     else s
   }
 
-  /** Prometheus step syntax: bare (fractional) seconds or a duration like
-    * `5m`; returns whole seconds. */
+  /** Prometheus step syntax: bare (fractional) seconds or a compound
+    * duration (`5m`, `1h30m`, `90s`); returns whole seconds. Sub-second
+    * steps (`500ms`) are rejected explicitly — the grid is second-grained. */
   private[metrics] def parseDurationSec(s: String): Long =
-    if (s.nonEmpty && s.last.isLetter) {
-      val mult = s.last match {
-        case 's' => 1L; case 'm' => 60L; case 'h' => 3600L; case 'd' => 86400L
-        case other => throw new IllegalArgumentException(s"bad duration unit: $other")
-      }
-      s.dropRight(1).toLong * mult
+    if (s.nonEmpty && s.exists(_.isLetter)) {
+      val seg = "([0-9]+)(ms|s|m|h|d|w)".r
+      val parsed = seg.findAllMatchIn(s).map { m =>
+        val n = m.group(1).toLong
+        m.group(2) match {
+          case "ms" => throw new IllegalArgumentException(
+            s"sub-second step not supported: $s")
+          case "s" => n; case "m" => n * 60L; case "h" => n * 3600L
+          case "d" => n * 86400L; case "w" => n * 604800L
+        }
+      }.toSeq
+      require(parsed.nonEmpty && seg.replaceAllIn(s, "").isEmpty,
+        s"bad duration: $s")
+      parsed.sum
     } else s.toDouble.toLong
 
   private[metrics] def epochSec(plainTs: String): Long =
@@ -257,10 +274,13 @@ object MetricsServer {
       override def handle(ex: HttpExchange): Unit = {
         val (code, body) =
           try {
+            // keys are percent-decoded too: spec-conformant clients send
+            // match%5B%5D= for match[]=
             val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
               .split("&").filter(_.nonEmpty).map { kv =>
                 val eq = kv.indexOf('=')
-                val k = if (eq < 0) kv else kv.substring(0, eq)
+                val k = java.net.URLDecoder
+                  .decode(if (eq < 0) kv else kv.substring(0, eq), "UTF-8")
                 val v = if (eq < 0) "" else java.net.URLDecoder
                   .decode(kv.substring(eq + 1), "UTF-8")
                 k -> v

@@ -412,7 +412,7 @@ object PromQlParser {
         next(); val e = parseExpr(); expect(")"); e
       case Some(Num(n)) => next(); ScalarLit(n.toDouble)
       case Some(Flt(d)) => next(); ScalarLit(d)
-      case Some(Ident("histogram_quantile")) =>
+      case Some(Ident("histogram_quantile")) if !selectorAhead =>
         next(); expect("(")
         val q = next() match {
           case Flt(d) => d
@@ -423,7 +423,7 @@ object PromQlParser {
         val child = parseExpr()
         expect(")")
         HistQuantile(q, child)
-      case Some(Ident(kw @ ("topk" | "bottomk"))) =>
+      case Some(Ident(kw @ ("topk" | "bottomk"))) if !selectorAhead =>
         next(); expect("(")
         val k = next() match {
           case Num(n) => n.toInt
@@ -435,14 +435,14 @@ object PromQlParser {
         val by = parseByOpt()
         TopK(k, by.map(_._2).getOrElse(Seq.empty), child,
           bottom = kw == "bottomk")
-      case Some(Ident("quantile_over_time")) =>
+      case Some(Ident("quantile_over_time")) if !selectorAhead =>
         next(); expect("(")
         val phi = parseNum()
         expect(",")
         val arg = parseUnary()
         expect(")")
         rangeArg("quantile_over_time", arg, Some(phi))
-      case Some(Ident("predict_linear")) =>
+      case Some(Ident("predict_linear")) if !selectorAhead =>
         next(); expect("(")
         val arg = parseUnary()
         expect(",")
@@ -475,7 +475,7 @@ object PromQlParser {
         if toks.drop(1).headOption.contains(Sym("(")) &&
            toks.drop(2).headOption.contains(Sym(")")) =>
         next(); next(); next(); TimeFn
-      case Some(Ident("label_replace")) =>
+      case Some(Ident("label_replace")) if !selectorAhead =>
         next(); expect("(")
         val child = parseExpr()
         expect(","); val dst = parseStr()
@@ -484,7 +484,7 @@ object PromQlParser {
         expect(","); val regex = parseStr()
         expect(")")
         LabelFn("label_replace", child, dst, repl, Seq(srcLabel), regex)
-      case Some(Ident("label_join")) =>
+      case Some(Ident("label_join")) if !selectorAhead =>
         next(); expect("(")
         val child = parseExpr()
         expect(","); val dst = parseStr()
@@ -528,7 +528,7 @@ object PromQlParser {
         val by = byBefore.orElse(byAfter)
         AggBy(fn, by.map(_._2).getOrElse(Seq.empty), child,
           without = by.exists(_._1))
-      case Some(Ident(fn)) if rangeFns(fn) =>
+      case Some(Ident(fn)) if rangeFns(fn) && !selectorAhead =>
         next(); expect("(")
         val arg = parseUnary()
         expect(")")
@@ -548,11 +548,13 @@ object PromQlParser {
       case _ => sel
     }
 
-    /** An aggregate keyword can also be a metric NAME (`sum{...}` is a
-      * valid selector) — treat it as an aggregation only when followed by
-      * '(' or 'by'. */
+    /** A function/aggregate keyword can also be a metric NAME (`sum{...}`
+      * and `changes{...}` are valid selectors; PromQL reserves nothing) —
+      * treat it as a function only when NOT followed by '{' (matcher
+      * list), '[' (range/subquery suffix), or end-of-input. */
     private def selectorAhead: Boolean = toks match {
       case _ :: Sym("{") :: _ => true
+      case _ :: Sym("[") :: _ => true
       case _ :: Nil => true
       case _ => false
     }
@@ -1351,6 +1353,13 @@ object PromQlParser {
         require(sub.stepSec > 0, "subquery step must be positive")
         require(overTimeFns(fn),
           s"$fn over a subquery is not supported; use a *_over_time function")
+        // Alignment contract: with step % substep == 0 every outer step
+        // lands ON the shared fine grid, so grid evaluation agrees with
+        // instant evaluation of the same expression at each step instant.
+        // A non-divisible step would silently evaluate the inner
+        // expression at instants none of the outer steps own — refuse it.
+        require(stepUs % (sub.stepSec * 1000000L) == 0,
+          s"query_range step must be a multiple of the subquery step (${sub.stepSec}s)")
         val subUs = sub.stepSec * 1000000L
         val rangeUs = sub.rangeSec * 1000000L
         val nBack = (rangeUs - 1) / subUs

@@ -271,7 +271,7 @@ object StreamingQueries {
         |  CASE WHEN has_model THEN 'fitted' ELSE 'static' END AS model_source,
         |  count(*) AS n_windows,
         |  round(CAST(sum(CASE WHEN NOT has_model
-        |    THEN CAST(round(least(greatest(win_mean / (250.0 + 0.000000001), 0.0), 10.0), 6)
+        |    THEN CAST(round(least(greatest(win_mean / 250.0, 0.0), 10.0), 6)
         |         AS DECIMAL(18,6))
         |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE), 4) AS sum_static_score
         |FROM full_wins GROUP BY 1, 2 ORDER BY event_type, model_source""".stripMargin,

@@ -137,30 +137,18 @@ object StreamOps {
     * the count-based window Spark's time-based `window()` cannot express
     * (SURVEY §7.3 risk 1). State per key is the trailing w−1 samples,
     * O(w) bounded; late/duplicate policy: batch-sorted by (ts, event_id).
-    */
+    * Derived from [[assemblerVec]] (ONE stateful core): the mean is the
+    * vector's left-to-right sum — identical to the pre-refactor fold. */
   def assembler(ds: Dataset[Ev], w: Int): Dataset[WinOut] = {
     import ds.sparkSession.implicits._
-    ds.groupByKey(e => (e.user_id, e.event_type))
-      .flatMapGroupsWithState[AsmState, WinOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case ((uid, etype), events, state: GroupState[AsmState]) =>
-          val prior = if (state.exists) state.get.buf else Seq.empty
-          val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
-          var buf = prior.toVector
-          val out = Vector.newBuilder[WinOut]
-          sorted.foreach { e =>
-            buf = (buf :+ (e.event_id, e.value)).takeRight(w)
-            if (buf.length == w)
-              out += WinOut(uid, etype, e.ts, buf.map(_._2).sum / w)
-          }
-          state.update(AsmState(buf.takeRight(w - 1)))
-          out.result().iterator
-      }
+    assemblerVec(ds, w).map(wv =>
+      WinOut(wv.user_id, wv.event_type, wv.end_ts, wv.win_arr.sum / w))
   }
 
-  /** [[assembler]] emitting the full window VECTOR instead of its mean —
-    * the input shape for trained per-key models (P6). Same state bound
-    * (trailing w−1 samples per key) and late/duplicate policy. */
+  /** The assembler's stateful core, emitting the full window VECTOR —
+    * the input shape for trained per-key models (P6). State per key is
+    * the trailing w−1 samples; late/duplicate policy: batch-sorted by
+    * (ts, event_id). */
   def assemblerVec(ds: Dataset[Ev], w: Int): Dataset[WinVec] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(e => (e.user_id, e.event_type))
@@ -201,7 +189,7 @@ object StreamOps {
       .withColumn("score",
         when(col("pcs").isNotNull,
           graft.anomaly.Pca.reconErrExpr(col("win_arr"), col("mean"), col("pcs")))
-          .otherwise(graft.anomaly.Threshold.score(col("win_mean"), lit(staticLimit))))
+          .otherwise(graft.anomaly.Threshold.staticScore(col("win_mean"), staticLimit)))
       .drop("mean", "pcs")
 
   /** PromQL `increase()`/`resets()` as a stateful stream (the live twin of

@@ -158,12 +158,21 @@ class MetricsSpec extends AnyFunSuite {
         assert(vc == 200 && vals.contains("""["cpu","mem"]"""))
         val (nc, names) = get(srv.boundPort, "/api/v1/label/__name__/values")
         assert(nc == 200 && names.contains("""["cpu","mem"]"""))
+        // spec-conformant clients percent-encode the brackets in match[]
         val (sc, series) = get(srv.boundPort,
-          "/api/v1/series?match[]=" + java.net.URLEncoder.encode("""{event_type="cpu"}""", "UTF-8"))
+          "/api/v1/series?match%5B%5D=" + java.net.URLEncoder.encode("""{event_type="cpu"}""", "UTF-8"))
         assert(sc == 200 &&
           series.contains(""""data":[{"user_id":"1","event_type":"cpu"}]"""))
         val (bc, err) = get(srv.boundPort, "/api/v1/label/nope/values")
         assert(bc == 400 && err.contains("unknown label"))
+        // duration parsing: compound forms work, sub-second steps refuse
+        assert(MetricsServer.parseDurationSec("1h30m") == 5400L)
+        assert(MetricsServer.parseDurationSec("90s") == 90L)
+        assert(MetricsServer.parseDurationSec("15") == 15L)
+        val de = intercept[IllegalArgumentException](
+          MetricsServer.parseDurationSec("500ms"))
+        assert(de.getMessage.contains("sub-second"))
+        intercept[IllegalArgumentException](MetricsServer.parseDurationSec("5x"))
       } finally srv.close()
     }
   }

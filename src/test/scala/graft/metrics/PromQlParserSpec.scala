@@ -30,6 +30,17 @@ class PromQlParserSpec extends AnyFunSuite {
     // an aggregate keyword in metric-name position is a selector
     assert(parse("""sum{job="x"}""") ==
       Selector(Some("sum"), Seq(Matcher("job", "=", "x"))))
+    // ...and so is ANY function name (PromQL reserves nothing): range
+    // fns, topk, label fns followed by '{' or end-of-input select
+    assert(parse("""changes{env="prod"}""") ==
+      Selector(Some("changes"), Seq(Matcher("env", "=", "prod"))))
+    assert(parse("resets") == Selector(Some("resets"), Nil))
+    assert(parse("""topk{job="x"}""") ==
+      Selector(Some("topk"), Seq(Matcher("job", "=", "x"))))
+    assert(parse("""label_join{a="b"}""") ==
+      Selector(Some("label_join"), Seq(Matcher("a", "=", "b"))))
+    assert(parse("rate(deriv[5m])") ==
+      RangeFn("rate", Selector(Some("deriv"), Nil), 300L))
   }
 
   test("parse: malformed queries raise with context") {
@@ -485,6 +496,13 @@ class PromQlParserSpec extends AnyFunSuite {
     assert(grid.keySet == Set("2024-01-01 10:20:00.0", "2024-01-01 10:30:00.0"))
     assert(math.abs(grid("2024-01-01 10:20:00.0") - 0.2) < 1e-12)
     assert(math.abs(grid("2024-01-01 10:30:00.0") - 0.2) < 1e-12)
+    // alignment contract: an outer step that is not a multiple of the
+    // subquery step would evaluate the inner expr at instants no outer
+    // step owns — refused, not silently divergent from instant eval
+    val ae = intercept[IllegalArgumentException](
+      PromQlParser.evalRange(src(df), "max_over_time(rate(cpu[15m])[20m:10m])",
+        "2024-01-01 10:20:00", "2024-01-01 10:50:00", stepSec = 900))
+    assert(ae.getMessage.contains("multiple"))
   }
 
   test("resets/changes count window transitions; idelta is the last difference") {

@@ -51,7 +51,7 @@ class StreamSpec extends AnyFunSuite {
     val expected = wins.filter($"event_type" === "error")
       .withColumn("wm", aggregate($"win_arr", lit(0.0), _ + _) / lit(12.0))
       .select($"user_id", $"event_type", $"ts".as("end_ts"),
-        round(graft.anomaly.Threshold.score($"wm", lit(250.0)), 9).as("v"))
+        round(graft.anomaly.Threshold.staticScore($"wm", 250.0), 9).as("v"))
     val got = st.select($"user_id", $"event_type", $"end_ts", round($"score", 9).as("v"))
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
