@@ -130,6 +130,10 @@ object PromQlParser {
   /** `absent(selector)`: one sample (value 1, labels from the selector's
     * equality matchers) iff the selector matches nothing; empty otherwise. */
   final case class Absent(sel: Selector) extends Ast
+  /** `count_values("label", v)`: series count per distinct sample value,
+    * the value carried as a new string label (cardinality analysis). */
+  final case class CountValues(label: String, by: Seq[String], child: Ast,
+                               without: Boolean = false) extends Ast
   /** `timestamp(selector)`: each live series' value becomes the epoch
     * second of its most recent sample (the `time() - timestamp(v)` age
     * idiom's right-hand side). */
@@ -518,6 +522,17 @@ object PromQlParser {
         val sel = parseOffsetOpt(parseSelector())
         expect(")")
         TimestampFn(sel)
+      case Some(Ident("count_values")) if !selectorAhead =>
+        next()
+        val byBefore = parseByOpt()
+        expect("(")
+        val label = parseStr()
+        expect(",")
+        val child = parseExpr()
+        expect(")")
+        val by = byBefore.orElse(parseByOpt())
+        CountValues(label, by.map(_._2).getOrElse(Seq.empty), child,
+          without = by.exists(_._1))
       case Some(Ident(fn)) if aggFns(fn) && !selectorAhead =>
         next()
         val byBefore = parseByOpt()
@@ -639,6 +654,22 @@ object PromQlParser {
     case "quantile_over_time" => grouped.agg(percentile(v, lit(param.get)).as("value"))
     case other => throw new IllegalArgumentException(
       s"$other is not a *_over_time fold")
+  }
+
+  /** `count_values` shared by both compilers: project the sample value
+    * into a STRING label (Java/DuckDB shortest-round-trip formatting
+    * agrees on the decimal test data), then count per (group ∪ label).
+    * `gridKey` threads `__step`. */
+  private def countValuesAgg(vec: DataFrame, label: String, by: Seq[String],
+                             without: Boolean, gridKey: Seq[String]): DataFrame = {
+    val groupBy =
+      (if (without) vec.columns.filterNot(c => nonLabelCols(c) || by.contains(c)).toSeq
+       else by) ++ gridKey
+    require(!groupBy.contains(label) && label != "value",
+      s"count_values label '$label' collides with a grouping column")
+    vec.withColumn(label, col("value").cast("string"))
+      .groupBy((groupBy :+ label).map(col): _*)
+      .agg(count(lit(1)).cast("double").as("value"))
   }
 
   private val overTimeFns = Set("sum_over_time", "count_over_time",
@@ -1050,6 +1081,10 @@ object PromQlParser {
       absentFrame(src.df.sparkSession.range(1).toDF(), sel,
         compile(src, sel, evalTs, lookback), extraKey = Nil)
 
+    case CountValues(label, by, child, without) =>
+      countValuesAgg(compile(src, child, evalTs, lookback), label, by,
+        without, gridKey = Nil)
+
     case TimestampFn(sel) =>
       // the newest in-lookback sample's epoch second per series (offset
       // shifts the window; the reported timestamp stays the sample's own)
@@ -1306,6 +1341,10 @@ object PromQlParser {
           .withColumn("__step", explode(stepsFor(te, te + lit(lookbackUs))))
           .groupBy(src.seriesKey.map(col) :+ col("__step"): _*)
           .agg((max(unix_micros(col(src.tsCol))).cast("double") / 1000000.0).as("value"))
+
+      case CountValues(label, by, child, without) =>
+        countValuesAgg(compile(child), label, by, without,
+          gridKey = Seq("__step"))
 
       case BinOp(op, lhs, rhs, matching, group, boolMode) =>
         // time() on the grid is each step's own evaluation instant — a

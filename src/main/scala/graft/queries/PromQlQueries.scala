@@ -441,6 +441,20 @@ object PromQlQueries {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // count_values: series-cardinality per distinct sample value, the
+    // value carried as a string label. Both engines print doubles as the
+    // shortest round-trip decimal, so the 2-dp test values stringify
+    // identically.
+    "q123_promql_count_values" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      PromQlParser.eval(src,
+          """count_values by (event_type) ("v", {event_type=~".+"})""",
+          "2024-01-15 12:00:00", lookback = "24 HOURS")
+        .select(col("event_type"), col("v"), col("value"))
+        .orderBy(col("event_type"), col("v"))
+    }),
+
     // histogram_quantile(q) for q in {0.5, 0.9, 0.99} from fixed le-buckets
     // (10, 25, 50, 100, 250, +Inf) per metric: cumulative counts, linear
     // interpolation inside the target bucket, +Inf clamps to the highest
@@ -839,6 +853,20 @@ object PromQlQueries {
         |  ON r.fts <= s.step_ts AND r.fts > s.step_ts - INTERVAL 6 HOURS
         |GROUP BY 1, 2, 3
         |ORDER BY user_id, event_type, step_ts""".stripMargin,
+
+    "q123_promql_count_values" ->
+      """WITH lastv AS (
+        |  SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |    AND ts > TIMESTAMP '2024-01-15 12:00:00' - INTERVAL 24 HOURS
+        |)
+        |SELECT event_type, CAST(value AS VARCHAR) AS v,
+        |  CAST(count(*) AS DOUBLE) AS value
+        |FROM lastv WHERE rn = 1
+        |GROUP BY 1, 2 ORDER BY event_type, v""".stripMargin,
 
     "q122_promql_age" ->
       """WITH w AS (

@@ -565,6 +565,24 @@ class PromQlParserSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("count_values buckets series by sample value as a string label") {
+    val df = Seq(
+      (1L, ts(0), 1L, "cpu", 7.5), (2L, ts(0), 2L, "cpu", 7.5),
+      (3L, ts(0), 3L, "cpu", 2.0), (4L, ts(0), 1L, "mem", 7.5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = eval(src(df), """count_values by (event_type) ("v", {event_type=~".+"})""",
+        "2024-01-01 10:02:00")
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[String]("v")) ->
+        r.getAs[Double]("value")).toMap
+    assert(out == Map(
+      ("cpu", "7.5") -> 2.0, ("cpu", "2.0") -> 1.0, ("mem", "7.5") -> 1.0))
+    // ungrouped: value label only
+    val flat = eval(src(df), """count_values("v", {event_type=~".+"})""",
+        "2024-01-01 10:02:00")
+      .collect().map(r => r.getAs[String]("v") -> r.getAs[Double]("value")).toMap
+    assert(flat == Map("7.5" -> 3.0, "2.0" -> 1.0))
+  }
+
   test("topk tie-break is total-ordered on the series key") {
     val df = Seq(
       (1L, ts(0), 5L, "cpu", 9.0), (2L, ts(0), 3L, "cpu", 9.0),
