@@ -70,6 +70,10 @@ class PromQlRoundTripSpec extends AnyFunSuite {
     case LabelFn(fn, child, dst, sep, srcs, _) =>
       s"""$fn(${print(child)}, "$dst", "$sep", ${srcs.map("\"" + _ + "\"").mkString(", ")})"""
     case Absent(sel) => s"absent(${printSel(sel)})"
+    case TimestampFn(sel) => s"timestamp(${printSel(sel)})"
+    case CountValues(label, by, child, without) =>
+      val kw = if (without) "without" else "by"
+      s"""count_values $kw (${by.mkString(", ")}) ("$label", ${print(child)})"""
     case RangeSub(fn, Subquery(child, r, st), None) =>
       s"$fn((${print(child)})[${durS(r)}:${durS(st)}])"
     case RangeSub(fn, Subquery(child, r, st), Some(p)) =>
@@ -192,6 +196,13 @@ class PromQlRoundTripSpec extends AnyFunSuite {
         srcs <- Gen.listOfN(2, labels).map(_.distinct)
       } yield LabelFn("label_join", child, dst, "|", srcs)),
       1 -> genSelector.map(Absent(_)),
+      1 -> genSelector.map(TimestampFn(_)),
+      1 -> (for {
+        label <- Gen.oneOf("val", "bucket")
+        by <- Gen.listOfN(1, labels)
+        without <- Gen.oneOf(true, false)
+        child <- genAst(depth - 1)
+      } yield CountValues(label, by, child, without)),
       1 -> (for {
         fn <- overTime
         child <- genAst(depth - 1)
