@@ -202,7 +202,15 @@ object MetricsServer {
       require(parsed.nonEmpty && seg.replaceAllIn(s, "").isEmpty,
         s"bad duration: $s")
       parsed.sum
-    } else s.toDouble.toLong
+    } else {
+      // bare seconds: reject a fractional value rather than silently
+      // truncating it ("1.5" is a resolution the grid can't honor —
+      // the same refusal the explicit "500ms" branch gives)
+      val d = s.toDouble
+      require(d == d.toLong.toDouble,
+        s"sub-second step not supported: $s")
+      d.toLong
+    }
 
   private[metrics] def epochSec(plainTs: String): Long =
     java.time.LocalDateTime.parse(plainTs.replace(' ', 'T'))

@@ -36,6 +36,10 @@ import org.apache.spark.sql.{Column, DataFrame}
   *             | 'round' '(' expr (',' NUMBER)? ')'
   *             | 'clamp' '(' expr ',' NUMBER ',' NUMBER ')'
   *             | ('clamp_min'|'clamp_max') '(' expr ',' NUMBER ')'
+  *             | ('sort'|'sort_desc') '(' expr ')'
+  *             | 'scalar' '(' expr ')' | 'vector' '(' expr ')'
+  *             | ('minute'|'hour'|'day_of_week'|'day_of_month'|
+  *                'days_in_month'|'month'|'year') '(' expr? ')'
   *   labelfn  := 'label_replace' '(' expr ',' STR ',' STR ',' STR ',' STR ')'
   *             | 'label_join' '(' expr ',' STR ',' STR (',' STR)* ')'
   *   range    := ('rate'|'increase'|'delta'|'irate'|'deriv'|
@@ -45,7 +49,9 @@ import org.apache.spark.sql.{Column, DataFrame}
   *               '(' selector '[' DURATION ']' offset? ')'
   *             | 'quantile_over_time' '(' NUMBER ',' selector '[' DURATION ']' offset? ')'
   *             | 'predict_linear' '(' selector '[' DURATION ']' offset? ',' NUMBER ')'
-  *   offset   := 'offset' DURATION
+  *             | 'holt_winters' '(' selector '[' DURATION ']' offset? ',' NUMBER ',' NUMBER ')'
+  *             | 'absent_over_time' '(' selector '[' DURATION ']' offset? ')'
+  *   offset   := ('offset' DURATION | '@' NUMBER)*   (either order; @ is epoch seconds)
   *   selector := metric matchers? | matchers
   *   matcher  := label ('='|'!='|'=~'|'!~') STRING
   * }}}
@@ -91,13 +97,35 @@ object PromQlParser {
   // ---------- AST ----------
   sealed trait Ast
   final case class Matcher(label: String, op: String, value: String)
+  /** `atSec` is the `@` modifier: a FIXED evaluation instant (epoch
+    * seconds) replacing the query's own; `offset` still applies, relative
+    * to it — the Prometheus composition rule. */
   final case class Selector(metric: Option[String], matchers: Seq[Matcher],
-                            offsetSec: Long = 0L) extends Ast
-  /** `param` carries the extra scalar of `quantile_over_time` (φ) and
-    * `predict_linear` (the horizon t, seconds). (An Option, not a NaN
-    * default: NaN ≠ NaN would break AST equality.) */
+                            offsetSec: Long = 0L,
+                            atSec: Option[Long] = None) extends Ast
+  /** `param` carries the extra scalar of `quantile_over_time` (φ),
+    * `predict_linear` (the horizon t, seconds) and `holt_winters` (sf);
+    * `param2` only holt_winters' trend factor tf. (Options, not NaN
+    * defaults: NaN ≠ NaN would break AST equality.) */
   final case class RangeFn(fn: String, sel: Selector, windowSec: Long,
-                           param: Option[Double] = None) extends Ast
+                           param: Option[Double] = None,
+                           param2: Option[Double] = None) extends Ast
+  /** `sort()`/`sort_desc()`: order the instant vector by sample value
+    * (label columns break ties so the order is total); a no-op on the
+    * `query_range` grid, as in Prometheus. */
+  final case class SortFn(desc: Boolean, child: Ast) extends Ast
+  /** `scalar(v)`: the single element's value if the vector has exactly
+    * one element, else NaN — usable wherever a scalar is. */
+  final case class ScalarFn(child: Ast) extends Ast
+  /** `vector(s)`: a one-element, no-label instant vector carrying the
+    * scalar — the `or vector(0)` default idiom's right-hand side. */
+  final case class VectorFn(child: Ast) extends Ast
+  /** Time-component functions `minute|hour|day_of_week|day_of_month|
+    * days_in_month|month|year` (UTC, the Prometheus rule). No argument =
+    * the component of the evaluation instant (one no-label element);
+    * with a vector argument, each sample's value is read as epoch
+    * seconds and replaced by its component. */
+  final case class TimeComp(fn: String, child: Option[Ast]) extends Ast
   /** `without=true` groups by all labels EXCEPT `by` (PromQL `without`). */
   final case class AggBy(fn: String, by: Seq[String], child: Ast,
                          without: Boolean = false) extends Ast
@@ -231,12 +259,14 @@ object PromQlParser {
     private val aggFns = Set("sum", "avg", "min", "max", "count",
       "stddev", "stdvar", "group")
     private val rangeFns = Set("rate", "increase", "delta", "irate", "idelta",
-      "deriv", "resets", "changes",
+      "deriv", "resets", "changes", "absent_over_time",
       "sum_over_time", "avg_over_time", "max_over_time", "min_over_time",
       "count_over_time", "last_over_time", "present_over_time",
       "stddev_over_time", "stdvar_over_time")
     private val vecFns1 = Set("abs", "ceil", "floor", "sqrt", "exp", "ln",
       "log2", "log10", "sgn")
+    private val timeCompFns = Set("minute", "hour", "day_of_week",
+      "day_of_month", "days_in_month", "month", "year")
 
     private def parseNum(): Double = next() match {
       case Flt(d) => d
@@ -439,6 +469,43 @@ object PromQlParser {
         val by = parseByOpt()
         TopK(k, by.map(_._2).getOrElse(Seq.empty), child,
           bottom = kw == "bottomk")
+      case Some(Ident(fn @ ("sort" | "sort_desc"))) if !selectorAhead =>
+        next(); expect("(")
+        val child = parseExpr()
+        expect(")")
+        SortFn(fn == "sort_desc", child)
+      case Some(Ident("scalar")) if !selectorAhead =>
+        next(); expect("(")
+        val child = parseExpr()
+        expect(")")
+        ScalarFn(child)
+      case Some(Ident("vector")) if !selectorAhead =>
+        next(); expect("(")
+        val child = parseExpr()
+        expect(")")
+        VectorFn(child)
+      case Some(Ident(fn)) if timeCompFns(fn) && !selectorAhead =>
+        next(); expect("(")
+        val child = peek match {
+          case Some(Sym(")")) => None
+          case _ => Some(parseExpr())
+        }
+        expect(")")
+        TimeComp(fn, child)
+      case Some(Ident("holt_winters")) if !selectorAhead =>
+        next(); expect("(")
+        val arg = parseUnary()
+        expect(",")
+        val sf = parseNum()
+        expect(",")
+        val tf = parseNum()
+        expect(")")
+        require(sf > 0 && sf < 1 && tf > 0 && tf < 1,
+          s"holt_winters smoothing/trend factors must be in (0, 1); got $sf, $tf")
+        arg match {
+          case RangeVec(sel, w) => RangeFn("holt_winters", sel, w, Some(sf), Some(tf))
+          case other => fail(s"holt_winters expects a range vector, got $other")
+        }
       case Some(Ident("quantile_over_time")) if !selectorAhead =>
         next(); expect("(")
         val phi = parseNum()
@@ -551,14 +618,23 @@ object PromQlParser {
       case _ => parseOffsetOpt(parseSelector())
     }
 
-    /** `offset <dur>` selector modifier: shifts this selector's evaluation
-      * window into the past. */
+    /** Selector modifiers, in either order: `offset <dur>` shifts the
+      * evaluation window into the past; `@ <epoch-seconds>` pins the
+      * evaluation instant (offset then applies relative to it, the
+      * Prometheus composition rule). */
     private def parseOffsetOpt(sel: Selector): Selector = peek match {
       case Some(Ident("offset")) =>
         next()
         next() match {
-          case Dur(s) => sel.copy(offsetSec = s)
+          case Dur(s) => parseOffsetOpt(sel.copy(offsetSec = s))
           case other => fail(s"offset expects a duration like 1h, got $other")
+        }
+      case Some(Sym("@")) =>
+        next()
+        next() match {
+          case Num(n) => parseOffsetOpt(sel.copy(atSec = Some(n)))
+          case Flt(d) => parseOffsetOpt(sel.copy(atSec = Some(d.toLong)))
+          case other => fail(s"@ expects an epoch-seconds timestamp, got $other")
         }
       case _ => sel
     }
@@ -634,7 +710,8 @@ object PromQlParser {
     sum(round(c, 6).cast("decimal(18,6)")).cast("double")
 
   /** Columns that are never vector labels in a compiled frame. */
-  private val nonLabelCols = Set("value", "rank", "__step", "__substep")
+  private val nonLabelCols = Set("value", "rank", "__step", "__substep",
+    "__scalar", "__mk")
 
   /** The `*_over_time` fold shared by grid range functions and subquery
     * evaluation (instant + grid): one grouped aggregation; `lastOrd`
@@ -657,9 +734,14 @@ object PromQlParser {
   }
 
   /** `count_values` shared by both compilers: project the sample value
-    * into a STRING label (Java/DuckDB shortest-round-trip formatting
-    * agrees on the decimal test data), then count per (group ∪ label).
-    * `gridKey` threads `__step`. */
+    * into a STRING label through an EXPLICIT engine-independent rule —
+    * fixed-point 6-dp decimal with trailing zeros (and a bare point)
+    * trimmed — so the label never depends on an engine's default
+    * double→string choice (Java switches to scientific notation at 1e7,
+    * DuckDB elsewhere). |v| ≥ 1e15 (beyond the decimal width) and NaN/Inf
+    * fall back to the double's own string form; CaseWhen's lazy branches
+    * keep ANSI decimal overflow unreachable. Then count per
+    * (group ∪ label). `gridKey` threads `__step`. */
   private def countValuesAgg(vec: DataFrame, label: String, by: Seq[String],
                              without: Boolean, gridKey: Seq[String]): DataFrame = {
     val groupBy =
@@ -667,7 +749,10 @@ object PromQlParser {
        else by) ++ gridKey
     require(!groupBy.contains(label) && label != "value",
       s"count_values label '$label' collides with a grouping column")
-    vec.withColumn(label, col("value").cast("string"))
+    val v = col("value")
+    val fixed = regexp_replace(regexp_replace(
+      v.cast("decimal(27,6)").cast("string"), "(\\.\\d*?)0+$", "$1"), "\\.$", "")
+    vec.withColumn(label, when(abs(v) < 1e15, fixed).otherwise(v.cast("string")))
       .groupBy((groupBy :+ label).map(col): _*)
       .agg(count(lit(1)).cast("double").as("value"))
   }
@@ -690,6 +775,17 @@ object PromQlParser {
   private def usOf(ts: String): Long =
     java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
       .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
+
+  /** Epoch seconds → plain `yyyy-MM-dd HH:mm:ss` (UTC). */
+  private def tsOfEpoch(sec: Long): String =
+    java.time.LocalDateTime.ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+
+  /** A selector's effective evaluation instant: `@` pins it (replacing the
+    * query's own), then `offset` shifts relative to that — the Prometheus
+    * composition rule. */
+  private def evalInstantFor(sel: Selector, evalTs: String): String =
+    shiftTs(sel.atSec.map(tsOfEpoch).getOrElse(evalTs), sel.offsetSec)
 
   /** Arithmetic value projection ONLY — comparisons and set operators are
     * join/filter shapes, not value maps, and route through [[binOpVec]] /
@@ -729,8 +825,13 @@ object PromQlParser {
     case "round" =>
       // PromQL round(v, to=1): nearest multiple of `to`, ties round UP
       val to = args.headOption.getOrElse(1.0)
+      require(to != 0.0, "round(v, to): to must be non-zero")
       floor(v / to + 0.5).cast("double") * to
-    case "clamp"     => least(greatest(v, lit(args(0))), lit(args(1)))
+    case "clamp" =>
+      // min > max yields NaN (the Prometheus rule), decided at compile
+      // since both bounds are literals
+      if (args(0) > args(1)) lit(Double.NaN)
+      else least(greatest(v, lit(args(0))), lit(args(1)))
     case "clamp_min" => greatest(v, lit(args(0)))
     case "clamp_max" => least(v, lit(args(0)))
   }
@@ -789,6 +890,47 @@ object PromQlParser {
     agg.select(keyCols :+ value.as("value"): _*)
   }
 
+  /** `holt_winters(v[w], sf, tf)` — Holt's double exponential smoothing
+    * over the window's samples in time order (the Prometheus recursion:
+    * s_i = sf·y_i + (1−sf)·(s_{i−1} + b_i), b_i = tf·(s_{i−1} − s_{i−2})
+    * + (1−tf)·b_{i−1}, seeded s_1 = y_0, b_1 = y_1 − y_0; the window's
+    * last smoothed value is the result). The recursion is ORDER-SENSITIVE,
+    * so it cannot ride the commutative-aggregate path every other fold
+    * uses: the samples are assembled into ONE sorted array per series
+    * (bounded by the range window — the E22 assembled-window shape) and
+    * folded left-to-right with `aggregate()`. The fold body is a fixed
+    * sequence of IEEE-double operations, so any engine folding the same
+    * values in the same order computes the bit-identical result — the
+    * oracle twin folds the same sorted list with DuckDB's `list_reduce`.
+    * Series with <2 samples drop out, the Prometheus rule. */
+  private def holtWinters(grouped: org.apache.spark.sql.RelationalGroupedDataset,
+                          src: PromSource, sf: Double, tf: Double): DataFrame = {
+    // smoothing constants precomputed once (identical literals on the
+    // oracle side), CAST to DOUBLE so Spark doesn't type them DECIMAL
+    val (a, oa, t, ot) = (s"CAST($sf AS DOUBLE)", s"CAST(${1.0 - sf} AS DOUBLE)",
+      s"CAST($tf AS DOUBLE)", s"CAST(${1.0 - tf} AS DOUBLE)")
+    val trend = s"CASE WHEN acc.n = 1 THEN y - acc.s1 " +
+      s"ELSE $t * (acc.s1 - acc.s0) + $ot * acc.b END"
+    val fold =
+      s"""aggregate(
+         |  slice(__vals, 2, size(__vals) - 1),
+         |  named_struct('s0', CAST(0.0 AS DOUBLE), 's1', element_at(__vals, 1),
+         |               'b', CAST(0.0 AS DOUBLE), 'n', 1),
+         |  (acc, y) -> named_struct(
+         |    's0', acc.s1,
+         |    's1', $a * y + $oa * (acc.s1 + ($trend)),
+         |    'b', $trend,
+         |    'n', acc.n + 1),
+         |  acc -> acc.s1)""".stripMargin
+    grouped.agg(array_sort(collect_list(struct(
+        col(src.tsCol).as("t"), col(src.orderCol).as("o"),
+        col(src.valueCol).as("v")))).as("__s"))
+      .filter(size(col("__s")) >= 2)
+      .withColumn("__vals", expr("transform(__s, e -> e.v)"))
+      .withColumn("value", expr(fold))
+      .drop("__s", "__vals")
+  }
+
   private def cmpPred(op: String, a: Column, b: Column): Column = op match {
     case "==" => a === b
     case "!=" => a =!= b
@@ -837,10 +979,6 @@ object PromQlParser {
                        gridKey: Seq[String]): DataFrame = {
     val lLabels = lv.columns.filterNot(nonLabelCols).toSeq
     val rLabels = rv.columns.filterNot(nonLabelCols).toSeq
-    val keys0 = matchKeys(lLabels, rLabels, matching)
-    require(keys0.nonEmpty,
-      s"no matching labels between operands of '$op' (lhs=$lLabels rhs=$rLabels)")
-    val keys = keys0 ++ gridKey
 
     // value-bearing comparison/arithmetic after the join: `lval op rval`
     // is always lhs-op-rhs regardless of which side the join kept.
@@ -851,29 +989,67 @@ object PromQlParser {
         else j.filter(cmpPred(op, lval, rval)).withColumn("value", lval).drop(tmp)
       } else j.withColumn("value", binApply(op, lval, rval)).drop(tmp)
 
-    op match {
-      // Set operators: the rhs is projected to its key columns before the
-      // exchange, so only keys ship; semi/anti dedup the rhs for free.
-      case "and" => lv.join(rv.select(keys.map(col): _*), keys, "left_semi")
-      case "unless" => lv.join(rv.select(keys.map(col): _*), keys, "left_anti")
-      case "or" =>
-        // lhs samples, plus rhs samples whose match key has no lhs sample.
-        // A DataFrame needs one schema, so labels the other side lacks
-        // fill with NULL (Prometheus leaves the label unset).
-        val rOnly = rv.join(lv.select(keys.map(col): _*), keys, "left_anti")
-        lv.unionByName(rOnly, allowMissingColumns = true)
-      case _ => group match {
+    if (setOps(op)) {
+      // Prometheus matches set operators on the COMPLETE label sets, not
+      // the shared columns: the default key is the UNION of both sides'
+      // label columns, a label a side lacks reading as "" — so series
+      // that differ only in a label one side carries do NOT match (the
+      // old intersection matching over-matched exactly there). on() /
+      // ignoring() narrow the set as usual; an empty key set (`on()`)
+      // matches everything. The key is computed map-side and the rhs is
+      // projected to it before the exchange, so only keys ship;
+      // semi/anti dedup the rhs for free.
+      val mls = matching match {
+        case Some((true, ls))  => ls
+        case Some((false, ls)) => (lLabels ++ rLabels).distinct.filterNot(ls.contains)
+        case None              => (lLabels ++ rLabels).distinct
+      }
+      def keyed(df: DataFrame): DataFrame = df.withColumn("__mk",
+        if (mls.isEmpty) lit(1)
+        else struct(mls.map(l => (if (df.columns.contains(l))
+          coalesce(col(l).cast("string"), lit("")) else lit("")).as(l)): _*))
+      val keys = "__mk" +: gridKey
+      op match {
+        case "and" =>
+          keyed(lv).join(keyed(rv).select(keys.map(col): _*), keys, "left_semi")
+            .drop("__mk")
+        case "unless" =>
+          keyed(lv).join(keyed(rv).select(keys.map(col): _*), keys, "left_anti")
+            .drop("__mk")
+        case "or" =>
+          // lhs samples, plus rhs samples whose match key has no lhs
+          // sample. A DataFrame needs one schema, so labels the other
+          // side lacks fill with NULL (Prometheus leaves the label unset).
+          val rOnly = keyed(rv)
+            .join(keyed(lv).select(keys.map(col): _*), keys, "left_anti")
+            .drop("__mk")
+          lv.unionByName(rOnly, allowMissingColumns = true)
+      }
+    } else {
+      val keys0 = matchKeys(lLabels, rLabels, matching)
+      val keys = keys0 ++ gridKey
+      group match {
         case None =>
           val r2 = rv.select(keys.map(col) :+ col("value").as("__rv"): _*)
-          finish(lv.select((lLabels ++ gridKey).map(col) :+ col("value"): _*)
-            .join(r2, keys, "inner"), col("value"), col("__rv"), "__rv")
+          val l2 = lv.select((lLabels ++ gridKey).map(col) :+ col("value"): _*)
+          // Two no-label vectors (`vector(0) + hour()`) match one-to-one
+          // on the empty key set: a broadcast cross join — Prometheus
+          // semantics make the rhs one element, so the broadcast side is
+          // constant-sized by the author's contract.
+          val j = if (keys.isEmpty) l2.crossJoin(broadcast(r2))
+                  else l2.join(r2, keys, "inner")
+          finish(j, col("value"), col("__rv"), "__rv")
         case Some(Grp(true, copy)) => // group_left: lhs is the MANY side
+          require(keys0.nonEmpty,
+            s"group_left needs matching labels (lhs=$lLabels rhs=$rLabels)")
           require(copy.forall(c => !lLabels.contains(c) && rLabels.contains(c)),
             s"group_left copy labels $copy must exist on the rhs and not collide with lhs labels $lLabels")
           val r2 = rv.select((keys ++ copy).distinct.map(col) :+ col("value").as("__rv"): _*)
           finish(lv.select((lLabels ++ gridKey).map(col) :+ col("value"): _*)
             .join(r2, keys, "inner"), col("value"), col("__rv"), "__rv")
         case Some(Grp(false, copy)) => // group_right: rhs is the MANY side
+          require(keys0.nonEmpty,
+            s"group_right needs matching labels (lhs=$lLabels rhs=$rLabels)")
           require(copy.forall(c => !rLabels.contains(c) && lLabels.contains(c)),
             s"group_right copy labels $copy must exist on the lhs and not collide with rhs labels $rLabels")
           val l2 = lv.select((keys ++ copy).distinct.map(col) :+ col("value").as("__lv"): _*)
@@ -881,6 +1057,49 @@ object PromQlParser {
             .join(l2, keys, "inner"), col("__lv"), col("value"), "__lv")
       }
     }
+  }
+
+  /** `scalar(v)` support: reduce a compiled vector to ONE `__scalar`
+    * value per grid cell (globally for an instant query) — the single
+    * element's value if the vector has exactly one element, else NaN, the
+    * Prometheus rule. The consumer joins this one-row (or one-per-step)
+    * frame back broadcast-style; no driver-side collect. */
+  private def scalarFrame(vec: DataFrame, gridKey: Seq[String]): DataFrame = {
+    val g = if (gridKey.isEmpty) vec.groupBy() else vec.groupBy(gridKey.map(col): _*)
+    g.agg(count(lit(1)).as("__n"), max(col("value")).as("__v"))
+      .select(gridKey.map(col) :+ when(col("__n") === 1, col("__v"))
+        .otherwise(lit(Double.NaN)).as("__scalar"): _*)
+  }
+
+  /** Time-component of a value read as epoch seconds (UTC — the session
+    * timezone contract). Prometheus numbers Sunday 0 in day_of_week;
+    * Spark's dayofweek numbers it 1. */
+  private def timeCompCol(fn: String, epochSec: Column): Column = {
+    val ts = timestamp_seconds(epochSec)
+    (fn match {
+      case "minute"        => minute(ts)
+      case "hour"          => hour(ts)
+      case "day_of_week"   => dayofweek(ts) - 1
+      case "day_of_month"  => dayofmonth(ts)
+      case "days_in_month" => dayofmonth(last_day(ts.cast("date")))
+      case "month"         => month(ts)
+      case "year"          => year(ts)
+    }).cast("double")
+  }
+
+  /** The same components computed driver-side for a no-argument call at a
+    * fixed instant (constant folding: the value depends only on T). */
+  private def timeCompOf(fn: String, ts: String): Double = {
+    val ldt = java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
+    (fn match {
+      case "minute"        => ldt.getMinute
+      case "hour"          => ldt.getHour
+      case "day_of_week"   => ldt.getDayOfWeek.getValue % 7 // java Mon=1..Sun=7
+      case "day_of_month"  => ldt.getDayOfMonth
+      case "days_in_month" => ldt.toLocalDate.lengthOfMonth
+      case "month"         => ldt.getMonthValue
+      case "year"          => ldt.getYear
+    }).toDouble
   }
 
   /** PromQL vector matching for a binary operator: the join key set.
@@ -930,11 +1149,11 @@ object PromQlParser {
                       lookback: String): DataFrame = ast match {
     case sel: Selector =>
       PromQl.instantVector(src.df.filter(matcherCond(src, sel)), src.seriesKey,
-          src.tsCol, src.orderCol, shiftTs(evalTs, sel.offsetSec), lookback)
+          src.tsCol, src.orderCol, evalInstantFor(sel, evalTs), lookback)
         .select(src.seriesKey.map(col) :+ col(src.valueCol).as("value"): _*)
 
-    case RangeFn(fn, sel, w, param) =>
-      val t = to_timestamp(lit(shiftTs(evalTs, sel.offsetSec)))
+    case RangeFn(fn, sel, w, param, param2) =>
+      val t = to_timestamp(lit(evalInstantFor(sel, evalTs)))
       val inWindow = src.df.filter(matcherCond(src, sel))
         .filter(col(src.tsCol) <= t &&
           col(src.tsCol) > t - expr(s"INTERVAL $w SECONDS"))
@@ -1021,6 +1240,15 @@ object PromQlParser {
           linearFit(inWindow, keyCols,
             unix_micros(col(src.tsCol)) - unix_micros(t), v,
             if (fn == "deriv") Double.NaN else param.get)
+        case "absent_over_time" =>
+          // one 1.0-sample (labels = equality matchers) iff the selector
+          // has NO sample in the window — the same anti-join-probe shape
+          // as absent(), presence read from the range window instead of
+          // the staleness lookback
+          absentFrame(src.df.sparkSession.range(1).toDF(), sel, inWindow,
+            extraKey = Nil)
+        case "holt_winters" =>
+          holtWinters(inWindow.groupBy(keyCols: _*), src, param.get, param2.get)
       }
 
     case AggBy(fn, by, child, without) =>
@@ -1048,6 +1276,14 @@ object PromQlParser {
     // generate-project + keyed shuffles — no per-step loop), then fold the
     // grid samples per series. Inner instant selectors use the Prometheus
     // default 5m lookback, as in Prometheus subqueries.
+    //
+    // Anchoring — DELIBERATE deviation, pinned in PromQlSpec: the grid is
+    // anchored at the evaluation instant (grid points T − i·step), while
+    // real Prometheus aligns subquery timestamps to absolute epoch
+    // multiples of the step. The engine's choice makes a subquery's
+    // result a pure function of (expr, T) — reproducible across repeated
+    // evaluations and oracle-checkable — at the cost of differing from
+    // upstream when T is not itself step-aligned.
     case RangeSub(fn, sub, param) =>
       require(sub.stepSec > 0, "subquery step must be positive")
       require(overTimeFns(fn),
@@ -1086,13 +1322,44 @@ object PromQlParser {
         without, gridKey = Nil)
 
     case TimestampFn(sel) =>
-      // the newest in-lookback sample's epoch second per series (offset
-      // shifts the window; the reported timestamp stays the sample's own)
-      val t = to_timestamp(lit(shiftTs(evalTs, sel.offsetSec)))
+      // the newest in-lookback sample's epoch second per series (offset/@
+      // shift the window; the reported timestamp stays the sample's own)
+      val t = to_timestamp(lit(evalInstantFor(sel, evalTs)))
       src.df.filter(matcherCond(src, sel))
         .filter(col(src.tsCol) <= t && col(src.tsCol) > t - expr(s"INTERVAL $lookback"))
         .groupBy(src.seriesKey.map(col): _*)
         .agg((max(unix_micros(col(src.tsCol))).cast("double") / 1000000.0).as("value"))
+
+    case SortFn(desc, child) =>
+      // value-ordered output (labels break ties → total order); ordering
+      // is presentation-only, the row set is unchanged
+      val vec = compile(src, child, evalTs, lookback)
+      val tie = vec.columns.filterNot(c => nonLabelCols(c) || c == "value")
+        .toSeq.sorted.map(col)
+      vec.orderBy((if (desc) col("value").desc else col("value").asc) +: tie: _*)
+
+    case sf: ScalarFn =>
+      scalarFrame(compile(src, sf.child, evalTs, lookback), Nil)
+        .select(col("__scalar").as("value"))
+
+    case VectorFn(child) =>
+      val one = src.df.sparkSession.range(1)
+      child match {
+        case ScalarLit(v) => one.select(lit(v).as("value"))
+        case TimeFn => one.select(lit(usOf(evalTs) / 1000000.0).as("value"))
+        case s: ScalarFn =>
+          scalarFrame(compile(src, s.child, evalTs, lookback), Nil)
+            .select(col("__scalar").as("value"))
+        case other => throw new IllegalArgumentException(
+          s"vector() expects a scalar argument, got $other")
+      }
+
+    case TimeComp(fn, None) =>
+      src.df.sparkSession.range(1)
+        .select(lit(timeCompOf(fn, evalTs)).as("value"))
+    case TimeComp(fn, Some(child)) =>
+      compile(src, child, evalTs, lookback)
+        .withColumn("value", timeCompCol(fn, col("value")))
 
     case BinOp(op, lhs, rhs, matching, group, boolMode) =>
       def scalarOf(a: Ast): Option[Column] = a match {
@@ -1110,10 +1377,25 @@ object PromQlParser {
         case (None, Some(b)) =>
           binOpScalar(op, compile(src, lhs, evalTs, lookback), b,
             scalarOnLeft = false, boolMode)
-        case (None, None) =>
-          binOpVec(op, compile(src, lhs, evalTs, lookback),
-            compile(src, rhs, evalTs, lookback), matching, group, boolMode,
-            gridKey = Nil)
+        // scalar(v) operand: its one-row frame broadcast-joins onto the
+        // vector side (no driver-side collect), then the scalar column
+        // rides the ordinary scalar path.
+        case (None, None) => (lhs, rhs) match {
+          case (s: ScalarFn, _) =>
+            val joined = compile(src, rhs, evalTs, lookback).crossJoin(
+              broadcast(scalarFrame(compile(src, s.child, evalTs, lookback), Nil)))
+            binOpScalar(op, joined, col("__scalar"), scalarOnLeft = true,
+              boolMode).drop("__scalar")
+          case (_, s: ScalarFn) =>
+            val joined = compile(src, lhs, evalTs, lookback).crossJoin(
+              broadcast(scalarFrame(compile(src, s.child, evalTs, lookback), Nil)))
+            binOpScalar(op, joined, col("__scalar"), scalarOnLeft = false,
+              boolMode).drop("__scalar")
+          case _ =>
+            binOpVec(op, compile(src, lhs, evalTs, lookback),
+              compile(src, rhs, evalTs, lookback), matching, group, boolMode,
+              gridKey = Nil)
+        }
       }
 
     case HistQuantile(q, child) =>
@@ -1146,7 +1428,12 @@ object PromQlParser {
       case "group"    => max(lit(1.0))
       case "quantile" => percentile(v, lit(phi))
     }
-    if (groupBy.isEmpty) vec.agg(agg.as("value"))
+    // An ungrouped (global) aggregation over an EMPTY vector must yield
+    // an empty vector (the Prometheus rule) — Spark's global agg emits
+    // one NULL/0 row instead, so guard on the group's sample count.
+    if (groupBy.isEmpty)
+      vec.agg(agg.as("value"), count(lit(1)).as("__n"))
+        .filter(col("__n") > 0).drop("__n")
     else vec.groupBy(groupBy.map(col): _*).agg(agg.as("value"))
   }
 
@@ -1224,7 +1511,27 @@ object PromQlParser {
     private def teCol(offsetSec: Long): Column =
       unix_micros(col(src.tsCol)) + lit(offsetSec * 1000000L)
 
+    /** The full step domain `0..nSteps` — absent() probes, `@`-pinned
+      * broadcast, and vector()/scalar() grids all ride it. */
+    private def stepsDomain: DataFrame =
+      src.df.sparkSession.range(nSteps + 1).select(col("id").as("__step"))
+
+    /** An `@`-pinned subtree on the grid: the pinned instant makes the
+      * result STEP-INVARIANT, so it evaluates ONCE through the instant
+      * compiler and broadcast-replicates across the (tiny) step domain —
+      * instead of exploding the selector onto every step. */
+    private def fixedInstant(ast: Ast, sel: Selector): DataFrame =
+      PromQlParser.compile(src, ast, tsOfEpoch(sel.atSec.get),
+          s"${lookbackUs / 1000000L} SECONDS")
+        .crossJoin(broadcast(stepsDomain))
+
     def compile(ast: Ast): DataFrame = ast match {
+      case sel: Selector if sel.atSec.isDefined => fixedInstant(sel, sel)
+      case rf @ RangeFn(_, sel, _, _, _) if sel.atSec.isDefined =>
+        fixedInstant(rf, sel)
+      case tsf @ TimestampFn(sel) if sel.atSec.isDefined =>
+        fixedInstant(tsf, sel)
+
       case sel: Selector =>
         // instant vector per step: latest sample within (T − lookback, T]
         val te = teCol(sel.offsetSec)
@@ -1235,7 +1542,7 @@ object PromQlParser {
           .agg(max_by(col(src.valueCol),
             struct(col(src.tsCol), col(src.orderCol))).as("value"))
 
-      case RangeFn(fn, sel, w, param) =>
+      case RangeFn(fn, sel, w, param, param2) =>
         val wUs = w * 1000000L
         val te = teCol(sel.offsetSec)
         val keyCols = src.seriesKey.map(col)
@@ -1298,6 +1605,17 @@ object PromQlParser {
             linearFit(exploded, keyCols :+ col("__step"),
               te - (lit(startUs) + col("__step") * lit(stepUs)), v,
               if (fn == "deriv") Double.NaN else param.get)
+          case "absent_over_time" =>
+            // per-step absence: the step domain anti-joined against the
+            // steps whose range window holds at least one sample
+            val present = filtered
+              .withColumn("__step", explode(stepsFor(te, te + lit(wUs))))
+            absentFrame(stepsDomain, sel, present, Seq("__step"))
+          case "holt_winters" =>
+            holtWinters(
+              filtered.withColumn("__step", explode(stepsFor(te, te + lit(wUs))))
+                .groupBy(keyCols :+ col("__step"): _*),
+              src, param.get, param2.get)
           case other =>
             throw new IllegalArgumentException(
               s"$other is not supported in range (grid) evaluation")
@@ -1346,6 +1664,36 @@ object PromQlParser {
         countValuesAgg(compile(child), label, by, without,
           gridKey = Seq("__step"))
 
+      case SortFn(_, child) =>
+        // sort()/sort_desc() have no effect in range queries (the
+        // Prometheus rule) — pure pass-through on the grid
+        compile(child)
+
+      case sf: ScalarFn =>
+        // per-step scalar; steps where the vector is empty read NaN
+        stepsDomain
+          .join(broadcast(scalarFrame(compile(sf.child), Seq("__step"))),
+            Seq("__step"), "left")
+          .select(col("__step"),
+            coalesce(col("__scalar"), lit(Double.NaN)).as("value"))
+
+      case VectorFn(child) =>
+        val stepT = (lit(startUs) + col("__step") * lit(stepUs)) / 1000000.0
+        child match {
+          case ScalarLit(v) => stepsDomain.select(col("__step"), lit(v).as("value"))
+          case TimeFn => stepsDomain.select(col("__step"), stepT.as("value"))
+          case s: ScalarFn => compile(s) // already one row per step
+          case other => throw new IllegalArgumentException(
+            s"vector() expects a scalar argument, got $other")
+        }
+
+      case TimeComp(fn, None) =>
+        val stepT = (lit(startUs) + col("__step") * lit(stepUs)) / 1000000.0
+        stepsDomain.select(col("__step"),
+          timeCompCol(fn, stepT).as("value"))
+      case TimeComp(fn, Some(child)) =>
+        compile(child).withColumn("value", timeCompCol(fn, col("value")))
+
       case BinOp(op, lhs, rhs, matching, group, boolMode) =>
         // time() on the grid is each step's own evaluation instant — a
         // column over __step, riding the same projection as a literal
@@ -1355,6 +1703,12 @@ object PromQlParser {
             Some((lit(startUs) + col("__step") * lit(stepUs)) / 1000000.0)
           case _ => None
         }
+        // scalar(v) operand: its one-row-per-step frame broadcast-joins
+        // onto the vector side on __step; empty steps read NaN.
+        def withScalar(vec: DataFrame, s: ScalarFn): DataFrame =
+          vec.join(broadcast(scalarFrame(compile(s.child), Seq("__step"))),
+              Seq("__step"), "left")
+            .withColumn("__scalar", coalesce(col("__scalar"), lit(Double.NaN)))
         (scalarOf(lhs), scalarOf(rhs)) match {
           case (Some(_), Some(_)) =>
             throw new IllegalArgumentException(
@@ -1363,9 +1717,17 @@ object PromQlParser {
             binOpScalar(op, compile(rhs), a, scalarOnLeft = true, boolMode)
           case (None, Some(b)) =>
             binOpScalar(op, compile(lhs), b, scalarOnLeft = false, boolMode)
-          case (None, None) =>
-            binOpVec(op, compile(lhs), compile(rhs), matching, group, boolMode,
-              gridKey = Seq("__step"))
+          case (None, None) => (lhs, rhs) match {
+            case (s: ScalarFn, _) =>
+              binOpScalar(op, withScalar(compile(rhs), s), col("__scalar"),
+                scalarOnLeft = true, boolMode).drop("__scalar")
+            case (_, s: ScalarFn) =>
+              binOpScalar(op, withScalar(compile(lhs), s), col("__scalar"),
+                scalarOnLeft = false, boolMode).drop("__scalar")
+            case _ =>
+              binOpVec(op, compile(lhs), compile(rhs), matching, group, boolMode,
+                gridKey = Seq("__step"))
+          }
         }
 
       case HistQuantile(q, child) =>

@@ -442,9 +442,10 @@ object PromQlQueries {
     }),
 
     // count_values: series-cardinality per distinct sample value, the
-    // value carried as a string label. Both engines print doubles as the
-    // shortest round-trip decimal, so the 2-dp test values stringify
-    // identically.
+    // value carried as a string label. The label goes through the
+    // engine's EXPLICIT formatting rule (fixed-point 6-dp, trailing
+    // zeros trimmed) mirrored verbatim in the twin — default double
+    // printing diverges between engines at 1e7 (Java goes scientific).
     "q123_promql_count_values" -> ((s, d) => {
       val src = PromQlParser.PromSource(events(s, d), "event_type",
         Seq("user_id", "event_type"), "ts", "event_id", "value")
@@ -453,6 +454,114 @@ object PromQlQueries {
           "2024-01-15 12:00:00", lookback = "24 HOURS")
         .select(col("event_type"), col("v"), col("value"))
         .orderBy(col("event_type"), col("v"))
+    }),
+
+    // sort/sort_desc + scalar()/vector() through the parser. "sorted"
+    // exercises the value-ordered output path (ordering is presentation-
+    // only — the compare is row-set based — so the oracle pins the set);
+    // "fallback" is the `or vector(0)` default idiom over an empty vector
+    // (full-label-set `or` matching appends the no-label rhs sample);
+    // "scaled" divides a vector by scalar(count(...)) — the one-row
+    // scalar frame broadcast-joins back, no driver-side collect.
+    "q124_promql_sort_scalar_vector" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      def run(q: String, tag: String) =
+        PromQlParser.eval(src, q, "2024-01-15 12:00:00", lookback = "24 HOURS")
+          .withColumn("which", lit(tag))
+      run("""sort_desc(sum by (event_type) ({event_type=~".+"}))""", "sorted")
+        .unionByName(
+          run("""sum by (event_type) (nosuch_metric) or vector(0)""", "fallback"),
+          allowMissingColumns = true)
+        .unionByName(
+          run("""sum by (event_type) ({event_type=~".+"}) / scalar(count({event_type=~".+"}))""",
+            "scaled"),
+          allowMissingColumns = true)
+        .select(col("which"),
+          coalesce(col("event_type"), lit("")).as("event_type"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("which"), col("event_type"))
+    }),
+
+    // Time-component functions: hour() gating — the alert-silencing
+    // idiom `expr and on() hour() >= 6`, where on() matches everything
+    // against the one-element no-label hour vector — its complementary
+    // (empty) night branch, and day_of_week over timestamp() (the
+    // vector-argument form: each sample's epoch value replaced by its
+    // UTC component; engine Sunday=0 = DuckDB's dayofweek numbering).
+    "q125_promql_time_components" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      def run(q: String, tag: String) =
+        PromQlParser.eval(src, q, "2024-01-15 12:00:00", lookback = "24 HOURS")
+          .withColumn("which", lit(tag))
+      run("""{event_type=~".+"} > 100 and on() hour() >= 6""", "day")
+        .unionByName(run("""{event_type=~".+"} > 100 and on() hour() < 6""", "night"))
+        .unionByName(run("""day_of_week(timestamp({event_type="click"}))""", "dow"))
+        .select(col("which"), col("user_id"), col("event_type"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("which"), col("user_id"), col("event_type"))
+    }),
+
+    // The @ modifier: a FIXED evaluation instant pinning a subexpression
+    // to an absolute time regardless of the query's own eval time, with
+    // offset composing RELATIVE to the pin (the Prometheus rule). The
+    // query evaluates at 2024-01-16 00:00 but the pinned branches read
+    // the 15th at 10:00 / 08:00; the plain-offset branch reads 12:00.
+    "q126_promql_at_modifier" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      def run(q: String, tag: String) =
+        PromQlParser.eval(src, q, "2024-01-16 00:00:00", lookback = "24 HOURS")
+          .withColumn("which", lit(tag))
+      run("""sum by (event_type) ({event_type=~".+"} @ 1705312800)""", "at")
+        .unionByName(
+          run("""sum by (event_type) ({event_type=~".+"} @ 1705312800 offset 2h)""", "at_offset"))
+        .unionByName(
+          run("""sum by (event_type) ({event_type=~".+"} offset 12h)""", "plain_offset"))
+        .select(col("which"), col("event_type"), round(col("value"), 4).as("value"))
+        .orderBy(col("which"), col("event_type"))
+    }),
+
+    // holt_winters (double exponential smoothing): an ORDER-SENSITIVE
+    // recursion, so it folds the assembled sorted window array left-to-
+    // right (see PromQlParser.holtWinters — it cannot ride the
+    // commutative-agg path). The twin replays the identical IEEE-double
+    // recursion with a recursive CTE (DuckDB 1.0's list_reduce mutates
+    // the accumulator struct field-by-field, so the lambda form is
+    // unusable for interdependent state). sf=0.5/tf=0.25: every constant
+    // is an exact double, so both engines fold bit-identically.
+    "q127_promql_holt_winters" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      PromQlParser.eval(src, """holt_winters({event_type="click"}[24h], 0.5, 0.25)""",
+          "2024-01-15 12:00:00")
+        .select(col("user_id"), col("event_type"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // absent_over_time: absence over the RANGE window (vs absent()'s
+    // staleness lookback) — one 1.0-sample with the selector's equality-
+    // matcher labels iff no sample landed in the window; the anti-join
+    // probe shape keeps the plan lazy/distributed. Presence is derived
+    // from the data on both engines (NOT EXISTS on the twin).
+    "q128_promql_absent_over_time" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      def run(q: String, tag: String) =
+        PromQlParser.eval(src, q, "2024-01-15 12:00:00")
+          .withColumn("which", lit(tag))
+      run("""absent_over_time(nosuch_metric[24h])""", "missing")
+        .unionByName(
+          run("""absent_over_time(nosuch_metric{user_id="42"}[24h])""", "labeled"),
+          allowMissingColumns = true)
+        .unionByName(run("""absent_over_time(click[24h])""", "present"),
+          allowMissingColumns = true)
+        .select(col("which"),
+          coalesce(col("user_id").cast("string"), lit("")).as("user_id"),
+          col("value"))
+        .orderBy(col("which"))
     }),
 
     // histogram_quantile(q) for q in {0.5, 0.9, 0.99} from fixed le-buckets
@@ -863,10 +972,135 @@ object PromQlQueries {
         |  WHERE ts <= TIMESTAMP '2024-01-15 12:00:00'
         |    AND ts > TIMESTAMP '2024-01-15 12:00:00' - INTERVAL 24 HOURS
         |)
-        |SELECT event_type, CAST(value AS VARCHAR) AS v,
+        |SELECT event_type,
+        |  CASE WHEN abs(value) < 1e15 THEN
+        |    regexp_replace(regexp_replace(
+        |      CAST(CAST(value AS DECIMAL(27,6)) AS VARCHAR),
+        |      '(\.\d*?)0+$', '\1'), '\.$', '')
+        |  ELSE CAST(value AS VARCHAR) END AS v,
         |  CAST(count(*) AS DOUBLE) AS value
         |FROM lastv WHERE rn = 1
         |GROUP BY 1, 2 ORDER BY event_type, v""".stripMargin,
+
+    "q124_promql_sort_scalar_vector" ->
+      """WITH lastv AS (
+        |  SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |    AND ts > TIMESTAMP '2024-01-15 12:00:00' - INTERVAL 24 HOURS
+        |), iv AS (
+        |  SELECT user_id, event_type, value FROM lastv WHERE rn = 1
+        |), sums AS (
+        |  SELECT event_type,
+        |    CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS value
+        |  FROM iv GROUP BY 1
+        |)
+        |SELECT * FROM (
+        |  SELECT 'sorted' AS which, event_type, round(value, 6) AS value FROM sums
+        |  UNION ALL
+        |  SELECT 'fallback', '', 0.0
+        |  WHERE NOT EXISTS (SELECT 1 FROM iv WHERE event_type = 'nosuch_metric')
+        |  UNION ALL
+        |  SELECT 'scaled', event_type,
+        |    round(value / (SELECT CAST(count(*) AS DOUBLE) FROM iv), 6)
+        |  FROM sums
+        |) ORDER BY which, event_type""".stripMargin,
+
+    "q125_promql_time_components" ->
+      """WITH w AS (
+        |  SELECT user_id, event_type, ts, event_id, value FROM events
+        |  WHERE ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |    AND ts > TIMESTAMP '2024-01-15 12:00:00' - INTERVAL 24 HOURS
+        |), lastv AS (
+        |  SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM w
+        |), big AS (
+        |  SELECT user_id, event_type, value FROM lastv WHERE rn = 1 AND value > 100
+        |)
+        |SELECT * FROM (
+        |  -- hour(T) = 12 statically: the day gate passes, the night gate is empty
+        |  SELECT 'day' AS which, user_id, event_type, round(value, 6) AS value
+        |  FROM big WHERE 12 >= 6
+        |  UNION ALL
+        |  SELECT 'night', user_id, event_type, round(value, 6) FROM big WHERE 12 < 6
+        |  UNION ALL
+        |  SELECT 'dow', user_id, event_type,
+        |    CAST(dayofweek(max_ts) AS DOUBLE)  -- DuckDB Sunday=0 = engine rule
+        |  FROM (SELECT user_id, event_type, max(ts) AS max_ts
+        |        FROM w WHERE event_type = 'click' GROUP BY 1, 2)
+        |) ORDER BY which, user_id, event_type""".stripMargin,
+
+    "q126_promql_at_modifier" ->
+      """WITH lastv AS (
+        |  SELECT t.tag, e.user_id, e.event_type, e.value
+        |  FROM (VALUES ('at', TIMESTAMP '2024-01-15 10:00:00'),
+        |               ('at_offset', TIMESTAMP '2024-01-15 08:00:00'),
+        |               ('plain_offset', TIMESTAMP '2024-01-15 12:00:00')) AS t(tag, te)
+        |  JOIN events e ON e.ts <= t.te AND e.ts > t.te - INTERVAL 24 HOURS
+        |  QUALIFY row_number() OVER (PARTITION BY t.tag, e.user_id, e.event_type
+        |                             ORDER BY e.ts DESC, e.event_id DESC) = 1
+        |)
+        |SELECT tag AS which, event_type,
+        |  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |    AS value
+        |FROM lastv GROUP BY 1, 2 ORDER BY which, event_type""".stripMargin,
+
+    "q127_promql_holt_winters" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT user_id, event_type, ts, event_id, value FROM events
+        |  WHERE event_type = 'click'
+        |    AND ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |    AND ts >  TIMESTAMP '2024-01-15 12:00:00' - INTERVAL 24 HOURS
+        |), l AS (
+        |  SELECT user_id, event_type,
+        |    list(value ORDER BY ts, event_id) AS vals
+        |  FROM w GROUP BY 1, 2 HAVING count(*) >= 2
+        |), r AS (
+        |  -- the engine's exact recursion (PromQlParser.holtWinters):
+        |  -- seed s1 = y[1], then per step s1' = sf*y + (1-sf)*(s1 + b'),
+        |  -- b' = (i=1 ? y[2]-y[1] : tf*(s1-s0) + (1-tf)*b)
+        |  SELECT user_id, event_type, 1 AS i,
+        |    CAST(0.0 AS DOUBLE) AS s0, vals[1] AS s1, CAST(0.0 AS DOUBLE) AS b
+        |  FROM l
+        |  UNION ALL
+        |  SELECT r.user_id, r.event_type, r.i + 1,
+        |    r.s1,
+        |    CAST(0.5 AS DOUBLE) * l.vals[r.i + 1] + CAST(0.5 AS DOUBLE) * (r.s1 +
+        |      (CASE WHEN r.i = 1 THEN l.vals[2] - r.s1
+        |            ELSE CAST(0.25 AS DOUBLE) * (r.s1 - r.s0)
+        |                 + CAST(0.75 AS DOUBLE) * r.b END)),
+        |    CASE WHEN r.i = 1 THEN l.vals[2] - r.s1
+        |         ELSE CAST(0.25 AS DOUBLE) * (r.s1 - r.s0)
+        |              + CAST(0.75 AS DOUBLE) * r.b END
+        |  FROM r JOIN l ON r.user_id = l.user_id AND r.event_type = l.event_type
+        |  WHERE r.i < len(l.vals)
+        |)
+        |SELECT r.user_id, r.event_type, round(r.s1, 6) AS value
+        |FROM r JOIN l ON r.user_id = l.user_id AND r.event_type = l.event_type
+        |WHERE r.i = len(l.vals)
+        |ORDER BY r.user_id""".stripMargin,
+
+    "q128_promql_absent_over_time" ->
+      """WITH w AS (
+        |  SELECT user_id, event_type FROM events
+        |  WHERE ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |    AND ts >  TIMESTAMP '2024-01-15 12:00:00' - INTERVAL 24 HOURS
+        |)
+        |SELECT * FROM (
+        |  SELECT 'missing' AS which, '' AS user_id, 1.0 AS value
+        |  WHERE NOT EXISTS (SELECT 1 FROM w WHERE event_type = 'nosuch_metric')
+        |  UNION ALL
+        |  SELECT 'labeled', '42', 1.0
+        |  WHERE NOT EXISTS (SELECT 1 FROM w WHERE event_type = 'nosuch_metric'
+        |                    AND CAST(user_id AS VARCHAR) = '42')
+        |  UNION ALL
+        |  SELECT 'present', '', 1.0
+        |  WHERE NOT EXISTS (SELECT 1 FROM w WHERE event_type = 'click')
+        |) ORDER BY which""".stripMargin,
 
     "q122_promql_age" ->
       """WITH w AS (

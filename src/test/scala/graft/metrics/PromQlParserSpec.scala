@@ -574,13 +574,16 @@ class PromQlParserSpec extends AnyFunSuite {
         "2024-01-01 10:02:00")
       .collect().map(r => (r.getAs[String]("event_type"), r.getAs[String]("v")) ->
         r.getAs[Double]("value")).toMap
+    // the value label uses the explicit fixed-point rule: trailing zeros
+    // (and a bare point) trimmed, so 2.0 prints "2" — the Prometheus
+    // FormatFloat('f', -1) shape, not an engine's default double cast
     assert(out == Map(
-      ("cpu", "7.5") -> 2.0, ("cpu", "2.0") -> 1.0, ("mem", "7.5") -> 1.0))
+      ("cpu", "7.5") -> 2.0, ("cpu", "2") -> 1.0, ("mem", "7.5") -> 1.0))
     // ungrouped: value label only
     val flat = eval(src(df), """count_values("v", {event_type=~".+"})""",
         "2024-01-01 10:02:00")
       .collect().map(r => r.getAs[String]("v") -> r.getAs[Double]("value")).toMap
-    assert(flat == Map("7.5" -> 3.0, "2.0" -> 1.0))
+    assert(flat == Map("7.5" -> 3.0, "2" -> 1.0))
   }
 
   test("topk tie-break is total-ordered on the series key") {
@@ -592,5 +595,182 @@ class PromQlParserSpec extends AnyFunSuite {
       .orderBy($"rank").select("rank", "user_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(out == Seq((1L, 3L), (2L, 5L)))
+  }
+
+  test("rate() divergence from upstream is DELIBERATE: sum-of-increases/window, no boundary extrapolation") {
+    // Two samples 60 s apart (values 0 → 60) in a 300 s window ending at
+    // 10:05. Engine rate = sum of reset-aware increases / window =
+    // 60 / 300 = 0.2. Real Prometheus extrapolates the 1-sample-pair
+    // slope to the window boundary (extrapolatedRate, promql/functions.go)
+    // and would report a LARGER value here. The engine's definition is a
+    // pure function of the in-window samples — deterministic, partition-
+    // order-free, and oracle-checkable — and this spec pins the choice so
+    // a future round doesn't "fix" it silently. (SCALE.md documents it.)
+    val df = Seq((1L, ts(3), 1L, "cpu", 0.0), (2L, ts(4), 1L, "cpu", 60.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = eval(src(df), "rate(cpu[5m])", "2024-01-01 10:05:00")
+      .select("value").collect().map(_.getDouble(0))
+    assert(out.toSeq == Seq(60.0 / 300.0))
+  }
+
+  test("sort/sort_desc order the instant vector by value (presentation only)") {
+    val df = Seq(
+      (1L, ts(0), 1L, "cpu", 5.0), (2L, ts(0), 2L, "cpu", 9.0),
+      (3L, ts(0), 3L, "cpu", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val desc = eval(src(df), "sort_desc(cpu)", "2024-01-01 10:02:00")
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    assert(desc == Seq(9.0, 5.0, 1.0))
+    val asc = eval(src(df), "sort(cpu)", "2024-01-01 10:02:00")
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    assert(asc == Seq(1.0, 5.0, 9.0))
+  }
+
+  test("scalar(): one-element value, NaN otherwise; vector() lifts a scalar") {
+    val df = Seq(
+      (1L, ts(0), 1L, "cpu", 5.0), (2L, ts(0), 2L, "cpu", 9.0),
+      (3L, ts(0), 1L, "mem", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    def one(q: String): Double =
+      eval(src(df), q, "2024-01-01 10:02:00").select("value")
+        .collect().map(_.getDouble(0)).head
+    // sum(...) is a one-element vector → its value; cpu has 2 series → NaN
+    assert(one("vector(scalar(sum(cpu)))") == 14.0)
+    assert(one("vector(scalar(cpu))").isNaN)
+    assert(one("vector(42)") == 42.0)
+    // scalar() as a binary operand broadcast-joins (no collect)
+    val shares = eval(src(df), "cpu / scalar(sum(cpu))", "2024-01-01 10:02:00")
+      .select("user_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(shares == Map(1L -> 5.0 / 14.0, 2L -> 9.0 / 14.0))
+    // or vector(0): full-label-set matching appends the no-label default
+    assert(one("sum(nosuch) or vector(0)") == 0.0)
+  }
+
+  test("set operators match on the COMPLETE label sets (union, absent = \"\")") {
+    val df = Seq(
+      (1L, ts(0), 1L, "cpu", 5.0), (2L, ts(0), 2L, "cpu", 9.0),
+      (3L, ts(0), 1L, "mem", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // lhs grouped by user_id (labels {user_id}), rhs grouped by user_id +
+    // event_type (labels {user_id, event_type}): under full-label-set
+    // matching NO lhs series equals an rhs series (rhs carries an extra
+    // label), so `or` keeps both sides — intersection matching would have
+    // dropped the rhs rows for users present on the lhs.
+    val out = eval(src(df),
+        "sum by (user_id) (cpu) or sum by (user_id, event_type) (mem)",
+        "2024-01-01 10:02:00")
+      .select("user_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq.sorted
+    assert(out == Seq(1L -> 4.0, 1L -> 5.0, 2L -> 9.0))
+    // and via on(user_id): explicit keys still narrow the match
+    val and = eval(src(df),
+        "sum by (user_id) (cpu) and on (user_id) sum by (user_id, event_type) (mem)",
+        "2024-01-01 10:02:00")
+      .select("user_id").collect().map(_.getLong(0)).toSeq
+    assert(and == Seq(1L))
+  }
+
+  test("time components: instant constants, grid steps, and vector-argument form") {
+    val df = Seq((1L, ts(0), 1L, "cpu", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    def one(q: String, at: String = "2024-01-01 10:02:00"): Double =
+      eval(src(df), q, at).select("value").collect().map(_.getDouble(0)).head
+    // 2024-01-01 is a Monday; all components read the UTC eval instant
+    assert(one("vector(0) + hour()") == 10.0)
+    assert(one("vector(0) + minute()") == 2.0)
+    assert(one("vector(0) + day_of_week()") == 1.0)
+    assert(one("vector(0) + day_of_month()") == 1.0)
+    assert(one("vector(0) + days_in_month()") == 31.0)
+    assert(one("vector(0) + month()") == 1.0)
+    assert(one("vector(0) + year()") == 2024.0)
+    // leap February
+    assert(one("vector(0) + days_in_month()", "2024-02-10 00:00:00") == 29.0)
+    // vector-argument form: component of each sample's value read as epoch
+    // seconds (timestamp(cpu) = 2024-01-01 10:00:00 UTC)
+    assert(one("hour(timestamp(cpu))") == 10.0)
+    // the alert-silencing gate: hour() = 10 ≥ 6 keeps, < 6 drops
+    assert(eval(src(df), "cpu and on() hour() >= 6", "2024-01-01 10:02:00").count() == 1)
+    assert(eval(src(df), "cpu and on() hour() < 6", "2024-01-01 10:02:00").count() == 0)
+    // grid: each step evaluates its own instant's component
+    val grid = PromQlParser.evalRange(src(df), "vector(0) + minute()",
+        "2024-01-01 10:00:00", "2024-01-01 10:02:00", stepSec = 60)
+      .select("value").collect().map(_.getDouble(0)).toSeq.sorted
+    assert(grid == Seq(0.0, 1.0, 2.0))
+  }
+
+  test("@ modifier pins the evaluation instant; offset composes relative to it") {
+    val df = Seq(
+      (1L, ts(0), 1L, "cpu", 1.0), (2L, ts(2), 1L, "cpu", 2.0),
+      (3L, ts(4), 1L, "cpu", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    def one(q: String, at: String): Double =
+      eval(src(df), q, at).select("value").collect().map(_.getDouble(0)).head
+    // 2024-01-01 10:02:00 UTC = 1704103320; evaluated MUCH later, @ still
+    // reads the sample live at 10:02
+    assert(one("cpu @ 1704103320", "2024-01-01 23:00:00") == 2.0)
+    // offset 2m relative to the pin → 10:00's sample
+    assert(one("cpu @ 1704103320 offset 2m", "2024-01-01 23:00:00") == 1.0)
+    // range function with @: window ends at the pin
+    assert(one("sum_over_time(cpu[5m] @ 1704103320)", "2024-01-01 23:00:00") == 3.0)
+    // grid: an @-pinned selector is step-invariant (broadcast across steps)
+    val grid = PromQlParser.evalRange(src(df), "cpu @ 1704103320",
+        "2024-01-01 12:00:00", "2024-01-01 12:02:00", stepSec = 60)
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    assert(grid == Seq(2.0, 2.0, 2.0))
+    // parse round-trip sanity: @ in either order with offset
+    assert(parse("cpu offset 2m @ 1704103320") ==
+      Selector(Some("cpu"), Nil, 120L, Some(1704103320L)))
+  }
+
+  test("absent_over_time: presence over the range window, not the lookback") {
+    val df = Seq((1L, ts(0), 1L, "cpu", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // cpu HAS a sample in the last hour → empty
+    assert(eval(src(df), "absent_over_time(cpu[1h])", "2024-01-01 10:30:00")
+      .count() == 0)
+    // nothing in a 5m window starting after the sample → one 1.0 row with
+    // the equality-matcher labels
+    val out = eval(src(df), """absent_over_time(cpu{user_id="7"}[5m])""",
+        "2024-01-01 10:30:00").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("user_id") == "7")
+    assert(out.head.getAs[Double]("value") == 1.0)
+    // grid: per-step absence flips when the window slides past the sample
+    val grid = PromQlParser.evalRange(src(df), "absent_over_time(cpu[10m])",
+        "2024-01-01 10:05:00", "2024-01-01 10:30:00", stepSec = 300)
+      .select("step_ts", "value").collect()
+    // sample at 10:00 is inside (T−10m, T] for T = 10:05 only
+    assert(grid.length == 5)
+  }
+
+  test("holt_winters replays the Prometheus double-smoothing recursion") {
+    // y = [1, 2, 4, 8], sf = 0.5, tf = 0.25 — hand-computed:
+    //   i=1: b=1,     s=2       (seed b = y1−y0)
+    //   i=2: b'=1,    s=3.5
+    //   i=3: b'=1.125, s=6.3125
+    val df = Seq(
+      (1L, ts(0), 1L, "cpu", 1.0), (2L, ts(1), 1L, "cpu", 2.0),
+      (3L, ts(2), 1L, "cpu", 4.0), (4L, ts(3), 1L, "cpu", 8.0),
+      (5L, ts(0), 2L, "cpu", 9.0)) // lone sample → drops out (<2)
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = eval(src(df), "holt_winters(cpu[10m], 0.5, 0.25)",
+        "2024-01-01 10:05:00")
+      .select("user_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1L -> 6.3125))
+    // factors outside (0,1) are rejected at parse time
+    intercept[IllegalArgumentException](parse("holt_winters(cpu[10m], 1.5, 0.25)"))
+  }
+
+  test("clamp with min > max yields NaN; round(v, 0) is rejected") {
+    val df = Seq((1L, ts(0), 1L, "cpu", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val v = eval(src(df), "clamp(cpu, 10, 2)", "2024-01-01 10:02:00")
+      .select("value").collect().map(_.getDouble(0)).head
+    assert(v.isNaN)
+    intercept[IllegalArgumentException] {
+      eval(src(df), "round(cpu, 0)", "2024-01-01 10:02:00").collect()
+    }
   }
 }

@@ -26,7 +26,8 @@ class PromQlRoundTripSpec extends AnyFunSuite {
     else s.matchers.map(m => s"""${m.label}${m.op}"${m.value}"""")
       .mkString("{", ", ", "}")
     val off = if (s.offsetSec == 0) "" else s" offset ${durS(s.offsetSec)}"
-    s"${s.metric.getOrElse("")}$ms$off"
+    val at = s.atSec.map(a => s" @ $a").getOrElse("")
+    s"${s.metric.getOrElse("")}$ms$at$off"
   }
 
   private def printMatching(m: Option[(Boolean, Seq[String])],
@@ -44,10 +45,18 @@ class PromQlRoundTripSpec extends AnyFunSuite {
     case s: Selector => printSel(s)
     case ScalarLit(v) => if (v < 0) s"($v)" else v.toString
     case TimeFn => "time()"
-    case RangeFn(fn, sel, w, None) => s"$fn(${printSel(sel)}[${durS(w)}])"
-    case RangeFn("predict_linear", sel, w, Some(p)) =>
+    case RangeFn(fn, sel, w, None, None) => s"$fn(${printSel(sel)}[${durS(w)}])"
+    case RangeFn("holt_winters", sel, w, Some(sf), Some(tf)) =>
+      s"holt_winters(${printSel(sel)}[${durS(w)}], $sf, $tf)"
+    case RangeFn("predict_linear", sel, w, Some(p), None) =>
       s"predict_linear(${printSel(sel)}[${durS(w)}], $p)"
-    case RangeFn(fn, sel, w, Some(p)) => s"$fn($p, ${printSel(sel)}[${durS(w)}])"
+    case RangeFn(fn, sel, w, Some(p), None) =>
+      s"$fn($p, ${printSel(sel)}[${durS(w)}])"
+    case SortFn(desc, child) =>
+      s"${if (desc) "sort_desc" else "sort"}(${print(child)})"
+    case ScalarFn(child) => s"scalar(${print(child)})"
+    case VectorFn(child) => s"vector(${print(child)})"
+    case TimeComp(fn, child) => s"$fn(${child.map(print).getOrElse("")})"
     case AggBy(fn, by, child, without) =>
       val kw = if (without) "without" else "by"
       s"$fn $kw (${by.mkString(", ")}) (${print(child)})"
@@ -99,7 +108,9 @@ class PromQlRoundTripSpec extends AnyFunSuite {
     n <- Gen.choose(if (metric.isEmpty) 1 else 0, 2)
     ms <- Gen.listOfN(n, genMatcher)
     off <- Gen.oneOf(0L, 60L)
-  } yield Selector(metric, ms.distinctBy(_.label), off)
+    at <- Gen.frequency(3 -> Gen.const(Option.empty[Long]),
+      1 -> Gen.const(Some(1705316400L)))
+  } yield Selector(metric, ms.distinctBy(_.label), off, at)
 
   private val overTime = Gen.oneOf("sum_over_time", "avg_over_time",
     "max_over_time", "min_over_time", "count_over_time", "last_over_time",
@@ -109,12 +120,17 @@ class PromQlRoundTripSpec extends AnyFunSuite {
     kind <- Gen.choose(0, 3)
     fn <- kind match {
       case 0 => Gen.oneOf("rate", "increase", "delta", "irate", "idelta",
-        "deriv", "resets", "changes")
+        "deriv", "resets", "changes", "absent_over_time")
       case _ => overTime
     }
     sel <- genSelector
     w <- durations
   } yield RangeFn(fn, sel, w)
+
+  private val genHoltWinters: Gen[Ast] = for {
+    sel <- genSelector; w <- durations
+    sf <- Gen.oneOf(0.1, 0.5); tf <- Gen.oneOf(0.25, 0.75)
+  } yield RangeFn("holt_winters", sel, w, Some(sf), Some(tf))
 
   private val genQuantOverTime: Gen[Ast] = for {
     phi <- phis; sel <- genSelector; w <- durations
@@ -126,12 +142,26 @@ class PromQlRoundTripSpec extends AnyFunSuite {
 
   private def genAst(depth: Int): Gen[Ast] =
     if (depth <= 0)
-      Gen.oneOf(genSelector, genRangeFn, genQuantOverTime, genPredict)
+      Gen.oneOf(genSelector, genRangeFn, genQuantOverTime, genPredict,
+        genHoltWinters)
     else Gen.frequency(
       3 -> genSelector,
       3 -> genRangeFn,
       1 -> genQuantOverTime,
       1 -> genPredict,
+      1 -> genHoltWinters,
+      1 -> genAst(depth - 1).map(c => SortFn(desc = true, c)),
+      1 -> genAst(depth - 1).map(c => SortFn(desc = false, c)),
+      1 -> genAst(depth - 1).map(ScalarFn(_)),
+      1 -> Gen.frequency(2 -> scalars.map(v => ScalarLit(v): Ast),
+        1 -> Gen.const(TimeFn: Ast),
+        1 -> genAst(depth - 1).map(c => ScalarFn(c): Ast)).map(VectorFn(_)),
+      1 -> (for {
+        fn <- Gen.oneOf("minute", "hour", "day_of_week", "day_of_month",
+          "days_in_month", "month", "year")
+        child <- Gen.frequency(1 -> Gen.const(Option.empty[Ast]),
+          1 -> genAst(depth - 1).map(Some(_): Option[Ast]))
+      } yield TimeComp(fn, child)),
       2 -> (for {
         fn <- Gen.oneOf("sum", "avg", "min", "max", "count", "stddev",
           "stdvar", "group")
