@@ -168,9 +168,87 @@ object AnomalyQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Multivariate window matrix (the reference's 2-D [w × n_features]
+    // payload, `reference/CHANGELOG.md:74,189`): click/view/purchase
+    // co-windowed per user on an hourly step grid with carry-forward,
+    // assembled into [4 × 3] matrices. The oracle-able face projects the
+    // matrix to scalars: the row-major flattened left-to-right sum (the
+    // s60 list_sum precedent — both engines fold the same order) and the
+    // matrix corners, which pin shape, row order, and feature order.
+    "q129_multivar_window" -> ((s, d) => {
+      matProjection(graft.anomaly.MultiVar.coWindowMat(events(s, d),
+        "user_id", "ts", "event_id", "event_type", "value",
+        Seq("click", "view", "purchase"), 4))
+    }),
+
+    // Multivariate PCA on the flattened [4 × 3] window (dim 12, k = 2):
+    // one GLOBAL model (the corpus-level face; per-key models are the
+    // same fit keyed differently), reconstruction error per window,
+    // per-user rollup. Eigenvectors are FP-iteration outputs — rows-only
+    // by the declared q52/q72/q98 policy; semantics pinned in MultiVarSpec
+    // (planted cross-feature anomaly out-scores every clean window).
+    "q131_multivar_pca_recon" -> ((s, d) => {
+      val wins = graft.anomaly.MultiVar.coWindowMat(events(s, d),
+          "user_id", "ts", "event_id", "event_type", "value",
+          Seq("click", "view", "purchase"), 4)
+        .withColumn("mkey", lit("all"))
+      val models = graft.anomaly.MultiVar.fitMat(wins, "mkey", "mat", 4, 3, 2)
+      graft.anomaly.MultiVar.reconstructionError(wins, models, "mkey", "mat")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          round(max(col("recon_err")), 4).as("max_recon_err"))
+        .orderBy(col("user_id"))
+    }),
+
     // FLAGSHIP (SURVEY §7.0): the whole pipeline P2→P10 + top-k (E31).
     "q42_anomaly_topk" -> ((s, d) => anomalyTopK(s, d))
   )
+
+  /** The multivariate window's oracle-able projection — shared by the
+    * batch q129 and the streaming s130 twin (same semantics, same SQL). */
+  private[queries] def matProjection(wins: DataFrame): DataFrame =
+    wins.select(col("user_id"), col("end_ts"),
+      round(aggregate(flatten(col("mat")), lit(0.0), (a, x) => a + x), 6)
+        .as("mat_sum"),
+      round(element_at(element_at(col("mat"), 1), 1), 6).as("first_click"),
+      round(element_at(element_at(col("mat"), 4), 3), 6).as("last_purchase"))
+      .orderBy(col("user_id"), col("end_ts"))
+
+  /** DuckDB twin of the co-window assembly + projection (see q129). */
+  private[queries] val multiVarWinSql: String =
+    """WITH f AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS step_ts, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts), event_type
+      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events WHERE event_type IN ('click', 'view', 'purchase')
+      |), s AS (
+      |  SELECT user_id, step_ts,
+      |    max(CASE WHEN event_type = 'click' THEN value END) AS c,
+      |    max(CASE WHEN event_type = 'view' THEN value END) AS v,
+      |    max(CASE WHEN event_type = 'purchase' THEN value END) AS p
+      |  FROM f WHERE rn = 1 GROUP BY 1, 2
+      |), filled AS (
+      |  SELECT user_id, step_ts,
+      |    last_value(c IGNORE NULLS) OVER fill AS c,
+      |    last_value(v IGNORE NULLS) OVER fill AS v,
+      |    last_value(p IGNORE NULLS) OVER fill AS p
+      |  FROM s
+      |  WINDOW fill AS (PARTITION BY user_id ORDER BY step_ts
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), complete AS (
+      |  SELECT * FROM filled
+      |  WHERE c IS NOT NULL AND v IS NOT NULL AND p IS NOT NULL
+      |), wins AS (
+      |  SELECT user_id, step_ts AS end_ts,
+      |    flatten(list([c, v, p]) OVER w4) AS flat,
+      |    count(*) OVER w4 AS n
+      |  FROM complete
+      |  WINDOW w4 AS (PARTITION BY user_id ORDER BY step_ts
+      |                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT user_id, end_ts, round(list_sum(flat), 6) AS mat_sum,
+      |  round(flat[1], 6) AS first_click, round(flat[12], 6) AS last_purchase
+      |FROM wins WHERE n = 4 ORDER BY user_id, end_ts""".stripMargin
 
   /** Flagship: per event_type, the top-5 anomalous hours by unified score. */
   def anomalyTopK(s: SparkSession, d: String): DataFrame = {
@@ -293,6 +371,8 @@ object AnomalyQueries {
         |SELECT user_id, count(*) AS n_windows,
         |  round(CAST(sum(CAST(round(win_mean, 6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_win_mean
         |FROM full_wins GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q129_multivar_window" -> multiVarWinSql,
 
     "q42_anomaly_topk" ->
       s"""$scoredSql, hourly AS (

@@ -166,6 +166,18 @@ object StreamingQueries {
           round(sum(round(col("score"), 6).cast("decimal(18,6)"))
             .cast("double"), 4).as("sum_score"))
         .orderBy(col("event_type"))
+    }),
+
+    // Multivariate co-windowing, streaming face: the [4 × 3]
+    // click/view/purchase window matrix assembled statefully per user
+    // (hourly steps, carry-forward, close-on-advance), flushed per key at
+    // end-of-replay so the committed sink equals the batch assembly —
+    // the SAME oracle SQL as the batch q129 twin.
+    "s130_stream_multivar_window" -> ((s, d) => {
+      val t = StreamOps.replayEvents(s, d, "s130_sink", 1, flushPerUser = true)(
+        ds => StreamOps.coWindowStream(ds, Seq("click", "view", "purchase"), 4).toDF(),
+        OutputMode.Append)
+      AnomalyQueries.matProjection(t)
     })
   )
 
@@ -332,6 +344,9 @@ object StreamingQueries {
          |)
          |SELECT day, count(*) AS n_windows, round(max(score), 6) AS max_score,
          |  round(CAST(sum(CAST(round(score, 6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_score
-         |FROM scored GROUP BY day ORDER BY day""".stripMargin
+         |FROM scored GROUP BY day ORDER BY day""".stripMargin,
+
+    // streaming ≡ batch co-window assembly: one shared twin (q129)
+    "s130_stream_multivar_window" -> AnomalyQueries.multiVarWinSql
   )
 }

@@ -27,6 +27,18 @@ case class WinVec(user_id: Long, event_type: String, end_ts: java.sql.Timestamp,
 case class IncOut(user_id: Long, event_type: String, ts: java.sql.Timestamp,
                   inc: Double, reset: Int)
 
+/** Emitted multivariate window record: a `[w × n_features]` matrix per
+  * key (the reference's 2-D window payload — see [[graft.anomaly.MultiVar]]). */
+case class MatOut(user_id: Long, end_ts: java.sql.Timestamp,
+                  mat: Seq[Seq[Double]])
+
+/** Per-key co-windowing state: last known value per feature (carry-
+  * forward), the currently open step (epoch ms; MinValue = none) with its
+  * in-step values, and the trailing ≤w completed step-vectors. Bounded:
+  * |features| + w·|features| doubles per key. */
+case class CoWinState(lastVals: Map[String, Double], curStep: Long,
+                      curVals: Map[String, Double], buf: Seq[Seq[Double]])
+
 /** Per-series counter state: the last observed value plus its event-time
   * position (ts ms, ts nanos, event_id) — the position makes out-of-order
   * arrivals detectable (see [[StreamOps.streamingIncrease]]). */
@@ -60,7 +72,7 @@ object StreamOps {
     * through `pipeline`, blocking until all data is processed; returns the
     * committed result table. */
   def replayEvents(spark: SparkSession, dir: String, name: String, chunks: Int,
-                   flushTail: Boolean = false)
+                   flushTail: Boolean = false, flushPerUser: Boolean = false)
                   (pipeline: Dataset[Ev] => DataFrame, outputMode: OutputMode): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -100,6 +112,16 @@ object StreamOps {
       }
       if (flushTail && rows.nonEmpty) {
         stream.addData(flushSentinel(rows.last.ts))
+        q.processAllAvailable()
+      }
+      // Per-key flush: keyed stateful operators (groupByKey on user_id)
+      // never see another key's sentinel, so end-of-stream closure needs
+      // one sentinel PER key — the streaming analogue of "the input
+      // ended" for close-on-advance operators like coWindowStream.
+      if (flushPerUser && rows.nonEmpty) {
+        val base = flushSentinel(rows.last.ts)
+        stream.addData(rows.map(_.user_id).distinct.toSeq
+          .map(uid => base.copy(user_id = uid)))
         q.processAllAvailable()
       }
     } finally {
@@ -165,6 +187,58 @@ object StreamOps {
               out += WinVec(uid, etype, e.ts, buf.map(_._2))
           }
           state.update(AsmState(buf.takeRight(w - 1)))
+          out.result().iterator
+      }
+  }
+
+  /** Multivariate co-windowing, streaming face (the reference's 2-D
+    * `[w × n_features]` window payload — semantics shared with the batch
+    * [[graft.anomaly.MultiVar.coWindowMat]]; MultiVarSpec pins parity):
+    * per key, each 1-hour step's vector is the LAST sample per feature
+    * with carry-forward for features the step didn't observe; a step
+    * CLOSES when a later-step event for the key arrives (event-time order
+    * within the sorted batch makes steps monotone per key), or when the
+    * per-key flush sentinel (`replayEvents(flushPerUser = true)`) ends
+    * the stream. Vectors emit only once every feature has been seen;
+    * state is |features| + w·|features| doubles per key — O(1) at 10M
+    * keys, same as the univariate assembler. */
+  def coWindowStream(ds: Dataset[Ev], features: Seq[String], w: Int): Dataset[MatOut] = {
+    import ds.sparkSession.implicits._
+    val featSet = features.toSet
+    // UTC hour bucket: epoch-ms floor (the session timezone contract
+    // makes this identical to date_trunc('hour') on the batch side)
+    def stepOf(ts: java.sql.Timestamp): Long = ts.getTime - ts.getTime % 3600000L
+    ds.filter(e => featSet(e.event_type) || e.event_type == "__flush__")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CoWinState, MatOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, events, state: GroupState[CoWinState]) =>
+          var st = if (state.exists) state.get
+                   else CoWinState(Map.empty, Long.MinValue, Map.empty, Vector.empty)
+          val out = Vector.newBuilder[MatOut]
+          def close(): Unit = if (st.curStep != Long.MinValue) {
+            val lv = st.lastVals ++ st.curVals
+            val buf =
+              if (features.forall(lv.contains)) {
+                val b = (st.buf :+ features.map(lv)).takeRight(w)
+                if (b.length == w)
+                  out += MatOut(uid, new java.sql.Timestamp(st.curStep), b)
+                b
+              } else st.buf
+            st = CoWinState(lv, Long.MinValue, Map.empty, buf)
+          }
+          events.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            .foreach { e =>
+              if (e.event_type == "__flush__") close()
+              else {
+                val step = stepOf(e.ts)
+                if (st.curStep != Long.MinValue && step > st.curStep) close()
+                st = st.copy(curStep = step,
+                  curVals = st.curVals + (e.event_type -> e.value))
+              }
+            }
+          state.update(st)
           out.result().iterator
       }
   }

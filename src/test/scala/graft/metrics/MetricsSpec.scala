@@ -172,6 +172,11 @@ class MetricsSpec extends AnyFunSuite {
         val de = intercept[IllegalArgumentException](
           MetricsServer.parseDurationSec("500ms"))
         assert(de.getMessage.contains("sub-second"))
+        // fractional bare seconds refuse too (round 9: "1.5" used to
+        // silently truncate to 1s, changing the requested resolution)
+        val fe = intercept[IllegalArgumentException](
+          MetricsServer.parseDurationSec("1.5"))
+        assert(fe.getMessage.contains("sub-second"))
         intercept[IllegalArgumentException](MetricsServer.parseDurationSec("5x"))
       } finally srv.close()
     }
