@@ -32,6 +32,15 @@ object Bench {
       Option(root.get("__probe__")).filter(_.isNumber).map(_.asDouble())
     } catch { case _: Throwable => None }
 
+  /** The self-defense verdict stamped into the artifact: "true" when the
+    * worse probe sample exceeds 1.5× its recorded clean cost (the box was
+    * loaded — wall times are suspect), "false" when within it, "null"
+    * when no baseline exists to judge against. */
+  def loadVerdict(probeWorst: Double, base: Option[Double]): String = base match {
+    case Some(b) if b > 0 => if (probeWorst > 1.5 * b) "true" else "false"
+    case _ => "null"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -98,11 +107,8 @@ object Bench {
     // the committed baseline. >1.5× = contaminated (stamped in BOTH the
     // full dump and the driver-captured line); no baseline = null.
     val probeBasePath = sys.env.getOrElse("SPARK_GRAFT_PROBE_BASE", "/root/repo/tools/bench_baseline.json")
-    val probeWorst = math.max(probeStart, probeEnd)
-    val loadFlag = baselineProbe(probeBasePath) match {
-      case Some(base) if base > 0 => if (probeWorst > 1.5 * base) "true" else "false"
-      case _ => "null"
-    }
+    val loadFlag = loadVerdict(math.max(probeStart, probeEnd),
+      baselineProbe(probeBasePath))
     // The driver keeps only a ~2000-char tail of this process's output, so
     // the printed JSON line must stay well under that or the leading
     // {"metric"... gets truncated and the line never parses (this is what

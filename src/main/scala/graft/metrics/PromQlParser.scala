@@ -32,14 +32,17 @@ import org.apache.spark.sql.{Column, DataFrame}
   *   hist     := 'histogram_quantile' '(' NUMBER ',' expr ')'
   *   absent   := 'absent' '(' selector offset? ')'
   *   vecfn    := ('abs'|'ceil'|'floor'|'sqrt'|'exp'|'ln'|'log2'|'log10'|
-  *                'sgn') '(' expr ')'
+  *                'sgn'|'acos'|'acosh'|'asin'|'asinh'|'atan'|'atanh'|
+  *                'cos'|'cosh'|'sin'|'sinh'|'tan'|'tanh'|'deg'|'rad')
+  *               '(' expr ')'
+  *             | 'pi' '(' ')'                  (folds to a scalar literal)
   *             | 'round' '(' expr (',' NUMBER)? ')'
   *             | 'clamp' '(' expr ',' NUMBER ',' NUMBER ')'
   *             | ('clamp_min'|'clamp_max') '(' expr ',' NUMBER ')'
   *             | ('sort'|'sort_desc') '(' expr ')'
   *             | 'scalar' '(' expr ')' | 'vector' '(' expr ')'
   *             | ('minute'|'hour'|'day_of_week'|'day_of_month'|
-  *                'days_in_month'|'month'|'year') '(' expr? ')'
+  *                'day_of_year'|'days_in_month'|'month'|'year') '(' expr? ')'
   *   labelfn  := 'label_replace' '(' expr ',' STR ',' STR ',' STR ',' STR ')'
   *             | 'label_join' '(' expr ',' STR ',' STR (',' STR)* ')'
   *   range    := ('rate'|'increase'|'delta'|'irate'|'deriv'|
@@ -49,7 +52,8 @@ import org.apache.spark.sql.{Column, DataFrame}
   *               '(' selector '[' DURATION ']' offset? ')'
   *             | 'quantile_over_time' '(' NUMBER ',' selector '[' DURATION ']' offset? ')'
   *             | 'predict_linear' '(' selector '[' DURATION ']' offset? ',' NUMBER ')'
-  *             | 'holt_winters' '(' selector '[' DURATION ']' offset? ',' NUMBER ',' NUMBER ')'
+  *             | ('holt_winters'|'double_exponential_smoothing')
+  *               '(' selector '[' DURATION ']' offset? ',' NUMBER ',' NUMBER ')'
   *             | 'absent_over_time' '(' selector '[' DURATION ']' offset? ')'
   *   offset   := ('offset' DURATION | '@' NUMBER)*   (either order; @ is epoch seconds)
   *   selector := metric matchers? | matchers
@@ -264,9 +268,13 @@ object PromQlParser {
       "count_over_time", "last_over_time", "present_over_time",
       "stddev_over_time", "stdvar_over_time")
     private val vecFns1 = Set("abs", "ceil", "floor", "sqrt", "exp", "ln",
-      "log2", "log10", "sgn")
+      "log2", "log10", "sgn",
+      // the Prometheus trig battery (radians in, radians out; deg/rad
+      // convert) — map-side libm projections like every other scalar fn
+      "acos", "acosh", "asin", "asinh", "atan", "atanh",
+      "cos", "cosh", "sin", "sinh", "tan", "tanh", "deg", "rad")
     private val timeCompFns = Set("minute", "hour", "day_of_week",
-      "day_of_month", "days_in_month", "month", "year")
+      "day_of_month", "day_of_year", "days_in_month", "month", "year")
 
     private def parseNum(): Double = next() match {
       case Flt(d) => d
@@ -492,7 +500,15 @@ object PromQlParser {
         }
         expect(")")
         TimeComp(fn, child)
-      case Some(Ident("holt_winters")) if !selectorAhead =>
+      // pi() is a SCALAR in PromQL — fold to a literal at parse
+      case Some(Ident("pi"))
+        if toks.drop(1).headOption.contains(Sym("(")) &&
+           toks.drop(2).headOption.contains(Sym(")")) =>
+        next(); next(); next(); ScalarLit(math.Pi)
+      // double_exponential_smoothing is Prometheus's current name for
+      // holt_winters — one AST node, either spelling
+      case Some(Ident("holt_winters" | "double_exponential_smoothing"))
+        if !selectorAhead =>
         next(); expect("(")
         val arg = parseUnary()
         expect(",")
@@ -822,6 +838,20 @@ object PromQlParser {
     case "log2"  => log2(v)
     case "log10" => log10(v)
     case "sgn"   => signum(v)
+    case "acos"  => acos(v)
+    case "acosh" => acosh(v)
+    case "asin"  => asin(v)
+    case "asinh" => asinh(v)
+    case "atan"  => atan(v)
+    case "atanh" => atanh(v)
+    case "cos"   => cos(v)
+    case "cosh"  => cosh(v)
+    case "sin"   => sin(v)
+    case "sinh"  => sinh(v)
+    case "tan"   => tan(v)
+    case "tanh"  => tanh(v)
+    case "deg"   => degrees(v)
+    case "rad"   => radians(v)
     case "round" =>
       // PromQL round(v, to=1): nearest multiple of `to`, ties round UP
       val to = args.headOption.getOrElse(1.0)
@@ -1081,6 +1111,7 @@ object PromQlParser {
       case "hour"          => hour(ts)
       case "day_of_week"   => dayofweek(ts) - 1
       case "day_of_month"  => dayofmonth(ts)
+      case "day_of_year"   => dayofyear(ts)
       case "days_in_month" => dayofmonth(last_day(ts.cast("date")))
       case "month"         => month(ts)
       case "year"          => year(ts)
@@ -1096,6 +1127,7 @@ object PromQlParser {
       case "hour"          => ldt.getHour
       case "day_of_week"   => ldt.getDayOfWeek.getValue % 7 // java Mon=1..Sun=7
       case "day_of_month"  => ldt.getDayOfMonth
+      case "day_of_year"   => ldt.getDayOfYear
       case "days_in_month" => ldt.toLocalDate.lengthOfMonth
       case "month"         => ldt.getMonthValue
       case "year"          => ldt.getYear

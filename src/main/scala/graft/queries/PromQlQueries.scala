@@ -564,6 +564,26 @@ object PromQlQueries {
         .orderBy(col("which"))
     }),
 
+    // The trig battery through the parser: sin over radians-converted
+    // values (|x| ≤ ~9 — no deep argument reduction, so both libms agree
+    // to well past 6 dp), the bounded well-conditioned atan, the
+    // deg∘rad identity chain (identical multiply chain in both engines),
+    // and day_of_year over timestamp() — rounding at 6 dp absorbs any
+    // last-ulp libm disagreement.
+    "q132_promql_trig" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      def run(q: String, tag: String) =
+        PromQlParser.eval(src, q, "2024-01-15 12:00:00", lookback = "24 HOURS")
+          .withColumn("which", lit(tag))
+      run("""sin(rad({event_type="click"}))""", "sin")
+        .unionByName(run("""atan({event_type="click"})""", "atan"))
+        .unionByName(run("""deg(rad({event_type="click"}))""", "deg_rad"))
+        .unionByName(run("""day_of_year(timestamp({event_type="click"}))""", "doy"))
+        .select(col("which"), col("user_id"), round(col("value"), 6).as("value"))
+        .orderBy(col("which"), col("user_id"))
+    }),
+
     // histogram_quantile(q) for q in {0.5, 0.9, 0.99} from fixed le-buckets
     // (10, 25, 50, 100, 250, +Inf) per metric: cumulative counts, linear
     // interpolation inside the target bucket, +Inf clamps to the highest
@@ -981,6 +1001,30 @@ object PromQlQueries {
         |  CAST(count(*) AS DOUBLE) AS value
         |FROM lastv WHERE rn = 1
         |GROUP BY 1, 2 ORDER BY event_type, v""".stripMargin,
+
+    "q132_promql_trig" ->
+      """WITH w AS (
+        |  SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'click'
+        |    AND ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |    AND ts >  TIMESTAMP '2024-01-15 12:00:00' - INTERVAL 24 HOURS
+        |), lastv AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM w
+        |), iv AS (SELECT user_id, value FROM lastv WHERE rn = 1)
+        |SELECT * FROM (
+        |  SELECT 'sin' AS which, user_id, round(sin(radians(value)), 6) AS value
+        |  FROM iv
+        |  UNION ALL
+        |  SELECT 'atan', user_id, round(atan(value), 6) FROM iv
+        |  UNION ALL
+        |  SELECT 'deg_rad', user_id, round(degrees(radians(value)), 6) FROM iv
+        |  UNION ALL
+        |  SELECT 'doy', user_id, CAST(dayofyear(mx) AS DOUBLE)
+        |  FROM (SELECT user_id, max(ts) AS mx FROM w GROUP BY 1)
+        |) ORDER BY which, user_id""".stripMargin,
 
     "q124_promql_sort_scalar_vector" ->
       """WITH lastv AS (

@@ -39,4 +39,11 @@ class BenchAuditSpec extends AnyFunSuite {
       """{"queries":{"q01":1.0},"reps":{"q01":[9.0,9.0,9.0]}}""")
     assert(qs("q01") === 1.0)
   }
+
+  test("Bench.loadVerdict: loaded box stamps true, quiet false, no baseline null") {
+    assert(graft.Bench.loadVerdict(0.30, Some(0.18)) == "true")  // 1.67x
+    assert(graft.Bench.loadVerdict(0.20, Some(0.18)) == "false")
+    assert(graft.Bench.loadVerdict(0.20, None) == "null")
+    assert(graft.Bench.loadVerdict(0.20, Some(0.0)) == "null") // degenerate base
+  }
 }

@@ -763,6 +763,24 @@ class PromQlParserSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](parse("holt_winters(cpu[10m], 1.5, 0.25)"))
   }
 
+  test("trig battery, pi() scalar folding, day_of_year, holt_winters alias") {
+    val df = Seq((1L, ts(0), 1L, "cpu", 0.5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    def one(q: String): Double =
+      eval(src(df), q, "2024-01-01 10:02:00").select("value")
+        .collect().map(_.getDouble(0)).head
+    assert(one("sin(cpu)") == math.sin(0.5))
+    assert(one("atan(cpu)") == math.atan(0.5))
+    assert(one("cosh(cpu)") == math.cosh(0.5))
+    assert(math.abs(one("deg(rad(cpu))") - 0.5) < 1e-12)
+    assert(one("cpu * pi()") == 0.5 * math.Pi)
+    assert(parse("pi()") == ScalarLit(math.Pi))
+    assert(one("day_of_year(timestamp(cpu))") == 1.0)
+    // Prometheus's current name for holt_winters parses to the same AST
+    assert(parse("double_exponential_smoothing(cpu[10m], 0.5, 0.25)") ==
+      parse("holt_winters(cpu[10m], 0.5, 0.25)"))
+  }
+
   test("clamp with min > max yields NaN; round(v, 0) is rejected") {
     val df = Seq((1L, ts(0), 1L, "cpu", 5.0))
       .toDF("event_id", "ts", "user_id", "event_type", "value")

@@ -158,7 +158,7 @@ class PromQlRoundTripSpec extends AnyFunSuite {
         1 -> genAst(depth - 1).map(c => ScalarFn(c): Ast)).map(VectorFn(_)),
       1 -> (for {
         fn <- Gen.oneOf("minute", "hour", "day_of_week", "day_of_month",
-          "days_in_month", "month", "year")
+          "day_of_year", "days_in_month", "month", "year")
         child <- Gen.frequency(1 -> Gen.const(Option.empty[Ast]),
           1 -> genAst(depth - 1).map(Some(_): Option[Ast]))
       } yield TimeComp(fn, child)),
@@ -207,7 +207,9 @@ class PromQlRoundTripSpec extends AnyFunSuite {
       } yield BinOp(op, lhs, rhs, m, g, bool)),
       1 -> genAst(depth - 1).map(HistQuantile(0.9, _)),
       2 -> (for {
-        fn <- Gen.oneOf("abs", "ceil", "floor", "sqrt", "exp", "sgn")
+        fn <- Gen.oneOf("abs", "ceil", "floor", "sqrt", "exp", "sgn",
+          "sin", "cos", "tan", "atan", "sinh", "cosh", "tanh",
+          "asin", "acos", "acosh", "asinh", "atanh", "deg", "rad")
         child <- genAst(depth - 1)
       } yield VecFn(fn, child)),
       1 -> (for {
