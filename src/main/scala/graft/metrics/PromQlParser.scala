@@ -40,6 +40,8 @@ import org.apache.spark.sql.{Column, DataFrame}
   *             | 'clamp' '(' expr ',' NUMBER ',' NUMBER ')'
   *             | ('clamp_min'|'clamp_max') '(' expr ',' NUMBER ')'
   *             | ('sort'|'sort_desc') '(' expr ')'
+  *             | ('sort_by_label'|'sort_by_label_desc') '(' expr (',' STR)+ ')'
+  *             | 'limitk' '(' INT ',' expr ')' ('by' '(' label* ')')?
   *             | 'scalar' '(' expr ')' | 'vector' '(' expr ')'
   *             | ('minute'|'hour'|'day_of_week'|'day_of_month'|
   *                'day_of_year'|'days_in_month'|'month'|'year') '(' expr? ')'
@@ -55,7 +57,8 @@ import org.apache.spark.sql.{Column, DataFrame}
   *             | ('holt_winters'|'double_exponential_smoothing')
   *               '(' selector '[' DURATION ']' offset? ',' NUMBER ',' NUMBER ')'
   *             | 'absent_over_time' '(' selector '[' DURATION ']' offset? ')'
-  *   offset   := ('offset' DURATION | '@' NUMBER)*   (either order; @ is epoch seconds)
+  *   offset   := ('offset' DURATION | '@' (NUMBER|'start()'|'end()'))*
+  *               (either order; @ is epoch seconds or the range's edges)
   *   selector := metric matchers? | matchers
   *   matcher  := label ('='|'!='|'=~'|'!~') STRING
   * }}}
@@ -101,12 +104,19 @@ object PromQlParser {
   // ---------- AST ----------
   sealed trait Ast
   final case class Matcher(label: String, op: String, value: String)
-  /** `atSec` is the `@` modifier: a FIXED evaluation instant (epoch
-    * seconds) replacing the query's own; `offset` still applies, relative
-    * to it — the Prometheus composition rule. */
+  /** The `@` modifier's pin: an absolute epoch instant, or the range's
+    * own start/end (`@ start()` / `@ end()` — Grafana emits these; for an
+    * instant query both edges ARE the evaluation instant). */
+  sealed trait At
+  final case class AtTs(sec: Long) extends At
+  case object AtStart extends At
+  case object AtEnd extends At
+  /** `at` is the `@` modifier: a FIXED evaluation instant replacing the
+    * query's own; `offset` still applies, relative to it — the Prometheus
+    * composition rule. */
   final case class Selector(metric: Option[String], matchers: Seq[Matcher],
                             offsetSec: Long = 0L,
-                            atSec: Option[Long] = None) extends Ast
+                            at: Option[At] = None) extends Ast
   /** `param` carries the extra scalar of `quantile_over_time` (φ),
     * `predict_linear` (the horizon t, seconds) and `holt_winters` (sf);
     * `param2` only holt_winters' trend factor tf. (Options, not NaN
@@ -115,9 +125,18 @@ object PromQlParser {
                            param: Option[Double] = None,
                            param2: Option[Double] = None) extends Ast
   /** `sort()`/`sort_desc()`: order the instant vector by sample value
-    * (label columns break ties so the order is total); a no-op on the
-    * `query_range` grid, as in Prometheus. */
-  final case class SortFn(desc: Boolean, child: Ast) extends Ast
+    * (label columns break ties so the order is total); with `byLabels`
+    * nonempty it is `sort_by_label(_desc)` — ordered by those labels,
+    * remaining labels breaking ties. A no-op on the `query_range` grid,
+    * as in Prometheus. */
+  final case class SortFn(desc: Boolean, child: Ast,
+                          byLabels: Seq[String] = Nil) extends Ast
+  /** `limitk(k, v)`: AT MOST k series per group. The engine's selection
+    * rule is the lexical first k by the full label tuple — deterministic
+    * and oracle-able (upstream's experimental limitk samples by label
+    * hash; ANY k-subset satisfies the operator's contract, and a
+    * deterministic rule is the one that can be verified). */
+  final case class LimitK(k: Int, by: Seq[String], child: Ast) extends Ast
   /** `scalar(v)`: the single element's value if the vector has exactly
     * one element, else NaN — usable wherever a scalar is. */
   final case class ScalarFn(child: Ast) extends Ast
@@ -482,6 +501,28 @@ object PromQlParser {
         val child = parseExpr()
         expect(")")
         SortFn(fn == "sort_desc", child)
+      case Some(Ident(fn @ ("sort_by_label" | "sort_by_label_desc")))
+        if !selectorAhead =>
+        next(); expect("(")
+        val child = parseExpr()
+        val ls = Seq.newBuilder[String]
+        while (peek.contains(Sym(","))) { next(); ls += parseStr() }
+        expect(")")
+        val labels = ls.result()
+        require(labels.nonEmpty, s"$fn needs at least one label argument")
+        SortFn(fn.endsWith("_desc"), child, labels)
+      case Some(Ident("limitk")) if !selectorAhead =>
+        next(); expect("(")
+        val k = next() match {
+          case Num(n) => n.toInt
+          case other => fail(s"limitk expects an integer k, got $other")
+        }
+        expect(",")
+        val child = parseExpr()
+        expect(")")
+        val by = parseByOpt()
+        require(!by.exists(_._1), "limitk supports by(), not without()")
+        LimitK(k, by.map(_._2).getOrElse(Seq.empty), child)
       case Some(Ident("scalar")) if !selectorAhead =>
         next(); expect("(")
         val child = parseExpr()
@@ -648,9 +689,14 @@ object PromQlParser {
       case Some(Sym("@")) =>
         next()
         next() match {
-          case Num(n) => parseOffsetOpt(sel.copy(atSec = Some(n)))
-          case Flt(d) => parseOffsetOpt(sel.copy(atSec = Some(d.toLong)))
-          case other => fail(s"@ expects an epoch-seconds timestamp, got $other")
+          case Num(n) => parseOffsetOpt(sel.copy(at = Some(AtTs(n))))
+          case Flt(d) => parseOffsetOpt(sel.copy(at = Some(AtTs(d.toLong))))
+          case Ident(kw @ ("start" | "end")) =>
+            expect("("); expect(")")
+            parseOffsetOpt(sel.copy(at =
+              Some(if (kw == "start") AtStart else AtEnd)))
+          case other =>
+            fail(s"@ expects an epoch timestamp or start()/end(), got $other")
         }
       case _ => sel
     }
@@ -799,9 +845,16 @@ object PromQlParser {
 
   /** A selector's effective evaluation instant: `@` pins it (replacing the
     * query's own), then `offset` shifts relative to that — the Prometheus
-    * composition rule. */
-  private def evalInstantFor(sel: Selector, evalTs: String): String =
-    shiftTs(sel.atSec.map(tsOfEpoch).getOrElse(evalTs), sel.offsetSec)
+    * composition rule. For an INSTANT query `start()` and `end()` both
+    * equal the evaluation instant (the Prometheus rule for point
+    * queries); the grid compiler resolves them to the range edges. */
+  private def evalInstantFor(sel: Selector, evalTs: String): String = {
+    val pinned = sel.at match {
+      case Some(AtTs(s)) => tsOfEpoch(s)
+      case _ => evalTs // AtStart/AtEnd = the instant itself; None = unpinned
+    }
+    shiftTs(pinned, sel.offsetSec)
+  }
 
   /** Arithmetic value projection ONLY — comparisons and set operators are
     * join/filter shapes, not value maps, and route through [[binOpVec]] /
@@ -1089,6 +1142,20 @@ object PromQlParser {
     }
   }
 
+  /** `limitk(k, v)`: the lexical first k series per (group ∪ grid cell),
+    * ordered by the full non-group label tuple — one windowed
+    * row_number, the same shuffle shape as topk. */
+  private def limitKFrame(vec: DataFrame, k: Int, by: Seq[String],
+                          gridKey: Seq[String]): DataFrame = {
+    val ord0 = vec.columns.filterNot(c => nonLabelCols(c) || by.contains(c))
+      .toSeq.sorted.map(col(_).asc)
+    // all labels grouped → ≤1 series per group; value gives a total order
+    val ord = if (ord0.isEmpty) Seq(col("value").asc) else ord0
+    val w = Window.partitionBy((by ++ gridKey).map(col): _*).orderBy(ord: _*)
+    vec.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** `scalar(v)` support: reduce a compiled vector to ONE `__scalar`
     * value per grid cell (globally for an instant query) — the single
     * element's value if the vector has exactly one element, else NaN, the
@@ -1362,13 +1429,19 @@ object PromQlParser {
         .groupBy(src.seriesKey.map(col): _*)
         .agg((max(unix_micros(col(src.tsCol))).cast("double") / 1000000.0).as("value"))
 
-    case SortFn(desc, child) =>
-      // value-ordered output (labels break ties → total order); ordering
-      // is presentation-only, the row set is unchanged
+    case SortFn(desc, child, byLabels) =>
+      // value-ordered (or label-ordered) output; labels break ties →
+      // total order; ordering is presentation-only, the row set unchanged
       val vec = compile(src, child, evalTs, lookback)
-      val tie = vec.columns.filterNot(c => nonLabelCols(c) || c == "value")
-        .toSeq.sorted.map(col)
-      vec.orderBy((if (desc) col("value").desc else col("value").asc) +: tie: _*)
+      val tie = vec.columns.filterNot(c => nonLabelCols(c) || c == "value"
+          || byLabels.contains(c)).toSeq.sorted.map(col)
+      val lead =
+        if (byLabels.isEmpty) Seq(if (desc) col("value").desc else col("value").asc)
+        else byLabels.map(l => if (desc) col(l).desc else col(l).asc)
+      vec.orderBy(lead ++ tie: _*)
+
+    case LimitK(k, by, child) =>
+      limitKFrame(compile(src, child, evalTs, lookback), k, by, gridKey = Nil)
 
     case sf: ScalarFn =>
       scalarFrame(compile(src, sf.child, evalTs, lookback), Nil)
@@ -1551,17 +1624,24 @@ object PromQlParser {
     /** An `@`-pinned subtree on the grid: the pinned instant makes the
       * result STEP-INVARIANT, so it evaluates ONCE through the instant
       * compiler and broadcast-replicates across the (tiny) step domain —
-      * instead of exploding the selector onto every step. */
-    private def fixedInstant(ast: Ast, sel: Selector): DataFrame =
-      PromQlParser.compile(src, ast, tsOfEpoch(sel.atSec.get),
+      * instead of exploding the selector onto every step. `start()`/
+      * `end()` resolve to the grid's own edges. */
+    private def fixedInstant(ast: Ast, sel: Selector): DataFrame = {
+      val pinSec = sel.at.get match {
+        case AtTs(s) => s
+        case AtStart => startUs / 1000000L
+        case AtEnd   => (startUs + nSteps * stepUs) / 1000000L
+      }
+      PromQlParser.compile(src, ast, tsOfEpoch(pinSec),
           s"${lookbackUs / 1000000L} SECONDS")
         .crossJoin(broadcast(stepsDomain))
+    }
 
     def compile(ast: Ast): DataFrame = ast match {
-      case sel: Selector if sel.atSec.isDefined => fixedInstant(sel, sel)
-      case rf @ RangeFn(_, sel, _, _, _) if sel.atSec.isDefined =>
+      case sel: Selector if sel.at.isDefined => fixedInstant(sel, sel)
+      case rf @ RangeFn(_, sel, _, _, _) if sel.at.isDefined =>
         fixedInstant(rf, sel)
-      case tsf @ TimestampFn(sel) if sel.atSec.isDefined =>
+      case tsf @ TimestampFn(sel) if sel.at.isDefined =>
         fixedInstant(tsf, sel)
 
       case sel: Selector =>
@@ -1696,10 +1776,13 @@ object PromQlParser {
         countValuesAgg(compile(child), label, by, without,
           gridKey = Seq("__step"))
 
-      case SortFn(_, child) =>
-        // sort()/sort_desc() have no effect in range queries (the
-        // Prometheus rule) — pure pass-through on the grid
+      case SortFn(_, child, _) =>
+        // sort()/sort_desc()/sort_by_label have no effect in range
+        // queries (the Prometheus rule) — pure pass-through on the grid
         compile(child)
+
+      case LimitK(k, by, child) =>
+        limitKFrame(compile(child), k, by, gridKey = Seq("__step"))
 
       case sf: ScalarFn =>
         // per-step scalar; steps where the vector is empty read NaN

@@ -564,6 +564,25 @@ object PromQlQueries {
         .orderBy(col("which"))
     }),
 
+    // limitk + sort_by_label (upstream's experimental aggregators, made
+    // deterministic): limitk keeps the lexical first k series per group
+    // — ANY k-subset satisfies the operator's contract, and a
+    // deterministic rule is the one an oracle can verify; sort_by_label
+    // is presentation-only (row set pinned by the twin).
+    "q133_promql_limitk" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      def run(q: String, tag: String) =
+        PromQlParser.eval(src, q, "2024-01-15 12:00:00", lookback = "24 HOURS")
+          .withColumn("which", lit(tag))
+      run("""limitk(2, {event_type=~".+"}) by (event_type)""", "limited")
+        .unionByName(
+          run("""sort_by_label_desc({event_type="click"}, "user_id")""", "sorted"))
+        .select(col("which"), col("user_id"), col("event_type"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("which"), col("event_type"), col("user_id"))
+    }),
+
     // The trig battery through the parser: sin over radians-converted
     // values (|x| ≤ ~9 — no deep argument reduction, so both libms agree
     // to well past 6 dp), the bounded well-conditioned atan, the
@@ -1001,6 +1020,29 @@ object PromQlQueries {
         |  CAST(count(*) AS DOUBLE) AS value
         |FROM lastv WHERE rn = 1
         |GROUP BY 1, 2 ORDER BY event_type, v""".stripMargin,
+
+    "q133_promql_limitk" ->
+      """WITH lastv AS (
+        |  SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |    AND ts > TIMESTAMP '2024-01-15 12:00:00' - INTERVAL 24 HOURS
+        |), iv AS (
+        |  SELECT user_id, event_type, value FROM lastv WHERE rn = 1
+        |), lim AS (
+        |  SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY user_id) AS lr
+        |  FROM iv
+        |)
+        |SELECT * FROM (
+        |  SELECT 'limited' AS which, user_id, event_type, round(value, 6) AS value
+        |  FROM lim WHERE lr <= 2
+        |  UNION ALL
+        |  SELECT 'sorted', user_id, event_type, round(value, 6)
+        |  FROM iv WHERE event_type = 'click'
+        |) ORDER BY which, event_type, user_id""".stripMargin,
 
     "q132_promql_trig" ->
       """WITH w AS (

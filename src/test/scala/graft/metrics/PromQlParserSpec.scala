@@ -720,7 +720,19 @@ class PromQlParserSpec extends AnyFunSuite {
     assert(grid == Seq(2.0, 2.0, 2.0))
     // parse round-trip sanity: @ in either order with offset
     assert(parse("cpu offset 2m @ 1704103320") ==
-      Selector(Some("cpu"), Nil, 120L, Some(1704103320L)))
+      Selector(Some("cpu"), Nil, 120L, Some(AtTs(1704103320L))))
+    assert(parse("cpu @ start()") == Selector(Some("cpu"), Nil, 0L, Some(AtStart)))
+    // grid: @ start()/end() pin to the range's own edges (step-invariant)
+    val edges = PromQlParser.evalRange(src(df), "cpu @ end()",
+        "2024-01-01 10:02:00", "2024-01-01 10:04:00", stepSec = 60)
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    assert(edges == Seq(3.0, 3.0, 3.0)) // end = 10:04 → sample at 10:04
+    val starts = PromQlParser.evalRange(src(df), "cpu @ start()",
+        "2024-01-01 10:02:00", "2024-01-01 10:04:00", stepSec = 60)
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    assert(starts == Seq(2.0, 2.0, 2.0)) // start = 10:02 → sample at 10:02
+    // instant: start() and end() are the evaluation instant itself
+    assert(one("cpu @ end()", "2024-01-01 10:02:00") == 2.0)
   }
 
   test("absent_over_time: presence over the range window, not the lookback") {
@@ -779,6 +791,23 @@ class PromQlParserSpec extends AnyFunSuite {
     // Prometheus's current name for holt_winters parses to the same AST
     assert(parse("double_exponential_smoothing(cpu[10m], 0.5, 0.25)") ==
       parse("holt_winters(cpu[10m], 0.5, 0.25)"))
+  }
+
+  test("limitk keeps the lexical first k per group; sort_by_label orders by labels") {
+    val df = Seq(
+      (1L, ts(0), 3L, "cpu", 5.0), (2L, ts(0), 1L, "cpu", 9.0),
+      (3L, ts(0), 2L, "cpu", 1.0), (4L, ts(0), 9L, "mem", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val lim = eval(src(df), "limitk(2, {event_type=~\".+\"}) by (event_type)",
+        "2024-01-01 10:02:00")
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // lexical first 2 user_ids per metric, value-independent
+    assert(lim == Set(("cpu", 1L), ("cpu", 2L), ("mem", 9L)))
+    val sorted = eval(src(df), """sort_by_label_desc({event_type="cpu"}, "user_id")""",
+        "2024-01-01 10:02:00")
+      .select("user_id").collect().map(_.getLong(0)).toSeq
+    assert(sorted == Seq(3L, 2L, 1L))
   }
 
   test("clamp with min > max yields NaN; round(v, 0) is rejected") {

@@ -26,7 +26,11 @@ class PromQlRoundTripSpec extends AnyFunSuite {
     else s.matchers.map(m => s"""${m.label}${m.op}"${m.value}"""")
       .mkString("{", ", ", "}")
     val off = if (s.offsetSec == 0) "" else s" offset ${durS(s.offsetSec)}"
-    val at = s.atSec.map(a => s" @ $a").getOrElse("")
+    val at = s.at.map {
+      case AtTs(a) => s" @ $a"
+      case AtStart => " @ start()"
+      case AtEnd   => " @ end()"
+    }.getOrElse("")
     s"${s.metric.getOrElse("")}$ms$at$off"
   }
 
@@ -52,8 +56,14 @@ class PromQlRoundTripSpec extends AnyFunSuite {
       s"predict_linear(${printSel(sel)}[${durS(w)}], $p)"
     case RangeFn(fn, sel, w, Some(p), None) =>
       s"$fn($p, ${printSel(sel)}[${durS(w)}])"
-    case SortFn(desc, child) =>
+    case SortFn(desc, child, Nil) =>
       s"${if (desc) "sort_desc" else "sort"}(${print(child)})"
+    case SortFn(desc, child, ls) =>
+      val fn = if (desc) "sort_by_label_desc" else "sort_by_label"
+      s"""$fn(${print(child)}, ${ls.map("\"" + _ + "\"").mkString(", ")})"""
+    case LimitK(k, by, child) =>
+      val tail = if (by.isEmpty) "" else s" by (${by.mkString(", ")})"
+      s"limitk($k, ${print(child)})$tail"
     case ScalarFn(child) => s"scalar(${print(child)})"
     case VectorFn(child) => s"vector(${print(child)})"
     case TimeComp(fn, child) => s"$fn(${child.map(print).getOrElse("")})"
@@ -108,8 +118,10 @@ class PromQlRoundTripSpec extends AnyFunSuite {
     n <- Gen.choose(if (metric.isEmpty) 1 else 0, 2)
     ms <- Gen.listOfN(n, genMatcher)
     off <- Gen.oneOf(0L, 60L)
-    at <- Gen.frequency(3 -> Gen.const(Option.empty[Long]),
-      1 -> Gen.const(Some(1705316400L)))
+    at <- Gen.frequency(6 -> Gen.const(Option.empty[At]),
+      2 -> Gen.const(Some(AtTs(1705316400L)): Option[At]),
+      1 -> Gen.const(Some(AtStart): Option[At]),
+      1 -> Gen.const(Some(AtEnd): Option[At]))
   } yield Selector(metric, ms.distinctBy(_.label), off, at)
 
   private val overTime = Gen.oneOf("sum_over_time", "avg_over_time",
@@ -152,6 +164,16 @@ class PromQlRoundTripSpec extends AnyFunSuite {
       1 -> genHoltWinters,
       1 -> genAst(depth - 1).map(c => SortFn(desc = true, c)),
       1 -> genAst(depth - 1).map(c => SortFn(desc = false, c)),
+      1 -> (for {
+        desc <- Gen.oneOf(true, false)
+        ls <- Gen.listOfN(2, labels).map(_.distinct)
+        child <- genAst(depth - 1)
+      } yield SortFn(desc, child, ls)),
+      1 -> (for {
+        k <- Gen.choose(1, 5)
+        by <- Gen.oneOf(Seq.empty[String], Seq("job"))
+        child <- genAst(depth - 1)
+      } yield LimitK(k, by, child)),
       1 -> genAst(depth - 1).map(ScalarFn(_)),
       1 -> Gen.frequency(2 -> scalars.map(v => ScalarLit(v): Ast),
         1 -> Gen.const(TimeFn: Ast),
