@@ -50,7 +50,9 @@ import org.apache.spark.sql.{Column, DataFrame}
   *   range    := ('rate'|'increase'|'delta'|'irate'|'deriv'|
   *                'sum_over_time'|'avg_over_time'|'max_over_time'|
   *                'min_over_time'|'count_over_time'|'last_over_time'|
-  *                'present_over_time'|'stddev_over_time'|'stdvar_over_time')
+  *                'present_over_time'|'stddev_over_time'|'stdvar_over_time'|
+  *                'mad_over_time'|'ts_of_max_over_time'|
+  *                'ts_of_min_over_time'|'ts_of_last_over_time')
   *               '(' selector '[' DURATION ']' offset? ')'
   *             | 'quantile_over_time' '(' NUMBER ',' selector '[' DURATION ']' offset? ')'
   *             | 'predict_linear' '(' selector '[' DURATION ']' offset? ',' NUMBER ')'
@@ -285,7 +287,11 @@ object PromQlParser {
       "deriv", "resets", "changes", "absent_over_time",
       "sum_over_time", "avg_over_time", "max_over_time", "min_over_time",
       "count_over_time", "last_over_time", "present_over_time",
-      "stddev_over_time", "stdvar_over_time")
+      "stddev_over_time", "stdvar_over_time",
+      // the 3.x experimental family: median-absolute-deviation and the
+      // chosen sample's own timestamp as the value
+      "mad_over_time", "ts_of_max_over_time", "ts_of_min_over_time",
+      "ts_of_last_over_time")
     private val vecFns1 = Set("abs", "ceil", "floor", "sqrt", "exp", "ln",
       "log2", "log10", "sgn",
       // the Prometheus trig battery (radians in, radians out; deg/rad
@@ -775,12 +781,45 @@ object PromQlParser {
   private val nonLabelCols = Set("value", "rank", "__step", "__substep",
     "__scalar", "__mk")
 
+  /** Continuous (interpolating) median of a PRE-SORTED double array —
+    * the quantile_cont(0.5) rule both Prometheus and DuckDB use: the
+    * middle element for odd n, the midpoint average for even n. Native
+    * array expressions, codegen'd; range windows are bounded, so the
+    * per-group array is small by construction. */
+  private def medianOfSorted(a: Column): Column = {
+    val n = size(a)
+    val half = (n.cast("int") / 2).cast("int") // integer index, not double
+    when(n % 2 === 1, element_at(a, half + 1))
+      .otherwise((element_at(a, half) + element_at(a, half + 1)) / 2.0)
+  }
+
   /** The `*_over_time` fold shared by grid range functions and subquery
     * evaluation (instant + grid): one grouped aggregation; `lastOrd`
-    * supplies the ordering for `last_over_time`. */
+    * supplies the ordering for `last_over_time`, `tsSec` each sample's
+    * epoch-seconds timestamp for the `ts_of_*` family (subquery samples
+    * sit at their grid points). Tie rule for ts_of_max/min — pinned,
+    * since upstream's is unspecified: equal values resolve to the
+    * LATEST timestamp for max and the EARLIEST for min (the natural
+    * lexicographic struct fold; deterministic, hence oracle-able). */
   private def overTimeAgg(grouped: org.apache.spark.sql.RelationalGroupedDataset,
                           fn: String, v: Column, param: Option[Double],
-                          lastOrd: Column): DataFrame = fn match {
+                          lastOrd: Column, tsSec: Column): DataFrame = fn match {
+    case "mad_over_time" =>
+      // median(|v − median(v)|): one collect per group (bounded by the
+      // range window), medians via interpolating array picks
+      grouped.agg(array_sort(collect_list(v)).as("__arr"))
+        .withColumn("__med", medianOfSorted(col("__arr")))
+        .withColumn("value", medianOfSorted(array_sort(
+          transform(col("__arr"), x => abs(x - col("__med"))))))
+        .drop("__arr", "__med")
+    case "ts_of_max_over_time" =>
+      grouped.agg(max(struct(v.as("v"), tsSec.as("t"))).as("__m"))
+        .withColumn("value", col("__m")("t")).drop("__m")
+    case "ts_of_min_over_time" =>
+      grouped.agg(min(struct(v.as("v"), tsSec.as("t"))).as("__m"))
+        .withColumn("value", col("__m")("t")).drop("__m")
+    case "ts_of_last_over_time" =>
+      grouped.agg(max(tsSec).as("value"))
     case "sum_over_time"     => grouped.agg(decSum(v).as("value"))
     case "count_over_time"   => grouped.agg(count(lit(1)).cast("double").as("value"))
     case "avg_over_time"     => grouped.agg((decSum(v) / count(lit(1))).as("value"))
@@ -822,7 +861,8 @@ object PromQlParser {
   private val overTimeFns = Set("sum_over_time", "count_over_time",
     "avg_over_time", "max_over_time", "min_over_time", "last_over_time",
     "present_over_time", "stddev_over_time", "stdvar_over_time",
-    "quantile_over_time")
+    "quantile_over_time", "mad_over_time", "ts_of_max_over_time",
+    "ts_of_min_over_time", "ts_of_last_over_time")
 
   /** Shift an eval-time literal back by a selector's `offset` — constant
     * arithmetic on the driver (timestamps are wall-clock strings in the
@@ -1339,6 +1379,11 @@ object PromQlParser {
           linearFit(inWindow, keyCols,
             unix_micros(col(src.tsCol)) - unix_micros(t), v,
             if (fn == "deriv") Double.NaN else param.get)
+        case f @ ("mad_over_time" | "ts_of_max_over_time"
+                | "ts_of_min_over_time" | "ts_of_last_over_time") =>
+          overTimeAgg(inWindow.groupBy(keyCols: _*), f, v, param,
+            lastOrd = struct(col(src.tsCol), col(src.orderCol)),
+            tsSec = unix_micros(col(src.tsCol)).cast("double") / 1000000.0)
         case "absent_over_time" =>
           // one 1.0-sample (labels = equality matchers) iff the selector
           // has NO sample in the window — the same anti-join-probe shape
@@ -1398,7 +1443,9 @@ object PromQlParser {
       val grouped =
         if (labels.isEmpty) sg.groupBy()
         else sg.groupBy(labels.map(col): _*)
-      overTimeAgg(grouped, fn, col("value"), param, lastOrd = col("__step"))
+      overTimeAgg(grouped, fn, col("value"), param, lastOrd = col("__step"),
+        tsSec = (lit(endUs - nSteps * stepUs) +
+          col("__step") * lit(stepUs)).cast("double") / 1000000.0)
 
     case rv: RangeVec => throw new IllegalArgumentException(
       s"a range vector ($rv) is only valid as a range function's argument")
@@ -1688,7 +1735,8 @@ object PromQlParser {
             overTimeAgg(
               filtered.withColumn("__step", explode(stepsFor(te, te + lit(wUs))))
                 .groupBy(keyCols :+ col("__step"): _*),
-              f, v, param, lastOrd = ord)
+              f, v, param, lastOrd = ord,
+              tsSec = unix_micros(col(src.tsCol)).cast("double") / 1000000.0)
           case "resets" | "changes" =>
             // samples define presence (instant-style explode → a
             // lone-sample step emits 0); a global-adjacent pair counts
@@ -1889,7 +1937,8 @@ object PromQlParser {
           explode(stepsFor(tAbs, tAbs + lit(rangeUs))))
         val labels = ig.columns.filterNot(nonLabelCols).toSeq
         overTimeAgg(exploded.groupBy((labels :+ "__step").map(col): _*),
-          fn, col("value"), param, lastOrd = col("__substep"))
+          fn, col("value"), param, lastOrd = col("__substep"),
+          tsSec = tAbs.cast("double") / 1000000.0)
 
       case sq: Subquery => throw new IllegalArgumentException(
         s"a subquery ($sq) is only valid under a *_over_time function")

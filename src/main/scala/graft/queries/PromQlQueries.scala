@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables._
-import graft.metrics.{PromQl, PromQlParser}
+import graft.metrics.{AlertRules, PromQl, PromQlParser, RecordingRules}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -583,6 +583,68 @@ object PromQlQueries {
         .orderBy(col("which"), col("event_type"), col("user_id"))
     }),
 
+    // Recording-rule materialization: per-hour click counts recorded as
+    // `hourly:clicks`, then an ordinary PromQL query over the RECORDED
+    // metric — max and sum of the hourly series across the day. The
+    // recorded frame is a plan (grid eval + union), not a buffer, so the
+    // whole composition stays one declarative plan.
+    "q136_recording_rule" -> ((s, d) => {
+      val src0 = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      val rec = RecordingRules.materialize(src0, "hourly:clicks",
+        """sum by (event_type) (count_over_time({event_type="click"}[1h]))""",
+        "2024-01-15 00:00:00", "2024-01-15 23:00:00", stepSec = 3600)
+      def run(q: String, tag: String) =
+        PromQlParser.eval(rec, q, "2024-01-16 00:00:00")
+          .withColumn("which", lit(tag))
+      run("""max_over_time({event_type="hourly:clicks"}[24h])""", "max")
+        .unionByName(
+          run("""sum_over_time({event_type="hourly:clicks"}[24h])""", "sum"))
+        .select(col("which"), col("event_type"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("which"))
+    }),
+
+    // Alerting-rule evaluation (the rule-group half of the Query Service):
+    // the expr gates on hour() >= 18, so each day contributes one
+    // deterministic active run per event_type — pending for the first
+    // three steps of the run (elapsed < for=3h), firing from the fourth.
+    // The state machine is ONE window pass (gaps-and-islands); the twin
+    // replays it with the same lag + ignore-nulls carry.
+    "q135_alert_rules" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      AlertRules.evalRule(src,
+        AlertRules.Rule("HighTraffic",
+          """sum by (event_type) (count_over_time({event_type=~".+"}[2h])) > 0 and on() hour() >= 18""",
+          forSec = 3 * 3600),
+        "2024-01-15 00:00:00", "2024-01-16 23:00:00", stepSec = 3600)
+        .select(col("alertname"), col("event_type"), col("step_ts"),
+          col("alertstate"), round(col("value"), 6).as("value"))
+        .orderBy(col("event_type"), col("step_ts"))
+    }),
+
+    // The 3.x experimental *_over_time family: mad_over_time (interpolating
+    // median absolute deviation — both engines use the quantile_cont(0.5)
+    // rule, so the doubles agree exactly) and ts_of_max/min/last_over_time
+    // (the chosen sample's own epoch as the value; tie rule pinned in
+    // PromQlParserSpec — max→latest, min→earliest — and made explicit in
+    // the twin's row_number ordering).
+    "q134_promql_mad_tsof" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      def run(q: String, tag: String) =
+        PromQlParser.eval(src, q, "2024-01-15 12:00:00", lookback = "24 HOURS")
+          .withColumn("which", lit(tag))
+      run("""mad_over_time({event_type=~".+"}[24h])""", "mad")
+        .unionByName(run("""ts_of_max_over_time({event_type=~".+"}[24h])""", "tmax"))
+        .unionByName(run("""ts_of_min_over_time({event_type=~".+"}[24h])""", "tmin"))
+        .unionByName(run("""ts_of_last_over_time({event_type=~".+"}[24h])""", "tlast"))
+        .select(col("which"), col("user_id"), col("event_type"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("which"), col("user_id"), col("event_type"))
+    }),
+
     // The trig battery through the parser: sin over radians-converted
     // values (|x| ≤ ~9 — no deep argument reduction, so both libms agree
     // to well past 6 dp), the bounded well-conditioned atan, the
@@ -1043,6 +1105,84 @@ object PromQlQueries {
         |  SELECT 'sorted', user_id, event_type, round(value, 6)
         |  FROM iv WHERE event_type = 'click'
         |) ORDER BY which, event_type, user_id""".stripMargin,
+
+    "q136_recording_rule" ->
+      """WITH steps AS (
+        |  SELECT make_timestamp((1705276800 + i * 3600) * 1000000) AS step_ts
+        |  FROM (SELECT unnest(generate_series(1, 23)) AS i)
+        |), hourly AS (
+        |  SELECT s.step_ts, CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM steps s JOIN events e
+        |    ON e.event_type = 'click'
+        |   AND e.ts <= s.step_ts AND e.ts > s.step_ts - INTERVAL 1 HOUR
+        |  GROUP BY 1
+        |)
+        |SELECT * FROM (
+        |  SELECT 'max' AS which, 'hourly:clicks' AS event_type,
+        |    round(max(cnt), 6) AS value FROM hourly
+        |  UNION ALL
+        |  SELECT 'sum', 'hourly:clicks',
+        |    round(CAST(sum(CAST(round(cnt, 6) AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |  FROM hourly
+        |) ORDER BY which""".stripMargin,
+
+    "q135_alert_rules" ->
+      """WITH steps AS (
+        |  SELECT make_timestamp((1705276800 + i * 3600) * 1000000) AS step_ts, i
+        |  FROM (SELECT unnest(generate_series(0, 47)) AS i)
+        |), act AS (
+        |  SELECT s.step_ts, s.i, e.event_type,
+        |    CAST(count(*) AS DOUBLE) AS value
+        |  FROM steps s JOIN events e
+        |    ON e.ts <= s.step_ts AND e.ts > s.step_ts - INTERVAL 2 HOURS
+        |  WHERE hour(s.step_ts) >= 18
+        |  GROUP BY 1, 2, 3
+        |), isl AS (
+        |  SELECT *, CASE WHEN lag(i) OVER w IS NULL OR lag(i) OVER w <> i - 1
+        |    THEN i END AS open
+        |  FROM act WINDOW w AS (PARTITION BY event_type ORDER BY i)
+        |), carry AS (
+        |  SELECT *, last_value(open IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active_at
+        |  FROM isl
+        |)
+        |SELECT 'HighTraffic' AS alertname, event_type, step_ts,
+        |  CASE WHEN (i - active_at) * 3600 >= 10800 THEN 'firing'
+        |       ELSE 'pending' END AS alertstate,
+        |  round(value, 6) AS value
+        |FROM carry ORDER BY event_type, step_ts""".stripMargin,
+
+    "q134_promql_mad_tsof" ->
+      """WITH w AS (
+        |  SELECT user_id, event_type, value, epoch_us(ts) AS us
+        |  FROM events
+        |  WHERE ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |    AND ts > TIMESTAMP '2024-01-15 12:00:00' - INTERVAL 24 HOURS
+        |)
+        |SELECT * FROM (
+        |  SELECT 'mad' AS which, user_id, event_type,
+        |    round(mad(value), 6) AS value
+        |  FROM w GROUP BY 2, 3
+        |  UNION ALL
+        |  SELECT 'tmax', user_id, event_type,
+        |    round(CAST(us AS DOUBLE) / 1000000.0, 6)
+        |  FROM (SELECT user_id, event_type, us, row_number() OVER (
+        |          PARTITION BY user_id, event_type
+        |          ORDER BY value DESC, us DESC) AS rn FROM w)
+        |  WHERE rn = 1
+        |  UNION ALL
+        |  SELECT 'tmin', user_id, event_type,
+        |    round(CAST(us AS DOUBLE) / 1000000.0, 6)
+        |  FROM (SELECT user_id, event_type, us, row_number() OVER (
+        |          PARTITION BY user_id, event_type
+        |          ORDER BY value ASC, us ASC) AS rn FROM w)
+        |  WHERE rn = 1
+        |  UNION ALL
+        |  SELECT 'tlast', user_id, event_type,
+        |    round(CAST(max(us) AS DOUBLE) / 1000000.0, 6)
+        |  FROM w GROUP BY 2, 3
+        |) ORDER BY which, user_id, event_type""".stripMargin,
 
     "q132_promql_trig" ->
       """WITH w AS (

@@ -810,6 +810,39 @@ class PromQlParserSpec extends AnyFunSuite {
     assert(sorted == Seq(3L, 2L, 1L))
   }
 
+  test("mad_over_time is the interpolating MAD; ts_of_* return sample epochs") {
+    // 1, 3, 7, 100 → median (3+7)/2 = 5; |dev| sorted {2,2,4,95} → MAD 3
+    val df = Seq((1L, ts(0), 1.0), (2L, ts(1), 3.0), (3L, ts(2), 7.0),
+      (4L, ts(3), 100.0))
+      .toDF("event_id", "ts", "value")
+      .withColumn("user_id", lit(1L)).withColumn("event_type", lit("cpu"))
+    def run(q: String) = eval(src(df), q, "2024-01-01 10:30:00")
+      .select("value").head().getDouble(0)
+    assert(run("mad_over_time(cpu[1h])") == 3.0)
+    // 10:00 = 1704103200; max (100.0) sits at 10:03, min (1.0) at 10:00
+    assert(run("ts_of_max_over_time(cpu[1h])") == 1704103380.0)
+    assert(run("ts_of_min_over_time(cpu[1h])") == 1704103200.0)
+    assert(run("ts_of_last_over_time(cpu[1h])") == 1704103380.0)
+    // tie rule — PINNED (upstream's is unspecified): equal values resolve
+    // to the LATEST timestamp for max and the EARLIEST for min
+    val tie = Seq((1L, ts(0), 5.0), (2L, ts(1), 5.0))
+      .toDF("event_id", "ts", "value")
+      .withColumn("user_id", lit(1L)).withColumn("event_type", lit("cpu"))
+    def runT(q: String) = eval(src(tie), q, "2024-01-01 10:30:00")
+      .select("value").head().getDouble(0)
+    assert(runT("ts_of_max_over_time(cpu[1h])") == 1704103260.0)
+    assert(runT("ts_of_min_over_time(cpu[1h])") == 1704103200.0)
+    // grid form rides the shared *_over_time explode (per-step windows)
+    val grid = PromQlParser.evalRange(src(df), "ts_of_max_over_time(cpu[2m])",
+        "2024-01-01 10:01:00", "2024-01-01 10:03:00", stepSec = 120)
+      .collect()
+      .map(r => r.getAs[java.sql.Timestamp]("step_ts").toString -> r.getAs[Double]("value"))
+      .toMap
+    assert(grid == Map(
+      "2024-01-01 10:01:00.0" -> 1704103260.0,  // window {10:00,10:01} → 3.0@10:01
+      "2024-01-01 10:03:00.0" -> 1704103380.0)) // window {10:02,10:03} → 100@10:03
+  }
+
   test("clamp with min > max yields NaN; round(v, 0) is rejected") {
     val df = Seq((1L, ts(0), 1L, "cpu", 5.0))
       .toDF("event_id", "ts", "user_id", "event_type", "value")

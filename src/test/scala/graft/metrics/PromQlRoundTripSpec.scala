@@ -126,7 +126,9 @@ class PromQlRoundTripSpec extends AnyFunSuite {
 
   private val overTime = Gen.oneOf("sum_over_time", "avg_over_time",
     "max_over_time", "min_over_time", "count_over_time", "last_over_time",
-    "present_over_time", "stddev_over_time", "stdvar_over_time")
+    "present_over_time", "stddev_over_time", "stdvar_over_time",
+    "mad_over_time", "ts_of_max_over_time", "ts_of_min_over_time",
+    "ts_of_last_over_time")
 
   private val genRangeFn: Gen[Ast] = for {
     kind <- Gen.choose(0, 3)
