@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions.col
   *    Prometheus clients use for discovery, served from the bound
   *    source's label columns / distinct values / matching series (each a
   *    distinct-aggregation plan, capped like the query endpoints).
+  *  - `GET /api/v1/rules` / `/api/v1/alerts` (when alerting rules are
+  *    bound) — rule definitions + on-demand [[AlertRules]] state at an
+  *    explicit `time` (`step` optional, default 60 s): the engine has no
+  *    background evaluation loop, so state is computed from the trailing
+  *    `for` window per request instead of read from a scheduler.
   *
   * The query endpoints exist only when a [[PromQlParser.PromSource]] is
   * bound; an instant/range result is vector-sized (series × steps, not
@@ -41,7 +46,8 @@ import org.apache.spark.sql.functions.col
   */
 final class MetricsServer(observed: Observed, port: Int = 0,
                           promSource: Option[PromQlParser.PromSource] = None,
-                          maxResultRows: Int = 10000)
+                          maxResultRows: Int = 10000,
+                          rules: Seq[AlertRules.Rule] = Nil)
     extends AutoCloseable {
 
   private val server =
@@ -108,6 +114,40 @@ final class MetricsServer(observed: Observed, port: Int = 0,
       }
       s"""{"status":"success","data":[${items.mkString(",")}]}"""
     })
+    if (rules.nonEmpty) {
+      // /api/v1/alerts and /api/v1/rules — the rule-group face of the API.
+      // Unlike Prometheus these take an explicit `time` (the engine has no
+      // background evaluation loop; state is computed on demand): firing
+      // iff the alert has been continuously active for the trailing `for`
+      // window ending at `time`, which a grid of ceil(for/step)+1 steps
+      // decides exactly — longer history cannot change the answer.
+      server.createContext("/api/v1/alerts", MetricsServer.jsonHandler { params =>
+        val t = MetricsServer.parseTime(params.getOrElse("time",
+          throw new IllegalArgumentException("missing 'time' parameter")))
+        val step = MetricsServer.parseDurationSec(params.getOrElse("step", "60"))
+        val alerts = rules.flatMap(r =>
+          MetricsServer.alertsAt(src, r, t, step, maxResultRows).map(_._1))
+        s"""{"status":"success","data":{"alerts":[${alerts.mkString(",")}]}}"""
+      })
+      server.createContext("/api/v1/rules", MetricsServer.jsonHandler { params =>
+        val t = MetricsServer.parseTime(params.getOrElse("time",
+          throw new IllegalArgumentException("missing 'time' parameter")))
+        val step = MetricsServer.parseDurationSec(params.getOrElse("step", "60"))
+        val rjs = rules.map { r =>
+          val alerts = MetricsServer.alertsAt(src, r, t, step, maxResultRows)
+          val state =
+            if (alerts.exists(_._2 == "firing")) "firing"
+            else if (alerts.nonEmpty) "pending"
+            else "inactive"
+          s"""{"name":"${MetricsServer.jsonEscape(r.alertname)}"""" +
+            s""","query":"${MetricsServer.jsonEscape(r.expr)}"""" +
+            s""","duration":${r.forSec},"type":"alerting","state":"$state"""" +
+            s""","alerts":[${alerts.map(_._1).mkString(",")}]}"""
+        }
+        s"""{"status":"success","data":{"groups":[{"name":"graft",""" +
+          s""""rules":[${rjs.mkString(",")}]}]}}"""
+      })
+    }
   }
   // A small pool, not the listener thread: the query/metadata endpoints
   // run full Spark jobs, and head-of-line blocking there would make a
@@ -140,6 +180,40 @@ object MetricsServer {
     val rows = df.limit(max + 1).collect()
     if (rows.length > max) throw new ResultTooLarge(max)
     rows
+  }
+
+  /** One rule's alert instances at instant `t`: evaluate the for-duration
+    * state machine on a trailing grid of exactly ceil(for/step)+1 steps
+    * (sufficient: firing at `t` depends only on the trailing `for`
+    * window) and keep the rows AT `t`. Returns (alert JSON, state). */
+  private[metrics] def alertsAt(src: PromQlParser.PromSource,
+                                rule: AlertRules.Rule, t: String,
+                                stepSec: Long,
+                                max: Int): Seq[(String, String)] = {
+    val forSteps = (rule.forSec + stepSec - 1) / stepSec
+    val start = java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+      .minusSeconds(forSteps * stepSec)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    val df = AlertRules.evalRule(src, rule, start, t, stepSec)
+    val rows = collectCapped(
+      df.filter(col("step_ts") === org.apache.spark.sql.functions.lit(
+        java.sql.Timestamp.valueOf(t))), max)
+    val fields = rows.headOption.toSeq
+      .flatMap(_.schema.fields.zipWithIndex)
+    val labelIdx = fields.collect {
+      case (f, i) if !Set("step_ts", "value", "alertstate")(f.name) => (f.name, i)
+    }
+    val stateIdx = fields.collectFirst { case (f, i) if f.name == "alertstate" => i }
+    val valueIdx = fields.collectFirst { case (f, i) if f.name == "value" => i }
+    rows.toSeq.map { r =>
+      val state = r.getString(stateIdx.get)
+      val labels = labelIdx.filter { case (_, i) => !r.isNullAt(i) }
+        .map { case (n, i) =>
+          s""""${jsonEscape(n)}":"${jsonEscape(String.valueOf(r.get(i)))}""""
+        }
+      (s"""{"labels":{${labels.mkString(",")}},"state":"$state"""" +
+        s""","value":"${r.get(valueIdx.get)}"}""", state)
+    }
   }
 
   private def sanitize(s: String): String =

@@ -18,7 +18,9 @@ import org.apache.spark.sql.{Column, DataFrame}
   *   andun    := cmp (('and'|'unless') matching? cmp)*
   *   cmp      := add (('=='|'!='|'>'|'<'|'>='|'<=') 'bool'? matching? add)*
   *   add      := mul (('+'|'-') matching? mul)*
-  *   mul      := unary (('*'|'/') matching? unary)*
+  *   mul      := pow (('*'|'/'|'%'|'atan2') matching? pow)*
+  *   pow      := unary ('^' matching? pow)?   (right-assoc; unary sign
+  *               binds looser: -2^2 = −4)
   *   matching := ('on'|'ignoring') '(' label (',' label)* ')'
   *               (('group_left'|'group_right') ('(' label (',' label)* ')')?)?
   *   unary    := ('(' expr ')' | NUMBER | agg | range | hist | absent
@@ -371,28 +373,67 @@ object PromQlParser {
       left
     }
 
+    /** Parse-time constant folding: arithmetic on two scalar LITERALS
+      * collapses to a literal (IEEE semantics, matching [[binApply]] —
+      * Java's double `/` and `%` already give ±Inf/NaN on zero
+      * divisors), so `-2^2`, `60 * 60` or `vector(2^10)` compose
+      * without tripping the scalar-only-expression refusal. */
+    private def mkArith(op: String, l: Ast, r: Ast,
+                        m: Option[(Boolean, Seq[String])],
+                        g: Option[Grp]): Ast = (l, r) match {
+      case (ScalarLit(a), ScalarLit(b)) if m.isEmpty =>
+        ScalarLit(op match {
+          case "+" => a + b
+          case "-" => a - b
+          case "*" => a * b
+          case "/" => a / b
+          case "%" => a % b
+          case "^" => math.pow(a, b)
+          case "atan2" => math.atan2(a, b)
+        })
+      case _ => BinOp(op, l, r, m, g)
+    }
+
     private def parseAddSub(): Ast = {
       var left = parseMulDiv()
       var go = true
       while (go) peek match {
         case Some(Sym(op @ ("+" | "-"))) =>
           next(); val (m, g) = parseMatchingOpt()
-          left = BinOp(op, left, parseMulDiv(), m, g)
+          left = mkArith(op, left, parseMulDiv(), m, g)
         case _ => go = false
       }
       left
     }
 
     private def parseMulDiv(): Ast = {
-      var left = parseUnary()
+      var left = parsePow()
       var go = true
       while (go) peek match {
-        case Some(Sym(op @ ("*" | "/"))) =>
+        case Some(Sym(op @ ("*" | "/" | "%"))) =>
           next(); val (m, g) = parseMatchingOpt()
-          left = BinOp(op, left, parseUnary(), m, g)
+          left = mkArith(op, left, parsePow(), m, g)
+        // `atan2` in operator position (after a complete operand) — the
+        // one keyword-named arithmetic operator; same tier as * / %
+        case Some(Ident("atan2")) =>
+          next(); val (m, g) = parseMatchingOpt()
+          left = mkArith("atan2", left, parsePow(), m, g)
         case _ => go = false
       }
       left
+    }
+
+    /** `^` — the tightest binary tier and the only RIGHT-associative one
+      * (`2^3^2` = 2^9); unary sign binds looser (`-2^2` = −4), which is
+      * why [[parseUnary0]]'s sign cases re-enter HERE, not parseUnary. */
+    private def parsePow(): Ast = {
+      val base = parseUnary()
+      peek match {
+        case Some(Sym("^")) =>
+          next(); val (m, g) = parseMatchingOpt()
+          mkArith("^", base, parsePow(), m, g)
+        case _ => base
+      }
     }
 
     /** `on (l, ...)` / `ignoring (l, ...)` after a binary operator,
@@ -467,14 +508,16 @@ object PromQlParser {
     }
 
     private def parseUnary0(): Ast = peek match {
-      // unary sign: -5 folds into the literal; -vector multiplies by −1
+      // unary sign: -5 folds into the literal; -vector multiplies by −1;
+      // re-enters at the ^ tier so the sign applies to the WHOLE power
+      // (`-2^2` = −4, the Prometheus rule)
       case Some(Sym("-")) =>
         next()
-        parseUnary() match {
+        parsePow() match {
           case ScalarLit(v) => ScalarLit(-v)
           case e => BinOp("*", ScalarLit(-1.0), e, None)
         }
-      case Some(Sym("+")) => next(); parseUnary()
+      case Some(Sym("+")) => next(); parsePow()
       case Some(Sym("(")) =>
         next(); val e = parseExpr(); expect(")"); e
       case Some(Num(n)) => next(); ScalarLit(n.toDouble)
@@ -913,6 +956,13 @@ object PromQlParser {
           .when(a < 0, lit(Double.NegativeInfinity))
           .otherwise(lit(Double.NaN)))
         .otherwise(a / b)
+    case "%" =>
+      // Go math.Mod semantics (the Prometheus contract): sign of the
+      // dividend, x % 0 is NaN. Spark's double % is the same fmod, but
+      // ANSI mode raises on a zero divisor — guard it explicitly.
+      when(b === 0.0, lit(Double.NaN)).otherwise(a % b)
+    case "^" => pow(a, b)
+    case "atan2" => atan2(a, b)
     case other => throw new IllegalArgumentException(
       s"binApply handles arithmetic only; got '$other'")
   }

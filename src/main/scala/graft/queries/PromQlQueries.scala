@@ -583,6 +583,25 @@ object PromQlQueries {
         .orderBy(col("which"), col("event_type"), col("user_id"))
     }),
 
+    // The remaining arithmetic operators: % (Go math.Mod — fmod in both
+    // engines, an EXACT double operation), ^ (libm pow; the pow branch
+    // goes through abs so negative bases can't produce NaN rows), and
+    // the atan2 binary operator (total, well-conditioned; 6-dp rounding
+    // absorbs last-ulp libm differences, the trig-battery rule).
+    "q137_promql_arith_ops" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      def run(q: String, tag: String) =
+        PromQlParser.eval(src, q, "2024-01-15 12:00:00", lookback = "24 HOURS")
+          .withColumn("which", lit(tag))
+      run("""{event_type=~".+"} % 10""", "mod")
+        .unionByName(run("""abs({event_type=~".+"}) ^ 0.5""", "pow"))
+        .unionByName(run("""{event_type=~".+"} atan2 10""", "atan2"))
+        .select(col("which"), col("user_id"), col("event_type"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("which"), col("user_id"), col("event_type"))
+    }),
+
     // Recording-rule materialization: per-hour click counts recorded as
     // `hourly:clicks`, then an ordinary PromQL query over the RECORDED
     // metric — max and sum of the hourly series across the day. The
@@ -1105,6 +1124,28 @@ object PromQlQueries {
         |  SELECT 'sorted', user_id, event_type, round(value, 6)
         |  FROM iv WHERE event_type = 'click'
         |) ORDER BY which, event_type, user_id""".stripMargin,
+
+    "q137_promql_arith_ops" ->
+      """WITH lastv AS (
+        |  SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |    AND ts > TIMESTAMP '2024-01-15 12:00:00' - INTERVAL 24 HOURS
+        |), iv AS (
+        |  SELECT user_id, event_type, value FROM lastv WHERE rn = 1
+        |)
+        |SELECT * FROM (
+        |  SELECT 'mod' AS which, user_id, event_type,
+        |    round(value % 10, 6) AS value FROM iv
+        |  UNION ALL
+        |  SELECT 'pow', user_id, event_type,
+        |    round(pow(abs(value), 0.5), 6) FROM iv
+        |  UNION ALL
+        |  SELECT 'atan2', user_id, event_type,
+        |    round(atan2(value, 10), 6) FROM iv
+        |) ORDER BY which, user_id, event_type""".stripMargin,
 
     "q136_recording_rule" ->
       """WITH steps AS (

@@ -182,6 +182,50 @@ class MetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("P14: /api/v1/rules and /api/v1/alerts serve on-demand AlertRules state") {
+    // cpu sampled every minute 10:00-10:05 → continuously active; with
+    // for=120s the alert is FIRING at 10:05. mem has no samples → the
+    // mem-only rule is inactive with zero alerts.
+    val df = (0 to 5).map(m =>
+      (m.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00"), 1L, "cpu", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val src = PromQlParser.PromSource(df, "event_type",
+      Seq("user_id", "event_type"), "ts", "event_id", "value")
+    def get(port: Int, pathAndQuery: String): (Int, String) = {
+      val url = new java.net.URI(s"http://127.0.0.1:$port$pathAndQuery").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val code = conn.getResponseCode
+      val in = if (code == 200) conn.getInputStream else conn.getErrorStream
+      (code, scala.io.Source.fromInputStream(in).mkString)
+    }
+    Observed.use(spark) { obs =>
+      val srv = new MetricsServer(obs, promSource = Some(src), rules = Seq(
+        AlertRules.Rule("CpuUp", "cpu", forSec = 120),
+        AlertRules.Rule("MemUp", """{event_type="mem"}""", forSec = 0)))
+      try {
+        val (ac, alerts) = get(srv.boundPort,
+          "/api/v1/alerts?time=2024-01-01T10:05:00Z&step=60")
+        assert(ac == 200 && alerts.contains(""""alertname":"CpuUp""""))
+        assert(alerts.contains(""""state":"firing"""") &&
+          alerts.contains(""""value":"7.0""""))
+        val (rc, rules) = get(srv.boundPort,
+          "/api/v1/rules?time=2024-01-01T10:05:00Z&step=60")
+        assert(rc == 200 && rules.contains(""""name":"CpuUp""""))
+        assert(rules.contains(""""state":"firing"""") &&
+          rules.contains(""""state":"inactive""""))
+        assert(rules.contains(""""duration":120""") &&
+          rules.contains(""""type":"alerting""""))
+        // a too-short window is PENDING: at 10:01 the run is 60s old
+        val (pc, pending) = get(srv.boundPort,
+          "/api/v1/alerts?time=2024-01-01T10:01:00Z&step=60")
+        assert(pc == 200 && pending.contains(""""state":"pending""""))
+        // missing time refuses
+        val (mc, _) = get(srv.boundPort, "/api/v1/alerts")
+        assert(mc == 400)
+      } finally srv.close()
+    }
+  }
+
   test("A8: HTTP exposition serves the Observed snapshot in Prometheus text format") {
     Observed.use(spark) { obs =>
       obs.observe(graft.Tables.events(spark, graft.TestSpark.SF),

@@ -843,6 +843,31 @@ class PromQlParserSpec extends AnyFunSuite {
       "2024-01-01 10:03:00.0" -> 1704103380.0)) // window {10:02,10:03} → 100@10:03
   }
 
+  test("% ^ atan2: precedence, ^ right-associativity, Prometheus edge rules") {
+    val df = Seq((1L, ts(0), 1L, "cpu", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    def run(q: String) = eval(src(df), q, "2024-01-01 10:02:00")
+      .select("value").head().getDouble(0)
+    assert(run("cpu % 4") == 3.0)
+    assert(run("cpu % 0").isNaN)           // Go math.Mod(x, 0) = NaN
+    assert(run("cpu % -4") == 3.0)         // sign of the DIVIDEND
+    assert(run("cpu ^ 2") == 49.0)
+    assert(run("2 ^ cpu") == 128.0)        // scalar-on-left keeps pow order
+    assert(run("cpu atan2 7") == math.Pi / 4)
+    // ^ is right-associative and the tightest binary tier: the scalar
+    // tail folds FIRST (2^3 = 8); left association would give (cpu^2)^3
+    assert(parse("cpu ^ 2 ^ 3") ==
+      BinOp("^", Selector(Some("cpu"), Nil), ScalarLit(8.0), None))
+    assert(parse("cpu atan2 cpu + 1") == BinOp("+",
+      BinOp("atan2", Selector(Some("cpu"), Nil), Selector(Some("cpu"), Nil), None),
+      ScalarLit(1), None))
+    // unary sign binds LOOSER than ^: -2^2 = −(2^2) = −4
+    assert(run("cpu * 0 + -2 ^ 2") == -4.0)
+    // a metric NAMED atan2 still selects (PromQL reserves nothing)
+    assert(parse("""atan2{job="x"}""") ==
+      Selector(Some("atan2"), Seq(Matcher("job", "=", "x"))))
+  }
+
   test("clamp with min > max yields NaN; round(v, 0) is rejected") {
     val df = Seq((1L, ts(0), 1L, "cpu", 5.0))
       .toDF("event_id", "ts", "user_id", "event_type", "value")

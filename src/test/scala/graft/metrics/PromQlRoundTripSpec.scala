@@ -205,7 +205,7 @@ class PromQlRoundTripSpec extends AnyFunSuite {
         child <- genAst(depth - 1)
       } yield TopK(k, by, child, bottom)),
       3 -> (for {
-        arith <- Gen.oneOf("+", "-", "*", "/")
+        arith <- Gen.oneOf("+", "-", "*", "/", "%", "^", "atan2")
         cmp <- Gen.oneOf("==", "!=", ">", "<", ">=", "<=")
         set <- Gen.oneOf("and", "or", "unless")
         kind <- Gen.choose(0, 2)
@@ -228,7 +228,15 @@ class PromQlRoundTripSpec extends AnyFunSuite {
           1 -> Gen.const(TimeFn))
         rhs <- Gen.frequency(4 -> genAst(depth - 1), 1 -> scalars.map(ScalarLit),
           1 -> Gen.const(TimeFn))
-      } yield BinOp(op, lhs, rhs, m, g, bool)),
+      } yield ((op, lhs, rhs) match {
+        // the parser FOLDS arithmetic on two scalar literals (no
+        // matching clause) to one literal — keep the tree foldless so
+        // parse(print(ast)) stays structural identity
+        case ("+" | "-" | "*" | "/" | "%" | "^" | "atan2",
+              ScalarLit(_), ScalarLit(_)) if m.isEmpty =>
+          BinOp(op, lhs, TimeFn, m, g, bool)
+        case _ => BinOp(op, lhs, rhs, m, g, bool)
+      })),
       1 -> genAst(depth - 1).map(HistQuantile(0.9, _)),
       2 -> (for {
         fn <- Gen.oneOf("abs", "ceil", "floor", "sqrt", "exp", "sgn",
