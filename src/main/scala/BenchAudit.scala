@@ -97,13 +97,29 @@ object BenchAudit {
 
     if (record) {
       writeFlat(planPath, current.map { case (q, m) => q -> m.exchanges.toDouble })
-      val bench = benchNowAll
-        .filter { case (k, _) => current.contains(k) || k.startsWith("s") } ++
-        probeNow.map("__probe__" -> _)
+      val existing = readFile(benchBasePath)
+        .map(parseFlat(_, benchBasePath)).getOrElse(Map.empty[String, Double])
+      val fresh = benchNowAll
+        .filter { case (k, _) => current.contains(k) || k.startsWith("s") }
+      // A loaded recorder must not SOFTEN the gate: when the probe says
+      // the run is contaminated, keep every existing wall baseline (and
+      // the clean probe cost) and adopt only genuinely NEW queries —
+      // their first baseline is then conservative (slow), which the
+      // next clean --record tightens.
+      val loaded = (probeNow, existing.get("__probe__")) match {
+        case (Some(n), Some(b)) => b > 0 && n > 1.5 * b
+        case _ => false
+      }
+      val bench =
+        if (loaded)
+          existing.filter { case (k, _) => k == "__probe__" || fresh.contains(k) } ++
+            fresh.filter { case (k, _) => !existing.contains(k) }
+        else fresh ++ probeNow.map("__probe__" -> _)
       writeFlat(benchBasePath, bench)
       println(s"[benchaudit] recorded ${current.size} plan baselines -> $planPath, " +
         s"${bench.size} bench baselines -> $benchBasePath" +
-        probeNow.map(p => f" (probe $p%.2fs)").getOrElse(" (no probe in bench_full.json)"))
+        probeNow.map(p => f" (probe $p%.2fs)").getOrElse(" (no probe in bench_full.json)") +
+        (if (loaded) " [probe contaminated: existing wall baselines kept]" else ""))
       return
     }
 

@@ -141,7 +141,8 @@ final class MetricsServer(observed: Observed, port: Int = 0,
             else "inactive"
           s"""{"name":"${MetricsServer.jsonEscape(r.alertname)}"""" +
             s""","query":"${MetricsServer.jsonEscape(r.expr)}"""" +
-            s""","duration":${r.forSec},"type":"alerting","state":"$state"""" +
+            s""","duration":${r.forSec},"keepFiringFor":${r.keepFiringSec}""" +
+            s""","type":"alerting","state":"$state"""" +
             s""","alerts":[${alerts.map(_._1).mkString(",")}]}"""
         }
         s"""{"status":"success","data":{"groups":[{"name":"graft",""" +

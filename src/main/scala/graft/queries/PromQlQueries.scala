@@ -583,6 +583,25 @@ object PromQlQueries {
         .orderBy(col("which"), col("event_type"), col("user_id"))
     }),
 
+    // keep_firing_for: a firing run's end emits a kept-firing tail. With
+    // keep (30m) < step (1h), keepSteps = 0 → exactly ONE kept row per
+    // firing run end and bridging is structurally impossible, so the twin
+    // needs no recursion (the bridging semantics are pinned in
+    // AlertRulesSpec on synthetic series instead). Kept rows carry the
+    // run's last sample value.
+    "q138_alert_keep_firing" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      AlertRules.evalRule(src,
+        AlertRules.Rule("KeepFire",
+          """sum by (event_type) (count_over_time({event_type=~".+"}[2h])) > 0 and on() hour() >= 18""",
+          forSec = 3 * 3600, keepFiringSec = 1800),
+        "2024-01-15 00:00:00", "2024-01-16 23:00:00", stepSec = 3600)
+        .select(col("alertname"), col("event_type"), col("step_ts"),
+          col("alertstate"), round(col("value"), 6).as("value"))
+        .orderBy(col("event_type"), col("step_ts"))
+    }),
+
     // The remaining arithmetic operators: % (Go math.Mod — fmod in both
     // engines, an EXACT double operation), ^ (libm pow; the pow branch
     // goes through abs so negative bases can't produce NaN rows), and
@@ -1124,6 +1143,54 @@ object PromQlQueries {
         |  SELECT 'sorted', user_id, event_type, round(value, 6)
         |  FROM iv WHERE event_type = 'click'
         |) ORDER BY which, event_type, user_id""".stripMargin,
+
+    "q138_alert_keep_firing" ->
+      """WITH steps AS (
+        |  SELECT make_timestamp((1705276800 + i * 3600) * 1000000) AS step_ts, i
+        |  FROM (SELECT unnest(generate_series(0, 47)) AS i)
+        |), act AS (
+        |  SELECT s.step_ts, s.i, e.event_type,
+        |    CAST(count(*) AS DOUBLE) AS value
+        |  FROM steps s JOIN events e
+        |    ON e.ts <= s.step_ts AND e.ts > s.step_ts - INTERVAL 2 HOURS
+        |  WHERE hour(s.step_ts) >= 18
+        |  GROUP BY 1, 2, 3
+        |), isl AS (
+        |  SELECT *, CASE WHEN lag(i) OVER w IS NULL OR lag(i) OVER w <> i - 1
+        |    THEN i END AS open
+        |  FROM act WINDOW w AS (PARTITION BY event_type ORDER BY i)
+        |), carry AS (
+        |  SELECT *, last_value(open IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active_at
+        |  FROM isl
+        |), st AS (
+        |  SELECT event_type, step_ts, i,
+        |    CASE WHEN (i - active_at) * 3600 >= 10800 THEN 'firing'
+        |         ELSE 'pending' END AS alertstate,
+        |    value
+        |  FROM carry
+        |), ends AS (
+        |  SELECT event_type, i, value FROM (
+        |    SELECT event_type, i, value, alertstate,
+        |      lead(i) OVER (PARTITION BY event_type ORDER BY i) AS nxt
+        |    FROM st)
+        |  WHERE (nxt IS NULL OR nxt <> i + 1) AND alertstate = 'firing'
+        |), kept AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(i + 1, least(i + 1, 47))) AS j, value
+        |  FROM ends
+        |)
+        |SELECT * FROM (
+        |  SELECT 'KeepFire' AS alertname, event_type, step_ts, alertstate,
+        |    round(value, 6) AS value
+        |  FROM st
+        |  UNION ALL
+        |  SELECT 'KeepFire', event_type,
+        |    make_timestamp((1705276800 + j * 3600) * 1000000), 'firing',
+        |    round(value, 6)
+        |  FROM kept
+        |) ORDER BY event_type, step_ts""".stripMargin,
 
     "q137_promql_arith_ops" ->
       """WITH lastv AS (
