@@ -33,6 +33,7 @@ object SparkEntry {
       ReshapeQueries.queries ++
       CurationQueries.queries ++
       PromQlQueries.queries ++
+      NativeHistogramQueries.queries ++
       StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -49,5 +50,6 @@ object SparkEntry {
       ReshapeQueries.oracle ++
       CurationQueries.oracle ++
       PromQlQueries.oracle ++
+      NativeHistogramQueries.oracle ++
       StreamingQueries.oracle
 }

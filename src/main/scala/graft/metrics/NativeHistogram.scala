@@ -1,0 +1,222 @@
+package graft.metrics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Prometheus NATIVE histograms (sparse exponential-bucket histograms,
+  * stable since Prometheus 3.x) as a first-class columnar type. The
+  * reference's histogram face is the classic le-bucket kind
+  * (`metrics/_metrics.py:71` exposes `Histogram`); native histograms are
+  * the successor representation its Prometheus backend serves, so the
+  * engine ships the full native pipeline: BUILD (samples → sparse
+  * buckets), MERGE (the `sum()` aggregation over histograms), and the
+  * ANALYZE battery (`histogram_count/sum/avg/stddev/stdvar/quantile/
+  * fraction`).
+  *
+  * Representation: one row per (group key) holding
+  * `(schema INT, count DOUBLE, sum DOUBLE, zero_count DOUBLE,
+  *   pos ARRAY<STRUCT<idx INT, cnt DOUBLE>>, neg ...)` — the sparse
+  * two-sided bucket layout. With schema s the bucket base is
+  * b = 2^(2^-s); positive bucket i covers (b^(i-1), b^i], negative
+  * bucket i covers [-b^i, -b^(i-1)), and values with |v| ≤ zeroThreshold
+  * land in the zero bucket. `idx = ⌈2^s · log2(|v|)⌉` — computed with a
+  * 9-dp pre-round so a libm last-ulp wobble at an exact power boundary
+  * can never flip a bucket differently in two engines (the same
+  * boundary-safety rule the trig battery uses).
+  *
+  * Scale notes: BUILD is two keyed partial-aggregations (per-bucket
+  * count, then per-group assembly); bucket arrays are bounded by the
+  * value range (≤ 2^s·log2(max/min) entries — ~64 for schema 2 over six
+  * decades), so `collect_list` here is model-sized, not data-sized.
+  * MERGE is explode → keyed re-count → assembly, shuffling only bucket
+  * rows (|groups|·|buckets|, not samples). The ANALYZE functions are
+  * pure higher-order-function column expressions over the struct — no
+  * UDFs, no shuffles, whole-stage codegen throughout.
+  */
+object NativeHistogram {
+
+  /** Exponential bucket index of a POSITIVE value at the given schema:
+    * the smallest i with v ≤ (2^(2^-s))^i. The 9-dp pre-round keeps the
+    * two engines' log2 agreeing at representable boundary values. */
+  def bucketIdx(v: Column, schema: Int): Column =
+    ceil(round(log2(v) * (1 << schema), 9)).cast("int")
+
+  private def bucketStruct(idx: Column, cnt: Column) =
+    struct(idx.as("idx"), cnt.as("cnt"))
+
+  /** Build one native histogram per group from raw samples. */
+  def fromSamples(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  schema: Int, zeroThreshold: Double = 0.0): DataFrame = {
+    val v = col(valueCol)
+    val keyed = df
+      .withColumn("__sign",
+        when(v > zeroThreshold, 1).when(v < -zeroThreshold, -1).otherwise(0))
+      .withColumn("__idx",
+        when(col("__sign") === 0, lit(null).cast("int"))
+          .otherwise(bucketIdx(abs(v), schema)))
+    // partial-agg friendly: per-bucket counts first, then one bounded
+    // assembly per group (collect_list drops the other-sign NULLs).
+    val perBucket = keyed.groupBy((groupCols.map(col) :+ col("__sign") :+ col("__idx")): _*)
+      .agg(count(lit(1)).cast("double").as("__cnt"), sum(v).as("__sum"))
+    perBucket.groupBy(groupCols.map(col): _*)
+      .agg(
+        max(lit(schema)).as("schema"),
+        sum(col("__cnt")).as("count"),
+        sum(col("__sum")).as("sum"),
+        coalesce(sum(when(col("__sign") === 0, col("__cnt"))), lit(0.0)).as("zero_count"),
+        sort_array(collect_list(when(col("__sign") === 1,
+          bucketStruct(col("__idx"), col("__cnt"))))).as("pos"),
+        sort_array(collect_list(when(col("__sign") === -1,
+          bucketStruct(col("__idx"), col("__cnt"))))).as("neg"))
+  }
+
+  /** The `sum()` aggregation over native histograms: counts/sums add,
+    * buckets merge index-wise. Mixed schemas merge at the group's
+    * COARSEST (minimum) schema — a bucket at schema s maps onto target
+    * t ≤ s by idx' = ⌈idx / 2^(s−t)⌉, integer-exact (the upstream
+    * downscale rule: 2^(s-t) fine buckets nest inside one coarse one).
+    * Shuffles bucket rows only, keyed by the output group. */
+  def merge(df: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val keys = groupCols.map(col)
+    val scalars = df.groupBy(keys: _*)
+      .agg(min(col("schema")).as("schema"), sum(col("count")).as("count"),
+        sum(col("sum")).as("sum"), sum(col("zero_count")).as("zero_count"))
+    val buckets = df
+      .select(keys :+ col("schema").as("__s") :+ explode(concat(
+        transform(col("pos"), b => struct(lit(1).as("sign"), b.getField("idx").as("idx"), b.getField("cnt").as("cnt"))),
+        transform(col("neg"), b => struct(lit(-1).as("sign"), b.getField("idx").as("idx"), b.getField("cnt").as("cnt")))
+      )).as("__b"): _*)
+    val rescaled = buckets
+      .withColumn("__t", min(col("__s")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)))
+      // ceil-division by 2^(s−t): exact in double for these small ints
+      .withColumn("__idx",
+        ceil(col("__b.idx") / pow(lit(2.0), col("__s") - col("__t"))).cast("int"))
+      .groupBy((keys :+ col("__b.sign").as("__sign") :+ col("__idx")): _*)
+      .agg(sum(col("__b.cnt")).as("__cnt"))
+      .groupBy(keys: _*)
+      .agg(
+        sort_array(collect_list(when(col("__sign") === 1,
+          bucketStruct(col("__idx"), col("__cnt"))))).as("pos"),
+        sort_array(collect_list(when(col("__sign") === -1,
+          bucketStruct(col("__idx"), col("__cnt"))))).as("neg"))
+    scalars.join(rescaled, groupCols, "left")
+      .withColumn("pos", coalesce(col("pos"), array().cast("array<struct<idx:int,cnt:double>>")))
+      .withColumn("neg", coalesce(col("neg"), array().cast("array<struct<idx:int,cnt:double>>")))
+  }
+
+  // ---------- analyze battery (pure column expressions) ----------
+
+  def histogramCount: Column = col("count")
+  def histogramSum: Column   = col("sum")
+  def histogramAvg: Column   = col("sum") / col("count")
+
+  /** Bucket bounds, rounded to 9 dp: libm `pow` is only 1-ulp accurate
+    * and differs across engines, so every bound that feeds downstream
+    * arithmetic is pinned to the 9-dp grid FIRST — after that the two
+    * engines hold bit-identical doubles and all derived values (bucket
+    * midpoints, interpolations) are reproducible, not merely close. */
+  private def upperOf(idx: Column, schema: Column): Column =
+    round(pow(lit(2.0), idx.cast("double") / pow(lit(2.0), schema.cast("double"))), 9)
+  private def lowerOf(idx: Column, schema: Column): Column =
+    round(pow(lit(2.0), (idx.cast("double") - 1) / pow(lit(2.0), schema.cast("double"))), 9)
+
+  /** All buckets as (lo, hi, cnt) ordered by VALUE ascending: negative
+    * buckets mirrored and reversed, then the zero bucket (degenerate
+    * [0,0] when zeroThreshold=0; only present when populated), then
+    * positive. This is the cumulative order quantile/fraction walk. */
+  private def orderedBounds(schema: Column, zeroThreshold: Double = 0.0): Column = {
+    val posB = transform(col("pos"), b => struct(
+      lowerOf(b.getField("idx"), schema).as("lo"),
+      upperOf(b.getField("idx"), schema).as("hi"),
+      b.getField("cnt").as("cnt")))
+    val negB = transform(reverse(col("neg")), b => struct(
+      (-upperOf(b.getField("idx"), schema)).as("lo"),
+      (-lowerOf(b.getField("idx"), schema)).as("hi"),
+      b.getField("cnt").as("cnt")))
+    val zeroB = when(col("zero_count") > 0, array(struct(
+      lit(-zeroThreshold).as("lo"), lit(zeroThreshold).as("hi"),
+      col("zero_count").as("cnt")))).otherwise(array().cast(
+      "array<struct<lo:double,hi:double,cnt:double>>"))
+    concat(negB, zeroB, posB)
+  }
+
+  /** `histogram_quantile(φ, h)`: walk the cumulative bucket order to the
+    * first bucket reaching rank φ·count, interpolate linearly inside it
+    * (upstream's native-histogram rule; the exponential bounds make the
+    * interpolation exponential in index space). φ·count and the
+    * cumulative counts are the same IEEE doubles in any engine, so the
+    * bucket pick is deterministic; only the libm `pow` bounds need the
+    * caller's 6-dp output rounding. */
+  def histogramQuantile(phi: Double, schemaCol: Column = col("schema")): Column = {
+    val r = lit(phi) * col("count")
+    val folded = aggregate(
+      orderedBounds(schemaCol),
+      struct(lit(0.0).as("cum"), lit(null).cast("double").as("res")),
+      (acc, b) => {
+        val hit = acc.getField("res").isNull && (acc.getField("cum") + b.getField("cnt") >= r)
+        struct(
+          (acc.getField("cum") + b.getField("cnt")).as("cum"),
+          when(hit, b.getField("lo") + (b.getField("hi") - b.getField("lo"))
+            * ((r - acc.getField("cum")) / b.getField("cnt")))
+            .otherwise(acc.getField("res")).as("res"))
+      },
+      acc => acc.getField("res"))
+    when(lit(phi) < 0, lit(Double.NegativeInfinity))
+      .when(lit(phi) > 1, lit(Double.PositiveInfinity))
+      .when(col("count") === 0, lit(Double.NaN))
+      .otherwise(folded)
+  }
+
+  /** `histogram_fraction(lo, hi, h)`: the estimated fraction of
+    * observations in [lo, hi] — per-bucket linear overlap, the zero
+    * bucket counting fully when it sits inside the range. Per-bucket
+    * contributions are 6-dp-rounded and summed in DECIMAL, so the total
+    * is independent of fold order and the oracle's SUM reproduces it
+    * exactly (the repo's decimal-sum discipline). */
+  def histogramFraction(lo: Double, hi: Double, schemaCol: Column = col("schema")): Column = {
+    val part = aggregate(
+      orderedBounds(schemaCol),
+      lit(0).cast("decimal(27,6)"),
+      (acc, b) => {
+        val width = b.getField("hi") - b.getField("lo")
+        val overlap = least(lit(hi), b.getField("hi")) - greatest(lit(lo), b.getField("lo"))
+        val frac = when(width === 0,
+            when(lit(lo) <= b.getField("lo") && b.getField("hi") <= lit(hi), lit(1.0))
+              .otherwise(lit(0.0)))
+          .otherwise(greatest(least(overlap / width, lit(1.0)), lit(0.0)))
+        (acc + round(b.getField("cnt") * frac, 6).cast("decimal(27,6)")).cast("decimal(27,6)")
+      },
+      acc => acc.cast("double"))
+    when(col("count") === 0, lit(Double.NaN)).otherwise(part / col("count"))
+  }
+
+  /** `histogram_stdvar(h)` / `histogram_stddev(h)`: variance of the
+    * bucket-midpoint distribution around the histogram's TRUE mean
+    * (sum/count) — each bucket contributes cnt·(mid−mean)², the zero
+    * bucket at mid 0. Upstream estimates with the same bucket-midpoint
+    * device; the arithmetic midpoint in linear space is this engine's
+    * documented estimator choice. Contributions ride the same
+    * 6-dp + decimal-sum route as histogramFraction. */
+  def histogramStdvar(schemaCol: Column = col("schema"),
+                      meanCol: Option[Column] = None): Column = {
+    // callers chasing bit-exact cross-engine parity pass a mean derived
+    // from a decimal-pinned sum (e.g. round(sum, 2)/count): the raw
+    // sum's fold-order ulps would otherwise leak through (mid−mean)².
+    val mean = meanCol.getOrElse(col("sum") / col("count"))
+    val ss = aggregate(
+      orderedBounds(schemaCol),
+      lit(0).cast("decimal(27,6)"),
+      (acc, b) => {
+        val mid = (b.getField("lo") + b.getField("hi")) / 2
+        (acc + round(b.getField("cnt") * (mid - mean) * (mid - mean), 6)
+          .cast("decimal(27,6)")).cast("decimal(27,6)")
+      },
+      acc => acc.cast("double"))
+    when(col("count") === 0, lit(Double.NaN)).otherwise(ss / col("count"))
+  }
+
+  def histogramStddev(schemaCol: Column = col("schema"),
+                      meanCol: Option[Column] = None): Column =
+    sqrt(histogramStdvar(schemaCol, meanCol))
+}

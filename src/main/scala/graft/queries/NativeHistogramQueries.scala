@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.Tables._
+import graft.metrics.NativeHistogram
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Native-histogram pipeline parity (the successor to the reference's
+  * classic le-bucket `Histogram`, `metrics/_metrics.py:71`): BUILD sparse
+  * exponential-bucket histograms per series shard, MERGE them with the
+  * `sum()`-over-histograms rule, then run the ANALYZE battery. The
+  * DuckDB twin recomputes every figure from the RAW samples through the
+  * same published bucket math (idx = ⌈2^s·log2 v⌉ with the 9-dp boundary
+  * pre-round, 9-dp bounds, 6-dp decimal-summed contributions) — merging
+  * same-schema histograms built from disjoint shards is exactly the
+  * histogram of the union, so the twin never needs to simulate the
+  * shard split.
+  */
+object NativeHistogramQueries {
+
+  private val Schema = 2 // base 2^(1/4) ≈ 1.189 — 4 buckets per octave
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Build per (event_type, user-shard) → merge to event_type →
+    // count/sum/avg/quantiles/fraction/stddev/stdvar + bucket count.
+    // sum is decimal-exact (2-dp inputs), so round(sum,2) is the SAME
+    // double in both engines and everything derived from it (avg, the
+    // stdvar mean) is bit-reproducible, not merely close.
+    "q139_native_histogram" -> ((s, d) => {
+      val sharded = NativeHistogram.fromSamples(
+        events(s, d).withColumn("shard", pmod(col("user_id"), lit(10))),
+        Seq("event_type", "shard"), "value", Schema)
+      val merged = NativeHistogram.merge(sharded, Seq("event_type"))
+      val exactSum = round(col("sum"), 2)
+      val mean = exactSum / col("count")
+      merged.select(
+        col("event_type"),
+        col("count").cast("long").as("n_samples"),
+        size(col("pos")).as("n_buckets"),
+        exactSum.as("sum_value"),
+        round(mean, 6).as("avg_value"),
+        round(NativeHistogram.histogramQuantile(0.5), 6).as("p50"),
+        round(NativeHistogram.histogramQuantile(0.9), 6).as("p90"),
+        round(NativeHistogram.histogramQuantile(0.99), 6).as("p99"),
+        round(NativeHistogram.histogramFraction(1.0, 100.0), 6).as("frac_1_100"),
+        round(NativeHistogram.histogramStdvar(meanCol = Some(mean)), 4).as("stdvar"),
+        round(NativeHistogram.histogramStddev(meanCol = Some(mean)), 4).as("stddev"))
+        .orderBy(col("event_type"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    // The twin rebuilds the bucket layout from raw samples with the
+    // IDENTICAL pinned arithmetic: 9-dp pre-round before ⌈·⌉, 9-dp
+    // bounds, interpolation on the unique covering bucket, 6-dp
+    // decimal-summed stdvar/fraction contributions.
+    "q139_native_histogram" ->
+      """WITH raw AS (
+        |  SELECT event_type, value FROM events
+        |), b AS (
+        |  SELECT event_type,
+        |         CAST(CEIL(ROUND(LOG2(value)*4, 9)) AS INT) AS idx,
+        |         value
+        |  FROM raw WHERE value > 0
+        |), tot AS (
+        |  SELECT event_type,
+        |         COUNT(*)::DOUBLE AS cnt_all,
+        |         ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE), 2) AS sum_all,
+        |         SUM(CASE WHEN value <= 0 THEN 1 ELSE 0 END)::DOUBLE AS zero_cnt
+        |  FROM raw GROUP BY 1
+        |), bc AS (
+        |  SELECT event_type, idx, COUNT(*)::DOUBLE AS cnt FROM b GROUP BY 1, 2
+        |), allb AS (
+        |  SELECT event_type, idx, cnt,
+        |         ROUND(POWER(2, (idx-1)/4.0), 9) AS lo,
+        |         ROUND(POWER(2, idx/4.0), 9) AS hi
+        |  FROM bc
+        |  UNION ALL
+        |  SELECT event_type, NULL, zero_cnt, 0.0, 0.0 FROM tot WHERE zero_cnt > 0
+        |), bounds AS (
+        |  SELECT *, SUM(cnt) OVER (PARTITION BY event_type ORDER BY lo, hi) AS cum
+        |  FROM allb
+        |), q AS (
+        |  SELECT t.event_type,
+        |         MAX(CASE WHEN b.cum >= 0.5*t.cnt_all AND b.cum - b.cnt < 0.5*t.cnt_all
+        |             THEN b.lo + (b.hi-b.lo) * ((0.5*t.cnt_all - (b.cum-b.cnt)) / b.cnt) END) AS p50,
+        |         MAX(CASE WHEN b.cum >= 0.9*t.cnt_all AND b.cum - b.cnt < 0.9*t.cnt_all
+        |             THEN b.lo + (b.hi-b.lo) * ((0.9*t.cnt_all - (b.cum-b.cnt)) / b.cnt) END) AS p90,
+        |         MAX(CASE WHEN b.cum >= 0.99*t.cnt_all AND b.cum - b.cnt < 0.99*t.cnt_all
+        |             THEN b.lo + (b.hi-b.lo) * ((0.99*t.cnt_all - (b.cum-b.cnt)) / b.cnt) END) AS p99,
+        |         CAST(SUM(CAST(CASE WHEN b.hi = b.lo
+        |             THEN (CASE WHEN 1 <= b.lo AND b.hi <= 100 THEN ROUND(b.cnt, 6) ELSE 0 END)
+        |             ELSE ROUND(b.cnt * GREATEST(0, LEAST((LEAST(100, b.hi) - GREATEST(1, b.lo)) / (b.hi - b.lo), 1)), 6) END AS DECIMAL(27,6))) AS DOUBLE) AS frac_num,
+        |         CAST(SUM(CAST(ROUND(b.cnt * ((b.lo+b.hi)/2 - t.sum_all/t.cnt_all) * ((b.lo+b.hi)/2 - t.sum_all/t.cnt_all), 6) AS DECIMAL(27,6))) AS DOUBLE) AS ss,
+        |         COUNT(b.idx) AS n_buckets
+        |  FROM bounds b JOIN tot t USING (event_type)
+        |  GROUP BY 1
+        |)
+        |SELECT t.event_type,
+        |       CAST(t.cnt_all AS BIGINT) AS n_samples,
+        |       CAST(q.n_buckets AS INT) AS n_buckets,
+        |       t.sum_all AS sum_value,
+        |       ROUND(t.sum_all / t.cnt_all, 6) AS avg_value,
+        |       ROUND(q.p50, 6) AS p50,
+        |       ROUND(q.p90, 6) AS p90,
+        |       ROUND(q.p99, 6) AS p99,
+        |       ROUND(q.frac_num / t.cnt_all, 6) AS frac_1_100,
+        |       ROUND(q.ss / t.cnt_all, 4) AS stdvar,
+        |       ROUND(SQRT(q.ss / t.cnt_all), 4) AS stddev
+        |FROM tot t JOIN q USING (event_type)
+        |ORDER BY t.event_type""".stripMargin)
+}
