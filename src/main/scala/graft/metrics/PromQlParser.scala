@@ -44,6 +44,7 @@ import org.apache.spark.sql.{Column, DataFrame}
   *             | ('sort'|'sort_desc') '(' expr ')'
   *             | ('sort_by_label'|'sort_by_label_desc') '(' expr (',' STR)+ ')'
   *             | 'limitk' '(' INT ',' expr ')' ('by' '(' label* ')')?
+  *             | 'limit_ratio' '(' NUMBER ',' expr ')' ('by' '(' label* ')')?
   *             | 'scalar' '(' expr ')' | 'vector' '(' expr ')'
   *             | ('minute'|'hour'|'day_of_week'|'day_of_month'|
   *                'day_of_year'|'days_in_month'|'month'|'year') '(' expr? ')'
@@ -141,6 +142,18 @@ object PromQlParser {
     * hash; ANY k-subset satisfies the operator's contract, and a
     * deterministic rule is the one that can be verified). */
   final case class LimitK(k: Int, by: Seq[String], child: Ast) extends Ast
+  /** `limit_ratio(r, v)`: deterministic ratio-sample of the vector's
+    * series by label-tuple hash — r ∈ [-1, 1]; a positive r keeps series
+    * whose hash fraction is < r, a negative r keeps the COMPLEMENT
+    * (fraction ≥ 1+r), so `limit_ratio(0.2, v)` and
+    * `limit_ratio(-0.8, v)` partition the vector exactly (the upstream
+    * complementarity contract). The engine's hash is md5 over the
+    * canonical sorted `label=value` tuple — engine-independent, so the
+    * oracle reproduces the selection bit-for-bit (upstream hashes with
+    * its internal label hash; ANY deterministic hash satisfies the
+    * operator's contract). `by()` is accepted for grammar compatibility
+    * but vacuous: selection is per-series, independent of grouping. */
+  final case class LimitRatio(r: Double, child: Ast) extends Ast
   /** `scalar(v)`: the single element's value if the vector has exactly
     * one element, else NaN — usable wherever a scalar is. */
   final case class ScalarFn(child: Ast) extends Ast
@@ -572,6 +585,25 @@ object PromQlParser {
         val by = parseByOpt()
         require(!by.exists(_._1), "limitk supports by(), not without()")
         LimitK(k, by.map(_._2).getOrElse(Seq.empty), child)
+      case Some(Ident("limit_ratio")) if !selectorAhead =>
+        next(); expect("(")
+        val r = next() match {
+          case Num(n) => n.toDouble
+          case Flt(d) => d
+          case Sym("-") => next() match {
+            case Num(n) => -n.toDouble
+            case Flt(d) => -d
+            case other => fail(s"limit_ratio expects a ratio, got -$other")
+          }
+          case other => fail(s"limit_ratio expects a ratio in [-1,1], got $other")
+        }
+        require(r >= -1.0 && r <= 1.0, s"limit_ratio ratio must be in [-1,1], got $r")
+        expect(",")
+        val child = parseExpr()
+        expect(")")
+        val by = parseByOpt()
+        require(!by.exists(_._1), "limit_ratio supports by(), not without()")
+        LimitRatio(r, child)
       case Some(Ident("scalar")) if !selectorAhead =>
         next(); expect("(")
         val child = parseExpr()
@@ -1246,6 +1278,21 @@ object PromQlParser {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** `limit_ratio(r, v)`: a pure map-side filter — NO shuffle, unlike
+    * limitk's window (the selection depends only on each row's own
+    * labels). The hash fraction is the first 8 md5 hex digits of the
+    * canonical sorted `label=value,...` tuple read as a uint32 over 2^32
+    * — both engines compute the identical md5, so the kept set is
+    * deterministic and oracle-checkable. NULL labels read as "" (unset,
+    * the Prometheus view). */
+  private def limitRatioFrame(vec: DataFrame, r: Double): DataFrame = {
+    val labelCols = vec.columns.filterNot(nonLabelCols).sorted
+    val key = concat_ws(",", labelCols.map(c =>
+      concat(lit(c + "="), coalesce(col(c).cast("string"), lit("")))): _*)
+    val frac = conv(substring(md5(key), 1, 8), 16, 10).cast("double") / 4294967296.0
+    if (r >= 0) vec.filter(frac < lit(r)) else vec.filter(frac >= lit(1.0 + r))
+  }
+
   /** `scalar(v)` support: reduce a compiled vector to ONE `__scalar`
     * value per grid cell (globally for an instant query) — the single
     * element's value if the vector has exactly one element, else NaN, the
@@ -1539,6 +1586,9 @@ object PromQlParser {
 
     case LimitK(k, by, child) =>
       limitKFrame(compile(src, child, evalTs, lookback), k, by, gridKey = Nil)
+
+    case LimitRatio(r, child) =>
+      limitRatioFrame(compile(src, child, evalTs, lookback), r)
 
     case sf: ScalarFn =>
       scalarFrame(compile(src, sf.child, evalTs, lookback), Nil)
@@ -1881,6 +1931,9 @@ object PromQlParser {
 
       case LimitK(k, by, child) =>
         limitKFrame(compile(child), k, by, gridKey = Seq("__step"))
+
+      case LimitRatio(r, child) =>
+        limitRatioFrame(compile(child), r)
 
       case sf: ScalarFn =>
         // per-step scalar; steps where the vector is empty read NaN

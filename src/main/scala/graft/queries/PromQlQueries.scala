@@ -583,6 +583,23 @@ object PromQlQueries {
         .orderBy(col("which"), col("event_type"), col("user_id"))
     }),
 
+    // limit_ratio: deterministic ratio-sampling by label-tuple md5 — the
+    // head (r) and tail (r−1) branches partition the instant vector
+    // exactly, and the twin recomputes the identical md5 fraction, so
+    // the KEPT SET itself is oracle-checked, not just its size.
+    "q140_promql_limit_ratio" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      def run(q: String, tag: String) =
+        PromQlParser.eval(src, q, "2024-01-15 12:00:00", lookback = "24 HOURS")
+          .withColumn("which", lit(tag))
+      run("""limit_ratio(0.3, {event_type=~".+"})""", "head")
+        .unionByName(run("""limit_ratio(-0.7, {event_type=~".+"})""", "tail"))
+        .select(col("which"), col("user_id"), col("event_type"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("which"), col("event_type"), col("user_id"))
+    }),
+
     // keep_firing_for: a firing run's end emits a kept-firing tail. With
     // keep (30m) < step (1h), keepSteps = 0 → exactly ONE kept row per
     // firing run end and bridging is structurally impossible, so the twin
@@ -1142,6 +1159,33 @@ object PromQlQueries {
         |  UNION ALL
         |  SELECT 'sorted', user_id, event_type, round(value, 6)
         |  FROM iv WHERE event_type = 'click'
+        |) ORDER BY which, event_type, user_id""".stripMargin,
+
+    // The twin recomputes the engine's hash rule verbatim: md5 over the
+    // canonical sorted label tuple "event_type=E,user_id=U", first 8 hex
+    // digits as a uint32 over 2^32; head keeps frac < 0.3, tail keeps
+    // frac >= 0.3 (= 1 + (-0.7)) — an exact partition.
+    "q140_promql_limit_ratio" ->
+      """WITH lastv AS (
+        |  SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |    AND ts > TIMESTAMP '2024-01-15 12:00:00' - INTERVAL 24 HOURS
+        |), iv AS (
+        |  SELECT user_id, event_type, value,
+        |    ('0x' || substr(md5('event_type=' || event_type
+        |                        || ',user_id=' || CAST(user_id AS VARCHAR)), 1, 8)
+        |    )::UBIGINT / 4294967296.0 AS frac
+        |  FROM lastv WHERE rn = 1
+        |)
+        |SELECT * FROM (
+        |  SELECT 'head' AS which, user_id, event_type, round(value, 6) AS value
+        |  FROM iv WHERE frac < 0.3
+        |  UNION ALL
+        |  SELECT 'tail', user_id, event_type, round(value, 6)
+        |  FROM iv WHERE frac >= 0.3
         |) ORDER BY which, event_type, user_id""".stripMargin,
 
     "q138_alert_keep_firing" ->

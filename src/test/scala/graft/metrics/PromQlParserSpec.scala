@@ -810,6 +810,34 @@ class PromQlParserSpec extends AnyFunSuite {
     assert(sorted == Seq(3L, 2L, 1L))
   }
 
+  test("limit_ratio partitions exactly: r and r-1 select complements, ±1 and 0 pin") {
+    val df = (1L to 40L).map(u => (u, ts(0), u, "cpu", u.toDouble))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    def keep(q: String): Set[Long] =
+      eval(src(df), q, "2024-01-01 10:02:00")
+        .select("user_id").collect().map(_.getLong(0)).toSet
+    val all = keep("limit_ratio(1.0, cpu)")
+    assert(all == (1L to 40L).toSet)              // r = 1 keeps everything
+    assert(keep("limit_ratio(-1.0, cpu)") == all) // frac ≥ 0 also keeps all
+    assert(keep("limit_ratio(0.0, cpu)").isEmpty) // r = 0 keeps nothing
+    val head = keep("limit_ratio(0.3, cpu)")
+    val tail = keep("limit_ratio(-0.7, cpu)")
+    // the complementarity contract: an exact partition of the vector
+    assert((head & tail).isEmpty && (head | tail) == all)
+    // deterministic: same query, same kept set
+    assert(keep("limit_ratio(0.3, cpu)") == head)
+    // a plausible sample size for a uniform hash over 40 series
+    assert(head.size >= 3 && head.size <= 21)
+    // grid path agrees with the instant path on the same instant
+    val g = PromQlParser.evalRange(src(df), "limit_ratio(0.3, cpu)",
+      "2024-01-01 10:02:00", "2024-01-01 10:02:00", 60)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(g == head)
+    intercept[IllegalArgumentException] {
+      parse("limit_ratio(1.5, cpu)")
+    }
+  }
+
   test("mad_over_time is the interpolating MAD; ts_of_* return sample epochs") {
     // 1, 3, 7, 100 → median (3+7)/2 = 5; |dev| sorted {2,2,4,95} → MAD 3
     val df = Seq((1L, ts(0), 1.0), (2L, ts(1), 3.0), (3L, ts(2), 7.0),

@@ -64,6 +64,7 @@ class PromQlRoundTripSpec extends AnyFunSuite {
     case LimitK(k, by, child) =>
       val tail = if (by.isEmpty) "" else s" by (${by.mkString(", ")})"
       s"limitk($k, ${print(child)})$tail"
+    case LimitRatio(r, child) => s"limit_ratio($r, ${print(child)})"
     case ScalarFn(child) => s"scalar(${print(child)})"
     case VectorFn(child) => s"vector(${print(child)})"
     case TimeComp(fn, child) => s"$fn(${child.map(print).getOrElse("")})"
@@ -176,6 +177,10 @@ class PromQlRoundTripSpec extends AnyFunSuite {
         by <- Gen.oneOf(Seq.empty[String], Seq("job"))
         child <- genAst(depth - 1)
       } yield LimitK(k, by, child)),
+      1 -> (for {
+        r <- Gen.oneOf(0.25, 0.5, -0.75, 1.0)
+        child <- genAst(depth - 1)
+      } yield LimitRatio(r, child)),
       1 -> genAst(depth - 1).map(ScalarFn(_)),
       1 -> Gen.frequency(2 -> scalars.map(v => ScalarLit(v): Ast),
         1 -> Gen.const(TimeFn: Ast),
