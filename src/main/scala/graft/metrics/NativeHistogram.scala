@@ -44,20 +44,28 @@ object NativeHistogram {
   private def bucketStruct(idx: Column, cnt: Column) =
     struct(idx.as("idx"), cnt.as("cnt"))
 
-  /** Build one native histogram per group from raw samples. */
-  def fromSamples(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                  schema: Int, zeroThreshold: Double = 0.0): DataFrame = {
+  /** Stage 1 of the build: per-(group ∪ sign ∪ bucket) counts + value
+    * sums. This is the ONE-aggregation shape a Structured Streaming query
+    * can emit directly (chained aggregations are not allowed in a
+    * streaming plan) — the streaming pre-aggregation runs this keyed by
+    * an event-time window, and [[assemble]] compacts the committed bucket
+    * rows into histograms on the batch side. */
+  def bucketCounts(df: DataFrame, groupCols: Seq[Column], valueCol: String,
+                   schema: Int, zeroThreshold: Double = 0.0): DataFrame = {
     val v = col(valueCol)
-    val keyed = df
-      .withColumn("__sign",
+    df.withColumn("__sign",
         when(v > zeroThreshold, 1).when(v < -zeroThreshold, -1).otherwise(0))
       .withColumn("__idx",
         when(col("__sign") === 0, lit(null).cast("int"))
           .otherwise(bucketIdx(abs(v), schema)))
-    // partial-agg friendly: per-bucket counts first, then one bounded
-    // assembly per group (collect_list drops the other-sign NULLs).
-    val perBucket = keyed.groupBy((groupCols.map(col) :+ col("__sign") :+ col("__idx")): _*)
+      .groupBy((groupCols :+ col("__sign") :+ col("__idx")): _*)
       .agg(count(lit(1)).cast("double").as("__cnt"), sum(v).as("__sum"))
+  }
+
+  /** Stage 2: one bounded assembly per group over stage-1 bucket rows
+    * (collect_list drops the other-sign NULLs). */
+  def assemble(perBucket: DataFrame, groupCols: Seq[String],
+               schema: Int): DataFrame =
     perBucket.groupBy(groupCols.map(col): _*)
       .agg(
         max(lit(schema)).as("schema"),
@@ -68,7 +76,12 @@ object NativeHistogram {
           bucketStruct(col("__idx"), col("__cnt"))))).as("pos"),
         sort_array(collect_list(when(col("__sign") === -1,
           bucketStruct(col("__idx"), col("__cnt"))))).as("neg"))
-  }
+
+  /** Build one native histogram per group from raw samples. */
+  def fromSamples(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  schema: Int, zeroThreshold: Double = 0.0): DataFrame =
+    assemble(bucketCounts(df, groupCols.map(col), valueCol, schema,
+      zeroThreshold), groupCols, schema)
 
   /** The `sum()` aggregation over native histograms: counts/sums add,
     * buckets merge index-wise. Mixed schemas merge at the group's

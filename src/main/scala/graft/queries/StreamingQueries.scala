@@ -178,6 +178,36 @@ object StreamingQueries {
         ds => StreamOps.coWindowStream(ds, Seq("click", "view", "purchase"), 4).toDF(),
         OutputMode.Append)
       AnomalyQueries.matProjection(t)
+    }),
+
+    // N-R55: streaming native-histogram build — the stage-1 per-bucket
+    // pre-aggregation (the ONLY aggregation a streaming plan allows) runs
+    // keyed by (6h tumbling window, event_type, sign, bucket idx); the
+    // committed bucket rows are then assembled into sparse histograms and
+    // analyzed batch-side, the deployment shape for histogram ingestion
+    // at scale (streams emit bucket partials, compaction owns arrays).
+    "s141_stream_native_histogram" -> ((s, d) => {
+      import graft.metrics.NativeHistogram
+      val t = StreamOps.replayEvents(s, d, "s141_sink", 1)(
+        ds => NativeHistogram.bucketCounts(
+          ds.toDF(), Seq(window(col("ts"), "6 hours"), col("event_type")),
+          "value", schema = 2),
+        OutputMode.Complete)
+      val perBucket = t.select(col("window.start").as("win_start"),
+        col("event_type"), col("__sign"), col("__idx"), col("__cnt"), col("__sum"))
+      val h = NativeHistogram.assemble(perBucket,
+        Seq("win_start", "event_type"), schema = 2)
+      val exactSum = round(col("sum"), 2)
+      val mean = exactSum / col("count")
+      h.select(
+        col("win_start"), col("event_type"),
+        col("count").cast("long").as("n_samples"),
+        size(col("pos")).as("n_buckets"),
+        exactSum.as("sum_value"),
+        round(NativeHistogram.histogramQuantile(0.5), 6).as("p50"),
+        round(NativeHistogram.histogramQuantile(0.9), 6).as("p90"),
+        round(NativeHistogram.histogramStddev(meanCol = Some(mean)), 4).as("stddev"))
+        .orderBy(col("win_start"), col("event_type"))
     })
   )
 
@@ -347,6 +377,64 @@ object StreamingQueries {
          |FROM scored GROUP BY day ORDER BY day""".stripMargin,
 
     // streaming ≡ batch co-window assembly: one shared twin (q129)
-    "s130_stream_multivar_window" -> AnomalyQueries.multiVarWinSql
+    "s130_stream_multivar_window" -> AnomalyQueries.multiVarWinSql,
+
+    // The twin rebuilds each (epoch-aligned 6h window, event_type)
+    // histogram from RAW samples through the q139-pinned bucket math —
+    // the streaming pre-aggregation partitions samples by bucket, and a
+    // histogram assembled from disjoint partials IS the histogram of the
+    // union, so the twin never simulates micro-batching.
+    "s141_stream_native_histogram" ->
+      """WITH raw AS (
+        |  SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS win_start,
+        |         event_type, value
+        |  FROM events
+        |), b AS (
+        |  SELECT win_start, event_type,
+        |         CAST(CEIL(ROUND(LOG2(value)*4, 9)) AS INT) AS idx
+        |  FROM raw WHERE value > 0
+        |), tot AS (
+        |  SELECT win_start, event_type,
+        |         COUNT(*)::DOUBLE AS cnt_all,
+        |         ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE), 2) AS sum_all,
+        |         SUM(CASE WHEN value <= 0 THEN 1 ELSE 0 END)::DOUBLE AS zero_cnt
+        |  FROM raw GROUP BY 1, 2
+        |), bc AS (
+        |  SELECT win_start, event_type, idx, COUNT(*)::DOUBLE AS cnt
+        |  FROM b GROUP BY 1, 2, 3
+        |), allb AS (
+        |  SELECT win_start, event_type, idx, cnt,
+        |         ROUND(POWER(2, (idx-1)/4.0), 9) AS lo,
+        |         ROUND(POWER(2, idx/4.0), 9) AS hi
+        |  FROM bc
+        |  UNION ALL
+        |  SELECT win_start, event_type, NULL, zero_cnt, 0.0, 0.0
+        |  FROM tot WHERE zero_cnt > 0
+        |), bounds AS (
+        |  SELECT *, SUM(cnt) OVER (PARTITION BY win_start, event_type
+        |                           ORDER BY lo, hi) AS cum
+        |  FROM allb
+        |), q AS (
+        |  SELECT t.win_start, t.event_type,
+        |         MAX(CASE WHEN b.cum >= 0.5*t.cnt_all AND b.cum - b.cnt < 0.5*t.cnt_all
+        |             THEN b.lo + (b.hi-b.lo) * ((0.5*t.cnt_all - (b.cum-b.cnt)) / b.cnt) END) AS p50,
+        |         MAX(CASE WHEN b.cum >= 0.9*t.cnt_all AND b.cum - b.cnt < 0.9*t.cnt_all
+        |             THEN b.lo + (b.hi-b.lo) * ((0.9*t.cnt_all - (b.cum-b.cnt)) / b.cnt) END) AS p90,
+        |         CAST(SUM(CAST(ROUND(b.cnt * ((b.lo+b.hi)/2 - t.sum_all/t.cnt_all)
+        |                              * ((b.lo+b.hi)/2 - t.sum_all/t.cnt_all), 6)
+        |             AS DECIMAL(27,6))) AS DOUBLE) AS ss,
+        |         COUNT(b.idx) AS n_buckets
+        |  FROM bounds b JOIN tot t USING (win_start, event_type)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT t.win_start, t.event_type,
+        |       CAST(t.cnt_all AS BIGINT) AS n_samples,
+        |       CAST(q.n_buckets AS INT) AS n_buckets,
+        |       t.sum_all AS sum_value,
+        |       ROUND(q.p50, 6) AS p50,
+        |       ROUND(q.p90, 6) AS p90,
+        |       ROUND(SQRT(q.ss / t.cnt_all), 4) AS stddev
+        |FROM tot t JOIN q USING (win_start, event_type)
+        |ORDER BY t.win_start, t.event_type""".stripMargin
   )
 }

@@ -74,6 +74,23 @@ class NativeHistogramSpec extends AnyFunSuite {
       == Seq((1, 1.0), (2, 1.0)))
   }
 
+  test("stage split: bucketCounts on an expression key + assemble = fromSamples") {
+    // the s141 streaming shape — stage 1 keyed by a computed (window-like)
+    // column, stage 2 assembling the committed partials
+    val df = Seq((0, 1.0), (1, 2.0), (5, 4.0), (6, -3.0), (7, 0.0), (9, 8.0))
+      .toDF("h", "value")
+    val viaStages = NativeHistogram.assemble(
+      NativeHistogram.bucketCounts(df,
+        Seq((col("h") / 4).cast("int").as("bucket4")), "value", 2),
+      Seq("bucket4"), 2)
+    val direct = NativeHistogram.fromSamples(
+      df.withColumn("bucket4", (col("h") / 4).cast("int")),
+      Seq("bucket4"), "value", 2)
+    val cols = Seq("bucket4", "schema", "count", "sum", "zero_count", "pos", "neg")
+    assert(viaStages.select(cols.map(col): _*).orderBy("bucket4").collect().toSeq
+      == direct.select(cols.map(col): _*).orderBy("bucket4").collect().toSeq)
+  }
+
   test("empty histogram: quantile and fraction are NaN, out-of-range phi pins") {
     val out = buildOne(Seq(0.0), 0).select(
       // count is 1 (the zero obs) — use phi pins; a truly empty group
