@@ -62,6 +62,14 @@ final class MetricsServer(observed: Observed, port: Int = 0,
       try os.write(body) finally os.close()
     }
   })
+  // Prettifier endpoint (stable upstream since 2.46): parse + canonical
+  // re-print. Pure parsing — needs no source, and a syntax error surfaces
+  // as the handler's standard {"status":"error"} envelope.
+  server.createContext("/api/v1/format_query", MetricsServer.jsonHandler { params =>
+    val query = params.getOrElse("query",
+      throw new IllegalArgumentException("missing 'query' parameter"))
+    s"""{"status":"success","data":"${MetricsServer.jsonEscape(PromQlFormat.format(query))}"}"""
+  })
   promSource.foreach { src =>
     server.createContext("/api/v1/query", MetricsServer.jsonHandler { params =>
       val query = params.getOrElse("query",

@@ -178,6 +178,16 @@ class MetricsSpec extends AnyFunSuite {
           MetricsServer.parseDurationSec("1.5"))
         assert(fe.getMessage.contains("sub-second"))
         intercept[IllegalArgumentException](MetricsServer.parseDurationSec("5x"))
+        // format_query: canonical prettified re-print; syntax errors 400.
+        // 0.5*3 folds at parse time — the endpoint serves the FORMATTED
+        // AST, not the input text.
+        val (fc, fmt) = get(srv.boundPort,
+          "/api/v1/format_query?query=" + java.net.URLEncoder.encode(
+            """sum by (event_type) (rate(cpu{user_id="1"}[300s])) > 0.5*3""", "UTF-8"))
+        assert(fc == 200 && fmt.contains(
+          """"data":"(sum by (event_type) (rate(cpu{user_id=\"1\"}[5m]))) > (1.5)""""))
+        val (fe2, ferr) = get(srv.boundPort, "/api/v1/format_query?query=rate(")
+        assert(fe2 == 400 && ferr.contains("\"status\":\"error\""))
       } finally srv.close()
     }
   }

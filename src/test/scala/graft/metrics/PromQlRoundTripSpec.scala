@@ -11,95 +11,17 @@ import org.scalatest.funsuite.AnyFunSuite
   * duration lexing, unary-sign folding, and the subquery suffix — the
   * grammar corners a hand-written example suite samples thinly.
   *
-  * The printer parenthesizes every binary operand and prints an explicit
+  * The printer is the PRODUCTION `PromQlFormat.format` (the
+  * `/api/v1/format_query` body), so the property also certifies the
+  * endpoint: it parenthesizes every binary operand and prints an explicit
   * `group_left ()` for an empty copy list (a '(' after the keyword is
   * ALWAYS the label list, so a parenthesized rhs would otherwise bind
   * as copy labels — the parser's documented Prometheus-matching rule).
   */
 class PromQlRoundTripSpec extends AnyFunSuite {
 
-  // ---------- printer ----------
-  private def durS(sec: Long): String = s"${sec}s"
-
-  private def printSel(s: Selector): String = {
-    val ms = if (s.matchers.isEmpty) ""
-    else s.matchers.map(m => s"""${m.label}${m.op}"${m.value}"""")
-      .mkString("{", ", ", "}")
-    val off = if (s.offsetSec == 0) "" else s" offset ${durS(s.offsetSec)}"
-    val at = s.at.map {
-      case AtTs(a) => s" @ $a"
-      case AtStart => " @ start()"
-      case AtEnd   => " @ end()"
-    }.getOrElse("")
-    s"${s.metric.getOrElse("")}$ms$at$off"
-  }
-
-  private def printMatching(m: Option[(Boolean, Seq[String])],
-                            g: Option[Grp]): String = {
-    val mm = m.map { case (isOn, ls) =>
-      s"${if (isOn) "on" else "ignoring"} (${ls.mkString(", ")}) "
-    }.getOrElse("")
-    val gg = g.map { grp =>
-      s"${if (grp.left) "group_left" else "group_right"} (${grp.copy.mkString(", ")}) "
-    }.getOrElse("")
-    mm + gg
-  }
-
-  private def print(ast: Ast): String = ast match {
-    case s: Selector => printSel(s)
-    case ScalarLit(v) => if (v < 0) s"($v)" else v.toString
-    case TimeFn => "time()"
-    case RangeFn(fn, sel, w, None, None) => s"$fn(${printSel(sel)}[${durS(w)}])"
-    case RangeFn("holt_winters", sel, w, Some(sf), Some(tf)) =>
-      s"holt_winters(${printSel(sel)}[${durS(w)}], $sf, $tf)"
-    case RangeFn("predict_linear", sel, w, Some(p), None) =>
-      s"predict_linear(${printSel(sel)}[${durS(w)}], $p)"
-    case RangeFn(fn, sel, w, Some(p), None) =>
-      s"$fn($p, ${printSel(sel)}[${durS(w)}])"
-    case SortFn(desc, child, Nil) =>
-      s"${if (desc) "sort_desc" else "sort"}(${print(child)})"
-    case SortFn(desc, child, ls) =>
-      val fn = if (desc) "sort_by_label_desc" else "sort_by_label"
-      s"""$fn(${print(child)}, ${ls.map("\"" + _ + "\"").mkString(", ")})"""
-    case LimitK(k, by, child) =>
-      val tail = if (by.isEmpty) "" else s" by (${by.mkString(", ")})"
-      s"limitk($k, ${print(child)})$tail"
-    case LimitRatio(r, child) => s"limit_ratio($r, ${print(child)})"
-    case ScalarFn(child) => s"scalar(${print(child)})"
-    case VectorFn(child) => s"vector(${print(child)})"
-    case TimeComp(fn, child) => s"$fn(${child.map(print).getOrElse("")})"
-    case AggBy(fn, by, child, without) =>
-      val kw = if (without) "without" else "by"
-      s"$fn $kw (${by.mkString(", ")}) (${print(child)})"
-    case AggQuantile(phi, by, child, without) =>
-      val kw = if (without) "without" else "by"
-      s"quantile $kw (${by.mkString(", ")}) ($phi, ${print(child)})"
-    case TopK(k, by, child, bottom) =>
-      val fn = if (bottom) "bottomk" else "topk"
-      val tail = if (by.isEmpty) "" else s" by (${by.mkString(", ")})"
-      s"$fn($k, ${print(child)})$tail"
-    case BinOp(op, lhs, rhs, m, g, bool) =>
-      val b = if (bool) "bool " else ""
-      s"(${print(lhs)}) $op $b${printMatching(m, g)}(${print(rhs)})"
-    case HistQuantile(q, child) => s"histogram_quantile($q, ${print(child)})"
-    case VecFn(fn, child, Nil) => s"$fn(${print(child)})"
-    case VecFn(fn, child, args) =>
-      s"$fn(${print(child)}, ${args.mkString(", ")})"
-    case LabelFn("label_replace", child, dst, repl, srcs, regex) =>
-      s"""label_replace(${print(child)}, "$dst", "$repl", "${srcs.head}", "$regex")"""
-    case LabelFn(fn, child, dst, sep, srcs, _) =>
-      s"""$fn(${print(child)}, "$dst", "$sep", ${srcs.map("\"" + _ + "\"").mkString(", ")})"""
-    case Absent(sel) => s"absent(${printSel(sel)})"
-    case TimestampFn(sel) => s"timestamp(${printSel(sel)})"
-    case CountValues(label, by, child, without) =>
-      val kw = if (without) "without" else "by"
-      s"""count_values $kw (${by.mkString(", ")}) ("$label", ${print(child)})"""
-    case RangeSub(fn, Subquery(child, r, st), None) =>
-      s"$fn((${print(child)})[${durS(r)}:${durS(st)}])"
-    case RangeSub(fn, Subquery(child, r, st), Some(p)) =>
-      s"$fn($p, (${print(child)})[${durS(r)}:${durS(st)}])"
-    case other => fail(s"printer has no case for $other")
-  }
+  // The printer under test IS the production one — the format_query body.
+  private def print(ast: Ast): String = PromQlFormat.format(ast)
 
   // ---------- generators ----------
   private val labels = Gen.oneOf("job", "env", "pod", "zone")
@@ -278,6 +200,15 @@ class PromQlRoundTripSpec extends AnyFunSuite {
         r <- Gen.oneOf(3600L, 7200L)
         st <- Gen.oneOf(300L, 600L)
       } yield RangeSub(fn, Subquery(child, r, st))))
+
+  test("compound duration formatting: largest-exact-unit decomposition") {
+    assert(PromQlFormat.durS(0) == "0s")
+    assert(PromQlFormat.durS(60) == "1m")
+    assert(PromQlFormat.durS(3900) == "1h5m")
+    assert(PromQlFormat.durS(694861) == "1w1d1h1m1s")
+    assert(parse(s"rate(cpu[${PromQlFormat.durS(3900)}])") ==
+      RangeFn("rate", Selector(Some("cpu"), Nil), 3900))
+  }
 
   test("parse(print(ast)) == ast for 500 random ASTs") {
     val prop = Prop.forAll(genAst(3)) { ast =>
