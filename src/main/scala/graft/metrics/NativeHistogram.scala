@@ -118,6 +118,59 @@ object NativeHistogram {
       .withColumn("neg", coalesce(col("neg"), array().cast("array<struct<idx:int,cnt:double>>")))
   }
 
+  /** Bucket-wise difference a − b for sorted sparse arrays (the
+    * native-histogram counter increase): each bucket of `a` minus the
+    * matching-index bucket of `b` (absent = 0), zero-diff buckets
+    * dropped. O(|a|·|b|) per row over model-sized arrays (≤ ~64) — a
+    * pure column expression, no shuffle. Buckets present only in `b`
+    * (a true counter can't lose observations) signal a reset; callers
+    * guard with the reset rule below rather than emitting negatives. */
+  private def bucketSub(a: Column, b: Column): Column =
+    filter(
+      transform(a, x => struct(
+        x.getField("idx").as("idx"),
+        (x.getField("cnt") - coalesce(
+          try_element_at(filter(b, y => y.getField("idx") === x.getField("idx")), lit(1))
+            .getField("cnt"), lit(0.0))).as("cnt"))),
+      s => s.getField("cnt") > 0)
+
+  /** `increase()` over a HISTOGRAM-VALUED counter series: per partition
+    * key, each row's histogram minus its predecessor (ordered by
+    * `orderCol`) — counts, sums, zero counts subtract scalar-wise and
+    * buckets subtract index-wise. The Prometheus counter-reset rule: if
+    * the total count DROPPED, the current histogram IS the increase (the
+    * counter restarted from empty). The first row per key has no
+    * predecessor and is dropped, as upstream does. Output keeps the
+    * histogram shape (schema/count/sum/zero_count/pos/neg) plus
+    * `dt_sec`, so the whole ANALYZE battery applies to the increase
+    * directly; rate = each scalar / dt_sec, and quantiles are
+    * SCALE-INVARIANT (dividing every bucket by dt moves no boundary), so
+    * quantile-of-increase == quantile-of-rate. One window shuffle keyed
+    * by the series — the same exchange shape as every grid operator. */
+  def increase(df: DataFrame, partitionCols: Seq[String],
+               orderCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    def prev(c: String) = lag(col(c), 1).over(w)
+    val lagged = df
+      .withColumn("__pcount", prev("count")).withColumn("__psum", prev("sum"))
+      .withColumn("__pzero", prev("zero_count"))
+      .withColumn("__ppos", prev("pos")).withColumn("__pneg", prev("neg"))
+      .withColumn("__pord", lag(col(orderCol), 1).over(w))
+      .filter(col("__pcount").isNotNull)
+    val reset = col("count") < col("__pcount")
+    lagged.select(
+      (partitionCols.map(col) :+ col(orderCol)) ++ Seq(
+        col("schema"),
+        when(reset, col("count")).otherwise(col("count") - col("__pcount")).as("count"),
+        when(reset, col("sum")).otherwise(col("sum") - col("__psum")).as("sum"),
+        when(reset, col("zero_count"))
+          .otherwise(col("zero_count") - col("__pzero")).as("zero_count"),
+        when(reset, col("pos")).otherwise(bucketSub(col("pos"), col("__ppos"))).as("pos"),
+        when(reset, col("neg")).otherwise(bucketSub(col("neg"), col("__pneg"))).as("neg"),
+        (col(orderCol).cast("double") - col("__pord").cast("double")).as("dt_sec")): _*)
+  }
+
   // ---------- analyze battery (pure column expressions) ----------
 
   def histogramCount: Column = col("count")

@@ -259,11 +259,25 @@ object PromQlParser {
           out += Flt(q.substring(i, end2).toDouble); i = end2
         } else {
           val n = q.substring(i, end).toLong
-          if (end < q.length && "smhd".contains(q(end))) {
-            val mult = q(end) match {
-              case 's' => 1L; case 'm' => 60L; case 'h' => 3600L; case 'd' => 86400L
+          val unitSec = Map('s' -> 1L, 'm' -> 60L, 'h' -> 3600L,
+            'd' -> 86400L, 'w' -> 604800L, 'y' -> 31536000L)
+          if (end < q.length && unitSec.contains(q(end))) {
+            // compound durations (1h30m, 1w2d) accumulate consecutive
+            // <digits><unit> segments with no separator — the Prometheus
+            // form; a trailing digit run without a unit is left for the
+            // next token (and fails the parse there, as upstream does)
+            var total = n * unitSec(q(end))
+            var k = end + 1
+            var more = true
+            while (more && k < q.length && q(k).isDigit) {
+              val je = q.indexWhere(ch => !ch.isDigit, k)
+              val segEnd = if (je < 0) q.length else je
+              if (segEnd < q.length && unitSec.contains(q(segEnd))) {
+                total += q.substring(k, segEnd).toLong * unitSec(q(segEnd))
+                k = segEnd + 1
+              } else more = false
             }
-            out += Dur(n * mult); i = end + 1
+            out += Dur(total); i = k
           } else { out += Num(n); i = end }
         }
       } else if (c == '"' || c == '\'') {

@@ -46,6 +46,35 @@ object NativeHistogramQueries {
         round(NativeHistogram.histogramStdvar(meanCol = Some(mean)), 4).as("stdvar"),
         round(NativeHistogram.histogramStddev(meanCol = Some(mean)), 4).as("stddev"))
         .orderBy(col("event_type"))
+    }),
+
+    // The native-histogram COUNTER path: cumulative histograms scraped at
+    // five 6h marks (each event explodes onto the ≤5 marks at-or-after
+    // it — bounded generate, one build pass), then increase() = bucket-
+    // wise reset-aware diff per series. The increase IS the slice
+    // histogram (cumulative math), so the twin rebuilds each (mark −
+    // 6h, mark] slice directly from raw samples; quantiles are scale-
+    // invariant, so p90-of-increase == p90-of-rate. Empty-increase rows
+    // are suppressed (count > 0) to keep the twin join-free.
+    "q142_native_histogram_rate" -> ((s, d) => {
+      val mark0 = lit("2024-01-10 00:00:00").cast("timestamp")
+      val marks = sequence(mark0, lit("2024-01-11 00:00:00").cast("timestamp"),
+        expr("INTERVAL 6 HOURS"))
+      val cum = NativeHistogram.assemble(
+        NativeHistogram.bucketCounts(
+          events(s, d).withColumn("mark", explode(marks))
+            .filter(col("ts") <= col("mark")),
+          Seq(col("mark"), col("event_type")), "value", Schema),
+        Seq("mark", "event_type"), Schema)
+      val inc = NativeHistogram.increase(cum, Seq("event_type"), "mark")
+        .filter(col("count") > 0)
+      inc.select(
+        col("event_type"), col("mark"),
+        col("count").cast("long").as("n_inc"),
+        round(col("sum"), 2).as("sum_inc"),
+        (col("count") / col("dt_sec")).as("count_rate"),
+        round(NativeHistogram.histogramQuantile(0.9), 6).as("p90"))
+        .orderBy(col("event_type"), col("mark"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -107,5 +136,57 @@ object NativeHistogramQueries {
         |       ROUND(q.ss / t.cnt_all, 4) AS stdvar,
         |       ROUND(SQRT(q.ss / t.cnt_all), 4) AS stddev
         |FROM tot t JOIN q USING (event_type)
-        |ORDER BY t.event_type""".stripMargin)
+        |ORDER BY t.event_type""".stripMargin,
+
+    // Counter-path twin: the engine's increase of cumulative histograms
+    // at consecutive marks IS the (mark − 6h, mark] slice histogram, so
+    // the twin rebuilds each slice from raw samples with the identical
+    // pinned bucket math. 2024-01-10 00:00 UTC = 1704844800; marks k=1..4
+    // (the engine's first mark has no predecessor and emits nothing).
+    "q142_native_histogram_rate" ->
+      """WITH marks AS (
+        |  SELECT make_timestamp(1704844800000000 + k * 21600000000) AS mark
+        |  FROM (SELECT unnest(generate_series(1, 4)) AS k)
+        |), raw AS (
+        |  SELECT m.mark, e.event_type, e.value
+        |  FROM events e JOIN marks m
+        |    ON e.ts > m.mark - INTERVAL 6 HOURS AND e.ts <= m.mark
+        |), b AS (
+        |  SELECT mark, event_type,
+        |         CAST(CEIL(ROUND(LOG2(value)*4, 9)) AS INT) AS idx
+        |  FROM raw WHERE value > 0
+        |), tot AS (
+        |  SELECT mark, event_type, COUNT(*)::DOUBLE AS cnt_all,
+        |         ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE), 2) AS sum_all,
+        |         SUM(CASE WHEN value <= 0 THEN 1 ELSE 0 END)::DOUBLE AS zero_cnt
+        |  FROM raw GROUP BY 1, 2
+        |), bc AS (
+        |  SELECT mark, event_type, idx, COUNT(*)::DOUBLE AS cnt
+        |  FROM b GROUP BY 1, 2, 3
+        |), allb AS (
+        |  SELECT mark, event_type, idx, cnt,
+        |         ROUND(POWER(2, (idx-1)/4.0), 9) AS lo,
+        |         ROUND(POWER(2, idx/4.0), 9) AS hi
+        |  FROM bc
+        |  UNION ALL
+        |  SELECT mark, event_type, NULL, zero_cnt, 0.0, 0.0
+        |  FROM tot WHERE zero_cnt > 0
+        |), bounds AS (
+        |  SELECT *, SUM(cnt) OVER (PARTITION BY mark, event_type
+        |                           ORDER BY lo, hi) AS cum
+        |  FROM allb
+        |), q AS (
+        |  SELECT t.mark, t.event_type,
+        |         MAX(CASE WHEN b.cum >= 0.9*t.cnt_all AND b.cum - b.cnt < 0.9*t.cnt_all
+        |             THEN b.lo + (b.hi-b.lo) * ((0.9*t.cnt_all - (b.cum-b.cnt)) / b.cnt) END) AS p90
+        |  FROM bounds b JOIN tot t USING (mark, event_type)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT t.event_type, t.mark,
+        |       CAST(t.cnt_all AS BIGINT) AS n_inc,
+        |       t.sum_all AS sum_inc,
+        |       t.cnt_all / 21600.0 AS count_rate,
+        |       ROUND(q.p90, 6) AS p90
+        |FROM tot t JOIN q USING (mark, event_type)
+        |ORDER BY t.event_type, t.mark""".stripMargin)
 }

@@ -91,6 +91,39 @@ class NativeHistogramSpec extends AnyFunSuite {
       == direct.select(cols.map(col): _*).orderBy("bucket4").collect().toSeq)
   }
 
+  test("increase: cumulative-histogram diff equals the slice histogram") {
+    // cumulative builds at t=1 ({1,2}) and t=2 ({1,2} ∪ {4,8,-2,0}) —
+    // the increase must equal fromSamples over the slice alone
+    val all = Seq(1.0, 2.0, 4.0, 8.0, -2.0, 0.0)
+    val cum = NativeHistogram.fromSamples(
+      Seq(1, 2).toDF("t").crossJoin(all.toDF("value"))
+        .filter(col("t") === 2 || col("value").isin(1.0, 2.0))
+        .withColumn("g", lit("a")),
+      Seq("g", "t"), "value", 0)
+    val inc = NativeHistogram.increase(cum, Seq("g"), "t").collect().head
+    val slice = NativeHistogram.fromSamples(
+      Seq(4.0, 8.0, -2.0, 0.0).toDF("value").withColumn("g", lit("a")),
+      Seq("g"), "value", 0).collect().head
+    for (c <- Seq("count", "sum", "zero_count"))
+      assert(inc.getAs[Double](c) == slice.getAs[Double](c), c)
+    for (c <- Seq("pos", "neg"))
+      assert(inc.getAs[scala.collection.Seq[Row]](c) == slice.getAs[scala.collection.Seq[Row]](c), c)
+    assert(inc.getAs[Double]("dt_sec") == 1.0)
+  }
+
+  test("increase: a count drop is a reset — the current histogram IS the increase") {
+    val h1 = NativeHistogram.fromSamples(
+      Seq(1.0, 2.0, 4.0).toDF("value").withColumn("g", lit("a")).withColumn("t", lit(1)),
+      Seq("g", "t"), "value", 0)
+    val h2 = NativeHistogram.fromSamples(
+      Seq(8.0).toDF("value").withColumn("g", lit("a")).withColumn("t", lit(2)),
+      Seq("g", "t"), "value", 0)
+    val inc = NativeHistogram.increase(h1.unionByName(h2), Seq("g"), "t").collect().head
+    assert(inc.getAs[Double]("count") == 1.0)   // restarted counter: h2 alone
+    assert(inc.getAs[Double]("sum") == 8.0)
+    assert(inc.getAs[scala.collection.Seq[Row]]("pos").map(_.getInt(0)) == Seq(3))
+  }
+
   test("empty histogram: quantile and fraction are NaN, out-of-range phi pins") {
     val out = buildOne(Seq(0.0), 0).select(
       // count is 1 (the zero obs) — use phi pins; a truly empty group
