@@ -106,6 +106,9 @@ object PromQlFormat {
       val b = if (bool) "bool " else ""
       s"(${format(lhs)}) $op $b${formatMatching(m, g)}(${format(rhs)})"
     case HistQuantile(q, child) => s"histogram_quantile($q, ${format(child)})"
+    case HistFn("fraction", child, Some(lo), Some(hi)) =>
+      s"histogram_fraction(${num(lo)}, ${num(hi)}, ${format(child)})"
+    case HistFn(fn, child, _, _) => s"histogram_$fn(${format(child)})"
     case VecFn(fn, child, Nil) => s"$fn(${format(child)})"
     case VecFn(fn, child, args) =>
       s"$fn(${format(child)}, ${args.map(num).mkString(", ")})"

@@ -32,6 +32,9 @@ import org.apache.spark.sql.{Column, DataFrame}
   *             | 'quantile' grouping? '(' NUMBER ',' expr ')' grouping?
   *   grouping := ('by'|'without') '(' label (',' label)* ')'
   *   hist     := 'histogram_quantile' '(' NUMBER ',' expr ')'
+  *             | ('histogram_count'|'histogram_sum'|'histogram_avg'|
+  *                'histogram_stddev'|'histogram_stdvar') '(' expr ')'
+  *             | 'histogram_fraction' '(' NUMBER ',' NUMBER ',' expr ')'
   *   absent   := 'absent' '(' selector offset? ')'
   *   vecfn    := ('abs'|'ceil'|'floor'|'sqrt'|'exp'|'ln'|'log2'|'log10'|
   *                'sgn'|'acos'|'acosh'|'asin'|'asinh'|'atan'|'atanh'|
@@ -101,10 +104,25 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object PromQlParser {
 
-  /** Binding of a sample frame to the Prometheus data model. */
+  /** Binding of a NATIVE-HISTOGRAM sample frame: rows are
+    * `(seriesKey…, tsCol, schema, count, sum, zero_count, pos, neg)` in
+    * the [[NativeHistogram]] sparse layout, one CUMULATIVE histogram per
+    * scrape per series (the Prometheus native-histogram sample model,
+    * stable since 3.x). `metricCol` names the column holding the metric
+    * name, exactly like [[PromSource.metricCol]]. */
+  final case class HistBinding(df: DataFrame, metricCol: String,
+                               seriesKey: Seq[String], tsCol: String,
+                               orderCol: String)
+
+  /** Binding of a sample frame to the Prometheus data model. `hist`
+    * optionally binds a second, histogram-valued frame: `histogram_count/
+    * sum/avg/stddev/stdvar/fraction` resolve their selector against it,
+    * and `histogram_quantile` routes to it when its child vector carries
+    * no classic `le` label. */
   final case class PromSource(df: DataFrame, metricCol: String,
                               seriesKey: Seq[String], tsCol: String,
-                              orderCol: String, valueCol: String)
+                              orderCol: String, valueCol: String,
+                              hist: Option[HistBinding] = None)
 
   // ---------- AST ----------
   sealed trait Ast
@@ -226,6 +244,14 @@ object PromQlParser {
   /** `histogram_quantile(q, expr)`: child must evaluate to a vector with an
     * `le` label carrying cumulative bucket counts (Prometheus data model). */
   final case class HistQuantile(q: Double, child: Ast) extends Ast
+  /** The native-histogram scalar battery, `histogram_<fn>(child)` with
+    * fn ∈ count/sum/avg/stddev/stdvar/fraction (3.x functions): `child`
+    * must be a plain selector over the [[HistBinding]] frame or
+    * `rate(sel[w])` / `increase(sel[w])` of one. `lo`/`hi` only for
+    * `histogram_fraction(lo, hi, v)`. */
+  final case class HistFn(fn: String, child: Ast,
+                          lo: Option[Double] = None,
+                          hi: Option[Double] = None) extends Ast
 
   // ---------- Lexer ----------
   private sealed trait Tok
@@ -339,6 +365,19 @@ object PromQlParser {
     private def parseStr(): String = next() match {
       case Str(s) => s
       case other => fail(s"expected a quoted string, got $other")
+    }
+
+    /** A possibly-negated numeric literal argument (no expression
+      * folding — these are fixed function parameters). */
+    private def parseSignedNum(what: String): Double = next() match {
+      case Num(n) => n.toDouble
+      case Flt(d) => d
+      case Sym("-") => next() match {
+        case Num(n) => -n.toDouble
+        case Flt(d) => -d
+        case other => fail(s"expected a number for $what, got -$other")
+      }
+      case other => fail(s"expected a number for $what, got $other")
     }
 
     /** A range-vector function's parsed argument: classic
@@ -560,6 +599,22 @@ object PromQlParser {
         val child = parseExpr()
         expect(")")
         HistQuantile(q, child)
+      case Some(Ident(fn @ ("histogram_count" | "histogram_sum" |
+                            "histogram_avg" | "histogram_stddev" |
+                            "histogram_stdvar"))) if !selectorAhead =>
+        next(); expect("(")
+        val child = parseExpr()
+        expect(")")
+        HistFn(fn.stripPrefix("histogram_"), child)
+      case Some(Ident("histogram_fraction")) if !selectorAhead =>
+        next(); expect("(")
+        val lo = parseSignedNum("histogram_fraction lower bound")
+        expect(",")
+        val hi = parseSignedNum("histogram_fraction upper bound")
+        expect(",")
+        val child = parseExpr()
+        expect(")")
+        HistFn("fraction", child, Some(lo), Some(hi))
       case Some(Ident(kw @ ("topk" | "bottomk"))) if !selectorAhead =>
         next(); expect("(")
         val k = next() match {
@@ -1363,8 +1418,11 @@ object PromQlParser {
       case None              => lLabels.intersect(rLabels)
     }
 
-  private def matcherCond(src: PromSource, sel: Selector): Column = {
-    val metricCond = sel.metric.map(m => col(src.metricCol) === lit(m))
+  private def matcherCond(src: PromSource, sel: Selector): Column =
+    matcherCondFor(src.metricCol, sel)
+
+  private def matcherCondFor(metricCol: String, sel: Selector): Column = {
+    val metricCond = sel.metric.map(m => col(metricCol) === lit(m))
     val ms = sel.matchers.map { m =>
       m.op match {
         case "="  => col(m.label) === lit(m.value)
@@ -1666,9 +1724,36 @@ object PromQlParser {
 
     case HistQuantile(q, child) =>
       val vec = compile(src, child, evalTs, lookback)
-      require(vec.columns.contains("le"),
-        "histogram_quantile needs an 'le'-labeled bucket vector (the Prometheus data model)")
-      PromQl.histogramQuantileVector(vec, q)
+      if (vec.columns.contains("le")) PromQl.histogramQuantileVector(vec, q)
+      else src.hist match {
+        // no classic `le` label: the NATIVE-histogram form — resolve the
+        // child against the histogram frame and interpolate in-bucket
+        case Some(h) =>
+          val (hv, _) = histVector(h, child, evalTs, lookback)
+          hv.select(h.seriesKey.map(col) :+
+            NativeHistogram.histogramQuantile(q).as("value"): _*)
+        case None => throw new IllegalArgumentException(
+          "histogram_quantile needs an 'le'-labeled bucket vector, or a " +
+            "native-histogram binding (PromSource.hist) for the native form")
+      }
+
+    case HistFn(fn, child, lo, hi) =>
+      val h = src.hist.getOrElse(throw new IllegalArgumentException(
+        s"histogram_$fn needs a native-histogram binding (PromSource.hist)"))
+      val (hv, scale) = histVector(h, child, evalTs, lookback)
+      // `rate` scales only the ADDITIVE scalars (count, sum); avg is a
+      // quotient of them and the shape statistics (stddev/stdvar/
+      // fraction, like quantile) are invariant under uniform bucket
+      // scaling — the Prometheus rule.
+      val value = fn match {
+        case "count"    => col("count") * scale
+        case "sum"      => col("sum") * scale
+        case "avg"      => NativeHistogram.histogramAvg
+        case "stddev"   => NativeHistogram.histogramStddev()
+        case "stdvar"   => NativeHistogram.histogramStdvar()
+        case "fraction" => NativeHistogram.histogramFraction(lo.get, hi.get)
+      }
+      hv.select(h.seriesKey.map(col) :+ value.as("value"): _*)
 
     case ScalarLit(_) | TimeFn =>
       throw new IllegalArgumentException(
@@ -1718,6 +1803,40 @@ object PromQlParser {
       one.join(vec.limit(1).select(lit(1).as("__probe")), lit(true), "left_anti")
     else
       one.join(vec.select(extraKey.map(col): _*).distinct(), extraKey, "left_anti")
+  }
+
+  /** Resolve a native-histogram function's child to a histogram-valued
+    * frame (`h.seriesKey` + the [[NativeHistogram]] columns) plus the
+    * rate scale factor for the additive scalars.
+    *
+    *  - a plain selector → the latest cumulative histogram per series at
+    *    the evaluation instant (the same instant-vector rule as scalars,
+    *    one `row_number` window keyed by the series);
+    *  - `rate(sel[w])` / `increase(sel[w])` → consecutive reset-aware
+    *    bucket diffs of the in-window scrapes ([[NativeHistogram
+    *    .increase]]; the first in-window scrape is the baseline, as
+    *    upstream) merged per series — one window + one keyed re-count,
+    *    bucket rows only on the shuffle.
+    *
+    * Both shapes stay keyed by the series, so they scale like every
+    * other grid operator. */
+  private def histVector(h: HistBinding, child: Ast, evalTs: String,
+                         lookback: String): (DataFrame, Column) = child match {
+    case sel: Selector =>
+      (PromQl.instantVector(h.df.filter(matcherCondFor(h.metricCol, sel)),
+        h.seriesKey, h.tsCol, h.orderCol,
+        evalInstantFor(sel, evalTs), lookback), lit(1.0))
+    case RangeFn(fn @ ("rate" | "increase"), sel, w, _, _) =>
+      val t = to_timestamp(lit(evalInstantFor(sel, evalTs)))
+      val inWin = h.df.filter(matcherCondFor(h.metricCol, sel))
+        .filter(col(h.tsCol) <= t &&
+          col(h.tsCol) > t - expr(s"INTERVAL $w SECONDS"))
+      val inc = NativeHistogram.increase(inWin, h.seriesKey, h.tsCol)
+      (NativeHistogram.merge(inc, h.seriesKey),
+        if (fn == "rate") lit(1.0 / w) else lit(1.0))
+    case other => throw new IllegalArgumentException(
+      "native-histogram functions take a plain selector or rate()/" +
+        s"increase() of one, got $other")
   }
 
   // ---------- query_range: step-grid evaluation ----------
@@ -2013,10 +2132,15 @@ object PromQlParser {
       case HistQuantile(q, child) =>
         val vec = compile(child)
         require(vec.columns.contains("le"),
-          "histogram_quantile needs an 'le'-labeled bucket vector (the Prometheus data model)")
+          "histogram_quantile on the query_range grid needs an 'le'-labeled " +
+            "bucket vector (the native-histogram form is instant-query only)")
         // histogramQuantileVector groups on all non-le label columns,
         // which here includes __step — the grid rides along for free.
         PromQl.histogramQuantileVector(vec, q)
+
+      case hf: HistFn => throw new IllegalArgumentException(
+        s"histogram_${hf.fn} is instant-query only in this build " +
+          "(native-histogram grid evaluation is not implemented)")
 
       case ScalarLit(_) | TimeFn =>
         throw new IllegalArgumentException(

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables._
 import graft.metrics.NativeHistogram
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Native-histogram pipeline parity (the successor to the reference's
   * classic le-bucket `Histogram`, `metrics/_metrics.py:71`): BUILD sparse
@@ -75,6 +75,55 @@ object NativeHistogramQueries {
         (col("count") / col("dt_sec")).as("count_rate"),
         round(NativeHistogram.histogramQuantile(0.9), 6).as("p90"))
         .orderBy(col("event_type"), col("mark"))
+    }),
+
+    // The PromQL TEXT surface over native histograms (the 3.x function
+    // battery): the same cumulative 6h-mark histograms, bound as the
+    // PromSource's `hist` frame, queried entirely through parsed PromQL —
+    // `histogram_count/sum/avg/stddev/stdvar/fraction`, native-routed
+    // `histogram_quantile`, and the counter forms `increase(sel[24h])` /
+    // `rate(sel[24h])` (consecutive reset-aware bucket diffs merged per
+    // series; quantiles are scale-invariant so p90-of-rate needs no
+    // rescale). Nine independent instant queries joined on the series key
+    // for ONE oracle row per type — each branch is a tiny keyed
+    // window/agg over the shared `cum` subtree (exchange-reused), so the
+    // battery's shuffle count is the sum of its branches, not a scale
+    // smell. avg is RAW sum/count in the engine (one double division of
+    // the double sum), so the twin derives it from the UNROUNDED decimal
+    // sum; stdvar's mean rides the 2-dp-pinned sum on both sides within
+    // its 4-dp print. increase covers (first in-window mark, T] =
+    // (2024-01-10 06:00, 2024-01-11 00:00] — the first scrape is the
+    // baseline, as upstream.
+    "q143_promql_native_histogram" -> ((s, d) => {
+      val mark0 = lit("2024-01-10 00:00:00").cast("timestamp")
+      val marks = sequence(mark0, lit("2024-01-11 00:00:00").cast("timestamp"),
+        expr("INTERVAL 6 HOURS"))
+      val cum = NativeHistogram.assemble(
+        NativeHistogram.bucketCounts(
+          events(s, d).withColumn("mark", explode(marks))
+            .filter(col("ts") <= col("mark")),
+          Seq(col("mark"), col("event_type")), "value", Schema),
+        Seq("mark", "event_type"), Schema)
+      val src = graft.metrics.PromQlParser.PromSource(events(s, d),
+        "event_type", Seq("user_id", "event_type"), "ts", "event_id", "value",
+        hist = Some(graft.metrics.PromQlParser.HistBinding(
+          cum, "event_type", Seq("event_type"), "mark", "mark")))
+      val T = "2024-01-11 00:00:00"
+      val sel = """{event_type=~".+"}"""
+      def one(q: String, out: Column, name: String) =
+        graft.metrics.PromQlParser.eval(src, q, T)
+          .select(col("event_type"), out.as(name))
+      val v = col("value")
+      one(s"histogram_count($sel)", v.cast("long"), "n_samples")
+        .join(one(s"histogram_sum($sel)", round(v, 2), "sum_value"), "event_type")
+        .join(one(s"histogram_avg($sel)", round(v, 6), "avg_value"), "event_type")
+        .join(one(s"histogram_stddev($sel)", round(v, 4), "stddev"), "event_type")
+        .join(one(s"histogram_stdvar($sel)", round(v, 4), "stdvar"), "event_type")
+        .join(one(s"histogram_fraction(1, 100, $sel)", round(v, 6), "frac_1_100"), "event_type")
+        .join(one(s"histogram_quantile(0.9, $sel)", round(v, 6), "p90"), "event_type")
+        .join(one(s"histogram_count(increase($sel[24h]))", v.cast("long"), "n_inc"), "event_type")
+        .join(one(s"histogram_quantile(0.9, rate($sel[24h]))", round(v, 6), "p90_rate"), "event_type")
+        .orderBy(col("event_type"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -188,5 +237,96 @@ object NativeHistogramQueries {
         |       t.cnt_all / 21600.0 AS count_rate,
         |       ROUND(q.p90, 6) AS p90
         |FROM tot t JOIN q USING (mark, event_type)
-        |ORDER BY t.event_type, t.mark""".stripMargin)
+        |ORDER BY t.event_type, t.mark""".stripMargin,
+
+    // PromQL-surface twin: the instant battery is the histogram of ALL
+    // samples at or before the evaluation instant (the cumulative build),
+    // the counter battery the (2024-01-10 06:00, 2024-01-11 00:00] slice
+    // (first in-window scrape = baseline). avg divides the UNROUNDED
+    // decimal sum (the engine divides its raw double sum — equal within
+    // the 6-dp print); stdvar's mean uses the 2-dp-pinned sum (q139
+    // policy, within its 4-dp print of the engine's raw mean).
+    "q143_promql_native_histogram" ->
+      """WITH raw AS (
+        |  SELECT event_type, value FROM events
+        |  WHERE ts <= TIMESTAMP '2024-01-11 00:00:00'
+        |), b AS (
+        |  SELECT event_type,
+        |         CAST(CEIL(ROUND(LOG2(value)*4, 9)) AS INT) AS idx
+        |  FROM raw WHERE value > 0
+        |), tot AS (
+        |  SELECT event_type,
+        |         COUNT(*)::DOUBLE AS cnt_all,
+        |         CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_exact,
+        |         ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE), 2) AS sum_r2,
+        |         SUM(CASE WHEN value <= 0 THEN 1 ELSE 0 END)::DOUBLE AS zero_cnt
+        |  FROM raw GROUP BY 1
+        |), bc AS (
+        |  SELECT event_type, idx, COUNT(*)::DOUBLE AS cnt FROM b GROUP BY 1, 2
+        |), allb AS (
+        |  SELECT event_type, idx, cnt,
+        |         ROUND(POWER(2, (idx-1)/4.0), 9) AS lo,
+        |         ROUND(POWER(2, idx/4.0), 9) AS hi
+        |  FROM bc
+        |  UNION ALL
+        |  SELECT event_type, NULL, zero_cnt, 0.0, 0.0 FROM tot WHERE zero_cnt > 0
+        |), bounds AS (
+        |  SELECT *, SUM(cnt) OVER (PARTITION BY event_type ORDER BY lo, hi) AS cum
+        |  FROM allb
+        |), q AS (
+        |  SELECT t.event_type,
+        |         MAX(CASE WHEN b.cum >= 0.9*t.cnt_all AND b.cum - b.cnt < 0.9*t.cnt_all
+        |             THEN b.lo + (b.hi-b.lo) * ((0.9*t.cnt_all - (b.cum-b.cnt)) / b.cnt) END) AS p90,
+        |         CAST(SUM(CAST(CASE WHEN b.hi = b.lo
+        |             THEN (CASE WHEN 1 <= b.lo AND b.hi <= 100 THEN ROUND(b.cnt, 6) ELSE 0 END)
+        |             ELSE ROUND(b.cnt * GREATEST(0, LEAST((LEAST(100, b.hi) - GREATEST(1, b.lo)) / (b.hi - b.lo), 1)), 6) END AS DECIMAL(27,6))) AS DOUBLE) AS frac_num,
+        |         CAST(SUM(CAST(ROUND(b.cnt * ((b.lo+b.hi)/2 - t.sum_r2/t.cnt_all) * ((b.lo+b.hi)/2 - t.sum_r2/t.cnt_all), 6) AS DECIMAL(27,6))) AS DOUBLE) AS ss
+        |  FROM bounds b JOIN tot t USING (event_type)
+        |  GROUP BY 1
+        |), sraw AS (
+        |  SELECT event_type, value FROM events
+        |  WHERE ts > TIMESTAMP '2024-01-10 06:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-11 00:00:00'
+        |), sb AS (
+        |  SELECT event_type,
+        |         CAST(CEIL(ROUND(LOG2(value)*4, 9)) AS INT) AS idx
+        |  FROM sraw WHERE value > 0
+        |), stot AS (
+        |  SELECT event_type, COUNT(*)::DOUBLE AS cnt_all,
+        |         SUM(CASE WHEN value <= 0 THEN 1 ELSE 0 END)::DOUBLE AS zero_cnt
+        |  FROM sraw GROUP BY 1
+        |), sbc AS (
+        |  SELECT event_type, idx, COUNT(*)::DOUBLE AS cnt FROM sb GROUP BY 1, 2
+        |), sallb AS (
+        |  SELECT event_type, idx, cnt,
+        |         ROUND(POWER(2, (idx-1)/4.0), 9) AS lo,
+        |         ROUND(POWER(2, idx/4.0), 9) AS hi
+        |  FROM sbc
+        |  UNION ALL
+        |  SELECT event_type, NULL, zero_cnt, 0.0, 0.0 FROM stot WHERE zero_cnt > 0
+        |), sbounds AS (
+        |  SELECT *, SUM(cnt) OVER (PARTITION BY event_type ORDER BY lo, hi) AS cum
+        |  FROM sallb
+        |), sq AS (
+        |  SELECT t.event_type,
+        |         MAX(CASE WHEN b.cum >= 0.9*t.cnt_all AND b.cum - b.cnt < 0.9*t.cnt_all
+        |             THEN b.lo + (b.hi-b.lo) * ((0.9*t.cnt_all - (b.cum-b.cnt)) / b.cnt) END) AS p90
+        |  FROM sbounds b JOIN stot t USING (event_type)
+        |  GROUP BY 1
+        |)
+        |SELECT t.event_type,
+        |       CAST(t.cnt_all AS BIGINT) AS n_samples,
+        |       t.sum_r2 AS sum_value,
+        |       ROUND(t.sum_exact / t.cnt_all, 6) AS avg_value,
+        |       ROUND(SQRT(q.ss / t.cnt_all), 4) AS stddev,
+        |       ROUND(q.ss / t.cnt_all, 4) AS stdvar,
+        |       ROUND(q.frac_num / t.cnt_all, 6) AS frac_1_100,
+        |       ROUND(q.p90, 6) AS p90,
+        |       CAST(st.cnt_all AS BIGINT) AS n_inc,
+        |       ROUND(sq.p90, 6) AS p90_rate
+        |FROM tot t
+        |JOIN q USING (event_type)
+        |JOIN stot st USING (event_type)
+        |JOIN sq USING (event_type)
+        |ORDER BY t.event_type""".stripMargin)
 }

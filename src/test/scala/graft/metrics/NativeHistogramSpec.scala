@@ -124,6 +124,54 @@ class NativeHistogramSpec extends AnyFunSuite {
     assert(inc.getAs[scala.collection.Seq[Row]]("pos").map(_.getInt(0)) == Seq(3))
   }
 
+  test("PromQL surface: histogram_* functions parse, print, and evaluate") {
+    import PromQlParser._
+    // parse + canonical print
+    assert(parse("histogram_count(m)") ==
+      HistFn("count", Selector(Some("m"), Nil)))
+    assert(parse("histogram_fraction(-1, 100, m)") ==
+      HistFn("fraction", Selector(Some("m"), Nil), Some(-1.0), Some(100.0)))
+    assert(parse("histogram_avg(rate(m[5m]))") ==
+      HistFn("avg", RangeFn("rate", Selector(Some("m"), Nil), 300L)))
+    assert(PromQlFormat.format("histogram_fraction(-1, 100, rate(m[5m]))") ==
+      "histogram_fraction(-1, 100, rate(m[5m]))")
+
+    // two cumulative scrapes of one series: t1 = {1,2}, t2 = {1,2,4,8}
+    val cum = NativeHistogram.fromSamples(
+      Seq((1, 1.0), (1, 2.0), (2, 1.0), (2, 2.0), (2, 4.0), (2, 8.0))
+        .toDF("t", "value")
+        .withColumn("ts", timestamp_seconds(
+          unix_timestamp(to_timestamp(lit("2024-01-01 00:00:00"))) + col("t"))),
+      Seq("ts"), "value", 0).withColumn("m", lit("m"))
+    val scalars = Seq(("m", 1.0)).toDF("m", "value")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:02")))
+    val src = PromSource(scalars, "m", Seq("m"), "ts", "ts", "value",
+      hist = Some(HistBinding(cum, "m", Seq("m"), "ts", "ts")))
+    def v(q: String): Double =
+      eval(src, q, "2024-01-01 00:00:02").collect().head.getAs[Double]("value")
+    assert(v("histogram_count(m)") == 4.0)         // latest cumulative
+    assert(v("histogram_sum(m)") == 15.0)
+    assert(v("histogram_avg(m)") == 3.75)
+    assert(v("histogram_quantile(0.5, m)") == 2.0) // native-routed
+    // counter path: the [2s] window holds both scrapes (the strict lower
+    // bound would drop t1 from [1s]); increase over (t1, t2] = {4,8}
+    assert(v("histogram_count(increase(m[2s]))") == 2.0)
+    assert(v("histogram_sum(increase(m[2s]))") == 12.0)
+    assert(v("histogram_count(rate(m[2s]))") == 1.0)  // 2 / the 2s window
+    // quantile of rate == quantile of increase (scale invariance):
+    // {4,8} at schema 0 → rank 1.8 inside bucket (4,8]
+    assert(v("histogram_quantile(0.9, rate(m[2s]))") ==
+      v("histogram_quantile(0.9, increase(m[2s]))"))
+
+    // without a hist binding the battery fails loudly
+    val bare = src.copy(hist = None)
+    intercept[IllegalArgumentException](eval(bare, "histogram_count(m)", "2024-01-01 00:00:02"))
+    // and the grid compiler declares the instant-only contract
+    intercept[IllegalArgumentException](
+      evalRange(src, "histogram_count(m)",
+        "2024-01-01 00:00:00", "2024-01-01 00:00:02", 1L))
+  }
+
   test("empty histogram: quantile and fraction are NaN, out-of-range phi pins") {
     val out = buildOne(Seq(0.0), 0).select(
       // count is 1 (the zero obs) — use phi pins; a truly empty group

@@ -103,6 +103,16 @@ class PromQlRoundTripSpec extends AnyFunSuite {
         r <- Gen.oneOf(0.25, 0.5, -0.75, 1.0)
         child <- genAst(depth - 1)
       } yield LimitRatio(r, child)),
+      1 -> (for {
+        fn <- Gen.oneOf("count", "sum", "avg", "stddev", "stdvar")
+        child <- Gen.frequency(2 -> (genSelector: Gen[Ast]),
+          1 -> genRangeFn)
+      } yield HistFn(fn, child)),
+      1 -> (for {
+        lo <- Gen.oneOf(-2.5, 0.0, 1.0)
+        hi <- Gen.oneOf(10.0, 100.0)
+        child <- genSelector
+      } yield HistFn("fraction", child, Some(lo), Some(hi))),
       1 -> genAst(depth - 1).map(ScalarFn(_)),
       1 -> Gen.frequency(2 -> scalars.map(v => ScalarLit(v): Ast),
         1 -> Gen.const(TimeFn: Ast),
