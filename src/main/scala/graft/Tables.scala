@@ -28,21 +28,33 @@ object Tables {
     }
   }
 
-  /** Range-pruned events read (P14 shape): the ns→µs conversion in
-    * `table` hides `ts` range predicates from the parquet scan, so this
-    * path filters the RAW nanos column first — the range comparison reaches
-    * `PushedFilters` as bigint bounds and row groups skip. At 100 TB this
-    * is the difference between scanning a day and scanning a month. */
+  /** Range-pruned events read (P14 shape): range predicates must hit the
+    * RAW stored `ts` column — not a rewritten one — so the comparison
+    * reaches `PushedFilters` and parquet row groups skip. At 100 TB this
+    * is the difference between scanning a day and scanning a month.
+    *
+    * Schema-adaptive like `table`: the testdata has shipped `ts` both as
+    * TIMESTAMP(NANOS) (read as raw int64 via nanosAsLong, filtered with
+    * bigint bounds, then rescaled) and as timestamp[µs] (filtered with
+    * timestamp literals, which push down against row-group min/max
+    * natively). Both branches keep the filter on the stored column. */
   def eventsRange(spark: SparkSession, dir: String,
                   startInclusive: String, endExclusive: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    def ns(iso: String): Long =
+    def epochSec(iso: String): Long =
       java.time.LocalDate.parse(iso).atStartOfDay(java.time.ZoneOffset.UTC)
-        .toInstant.getEpochSecond * 1000000000L
-    spark.read.parquet(s"$dir/events.parquet")
-      .filter(col("ts") >= ns(startInclusive) && col("ts") < ns(endExclusive))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .toInstant.getEpochSecond
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => // stored as int64 nanos (legacy ns testdata)
+        df.filter(col("ts") >= epochSec(startInclusive) * 1000000000L &&
+                  col("ts") < epochSec(endExclusive) * 1000000000L)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => // stored as a real parquet timestamp (current µs testdata)
+        df.filter(col("ts") >= timestamp_seconds(lit(epochSec(startInclusive))) &&
+                  col("ts") < timestamp_seconds(lit(epochSec(endExclusive))))
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

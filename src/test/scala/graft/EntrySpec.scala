@@ -38,4 +38,13 @@ class EntrySpec extends AnyFunSuite {
       }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  test("eventsRange ts bounds reach the parquet scan as PushedFilters (P14)") {
+    val df = Tables.eventsRange(spark, TestSpark.SF, "2024-01-10", "2024-01-20")
+    assert(df.count() > 0)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") &&
+           scan.contains("GreaterThanOrEqual(ts") && scan.contains("LessThan(ts"),
+      s"ts range not pushed down:\n${scan.take(2500)}")
+  }
 }

@@ -34,6 +34,22 @@ for t in TABLES:
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
+# Loud-failure gate: Verify writes a manifest of declared query names and
+# per-query exceptions. ANY declared name with no output dir (or a recorded
+# failure) is a hard fail — a thrown query must never read as "0 fail".
+declared_fails = []
+status_path = f"{OUT}/_verify_status.json"
+if os.path.exists(status_path):
+    status = json.load(open(status_path))
+    declared = [n for n in status.get("declared", "").split(",") if n]
+    for entry in status.get("failed", []):
+        for n, msg in entry.items():
+            declared_fails.append((n, f"verify threw: {msg}"))
+    for n in declared:
+        if (not ONLY or n in ONLY) and not os.path.isdir(f"{OUT}/{n}") \
+                and n not in [f[0] for f in declared_fails]:
+            declared_fails.append((n, "declared but no spark output"))
+
 def norm(v):
     if v is None: return "NULL"
     if isinstance(v, float):
@@ -49,7 +65,7 @@ def frame(df):
     rows = sorted(tuple(norm(v) for v in row) for row in df.itertuples(index=False, name=None))
     return cols, rows
 
-fails, passes, skips = [], 0, 0
+fails, passes, skips = list(declared_fails), 0, 0
 names = ONLY if ONLY else sorted(oracle.keys())
 for name in names:
     sql = oracle.get(name)
@@ -57,7 +73,9 @@ for name in names:
         continue  # rows-only query named explicitly; reported below
     spark_path = f"{OUT}/{name}"
     if not os.path.isdir(spark_path):
-        fails.append((name, "spark output missing")); continue
+        if name not in [f[0] for f in fails]:
+            fails.append((name, "spark output missing"))
+        continue
     try:
         sdf = con.sql(f"SELECT * FROM read_parquet('{spark_path}/*.parquet')").df()
     except Exception as e:
