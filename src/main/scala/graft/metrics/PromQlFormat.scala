@@ -53,7 +53,10 @@ object PromQlFormat {
       case AtStart => " @ start()"
       case AtEnd   => " @ end()"
     }.getOrElse("")
-    val off = if (s.offsetSec == 0) "" else s" offset ${durS(s.offsetSec)}"
+    val off =
+      if (s.offsetSec == 0) ""
+      else if (s.offsetSec < 0) s" offset -${durS(-s.offsetSec)}"
+      else s" offset ${durS(s.offsetSec)}"
     s"${s.metric.getOrElse("")}$ms$at$off"
   }
 

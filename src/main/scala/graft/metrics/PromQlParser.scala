@@ -826,14 +826,21 @@ object PromQlParser {
     }
 
     /** Selector modifiers, in either order: `offset <dur>` shifts the
-      * evaluation window into the past; `@ <epoch-seconds>` pins the
+      * evaluation window into the past — `offset -<dur>` (Prometheus
+      * ≥2.26, the Grafana timeshift-comparison form) into the FUTURE
+      * relative to the eval instant; `@ <epoch-seconds>` pins the
       * evaluation instant (offset then applies relative to it, the
       * Prometheus composition rule). */
     private def parseOffsetOpt(sel: Selector): Selector = peek match {
       case Some(Ident("offset")) =>
         next()
+        val sign = peek match {
+          case Some(Sym("-")) => next(); -1L
+          case Some(Sym("+")) => next(); 1L // upstream accepts an explicit +
+          case _ => 1L
+        }
         next() match {
-          case Dur(s) => parseOffsetOpt(sel.copy(offsetSec = s))
+          case Dur(s) => parseOffsetOpt(sel.copy(offsetSec = sign * s))
           case other => fail(s"offset expects a duration like 1h, got $other")
         }
       case Some(Sym("@")) =>

@@ -731,6 +731,27 @@ object PromQlQueries {
         .select(col("event_type"), col("q"),
           round(col("quantile_value"), 6).as("quantile_value"))
         .orderBy(col("event_type"), col("q"))
+    }),
+
+    // Negative offset (Prometheus ≥2.26, the Grafana timeshift-comparison
+    // form): `offset -12h` shifts the evaluation instant FORWARD; with @
+    // it composes pin-first-then-shift (the Prometheus rule). Branch
+    // cross-check: `offset -12h` from midnight and `@ 10:00 offset -2h`
+    // land on the SAME instant (12:00) through different code paths, and
+    // a range window shifted forward reads (00:00, 06:00].
+    "q144_promql_neg_offset" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      def run(q: String, tag: String) =
+        PromQlParser.eval(src, q, "2024-01-15 00:00:00", lookback = "24 HOURS")
+          .withColumn("which", lit(tag))
+      run("""sum by (event_type) ({event_type=~".+"} offset -12h)""", "neg")
+        .unionByName(
+          run("""sum by (event_type) ({event_type=~".+"} @ 1705312800 offset -2h)""", "at_neg"))
+        .unionByName(
+          run("""sum by (event_type) (count_over_time({event_type=~".+"}[6h] offset -6h))""", "range_neg"))
+        .select(col("which"), col("event_type"), round(col("value"), 4).as("value"))
+        .orderBy(col("which"), col("event_type"))
     })
   )
 
@@ -1411,6 +1432,28 @@ object PromQlQueries {
         |  FROM (SELECT user_id, event_type, max(ts) AS max_ts
         |        FROM w WHERE event_type = 'click' GROUP BY 1, 2)
         |) ORDER BY which, user_id, event_type""".stripMargin,
+
+    "q144_promql_neg_offset" ->
+      """WITH lastv AS (
+        |  SELECT t.tag, e.user_id, e.event_type, e.value
+        |  FROM (VALUES ('neg', TIMESTAMP '2024-01-15 12:00:00'),
+        |               ('at_neg', TIMESTAMP '2024-01-15 12:00:00')) AS t(tag, te)
+        |  JOIN events e ON e.ts <= t.te AND e.ts > t.te - INTERVAL 24 HOURS
+        |  QUALIFY row_number() OVER (PARTITION BY t.tag, e.user_id, e.event_type
+        |                             ORDER BY e.ts DESC, e.event_id DESC) = 1
+        |)
+        |SELECT * FROM (
+        |  SELECT tag AS which, event_type,
+        |    round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |      AS value
+        |  FROM lastv GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'range_neg', event_type, round(CAST(count(*) AS DOUBLE), 4)
+        |  FROM events
+        |  WHERE ts <= TIMESTAMP '2024-01-15 06:00:00'
+        |    AND ts >  TIMESTAMP '2024-01-15 00:00:00'
+        |  GROUP BY event_type
+        |) ORDER BY which, event_type""".stripMargin,
 
     "q126_promql_at_modifier" ->
       """WITH lastv AS (

@@ -40,7 +40,7 @@ class PromQlRoundTripSpec extends AnyFunSuite {
     metric <- Gen.option(metrics)
     n <- Gen.choose(if (metric.isEmpty) 1 else 0, 2)
     ms <- Gen.listOfN(n, genMatcher)
-    off <- Gen.oneOf(0L, 60L)
+    off <- Gen.oneOf(0L, 60L, -3600L) // negative = Grafana timeshift form
     at <- Gen.frequency(6 -> Gen.const(Option.empty[At]),
       2 -> Gen.const(Some(AtTs(1705316400L)): Option[At]),
       1 -> Gen.const(Some(AtStart): Option[At]),
