@@ -134,12 +134,25 @@ object NativeHistogram {
             .getField("cnt"), lit(0.0))).as("cnt"))),
       s => s.getField("cnt") > 0)
 
+  /** True iff any bucket of `prev` has a higher count than the matching
+    * bucket of `cur` (absent = 0) — the upstream per-bucket reset probe
+    * (Prometheus FloatHistogram.DetectReset): a counter restart quickly
+    * re-filled to a HIGHER total but a different shape still resets.
+    * O(|prev|·|cur|) over model-sized arrays, pure column expression. */
+  private def anyBucketDrop(cur: Column, prev: Column): Column =
+    exists(prev, p => p.getField("cnt") > coalesce(
+      try_element_at(filter(cur, c => c.getField("idx") === p.getField("idx")), lit(1))
+        .getField("cnt"), lit(0.0)))
+
   /** `increase()` over a HISTOGRAM-VALUED counter series: per partition
     * key, each row's histogram minus its predecessor (ordered by
     * `orderCol`) — counts, sums, zero counts subtract scalar-wise and
-    * buckets subtract index-wise. The Prometheus counter-reset rule: if
-    * the total count DROPPED, the current histogram IS the increase (the
-    * counter restarted from empty). The first row per key has no
+    * buckets subtract index-wise. The Prometheus counter-reset rule
+    * (upstream DetectReset): the counter restarted — and the current
+    * histogram IS the increase — if the total count dropped, the zero
+    * count dropped, or ANY individual bucket count dropped (a restart
+    * can re-fill past the old total with a different shape; total-only
+    * detection would emit negative buckets). The first row per key has no
     * predecessor and is dropped, as upstream does. Output keeps the
     * histogram shape (schema/count/sum/zero_count/pos/neg) plus
     * `dt_sec`, so the whole ANALYZE battery applies to the increase
@@ -158,7 +171,10 @@ object NativeHistogram {
       .withColumn("__ppos", prev("pos")).withColumn("__pneg", prev("neg"))
       .withColumn("__pord", lag(col(orderCol), 1).over(w))
       .filter(col("__pcount").isNotNull)
-    val reset = col("count") < col("__pcount")
+    val reset = col("count") < col("__pcount") ||
+      col("zero_count") < col("__pzero") ||
+      anyBucketDrop(col("pos"), col("__ppos")) ||
+      anyBucketDrop(col("neg"), col("__pneg"))
     lagged.select(
       (partitionCols.map(col) :+ col(orderCol)) ++ Seq(
         col("schema"),

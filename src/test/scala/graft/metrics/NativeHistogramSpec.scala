@@ -124,6 +124,37 @@ class NativeHistogramSpec extends AnyFunSuite {
     assert(inc.getAs[scala.collection.Seq[Row]]("pos").map(_.getInt(0)) == Seq(3))
   }
 
+  test("increase: a BUCKET drop with a higher total is still a reset (upstream DetectReset)") {
+    // t=1 holds {1,1,2}: bucket idx0 (≤1) cnt=2, idx1 (≤2) cnt=1, total 3.
+    // t=2 holds {2,2,4,8}: idx0 ABSENT (dropped 2→0), total 4 > 3 — a
+    // restart that re-filled past the old total with a different shape.
+    // Total-only detection would subtract and emit a negative idx0; the
+    // per-bucket rule must declare a reset: the increase IS h2.
+    val h1 = NativeHistogram.fromSamples(
+      Seq(1.0, 1.0, 2.0).toDF("value").withColumn("g", lit("a")).withColumn("t", lit(1)),
+      Seq("g", "t"), "value", 0)
+    val h2 = NativeHistogram.fromSamples(
+      Seq(2.0, 2.0, 4.0, 8.0).toDF("value").withColumn("g", lit("a")).withColumn("t", lit(2)),
+      Seq("g", "t"), "value", 0)
+    val inc = NativeHistogram.increase(h1.unionByName(h2), Seq("g"), "t").collect().head
+    assert(inc.getAs[Double]("count") == 4.0) // h2 alone, not h2 − h1
+    assert(inc.getAs[Double]("sum") == 16.0)
+    assert(inc.getAs[scala.collection.Seq[Row]]("pos").map(r => (r.getInt(0), r.getDouble(1)))
+      == Seq((1, 2.0), (2, 1.0), (3, 1.0)))
+  }
+
+  test("increase: a zero-count drop alone is a reset") {
+    val h1 = NativeHistogram.fromSamples(
+      Seq(0.0, 0.0, 1.0).toDF("value").withColumn("g", lit("a")).withColumn("t", lit(1)),
+      Seq("g", "t"), "value", 0)
+    val h2 = NativeHistogram.fromSamples(
+      Seq(0.0, 1.0, 2.0, 4.0).toDF("value").withColumn("g", lit("a")).withColumn("t", lit(2)),
+      Seq("g", "t"), "value", 0)
+    val inc = NativeHistogram.increase(h1.unionByName(h2), Seq("g"), "t").collect().head
+    assert(inc.getAs[Double]("zero_count") == 1.0) // h2 alone (2→1 dropped)
+    assert(inc.getAs[Double]("count") == 4.0)
+  }
+
   test("PromQL surface: histogram_* functions parse, print, and evaluate") {
     import PromQlParser._
     // parse + canonical print
