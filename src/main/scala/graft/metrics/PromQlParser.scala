@@ -1024,6 +1024,13 @@ object PromQlParser {
       .minusSeconds(offsetSec)
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
 
+  /** Smallest multiple of `stepUs` that is ≥ `tUs` (floorDiv handles
+    * pre-epoch instants) — the upstream subquery grid-start rule. */
+  private def alignUp(tUs: Long, stepUs: Long): Long = {
+    val a = Math.floorDiv(tUs, stepUs) * stepUs
+    if (a < tUs) a + stepUs else a
+  }
+
   /** Plain `yyyy-MM-dd HH:mm:ss` (session UTC) → epoch micros. */
   private def usOf(ts: String): Long =
     java.time.LocalDateTime.parse(ts.replace(' ', 'T'))
@@ -1597,31 +1604,37 @@ object PromQlParser {
     // grid samples per series. Inner instant selectors use the Prometheus
     // default 5m lookback, as in Prometheus subqueries.
     //
-    // Anchoring — DELIBERATE deviation, pinned in PromQlSpec: the grid is
-    // anchored at the evaluation instant (grid points T − i·step), while
-    // real Prometheus aligns subquery timestamps to absolute epoch
-    // multiples of the step. The engine's choice makes a subquery's
-    // result a pure function of (expr, T) — reproducible across repeated
-    // evaluations and oracle-checkable — at the cost of differing from
-    // upstream when T is not itself step-aligned.
+    // Anchoring — UPSTREAM-ALIGNED (decided round 10, pinned in
+    // PromQlParserSpec like rate()): grid points are the ABSOLUTE epoch
+    // multiples of step inside [T − range, T] — closed on the left, so
+    // when T − range lands on the step grid that boundary point is
+    // included (the documented Prometheus "range/step + 1" behavior,
+    // promql/engine.go evalSubquery). Earlier rounds anchored at the
+    // eval instant; absolute alignment makes repeated evaluations at
+    // shifting T reuse the same inner instants, which is also what makes
+    // the shared-fine-grid query_range form below coherent.
     case RangeSub(fn, sub, param) =>
       require(sub.stepSec > 0, "subquery step must be positive")
       require(overTimeFns(fn),
         s"$fn over a subquery is not supported; use a *_over_time function")
       val stepUs = sub.stepSec * 1000000L
       val endUs = usOf(evalTs)
-      // grid points T − i·step for i·step < range, oldest first
-      val nSteps = (sub.rangeSec - 1) / sub.stepSec
-      val g = new GridCompiler(src, endUs - nSteps * stepUs, stepUs, nSteps,
-        lookbackUs = 300L * 1000000L)
-      val sg = g.compile(sub.child)
+      val rangeUs = sub.rangeSec * 1000000L
+      val t0 = alignUp(endUs - rangeUs, stepUs)
+      val last = Math.floorDiv(endUs, stepUs) * stepUs
+      val nSteps = (last - t0) / stepUs
+      // t0 > last (possible when T is unaligned and range < step): no
+      // aligned instant falls in the window — empty vector, as upstream
+      val g = new GridCompiler(src, if (nSteps < 0) last else t0, stepUs,
+        math.max(nSteps, 0L), lookbackUs = 300L * 1000000L)
+      val sg0 = g.compile(sub.child)
+      val sg = if (nSteps < 0) sg0.filter(lit(false)) else sg0
       val labels = sg.columns.filterNot(nonLabelCols).toSeq
       val grouped =
         if (labels.isEmpty) sg.groupBy()
         else sg.groupBy(labels.map(col): _*)
       overTimeAgg(grouped, fn, col("value"), param, lastOrd = col("__step"),
-        tsSec = (lit(endUs - nSteps * stepUs) +
-          col("__step") * lit(stepUs)).cast("double") / 1000000.0)
+        tsSec = (lit(t0) + col("__step") * lit(stepUs)).cast("double") / 1000000.0)
 
     case rv: RangeVec => throw new IllegalArgumentException(
       s"a range vector ($rv) is only valid as a range function's argument")
@@ -2154,35 +2167,38 @@ object PromQlParser {
           "a bare scalar is not an instant vector; use it as a binary-operator operand")
 
       // Subquery on the outer grid — NOT a grid of grids: the inner
-      // expression evaluates ONCE on a shared fine grid (substep
-      // resolution, aligned to the outer start and extended back by the
-      // subquery range), and each fine-grid sample then explodes onto the
-      // ≤ ⌈range/step⌉ outer steps whose trailing window holds it — the
-      // same bounded generate-project shape as every other grid operator.
-      // A day-long query_range over a 1h:5m subquery evaluates the inner
-      // rate ~300 times total, not 288 × 12.
+      // expression evaluates ONCE on a shared fine grid (ABSOLUTE epoch
+      // multiples of the substep, covering the first outer step's window
+      // through the last outer step), and each fine-grid sample then
+      // explodes onto the ≤ ⌈range/step⌉+1 outer steps whose window
+      // holds it — the same bounded generate-project shape as every
+      // other grid operator. A day-long query_range over a 1h:5m
+      // subquery evaluates the inner rate ~300 times total, not 288 × 12.
+      //
+      // Upstream-aligned (round 10, with the instant path): each outer
+      // step T folds the fine samples at absolute substep multiples in
+      // the CLOSED window [T − range, T] — exactly the instants instant
+      // evaluation at T uses, for ANY outer step (absolute alignment is
+      // what removed the old step-divisibility restriction: outer steps
+      // need not land on the fine grid for the two paths to agree).
       case RangeSub(fn, sub, param) =>
         require(sub.stepSec > 0, "subquery step must be positive")
         require(overTimeFns(fn),
           s"$fn over a subquery is not supported; use a *_over_time function")
-        // Alignment contract: with step % substep == 0 every outer step
-        // lands ON the shared fine grid, so grid evaluation agrees with
-        // instant evaluation of the same expression at each step instant.
-        // A non-divisible step would silently evaluate the inner
-        // expression at instants none of the outer steps own — refuse it.
-        require(stepUs % (sub.stepSec * 1000000L) == 0,
-          s"query_range step must be a multiple of the subquery step (${sub.stepSec}s)")
         val subUs = sub.stepSec * 1000000L
         val rangeUs = sub.rangeSec * 1000000L
-        val nBack = (rangeUs - 1) / subUs
-        val innerStart = startUs - nBack * subUs
-        val innerN = (startUs + nSteps * stepUs - innerStart) / subUs
+        val innerStart = alignUp(startUs - rangeUs, subUs)
+        val innerN =
+          (Math.floorDiv(startUs + nSteps * stepUs, subUs) * subUs - innerStart) / subUs
         val inner = new GridCompiler(src, innerStart, subUs, innerN,
           lookbackUs = 300L * 1000000L)
         val ig = inner.compile(sub.child).withColumnRenamed("__step", "__substep")
         val tAbs = lit(innerStart) + col("__substep") * lit(subUs)
+        // +1 µs horizon: stepsFor is horizon-exclusive; the window is
+        // closed on both ends, so a step exactly range after the sample
+        // still holds it (all quantities are µs-integral)
         val exploded = ig.withColumn("__step",
-          explode(stepsFor(tAbs, tAbs + lit(rangeUs))))
+          explode(stepsFor(tAbs, tAbs + lit(rangeUs) + lit(1L))))
         val labels = ig.columns.filterNot(nonLabelCols).toSeq
         overTimeAgg(exploded.groupBy((labels :+ "__step").map(col): _*),
           fn, col("value"), param, lastOrd = col("__substep"),

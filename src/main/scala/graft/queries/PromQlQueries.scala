@@ -366,9 +366,10 @@ object PromQlQueries {
     }),
 
     // Subquery — the canonical alerting idiom `max_over_time(rate(...)[R:S])`:
-    // the inner rate evaluates on a 4-point 3h grid over the trailing 12h
-    // (one generate-project through the SAME GridCompiler as query_range —
-    // no per-step loop), and the outer max folds the grid per series.
+    // the inner rate evaluates on an absolute-aligned 3h grid over the
+    // CLOSED trailing [T−12h, T] — five points, the upstream
+    // "range/step + 1" rule (one generate-project through the SAME
+    // GridCompiler as query_range), and the outer max folds per series.
     "q118_promql_subquery" -> ((s, d) => {
       val src = PromQlParser.PromSource(events(s, d), "event_type",
         Seq("user_id", "event_type"), "ts", "event_id", "value")
@@ -380,10 +381,10 @@ object PromQlQueries {
     }),
 
     // Subquery ON the query_range grid: the inner rate evaluates once on
-    // a shared 3h fine grid (extended one substep before the window
-    // start), and each fine sample folds onto the outer 6h steps whose
-    // trailing 6h window holds it — inner work scales with fine-grid
-    // size, not outer-steps × substeps.
+    // a shared absolute-aligned 3h fine grid (covering the first step's
+    // closed window), and each fine sample folds onto the outer 6h steps
+    // whose CLOSED trailing 6h window holds it — inner work scales with
+    // fine-grid size, not outer-steps × substeps.
     "q119_range_subquery" -> ((s, d) => {
       val src = PromQlParser.PromSource(events(s, d), "event_type",
         Seq("user_id", "event_type"), "ts", "event_id", "value")
@@ -1085,8 +1086,9 @@ object PromQlQueries {
     // trailing 6h window (the q107 rule); outer max is order-insensitive.
     "q118_promql_subquery" ->
       """WITH steps AS (
-        |  SELECT make_timestamp((1705287600 + i * 10800) * 1000000) AS step_ts
-        |  FROM (SELECT unnest(generate_series(0, 3)) AS i)
+        |  -- closed [T-12h, T] on the absolute 3h grid: 5 points
+        |  SELECT make_timestamp((1705276800 + i * 10800) * 1000000) AS step_ts
+        |  FROM (SELECT unnest(generate_series(0, 4)) AS i)
         |), d AS (
         |  SELECT user_id, event_type, ts, value,
         |    lag(value) OVER win AS prev, lag(ts) OVER win AS prev_ts
@@ -1107,13 +1109,15 @@ object PromQlQueries {
         |SELECT user_id, event_type, round(max(rate), 6) AS value
         |FROM r GROUP BY 1, 2 ORDER BY user_id""".stripMargin,
 
-    // Fine grid: 2024-01-13 21:00 (epoch 1705179600) + j·3h for j in 0..9;
-    // rate per fine point = q107's pairs rule; outer 6h steps (1705190400
-    // + i·6h) fold the fine points inside their trailing 6h window.
+    // Fine grid: 2024-01-13 18:00 (epoch 1705168800) + j·3h for j in 0..10
+    // (absolute 3h multiples covering the first outer step's closed 6h
+    // window); rate per fine point = q107's pairs rule; outer 6h steps
+    // (1705190400 + i·6h) fold the fine points inside their CLOSED
+    // trailing 6h window.
     "q119_range_subquery" ->
       """WITH fine AS (
-        |  SELECT make_timestamp((1705179600 + j * 10800) * 1000000) AS fts
-        |  FROM (SELECT unnest(generate_series(0, 9)) AS j)
+        |  SELECT make_timestamp((1705168800 + j * 10800) * 1000000) AS fts
+        |  FROM (SELECT unnest(generate_series(0, 10)) AS j)
         |), d AS (
         |  SELECT user_id, event_type, ts, value,
         |    lag(value) OVER win AS prev, lag(ts) OVER win AS prev_ts
@@ -1136,7 +1140,7 @@ object PromQlQueries {
         |)
         |SELECT r.user_id, r.event_type, s.step_ts, round(max(r.rate), 6) AS value
         |FROM steps s JOIN r
-        |  ON r.fts <= s.step_ts AND r.fts > s.step_ts - INTERVAL 6 HOURS
+        |  ON r.fts <= s.step_ts AND r.fts >= s.step_ts - INTERVAL 6 HOURS
         |GROUP BY 1, 2, 3
         |ORDER BY user_id, event_type, step_ts""".stripMargin,
 

@@ -461,15 +461,19 @@ class PromQlParserSpec extends AnyFunSuite {
     assert(parse("max_over_time(rate(cpu[5m])[1h:10m])") ==
       RangeSub("max_over_time",
         Subquery(RangeFn("rate", Selector(Some("cpu"), Nil), 300L), 3600L, 600L)))
-    // counter 0→60→240 at 10:00/10:10/10:20; rate[15m] at the grid points
-    // 10:10 (pair 10:00→10:10, inc 60) and 10:20 (pair 10:10→10:20,
-    // inc 180) — the 15m window holds one adjacent pair per point (a 10m
-    // window would EXCLUDE both: the trailing window is left-open, so a
-    // prev sample exactly w before T is outside it)
+    // counter 0→60→240 at 10:00/10:10/10:20; the [20m:10m] grid at the
+    // aligned T=10:20 is the CLOSED [10:00, 10:20] — three absolute
+    // 10m multiples (upstream "range/step + 1") — but 10:00 carries no
+    // pair, so rate[15m] samples exist at 10:10 (pair 10:00→10:10,
+    // inc 60) and 10:20 (pair 10:10→10:20, inc 180); a 10m inner window
+    // would EXCLUDE both: the rate window stays left-open, so a prev
+    // sample exactly w before T is outside it
     val df = Seq((1L, ts(0), 0.0), (2L, ts(10), 60.0), (3L, ts(20), 240.0))
       .toDF("event_id", "ts", "value")
       .withColumn("user_id", lit(1L)).withColumn("event_type", lit("cpu"))
     def run(q: String) = eval(src(df), q, "2024-01-01 10:20:00")
+      .select("value").head().getDouble(0)
+    def run2(q: String, t: String) = eval(src(df), q, t)
       .select("value").head().getDouble(0)
     assert(math.abs(run("max_over_time(rate(cpu[15m])[20m:10m])") - 180.0 / 900) < 1e-12)
     assert(math.abs(run("min_over_time(rate(cpu[15m])[20m:10m])") - 60.0 / 900) < 1e-12)
@@ -486,23 +490,39 @@ class PromQlParserSpec extends AnyFunSuite {
     assert(e.getMessage.contains("subquery"))
     // subquery on the query_range grid: inner rate evaluates once on the
     // shared fine grid (10:10/10:20 carry pairs → 1/15 and 0.2), each
-    // fine sample folds onto the outer steps whose 20m window holds it
+    // fine sample folds onto the outer steps whose CLOSED [T−20m, T]
+    // window holds it (upstream alignment, round 10) — so the 10:40 step
+    // still sees the 10:20 sample sitting exactly range back
     val grid = PromQlParser.evalRange(src(df),
         "max_over_time(rate(cpu[15m])[20m:10m])",
         "2024-01-01 10:20:00", "2024-01-01 10:40:00", stepSec = 600)
       .collect()
       .map(r => r.getAs[java.sql.Timestamp]("step_ts").toString -> r.getAs[Double]("value"))
       .toMap
-    assert(grid.keySet == Set("2024-01-01 10:20:00.0", "2024-01-01 10:30:00.0"))
+    assert(grid.keySet == Set("2024-01-01 10:20:00.0", "2024-01-01 10:30:00.0",
+      "2024-01-01 10:40:00.0"))
     assert(math.abs(grid("2024-01-01 10:20:00.0") - 0.2) < 1e-12)
     assert(math.abs(grid("2024-01-01 10:30:00.0") - 0.2) < 1e-12)
-    // alignment contract: an outer step that is not a multiple of the
-    // subquery step would evaluate the inner expr at instants no outer
-    // step owns — refused, not silently divergent from instant eval
-    val ae = intercept[IllegalArgumentException](
-      PromQlParser.evalRange(src(df), "max_over_time(rate(cpu[15m])[20m:10m])",
-        "2024-01-01 10:20:00", "2024-01-01 10:50:00", stepSec = 900))
-    assert(ae.getMessage.contains("multiple"))
+    assert(math.abs(grid("2024-01-01 10:40:00.0") - 0.2) < 1e-12)
+    // absolute alignment makes ANY outer step agree with instant eval at
+    // the same instant (the old step-divisibility restriction is gone):
+    // steps 10:20/10:35/10:50 fold the same absolute 10m-multiple fine
+    // samples instant evaluation would use
+    val grid900 = PromQlParser.evalRange(src(df),
+        "max_over_time(rate(cpu[15m])[20m:10m])",
+        "2024-01-01 10:20:00", "2024-01-01 10:50:00", stepSec = 900)
+      .collect()
+      .map(r => r.getAs[java.sql.Timestamp]("step_ts").toString -> r.getAs[Double]("value"))
+      .toMap
+    assert(grid900.keySet == Set("2024-01-01 10:20:00.0", "2024-01-01 10:35:00.0"))
+    assert(math.abs(grid900("2024-01-01 10:35:00.0") - 0.2) < 1e-12)
+    // instant eval at the unaligned 10:35 matches the grid's 10:35 row
+    assert(math.abs(run2("max_over_time(rate(cpu[15m])[20m:10m])",
+      "2024-01-01 10:35:00") - 0.2) < 1e-12)
+    // unaligned T with range < step: no aligned instant in (T−range, T]
+    // → empty vector, as upstream
+    assert(eval(src(df), "max_over_time(rate(cpu[15m])[4m:10m])",
+      "2024-01-01 10:35:00").count() == 0)
   }
 
   test("resets/changes count window transitions; idelta is the last difference") {
