@@ -92,6 +92,11 @@ object PromQlFormat {
       val tail = if (by.isEmpty) "" else s" by (${by.mkString(", ")})"
       s"limitk($k, ${format(child)})$tail"
     case LimitRatio(r, child) => s"limit_ratio($r, ${format(child)})"
+    case InfoFn(child, Nil) => s"info(${format(child)})"
+    case InfoFn(child, ms) =>
+      val sel = ms.map(m => s"${m.label}${m.op}${str(m.value)}")
+        .mkString("{", ", ", "}")
+      s"info(${format(child)}, $sel)"
     case ScalarFn(child) => s"scalar(${format(child)})"
     case VectorFn(child) => s"vector(${format(child)})"
     case TimeComp(fn, child) => s"$fn(${child.map(format).getOrElse("")})"

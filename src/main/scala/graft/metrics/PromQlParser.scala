@@ -114,6 +114,17 @@ object PromQlParser {
                                seriesKey: Seq[String], tsCol: String,
                                orderCol: String)
 
+  /** Binding of an INFO-metric frame for `info()` (Prometheus 3.x
+    * experimental): one row per info SAMPLE —
+    * `(metricCol, identifying…, dataLabels…, tsCol, orderCol)`.
+    * `identifying` is the join key (upstream hardcodes
+    * `(instance, job)`; here the binding declares it), `dataLabels` the
+    * columns `info()` copies onto matching samples. */
+  final case class InfoBinding(df: DataFrame, metricCol: String,
+                               identifying: Seq[String],
+                               dataLabels: Seq[String], tsCol: String,
+                               orderCol: String)
+
   /** Binding of a sample frame to the Prometheus data model. `hist`
     * optionally binds a second, histogram-valued frame: `histogram_count/
     * sum/avg/stddev/stdvar/fraction` resolve their selector against it,
@@ -122,7 +133,8 @@ object PromQlParser {
   final case class PromSource(df: DataFrame, metricCol: String,
                               seriesKey: Seq[String], tsCol: String,
                               orderCol: String, valueCol: String,
-                              hist: Option[HistBinding] = None)
+                              hist: Option[HistBinding] = None,
+                              info: Option[InfoBinding] = None)
 
   // ---------- AST ----------
   sealed trait Ast
@@ -154,6 +166,15 @@ object PromQlParser {
     * as in Prometheus. */
   final case class SortFn(desc: Boolean, child: Ast,
                           byLabels: Seq[String] = Nil) extends Ast
+  /** `info(v[, {matchers}])` (Prometheus 3.x experimental): enrich each
+    * sample of `v` with the DATA labels of the newest in-lookback
+    * info-metric row sharing the binding's identifying labels. Matchers
+    * in the optional second argument filter info rows (a `__name__`
+    * matcher selects info metrics, data-label matchers their values)
+    * and narrow which data labels are copied; samples with no matching
+    * info row pass through unchanged (null data labels). */
+  final case class InfoFn(child: Ast, dataSel: Seq[Matcher] = Nil) extends Ast
+
   /** `limitk(k, v)`: AT MOST k series per group. The engine's selection
     * rule is the lexical first k by the full label tuple — deterministic
     * and oracle-able (upstream's experimental limitk samples by label
@@ -632,6 +653,20 @@ object PromQlParser {
         val child = parseExpr()
         expect(")")
         SortFn(fn == "sort_desc", child)
+      case Some(Ident("info")) if !selectorAhead =>
+        next(); expect("(")
+        val child = parseExpr()
+        val dataSel =
+          if (peek.contains(Sym(","))) {
+            next()
+            parseSelector() match {
+              case Selector(None, ms, 0L, None) if ms.nonEmpty => ms
+              case other => fail(
+                s"info() expects a bare {matcher} data-label selector, got $other")
+            }
+          } else Nil
+        expect(")")
+        InfoFn(child, dataSel)
       case Some(Ident(fn @ ("sort_by_label" | "sort_by_label_desc")))
         if !selectorAhead =>
         next(); expect("(")
@@ -1775,6 +1810,39 @@ object PromQlParser {
       }
       hv.select(h.seriesKey.map(col) :+ value.as("value"): _*)
 
+    // info(): one window (newest info sample per identifying key, the
+    // same last-sample rule as every instant selector) + one LEFT join
+    // keyed by the identifying labels — at 100 TB the info side is
+    // entity-sized (one row per identifying key after the window), so
+    // AQE broadcasts it; samples with no info row pass through with
+    // null data labels rather than dropping (the upstream rule).
+    case InfoFn(child, dataSel) =>
+      val ib = src.info.getOrElse(throw new IllegalArgumentException(
+        "info() needs an info-metric binding (PromSource.info)"))
+      val vec = compile(src, child, evalTs, lookback)
+      require(ib.identifying.forall(vec.columns.contains),
+        s"info(): the child vector must carry the identifying labels ${ib.identifying}")
+      val nameSel = dataSel.filter(_.label == "__name__")
+      val labelSel = dataSel.filterNot(_.label == "__name__")
+      labelSel.find(m => !ib.dataLabels.contains(m.label)).foreach(m =>
+        throw new IllegalArgumentException(
+          s"info(): '${m.label}' is not a data label of the info binding"))
+      val wanted =
+        if (labelSel.isEmpty) ib.dataLabels
+        else ib.dataLabels.filter(l => labelSel.exists(_.label == l))
+      val t = to_timestamp(lit(evalTs))
+      val rowCond = matcherCondFor(ib.metricCol,
+        Selector(None, nameSel.map(m => m.copy(label = ib.metricCol)) ++ labelSel))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(ib.identifying.map(col): _*)
+        .orderBy(col(ib.tsCol).desc, col(ib.orderCol).desc)
+      val newest = ib.df
+        .filter(col(ib.tsCol) <= t && col(ib.tsCol) > t - expr(s"INTERVAL $lookback"))
+        .filter(rowCond)
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select((ib.identifying ++ wanted).map(col): _*)
+      vec.join(newest, ib.identifying, "left")
+
     case ScalarLit(_) | TimeFn =>
       throw new IllegalArgumentException(
         "a bare scalar is not an instant vector; use it as a binary-operator operand")
@@ -2161,6 +2229,10 @@ object PromQlParser {
       case hf: HistFn => throw new IllegalArgumentException(
         s"histogram_${hf.fn} is instant-query only in this build " +
           "(native-histogram grid evaluation is not implemented)")
+
+      case _: InfoFn => throw new IllegalArgumentException(
+        "info() is instant-query only in this build " +
+          "(per-step info joins are not implemented)")
 
       case ScalarLit(_) | TimeFn =>
         throw new IllegalArgumentException(

@@ -753,6 +753,39 @@ object PromQlQueries {
           run("""sum by (event_type) (count_over_time({event_type=~".+"}[6h] offset -6h))""", "range_neg"))
         .select(col("which"), col("event_type"), round(col("value"), 4).as("value"))
         .orderBy(col("which"), col("event_type"))
+    }),
+
+    // info() (Prometheus 3.x experimental): click samples enriched with
+    // the data labels of each user's newest in-lookback `user_info` row
+    // (signup events carry tier/zone derived from their JSON props — so
+    // newest-per-key genuinely decides). Branch "all" copies every data
+    // label; "sel" filters info rows by tier and selects the info metric
+    // by __name__. Unmatched samples keep null data labels (LEFT join),
+    // the upstream pass-through rule. One window + one AQE-broadcast
+    // join — the info side is one row per user after the window.
+    "q145_promql_info" -> ((s, d) => {
+      val ev = events(s, d)
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      val infoDf = ev.filter(col("event_type") === "signup")
+        .select(lit("user_info").as("info_name"), col("user_id"),
+          element_at(array(lit("gold"), lit("silver"), lit("bronze")),
+            (k % 3 + 1).cast("int")).as("tier"),
+          concat(lit("z"), (k % 5).cast("string")).as("zone"),
+          col("ts"), col("event_id"))
+      val src = PromQlParser.PromSource(ev, "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value",
+        info = Some(PromQlParser.InfoBinding(infoDf, "info_name",
+          Seq("user_id"), Seq("tier", "zone"), "ts", "event_id")))
+      def run(q: String, tag: String) =
+        PromQlParser.eval(src, q, "2024-01-15 12:00:00", lookback = "24 HOURS")
+          .withColumn("which", lit(tag))
+      run("""info({event_type="click"})""", "all")
+        .unionByName(run(
+          """info({event_type="click"}, {__name__="user_info", tier=~"gold|silver", zone=~".+"})""",
+          "sel"))
+        .select(col("which"), col("user_id"), col("event_type"),
+          col("tier"), col("zone"), round(col("value"), 6).as("value"))
+        .orderBy(col("which"), col("user_id"))
     })
   )
 
@@ -1436,6 +1469,45 @@ object PromQlQueries {
         |  FROM (SELECT user_id, event_type, max(ts) AS max_ts
         |        FROM w WHERE event_type = 'click' GROUP BY 1, 2)
         |) ORDER BY which, user_id, event_type""".stripMargin,
+
+    "q145_promql_info" ->
+      """WITH clickv AS (
+        |  SELECT user_id, event_type, value
+        |  FROM events
+        |  WHERE event_type = 'click'
+        |    AND ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |    AND ts >  TIMESTAMP '2024-01-14 12:00:00'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |                             ORDER BY ts DESC, event_id DESC) = 1
+        |), info AS (
+        |  SELECT user_id,
+        |    CASE CAST(json_extract(props, '$.k') AS BIGINT) % 3
+        |      WHEN 0 THEN 'gold' WHEN 1 THEN 'silver' ELSE 'bronze' END AS tier,
+        |    'z' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 5 AS VARCHAR)
+        |      AS zone,
+        |    ts, event_id
+        |  FROM events
+        |  WHERE event_type = 'signup'
+        |    AND ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |    AND ts >  TIMESTAMP '2024-01-14 12:00:00'
+        |), newest AS (
+        |  SELECT user_id, tier, zone FROM info
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |                             ORDER BY ts DESC, event_id DESC) = 1
+        |), newest_sel AS (
+        |  SELECT user_id, tier, zone FROM info
+        |  WHERE tier IN ('gold', 'silver')
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |                             ORDER BY ts DESC, event_id DESC) = 1
+        |)
+        |SELECT * FROM (
+        |  SELECT 'all' AS which, c.user_id, c.event_type, n.tier, n.zone,
+        |    round(c.value, 6) AS value
+        |  FROM clickv c LEFT JOIN newest n USING (user_id)
+        |  UNION ALL
+        |  SELECT 'sel', c.user_id, c.event_type, n.tier, n.zone, round(c.value, 6)
+        |  FROM clickv c LEFT JOIN newest_sel n USING (user_id)
+        |) ORDER BY which, user_id""".stripMargin,
 
     "q144_promql_neg_offset" ->
       """WITH lastv AS (

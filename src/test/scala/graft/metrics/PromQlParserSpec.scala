@@ -525,6 +525,48 @@ class PromQlParserSpec extends AnyFunSuite {
       "2024-01-01 10:35:00").count() == 0)
   }
 
+  test("info(): data-label enrichment, matcher narrowing, pass-through") {
+    // parse + print
+    assert(parse("info(cpu)") == InfoFn(Selector(Some("cpu"), Nil)))
+    assert(parse("""info(rate(cpu[5m]), {tier="gold"})""") ==
+      InfoFn(RangeFn("rate", Selector(Some("cpu"), Nil), 300L),
+        Seq(Matcher("tier", "=", "gold"))))
+    assert(PromQlFormat.format(parse("""info(cpu, {tier=~"g.*"})""")) ==
+      """info(cpu, {tier=~"g.*"})""")
+    // samples: users 1 and 2; info rows: user 1 has an older gold and a
+    // newer silver row (newest wins), user 2 has none (pass-through)
+    val df = Seq((1L, ts(5), 1L, "cpu", 5.0), (2L, ts(5), 2L, "cpu", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val infoDf = Seq(
+      (10L, ts(1), 1L, "user_info", "gold", "z1"),
+      (11L, ts(3), 1L, "user_info", "silver", "z2"))
+      .toDF("event_id", "ts", "user_id", "info_name", "tier", "zone")
+    val s = src(df).copy(info = Some(InfoBinding(infoDf, "info_name",
+      Seq("user_id"), Seq("tier", "zone"), "ts", "event_id")))
+    def rows(q: String) = eval(s, q, "2024-01-01 10:05:30")
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[String]("tier"), scala.util.Try(r.getAs[String]("zone")).toOption))
+      .toMap
+    // newest info row per key wins; unmatched user 2 passes through null
+    assert(rows("info(cpu)") ==
+      Map(1L -> ("silver", Some("z2")), 2L -> (null, Some(null))))
+    // a data-label matcher FILTERS info rows (the older gold row is the
+    // newest surviving one) AND narrows the copied labels to the matched
+    // set (zone is not copied at all)
+    assert(rows("""info(cpu, {tier="gold"})""") ==
+      Map(1L -> ("gold", None), 2L -> (null, None)))
+    // a __name__ matcher selects info metrics
+    assert(rows("""info(cpu, {__name__="other_info", tier=~".+"})""") ==
+      Map(1L -> (null, None), 2L -> (null, None)))
+    // no binding → loud error; unknown data label → loud error
+    val e1 = intercept[IllegalArgumentException](
+      eval(src(df), "info(cpu)", "2024-01-01 10:06:00"))
+    assert(e1.getMessage.contains("binding"))
+    val e2 = intercept[IllegalArgumentException](
+      eval(s, """info(cpu, {nope="x"})""", "2024-01-01 10:06:00").collect())
+    assert(e2.getMessage.contains("not a data label"))
+  }
+
   test("resets/changes count window transitions; idelta is the last difference") {
     // 10 → 10 → 4 → 9 → 9: resets 1 (10→4); changes 2 (10→4, 4→9)
     val df = Seq((1L, ts(0), 10.0), (2L, ts(1), 10.0), (3L, ts(2), 4.0),

@@ -104,6 +104,11 @@ class PromQlRoundTripSpec extends AnyFunSuite {
         child <- genAst(depth - 1)
       } yield LimitRatio(r, child)),
       1 -> (for {
+        child <- genAst(depth - 1)
+        ms <- Gen.frequency(1 -> Gen.const(Seq.empty[Matcher]),
+          2 -> Gen.listOfN(1, genMatcher))
+      } yield InfoFn(child, ms)),
+      1 -> (for {
         fn <- Gen.oneOf("count", "sum", "avg", "stddev", "stdvar")
         child <- Gen.frequency(2 -> (genSelector: Gen[Ast]),
           1 -> genRangeFn)
