@@ -2,7 +2,7 @@ package graft.metrics
 
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, to_timestamp}
 
 /** A8 + P14: the engine's HTTP face — Prometheus text-format exposition
   * plus the Prometheus HTTP query API.
@@ -47,7 +47,8 @@ import org.apache.spark.sql.functions.col
 final class MetricsServer(observed: Observed, port: Int = 0,
                           promSource: Option[PromQlParser.PromSource] = None,
                           maxResultRows: Int = 10000,
-                          rules: Seq[AlertRules.Rule] = Nil)
+                          rules: Seq[AlertRules.Rule] = Nil,
+                          exemplarFrame: Option[org.apache.spark.sql.DataFrame] = None)
     extends AutoCloseable {
 
   private val server =
@@ -122,6 +123,29 @@ final class MetricsServer(observed: Observed, port: Int = 0,
       }
       s"""{"status":"success","data":[${items.mkString(",")}]}"""
     })
+    exemplarFrame.foreach { ef =>
+      // /api/v1/query_exemplars — the OpenMetrics exemplar face: series
+      // selector + [start, end] over a per-bucket newest-exemplar frame
+      // (NativeHistogram.exemplars shape: series labels…, sign, idx,
+      // exemplar STRUCT<trace labels…, value, ts>). The frame is
+      // |series|·|buckets|-sized by construction, the filter is
+      // selector + time-range pushdown, and the collect rides the same
+      // hard cap as every query endpoint.
+      server.createContext("/api/v1/query_exemplars", MetricsServer.jsonHandler { params =>
+        def need(k: String) = params.getOrElse(k,
+          throw new IllegalArgumentException(s"missing '$k' parameter"))
+        val startT = MetricsServer.parseTime(need("start"))
+        val endT = MetricsServer.parseTime(need("end"))
+        val labelCols = ef.columns.filterNot(Set("sign", "idx", "exemplar")).toSeq
+        val rows = MetricsServer.collectCapped(
+          ef.filter(PromQlParser.selectorCond(src, need("query")))
+            .filter(col("exemplar.ts") >= to_timestamp(lit(startT)) &&
+                    col("exemplar.ts") <= to_timestamp(lit(endT)))
+            .orderBy(labelCols.map(col) :+ col("exemplar.ts"): _*),
+          maxResultRows)
+        MetricsServer.exemplarsJson(rows, labelCols, src.metricCol)
+      })
+    }
     if (rules.nonEmpty) {
       // /api/v1/alerts and /api/v1/rules — the rule-group face of the API.
       // Unlike Prometheus these take an explicit `time` (the engine has no
@@ -351,6 +375,35 @@ object MetricsServer {
       s"""{"metric":${metricJson(rs.head, labels)},"values":[${vals.mkString(",")}]}"""
     }
     s"""{"status":"success","data":{"resultType":"matrix","result":[${items.mkString(",")}]}}"""
+  }
+
+  /** `/api/v1/query_exemplars` payload: rows grouped per series, each
+    * exemplar as `{labels, value, timestamp}` (value stringified,
+    * timestamp float epoch seconds — the upstream wire shape). */
+  private[metrics] def exemplarsJson(rows: Array[Row], labelCols: Seq[String],
+                                     metricCol: String): String = {
+    def esc(s: String) = jsonEscape(s)
+    val series = rows.groupBy(r => labelCols.map(c => String.valueOf(r.getAs[Any](c))))
+      .toSeq.sortBy(_._1.mkString(" "))
+    val items = series.map { case (_, rs) =>
+      val head = rs.head
+      val sl = labelCols.map { c =>
+        val key = if (c == metricCol) "__name__" else c
+        s""""${esc(key)}":"${esc(String.valueOf(head.getAs[Any](c)))}""""
+      }.mkString("{", ",", "}")
+      val exs = rs.map { r =>
+        val ex = r.getAs[Row]("exemplar")
+        val traceLabels = ex.schema.fields.map(_.name)
+          .filterNot(Set("value", "ts")).toSeq
+        val ls = traceLabels.map(n =>
+          s""""${esc(n)}":"${esc(String.valueOf(ex.getAs[Any](n)))}"""")
+          .mkString("{", ",", "}")
+        val tsSec = ex.getAs[java.sql.Timestamp]("ts").getTime / 1000.0
+        s"""{"labels":$ls,"value":"${fmtVal(ex.getAs[Double]("value"))}","timestamp":$tsSec}"""
+      }
+      s"""{"seriesLabels":$sl,"exemplars":[${exs.mkString(",")}]}"""
+    }
+    s"""{"status":"success","data":[${items.mkString(",")}]}"""
   }
 
   /** Wraps a params → JSON function as a handler with Prometheus-style

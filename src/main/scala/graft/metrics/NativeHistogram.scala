@@ -83,6 +83,32 @@ object NativeHistogram {
     assemble(bucketCounts(df, groupCols.map(col), valueCol, schema,
       zeroThreshold), groupCols, schema)
 
+  /** OpenMetrics exemplar plumbing: at most ONE exemplar per bucket,
+    * newest wins — the scrape-visible rule (an exposition carries the
+    * bucket's current exemplar, and each scrape overwrites the last).
+    * One keyed aggregation on the SAME (group, sign, bucket) key as
+    * [[bucketCounts]] — `max_by` over the (ts, ord) tuple keeps the
+    * whole reduction map-side partial; output is |groups|·|buckets|
+    * rows (never sample-sized) of
+    * `(group…, sign, idx, exemplar STRUCT<labels…, value, ts>)`.
+    * `labelCols` are the exemplar's trace labels (OpenMetrics allows
+    * any label set ≤ 128 UTF-8 chars; typically `trace_id`). */
+  def exemplars(df: DataFrame, groupCols: Seq[Column], valueCol: String,
+                schema: Int, labelCols: Seq[String], tsCol: String,
+                ordCol: String, zeroThreshold: Double = 0.0): DataFrame = {
+    val v = col(valueCol)
+    df.withColumn("__sign",
+        when(v > zeroThreshold, 1).when(v < -zeroThreshold, -1).otherwise(0))
+      .withColumn("__idx",
+        when(col("__sign") === 0, lit(null).cast("int"))
+          .otherwise(bucketIdx(abs(v), schema)))
+      .groupBy((groupCols :+ col("__sign") :+ col("__idx")): _*)
+      .agg(max_by(
+        struct((labelCols.map(col) :+ v.as("value") :+ col(tsCol).as("ts")): _*),
+        struct(col(tsCol), col(ordCol))).as("exemplar"))
+      .withColumnRenamed("__sign", "sign").withColumnRenamed("__idx", "idx")
+  }
+
   /** The `sum()` aggregation over native histograms: counts/sums add,
     * buckets merge index-wise. Mixed schemas merge at the group's
     * COARSEST (minimum) schema — a bucket at schema s maps onto target

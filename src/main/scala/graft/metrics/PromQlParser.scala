@@ -1490,6 +1490,17 @@ object PromQlParser {
            lookback: String = "5 MINUTES"): DataFrame =
     compile(src, parse(query), evalTs, lookback)
 
+  /** The filter Column a plain series selector denotes against a frame
+    * using `src`'s metric/label columns — the reusable piece of the
+    * metadata endpoints (series, exemplars): callers apply it to any
+    * frame carrying the same label columns. */
+  def selectorCond(src: PromSource, selector: String): Column =
+    parse(selector) match {
+      case sel: Selector => matcherCond(src, sel)
+      case other => throw new IllegalArgumentException(
+        s"expected a series selector, got $other")
+    }
+
   /** The distinct series (label sets) a plain selector matches — the
     * `/api/v1/series` metadata contract. One distinct-aggregation plan. */
   def seriesFor(src: PromSource, selector: String): DataFrame =

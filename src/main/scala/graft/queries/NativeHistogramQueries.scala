@@ -56,6 +56,23 @@ object NativeHistogramQueries {
     // 6h, mark] slice directly from raw samples; quantiles are scale-
     // invariant, so p90-of-increase == p90-of-rate. Empty-increase rows
     // are suppressed (count > 0) to keep the twin join-free.
+    // OpenMetrics exemplars: at most one exemplar per bucket, newest
+    // wins — a single keyed max_by on the same (group, sign, bucket)
+    // key as the build, so the whole reduction stays map-side partial
+    // and the output is |groups|·|buckets| rows. trace_id derives from
+    // the event's JSON props so newest-per-bucket genuinely decides.
+    "q146_native_histogram_exemplars" -> ((s, d) => {
+      val ev = events(s, d).withColumn("trace_id",
+        concat(lit("t"), get_json_object(col("props"), "$.k")))
+      NativeHistogram.exemplars(ev, Seq(col("event_type")), "value", Schema,
+        Seq("trace_id"), "ts", "event_id")
+        .select(col("event_type"), col("sign"), col("idx"),
+          col("exemplar.trace_id").as("trace_id"),
+          round(col("exemplar.value"), 6).as("ex_value"),
+          col("exemplar.ts").as("ex_ts"))
+        .orderBy(col("event_type"), col("sign"), col("idx"))
+    }),
+
     "q142_native_histogram_rate" -> ((s, d) => {
       val mark0 = lit("2024-01-10 00:00:00").cast("timestamp")
       val marks = sequence(mark0, lit("2024-01-11 00:00:00").cast("timestamp"),
@@ -131,6 +148,23 @@ object NativeHistogramQueries {
     // IDENTICAL pinned arithmetic: 9-dp pre-round before ⌈·⌉, 9-dp
     // bounds, interpolation on the unique covering bucket, 6-dp
     // decimal-summed stdvar/fraction contributions.
+    "q146_native_histogram_exemplars" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CASE WHEN value > 0 THEN 1 WHEN value < 0 THEN -1 ELSE 0 END AS sign,
+        |    CASE WHEN value = 0 THEN NULL
+        |         ELSE CAST(CEIL(ROUND(LOG2(ABS(value))*4, 9)) AS INT) END AS idx,
+        |    't' || CAST(json_extract(props, '$.k') AS VARCHAR) AS trace_id,
+        |    value, ts, event_id
+        |  FROM events
+        |)
+        |SELECT event_type, sign, idx, trace_id,
+        |  round(value, 6) AS ex_value, ts AS ex_ts
+        |FROM b
+        |QUALIFY row_number() OVER (PARTITION BY event_type, sign, idx
+        |                           ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY event_type, sign, idx""".stripMargin,
+
     "q139_native_histogram" ->
       """WITH raw AS (
         |  SELECT event_type, value FROM events

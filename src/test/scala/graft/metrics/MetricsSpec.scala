@@ -128,6 +128,48 @@ class MetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("query_exemplars: selector + time range over a per-bucket exemplar frame") {
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "cpu", 3.0, "ta"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "cpu", 3.5, "tb"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 10:06:00"), 1L, "cpu", 100.0, "tc"),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 10:07:00"), 2L, "mem", 3.0, "td"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "trace_id")
+    val src = PromQlParser.PromSource(df, "event_type",
+      Seq("user_id", "event_type"), "ts", "event_id", "value")
+    val ef = NativeHistogram.exemplars(df, Seq(col("user_id"), col("event_type")),
+      "value", 0, Seq("trace_id"), "ts", "event_id")
+    def get(port: Int, pathAndQuery: String): (Int, String) = {
+      val url = new java.net.URI(s"http://127.0.0.1:$port$pathAndQuery").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val code = conn.getResponseCode
+      val in = if (code == 200) conn.getInputStream else conn.getErrorStream
+      (code, scala.io.Source.fromInputStream(in).mkString)
+    }
+    Observed.use(spark) { obs =>
+      val srv = new MetricsServer(obs, promSource = Some(src), exemplarFrame = Some(ef))
+      try {
+        def q(sel: String, start: String, end: String) = get(srv.boundPort,
+          "/api/v1/query_exemplars?query=" + java.net.URLEncoder.encode(sel, "UTF-8") +
+            s"&start=$start&end=$end")
+        val (c1, body) = q("""{event_type="cpu"}""",
+          "2024-01-01T00:00:00Z", "2024-01-02T00:00:00Z")
+        assert(c1 == 200)
+        // bucket (2,4]@schema0 holds 3.0 and 3.5: one exemplar, newest
+        // (tb) wins; 100.0 sits in its own bucket → tc survives; the mem
+        // series is selector-filtered out
+        assert(body.contains(""""trace_id":"tb"""") && !body.contains("\"ta\""))
+        assert(body.contains(""""trace_id":"tc"""") && !body.contains("\"td\""))
+        assert(body.contains(""""__name__":"cpu"""") &&
+          body.contains(""""value":"3.5""""))
+        // the time range filters exemplars, not series rows
+        val (c2, narrow) = q("""{event_type="cpu"}""",
+          "2024-01-01T10:05:30Z", "2024-01-01T10:06:30Z")
+        assert(c2 == 200 && narrow.contains("\"tc\"") && !narrow.contains("\"tb\""))
+      } finally srv.close()
+    }
+  }
+
   test("P14: query_range matrix JSON + metadata endpoints (labels/values/series)") {
     val df = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "cpu", 7.0),
