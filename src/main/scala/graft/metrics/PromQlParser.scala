@@ -1490,6 +1490,25 @@ object PromQlParser {
            lookback: String = "5 MINUTES"): DataFrame =
     compile(src, parse(query), evalTs, lookback)
 
+  /** The info-row filter and the copied-data-label set an `info()`
+    * data-label selector denotes against a binding: a `__name__` matcher
+    * maps onto the binding's metric column, data-label matchers filter
+    * rows AND narrow the copied set, unknown labels fail loudly. Shared
+    * by the instant and grid compile paths. */
+  private def infoParts(ib: InfoBinding, dataSel: Seq[Matcher]): (Column, Seq[String]) = {
+    val nameSel = dataSel.filter(_.label == "__name__")
+    val labelSel = dataSel.filterNot(_.label == "__name__")
+    labelSel.find(m => !ib.dataLabels.contains(m.label)).foreach(m =>
+      throw new IllegalArgumentException(
+        s"info(): '${m.label}' is not a data label of the info binding"))
+    val wanted =
+      if (labelSel.isEmpty) ib.dataLabels
+      else ib.dataLabels.filter(l => labelSel.exists(_.label == l))
+    val rowCond = matcherCondFor(ib.metricCol,
+      Selector(None, nameSel.map(m => m.copy(label = ib.metricCol)) ++ labelSel))
+    (rowCond, wanted)
+  }
+
   /** The filter Column a plain series selector denotes against a frame
     * using `src`'s metric/label columns — the reusable piece of the
     * metadata endpoints (series, exemplars): callers apply it to any
@@ -1833,17 +1852,8 @@ object PromQlParser {
       val vec = compile(src, child, evalTs, lookback)
       require(ib.identifying.forall(vec.columns.contains),
         s"info(): the child vector must carry the identifying labels ${ib.identifying}")
-      val nameSel = dataSel.filter(_.label == "__name__")
-      val labelSel = dataSel.filterNot(_.label == "__name__")
-      labelSel.find(m => !ib.dataLabels.contains(m.label)).foreach(m =>
-        throw new IllegalArgumentException(
-          s"info(): '${m.label}' is not a data label of the info binding"))
-      val wanted =
-        if (labelSel.isEmpty) ib.dataLabels
-        else ib.dataLabels.filter(l => labelSel.exists(_.label == l))
+      val (rowCond, wanted) = infoParts(ib, dataSel)
       val t = to_timestamp(lit(evalTs))
-      val rowCond = matcherCondFor(ib.metricCol,
-        Selector(None, nameSel.map(m => m.copy(label = ib.metricCol)) ++ labelSel))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(ib.identifying.map(col): _*)
         .orderBy(col(ib.tsCol).desc, col(ib.orderCol).desc)
@@ -1994,6 +2004,49 @@ object PromQlParser {
       * forward (a sample at t evaluates as if at t + offset). */
     private def teCol(offsetSec: Long): Column =
       unix_micros(col(src.tsCol)) + lit(offsetSec * 1000000L)
+
+    /** Native-histogram frames on the step grid (the query_range face of
+      * [[histVector]]): per (series, step), the newest in-lookback
+      * histogram (plain selector) or the merged reset-aware increase
+      * over the step's trailing window (`rate`/`increase`). Pair diffs
+      * are computed ONCE per series — one window shuffle — and each
+      * pair explodes onto the ≤ ⌈w/step⌉ steps whose window holds BOTH
+      * its samples (cur ≤ T < prev + w, exactly the instant form's
+      * in-window-pairs rule), then [[NativeHistogram.merge]] combines
+      * per (series, step). Bucket-sized rows throughout, no per-step
+      * re-evaluation. */
+    private def gridHistVector(h: HistBinding, child: Ast): (DataFrame, Column) = {
+      val histCols = Seq("schema", "count", "sum", "zero_count", "pos", "neg")
+      child match {
+        case sel: Selector =>
+          require(sel.at.isEmpty,
+            "@ on a native-histogram selector is not supported on the grid")
+          val te = unix_micros(col(h.tsCol)) + lit(sel.offsetSec * 1000000L)
+          val hv = h.df.filter(matcherCondFor(h.metricCol, sel))
+            .withColumn("__step", explode(stepsFor(te, te + lit(lookbackUs))))
+            .groupBy(h.seriesKey.map(col) :+ col("__step"): _*)
+            .agg(max_by(struct(histCols.map(col): _*),
+              struct(col(h.tsCol), col(h.orderCol))).as("__h"))
+            .select((h.seriesKey.map(col) :+ col("__step")) ++
+              histCols.map(c => col(s"__h.$c").as(c)): _*)
+          (hv, lit(1.0))
+        case RangeFn(fn @ ("rate" | "increase"), sel, w, _, _) =>
+          require(sel.at.isEmpty,
+            "@ on a native-histogram selector is not supported on the grid")
+          val wUs = w * 1000000L
+          val inc = NativeHistogram.increase(
+            h.df.filter(matcherCondFor(h.metricCol, sel)), h.seriesKey, h.tsCol)
+          val curUs = unix_micros(col(h.tsCol)) + lit(sel.offsetSec * 1000000L)
+          val prevUs = curUs - (col("dt_sec") * 1000000L).cast("long")
+          val exploded = inc.withColumn("__step",
+            explode(stepsFor(curUs, prevUs + lit(wUs))))
+          (NativeHistogram.merge(exploded, h.seriesKey :+ "__step"),
+            if (fn == "rate") lit(1.0 / w) else lit(1.0))
+        case other => throw new IllegalArgumentException(
+          "native-histogram functions take a plain selector or rate()/" +
+            s"increase() of one, got $other")
+      }
+    }
 
     /** The full step domain `0..nSteps` — absent() probes, `@`-pinned
       * broadcast, and vector()/scalar() grids all ride it. */
@@ -2230,20 +2283,56 @@ object PromQlParser {
 
       case HistQuantile(q, child) =>
         val vec = compile(child)
-        require(vec.columns.contains("le"),
-          "histogram_quantile on the query_range grid needs an 'le'-labeled " +
-            "bucket vector (the native-histogram form is instant-query only)")
-        // histogramQuantileVector groups on all non-le label columns,
-        // which here includes __step — the grid rides along for free.
-        PromQl.histogramQuantileVector(vec, q)
+        if (vec.columns.contains("le"))
+          // histogramQuantileVector groups on all non-le label columns,
+          // which here includes __step — the grid rides along for free.
+          PromQl.histogramQuantileVector(vec, q)
+        else src.hist match {
+          case Some(h) =>
+            val (hv, _) = gridHistVector(h, child)
+            hv.select(h.seriesKey.map(col) ++ Seq(col("__step"),
+              NativeHistogram.histogramQuantile(q).as("value")): _*)
+          case None => throw new IllegalArgumentException(
+            "histogram_quantile needs an 'le'-labeled bucket vector, or a " +
+              "native-histogram binding (PromSource.hist) for the native form")
+        }
 
-      case hf: HistFn => throw new IllegalArgumentException(
-        s"histogram_${hf.fn} is instant-query only in this build " +
-          "(native-histogram grid evaluation is not implemented)")
+      case HistFn(fn, child, lo, hi) =>
+        val h = src.hist.getOrElse(throw new IllegalArgumentException(
+          s"histogram_$fn needs a native-histogram binding (PromSource.hist)"))
+        val (hv, scale) = gridHistVector(h, child)
+        val value = fn match {
+          case "count"    => col("count") * scale
+          case "sum"      => col("sum") * scale
+          case "avg"      => NativeHistogram.histogramAvg
+          case "stddev"   => NativeHistogram.histogramStddev()
+          case "stdvar"   => NativeHistogram.histogramStdvar()
+          case "fraction" => NativeHistogram.histogramFraction(lo.get, hi.get)
+        }
+        hv.select(h.seriesKey.map(col) ++ Seq(col("__step"), value.as("value")): _*)
 
-      case _: InfoFn => throw new IllegalArgumentException(
-        "info() is instant-query only in this build " +
-          "(per-step info joins are not implemented)")
+      // info() on the grid: the newest-per-key window becomes a keyed
+      // (identifying, step) aggregation — each info row explodes onto
+      // the steps whose lookback window holds it, max_by keeps the
+      // newest per key per step, and ONE left join attaches the data
+      // labels to every step's vector. Same exchange shape as a grid
+      // selector; the info side stays entity-sized per step.
+      case InfoFn(child, dataSel) =>
+        val ib = src.info.getOrElse(throw new IllegalArgumentException(
+          "info() needs an info-metric binding (PromSource.info)"))
+        val vec = compile(child)
+        require(ib.identifying.forall(vec.columns.contains),
+          s"info(): the child vector must carry the identifying labels ${ib.identifying}")
+        val (rowCond, wanted) = infoParts(ib, dataSel)
+        val te = unix_micros(col(ib.tsCol))
+        val newest = ib.df.filter(rowCond)
+          .withColumn("__step", explode(stepsFor(te, te + lit(lookbackUs))))
+          .groupBy(ib.identifying.map(col) :+ col("__step"): _*)
+          .agg(max_by(struct(wanted.map(col): _*),
+            struct(col(ib.tsCol), col(ib.orderCol))).as("__i"))
+          .select((ib.identifying.map(col) :+ col("__step")) ++
+            wanted.map(c => col(s"__i.$c").as(c)): _*)
+        vec.join(newest, ib.identifying :+ "__step", "left")
 
       case ScalarLit(_) | TimeFn =>
         throw new IllegalArgumentException(

@@ -73,6 +73,45 @@ object NativeHistogramQueries {
         .orderBy(col("event_type"), col("sign"), col("idx"))
     }),
 
+    // query_range over NATIVE histograms (round 10: the grid face of the
+    // q143 battery): per step, the newest cumulative histogram feeds
+    // count/quantile directly; the counter form merges the reset-aware
+    // pair diffs whose BOTH samples sit inside the step's trailing
+    // window — pair diffs computed once per series, exploded onto
+    // ≤ ⌈w/step⌉ steps, merged per (series, step). The window is [13h],
+    // NOT [12h]: range windows are left-open, so a prev scrape exactly
+    // w back is outside and a 12h window over 6h marks would capture a
+    // single pair; 13h makes the effective slice (T−12h, T]. Counts are
+    // integer-exact and quantiles interpolate on 9-dp-pinned bounds, so
+    // every branch is oracle-exact.
+    "q147_native_histogram_grid" -> ((s, d) => {
+      val mark0 = lit("2024-01-10 00:00:00").cast("timestamp")
+      val marks = sequence(mark0, lit("2024-01-11 00:00:00").cast("timestamp"),
+        expr("INTERVAL 6 HOURS"))
+      val cum = NativeHistogram.assemble(
+        NativeHistogram.bucketCounts(
+          events(s, d).withColumn("mark", explode(marks))
+            .filter(col("ts") <= col("mark")),
+          Seq(col("mark"), col("event_type")), "value", Schema),
+        Seq("mark", "event_type"), Schema)
+      val src = graft.metrics.PromQlParser.PromSource(events(s, d),
+        "event_type", Seq("user_id", "event_type"), "ts", "event_id", "value",
+        hist = Some(graft.metrics.PromQlParser.HistBinding(
+          cum, "event_type", Seq("event_type"), "mark", "mark")))
+      def run(q: String, tag: String) =
+        graft.metrics.PromQlParser.evalRange(src, q,
+          "2024-01-10 06:00:00", "2024-01-11 00:00:00", stepSec = 21600)
+          .withColumn("which", lit(tag))
+      run("""histogram_count({event_type=~".+"})""", "count")
+        .unionByName(
+          run("""histogram_count(increase({event_type=~".+"}[13h]))""", "inc_count"))
+        .unionByName(
+          run("""histogram_quantile(0.9, {event_type=~".+"})""", "p90"))
+        .select(col("which"), col("event_type"), col("step_ts"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("which"), col("event_type"), col("step_ts"))
+    }),
+
     "q142_native_histogram_rate" -> ((s, d) => {
       val mark0 = lit("2024-01-10 00:00:00").cast("timestamp")
       val marks = sequence(mark0, lit("2024-01-11 00:00:00").cast("timestamp"),
@@ -148,6 +187,56 @@ object NativeHistogramQueries {
     // IDENTICAL pinned arithmetic: 9-dp pre-round before ⌈·⌉, 9-dp
     // bounds, interpolation on the unique covering bucket, 6-dp
     // decimal-summed stdvar/fraction contributions.
+    // Steps 2024-01-10 06:00 (epoch 1704866400) + i·6h, i in 0..3; the
+    // counter window's lower bound clamps at the first scrape mark
+    // (2024-01-10 00:00) because pairs need both ends on the mark grid.
+    "q147_native_histogram_grid" ->
+      """WITH marks AS (
+        |  SELECT make_timestamp((1704866400 + i * 21600) * 1000000) AS step_ts
+        |  FROM (SELECT unnest(generate_series(0, 3)) AS i)
+        |), cnt AS (
+        |  SELECT 'count' AS which, e.event_type, m.step_ts,
+        |    round(CAST(count(*) AS DOUBLE), 6) AS value
+        |  FROM marks m JOIN events e ON e.ts <= m.step_ts
+        |  GROUP BY 2, 3
+        |), inc AS (
+        |  SELECT 'inc_count' AS which, e.event_type, m.step_ts,
+        |    round(CAST(count(*) AS DOUBLE), 6) AS value
+        |  FROM marks m JOIN events e
+        |    ON e.ts <= m.step_ts
+        |   AND e.ts > greatest(TIMESTAMP '2024-01-10 00:00:00',
+        |                       m.step_ts - INTERVAL 12 HOURS)
+        |  GROUP BY 2, 3
+        |), b AS (
+        |  SELECT m.step_ts, e.event_type,
+        |         CAST(CEIL(ROUND(LOG2(e.value)*4, 9)) AS INT) AS idx
+        |  FROM marks m JOIN events e ON e.ts <= m.step_ts
+        |  WHERE e.value > 0
+        |), tot AS (
+        |  SELECT step_ts, event_type, COUNT(*)::DOUBLE AS cnt_all
+        |  FROM b GROUP BY 1, 2
+        |), bc AS (
+        |  SELECT step_ts, event_type, idx, COUNT(*)::DOUBLE AS cnt
+        |  FROM b GROUP BY 1, 2, 3
+        |), bounds AS (
+        |  SELECT *, ROUND(POWER(2, (idx-1)/4.0), 9) AS lo,
+        |         ROUND(POWER(2, idx/4.0), 9) AS hi,
+        |         SUM(cnt) OVER (PARTITION BY step_ts, event_type ORDER BY idx) AS cum
+        |  FROM bc
+        |), p90 AS (
+        |  SELECT 'p90' AS which, b.event_type, b.step_ts,
+        |    round(MAX(CASE WHEN b.cum >= 0.9*t.cnt_all AND b.cum - b.cnt < 0.9*t.cnt_all
+        |        THEN b.lo + (b.hi-b.lo)*((0.9*t.cnt_all - (b.cum-b.cnt))/b.cnt) END), 6)
+        |      AS value
+        |  FROM bounds b JOIN tot t USING (step_ts, event_type)
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT * FROM (
+        |  SELECT which, event_type, step_ts, value FROM cnt
+        |  UNION ALL SELECT which, event_type, step_ts, value FROM inc
+        |  UNION ALL SELECT which, event_type, step_ts, value FROM p90
+        |) ORDER BY which, event_type, step_ts""".stripMargin,
+
     "q146_native_histogram_exemplars" ->
       """WITH b AS (
         |  SELECT event_type,

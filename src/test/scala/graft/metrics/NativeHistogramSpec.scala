@@ -197,10 +197,22 @@ class NativeHistogramSpec extends AnyFunSuite {
     // without a hist binding the battery fails loudly
     val bare = src.copy(hist = None)
     intercept[IllegalArgumentException](eval(bare, "histogram_count(m)", "2024-01-01 00:00:02"))
-    // and the grid compiler declares the instant-only contract
-    intercept[IllegalArgumentException](
-      evalRange(src, "histogram_count(m)",
-        "2024-01-01 00:00:00", "2024-01-01 00:00:02", 1L))
+
+    // grid evaluation (round 10): per-step newest histogram — the step
+    // AT t1 sees the first scrape, t2 the second; step 0 (no histogram
+    // in lookback yet) is absent
+    def grid(q: String): Map[Long, Double] =
+      evalRange(src, q, "2024-01-01 00:00:00", "2024-01-01 00:00:02", 1L)
+        .collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("step_ts").getTime / 1000) % 60 ->
+          r.getAs[Double]("value")).toMap
+    assert(grid("histogram_count(m)") == Map(1L -> 2.0, 2L -> 4.0))
+    assert(grid("histogram_sum(m)") == Map(1L -> 3.0, 2L -> 15.0))
+    assert(grid("histogram_quantile(0.5, m)") == Map(1L -> 1.0, 2L -> 2.0))
+    // counter form on the grid: only the step whose [2s] window holds
+    // BOTH scrapes carries an increase
+    assert(grid("histogram_count(increase(m[2s]))") == Map(2L -> 2.0))
+    assert(grid("histogram_count(rate(m[2s]))") == Map(2L -> 1.0))
   }
 
   test("empty histogram: quantile and fraction are NaN, out-of-range phi pins") {

@@ -565,6 +565,22 @@ class PromQlParserSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](
       eval(s, """info(cpu, {nope="x"})""", "2024-01-01 10:06:00").collect())
     assert(e2.getMessage.contains("not a data label"))
+    // grid: the per-step join tracks info CHANGES across steps — user 1
+    // is gold until the silver row lands at 10:06; user 2 stays null
+    val infoDf2 = Seq(
+      (10L, ts(1), 1L, "user_info", "gold", "z1"),
+      (11L, ts(6), 1L, "user_info", "silver", "z2"))
+      .toDF("event_id", "ts", "user_id", "info_name", "tier", "zone")
+    val s2 = src(df).copy(info = Some(InfoBinding(infoDf2, "info_name",
+      Seq("user_id"), Seq("tier", "zone"), "ts", "event_id")))
+    val g = PromQlParser.evalRange(s2, "info(cpu)",
+        "2024-01-01 10:05:00", "2024-01-01 10:07:00", 60)
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("step_ts").toString.substring(14, 16),
+        r.getAs[Long]("user_id")) -> r.getAs[String]("tier")).toMap
+    assert(g == Map(("05", 1L) -> "gold", ("05", 2L) -> null,
+      ("06", 1L) -> "silver", ("06", 2L) -> null,
+      ("07", 1L) -> "silver", ("07", 2L) -> null))
   }
 
   test("resets/changes count window transitions; idelta is the last difference") {
