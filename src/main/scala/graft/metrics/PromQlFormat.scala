@@ -43,11 +43,18 @@ object PromQlFormat {
     if (v == v.toLong.toDouble && math.abs(v) < 1e15) v.toLong.toString
     else v.toString
 
+  /** Legacy-charset names print bare; anything else (UTF-8 names,
+    * Prometheus 3.x) prints as a quoted string inside the braces. */
+  private def bareName(n: String): Boolean =
+    n.nonEmpty && (n.head.isLetter || n.head == '_' || n.head == ':') &&
+      n.forall(c => c.isLetterOrDigit || c == '_' || c == ':')
+
   private def formatSel(s: Selector): String = {
-    val ms =
-      if (s.matchers.isEmpty) ""
-      else s.matchers.map(m => s"${m.label}${m.op}${str(m.value)}")
-        .mkString("{", ", ", "}")
+    val quotedMetric = s.metric.filterNot(bareName)
+    val items = quotedMetric.map(str).toSeq ++
+      s.matchers.map(m =>
+        s"${if (bareName(m.label)) m.label else str(m.label)}${m.op}${str(m.value)}")
+    val ms = if (items.isEmpty) "" else items.mkString("{", ", ", "}")
     val at = s.at.map {
       case AtTs(a) => s" @ $a"
       case AtStart => " @ start()"
@@ -57,7 +64,7 @@ object PromQlFormat {
       if (s.offsetSec == 0) ""
       else if (s.offsetSec < 0) s" offset -${durS(-s.offsetSec)}"
       else s" offset ${durS(s.offsetSec)}"
-    s"${s.metric.getOrElse("")}$ms$at$off"
+    s"${s.metric.filter(bareName).getOrElse("")}$ms$at$off"
   }
 
   private def formatMatching(m: Option[(Boolean, Seq[String])],
@@ -94,7 +101,8 @@ object PromQlFormat {
     case LimitRatio(r, child) => s"limit_ratio($r, ${format(child)})"
     case InfoFn(child, Nil) => s"info(${format(child)})"
     case InfoFn(child, ms) =>
-      val sel = ms.map(m => s"${m.label}${m.op}${str(m.value)}")
+      val sel = ms.map(m =>
+          s"${if (bareName(m.label)) m.label else str(m.label)}${m.op}${str(m.value)}")
         .mkString("{", ", ", "}")
       s"info(${format(child)}, $sel)"
     case ScalarFn(child) => s"scalar(${format(child)})"

@@ -914,30 +914,47 @@ object PromQlParser {
     }
 
     def parseSelector(): Selector = {
-      val metric = peek match {
+      val metric0 = peek match {
         case Some(Ident(m)) => next(); Some(m)
         case _ => None
       }
+      var quotedMetric = Option.empty[String]
       val matchers = peek match {
         case Some(Sym("{")) =>
           next()
           val ms = Seq.newBuilder[Matcher]
           var done = peek.contains(Sym("}"))
           if (done) next()
+          var first = true
           while (!done) {
-            val label = next() match {
-              case Ident(l) => l
-              case other => fail(s"expected a label name, got $other")
+            // UTF-8 metric names (Prometheus 3.x): a bare quoted string
+            // in FIRST position inside the braces is the metric name —
+            // `{"my.metric"}` / `{"my.metric", label="x"}` — told apart
+            // from a quoted LABEL name by the absence of a matcher op.
+            val labelTok = next()
+            if (first && labelTok.isInstanceOf[Str] &&
+                !peek.exists { case Sym(o) => Set("=", "!=", "=~", "!~")(o)
+                               case _ => false }) {
+              require(metric0.isEmpty,
+                "metric name given twice (bare and quoted form)")
+              quotedMetric = Some(labelTok.asInstanceOf[Str].s)
+            } else {
+              val label = labelTok match {
+                case Ident(l) => l
+                case Str(l) => l // quoted (UTF-8) label name, 3.x
+                case other => fail(s"expected a label name, got $other")
+              }
+              val op = next() match {
+                case Sym(o) if Set("=", "!=", "=~", "!~")(o) => o
+                case other => fail(s"expected a matcher operator, got $other")
+              }
+              val v = next() match {
+                case Str(s) => s
+                case other => fail(s"expected a quoted value, got $other")
+              }
+              ms += Matcher(label, op, v)
             }
-            val op = next() match {
-              case Sym(o) if Set("=", "!=", "=~", "!~")(o) => o
-              case other => fail(s"expected a matcher operator, got $other")
-            }
-            val v = next() match {
-              case Str(s) => s
-              case other => fail(s"expected a quoted value, got $other")
-            }
-            ms += Matcher(label, op, v)
+            first = false
             next() match {
               case Sym(",") => ()
               case Sym("}") => done = true
@@ -947,6 +964,7 @@ object PromQlParser {
           ms.result()
         case _ => Seq.empty
       }
+      val metric = metric0.orElse(quotedMetric)
       if (metric.isEmpty && matchers.isEmpty) fail("empty selector")
       Selector(metric, matchers)
     }
@@ -1473,12 +1491,15 @@ object PromQlParser {
   private def matcherCondFor(metricCol: String, sel: Selector): Column = {
     val metricCond = sel.metric.map(m => col(metricCol) === lit(m))
     val ms = sel.matchers.map { m =>
+      // `{__name__="cpu"}` ≡ `cpu`, and `{__name__=~"cpu|mem"}` is the
+      // Grafana multi-metric idiom — the reserved label IS the metric col
+      val c = if (m.label == "__name__") col(metricCol) else col(m.label)
       m.op match {
-        case "="  => col(m.label) === lit(m.value)
-        case "!=" => col(m.label) =!= lit(m.value)
+        case "="  => c === lit(m.value)
+        case "!=" => c =!= lit(m.value)
         // Prometheus regex matchers are fully anchored
-        case "=~" => col(m.label).cast("string").rlike(s"^(?:${m.value})$$")
-        case "!~" => !col(m.label).cast("string").rlike(s"^(?:${m.value})$$")
+        case "=~" => c.cast("string").rlike(s"^(?:${m.value})$$")
+        case "!~" => !c.cast("string").rlike(s"^(?:${m.value})$$")
       }
     }
     (metricCond.toSeq ++ ms).reduceOption(_ && _).getOrElse(lit(true))

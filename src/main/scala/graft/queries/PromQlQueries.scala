@@ -755,6 +755,23 @@ object PromQlQueries {
         .orderBy(col("which"), col("event_type"))
     }),
 
+    // __name__ matchers (the Grafana multi-metric idiom) hit the metric
+    // column: a regex union, and negative equality+regex composed. The
+    // quoted-name form {"click"} rides the same path (3.x UTF-8 names).
+    "q148_promql_name_matcher" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      def run(q: String, tag: String) =
+        PromQlParser.eval(src, q, "2024-01-15 12:00:00", lookback = "24 HOURS")
+          .withColumn("which", lit(tag))
+      run("""sum by (event_type) ({__name__=~"click|error"})""", "re")
+        .unionByName(
+          run("""sum by (event_type) ({__name__!="click", __name__!~"e.*"})""", "neg"))
+        .unionByName(run("""sum by (event_type) ({"click"})""", "quoted"))
+        .select(col("which"), col("event_type"), round(col("value"), 4).as("value"))
+        .orderBy(col("which"), col("event_type"))
+    }),
+
     // info() (Prometheus 3.x experimental): click samples enriched with
     // the data labels of each user's newest in-lookback `user_info` row
     // (signup events carry tier/zone derived from their JSON props — so
@@ -1469,6 +1486,30 @@ object PromQlQueries {
         |  FROM (SELECT user_id, event_type, max(ts) AS max_ts
         |        FROM w WHERE event_type = 'click' GROUP BY 1, 2)
         |) ORDER BY which, user_id, event_type""".stripMargin,
+
+    "q148_promql_name_matcher" ->
+      """WITH lastv AS (
+        |  SELECT user_id, event_type, value
+        |  FROM events
+        |  WHERE ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |    AND ts >  TIMESTAMP '2024-01-14 12:00:00'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |                             ORDER BY ts DESC, event_id DESC) = 1
+        |), agg AS (
+        |  SELECT event_type,
+        |    round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |      AS value
+        |  FROM lastv GROUP BY 1
+        |)
+        |SELECT * FROM (
+        |  SELECT 're' AS which, event_type, value FROM agg
+        |  WHERE regexp_matches(event_type, '^(?:click|error)$')
+        |  UNION ALL
+        |  SELECT 'neg', event_type, value FROM agg
+        |  WHERE event_type <> 'click' AND NOT regexp_matches(event_type, '^(?:e.*)$')
+        |  UNION ALL
+        |  SELECT 'quoted', event_type, value FROM agg WHERE event_type = 'click'
+        |) ORDER BY which, event_type""".stripMargin,
 
     "q145_promql_info" ->
       """WITH clickv AS (

@@ -525,6 +525,30 @@ class PromQlParserSpec extends AnyFunSuite {
       "2024-01-01 10:35:00").count() == 0)
   }
 
+  test("UTF-8 names (3.x) and __name__ matchers") {
+    // quoted metric name, alone and with matchers / quoted label names
+    assert(parse("""{"http.requests"}""") ==
+      Selector(Some("http.requests"), Nil))
+    assert(parse("""{"http.requests", job="api", "host zone"=~"eu.*"}""") ==
+      Selector(Some("http.requests"),
+        Seq(Matcher("job", "=", "api"), Matcher("host zone", "=~", "eu.*"))))
+    assert(PromQlFormat.format(parse("""{"http.requests", "host zone"="eu"}""")) ==
+      """{"http.requests", "host zone"="eu"}""")
+    // a bare AND quoted metric name together is an error
+    intercept[Exception](parse("""cpu{"mem"}"""))
+    // __name__ matchers hit the metric column — the Grafana multi-metric
+    // idiom {__name__=~"a|b"} and the equality form both evaluate
+    val df = Seq(
+      (1L, ts(0), 1L, "cpu", 5.0), (2L, ts(0), 1L, "mem", 7.0),
+      (3L, ts(0), 1L, "disk", 9.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    def names(q: String) = eval(src(df), q, "2024-01-01 10:02:00")
+      .collect().map(_.getAs[String]("event_type")).toSet
+    assert(names("""{__name__=~"cpu|mem"}""") == Set("cpu", "mem"))
+    assert(names("""{__name__="disk"}""") == Set("disk"))
+    assert(names("""{__name__!~"d.*"}""") == Set("cpu", "mem"))
+  }
+
   test("info(): data-label enrichment, matcher narrowing, pass-through") {
     // parse + print
     assert(parse("info(cpu)") == InfoFn(Selector(Some("cpu"), Nil)))

@@ -25,13 +25,19 @@ class PromQlRoundTripSpec extends AnyFunSuite {
 
   // ---------- generators ----------
   private val labels = Gen.oneOf("job", "env", "pod", "zone")
-  private val metrics = Gen.oneOf("cpu", "mem", "http_requests_total")
+  // matcher positions additionally cover "host zone": a UTF-8 label name
+  // (3.x) that must round-trip through the quoted form (by/on lists keep
+  // legacy-charset labels — the engine quotes only inside braces)
+  private val matcherLabels = Gen.oneOf("job", "env", "pod", "zone", "host zone")
+  // "http.requests" (UTF-8 name, 3.x) round-trips quoted-in-braces
+  private val metrics = Gen.oneOf("cpu", "mem", "http_requests_total",
+    "http.requests")
   private val durations = Gen.oneOf(60L, 300L, 3600L)
   private val scalars = Gen.oneOf(0.5, 2.0, 100.0, -3.5)
   private val phis = Gen.oneOf(0.5, 0.9, 0.99)
 
   private val genMatcher: Gen[Matcher] = for {
-    l <- labels
+    l <- matcherLabels
     op <- Gen.oneOf("=", "!=", "=~", "!~")
     v <- Gen.oneOf("prod", "a.c", "x1")
   } yield Matcher(l, op, v)
