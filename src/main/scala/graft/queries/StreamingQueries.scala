@@ -180,6 +180,21 @@ object StreamingQueries {
       AnomalyQueries.matProjection(t)
     }),
 
+    // N-R48's streaming face: the pending→firing state machine evaluated
+    // continuously per event_type — hourly condition "any event with
+    // value > 100", for = 2h, close-on-advance with per-type flush. The
+    // deterministic replay makes the committed ALERTS sink equal the
+    // batch gaps-and-islands twin row-for-row.
+    "s149_stream_alert_rules" -> ((s, d) => {
+      val t = StreamOps.replayEvents(s, d, "s149_sink", 2, flushPerType = true)(
+        ds => StreamOps.streamAlertRule(ds, threshold = 100.0, minCount = 1L,
+          forSec = 2 * 3600L).toDF(),
+        OutputMode.Append)
+      t.select(col("event_type"), col("step_ts"), col("alertstate"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("event_type"), col("step_ts"))
+    }),
+
     // N-R55: streaming native-histogram build — the stage-1 per-bucket
     // pre-aggregation (the ONLY aggregation a streaming plan allows) runs
     // keyed by (6h tumbling window, event_type, sign, bucket idx); the
@@ -378,6 +393,37 @@ object StreamingQueries {
 
     // streaming ≡ batch co-window assembly: one shared twin (q129)
     "s130_stream_multivar_window" -> AnomalyQueries.multiVarWinSql,
+
+    // The twin replays the identical state machine as gaps-and-islands
+    // over the ACTIVE hourly buckets: contiguous active hours form a
+    // run, age ≥ 2 h fires (for = 2h), any inactive or missing hour
+    // breaks it — one window pass, the q135 shape.
+    "s149_stream_alert_rules" ->
+      """WITH hours AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS step_ts,
+        |         count(*) FILTER (WHERE value > 100) AS qual
+        |  FROM events GROUP BY 1, 2
+        |), act AS (
+        |  SELECT event_type, step_ts, CAST(qual AS DOUBLE) AS value,
+        |         CAST(epoch(step_ts) AS BIGINT) // 3600 AS h
+        |  FROM hours WHERE qual >= 1
+        |), runs AS (
+        |  SELECT *, CASE WHEN lag(h) OVER (PARTITION BY event_type ORDER BY h)
+        |                      IS NULL
+        |                  OR lag(h) OVER (PARTITION BY event_type ORDER BY h)
+        |                      <> h - 1
+        |             THEN h END AS opn
+        |  FROM act
+        |), st AS (
+        |  SELECT event_type, step_ts, value,
+        |    h - max(opn) OVER (PARTITION BY event_type ORDER BY h
+        |                       ROWS UNBOUNDED PRECEDING) AS age
+        |  FROM runs
+        |)
+        |SELECT event_type, step_ts,
+        |  CASE WHEN age >= 2 THEN 'firing' ELSE 'pending' END AS alertstate,
+        |  round(value, 6) AS value
+        |FROM st ORDER BY event_type, step_ts""".stripMargin,
 
     // The twin rebuilds each (epoch-aligned 6h window, event_type)
     // histogram from RAW samples through the q139-pinned bucket math —

@@ -44,6 +44,17 @@ case class CoWinState(lastVals: Map[String, Double], curStep: Long,
   * arrivals detectable (see [[StreamOps.streamingIncrease]]). */
 case class IncState(last: Double, tsMs: Long, tsNanos: Int, eventId: Long)
 
+/** Streaming alert state per series: the open hour + its qualifying
+  * count, the active run's start step, and the last closed ACTIVE step
+  * (contiguity probe). Four longs — O(1) at 10M series. */
+case class AlertState(curStep: Long, curCount: Long, runStart: Long,
+                      lastActive: Long)
+
+/** One ALERTS{...} sample: a closed ACTIVE hourly step with its
+  * pending/firing verdict and the qualifying count as the value. */
+case class AlertOut(event_type: String, step_ts: java.sql.Timestamp,
+                    alertstate: String, value: Double)
+
 /** Structured Streaming operators (SURVEY §2 E41–E47, P1/P3/P4/P11).
   *
   * Test harness pattern: the batch parquet events are replayed through a
@@ -72,7 +83,8 @@ object StreamOps {
     * through `pipeline`, blocking until all data is processed; returns the
     * committed result table. */
   def replayEvents(spark: SparkSession, dir: String, name: String, chunks: Int,
-                   flushTail: Boolean = false, flushPerUser: Boolean = false)
+                   flushTail: Boolean = false, flushPerUser: Boolean = false,
+                   flushPerType: Boolean = false)
                   (pipeline: Dataset[Ev] => DataFrame, outputMode: OutputMode): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -122,6 +134,15 @@ object StreamOps {
         val base = flushSentinel(rows.last.ts)
         stream.addData(rows.map(_.user_id).distinct.toSeq
           .map(uid => base.copy(user_id = uid)))
+        q.processAllAvailable()
+      }
+      // event_type-keyed operators need a sentinel PER TYPE: it keeps the
+      // real event_type (so it reaches the key's group) and is recognized
+      // by the sentinel user_id = -1 instead of the "__flush__" name.
+      if (flushPerType && rows.nonEmpty) {
+        val base = flushSentinel(rows.last.ts)
+        stream.addData(rows.map(_.event_type).distinct.toSeq
+          .map(et => base.copy(event_type = et)))
         q.processAllAvailable()
       }
     } finally {
@@ -305,6 +326,54 @@ object StreamOps {
           }
           last.foreach(state.update)
           out.iterator
+      }
+  }
+
+  /** N-R48's STREAMING face: the Prometheus pending→firing state machine
+    * evaluated continuously — per event_type, the hourly condition
+    * "≥ `minCount` events with value > `threshold`", closed on step
+    * advance (or the per-type flush sentinel). An unbroken chain of
+    * ACTIVE closed hours is an alert run: pending until `forSec` old,
+    * firing from then on; an inactive closed hour, or any hour gap,
+    * breaks the run — exactly the batch [[graft.metrics.AlertRules]]
+    * contiguity rule, so the committed sink equals the batch twin on
+    * the deterministic replay. State per key is four longs; the only
+    * shuffle is the groupByKey — the same plan at 10M series. */
+  def streamAlertRule(ds: Dataset[Ev], threshold: Double, minCount: Long,
+                      forSec: Long): Dataset[AlertOut] = {
+    import ds.sparkSession.implicits._
+    def stepOf(ts: java.sql.Timestamp): Long = ts.getTime - ts.getTime % 3600000L
+    val MinV = Long.MinValue
+    ds.groupByKey(_.event_type)
+      .flatMapGroupsWithState[AlertState, AlertOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (etype, events, state: GroupState[AlertState]) =>
+          var st = if (state.exists) state.get else AlertState(MinV, 0L, MinV, MinV)
+          val out = Vector.newBuilder[AlertOut]
+          def close(): Unit = if (st.curStep != MinV) {
+            if (st.curCount >= minCount) {
+              val rs = if (st.runStart != MinV && st.lastActive == st.curStep - 3600000L)
+                         st.runStart else st.curStep
+              val verdict =
+                if ((st.curStep - rs) / 1000L >= forSec) "firing" else "pending"
+              out += AlertOut(etype, new java.sql.Timestamp(st.curStep),
+                verdict, st.curCount.toDouble)
+              st = AlertState(MinV, 0L, rs, st.curStep)
+            } else st = AlertState(MinV, 0L, MinV, MinV)
+          }
+          events.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            .foreach { e =>
+              if (e.user_id == -1L) close() // per-type flush sentinel
+              else {
+                val step = stepOf(e.ts)
+                if (st.curStep != MinV && step > st.curStep) close()
+                if (st.curStep == MinV) st = st.copy(curStep = step)
+                if (e.value > threshold) st = st.copy(curCount = st.curCount + 1)
+              }
+            }
+          state.update(st)
+          out.result().iterator
       }
   }
 

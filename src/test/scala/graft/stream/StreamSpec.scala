@@ -92,6 +92,30 @@ class StreamSpec extends AnyFunSuite {
     assert(rows.map(_.getInt(1)).sum == 0)
   }
 
+  test("streaming alert rule: pending→firing, inactive hour breaks the run") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    // condition: any event with value > 100 in the hour; for = 1h
+    val q = StreamOps.streamAlertRule(ms.toDS(), 100.0, 1L, 3600L).toDF()
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("t_alert").start()
+    def ev(id: Long, hour: Int, v: Double) =
+      Ev(id, java.sql.Timestamp.valueOf(f"2024-01-01 $hour%02d:30:00"), 1L, "cpu", v)
+    try {
+      // h10 active (151>100, split across batches), h11 active → firing,
+      // h12 INACTIVE (50), h13 active → run restarts at pending
+      ms.addData(ev(1, 10, 151.0)); q.processAllAvailable()
+      ms.addData(ev(2, 10, 7.0), ev(3, 11, 200.0)); q.processAllAvailable()
+      ms.addData(ev(4, 12, 50.0), ev(5, 13, 120.0)); q.processAllAvailable()
+      ms.addData(Ev(6, java.sql.Timestamp.valueOf("2024-01-01 23:00:00"),
+        -1L, "cpu", 0.0)); q.processAllAvailable() // per-type flush
+    } finally q.stop()
+    val rows = spark.table("t_alert").orderBy($"step_ts")
+      .select(date_format($"step_ts", "HH").as("h"), $"alertstate")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSeq
+    assert(rows == Seq("10" -> "pending", "11" -> "firing", "13" -> "pending"))
+  }
+
   test("tumbling agg: streaming ≡ batch window() aggregation") {
     val streamed = StreamOps.replayEvents(spark, SF, "t_tumble", 3)(
       StreamOps.tumblingAgg, OutputMode.Complete)
