@@ -562,25 +562,84 @@ object PromQlParser {
       labels.result()
     }
 
-    /** A unary expression plus an optional `'[' DUR (':' DUR)? ']'`
+    /** Duration EXPRESSIONS (Prometheus 3.4 experimental,
+      * `--enable-feature=promql-duration-expr`): arithmetic over duration
+      * literals and bare numbers (seconds) with `+ - * / % ^`, unary
+      * sign, and parentheses — same precedence tiers as PromQL scalar
+      * arithmetic (`^` tightest + right-assoc, unary binds looser than
+      * `^`). The expression is FOLDED AT PARSE TIME to a constant (as
+      * upstream folds before evaluation — durations cannot reference
+      * series data), so the printer emits the canonical folded duration
+      * and parse∘print stays id. The engine's grid is second-granular:
+      * a non-integral result (`[5m/7]`) is rejected loudly rather than
+      * silently truncated to nanos (documented divergence; same policy
+      * as the fractional bare-second step rejection). */
+    private def parseDurExpr(ctx: String): Long = {
+      val v = durAdd()
+      if (v.isNaN || v.isInfinite || v != math.rint(v))
+        fail(f"$ctx duration expression must fold to whole seconds, got $v%.6f")
+      math.rint(v).toLong
+    }
+    private def durAdd(): Double = {
+      var v = durMul()
+      var more = true
+      while (more) peek match {
+        case Some(Sym("+")) => next(); v += durMul()
+        case Some(Sym("-")) => next(); v -= durMul()
+        case _ => more = false
+      }
+      v
+    }
+    private def durMul(): Double = {
+      var v = durUnary()
+      var more = true
+      while (more) peek match {
+        case Some(Sym("*")) => next(); v *= durUnary()
+        case Some(Sym("/")) => next(); v /= durUnary()
+        // Go math.Mod semantics (sign of the dividend) — Scala's `%` on
+        // doubles is the same fmod, matching the scalar `%` operator tier
+        case Some(Sym("%")) => next(); v %= durUnary()
+        case _ => more = false
+      }
+      v
+    }
+    private def durUnary(): Double = peek match {
+      case Some(Sym("-")) => next(); -durPow()
+      case Some(Sym("+")) => next(); durPow()
+      case _ => durPow()
+    }
+    private def durPow(): Double = {
+      val b = durAtom()
+      peek match {
+        // right-assoc: 2^3^2 = 2^9; unary re-enters below ^ so -2^2 = -4
+        case Some(Sym("^")) => next(); math.pow(b, durUnary())
+        case _ => b
+      }
+    }
+    private def durAtom(): Double = next() match {
+      case Dur(s) => s.toDouble
+      case Num(n) => n.toDouble // bare number = seconds (the upstream rule)
+      case Flt(d) => d
+      case Sym("(") => val v = durAdd(); expect(")"); v
+      case other => fail(s"expected a duration like 6h, got $other")
+    }
+
+    /** A unary expression plus an optional `'[' DUREXPR (':' DUREXPR)? ']'`
       * suffix: `sel[6h]` is a range vector (offset may follow, modifying
-      * the selector); `expr[1h:5m]` is a subquery over any expression. */
+      * the selector); `expr[1h:5m]` is a subquery over any expression.
+      * Both positions accept duration expressions (`sel[30m * 2]`). */
     def parseUnary(): Ast = {
       val e = parseUnary0()
       peek match {
         case Some(Sym("[")) =>
           next()
-          val r = next() match {
-            case Dur(s) => s
-            case other => fail(s"expected a duration like 6h, got $other")
-          }
+          val r = parseDurExpr("range")
+          if (r <= 0) fail(s"range must be positive, got ${r}s")
           peek match {
             case Some(Sym(":")) =>
               next()
-              val st = next() match {
-                case Dur(s) => s
-                case other => fail(s"expected a step duration, got $other")
-              }
+              val st = parseDurExpr("step")
+              if (st <= 0) fail(s"subquery step must be positive, got ${st}s")
               expect("]")
               Subquery(e, r, st)
             case _ =>
@@ -874,9 +933,19 @@ object PromQlParser {
           case Some(Sym("+")) => next(); 1L // upstream accepts an explicit +
           case _ => 1L
         }
-        next() match {
-          case Dur(s) => parseOffsetOpt(sel.copy(offsetSec = sign * s))
-          case other => fail(s"offset expects a duration like 1h, got $other")
+        peek match {
+          // parenthesized duration EXPRESSION (3.4 experimental): the
+          // parens keep `foo offset 1h + 2` unambiguous — an un-wrapped
+          // `+` after the duration stays a scalar binop on the vector
+          case Some(Sym("(")) =>
+            next()
+            val s = parseDurExpr("offset")
+            expect(")")
+            parseOffsetOpt(sel.copy(offsetSec = sign * s))
+          case _ => next() match {
+            case Dur(s) => parseOffsetOpt(sel.copy(offsetSec = sign * s))
+            case other => fail(s"offset expects a duration like 1h, got $other")
+          }
         }
       case Some(Sym("@")) =>
         next()

@@ -755,6 +755,28 @@ object PromQlQueries {
         .orderBy(col("which"), col("event_type"))
     }),
 
+    // Duration expressions (Prometheus 3.4 experimental,
+    // --enable-feature=promql-duration-expr): arithmetic in the range,
+    // subquery-step, and (parenthesized) offset positions, folded at
+    // parse time. The battery pins three distinct folds: [3h * 2] = a 6h
+    // count window, offset (3h - 1h) = the 10:00 instant, and the
+    // bare-number/power form [2^2 * 900] = a 1h window — each lands on a
+    // window no single-literal branch shares, so a fold bug flips rows.
+    "q150_promql_duration_expr" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      def run(q: String, tag: String) =
+        PromQlParser.eval(src, q, "2024-01-15 12:00:00", lookback = "24 HOURS")
+          .withColumn("which", lit(tag))
+      run("""sum by (event_type) (count_over_time({event_type=~".+"}[3h * 2]))""", "mul")
+        .unionByName(
+          run("""sum by (event_type) ({event_type=~".+"} offset (3h - 1h))""", "off"))
+        .unionByName(
+          run("""sum by (event_type) (count_over_time({event_type=~".+"}[2^2 * 900]))""", "pow"))
+        .select(col("which"), col("event_type"), round(col("value"), 4).as("value"))
+        .orderBy(col("which"), col("event_type"))
+    }),
+
     // __name__ matchers (the Grafana multi-metric idiom) hit the metric
     // column: a regex union, and negative equality+regex composed. The
     // quoted-name form {"click"} rides the same path (3.x UTF-8 names).
@@ -1569,6 +1591,34 @@ object PromQlQueries {
         |  FROM events
         |  WHERE ts <= TIMESTAMP '2024-01-15 06:00:00'
         |    AND ts >  TIMESTAMP '2024-01-15 00:00:00'
+        |  GROUP BY event_type
+        |) ORDER BY which, event_type""".stripMargin,
+
+    "q150_promql_duration_expr" ->
+      """WITH lastv AS (
+        |  SELECT e.user_id, e.event_type, e.value
+        |  FROM events e
+        |  WHERE e.ts <= TIMESTAMP '2024-01-15 10:00:00'
+        |    AND e.ts >  TIMESTAMP '2024-01-15 10:00:00' - INTERVAL 24 HOURS
+        |  QUALIFY row_number() OVER (PARTITION BY e.user_id, e.event_type
+        |                             ORDER BY e.ts DESC, e.event_id DESC) = 1
+        |)
+        |SELECT * FROM (
+        |  SELECT 'mul' AS which, event_type, round(CAST(count(*) AS DOUBLE), 4)
+        |    AS value
+        |  FROM events
+        |  WHERE ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |    AND ts >  TIMESTAMP '2024-01-15 06:00:00'
+        |  GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'off', event_type,
+        |    round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |  FROM lastv GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'pow', event_type, round(CAST(count(*) AS DOUBLE), 4)
+        |  FROM events
+        |  WHERE ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |    AND ts >  TIMESTAMP '2024-01-15 11:00:00'
         |  GROUP BY event_type
         |) ORDER BY which, event_type""".stripMargin,
 

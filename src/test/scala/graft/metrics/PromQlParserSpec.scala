@@ -1008,4 +1008,37 @@ class PromQlParserSpec extends AnyFunSuite {
       eval(src(df), "round(cpu, 0)", "2024-01-01 10:02:00").collect()
     }
   }
+
+  test("duration expressions (3.4 experimental) fold at parse time") {
+    // range position: arithmetic, parens, bare numbers as seconds
+    assert(parse("cpu[30m * 2]") == RangeVec(Selector(Some("cpu"), Nil), 3600L))
+    assert(parse("cpu[1h + 30m]") == RangeVec(Selector(Some("cpu"), Nil), 5400L))
+    assert(parse("cpu[3600 / 2]") == RangeVec(Selector(Some("cpu"), Nil), 1800L))
+    assert(parse("cpu[(2h - 30m) / 3]") == RangeVec(Selector(Some("cpu"), Nil), 1800L))
+    assert(parse("rate(cpu[2 * 5m])") ==
+      RangeFn("rate", Selector(Some("cpu"), Nil), 600L))
+    // precedence matches scalar arithmetic: ^ tightest + right-assoc,
+    // unary binds looser than ^, then * / %, then + -
+    assert(parse("cpu[2^2^3 + 44]") == RangeVec(Selector(Some("cpu"), Nil), 300L))
+    assert(parse("cpu[7m % 2m]") == RangeVec(Selector(Some("cpu"), Nil), 60L))
+    assert(parse("cpu[1h - 2 * 15m]") == RangeVec(Selector(Some("cpu"), Nil), 1800L))
+    // subquery: both range and step take expressions
+    assert(parse("avg_over_time(cpu[30m * 2 : 10m / 2])") ==
+      RangeSub("avg_over_time",
+        Subquery(Selector(Some("cpu"), Nil), 3600L, 300L)))
+    // offset: parenthesized expression (sign outside, the 2.26 form)
+    assert(parse("cpu offset (1h + 30m)") == Selector(Some("cpu"), Nil, 5400L))
+    assert(parse("cpu offset -(2h - 30m)") == Selector(Some("cpu"), Nil, -5400L))
+    // an UN-parenthesized '+' after the duration stays a scalar binop
+    assert(parse("cpu offset 1h + 2") ==
+      BinOp("+", Selector(Some("cpu"), Nil, 3600L), ScalarLit(2.0), None))
+    // guards: non-positive range, non-integral seconds (second-granular
+    // grid — rejected loudly, not truncated; documented divergence)
+    intercept[IllegalArgumentException](parse("cpu[5m - 10m]"))
+    intercept[IllegalArgumentException](parse("cpu[5m / 7]"))
+    intercept[IllegalArgumentException](parse("cpu[1h : 5m - 5m]"))
+    // printer emits the folded canonical duration → parse∘print = id
+    assert(PromQlFormat.format(parse("cpu[90m + 30m]")) == "cpu[2h]")
+    assert(PromQlFormat.format(parse("cpu offset (90m * 2)")) == "cpu offset 3h")
+  }
 }
