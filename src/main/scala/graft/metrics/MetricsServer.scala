@@ -2,7 +2,7 @@ package graft.metrics
 
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+import org.apache.spark.sql.functions.{col, expr, lit, max_by, struct, to_timestamp}
 
 /** A8 + P14: the engine's HTTP face — Prometheus text-format exposition
   * plus the Prometheus HTTP query API.
@@ -29,6 +29,11 @@ import org.apache.spark.sql.functions.{col, lit, to_timestamp}
   *    explicit `time` (`step` optional, default 60 s): the engine has no
   *    background evaluation loop, so state is computed from the trailing
   *    `for` window per request instead of read from a scheduler.
+  *  - `GET /federate?match[]=...&time=...` — the federation scrape face:
+  *    newest-in-staleness-window sample per series matching ANY match[]
+  *    selector, as exposition text with original sample timestamps (ms)
+  *    and configured `externalLabels` filled in where the series doesn't
+  *    already carry the label.
   *
   * The query endpoints exist only when a [[PromQlParser.PromSource]] is
   * bound; an instant/range result is vector-sized (series × steps, not
@@ -48,7 +53,8 @@ final class MetricsServer(observed: Observed, port: Int = 0,
                           promSource: Option[PromQlParser.PromSource] = None,
                           maxResultRows: Int = 10000,
                           rules: Seq[AlertRules.Rule] = Nil,
-                          exemplarFrame: Option[org.apache.spark.sql.DataFrame] = None)
+                          exemplarFrame: Option[org.apache.spark.sql.DataFrame] = None,
+                          externalLabels: Seq[(String, String)] = Nil)
     extends AutoCloseable {
 
   private val server =
@@ -122,6 +128,53 @@ final class MetricsServer(observed: Observed, port: Int = 0,
         }.mkString("{", ",", "}")
       }
       s"""{"status":"success","data":[${items.mkString(",")}]}"""
+    })
+    // GET /federate?match[]=sel&match[]=sel2&time=... — the federation
+    // scrape face (prometheus/web/federate.go): for every series matching
+    // ANY match[] selector, the newest sample within the 5m staleness
+    // window, as exposition text with the ORIGINAL sample timestamp (ms).
+    // Engine convention: `time` is explicit (no background "now").
+    // Repeated match[] params require the raw query string — the shared
+    // jsonHandler collapses duplicate keys, and federation's content type
+    // is text, so this endpoint owns its handler. ONE keyed max_by per
+    // request (map-side partial; series-sized output under the standard
+    // cap), never a sample-sized collect. External labels are added only
+    // where the series doesn't already carry the label (the upstream
+    // honor-labels federation rule).
+    server.createContext("/federate", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val (code, body, ctype) =
+          try {
+            val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+            val pairs = raw.split("&").filter(_.nonEmpty).toSeq.map { kv =>
+              val eq = kv.indexOf('=')
+              val k = java.net.URLDecoder
+                .decode(if (eq < 0) kv else kv.substring(0, eq), "UTF-8")
+              val v = if (eq < 0) "" else java.net.URLDecoder
+                .decode(kv.substring(eq + 1), "UTF-8")
+              k -> v
+            }
+            val matches = pairs.collect { case ("match[]", v) => v }
+            require(matches.nonEmpty, "missing 'match[]' parameter")
+            val t = MetricsServer.parseTime(pairs.collectFirst {
+              case ("time", v) => v
+            }.getOrElse(throw new IllegalArgumentException(
+              "missing 'time' parameter")))
+            val txt = MetricsServer.federateText(src, matches, t,
+              externalLabels, maxResultRows)
+            (200, txt, "text/plain; version=0.0.4; charset=utf-8")
+          } catch {
+            case e: MetricsServer.ResultTooLarge =>
+              (422, String.valueOf(e.getMessage) + "\n", "text/plain; charset=utf-8")
+            case e: Throwable =>
+              (400, String.valueOf(e.getMessage) + "\n", "text/plain; charset=utf-8")
+          }
+        val bytes = body.getBytes("UTF-8")
+        ex.getResponseHeaders.set("Content-Type", ctype)
+        ex.sendResponseHeaders(code, bytes.length.toLong)
+        val os = ex.getResponseBody
+        try os.write(bytes) finally os.close()
+      }
     })
     exemplarFrame.foreach { ef =>
       // /api/v1/query_exemplars — the OpenMetrics exemplar face: series
@@ -331,6 +384,70 @@ object MetricsServer {
     case '\t' => "\\t"
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
+  }
+
+  /** Exposition-format label-value escaping: backslash, quote, newline. */
+  private def promEscape(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '"' => "\\\""
+    case '\n' => "\\n"
+    case c => c.toString
+  }
+
+  private val legacyName = "[a-zA-Z_:][a-zA-Z0-9_:]*".r
+
+  /** The `/federate` body: for every series matching ANY selector, the
+    * newest sample in the trailing 5m staleness window (upstream
+    * LookbackDelta) at `t`, rendered as exposition text with the original
+    * sample timestamp in MILLISECONDS — the federation contract
+    * (prometheus/web/federate.go). Families sort by metric name, series
+    * by label set; `# TYPE <name> untyped` heads each legacy-charset
+    * family (a UTF-8 name has no 0.0.4 TYPE line and renders in the
+    * quoted `{"name",...}` form). External labels fill in only where the
+    * series doesn't already carry the label. One keyed max_by, map-side
+    * partial; the collect is series-sized under the standard cap. */
+  private[metrics] def federateText(src: PromQlParser.PromSource,
+                                    matches: Seq[String], t: String,
+                                    external: Seq[(String, String)],
+                                    max: Int): String = {
+    val cond = matches.map(m => PromQlParser.selectorCond(src, m)).reduce(_ || _)
+    val te = to_timestamp(lit(t))
+    val labelCols = src.seriesKey.filterNot(_ == src.metricCol)
+    val newest = src.df.filter(cond)
+      .filter(col(src.tsCol) <= te &&
+        col(src.tsCol) > te - expr("INTERVAL 5 MINUTES"))
+      .groupBy(src.seriesKey.map(col): _*)
+      .agg(max_by(struct(col(src.valueCol).as("v"), col(src.tsCol).as("sts")),
+        struct(col(src.tsCol), col(src.orderCol))).as("s"))
+      .select(src.seriesKey.map(col) :+ col("s.v").as("__fv") :+
+        col("s.sts").as("__fts"): _*)
+    val rows = collectCapped(newest, max)
+    val sb = new StringBuilder
+    rows.toSeq
+      .map { r =>
+        val name = String.valueOf(r.getAs[Any](src.metricCol))
+        val own = labelCols.flatMap { c =>
+          Option(r.getAs[Any](c)).map(v => c -> String.valueOf(v))
+        }
+        val ext = external.filterNot { case (k, _) => own.exists(_._1 == k) }
+        (name, (own ++ ext).sortBy(_._1),
+          r.getAs[Double]("__fv"), r.getAs[java.sql.Timestamp]("__fts").getTime)
+      }
+      .sortBy { case (name, labels, _, _) => (name, labels.mkString(" ")) }
+      .foldLeft(Option.empty[String]) { case (prev, (name, labels, v, tsMs)) =>
+        val legacy = legacyName.pattern.matcher(name).matches()
+        if (!prev.contains(name) && legacy)
+          sb.append(s"# TYPE $name untyped\n")
+        val lbl = labels.map { case (k, value) =>
+          s"""$k="${promEscape(value)}""""
+        }
+        val head =
+          if (legacy) if (lbl.isEmpty) name else s"$name{${lbl.mkString(",")}}"
+          else s"""{"${promEscape(name)}"${lbl.map("," + _).mkString}}"""
+        sb.append(s"$head ${fmtVal(v)} $tsMs\n")
+        Some(name)
+      }
+    sb.result()
   }
 
   /** Prometheus sample-value formatting: a plain decimal string. */

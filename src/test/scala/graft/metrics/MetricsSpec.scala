@@ -128,6 +128,56 @@ class MetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("/federate: newest-in-5m sample per series matching ANY match[], text format") {
+    val df = Seq(
+      // cpu user 1: two samples inside the 5m window — newest (10:04) wins
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), 1L, "cpu", 7.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:04:00"), 1L, "cpu", 9.0),
+      // cpu user 2: only a STALE sample (>5m before t) — excluded
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 09:50:00"), 2L, "cpu", 3.0),
+      // mem user 1: matched by the second selector
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 10:03:00"), 1L, "mem", 5.0),
+      // disk: matches neither selector
+      (5L, java.sql.Timestamp.valueOf("2024-01-01 10:03:00"), 1L, "disk", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val src = PromQlParser.PromSource(df, "event_type",
+      Seq("user_id", "event_type"), "ts", "event_id", "value")
+    def get(port: Int, query: String): (Int, String) = {
+      val url = new java.net.URI(
+        s"http://127.0.0.1:$port/federate?$query").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val code = conn.getResponseCode
+      val in = if (code == 200) conn.getInputStream else conn.getErrorStream
+      (code, scala.io.Source.fromInputStream(in).mkString)
+    }
+    Observed.use(spark) { obs =>
+      val srv = new MetricsServer(obs, promSource = Some(src),
+        externalLabels = Seq("cluster" -> "local", "user_id" -> "override-me"))
+      try {
+        val q = "match%5B%5D=cpu&match%5B%5D=" +
+          java.net.URLEncoder.encode("""{event_type="mem"}""", "UTF-8") +
+          "&time=2024-01-01T10:05:00Z"
+        val (code, body) = get(srv.boundPort, q)
+        assert(code == 200)
+        // newest cpu sample for user 1 with its ORIGINAL ts in millis;
+        // external 'cluster' added, external 'user_id' does NOT override
+        // the series' own label (the honor-labels federation rule)
+        val cpuTs = java.sql.Timestamp.valueOf("2024-01-01 10:04:00").getTime
+        assert(body.contains(s"""cpu{cluster="local",user_id="1"} 9.0 $cpuTs"""))
+        val memTs = java.sql.Timestamp.valueOf("2024-01-01 10:03:00").getTime
+        assert(body.contains(s"""mem{cluster="local",user_id="1"} 5.0 $memTs"""))
+        assert(body.contains("# TYPE cpu untyped"))
+        // stale user-2 cpu and unmatched disk are absent
+        assert(!body.contains("\"2\"") && !body.contains("3.0"))
+        assert(!body.contains("disk"))
+        // families sort by name: cpu before mem
+        assert(body.indexOf("cpu{") < body.indexOf("mem{"))
+        // missing match[] is a 400
+        assert(get(srv.boundPort, "time=2024-01-01T10:05:00Z")._1 == 400)
+      } finally srv.close()
+    }
+  }
+
   test("query_exemplars: selector + time range over a per-bucket exemplar frame") {
     val df = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "cpu", 3.0, "ta"),
