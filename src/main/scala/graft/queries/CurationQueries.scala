@@ -172,6 +172,147 @@ object CurationQueries {
           min(when(col("cum") * 10 >= col("total") * 9, col("rnk"))).as("n_terms_90"),
           min(when(col("cum") * 100 >= col("total") * 99, col("rnk"))).as("n_terms_99"))
         .orderBy(col("lang"))
+    }),
+
+    // Gopher duplicate-n-gram CHARACTER fraction (Rae et al. 2021,
+    // A1.1): per doc, the fraction of characters covered by n-grams that
+    // occur more than once, as the no-overlap-discount upper bound
+    // Σ cnt_g·len(g) / len(text) capped at 1 (the cheap distributed form;
+    // exact overlap sweeps are a per-doc post-pass in real pipelines).
+    // n is the operator's parameter — the paper runs n=5..10 on web text;
+    // the fixture's short word-soup docs carry their repetition at
+    // n∈{2,3}, so the battery pins those. Explode → two keyed aggs at
+    // (doc, gram) then (doc) grain — never a per-doc O(n²) array walk.
+    "q151_dup_ngram_chars" -> ((s, d) => {
+      def frac(n: Int) = {
+        val docs = docsWithTokens(s, d)
+          .withColumn("nc", length(trim(col("text"))))
+          .filter(size(col("toks")) >= n)
+        docs.select(col("lang"), col("doc_id"), col("nc"),
+            explode(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+              i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as("g"))
+          .groupBy(col("lang"), col("doc_id"), col("nc"), col("g"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("lang"), col("doc_id"), col("nc"))
+          .agg(least(lit(1.0),
+            sum(when(col("cnt") >= 2, col("cnt") * length(col("g")))
+              .otherwise(0)).cast("double") / col("nc").cast("double"))
+            .as(s"frac$n"))
+          .drop("nc")
+      }
+      frac(2).join(frac(3), Seq("lang", "doc_id"), "left")
+        .na.fill(0.0, Seq("frac3"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(round(col("frac2"), 6).cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("avg_dup2_frac"),
+          round(sum(round(col("frac3"), 6).cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("avg_dup3_frac"),
+          sum(when(col("frac2") > 0.2, 1).otherwise(0)).as("n_flagged"))
+        .orderBy(col("lang"))
+    }),
+
+    // Cross-doc repeated-passage mining (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better" — the ExactSubstr
+    // shape): 13-gram spans appearing in MORE THAN ONE document, then
+    // maximal runs of consecutive duplicated positions per doc
+    // (gaps-and-islands) = the duplicated passages. The gram table is
+    // keyed by the gram itself (a distinct-hash-sized frame at corpus
+    // scale, never all-pairs); the islands window is per-doc (bounded by
+    // doc length). Span token length = run + 12.
+    "q152_repeated_passages" -> ((s, d) => {
+      val n = 13
+      val toks = docsWithTokens(s, d).filter(size(col("toks")) >= n)
+      // shuffle 8-byte gram hashes, not ~80-byte 13-gram strings: the
+      // dup-detection agg and the candidate join only need equality, and
+      // a 64-bit collision at corpus scale (~n²/2⁶⁵) is far below the
+      // gate's noise floor (documented; the oracle groups by the string)
+      val grams = toks.select(col("lang"), col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => xxhash64(concat_ws(" ", slice(col("toks"), i, lit(n)))))))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "gh")
+      val dupG = grams.groupBy(col("gh"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("gh"))
+      val dupPos = grams.join(dupG, "gh")
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      val spans = dupPos
+        .withColumn("grp", col("p") - row_number().over(w))
+        .groupBy(col("lang"), col("doc_id"), col("grp"))
+        .agg((count(lit(1)) + (n - 1)).as("span_toks"))
+      spans.groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_docs_affected"),
+          count(lit(1)).as("n_spans"),
+          sum(col("span_toks")).as("sum_span_toks"),
+          max(col("span_toks")).as("max_span_toks"))
+        .orderBy(col("lang"))
+    }),
+
+    // Training-example packing (the GPT concat-and-chunk form): docs are
+    // packed in doc_id order into fixed 256-token examples WITHIN a
+    // bounded packing unit (source × shard-of-8) — the shard key bounds
+    // the sequential cumsum a packer fundamentally needs, so units pack
+    // in parallel and no window partition grows with the corpus. A doc
+    // whose [start, end) token interval crosses a 256 boundary is split
+    // across examples (the boundary-split accounting below).
+    "q153_sequence_packing" -> ((s, d) => {
+      val seqLen = 256
+      val docs = docsWithTokens(s, d)
+        .withColumn("shard", pmod(col("doc_id"), lit(8)))
+        .withColumn("n_toks", size(col("toks")))
+      val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
+      val packed = docs
+        .withColumn("end", sum(col("n_toks")).over(w))
+        .withColumn("start", col("end") - col("n_toks"))
+        .withColumn("split_doc",
+          (floor(col("start") / seqLen) =!= floor((col("end") - 1) / seqLen))
+            .cast("int"))
+      packed.groupBy(col("source"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("shard_toks"),
+          sum(col("split_doc")).as("n_split_docs"))
+        .withColumn("n_examples",
+          ceil(col("shard_toks").cast("double") / seqLen).cast("long"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("shard_toks")).as("total_toks"),
+          sum(col("n_split_docs")).as("n_split_docs"),
+          sum(col("n_examples")).as("n_examples"))
+        .orderBy(col("source"))
+    }),
+
+    // Temperature-weighted source mixing (the multilingual/multi-corpus
+    // sampling rule, e.g. XLM-R §3.1: q_s ∝ p_s^α): per-LANG keep
+    // probability p_s = min(1, N·cnt_s^α / Σ_k cnt_k^α / cnt_s) at
+    // α = 0.5, N = 250, applied as the SAME deterministic md5 gate the
+    // split/sample family uses — reruns and engines agree doc-by-doc.
+    // sqrt is IEEE-correctly-rounded (identical in both engines), and the
+    // gate compares integers, so the oracle is exact. Two keyed aggs +
+    // one broadcast join; the gate itself is map-side.
+    "q154_temperature_mixing" -> ((s, d) => {
+      val docs = documents(s, d)
+      val cnts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      // totw: round-then-DECIMAL-sum so accumulation order can't flip a
+      // digit of the downstream floor(p·10⁴) gate
+      val tot = cnts.agg(
+        sum(round(sqrt(col("cnt")), 6).cast("decimal(18,6)"))
+          .cast("double").as("totw"))
+      val probs = cnts.crossJoin(broadcast(tot))
+        .withColumn("p", least(lit(1.0),
+          lit(250.0) * sqrt(col("cnt")) / col("totw") / col("cnt")))
+        .withColumn("thresh", floor(col("p") * 10000).cast("long"))
+        .select(col("lang"), col("cnt"), col("thresh"))
+      docs.join(broadcast(probs), Seq("lang"))
+        .withColumn("bucket",
+          pmod(conv(substring(md5(concat(lit("mix|"), col("doc_id"))), 1, 12), 16, 10)
+            .cast("long"), lit(10000)))
+        .withColumn("kept", col("bucket") < col("thresh"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("thresh")).as("thresh_bp"),
+          sum(when(col("kept"), 1).otherwise(0)).as("n_kept"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -329,6 +470,118 @@ object CurationQueries {
         |  min(CASE WHEN cum * 2 >= total THEN rnk END) AS n_terms_50,
         |  min(CASE WHEN cum * 10 >= total * 9 THEN rnk END) AS n_terms_90,
         |  min(CASE WHEN cum * 100 >= total * 99 THEN rnk END) AS n_terms_99
-        |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q151_dup_ngram_chars" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id, length(trim(text)) AS nc,
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), f2 AS (
+        |  SELECT lang, doc_id, least(1.0,
+        |      CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(g) ELSE 0 END)
+        |        AS DOUBLE) / nc) AS frac2
+        |  FROM (
+        |    SELECT lang, doc_id, nc, g, count(*) AS cnt FROM (
+        |      SELECT lang, doc_id, nc,
+        |        unnest([array_to_string(toks[i:i+1], ' ')
+        |                for i in generate_series(1, len(toks) - 1)]) AS g
+        |      FROM t WHERE len(toks) >= 2)
+        |    GROUP BY ALL)
+        |  GROUP BY lang, doc_id, nc
+        |), f3 AS (
+        |  SELECT lang, doc_id, least(1.0,
+        |      CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(g) ELSE 0 END)
+        |        AS DOUBLE) / nc) AS frac3
+        |  FROM (
+        |    SELECT lang, doc_id, nc, g, count(*) AS cnt FROM (
+        |      SELECT lang, doc_id, nc,
+        |        unnest([array_to_string(toks[i:i+2], ' ')
+        |                for i in generate_series(1, len(toks) - 2)]) AS g
+        |      FROM t WHERE len(toks) >= 3)
+        |    GROUP BY ALL)
+        |  GROUP BY lang, doc_id, nc
+        |)
+        |SELECT f2.lang, count(*) AS n_docs,
+        |  round(CAST(sum(CAST(round(frac2, 6) AS DECIMAL(18,6))) AS DOUBLE) /
+        |    count(*), 6) AS avg_dup2_frac,
+        |  round(CAST(sum(CAST(round(coalesce(frac3, 0.0), 6) AS DECIMAL(18,6)))
+        |    AS DOUBLE) / count(*), 6) AS avg_dup3_frac,
+        |  CAST(sum(CASE WHEN frac2 > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged
+        |FROM f2 LEFT JOIN f3 USING (lang, doc_id)
+        |GROUP BY f2.lang ORDER BY f2.lang""".stripMargin,
+
+    "q152_repeated_passages" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT lang, doc_id, i AS p, array_to_string(toks[i:i+12], ' ') AS g
+        |  FROM t, unnest(generate_series(1, len(toks) - 12)) AS u(i)
+        |  WHERE len(toks) >= 13
+        |), dup AS (
+        |  SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+        |), pos AS (
+        |  SELECT g.lang, g.doc_id, g.p,
+        |    g.p - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.p) AS grp
+        |  FROM g JOIN dup USING (g)
+        |), spans AS (
+        |  SELECT lang, doc_id, grp, count(*) + 12 AS span_toks
+        |  FROM pos GROUP BY lang, doc_id, grp
+        |)
+        |SELECT lang, count(DISTINCT doc_id) AS n_docs_affected,
+        |  count(*) AS n_spans,
+        |  CAST(sum(span_toks) AS BIGINT) AS sum_span_toks,
+        |  CAST(max(span_toks) AS BIGINT) AS max_span_toks
+        |FROM spans GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q153_sequence_packing" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, doc_id % 8 AS shard,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_toks
+        |  FROM documents
+        |), packed AS (
+        |  SELECT source, shard, n_toks,
+        |    sum(n_toks) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS e
+        |  FROM d
+        |), marked AS (
+        |  SELECT source, shard, n_toks,
+        |    CASE WHEN (e - n_toks) // 256 <> (e - 1) // 256 THEN 1 ELSE 0 END
+        |      AS split_doc
+        |  FROM packed
+        |), per_shard AS (
+        |  SELECT source, shard, count(*) AS n_docs, sum(n_toks) AS shard_toks,
+        |    sum(split_doc) AS n_split_docs,
+        |    CAST(ceil(CAST(sum(n_toks) AS DOUBLE) / 256) AS BIGINT) AS n_examples
+        |  FROM marked GROUP BY source, shard
+        |)
+        |SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(shard_toks) AS BIGINT) AS total_toks,
+        |  CAST(sum(n_split_docs) AS BIGINT) AS n_split_docs,
+        |  CAST(sum(n_examples) AS BIGINT) AS n_examples
+        |FROM per_shard GROUP BY source ORDER BY source""".stripMargin,
+
+    "q154_temperature_mixing" ->
+      """WITH cnts AS (
+        |  SELECT lang, count(*) AS cnt FROM documents GROUP BY lang
+        |), tot AS (
+        |  SELECT CAST(sum(CAST(round(sqrt(cnt), 6) AS DECIMAL(18,6)))
+        |    AS DOUBLE) AS totw FROM cnts
+        |), probs AS (
+        |  SELECT lang, cnt,
+        |    CAST(floor(least(1.0, 250.0 * sqrt(cnt) / totw / cnt) * 10000)
+        |      AS BIGINT) AS thresh
+        |  FROM cnts, tot
+        |), gated AS (
+        |  SELECT d.lang, p.thresh,
+        |    (CAST(concat('0x', substr(md5(concat('mix|', d.doc_id)), 1, 12))
+        |       AS BIGINT) % 10000) < p.thresh AS kept
+        |  FROM documents d JOIN probs p USING (lang)
+        |)
+        |SELECT lang, count(*) AS n_docs, max(thresh) AS thresh_bp,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM gated GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

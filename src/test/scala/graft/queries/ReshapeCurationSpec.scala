@@ -110,6 +110,60 @@ class ReshapeCurationSpec extends AnyFunSuite {
     assert(scrubbed.count() == 0, "emails survived the scrub")
   }
 
+  test("q151/q152: dup-ngram fractions bounded; passage spans are >= 13-token maximal runs") {
+    val q151 = CurationQueries.queries("q151_dup_ngram_chars")(spark, SF).collect()
+    q151.foreach { r =>
+      val (f2, f3) = (r.getDouble(r.fieldIndex("avg_dup2_frac")),
+        r.getDouble(r.fieldIndex("avg_dup3_frac")))
+      assert(f2 >= 0 && f2 <= 1 && f3 >= 0 && f3 <= 1)
+      assert(r.getLong(r.fieldIndex("n_flagged")) <= r.getLong(r.fieldIndex("n_docs")))
+    }
+    val q152 = CurationQueries.queries("q152_repeated_passages")(spark, SF).collect()
+    assert(q152.nonEmpty, "fixture plants near-dup docs; spans must exist")
+    q152.foreach { r =>
+      val (nSpans, sumToks, maxToks) = (r.getLong(r.fieldIndex("n_spans")),
+        r.getLong(r.fieldIndex("sum_span_toks")), r.getLong(r.fieldIndex("max_span_toks")))
+      // every span is a maximal run of >= 1 duplicated 13-gram
+      assert(maxToks >= 13 && sumToks >= 13 * nSpans)
+      assert(r.getLong(r.fieldIndex("n_docs_affected")) <= nSpans)
+    }
+    // a cross-doc gram touches >= 2 docs somewhere in the corpus
+    assert(q152.map(_.getLong(1)).sum >= 2)
+  }
+
+  test("q153 packing: token totals tie out exactly; split docs bounded by examples") {
+    val out = CurationQueries.queries("q153_sequence_packing")(spark, SF).collect()
+    val expected = Tables.documents(spark, SF)
+      .select(col("source"), size(split(trim(col("text")), "\\s+")).as("n"))
+      .groupBy("source").agg(sum(col("n")).as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val src = r.getString(r.fieldIndex("source"))
+      assert(r.getLong(r.fieldIndex("total_toks")) == expected(src),
+        s"$src token total drifted")
+      // a doc can only split where an example boundary exists
+      assert(r.getLong(r.fieldIndex("n_split_docs")) <=
+        r.getLong(r.fieldIndex("n_examples")))
+      // 8 shards, each adds at most one partially-filled trailing example
+      val minEx = (expected(src) + 255) / 256
+      assert(r.getLong(r.fieldIndex("n_examples")) >= minEx &&
+        r.getLong(r.fieldIndex("n_examples")) <= minEx + 8)
+    }
+  }
+
+  test("q154 temperature mixing: alpha=0.5 flattens — rarer langs keep a higher fraction") {
+    val out = CurationQueries.queries("q154_temperature_mixing")(spark, SF).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // thresh is anti-monotone in corpus count: p_s ∝ cnt^(α-1), α<1
+    val byCnt = out.sortBy(_._2)
+    byCnt.sliding(2).foreach { case Array((l1, c1, t1, _), (l2, c2, t2, _)) =>
+      if (c1 < c2) assert(t1 >= t2, s"$l1(cnt=$c1) thresh $t1 < $l2(cnt=$c2) thresh $t2")
+    }
+    out.foreach { case (_, n, t, kept) =>
+      assert(t >= 0 && t <= 10000 && kept <= n)
+    }
+  }
+
   test("q88 perplexity: ce bounded by ln(vocab mass), uniform-doc sanity") {
     val out = CurationQueries.queries("q88_perplexity")(spark, SF).collect()
     val tok = Tables.documents(spark, SF)
