@@ -141,6 +141,28 @@ object ExtraQueries {
           round(avg(col("distinct_bytes")), 6).as("avg_distinct_bytes"),
           sum(col("n_bytes")).as("total_bytes"))
         .orderBy(col("lang"))
+    }),
+
+    // Prometheus relabel_configs (relabel.go) as a rule chain compiled
+    // into one codegen'd projection+filter: hashmod shards by upstream's
+    // EXACT sum64(md5)·mod rule (last 8 md5 bytes as unsigned big-endian,
+    // via decimal(20,0) — the oracle replicates it as UBIGINT hex math),
+    // replace writes only on regex match (anchored ^(?:re)$), keep
+    // filters rows, uppercase is unconditional. Rules apply serially —
+    // later rules see earlier writes — and the whole chain is map-side.
+    "q155_relabel_chain" -> ((s, d) => {
+      import graft.metrics.Relabel
+      import graft.metrics.Relabel.Rule
+      val labeled = events(s, d).select(col("user_id"), col("event_type"))
+      val out = Relabel(labeled, Seq(
+        Rule("hashmod", Seq("user_id"), targetLabel = "shard", modulus = 8),
+        Rule("replace", Seq("event_type"), regex = "(c.*|e.*)",
+          targetLabel = "etype", replacement = "evt_$1"),
+        Rule("keep", Seq("event_type"), regex = "click|error|signup"),
+        Rule("uppercase", Seq("event_type"), targetLabel = "etype_uc")))
+      out.groupBy(col("shard"), col("etype"), col("etype_uc"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("shard"), col("etype"), col("etype_uc"))
     })
   )
 
@@ -215,6 +237,21 @@ object ExtraQueries {
         |FROM events
         |WHERE event_type IN ('error', 'purchase')
         |  AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
-        |GROUP BY 1, 2 ORDER BY event_type, step_ts""".stripMargin
+        |GROUP BY 1, 2 ORDER BY event_type, step_ts""".stripMargin,
+
+    "q155_relabel_chain" ->
+      """WITH r AS (
+        |  SELECT
+        |    CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 17, 16))
+        |      AS UBIGINT) % 8 AS BIGINT) AS shard,
+        |    CASE WHEN regexp_matches(event_type, '^(?:(c.*|e.*))$')
+        |         THEN regexp_replace(event_type, '^(?:(c.*|e.*))$', 'evt_\1')
+        |         ELSE NULL END AS etype,
+        |    upper(event_type) AS etype_uc
+        |  FROM events
+        |  WHERE regexp_matches(event_type, '^(?:click|error|signup)$')
+        |)
+        |SELECT shard, etype, etype_uc, count(*) AS n
+        |FROM r GROUP BY ALL ORDER BY shard, etype, etype_uc""".stripMargin
   )
 }
