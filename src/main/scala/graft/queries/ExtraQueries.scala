@@ -163,6 +163,77 @@ object ExtraQueries {
       out.groupBy(col("shard"), col("etype"), col("etype_uc"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("shard"), col("etype"), col("etype_uc"))
+    }),
+
+    // [N] Embedding scalar quantization (the faiss SQ8 trainer/encoder):
+    // per-DIMENSION corpus min/max → 8-bit codes
+    // round((x−mn)/(mx−mn)·255), reconstruction x̂ = mn + code/255·(mx−mn).
+    // Train = one keyed agg over (dim); encode = broadcast-join + pure
+    // column math (map-side at any corpus size; codes are 4× smaller
+    // than fp32 at rest). Codes are integers from one shared expression
+    // shape — cross-engine exact; recon errors are 9-dp rounded then
+    // DECIMAL-summed per vector (order-independent), label rollup reuses
+    // the same discipline.
+    "q156_embedding_quantization" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val dims = emb.select(col("vec_id"),
+          posexplode(col("embedding")))
+        .withColumnRenamed("pos", "dim")
+        .withColumn("xd", col("col").cast("double")).drop("col")
+      val stats = dims.groupBy(col("dim"))
+        .agg(min(col("xd")).as("mn"), max(col("xd")).as("mx"))
+      val coded = dims.join(broadcast(stats), "dim")
+        .withColumn("code",
+          when(col("mx") === col("mn"), 0)
+            .otherwise(round((col("xd") - col("mn")) /
+              (col("mx") - col("mn")) * 255, 0).cast("int")))
+        .withColumn("xq",
+          col("mn") + col("code").cast("double") / 255.0 * (col("mx") - col("mn")))
+        .withColumn("err", abs(col("xd") - col("xq")))
+      val perVec = coded.groupBy(col("vec_id"))
+        .agg(sum(round(col("err"), 9).cast("decimal(28,9)")).cast("double").as("toterr"),
+          countDistinct(col("code")).as("n_codes"))
+      perVec.join(emb.select(col("vec_id"), col("label")), "vec_id")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(round(col("toterr"), 6).cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("avg_recon_err"),
+          round(max(col("toterr")), 6).as("max_recon_err"),
+          max(col("n_codes")).as("max_distinct_codes"))
+        .orderBy(col("label"))
+    }),
+
+    // [N] Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the
+    // corpus (IVF assignment, deterministic first-8 centroids), then
+    // WITHIN each cluster drop any vector with a lower-id neighbor at
+    // cosine > τ — pairwise work is cluster-scoped (the pruning that
+    // survives 100 TB; a brute all-pairs dedup is quadratic in the
+    // corpus). Declared rows-only per the q52/q72 policy: the
+    // nearest-centroid argmax sits on FP boundaries cross-engine; the
+    // soundness invariant (every drop has a REAL lower-id partner at
+    // cos > τ) is pinned in TextOpsSpec instead.
+    "q157_semantic_dedup" -> ((s, d) => {
+      val emb = embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      val assigned = graft.text.Ivf.assign(emb, cents)
+      val a = assigned.select(col("list_id"), col("vec_id").as("id1"),
+        col("embedding").as("v1"))
+      val b = assigned.select(col("list_id"), col("vec_id").as("id2"),
+        col("embedding").as("v2"))
+      val dropped = a.join(b, Seq("list_id")).filter(col("id1") < col("id2"))
+        .withColumn("cos", VectorFunctions.vecCosine(col("v1"), col("v2")))
+        .filter(col("cos") > 0.25)
+        .select(col("id2").as("vec_id")).distinct()
+        .withColumn("is_dropped", lit(true))
+      emb.select(col("vec_id"), col("label"))
+        .join(dropped, Seq("vec_id"), "left")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("is_dropped"), 1).otherwise(0)).as("n_dropped"),
+          sum(when(col("is_dropped").isNull, 1).otherwise(0)).as("n_kept"))
+        .orderBy(col("label"))
     })
   )
 
@@ -252,6 +323,37 @@ object ExtraQueries {
         |  WHERE regexp_matches(event_type, '^(?:click|error|signup)$')
         |)
         |SELECT shard, etype, etype_uc, count(*) AS n
-        |FROM r GROUP BY ALL ORDER BY shard, etype, etype_uc""".stripMargin
+        |FROM r GROUP BY ALL ORDER BY shard, etype, etype_uc""".stripMargin,
+
+    "q156_embedding_quantization" ->
+      """WITH dims AS (
+        |  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS xd
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+        |), stats AS (
+        |  SELECT dim, min(xd) AS mn, max(xd) AS mx FROM dims GROUP BY dim
+        |), coded AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx = mn THEN 0
+        |         ELSE CAST(round((xd - mn) / (mx - mn) * 255, 0) AS INT) END AS code,
+        |    xd, mn, mx
+        |  FROM dims JOIN stats USING (dim)
+        |), errs AS (
+        |  SELECT vec_id,
+        |    abs(xd - (mn + CAST(code AS DOUBLE) / 255.0 * (mx - mn))) AS err,
+        |    code
+        |  FROM coded
+        |), per_vec AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CAST(round(err, 9) AS DECIMAL(28,9))) AS DOUBLE) AS toterr,
+        |    count(DISTINCT code) AS n_codes
+        |  FROM errs GROUP BY vec_id
+        |)
+        |SELECT e.label, count(*) AS n_vecs,
+        |  round(CAST(sum(CAST(round(toterr, 6) AS DECIMAL(18,6))) AS DOUBLE) /
+        |    count(*), 6) AS avg_recon_err,
+        |  round(max(toterr), 6) AS max_recon_err,
+        |  max(n_codes) AS max_distinct_codes
+        |FROM per_vec p JOIN embeddings e USING (vec_id)
+        |GROUP BY e.label ORDER BY e.label""".stripMargin
   )
 }

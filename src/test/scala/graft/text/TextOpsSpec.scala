@@ -257,4 +257,41 @@ class TextOpsSpec extends AnyFunSuite {
       .collect()(0).getDouble(0)
     assert(math.abs(r - 0.6) < 1e-12)
   }
+
+  test("q157 semantic dedup: sound (every drop has a real partner) and accounted") {
+    val SF = graft.TestSpark.SF
+    val out = graft.queries.ExtraQueries.queries("q157_semantic_dedup")(spark, SF)
+      .collect()
+    // partition: kept + dropped = total, per label
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_dropped") + r.getAs[Long]("n_kept") ==
+        r.getAs[Long]("n_vecs"))
+    }
+    assert(out.map(_.getAs[Long]("n_dropped")).sum > 0,
+      "fixture plants near-dup embeddings; something must drop")
+    // soundness: cluster pruning can narrow the pair set but never invent
+    // one — every dropped vec must have a GLOBAL lower-id partner at
+    // cos > τ (recomputed brute-force, no clusters)
+    val emb = graft.Tables.embeddings(spark, SF)
+    val a = emb.select($"vec_id".as("id1"), $"embedding".as("v1"))
+    val b = emb.select($"vec_id".as("id2"), $"embedding".as("v2"))
+    val globalDups = a.crossJoin(b).filter($"id1" < $"id2")
+      .withColumn("cos",
+        graft.functions.VectorFunctions.vecCosine($"v1", $"v2"))
+      .filter($"cos" > 0.25)
+      .select($"id2").distinct().collect().map(_.getLong(0)).toSet
+    // re-derive the dropped ids through the same cluster pipeline
+    val cents = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("cv"))
+    val assigned = graft.text.Ivf.assign(emb, cents)
+    val ca = assigned.select($"list_id", $"vec_id".as("id1"), $"embedding".as("v1"))
+    val cb = assigned.select($"list_id", $"vec_id".as("id2"), $"embedding".as("v2"))
+    val droppedIds = ca.join(cb, Seq("list_id")).filter($"id1" < $"id2")
+      .withColumn("cos",
+        graft.functions.VectorFunctions.vecCosine($"v1", $"v2"))
+      .filter($"cos" > 0.25)
+      .select($"id2").distinct().collect().map(_.getLong(0)).toSet
+    assert(droppedIds.subsetOf(globalDups),
+      s"invented drops: ${droppedIds -- globalDups}")
+  }
 }
