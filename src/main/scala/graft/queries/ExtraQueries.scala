@@ -234,6 +234,61 @@ object ExtraQueries {
           sum(when(col("is_dropped"), 1).otherwise(0)).as("n_dropped"),
           sum(when(col("is_dropped").isNull, 1).otherwise(0)).as("n_kept"))
         .orderBy(col("label"))
+    }),
+
+    // Thanos-style downsampling (compact --downsample): raw → 5m aggr
+    // chunks (count/sum/min/max/counter) → hourly re-aggregation from
+    // the CHUNKS, exact for aligned windows — the oracle computes the
+    // hour directly from raw, so a chunk-math bug hashes red. The chunk
+    // build is one keyed agg (map-side partial, |series|·|windows|
+    // output); re-query touches 20× fewer rows than raw at 5m, 240× at
+    // 1h — the zoom-level lever a year of 15s scrapes needs.
+    "q158_downsample_chunks" -> ((s, d) => {
+      import graft.metrics.Downsample
+      val raw = events(s, d)
+        .filter(col("ts") >= lit("2024-01-12").cast("timestamp") &&
+          col("ts") < lit("2024-01-13").cast("timestamp"))
+      val chunks = Downsample.aggrChunks(raw, Seq("event_type"),
+        "ts", "event_id", "value", "5 minutes")
+      Downsample.reAggregate(chunks, Seq("event_type"), "1 hour")
+        .select(col("event_type"), col("w_ts"), col("n"),
+          round(col("v_avg"), 6).as("v_avg"),
+          round(col("v_min"), 6).as("v_min"),
+          round(col("v_max"), 6).as("v_max"),
+          round(col("v_counter"), 6).as("v_counter"))
+        .orderBy(col("event_type"), col("w_ts"))
+    }),
+
+    // Exposition-text ROUND TRIP: render one scrape day as exposition
+    // 0.0.4 lines (values as 6-dp decimal strings — the cross-engine-
+    // stable text form), mix in TYPE comments, parse everything back
+    // with the pure-regex Exposition parser, and aggregate the parsed
+    // frame. The oracle aggregates the raw events directly — so a
+    // renderer/parser asymmetry (label quoting, value grammar, comment
+    // filtering, ms timestamps) hashes red. Parse is map-side at scan
+    // speed; no UDFs anywhere.
+    "q159_exposition_roundtrip" -> ((s, d) => {
+      import graft.metrics.Exposition
+      val day = events(s, d)
+        .filter(col("ts") >= lit("2024-01-12").cast("timestamp") &&
+          col("ts") < lit("2024-01-13").cast("timestamp"))
+      val sampleLines = day.select(concat(
+        lit("metric_"), col("event_type"),
+        lit("{user=\""), col("user_id").cast("string"), lit("\"} "),
+        round(col("value"), 6).cast("decimal(18,6)").cast("string"),
+        lit(" "), unix_millis(col("ts")).cast("string")).as("line"))
+      val comments = day.select(col("event_type")).distinct()
+        .select(concat(lit("# TYPE metric_"), col("event_type"), lit(" gauge"))
+          .as("line"))
+      val parsed = Exposition.parseSamples(
+        sampleLines.unionByName(comments), "line")
+      parsed.groupBy(col("name"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4)
+            .as("sum_v"),
+          countDistinct(col("labels")("user")).as("n_users"),
+          max(col("ts_ms")).as("max_ts_ms"))
+        .orderBy(col("name"))
     })
   )
 
@@ -354,6 +409,37 @@ object ExtraQueries {
         |  round(max(toterr), 6) AS max_recon_err,
         |  max(n_codes) AS max_distinct_codes
         |FROM per_vec p JOIN embeddings e USING (vec_id)
-        |GROUP BY e.label ORDER BY e.label""".stripMargin
+        |GROUP BY e.label ORDER BY e.label""".stripMargin,
+
+    "q158_downsample_chunks" ->
+      """WITH raw AS (
+        |  SELECT event_type, ts, event_id, value,
+        |    time_bucket(INTERVAL 1 HOUR, ts) AS w_ts
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-12' AND ts < TIMESTAMP '2024-01-13'
+        |), lastv AS (
+        |  SELECT event_type, w_ts, value AS v_counter
+        |  FROM raw
+        |  QUALIFY row_number() OVER (PARTITION BY event_type, w_ts
+        |                             ORDER BY ts DESC, event_id DESC) = 1
+        |)
+        |SELECT r.event_type, r.w_ts, count(*) AS n,
+        |  round(CAST(sum(CAST(round(r.value, 6) AS DECIMAL(18,6))) AS DOUBLE) /
+        |    count(*), 6) AS v_avg,
+        |  round(min(r.value), 6) AS v_min,
+        |  round(max(r.value), 6) AS v_max,
+        |  round(any_value(l.v_counter), 6) AS v_counter
+        |FROM raw r JOIN lastv l USING (event_type, w_ts)
+        |GROUP BY r.event_type, r.w_ts ORDER BY r.event_type, r.w_ts""".stripMargin,
+
+    "q159_exposition_roundtrip" ->
+      """SELECT 'metric_' || event_type AS name, count(*) AS n,
+        |  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |    AS sum_v,
+        |  count(DISTINCT user_id) AS n_users,
+        |  max(epoch_ms(ts)) AS max_ts_ms
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-12' AND ts < TIMESTAMP '2024-01-13'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -195,6 +195,28 @@ object StreamingQueries {
         .orderBy(col("event_type"), col("step_ts"))
     }),
 
+    // N-R71 on a live stream: the relabel chain is stateless column math,
+    // so it composes with the one allowed streaming aggregation untouched
+    // — hashmod-shard + keep-filter + uppercase run map-side per batch,
+    // the Complete-mode count/sum agg is the only stateful stage. The
+    // oracle replicates the exact sum64(md5) shard rule in SQL.
+    "s160_stream_relabel" -> ((s, d) => {
+      import graft.metrics.Relabel
+      import graft.metrics.Relabel.Rule
+      val t = StreamOps.replayEvents(s, d, "s160_sink", 1)(
+        ds => Relabel(ds.toDF(), Seq(
+            Rule("hashmod", Seq("user_id"), targetLabel = "shard", modulus = 4),
+            Rule("keep", Seq("event_type"), regex = "click|error"),
+            Rule("uppercase", Seq("event_type"), targetLabel = "etype_uc")))
+          .groupBy(col("shard"), col("etype_uc"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value"), 6).cast("decimal(18,6)")).as("sv")),
+        OutputMode.Complete)
+      t.select(col("shard"), col("etype_uc"), col("n"),
+          round(col("sv").cast("double"), 4).as("sum_value"))
+        .orderBy(col("shard"), col("etype_uc"))
+    }),
+
     // N-R55: streaming native-histogram build — the stage-1 per-bucket
     // pre-aggregation (the ONLY aggregation a streaming plan allows) runs
     // keyed by (6h tumbling window, event_type, sign, bucket idx); the
@@ -398,6 +420,20 @@ object StreamingQueries {
     // over the ACTIVE hourly buckets: contiguous active hours form a
     // run, age ≥ 2 h fires (for = 2h), any inactive or missing hour
     // breaks it — one window pass, the q135 shape.
+    "s160_stream_relabel" ->
+      """WITH r AS (
+        |  SELECT
+        |    CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 17, 16))
+        |      AS UBIGINT) % 4 AS BIGINT) AS shard,
+        |    upper(event_type) AS etype_uc, value
+        |  FROM events
+        |  WHERE regexp_matches(event_type, '^(?:click|error)$')
+        |)
+        |SELECT shard, etype_uc, count(*) AS n,
+        |  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |    AS sum_value
+        |FROM r GROUP BY ALL ORDER BY shard, etype_uc""".stripMargin,
+
     "s149_stream_alert_rules" ->
       """WITH hours AS (
         |  SELECT event_type, date_trunc('hour', ts) AS step_ts,
