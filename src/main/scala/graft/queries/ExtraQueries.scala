@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables._
 import graft.functions.VectorFunctions
 import graft.text.Multimodal
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -289,6 +290,49 @@ object ExtraQueries {
           countDistinct(col("labels")("user")).as("n_users"),
           max(col("ts_ms")).as("max_ts_ms"))
         .orderBy(col("name"))
+    }),
+
+    // Time-series regularization: resample one day to a fixed hourly grid
+    // per series with BOTH classic fill policies — LOCF (the Prometheus
+    // lookback rule, made explicit) and LINEAR INTERPOLATION between the
+    // nearest observed anchors (pv at/before, nv at/after; at observed
+    // points pv = nv so interp = observed; edges fall back to the one
+    // existing anchor). The grid is generated per series (explode of a
+    // 24-element sequence — bounded, never corpus-sized), anchors come
+    // from two frame-bounded window passes (ignoreNulls last/first), and
+    // the interp is one shared expression over 6-dp-rounded anchors —
+    // cross-engine exact.
+    "q161_grid_interpolation" -> ((s, d) => {
+      val day = events(s, d)
+        .filter(col("ts") >= lit("2024-01-12").cast("timestamp") &&
+          col("ts") < lit("2024-01-13").cast("timestamp"))
+      val obs = day.groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(round(max_by(col("value"), struct(col("ts"), col("event_id"))), 6)
+          .as("v"))
+      val grid = day.select(col("event_type")).distinct()
+        .select(col("event_type"), explode(sequence(
+          lit("2024-01-12 00:00:00").cast("timestamp"),
+          lit("2024-01-12 23:00:00").cast("timestamp"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val joined = grid.join(obs, Seq("event_type", "h"), "left")
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+        .withColumn("pt", last(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(back))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+        .withColumn("nt", first(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(fwd))
+      joined.select(col("event_type"), col("h"), col("v").as("observed"),
+          col("pv").as("locf"),
+          round(when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .when(col("pt") === col("nt"), col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              ((col("h").cast("double") - col("pt").cast("double")) /
+               (col("nt").cast("double") - col("pt").cast("double")))), 6)
+            .as("interp"))
+        .orderBy(col("event_type"), col("h"))
     })
   )
 
@@ -440,6 +484,43 @@ object ExtraQueries {
         |  max(epoch_ms(ts)) AS max_ts_ms
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-12' AND ts < TIMESTAMP '2024-01-13'
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q161_grid_interpolation" ->
+      """WITH day AS (
+        |  SELECT * FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-12' AND ts < TIMESTAMP '2024-01-13'
+        |), obs AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, round(value, 6) AS v
+        |  FROM day
+        |  QUALIFY row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |                             ORDER BY ts DESC, event_id DESC) = 1
+        |), grid AS (
+        |  SELECT e.event_type, g.h
+        |  FROM (SELECT DISTINCT event_type FROM day) e
+        |  CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-12 00:00:00',
+        |    TIMESTAMP '2024-01-12 23:00:00', INTERVAL 1 HOUR)) AS h) g
+        |), j AS (
+        |  SELECT g.event_type, g.h, o.v,
+        |    last_value(o.v IGNORE NULLS) OVER wb AS pv,
+        |    last_value(CASE WHEN o.v IS NOT NULL THEN g.h END IGNORE NULLS)
+        |      OVER wb AS pt,
+        |    first_value(o.v IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN o.v IS NOT NULL THEN g.h END IGNORE NULLS)
+        |      OVER wf AS nt
+        |  FROM grid g LEFT JOIN obs o USING (event_type, h)
+        |  WINDOW wb AS (PARTITION BY g.event_type ORDER BY g.h
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wf AS (PARTITION BY g.event_type ORDER BY g.h
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT event_type, h, v AS observed, pv AS locf,
+        |  round(CASE WHEN pv IS NULL THEN nv
+        |             WHEN nv IS NULL THEN pv
+        |             WHEN pt = nt THEN pv
+        |             ELSE pv + (nv - pv) * ((epoch(h) - epoch(pt)) /
+        |                                    (epoch(nt) - epoch(pt))) END, 6)
+        |    AS interp
+        |FROM j ORDER BY event_type, h""".stripMargin
   )
 }

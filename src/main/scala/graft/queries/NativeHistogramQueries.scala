@@ -199,30 +199,52 @@ object NativeHistogramQueries {
         |    round(CAST(count(*) AS DOUBLE), 6) AS value
         |  FROM marks m JOIN events e ON e.ts <= m.step_ts
         |  GROUP BY 2, 3
+        |), allmarks AS (
+        |  SELECT make_timestamp((1704844800 + i * 21600) * 1000000) AS mark
+        |  FROM (SELECT unnest(generate_series(0, 4)) AS i)
+        |), cum AS (
+        |  -- a cumulative histogram SAMPLE exists at a mark only if the
+        |  -- series has >= 1 event by then; its count is the running total
+        |  SELECT mk.mark, e.event_type, count(*) AS c
+        |  FROM allmarks mk JOIN events e ON e.ts <= mk.mark
+        |  GROUP BY 1, 2
         |), inc AS (
-        |  SELECT 'inc_count' AS which, e.event_type, m.step_ts,
-        |    round(CAST(count(*) AS DOUBLE), 6) AS value
-        |  FROM marks m JOIN events e
-        |    ON e.ts <= m.step_ts
-        |   AND e.ts > greatest(TIMESTAMP '2024-01-10 00:00:00',
-        |                       m.step_ts - INTERVAL 12 HOURS)
+        |  -- increase() merges consecutive-pair diffs with BOTH samples in
+        |  -- the (T-13h, T] window; cumulative counts are nondecreasing, so
+        |  -- the merged value telescopes to max(c) - min(c) over the
+        |  -- IN-WINDOW samples — and >= 2 samples must be present (a lone
+        |  -- sample has no pair; equal counts still emit a 0.0 row, the
+        |  -- Prometheus zero-increase semantics)
+        |  SELECT 'inc_count' AS which, c.event_type, m.step_ts,
+        |    round(CAST(max(c.c) - min(c.c) AS DOUBLE), 6) AS value
+        |  FROM marks m JOIN cum c
+        |    ON c.mark <= m.step_ts AND c.mark > m.step_ts - INTERVAL 13 HOURS
         |  GROUP BY 2, 3
+        |  HAVING count(*) >= 2
         |), b AS (
         |  SELECT m.step_ts, e.event_type,
         |         CAST(CEIL(ROUND(LOG2(e.value)*4, 9)) AS INT) AS idx
         |  FROM marks m JOIN events e ON e.ts <= m.step_ts
         |  WHERE e.value > 0
         |), tot AS (
-        |  SELECT step_ts, event_type, COUNT(*)::DOUBLE AS cnt_all
-        |  FROM b GROUP BY 1, 2
+        |  -- quantile RANK runs over the FULL histogram: negative + zero
+        |  -- + positive observations all count (the native-histogram
+        |  -- rule), even though the 0.9 rank lands in positive buckets
+        |  SELECT m.step_ts, e.event_type, COUNT(*)::DOUBLE AS cnt_all,
+        |    CAST(sum(CASE WHEN e.value <= 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS n_nonpos
+        |  FROM marks m JOIN events e ON e.ts <= m.step_ts
+        |  GROUP BY 1, 2
         |), bc AS (
         |  SELECT step_ts, event_type, idx, COUNT(*)::DOUBLE AS cnt
         |  FROM b GROUP BY 1, 2, 3
         |), bounds AS (
-        |  SELECT *, ROUND(POWER(2, (idx-1)/4.0), 9) AS lo,
+        |  SELECT bc.*, ROUND(POWER(2, (idx-1)/4.0), 9) AS lo,
         |         ROUND(POWER(2, idx/4.0), 9) AS hi,
-        |         SUM(cnt) OVER (PARTITION BY step_ts, event_type ORDER BY idx) AS cum
-        |  FROM bc
+        |         t.n_nonpos +
+        |           SUM(cnt) OVER (PARTITION BY bc.step_ts, bc.event_type
+        |                          ORDER BY idx) AS cum
+        |  FROM bc JOIN tot t USING (step_ts, event_type)
         |), p90 AS (
         |  SELECT 'p90' AS which, b.event_type, b.step_ts,
         |    round(MAX(CASE WHEN b.cum >= 0.9*t.cnt_all AND b.cum - b.cnt < 0.9*t.cnt_all
