@@ -139,8 +139,17 @@ object PromQlFormat {
     case CountValues(label, by, child, without) =>
       val kw = if (without) "without" else "by"
       s"count_values $kw (${by.mkString(", ")}) (${str(label)}, ${format(child)})"
-    case Subquery(child, r, st) =>
-      s"(${format(child)})[${durS(r)}:${durS(st)}]"
+    case Subquery(child, r, st, off, at) =>
+      val atS = at.map {
+        case AtTs(a) => s" @ $a"
+        case AtStart => " @ start()"
+        case AtEnd   => " @ end()"
+      }.getOrElse("")
+      val offS =
+        if (off == 0) ""
+        else if (off < 0) s" offset -${durS(-off)}"
+        else s" offset ${durS(off)}"
+      s"(${format(child)})[${durS(r)}:${durS(st)}]$atS$offS"
     case RangeSub(fn, sub, None) => s"$fn(${format(sub)})"
     case RangeSub(fn, sub, Some(p)) => s"$fn($p, ${format(sub)})"
   }

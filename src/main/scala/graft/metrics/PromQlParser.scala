@@ -220,7 +220,9 @@ object PromQlParser {
   /** `expr '[' RANGE ':' STEP ']'` — a PromQL subquery: the inner
     * expression evaluated on a step grid over the trailing range; only
     * valid under a `*_over_time` function (enforced at compile). */
-  final case class Subquery(child: Ast, rangeSec: Long, stepSec: Long) extends Ast
+  final case class Subquery(child: Ast, rangeSec: Long, stepSec: Long,
+                            offsetSec: Long = 0L,
+                            at: Option[At] = None) extends Ast
   /** A `*_over_time` function applied to a [[Subquery]] — the
     * `max_over_time(rate(m[5m])[1h:5m])` alerting idiom. */
   final case class RangeSub(fn: String, sub: Subquery,
@@ -641,7 +643,7 @@ object PromQlParser {
               val st = parseDurExpr("step")
               if (st <= 0) fail(s"subquery step must be positive, got ${st}s")
               expect("]")
-              Subquery(e, r, st)
+              parseSubModOpt(Subquery(e, r, st))
             case _ =>
               expect("]")
               e match {
@@ -925,41 +927,57 @@ object PromQlParser {
       * relative to the eval instant; `@ <epoch-seconds>` pins the
       * evaluation instant (offset then applies relative to it, the
       * Prometheus composition rule). */
+    /** The signed duration after an `offset` keyword: a plain literal or
+      * a parenthesized duration EXPRESSION (3.4 experimental) — the
+      * parens keep `foo offset 1h + 2` unambiguous (an un-wrapped `+`
+      * after the duration stays a scalar binop on the vector). */
+    private def parseOffsetVal(): Long = {
+      val sign = peek match {
+        case Some(Sym("-")) => next(); -1L
+        case Some(Sym("+")) => next(); 1L // upstream accepts an explicit +
+        case _ => 1L
+      }
+      peek match {
+        case Some(Sym("(")) =>
+          next()
+          val s = parseDurExpr("offset")
+          expect(")")
+          sign * s
+        case _ => next() match {
+          case Dur(s) => sign * s
+          case other => fail(s"offset expects a duration like 1h, got $other")
+        }
+      }
+    }
+
+    /** The pin after an `@`: an epoch timestamp or `start()`/`end()`. */
+    private def parseAtVal(): At = next() match {
+      case Num(n) => AtTs(n)
+      case Flt(d) => AtTs(d.toLong)
+      case Ident(kw @ ("start" | "end")) =>
+        expect("("); expect(")")
+        if (kw == "start") AtStart else AtEnd
+      case other =>
+        fail(s"@ expects an epoch timestamp or start()/end(), got $other")
+    }
+
     private def parseOffsetOpt(sel: Selector): Selector = peek match {
       case Some(Ident("offset")) =>
-        next()
-        val sign = peek match {
-          case Some(Sym("-")) => next(); -1L
-          case Some(Sym("+")) => next(); 1L // upstream accepts an explicit +
-          case _ => 1L
-        }
-        peek match {
-          // parenthesized duration EXPRESSION (3.4 experimental): the
-          // parens keep `foo offset 1h + 2` unambiguous — an un-wrapped
-          // `+` after the duration stays a scalar binop on the vector
-          case Some(Sym("(")) =>
-            next()
-            val s = parseDurExpr("offset")
-            expect(")")
-            parseOffsetOpt(sel.copy(offsetSec = sign * s))
-          case _ => next() match {
-            case Dur(s) => parseOffsetOpt(sel.copy(offsetSec = sign * s))
-            case other => fail(s"offset expects a duration like 1h, got $other")
-          }
-        }
+        next(); parseOffsetOpt(sel.copy(offsetSec = parseOffsetVal()))
       case Some(Sym("@")) =>
-        next()
-        next() match {
-          case Num(n) => parseOffsetOpt(sel.copy(at = Some(AtTs(n))))
-          case Flt(d) => parseOffsetOpt(sel.copy(at = Some(AtTs(d.toLong))))
-          case Ident(kw @ ("start" | "end")) =>
-            expect("("); expect(")")
-            parseOffsetOpt(sel.copy(at =
-              Some(if (kw == "start") AtStart else AtEnd)))
-          case other =>
-            fail(s"@ expects an epoch timestamp or start()/end(), got $other")
-        }
+        next(); parseOffsetOpt(sel.copy(at = Some(parseAtVal())))
       case _ => sel
+    }
+
+    /** Subquery modifiers, in either order (upstream ≥2.26/2.25 allows
+      * both on subqueries): `expr[1h:5m] offset 30m @ 169...` shifts/pins
+      * the whole subquery window. */
+    private def parseSubModOpt(sq: Subquery): Subquery = peek match {
+      case Some(Ident("offset")) =>
+        next(); parseSubModOpt(sq.copy(offsetSec = parseOffsetVal()))
+      case Some(Sym("@")) =>
+        next(); parseSubModOpt(sq.copy(at = Some(parseAtVal())))
+      case _ => sq
     }
 
     /** A function/aggregate keyword can also be a metric NAME (`sum{...}`
@@ -1174,6 +1192,16 @@ object PromQlParser {
       case _ => evalTs // AtStart/AtEnd = the instant itself; None = unpinned
     }
     shiftTs(pinned, sel.offsetSec)
+  }
+
+  /** A subquery's effective end instant: `@` pins, then `offset` shifts —
+    * the same pin-first-then-shift composition selectors use. */
+  private def subEvalTs(sub: Subquery, evalTs: String): String = {
+    val pinned = sub.at match {
+      case Some(AtTs(s)) => tsOfEpoch(s)
+      case _ => evalTs
+    }
+    shiftTs(pinned, sub.offsetSec)
   }
 
   /** Arithmetic value projection ONLY — comparisons and set operators are
@@ -1773,7 +1801,7 @@ object PromQlParser {
       require(overTimeFns(fn),
         s"$fn over a subquery is not supported; use a *_over_time function")
       val stepUs = sub.stepSec * 1000000L
-      val endUs = usOf(evalTs)
+      val endUs = usOf(subEvalTs(sub, evalTs)) // @ pins, offset shifts
       val rangeUs = sub.rangeSec * 1000000L
       val t0 = alignUp(endUs - rangeUs, stepUs)
       val last = Math.floorDiv(endUs, stepUs) * stepUs
@@ -2148,23 +2176,29 @@ object PromQlParser {
       * compiler and broadcast-replicates across the (tiny) step domain —
       * instead of exploding the selector onto every step. `start()`/
       * `end()` resolve to the grid's own edges. */
-    private def fixedInstant(ast: Ast, sel: Selector): DataFrame = {
-      val pinSec = sel.at.get match {
+    private def fixedInstant(ast: Ast, at: At): DataFrame = {
+      val pinSec = at match {
         case AtTs(s) => s
         case AtStart => startUs / 1000000L
         case AtEnd   => (startUs + nSteps * stepUs) / 1000000L
       }
+      // the instant compiler re-applies the pin idempotently (AtTs pins
+      // to the same epoch; start()/end() resolve to "the instant itself",
+      // which IS the already-resolved grid edge passed here)
       PromQlParser.compile(src, ast, tsOfEpoch(pinSec),
           s"${lookbackUs / 1000000L} SECONDS")
         .crossJoin(broadcast(stepsDomain))
     }
 
     def compile(ast: Ast): DataFrame = ast match {
-      case sel: Selector if sel.at.isDefined => fixedInstant(sel, sel)
+      case sel: Selector if sel.at.isDefined => fixedInstant(sel, sel.at.get)
       case rf @ RangeFn(_, sel, _, _, _) if sel.at.isDefined =>
-        fixedInstant(rf, sel)
+        fixedInstant(rf, sel.at.get)
       case tsf @ TimestampFn(sel) if sel.at.isDefined =>
-        fixedInstant(tsf, sel)
+        fixedInstant(tsf, sel.at.get)
+      // an @-pinned subquery is step-invariant like any pinned subtree
+      case rs @ RangeSub(_, sub, _) if sub.at.isDefined =>
+        fixedInstant(rs, sub.at.get)
 
       case sel: Selector =>
         // instant vector per step: latest sample within (T − lookback, T]
@@ -2449,9 +2483,16 @@ object PromQlParser {
           s"$fn over a subquery is not supported; use a *_over_time function")
         val subUs = sub.stepSec * 1000000L
         val rangeUs = sub.rangeSec * 1000000L
-        val innerStart = alignUp(startUs - rangeUs, subUs)
+        // subquery `offset` shifts every outer step's window back by
+        // offsetUs (the @-pinned form took the step-invariant branch
+        // above): a fine sample at t serves outer step T iff
+        // t ∈ [T − off − range, T − off], so the inner grid shifts and
+        // each sample explodes onto steps [t + off, t + off + range]
+        val offUs = sub.offsetSec * 1000000L
+        val innerStart = alignUp(startUs - offUs - rangeUs, subUs)
         val innerN =
-          (Math.floorDiv(startUs + nSteps * stepUs, subUs) * subUs - innerStart) / subUs
+          (Math.floorDiv(startUs + nSteps * stepUs - offUs, subUs) * subUs -
+            innerStart) / subUs
         val inner = new GridCompiler(src, innerStart, subUs, innerN,
           lookbackUs = 300L * 1000000L)
         val ig = inner.compile(sub.child).withColumnRenamed("__step", "__substep")
@@ -2460,7 +2501,7 @@ object PromQlParser {
         // closed on both ends, so a step exactly range after the sample
         // still holds it (all quantities are µs-integral)
         val exploded = ig.withColumn("__step",
-          explode(stepsFor(tAbs, tAbs + lit(rangeUs) + lit(1L))))
+          explode(stepsFor(tAbs + lit(offUs), tAbs + lit(offUs) + lit(rangeUs) + lit(1L))))
         val labels = ig.columns.filterNot(nonLabelCols).toSeq
         overTimeAgg(exploded.groupBy((labels :+ "__step").map(col): _*),
           fn, col("value"), param, lastOrd = col("__substep"),

@@ -380,6 +380,26 @@ object PromQlQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Subquery `offset` / `@` (upstream allows both on subqueries): the
+    // whole subquery window shifts/pins — `[12h:3h] offset 6h` evaluated
+    // at 12:00 and `[12h:3h] @ 06:00-epoch` evaluated at 12:00 must both
+    // equal the plain subquery evaluated at 06:00, through two different
+    // code paths (end-instant shift vs pin). The oracle computes the
+    // 06:00-anchored result once and emits both branch copies.
+    "q162_subquery_offset" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      def run(q: String, tag: String) =
+        PromQlParser.eval(src, q, "2024-01-15 12:00:00")
+          .withColumn("which", lit(tag))
+      run("max_over_time(rate(purchase[6h])[12h:3h] offset 6h)", "off")
+        .unionByName(
+          run("max_over_time(rate(purchase[6h])[12h:3h] @ 1705298400)", "at"))
+        .select(col("which"), col("user_id"), col("event_type"),
+          round(col("value"), 6).as("value"))
+        .orderBy(col("which"), col("user_id"))
+    }),
+
     // Subquery ON the query_range grid: the inner rate evaluates once on
     // a shared absolute-aligned 3h fine grid (covering the first step's
     // closed window), and each fine sample folds onto the outer 6h steps
@@ -1180,6 +1200,35 @@ object PromQlQueries {
         |)
         |SELECT user_id, event_type, round(max(rate), 6) AS value
         |FROM r GROUP BY 1, 2 ORDER BY user_id""".stripMargin,
+
+    "q162_subquery_offset" ->
+      """WITH steps AS (
+        |  -- closed [06:00-12h, 06:00] on the absolute 3h grid: 5 points
+        |  SELECT make_timestamp((1705255200 + i * 10800) * 1000000) AS step_ts
+        |  FROM (SELECT unnest(generate_series(0, 4)) AS i)
+        |), d AS (
+        |  SELECT user_id, event_type, ts, value,
+        |    lag(value) OVER win AS prev, lag(ts) OVER win AS prev_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |  WINDOW win AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |), pairs AS (
+        |  SELECT user_id, event_type, ts, prev_ts,
+        |    CASE WHEN value - prev < 0 THEN value ELSE value - prev END AS inc
+        |  FROM d WHERE prev IS NOT NULL
+        |), r AS (
+        |  SELECT p.user_id, p.event_type, s.step_ts,
+        |    CAST(sum(CAST(round(p.inc, 6) AS DECIMAL(18,6))) AS DOUBLE) / 21600
+        |      AS rate
+        |  FROM steps s JOIN pairs p
+        |    ON p.ts <= s.step_ts AND p.prev_ts > s.step_ts - INTERVAL 6 HOURS
+        |  GROUP BY 1, 2, 3
+        |), agg AS (
+        |  SELECT user_id, event_type, round(max(rate), 6) AS value
+        |  FROM r GROUP BY 1, 2
+        |)
+        |SELECT t.which, a.user_id, a.event_type, a.value
+        |FROM agg a CROSS JOIN (VALUES ('off'), ('at')) t(which)
+        |ORDER BY t.which, a.user_id""".stripMargin,
 
     // Fine grid: 2024-01-13 18:00 (epoch 1705168800) + j·3h for j in 0..10
     // (absolute 3h multiples covering the first outer step's closed 6h

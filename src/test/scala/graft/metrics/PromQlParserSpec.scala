@@ -1041,4 +1041,51 @@ class PromQlParserSpec extends AnyFunSuite {
     assert(PromQlFormat.format(parse("cpu[90m + 30m]")) == "cpu[2h]")
     assert(PromQlFormat.format(parse("cpu offset (90m * 2)")) == "cpu offset 3h")
   }
+
+  test("subquery offset and @ shift/pin the whole subquery window") {
+    // parse shapes: modifiers in either order, negative offset, durexpr
+    assert(parse("avg_over_time(cpu[1h:5m] offset 30m)") ==
+      RangeSub("avg_over_time",
+        Subquery(Selector(Some("cpu"), Nil), 3600L, 300L, 1800L)))
+    assert(parse("avg_over_time(cpu[1h:5m] @ 1704103200 offset -1h)") ==
+      RangeSub("avg_over_time", Subquery(Selector(Some("cpu"), Nil),
+        3600L, 300L, -3600L, Some(AtTs(1704103200L)))))
+    assert(parse("max_over_time(cpu[1h:5m] offset (10m * 3))") ==
+      RangeSub("max_over_time",
+        Subquery(Selector(Some("cpu"), Nil), 3600L, 300L, 1800L)))
+    // semantics: samples at 10:00..10:59; the offset window must fold
+    // EXACTLY the shifted grid instants (last-in-lookback per point)
+    val df = (0 until 60).map { m =>
+      ((m + 1).toLong, ts(m), 1L, "cpu", m.toDouble)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    def one(q: String, at: String) =
+      eval(src(df), q, at).select("value").collect().map(_.getDouble(0)).head
+    // grid for [30m:10m] ending 11:00 = CLOSED [10:30, 11:00] →
+    // instants {10:30,10:40,10:50,11:00} → values {30,40,50,59}, max 59;
+    // offset 30m re-anchors to 10:30 → closed [10:00, 10:30] → max 30
+    assert(one("max_over_time(cpu[30m:10m])", "2024-01-01 11:00:00") == 59.0)
+    assert(one("max_over_time(cpu[30m:10m] offset 30m)", "2024-01-01 11:00:00") == 30.0)
+    // @ pin: evaluated at 23:00 but pinned to 10:30 → same 30; offset
+    // composes relative to the pin (pin-first-then-shift)
+    val pin = java.sql.Timestamp.valueOf("2024-01-01 10:30:00").getTime / 1000
+    assert(one(s"max_over_time(cpu[30m:10m] @ $pin)", "2024-01-01 23:00:00") == 30.0)
+    assert(one(s"max_over_time(cpu[30m:10m] @ ${pin + 1800} offset 30m)",
+      "2024-01-01 23:00:00") == 30.0)
+    // query_range parity: each outer step equals instant evaluation
+    val g = evalRange(src(df), "max_over_time(cpu[30m:10m] offset 30m)",
+      "2024-01-01 10:40:00", "2024-01-01 11:00:00", 600)
+      .orderBy("step_ts").select("value").collect().map(_.getDouble(0))
+    val direct = Seq("2024-01-01 10:40:00", "2024-01-01 10:50:00",
+      "2024-01-01 11:00:00")
+      .map(t => one("max_over_time(cpu[30m:10m] offset 30m)", t))
+    assert(g.toSeq == direct)
+    // @-pinned subquery on the grid is step-invariant
+    val gp = evalRange(src(df), s"max_over_time(cpu[30m:10m] @ $pin)",
+      "2024-01-01 10:40:00", "2024-01-01 11:00:00", 600)
+      .select("value").collect().map(_.getDouble(0))
+    assert(gp.length == 3 && gp.forall(_ == 30.0))
+    // printer round-trips the modifiers (canonical @-then-offset order)
+    assert(PromQlFormat.format(parse("avg_over_time(cpu[1h:5m] offset 30m @ 17)")) ==
+      "avg_over_time((cpu)[1h:5m] @ 17 offset 30m)")
+  }
 }

@@ -220,7 +220,10 @@ class PromQlRoundTripSpec extends AnyFunSuite {
         child <- genAst(depth - 1)
         r <- Gen.oneOf(3600L, 7200L)
         st <- Gen.oneOf(300L, 600L)
-      } yield RangeSub(fn, Subquery(child, r, st))))
+        off <- Gen.oneOf(0L, 1800L, -3600L) // subquery offset, incl. negative
+        at <- Gen.oneOf(None, Some(PromQlParser.AtTs(1704103200L)),
+          Some(PromQlParser.AtStart), Some(PromQlParser.AtEnd))
+      } yield RangeSub(fn, Subquery(child, r, st, off, at))))
 
   test("compound duration formatting: largest-exact-unit decomposition") {
     assert(PromQlFormat.durS(0) == "0s")
