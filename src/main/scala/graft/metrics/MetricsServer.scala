@@ -129,6 +129,39 @@ final class MetricsServer(observed: Observed, port: Int = 0,
       }
       s"""{"status":"success","data":[${items.mkString(",")}]}"""
     })
+    // GET /api/v1/status/tsdb — the cardinality-stats face (upstream
+    // api/v1/status/tsdb): top-10 series counts by metric name, label
+    // value counts by label name, and series counts by label=value pair.
+    // Three keyed distinct-aggregations over the bound source (each a
+    // map-side partial at any corpus size); output is top-10-sized.
+    server.createContext("/api/v1/status/tsdb", MetricsServer.jsonHandler { _ =>
+      def items(rows: Array[Row]) = rows.map(r =>
+        s"""{"name":"${MetricsServer.jsonEscape(r.getString(0))}","value":${r.getLong(1)}}""")
+        .mkString("[", ",", "]")
+      val nSeries = org.apache.spark.sql.functions.countDistinct(
+        col(src.seriesKey.head), src.seriesKey.tail.map(col): _*).as("v")
+      val byMetric = MetricsServer.collectCapped(
+        src.df.groupBy(col(src.metricCol).cast("string").as("n"))
+          .agg(nSeries)
+          .orderBy(col("v").desc, col("n")).limit(10), 10)
+      val byLabel = src.seriesKey.map { l =>
+        val c = src.df.select(col(l).cast("string").as("v"))
+          .filter(col("v").isNotNull).distinct().count()
+        (l, c)
+      }.sortBy { case (l, c) => (-c, l) }.take(10).map { case (l, c) =>
+        s"""{"name":"${MetricsServer.jsonEscape(l)}","value":$c}"""
+      }.mkString("[", ",", "]")
+      val byPair = MetricsServer.collectCapped(
+        src.df.select(org.apache.spark.sql.functions.concat(
+            lit(src.metricCol + "="), col(src.metricCol).cast("string")).as("n") +:
+            src.seriesKey.map(col): _*)
+          .groupBy(col("n"))
+          .agg(nSeries)
+          .orderBy(col("v").desc, col("n")).limit(10), 10)
+      s"""{"status":"success","data":{"seriesCountByMetricName":${items(byMetric)},""" +
+        s""""labelValueCountByLabelName":$byLabel,""" +
+        s""""seriesCountByLabelValuePair":${items(byPair)}}}"""
+    })
     // GET /federate?match[]=sel&match[]=sel2&time=... — the federation
     // scrape face (prometheus/web/federate.go): for every series matching
     // ANY match[] selector, the newest sample within the 5m staleness

@@ -640,8 +640,16 @@ object PromQlParser {
           peek match {
             case Some(Sym(":")) =>
               next()
-              val st = parseDurExpr("step")
-              if (st <= 0) fail(s"subquery step must be positive, got ${st}s")
+              // `[1h:]` (empty step) defaults to the engine's 60 s
+              // resolution — upstream defaults to the global evaluation
+              // interval, which this engine fixes at 1m
+              val st = peek match {
+                case Some(Sym("]")) => 60L
+                case _ =>
+                  val v = parseDurExpr("step")
+                  if (v <= 0) fail(s"subquery step must be positive, got ${v}s")
+                  v
+              }
               expect("]")
               parseSubModOpt(Subquery(e, r, st))
             case _ =>

@@ -333,6 +333,31 @@ object ExtraQueries {
                (col("nt").cast("double") - col("pt").cast("double")))), 6)
             .as("interp"))
         .orderBy(col("event_type"), col("h"))
+    }),
+
+    // TSDB cardinality stats (the /api/v1/status/tsdb face, computed as
+    // a declared battery): series counts by metric, distinct values by
+    // label, series counts by label=value pair — three keyed distinct
+    // aggregations, each a map-side partial at any corpus size (the
+    // stats a 100 TB store serves its cardinality dashboard from).
+    "q163_cardinality_stats" -> ((s, d) => {
+      val ev = events(s, d)
+      val byMetric = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("value"))
+        .select(lit("series_by_metric").as("kind"),
+          col("event_type").as("name"), col("value"))
+      val byLabel = ev
+        .agg(countDistinct(col("user_id")).as("user_id"),
+          countDistinct(col("event_type")).as("event_type"))
+        .select(expr(
+          "stack(2, 'user_id', user_id, 'event_type', event_type) AS (name, value)"))
+        .select(lit("values_by_label").as("kind"), col("name"), col("value"))
+      val byPair = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("value"))
+        .select(lit("series_by_pair").as("kind"),
+          concat(lit("event_type="), col("event_type")).as("name"), col("value"))
+      byMetric.unionByName(byLabel).unionByName(byPair)
+        .orderBy(col("kind"), col("name"))
     })
   )
 
@@ -521,6 +546,23 @@ object ExtraQueries {
         |             ELSE pv + (nv - pv) * ((epoch(h) - epoch(pt)) /
         |                                    (epoch(nt) - epoch(pt))) END, 6)
         |    AS interp
-        |FROM j ORDER BY event_type, h""".stripMargin
+        |FROM j ORDER BY event_type, h""".stripMargin,
+
+    "q163_cardinality_stats" ->
+      """SELECT * FROM (
+        |  SELECT 'series_by_metric' AS kind, event_type AS name,
+        |    count(DISTINCT user_id) AS value
+        |  FROM events GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'values_by_label', 'user_id', count(DISTINCT user_id)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'values_by_label', 'event_type', count(DISTINCT event_type)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'series_by_pair', 'event_type=' || event_type,
+        |    count(DISTINCT user_id)
+        |  FROM events GROUP BY 2
+        |) ORDER BY kind, name""".stripMargin
   )
 }

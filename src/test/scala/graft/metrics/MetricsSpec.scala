@@ -128,6 +128,28 @@ class MetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("/api/v1/status/tsdb serves top-10 cardinality stats") {
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "cpu", 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 2L, "cpu", 2.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "mem", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val src = PromQlParser.PromSource(df, "event_type",
+      Seq("user_id", "event_type"), "ts", "event_id", "value")
+    Observed.use(spark) { obs =>
+      val srv = new MetricsServer(obs, promSource = Some(src))
+      try {
+        val url = new java.net.URI(
+          s"http://127.0.0.1:${srv.boundPort}/api/v1/status/tsdb").toURL
+        val body = scala.io.Source.fromInputStream(url.openStream()).mkString
+        // cpu has 2 series, mem 1; series counts sort desc
+        assert(body.contains(""""seriesCountByMetricName":[{"name":"cpu","value":2},{"name":"mem","value":1}]"""))
+        assert(body.contains("""{"name":"user_id","value":2}"""))
+        assert(body.contains("""{"name":"event_type=cpu","value":2}"""))
+      } finally srv.close()
+    }
+  }
+
   test("/federate: newest-in-5m sample per series matching ANY match[], text format") {
     val df = Seq(
       // cpu user 1: two samples inside the 5m window — newest (10:04) wins

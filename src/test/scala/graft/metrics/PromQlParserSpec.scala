@@ -1087,5 +1087,11 @@ class PromQlParserSpec extends AnyFunSuite {
     // printer round-trips the modifiers (canonical @-then-offset order)
     assert(PromQlFormat.format(parse("avg_over_time(cpu[1h:5m] offset 30m @ 17)")) ==
       "avg_over_time((cpu)[1h:5m] @ 17 offset 30m)")
+    // `[1h:]` empty step defaults to the 60 s engine resolution
+    assert(parse("avg_over_time(cpu[1h:])") ==
+      RangeSub("avg_over_time", Subquery(Selector(Some("cpu"), Nil), 3600L, 60L)))
+    assert(parse("avg_over_time(cpu[1h:] offset 5m)") ==
+      RangeSub("avg_over_time",
+        Subquery(Selector(Some("cpu"), Nil), 3600L, 60L, 300L)))
   }
 }
