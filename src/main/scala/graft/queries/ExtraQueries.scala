@@ -358,6 +358,53 @@ object ExtraQueries {
           concat(lit("event_type="), col("event_type")).as("name"), col("value"))
       byMetric.unionByName(byLabel).unionByName(byPair)
         .orderBy(col("kind"), col("name"))
+    }),
+
+    // The downsampled QUERIER (the Thanos auto-downsample contract): the
+    // same `avg_over_time(sel[6h])` grid evaluated twice — branch "raw"
+    // through the PromQL grid compiler over raw samples, branch "ds"
+    // folded from the 5m AGGR CHUNKS (Σsum/Σcount per trailing window).
+    // For 5m-aligned windows the two are EXACT-equal (both route sums
+    // through the same decimal discipline), which is precisely why a
+    // querier may transparently switch resolution by step width; the
+    // oracle computes the raw fold once and both branches must hash to
+    // it. The chunk branch touches 1/20th the rows of the raw branch.
+    "q164_downsampled_querier" -> ((s, d) => {
+      import graft.metrics.Downsample
+      val day = events(s, d)
+        .filter(col("ts") >= lit("2024-01-12").cast("timestamp") &&
+          col("ts") < lit("2024-01-13").cast("timestamp"))
+      // branch 1: PromQL avg_over_time on the 6h grid over raw samples
+      val src = graft.metrics.PromQlParser.PromSource(day, "event_type",
+        Seq("event_type"), "ts", "event_id", "value")
+      val raw = graft.metrics.PromQlParser.evalRange(src,
+          """avg_over_time({event_type=~".+"}[6h])""",
+          "2024-01-12 06:00:00", "2024-01-13 00:00:00", stepSec = 21600)
+        .select(col("event_type"), col("step_ts"),
+          round(col("value"), 6).as("value"))
+        .withColumn("which", lit("raw"))
+      // branch 2: the same fold from 5m chunks — trailing (T-6h, T]
+      // windows hold whole chunks exactly because 6h is 5m-aligned
+      val chunks = Downsample.aggrChunks(day, Seq("event_type"),
+        "ts", "event_id", "value", "5 minutes")
+      val steps = day.select(col("event_type")).distinct()
+        .select(col("event_type"), explode(sequence(
+          lit("2024-01-12 06:00:00").cast("timestamp"),
+          lit("2024-01-13 00:00:00").cast("timestamp"),
+          expr("INTERVAL 6 HOURS"))).as("step_ts"))
+      val ds = steps.join(chunks,
+          steps("event_type") === chunks("event_type") &&
+            col("chunk_ts") >= col("step_ts") - expr("INTERVAL 6 HOURS") &&
+            col("chunk_ts") < col("step_ts"))
+        .groupBy(steps("event_type"), col("step_ts"))
+        .agg((sum(col("c_sum").cast("decimal(18,6)")).cast("double") /
+          sum(col("c_count"))).as("v"))
+        .select(steps("event_type"), col("step_ts"),
+          round(col("v"), 6).as("value"))
+        .withColumn("which", lit("ds"))
+      raw.unionByName(ds)
+        .select(col("which"), col("event_type"), col("step_ts"), col("value"))
+        .orderBy(col("which"), col("event_type"), col("step_ts"))
     })
   )
 
@@ -563,6 +610,27 @@ object ExtraQueries {
         |  SELECT 'series_by_pair', 'event_type=' || event_type,
         |    count(DISTINCT user_id)
         |  FROM events GROUP BY 2
-        |) ORDER BY kind, name""".stripMargin
+        |) ORDER BY kind, name""".stripMargin,
+
+    "q164_downsampled_querier" ->
+      """WITH day AS (
+        |  SELECT * FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-12' AND ts < TIMESTAMP '2024-01-13'
+        |), steps AS (
+        |  SELECT e.event_type,
+        |    make_timestamp((1705039200 + i * 21600) * 1000000) AS step_ts
+        |  FROM (SELECT DISTINCT event_type FROM day) e,
+        |       (SELECT unnest(generate_series(0, 3)) AS i)
+        |), f AS (
+        |  SELECT s.event_type, s.step_ts,
+        |    round(CAST(sum(CAST(round(e.value, 6) AS DECIMAL(18,6))) AS DOUBLE) /
+        |      count(*), 6) AS value
+        |  FROM steps s JOIN day e ON e.event_type = s.event_type
+        |    AND e.ts <= s.step_ts AND e.ts > s.step_ts - INTERVAL 6 HOURS
+        |  GROUP BY 1, 2
+        |)
+        |SELECT t.which, f.event_type, f.step_ts, f.value
+        |FROM f CROSS JOIN (VALUES ('raw'), ('ds')) t(which)
+        |ORDER BY t.which, f.event_type, f.step_ts""".stripMargin
   )
 }
