@@ -405,6 +405,28 @@ object ExtraQueries {
       raw.unionByName(ds)
         .select(col("which"), col("event_type"), col("step_ts"), col("value"))
         .orderBy(col("which"), col("event_type"), col("step_ts"))
+    }),
+
+    // Query-frontend range splitting (Thanos query-frontend / Cortex
+    // split_queries_by_interval): the one-day 3h grid evaluated as FOUR
+    // absolute-aligned 6h chunks through QueryFrontend.evalRangeSplit —
+    // each chunk is an independent evalRange against a TIME-PRUNED
+    // source (the rate window's 6h back-reach plus the negative offset's
+    // 1h forward reach bound each chunk's parquet scan), unioned. The
+    // oracle is the UNSPLIT twin: split ≡ direct is exact because grid
+    // instants evaluate independently and chunk starts are original grid
+    // instants. `offset -1h` exercises the forward extent; `sum without`
+    // the per-chunk vector aggregation.
+    "q165_frontend_range_split" -> ((s, d) => {
+      val src = graft.metrics.PromQlParser.PromSource(events(s, d),
+        "event_type", Seq("user_id", "event_type"), "ts", "event_id", "value")
+      graft.metrics.QueryFrontend.evalRangeSplit(src,
+          "sum without (user_id) (rate(purchase[6h] offset -1h))",
+          "2024-01-14 00:00:00", "2024-01-15 00:00:00",
+          stepSec = 10800, splitSec = 21600)
+        .select(col("event_type"), col("step_ts"),
+          round(col("value"), 4).as("value"))
+        .orderBy(col("event_type"), col("step_ts"))
     })
   )
 
@@ -631,6 +653,38 @@ object ExtraQueries {
         |)
         |SELECT t.which, f.event_type, f.step_ts, f.value
         |FROM f CROSS JOIN (VALUES ('raw'), ('ds')) t(which)
-        |ORDER BY t.which, f.event_type, f.step_ts""".stripMargin
+        |ORDER BY t.which, f.event_type, f.step_ts""".stripMargin,
+
+    // The UNSPLIT twin of the split evaluation: `offset -1h` shifts each
+    // sample's eval time to ts − 1h, so a step T's (T−6h, T] window holds
+    // pairs with cur − 1h ≤ T and prev − 1h > T − 6h. Per-series rate =
+    // decimal-summed increases / 21600; `sum without (user_id)` decimal-
+    // sums the 6-dp-rounded rates (the engine's decSum discipline).
+    "q165_frontend_range_split" ->
+      """WITH steps AS (
+        |  SELECT make_timestamp((1705190400 + i * 10800) * 1000000) AS step_ts
+        |  FROM (SELECT unnest(generate_series(0, 8)) AS i)
+        |), d AS (
+        |  SELECT user_id, event_type, ts, value,
+        |    lag(value) OVER win AS prev, lag(ts) OVER win AS prev_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |  WINDOW win AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |), pairs AS (
+        |  SELECT user_id, event_type, ts, prev_ts,
+        |    CASE WHEN value - prev < 0 THEN value ELSE value - prev END AS inc
+        |  FROM d WHERE prev IS NOT NULL
+        |), r AS (
+        |  SELECT p.user_id, p.event_type, s.step_ts,
+        |    CAST(sum(CAST(round(p.inc, 6) AS DECIMAL(18,6))) AS DOUBLE) / 21600
+        |      AS rate
+        |  FROM steps s JOIN pairs p
+        |    ON p.ts - INTERVAL 1 HOUR <= s.step_ts
+        |   AND p.prev_ts - INTERVAL 1 HOUR > s.step_ts - INTERVAL 6 HOURS
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT event_type, step_ts,
+        |  round(CAST(sum(CAST(round(rate, 6) AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |    AS value
+        |FROM r GROUP BY 1, 2 ORDER BY event_type, step_ts""".stripMargin
   )
 }
