@@ -1,6 +1,6 @@
 package graft.metrics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -195,5 +195,97 @@ object QueryFrontend {
       evalRange(chunkSrc, resolvedQ, tsOf(c0), tsOf(c1), stepSec, lookbackSec)
     }
     frames.reduce(_.unionByName(_))
+  }
+
+  // ---------- Vertical query sharding (Mimir query_sharding) ----------
+
+  /** Is `a` SERIES-LOCAL — every output sample derived from input rows of
+    * a single series (or a scalar)? These are the subtrees Mimir pushes
+    * into shards: selectors, range functions, subqueries of series-local
+    * expressions, per-sample scalar math. Cross-series constructs
+    * (nested aggregations, vector-vector matching, absent, sort/limit,
+    * info joins) are rejected — sharding them would aggregate partial
+    * populations. */
+  private def seriesLocal(a: Ast): Boolean = a match {
+    case _: Selector | _: RangeFn | _: RangeVec | _: TimestampFn => true
+    case Subquery(c, _, _, _, _) => seriesLocal(c)
+    case RangeSub(_, sub, _)     => seriesLocal(sub)
+    case VecFn(_, c, _)          => seriesLocal(c)
+    case LabelFn(_, c, _, _, _, _) => seriesLocal(c)
+    case TimeComp(_, c)          => c.forall(seriesLocal)
+    case ScalarLit(_) | TimeFn   => true
+    // scalar-vector arithmetic is per-sample; vector-vector would join
+    // series across shard boundaries
+    case BinOp(_, l, r, _, _, _) =>
+      (scalarOnly(l) || scalarOnly(r)) && seriesLocal(l) && seriesLocal(r)
+    case _ => false
+  }
+
+  private def scalarOnly(a: Ast): Boolean = a match {
+    case ScalarLit(_) | TimeFn => true
+    case BinOp(_, l, r, _, _, _) => scalarOnly(l) && scalarOnly(r)
+    case _ => false
+  }
+
+  /** Evaluate a TOP-LEVEL aggregation `fn by/without (…) (series-local
+    * expr)` as `shards` independent partial aggregations — shard s sees
+    * only the series with `pmod(hash(seriesKey), shards) = s` — merged
+    * per (labels, step). Merge is EXACT, not approximate: the engine's
+    * vector `sum`/`avg` round each sample to 6 dp and sum as
+    * DECIMAL(18,6), so shard partials are exact decimals and decimal
+    * addition is associative — merged ≡ unsharded, hash-provable.
+    * `count` merges by summing integer partials, `min`/`max` by
+    * min/max; `avg` is rewritten to merged-sum / merged-count (the
+    * Mimir rewrite). Anything non-shardable fails loudly.
+    *
+    * Why shard at 100 TB: the shard predicate is a map-side filter
+    * riding the scan (no extra shuffle), each shard's aggregation
+    * carries 1/N of the series cardinality, and the N partial queries
+    * are independent — Mimir fans them out to N queriers to bound
+    * per-node state for high-cardinality aggregations. Here the merge
+    * is one keyed union-aggregate over |labels|·|steps|·N rows. */
+  def evalRangeSharded(src: PromSource, query: String, startTs: String,
+                       endTs: String, stepSec: Long, shards: Int,
+                       lookbackSec: Long = 300L): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val ast = parse(query) match {
+      case a @ AggBy(fn, _, child, _) =>
+        require(Set("sum", "count", "min", "max", "avg")(fn),
+          s"aggregation '$fn' is not shardable")
+        require(seriesLocal(child),
+          s"inner expression is not series-local, cannot shard: $child")
+        a
+      case other => throw new IllegalArgumentException(
+        s"only a top-level aggregation is shardable, got: $other")
+    }
+    val shardCol = pmod(hash(src.seriesKey.map(col): _*), lit(shards))
+    def shardEval(fn: String, s: Int): DataFrame =
+      evalRange(src.copy(df = src.df.filter(shardCol === s)),
+        PromQlFormat.format(ast.copy(fn = fn)), startTs, endTs, stepSec,
+        lookbackSec)
+    def merged(fn: String, merge: Column => Column): DataFrame = {
+      val parts = (0 until shards).map(shardEval(fn, _)).reduce(_.unionByName(_))
+      val keys = parts.columns.filterNot(_ == "value").toSeq
+      parts.groupBy(keys.map(col): _*).agg(merge(col("value")).as("value"))
+        .select(parts.columns.map(col): _*)
+    }
+    def decMerge(c: Column): Column =
+      sum(c.cast("decimal(18,6)")).cast("double")
+    ast.fn match {
+      case "sum"   => merged("sum", decMerge)
+      case "count" => merged("count", c => sum(c).cast("double"))
+      case "min"   => merged("min", min)
+      case "max"   => merged("max", max)
+      case "avg" =>
+        // decSum/count per the engine's avg; partials are exact decimals
+        val sums = merged("sum", decMerge).withColumnRenamed("value", "__s")
+        val counts = merged("count", c => sum(c).cast("double"))
+        val keys = counts.columns.filterNot(_ == "value").toSeq
+        sums.join(counts, keys)
+          .withColumn("value", col("__s") / col("value"))
+          .drop("__s")
+          .select((keys.takeWhile(_ != "step_ts") ++ Seq("value", "step_ts"))
+            .map(col): _*)
+    }
   }
 }

@@ -427,6 +427,32 @@ object ExtraQueries {
         .select(col("event_type"), col("step_ts"),
           round(col("value"), 4).as("value"))
         .orderBy(col("event_type"), col("step_ts"))
+    }),
+
+    // Vertical query sharding (Mimir query_sharding): the same top-level
+    // aggregation evaluated as N independent per-shard partials — shard s
+    // sees only series with pmod(hash(seriesKey), N) = s, a map-side
+    // filter riding the scan — merged per (labels, step). Exact, not
+    // approximate: the engine's vector sum rounds samples to 6 dp and
+    // sums as DECIMAL(18,6), so shard partials are exact decimals and
+    // the merge re-sums them associatively. Three faces (sum 4-way,
+    // avg 3-way via the sum/count rewrite, count 2-way) against ONE
+    // unsharded oracle — any shard-assignment or merge bug hashes red.
+    "q166_query_sharding" -> ((s, d) => {
+      val src = graft.metrics.PromQlParser.PromSource(events(s, d),
+        "event_type", Seq("user_id", "event_type"), "ts", "event_id", "value")
+      def run(fn: String, n: Int, tag: String) =
+        graft.metrics.QueryFrontend.evalRangeSharded(src,
+            s"$fn without (user_id) (rate(purchase[6h]))",
+            "2024-01-14 00:00:00", "2024-01-15 00:00:00",
+            stepSec = 10800, shards = n)
+          .withColumn("which", lit(tag))
+      run("sum", 4, "sum4")
+        .unionByName(run("avg", 3, "avg3"))
+        .unionByName(run("count", 2, "count2"))
+        .select(col("which"), col("event_type"), col("step_ts"),
+          round(col("value"), 4).as("value"))
+        .orderBy(col("which"), col("event_type"), col("step_ts"))
     })
   )
 
@@ -685,6 +711,45 @@ object ExtraQueries {
         |SELECT event_type, step_ts,
         |  round(CAST(sum(CAST(round(rate, 6) AS DECIMAL(18,6))) AS DOUBLE), 4)
         |    AS value
-        |FROM r GROUP BY 1, 2 ORDER BY event_type, step_ts""".stripMargin
+        |FROM r GROUP BY 1, 2 ORDER BY event_type, step_ts""".stripMargin,
+
+    // The UNSHARDED twin: per-series rate (q107 rule), then ONE direct
+    // aggregation per face — sum = decimal sum of 6-dp rates, avg =
+    // that sum / series count, count = series count.
+    "q166_query_sharding" ->
+      """WITH steps AS (
+        |  SELECT make_timestamp((1705190400 + i * 10800) * 1000000) AS step_ts
+        |  FROM (SELECT unnest(generate_series(0, 8)) AS i)
+        |), d AS (
+        |  SELECT user_id, event_type, ts, value,
+        |    lag(value) OVER win AS prev, lag(ts) OVER win AS prev_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |  WINDOW win AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |), pairs AS (
+        |  SELECT user_id, event_type, ts, prev_ts,
+        |    CASE WHEN value - prev < 0 THEN value ELSE value - prev END AS inc
+        |  FROM d WHERE prev IS NOT NULL
+        |), r AS (
+        |  SELECT p.user_id, p.event_type, s.step_ts,
+        |    CAST(sum(CAST(round(p.inc, 6) AS DECIMAL(18,6))) AS DOUBLE) / 21600
+        |      AS rate
+        |  FROM steps s JOIN pairs p
+        |    ON p.ts <= s.step_ts AND p.prev_ts > s.step_ts - INTERVAL 6 HOURS
+        |  GROUP BY 1, 2, 3
+        |), agg AS (
+        |  SELECT event_type, step_ts,
+        |    CAST(sum(CAST(round(rate, 6) AS DECIMAL(18,6))) AS DOUBLE) AS s,
+        |    count(*) AS n
+        |  FROM r GROUP BY 1, 2
+        |)
+        |SELECT which, event_type, step_ts, value FROM (
+        |  SELECT 'sum4' AS which, event_type, step_ts, round(s, 4) AS value
+        |  FROM agg
+        |  UNION ALL
+        |  SELECT 'avg3', event_type, step_ts, round(s / n, 4) FROM agg
+        |  UNION ALL
+        |  SELECT 'count2', event_type, step_ts, round(CAST(n AS DOUBLE), 4)
+        |  FROM agg
+        |) ORDER BY which, event_type, step_ts""".stripMargin
   )
 }

@@ -70,6 +70,35 @@ class QueryFrontendSpec extends AnyFunSuite {
     assert(ext("vector(1)") == Some((0L, 0L)))
   }
 
+  private def assertShardedEqDirect(q: String, shards: Int): Unit = {
+    val direct = PromQlParser.evalRange(src, q,
+      "2024-01-14 00:00:00", "2024-01-15 00:00:00", 10800L)
+    val sharded = QueryFrontend.evalRangeSharded(src, q,
+      "2024-01-14 00:00:00", "2024-01-15 00:00:00", 10800L, shards)
+    assert(rows(sharded) == rows(direct), s"sharded != direct for: $q")
+  }
+
+  test("sharded ≡ direct: sum/avg/count/min/max, incl. 1-shard identity") {
+    assertShardedEqDirect("sum without (user_id) (rate(purchase[6h]))", 4)
+    assertShardedEqDirect("avg without (user_id) (rate(purchase[6h]))", 3)
+    assertShardedEqDirect("count by (event_type) (login)", 2)
+    assertShardedEqDirect("min by (event_type) (avg_over_time(click[6h]))", 4)
+    assertShardedEqDirect("max by (event_type) (rate(purchase[6h]) * 60)", 4)
+    assertShardedEqDirect("sum by (event_type) (rate(purchase[6h]))", 1)
+  }
+
+  test("non-shardable shapes fail loudly") {
+    def bad(q: String) = intercept[IllegalArgumentException] {
+      QueryFrontend.evalRangeSharded(src, q,
+        "2024-01-14 00:00:00", "2024-01-14 06:00:00", 10800L, 2)
+    }
+    bad("rate(purchase[6h])")                       // no top-level agg
+    bad("topk(3, purchase)")                        // not a mergeable agg
+    bad("stddev by (event_type) (purchase)")        // non-linear merge
+    bad("sum(sum by (user_id) (purchase))")         // nested aggregation
+    bad("sum(purchase + on(user_id, event_type) login)") // vector-vector
+  }
+
   test("chunk pruning reaches the parquet scan as PushedFilters") {
     val split = QueryFrontend.evalRangeSplit(src,
       "sum without (user_id) (rate(purchase[6h]))",
