@@ -54,7 +54,8 @@ final class MetricsServer(observed: Observed, port: Int = 0,
                           maxResultRows: Int = 10000,
                           rules: Seq[AlertRules.Rule] = Nil,
                           exemplarFrame: Option[org.apache.spark.sql.DataFrame] = None,
-                          externalLabels: Seq[(String, String)] = Nil)
+                          externalLabels: Seq[(String, String)] = Nil,
+                          metadata: Seq[PromMetricList] = Nil)
     extends AutoCloseable {
 
   private val server =
@@ -76,6 +77,32 @@ final class MetricsServer(observed: Observed, port: Int = 0,
     val query = params.getOrElse("query",
       throw new IllegalArgumentException("missing 'query' parameter"))
     s"""{"status":"success","data":"${MetricsServer.jsonEscape(PromQlFormat.format(query))}"}"""
+  })
+  // AST endpoint (3.x experimental, --enable-feature=promql-experimental-
+  // functions era): the parsed tree in the upstream translateAST JSON
+  // shape. Pure parsing, no source needed.
+  server.createContext("/api/v1/parse_query", MetricsServer.jsonHandler { params =>
+    val query = params.getOrElse("query",
+      throw new IllegalArgumentException("missing 'query' parameter"))
+    s"""{"status":"success","data":${PromQlJson.json(query)}}"""
+  })
+  // Metric metadata (upstream api/v1/metadata): HELP/TYPE per metric from
+  // the configured metric lists; `metric` filters to one name, `limit`
+  // caps the number of metrics (upstream semantics: limit counts METRICS).
+  server.createContext("/api/v1/metadata", MetricsServer.jsonHandler { params =>
+    val wanted = params.get("metric")
+    val limit = params.get("limit").map(_.toInt).getOrElse(Int.MaxValue)
+    val entries = metadata
+      .flatMap(l => l.metrics.map(m => (m.name, l.kind.toLowerCase, m.description)))
+      .filter(e => wanted.forall(_ == e._1))
+      .groupBy(_._1).toSeq.sortBy(_._1).take(limit)
+      .map { case (name, ms) =>
+        val items = ms.map { case (_, kind, help) =>
+          s"""{"type":"${MetricsServer.jsonEscape(kind)}","help":"${MetricsServer.jsonEscape(help)}","unit":""}"""
+        }.mkString("[", ",", "]")
+        s""""${MetricsServer.jsonEscape(name)}":$items"""
+      }
+    s"""{"status":"success","data":{${entries.mkString(",")}}}"""
   })
   promSource.foreach { src =>
     server.createContext("/api/v1/query", MetricsServer.jsonHandler { params =>
@@ -409,7 +436,7 @@ object MetricsServer {
     java.time.LocalDateTime.parse(plainTs.replace(' ', 'T'))
       .toEpochSecond(java.time.ZoneOffset.UTC)
 
-  private def jsonEscape(s: String): String = s.flatMap {
+  private[metrics] def jsonEscape(s: String): String = s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
     case '\n' => "\\n"

@@ -453,6 +453,41 @@ object ExtraQueries {
         .select(col("which"), col("event_type"), col("step_ts"),
           round(col("value"), 4).as("value"))
         .orderBy(col("which"), col("event_type"), col("step_ts"))
+    }),
+
+    // promtool `test rules` series notation + staleness markers: three
+    // hand-written series (`0+10x24`, a gap + `stale` + revival, a
+    // repeat-shorthand gauge) expanded by PromTest.expand, then four
+    // faces — two stale-aware instant vectors (the marker KILLS the
+    // series at 01:00, the next real sample REVIVES it at 01:05) and
+    // two real-engine PromQL evals (rate, avg_over_time) over the
+    // marker-stripped range view. The oracle re-expands the notation in
+    // SQL (VALUES × generate_series), so expansion arithmetic, marker
+    // semantics, and engine evaluation are all hash-checked at once.
+    "q167_promtool_series" -> ((s, d) => {
+      import graft.metrics.{PromQlParser, PromTest}
+      val specs = Seq(
+        ("""api_requests{job="api", instance="a"}""", "0+10x24"),
+        ("""api_requests{job="api", instance="b"}""",
+          "0+5x9 _ _ stale 100+5x11"),
+        ("""mem_used{job="api", instance="a"}""",
+          "50x4 _ _ _ _ 70x2 stale 30x11"))
+      val df = PromTest.expand(s, specs, Seq("job", "instance"),
+        "2024-01-01 00:00:00", 300L)
+      val key = Seq("metric", "job", "instance")
+      def face(fr: org.apache.spark.sql.DataFrame, tag: String) =
+        fr.select(lit(tag).as("which"), col("metric"), col("job"),
+          col("instance"), round(col("value"), 6).as("value"))
+      val src = PromQlParser.PromSource(PromTest.rangeSamples(df),
+        "metric", key, "ts", "order", "value")
+      face(PromTest.instantVector(df, key, "2024-01-01 01:00:00"), "iv_t1")
+        .unionByName(
+          face(PromTest.instantVector(df, key, "2024-01-01 01:05:00"), "iv_t2"))
+        .unionByName(face(PromQlParser.eval(src,
+          "rate(api_requests[30m])", "2024-01-01 02:00:00"), "rate"))
+        .unionByName(face(PromQlParser.eval(src,
+          "avg_over_time(mem_used[20m])", "2024-01-01 01:05:00"), "avg_ot"))
+        .orderBy(col("which"), col("metric"), col("job"), col("instance"))
     })
   )
 
@@ -750,6 +785,65 @@ object ExtraQueries {
         |  UNION ALL
         |  SELECT 'count2', event_type, step_ts, round(CAST(n AS DOUBLE), 4)
         |  FROM agg
-        |) ORDER BY which, event_type, step_ts""".stripMargin
+        |) ORDER BY which, event_type, step_ts""".stripMargin,
+
+    // Re-expands the notation: each token group is (slot0, start, inc,
+    // cnt, stale), sample i sits at base + (slot0+i)·300 s. iv faces:
+    // newest in-(T−5m, T] sample per series, marker rows win then drop
+    // the series. rate face: reset-rule pairs fully inside (T−30m, T].
+    // avg face: marker-stripped samples in (T−20m, T].
+    "q167_promtool_series" ->
+      """WITH g(metric, job, instance, slot0, start, inc, cnt, stale) AS (
+        |  VALUES
+        |    ('api_requests', 'api', 'a', 0, 0.0, 10.0, 25, false),
+        |    ('api_requests', 'api', 'b', 0, 0.0, 5.0, 10, false),
+        |    ('api_requests', 'api', 'b', 12, NULL, 0.0, 1, true),
+        |    ('api_requests', 'api', 'b', 13, 100.0, 5.0, 12, false),
+        |    ('mem_used', 'api', 'a', 0, 50.0, 0.0, 5, false),
+        |    ('mem_used', 'api', 'a', 9, 70.0, 0.0, 3, false),
+        |    ('mem_used', 'api', 'a', 12, NULL, 0.0, 1, true),
+        |    ('mem_used', 'api', 'a', 13, 30.0, 0.0, 12, false)
+        |), s AS (
+        |  SELECT metric, job, instance,
+        |    make_timestamp((1704067200 + (slot0 + i) * 300) * 1000000) AS ts,
+        |    slot0 + i AS ord, start + i * inc AS value, stale
+        |  FROM g, LATERAL (SELECT unnest(generate_series(0, cnt - 1)) AS i) u
+        |), iv AS (
+        |  SELECT t.which, s.metric, s.job, s.instance, s.value, s.stale,
+        |    row_number() OVER (PARTITION BY t.which, s.metric, s.job,
+        |      s.instance ORDER BY s.ts DESC, s.ord DESC) AS rn
+        |  FROM (VALUES ('iv_t1', TIMESTAMP '2024-01-01 01:00:00'),
+        |               ('iv_t2', TIMESTAMP '2024-01-01 01:05:00')) t(which, tts)
+        |  JOIN s ON s.ts <= t.tts AND s.ts > t.tts - INTERVAL 5 MINUTES
+        |), ivf AS (
+        |  SELECT which, metric, job, instance, round(value, 6) AS value
+        |  FROM iv WHERE rn = 1 AND NOT stale
+        |), pairs AS (
+        |  SELECT metric, job, instance, ts, value,
+        |    lag(value) OVER win AS prev, lag(ts) OVER win AS prev_ts
+        |  FROM s WHERE NOT stale AND metric = 'api_requests'
+        |  WINDOW win AS (PARTITION BY metric, job, instance ORDER BY ts, ord)
+        |), ratef AS (
+        |  SELECT 'rate' AS which, metric, job, instance,
+        |    round(CAST(sum(CAST(round(CASE WHEN value - prev < 0 THEN value
+        |      ELSE value - prev END, 6) AS DECIMAL(18,6))) AS DOUBLE) / 1800,
+        |      6) AS value
+        |  FROM pairs
+        |  WHERE prev IS NOT NULL AND ts <= TIMESTAMP '2024-01-01 02:00:00'
+        |    AND prev_ts > TIMESTAMP '2024-01-01 02:00:00' - INTERVAL 30 MINUTES
+        |  GROUP BY 2, 3, 4
+        |), avgf AS (
+        |  SELECT 'avg_ot' AS which, metric, job, instance,
+        |    round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(*), 6) AS value
+        |  FROM s WHERE NOT stale AND metric = 'mem_used'
+        |    AND ts <= TIMESTAMP '2024-01-01 01:05:00'
+        |    AND ts > TIMESTAMP '2024-01-01 01:05:00' - INTERVAL 20 MINUTES
+        |  GROUP BY 2, 3, 4
+        |)
+        |SELECT which, metric, job, instance, value FROM (
+        |  SELECT * FROM ivf UNION ALL SELECT * FROM ratef
+        |  UNION ALL SELECT * FROM avgf
+        |) ORDER BY which, metric, job, instance""".stripMargin
   )
 }

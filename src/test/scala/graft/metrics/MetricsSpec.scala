@@ -370,4 +370,64 @@ class MetricsSpec extends AnyFunSuite {
       } finally srv.close()
     }
   }
+
+  test("A8: /api/v1/parse_query serves the AST, /api/v1/metadata the config") {
+    def get(port: Int, pathAndQuery: String): (Int, String) = {
+      val url = new java.net.URI(s"http://127.0.0.1:$port$pathAndQuery").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val code = conn.getResponseCode
+      val in = if (code == 200) conn.getInputStream else conn.getErrorStream
+      (code, scala.io.Source.fromInputStream(in).mkString)
+    }
+    Observed.use(spark) { obs =>
+      val srv = new MetricsServer(obs, metadata = Seq(
+        PromMetricList("Counter", Seq(
+          PromMetric("msg_processed_total", "messages processed"),
+          PromMetric("errors_total", "errors seen"))),
+        PromMetricList("Gauge", Seq(PromMetric("anomaly_score", "unified score")))))
+      try {
+        val (pc, ast) = get(srv.boundPort, "/api/v1/parse_query?query=" +
+          java.net.URLEncoder.encode(
+            """sum by (job) (rate(cpu{env=~"prod.*"}[5m] offset 1h))""", "UTF-8"))
+        assert(pc == 200 && ast.contains(""""type":"aggregation""""))
+        assert(ast.contains(""""op":"sum"""") && ast.contains(""""grouping":["job"]"""))
+        assert(ast.contains(""""type":"matrixSelector"""") &&
+          ast.contains(""""range":300000""") && ast.contains(""""offset":3600000"""))
+        assert(ast.contains(
+          """{"name":"__name__","type":"=","value":"cpu"}"""))
+        val (ec, err) = get(srv.boundPort, "/api/v1/parse_query?query=rate(")
+        assert(ec == 400 && err.contains("\"status\":\"error\""))
+        val (mc, md) = get(srv.boundPort, "/api/v1/metadata")
+        assert(mc == 200 && md.contains(
+          """"anomaly_score":[{"type":"gauge","help":"unified score","unit":""}]"""))
+        assert(md.contains(""""errors_total":[{"type":"counter""""))
+        val (oc, one) = get(srv.boundPort, "/api/v1/metadata?metric=errors_total")
+        assert(oc == 200 && one.contains("errors_total") &&
+          !one.contains("anomaly_score"))
+        val (lc, lim) = get(srv.boundPort, "/api/v1/metadata?limit=1")
+        assert(lc == 200 && lim.contains("anomaly_score") &&
+          !lim.contains("errors_total"))
+      } finally srv.close()
+    }
+  }
+
+  test("parse_query JSON: @ pins, subqueries, binops, literals round out") {
+    val j1 = PromQlJson.json("cpu @ 1705312800 offset -1h")
+    assert(j1.contains(""""timestamp":1705312800000""") &&
+      j1.contains(""""offset":-3600000"""))
+    val j2 = PromQlJson.json("max_over_time(rate(cpu[5m])[1h:5m] @ end())")
+    assert(j2.contains(""""type":"subquery"""") &&
+      j2.contains(""""step":300000""") && j2.contains(""""startOrEnd":"end""""))
+    val j3 = PromQlJson.json(
+      "sum(a) / on(job) group_left(env) sum by (job, env) (b)")
+    assert(j3.contains(""""card":"many-to-one"""") &&
+      j3.contains(""""matchingLabels":["job"]""") &&
+      j3.contains(""""include":["env"]"""))
+    val j4 = PromQlJson.json("topk(3, cpu) > bool 2")
+    assert(j4.contains(""""op":"topk"""") && j4.contains(""""bool":true""") &&
+      j4.contains("""{"type":"numberLiteral","val":"2"}"""))
+    val j5 = PromQlJson.json("""label_replace(up, "dst", "$1", "src", "(.*)")""")
+    assert(j5.contains(""""type":"call"""") &&
+      j5.contains("""{"type":"stringLiteral","val":"dst"}"""))
+  }
 }
