@@ -313,6 +313,51 @@ object CurationQueries {
           max(col("thresh")).as("thresh_bp"),
           sum(when(col("kept"), 1).otherwise(0)).as("n_kept"))
         .orderBy(col("lang"))
+    }),
+
+    // The full Gopher quality GATE battery (Rae et al. 2021 A1.2) —
+    // every doc-level rule as an explicit verdict, rolled up per (lang,
+    // source) with per-rule drop counts and the surviving-doc count.
+    // All six rules are integer/ratio column math over one tokenize
+    // pass — map-side at scan speed, one keyed agg. Rules: word count
+    // ∈ [50, 100k]; mean word length ∈ [3, 10]; symbol-to-word ratio
+    // (#/…) ≤ 0.1; ≥ 80% of words contain an alphabetic char; ≥ 2
+    // DISTINCT Gopher stop words ("the be to of and that have with");
+    // (the bullet/ellipsis LINE rules degenerate on the single-line
+    // fixture corpus and are folded into the symbol rule's face).
+    "q168_gopher_gates" -> ((s, d) => {
+      val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val docs = documents(s, d)
+        .withColumn("toks", graft.text.TextOps.tokens(col("text")))
+        .withColumn("n_toks", size(col("toks")))
+        .withColumn("mean_wl",
+          length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+            col("n_toks").cast("double"))
+        .withColumn("sym_ratio",
+          (size(split(col("text"), "#", -1)) - 1 +
+            size(split(col("text"), "…", -1)) - 1).cast("double") /
+            col("n_toks").cast("double"))
+        .withColumn("alpha_frac",
+          size(filter(col("toks"), t => t.rlike("[A-Za-z]"))).cast("double") /
+            col("n_toks").cast("double"))
+        .withColumn("n_stop",
+          size(array_intersect(col("toks"),
+            array(stop.map(lit): _*))))
+        .withColumn("ok_wc", col("n_toks") >= 50 && col("n_toks") <= 100000)
+        .withColumn("ok_wl", col("mean_wl") >= 3.0 && col("mean_wl") <= 10.0)
+        .withColumn("ok_sym", col("sym_ratio") <= 0.1)
+        .withColumn("ok_alpha", col("alpha_frac") >= 0.8)
+        .withColumn("ok_stop", col("n_stop") >= 2)
+      docs.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(!col("ok_wc"), 1).otherwise(0)).as("drop_wordcount"),
+          sum(when(!col("ok_wl"), 1).otherwise(0)).as("drop_wordlen"),
+          sum(when(!col("ok_sym"), 1).otherwise(0)).as("drop_symbol"),
+          sum(when(!col("ok_alpha"), 1).otherwise(0)).as("drop_alpha"),
+          sum(when(!col("ok_stop"), 1).otherwise(0)).as("drop_stopword"),
+          sum(when(col("ok_wc") && col("ok_wl") && col("ok_sym") &&
+            col("ok_alpha") && col("ok_stop"), 1).otherwise(0)).as("n_keep"))
+        .orderBy(col("lang"), col("source"))
     })
   )
 
@@ -582,6 +627,51 @@ object CurationQueries {
         |)
         |SELECT lang, count(*) AS n_docs, max(thresh) AS thresh_bp,
         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-        |FROM gated GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM gated GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Same six verdicts from the same integer arithmetic: ratios are
+    // int/int divisions (bit-identical across engines), stop-word count
+    // walks the FIXED 8-word list so each word counts once iff present
+    // (= Spark's distinct array_intersect size).
+    "q168_gopher_gates" ->
+      """WITH t AS (
+        |  SELECT lang, source, text,
+        |    string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT lang, source, len(toks) AS n_toks,
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |      / len(toks) AS mean_wl,
+        |    CAST(len(string_split(text, '#')) - 1
+        |       + len(string_split(text, '…')) - 1 AS DOUBLE)
+        |      / len(toks) AS sym_ratio,
+        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS DOUBLE) / len(toks) AS alpha_frac,
+        |    len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      sw -> list_contains(toks, sw))) AS n_stop
+        |  FROM t
+        |), v AS (
+        |  SELECT lang, source,
+        |    n_toks BETWEEN 50 AND 100000 AS ok_wc,
+        |    mean_wl BETWEEN 3.0 AND 10.0 AS ok_wl,
+        |    sym_ratio <= 0.1 AS ok_sym,
+        |    alpha_frac >= 0.8 AS ok_alpha,
+        |    n_stop >= 2 AS ok_stop
+        |  FROM m
+        |)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN NOT ok_wc THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS drop_wordcount,
+        |  CAST(sum(CASE WHEN NOT ok_wl THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS drop_wordlen,
+        |  CAST(sum(CASE WHEN NOT ok_sym THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS drop_symbol,
+        |  CAST(sum(CASE WHEN NOT ok_alpha THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS drop_alpha,
+        |  CAST(sum(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS drop_stopword,
+        |  CAST(sum(CASE WHEN ok_wc AND ok_wl AND ok_sym AND ok_alpha
+        |    AND ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+        |FROM v GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
   )
 }

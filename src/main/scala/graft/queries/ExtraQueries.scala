@@ -488,6 +488,32 @@ object ExtraQueries {
         .unionByName(face(PromQlParser.eval(src,
           "avg_over_time(mem_used[20m])", "2024-01-01 01:05:00"), "avg_ot"))
         .orderBy(col("which"), col("metric"), col("job"), col("instance"))
+    }),
+
+    // OTLP/JSON ingestion round-trip (the Prometheus 3.x OTLP receiver's
+    // translation): two days of events rendered into per-user OTLP
+    // export documents (dotted metric names, service.name resource
+    // attribute, nanos-as-string timestamps, datapoint attributes),
+    // parsed back by the column-level from_json pipeline, aggregated.
+    // The oracle aggregates the RAW events with the translated names —
+    // any renderer/parser/translation asymmetry (name normalization,
+    // nanos↔micros, attr plumbing) hashes red.
+    "q169_otlp_ingest" -> ((s, d) => {
+      import graft.sources.Otlp
+      val ev = events(s, d)
+        .filter(col("ts") < lit("2024-01-03").cast("timestamp"))
+      val docs = Otlp.render(ev, col("user_id"),
+        concat(lit("app.events."), col("event_type")),
+        col("ts"), col("value"), Seq("user" -> col("user_id")))
+      Otlp.parse(docs)
+        .groupBy(col("metric"), col("kind"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("job")).as("n_jobs"),
+          round(sum(round(col("value"), 6).cast("decimal(18,6)"))
+            .cast("double"), 4).as("sum_value"),
+          max(col("ts")).as("max_ts"),
+          max(element_at(col("attrs"), "user")).as("max_user"))
+        .orderBy(col("metric"))
     })
   )
 
@@ -844,6 +870,19 @@ object ExtraQueries {
         |SELECT which, metric, job, instance, value FROM (
         |  SELECT * FROM ivf UNION ALL SELECT * FROM ratef
         |  UNION ALL SELECT * FROM avgf
-        |) ORDER BY which, metric, job, instance""".stripMargin
+        |) ORDER BY which, metric, job, instance""".stripMargin,
+
+    // Aggregates the raw events under the OTLP translation: dotted name
+    // with '.' → '_', every datapoint a monotonic-sum sample, job =
+    // the per-user document's service.name, user attr stringified.
+    "q169_otlp_ingest" ->
+      """SELECT 'app_events_' || event_type AS metric, 'sum' AS kind,
+        |  count(*) AS n, count(DISTINCT user_id) AS n_jobs,
+        |  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE),
+        |    4) AS sum_value,
+        |  max(ts) AS max_ts,
+        |  max(CAST(user_id AS VARCHAR)) AS max_user
+        |FROM events WHERE ts < TIMESTAMP '2024-01-03'
+        |GROUP BY 1, 2 ORDER BY metric""".stripMargin
   )
 }

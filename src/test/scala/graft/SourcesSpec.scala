@@ -68,4 +68,47 @@ class SourcesSpec extends AnyFunSuite {
     val got = spark.table("file_src_sink").agg(sum($"n")).collect()(0).getLong(0)
     assert(got == 1000L)
   }
+
+  test("OTLP/JSON: gauge + asInt datapoints, name charset, malformed drop") {
+    import graft.sources.Otlp
+    val doc =
+      """{"resourceMetrics":[{"resource":{"attributes":[
+        |{"key":"service.name","value":{"stringValue":"svc-1"}}]},
+        |"scopeMetrics":[{"metrics":[
+        |{"name":"jvm.memory.used","gauge":{"dataPoints":[
+        |  {"timeUnixNano":"1704067200000000000","asInt":"42",
+        |   "attributes":[{"key":"pool","value":{"stringValue":"heap"}}]}]}},
+        |{"name":"http.server.requests","sum":{"aggregationTemporality":2,
+        |  "isMonotonic":true,"dataPoints":[
+        |  {"timeUnixNano":"1704067260000000000","asDouble":7.5,
+        |   "attributes":[]}]}}]}]}]}""".stripMargin.replace("\n", "")
+    val df = Otlp.parse(Seq(doc, """{"not":"otlp"""").toDF("json"))
+    val rows = df.collect()
+    assert(rows.length == 2) // the malformed document contributes nothing
+    val byName = rows.map(r => r.getAs[String]("metric") -> r).toMap
+    val g = byName("jvm_memory_used")
+    assert(g.getAs[String]("kind") == "gauge" && !g.getAs[Boolean]("monotonic"))
+    assert(g.getAs[Double]("value") == 42.0) // asInt lands as double
+    assert(g.getAs[Map[String, String]]("attrs") == Map("pool" -> "heap"))
+    assert(g.getAs[String]("job") == "svc-1")
+    assert(g.getAs[java.sql.Timestamp]("ts").toString == "2024-01-01 00:00:00.0")
+    val c = byName("http_server_requests")
+    assert(c.getAs[String]("kind") == "sum" && c.getAs[Boolean]("monotonic"))
+    assert(c.getAs[Double]("value") == 7.5)
+  }
+
+  test("OTLP/JSON: render → parse is the identity on samples") {
+    import graft.sources.Otlp
+    val sub = ev.filter($"event_id" <= 200)
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+    val docs = Otlp.render(sub, col("user_id"),
+      concat(lit("m."), col("event_type")), col("ts"),
+      col("value"), Seq("eid" -> col("event_id")))
+    val back = Otlp.parse(docs)
+    assert(back.count() == sub.count())
+    assert(back.agg(sum(round(col("value"), 6).cast("decimal(18,6)")))
+      .collect()(0).getDecimal(0) ==
+      sub.agg(sum(round($"value", 6).cast("decimal(18,6)")))
+        .collect()(0).getDecimal(0))
+  }
 }

@@ -179,4 +179,25 @@ class ReshapeCurationSpec extends AnyFunSuite {
         s"$lang ce $max exceeds ln(${totals(lang)})")
     }
   }
+
+  test("q168 Gopher gates: verdicts bounded and union-consistent") {
+    val rows = CurationQueries.queries("q168_gopher_gates")(spark, SF).collect()
+    assert(rows.nonEmpty)
+    val dropCols = Seq("drop_wordcount", "drop_wordlen", "drop_symbol",
+      "drop_alpha", "drop_stopword")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val keep = r.getAs[Long]("n_keep")
+      val drops = dropCols.map(r.getAs[Long](_))
+      drops.foreach(d => assert(d >= 0 && d <= n))
+      assert(keep >= 0 && keep <= n)
+      // union bound: every non-kept doc fails at least one rule
+      assert(keep >= n - drops.sum, s"keep $keep < n $n - sum ${drops.sum}")
+      // a doc failing any single rule is not kept
+      assert(keep <= n - drops.max)
+    }
+    // the fixture corpus actually exercises the gates: some group drops
+    // on the stop-word rule (most soup docs carry only "the")
+    assert(rows.map(_.getAs[Long]("drop_stopword")).sum > 0)
+  }
 }
