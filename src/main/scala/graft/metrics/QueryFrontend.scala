@@ -197,6 +197,75 @@ object QueryFrontend {
     frames.reduce(_.unionByName(_))
   }
 
+  // ---------- Results cache (Cortex query-frontend results_cache) ----
+
+  /** Chunk-level results cache backing [[evalRangeSplitCached]]: cached
+    * chunk results live as parquet under `dir/<key>` — the durable-store
+    * stand-in for Cortex's memcached, with the same unit of caching (one
+    * absolute-aligned split chunk) and the same key discipline (canonical
+    * query text + step + lookback + chunk bounds + a caller-supplied
+    * source id, so two sources never share entries). Reads are ordinary
+    * parquet scans, so a warm chunk costs |result| rows, not a re-scan
+    * of the raw samples. */
+  final class ResultsCache(val dir: String) {
+    private def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+
+    def key(parts: String*): String = md5(parts.mkString("|"))
+
+    def getOrCompute(spark: org.apache.spark.sql.SparkSession, k: String)
+                    (compute: => DataFrame): DataFrame = {
+      val path = s"$dir/$k"
+      if (new java.io.File(s"$path/_SUCCESS").exists())
+        spark.read.parquet(path)
+      else {
+        compute.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      }
+    }
+  }
+
+  /** [[evalRangeSplit]] with a chunk results cache. Every COMPLETE chunk
+    * (its absolute interval closes at or before the request's end) is
+    * served from / written to the cache; the final, still-open chunk is
+    * always recomputed — Cortex's rule for mutable recent data. A warm
+    * month-long dashboard query therefore touches raw samples only for
+    * its newest split interval. */
+  def evalRangeSplitCached(src: PromSource, query: String, startTs: String,
+                           endTs: String, stepSec: Long, splitSec: Long,
+                           cache: ResultsCache, sourceId: String,
+                           lookbackSec: Long = 300L): DataFrame = {
+    require(stepSec > 0 && splitSec >= stepSec, "bad step/split")
+    val startSec = secOf(startTs)
+    val endSec = secOf(endTs)
+    val nSteps = (endSec - startSec) / stepSec
+    val instants = (0L to nSteps).map(i => startSec + i * stepSec)
+    val chunks = instants.groupBy(t => math.floorDiv(t, splitSec))
+      .toSeq.sortBy(_._1).map { case (k, ts) => (k, ts) }
+    val resolved = resolveAt(parse(query), startSec, endSec)
+    val resolvedQ = PromQlFormat.format(resolved)
+    val ext = dataExtentSec(resolved, lookbackSec)
+    val spark = src.df.sparkSession
+    val frames = chunks.map { case (ck, ts) =>
+      val (c0, c1) = (ts.head, ts.last)
+      def compute: DataFrame = {
+        val chunkSrc = ext match {
+          case Some((back, fwd)) => prune(src, c0 - back, c1 + fwd)
+          case None              => src
+        }
+        evalRange(chunkSrc, resolvedQ, tsOf(c0), tsOf(c1), stepSec, lookbackSec)
+      }
+      val complete = (ck + 1) * splitSec <= endSec
+      if (complete)
+        cache.getOrCompute(spark,
+          cache.key(resolvedQ, stepSec.toString, lookbackSec.toString,
+            c0.toString, c1.toString, sourceId))(compute)
+      else compute
+    }
+    frames.reduce(_.unionByName(_))
+  }
+
   // ---------- Vertical query sharding (Mimir query_sharding) ----------
 
   /** Is `a` SERIES-LOCAL — every output sample derived from input rows of

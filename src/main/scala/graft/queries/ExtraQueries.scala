@@ -514,6 +514,30 @@ object ExtraQueries {
           max(col("ts")).as("max_ts"),
           max(element_at(col("attrs"), "user")).as("max_user"))
         .orderBy(col("metric"))
+    }),
+
+    // Frontend RESULTS CACHE (Cortex results_cache): the q165 split
+    // evaluation with complete chunks cached as parquet — the cold pass
+    // computes and writes each closed chunk, the warm pass serves them
+    // from the cache (only the still-open final chunk recomputes). Both
+    // faces must hash to the same unsplit oracle twin — a stale-key,
+    // partial-write, or chunk-boundary bug makes the warm face diverge.
+    "q170_frontend_results_cache" -> ((s, d) => {
+      import graft.metrics.QueryFrontend
+      val src = graft.metrics.PromQlParser.PromSource(events(s, d),
+        "event_type", Seq("user_id", "event_type"), "ts", "event_id", "value")
+      val cache = new QueryFrontend.ResultsCache(
+        java.nio.file.Files.createTempDirectory("graft_rescache").toString)
+      def run(tag: String) =
+        QueryFrontend.evalRangeSplitCached(src,
+            "sum without (user_id) (rate(purchase[6h]))",
+            "2024-01-14 00:00:00", "2024-01-15 00:00:00",
+            stepSec = 10800, splitSec = 21600, cache, sourceId = "events")
+          .withColumn("which", lit(tag))
+      run("cold").unionByName(run("warm"))
+        .select(col("which"), col("event_type"), col("step_ts"),
+          round(col("value"), 4).as("value"))
+        .orderBy(col("which"), col("event_type"), col("step_ts"))
     })
   )
 
@@ -883,6 +907,37 @@ object ExtraQueries {
         |  max(ts) AS max_ts,
         |  max(CAST(user_id AS VARCHAR)) AS max_user
         |FROM events WHERE ts < TIMESTAMP '2024-01-03'
-        |GROUP BY 1, 2 ORDER BY metric""".stripMargin
+        |GROUP BY 1, 2 ORDER BY metric""".stripMargin,
+
+    // The q165-family unsplit twin, served under both cache faces.
+    "q170_frontend_results_cache" ->
+      """WITH steps AS (
+        |  SELECT make_timestamp((1705190400 + i * 10800) * 1000000) AS step_ts
+        |  FROM (SELECT unnest(generate_series(0, 8)) AS i)
+        |), d AS (
+        |  SELECT user_id, event_type, ts, value,
+        |    lag(value) OVER win AS prev, lag(ts) OVER win AS prev_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |  WINDOW win AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |), pairs AS (
+        |  SELECT user_id, event_type, ts, prev_ts,
+        |    CASE WHEN value - prev < 0 THEN value ELSE value - prev END AS inc
+        |  FROM d WHERE prev IS NOT NULL
+        |), r AS (
+        |  SELECT p.user_id, p.event_type, s.step_ts,
+        |    CAST(sum(CAST(round(p.inc, 6) AS DECIMAL(18,6))) AS DOUBLE) / 21600
+        |      AS rate
+        |  FROM steps s JOIN pairs p
+        |    ON p.ts <= s.step_ts AND p.prev_ts > s.step_ts - INTERVAL 6 HOURS
+        |  GROUP BY 1, 2, 3
+        |), agg AS (
+        |  SELECT event_type, step_ts,
+        |    round(CAST(sum(CAST(round(rate, 6) AS DECIMAL(18,6))) AS DOUBLE),
+        |      4) AS value
+        |  FROM r GROUP BY 1, 2
+        |)
+        |SELECT t.which, a.event_type, a.step_ts, a.value
+        |FROM agg a CROSS JOIN (VALUES ('cold'), ('warm')) t(which)
+        |ORDER BY t.which, a.event_type, a.step_ts""".stripMargin
   )
 }

@@ -245,6 +245,32 @@ object StreamingQueries {
         round(NativeHistogram.histogramQuantile(0.9), 6).as("p90"),
         round(NativeHistogram.histogramStddev(meanCol = Some(mean)), 4).as("stddev"))
         .orderBy(col("win_start"), col("event_type"))
+    }),
+
+    // N-R86 streaming face: a live OTLP/JSON export stream. Documents are
+    // pre-rendered deterministically (per-user, two days, dotted names),
+    // replayed through MemoryStream[String]; Otlp.parse is stateless
+    // column math (from_json + explodes compose with streaming), the one
+    // allowed aggregation is the Complete-mode per-metric rollup.
+    "s171_stream_otlp" -> ((s, d) => {
+      import graft.sources.Otlp
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .filter(col("ts") < lit("2024-01-03").cast("timestamp"))
+      val docs = Otlp.render(ev, col("user_id"),
+          concat(lit("app.events."), col("event_type")),
+          col("ts"), col("value"), Seq("user" -> col("user_id")))
+        .orderBy(col("__doc")).select(col("json")).as[String].collect().toSeq
+      val t = StreamOps.replayStrings(s, "s171_sink", docs, 3)(ds =>
+        Otlp.parse(ds.toDF("json"))
+          .groupBy(col("metric"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value"), 6).cast("decimal(18,6)")).as("sv"),
+            max(col("ts")).as("max_ts")),
+        OutputMode.Complete)
+      t.select(col("metric"), col("n"),
+          round(col("sv").cast("double"), 4).as("sum_value"), col("max_ts"))
+        .orderBy(col("metric"))
     })
   )
 
@@ -517,6 +543,17 @@ object StreamingQueries {
         |       ROUND(q.p90, 6) AS p90,
         |       ROUND(SQRT(q.ss / t.cnt_all), 4) AS stddev
         |FROM tot t JOIN q USING (win_start, event_type)
-        |ORDER BY t.win_start, t.event_type""".stripMargin
+        |ORDER BY t.win_start, t.event_type""".stripMargin,
+
+    // The OTLP stream carries every event exactly once (render → parse is
+    // the identity on samples), so the sink equals the raw-events rollup
+    // under the name translation.
+    "s171_stream_otlp" ->
+      """SELECT 'app_events_' || event_type AS metric, count(*) AS n,
+        |  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE),
+        |    4) AS sum_value,
+        |  max(ts) AS max_ts
+        |FROM events WHERE ts < TIMESTAMP '2024-01-03'
+        |GROUP BY 1 ORDER BY metric""".stripMargin
   )
 }

@@ -152,6 +152,45 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** Generic deterministic replay of pre-built STRING records (e.g. OTLP
+    * export documents, exposition pages) — the replayEvents harness for
+    * sources whose unit is a document, not an event row. Same adjudicated
+    * class: the record list is fixture-sized, the pipeline under test is
+    * the real streaming plan. */
+  def replayStrings(spark: SparkSession, name: String, records: Seq[String],
+                    chunks: Int)
+                   (pipeline: Dataset[String] => DataFrame,
+                    outputMode: OutputMode): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[String]
+    val shm = new java.io.File("/dev/shm")
+    val ckptBase = if (shm.isDirectory && shm.canWrite) shm
+                   else new java.io.File(sys.props("java.io.tmpdir"))
+    val ckpt = new java.io.File(ckptBase,
+      s"graft-ckpt-$name-${java.util.UUID.randomUUID().toString.take(8)}")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try pipeline(stream.toDS())
+        .writeStream.outputMode(outputMode)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .format("memory").queryName(name)
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try {
+      val per = math.max(1, math.ceil(records.length.toDouble / chunks).toInt)
+      records.grouped(per).foreach { chunk =>
+        stream.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally {
+      q.stop()
+      deleteRecursively(ckpt)
+    }
+    spark.table(name)
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit

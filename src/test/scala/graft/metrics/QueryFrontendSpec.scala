@@ -2,6 +2,7 @@ package graft.metrics
 
 import graft.metrics.PromQlParser._
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.lit
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Query-frontend range splitting: split ≡ unsplit exactly (per-instant
@@ -97,6 +98,35 @@ class QueryFrontendSpec extends AnyFunSuite {
     bad("stddev by (event_type) (purchase)")        // non-linear merge
     bad("sum(sum by (user_id) (purchase))")         // nested aggregation
     bad("sum(purchase + on(user_id, event_type) login)") // vector-vector
+  }
+
+  test("results cache: warm ≡ cold ≡ direct; cached chunks never rescan") {
+    val q = "sum without (user_id) (rate(purchase[6h]))"
+    val (start, end) = ("2024-01-14 00:00:00", "2024-01-15 00:00:00")
+    val cache = new QueryFrontend.ResultsCache(
+      java.nio.file.Files.createTempDirectory("rescache_spec").toString)
+    val direct = rows(PromQlParser.evalRange(src, q, start, end, 10800L))
+    val cold = rows(QueryFrontend.evalRangeSplitCached(src, q, start, end,
+      10800L, 21600L, cache, "ev"))
+    assert(cold == direct)
+    // grid 00:00..24:00 step 3h = 9 instants over 5 absolute 6h chunks;
+    // the last chunk (holding only the 24:00 instant) stays uncached
+    assert(new java.io.File(cache.dir).listFiles().count(_.isDirectory) == 4)
+    val warm = rows(QueryFrontend.evalRangeSplitCached(src, q, start, end,
+      10800L, 21600L, cache, "ev"))
+    assert(warm == direct)
+    // poisoned source: empty the raw samples — cached chunks still serve
+    // every instant except the final (recomputed, now-empty) chunk's
+    val empty = src.copy(df = src.df.filter(lit(false)))
+    val poisoned = rows(QueryFrontend.evalRangeSplitCached(empty, q, start,
+      end, 10800L, 21600L, cache, "ev"))
+    val lastChunkInstants = direct.filter(_.contains("2024-01-15 00:00:00"))
+    assert(poisoned == direct -- lastChunkInstants,
+      "cached chunks must serve without touching the source")
+    // a different sourceId shares nothing
+    val other = rows(QueryFrontend.evalRangeSplitCached(empty, q, start, end,
+      10800L, 21600L, cache, "other-src"))
+    assert(other.isEmpty)
   }
 
   test("chunk pruning reaches the parquet scan as PushedFilters") {
