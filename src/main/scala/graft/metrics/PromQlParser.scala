@@ -2143,10 +2143,27 @@ object PromQlParser {
       * re-evaluation. */
     private def gridHistVector(h: HistBinding, child: Ast): (DataFrame, Column) = {
       val histCols = Seq("schema", "count", "sum", "zero_count", "pos", "neg")
+      // an `@`-pinned hist selector is STEP-INVARIANT: evaluate once via
+      // the instant path (start()/end() resolve to the grid's own edges,
+      // the same rule fixedInstant applies) and broadcast across steps
+      def pinned(sel: Selector, wrap: Selector => Ast): Option[(DataFrame, Column)] =
+        sel.at.map { at =>
+          val pinSec = at match {
+            case AtTs(s) => s
+            case AtStart => startUs / 1000000L
+            case AtEnd   => (startUs + nSteps * stepUs) / 1000000L
+          }
+          val (hv, sc) = histVector(h, wrap(sel.copy(at = Some(AtTs(pinSec)))),
+            tsOfEpoch(pinSec), s"${lookbackUs / 1000000L} SECONDS")
+          (hv.crossJoin(broadcast(stepsDomain)), sc)
+        }
       child match {
+        case sel: Selector if sel.at.isDefined =>
+          pinned(sel, identity).get
+        case RangeFn(fn @ ("rate" | "increase"), sel, w, p, p2)
+            if sel.at.isDefined =>
+          pinned(sel, s2 => RangeFn(fn, s2, w, p, p2)).get
         case sel: Selector =>
-          require(sel.at.isEmpty,
-            "@ on a native-histogram selector is not supported on the grid")
           val te = unix_micros(col(h.tsCol)) + lit(sel.offsetSec * 1000000L)
           val hv = h.df.filter(matcherCondFor(h.metricCol, sel))
             .withColumn("__step", explode(stepsFor(te, te + lit(lookbackUs))))
@@ -2157,8 +2174,6 @@ object PromQlParser {
               histCols.map(c => col(s"__h.$c").as(c)): _*)
           (hv, lit(1.0))
         case RangeFn(fn @ ("rate" | "increase"), sel, w, _, _) =>
-          require(sel.at.isEmpty,
-            "@ on a native-histogram selector is not supported on the grid")
           val wUs = w * 1000000L
           val inc = NativeHistogram.increase(
             h.df.filter(matcherCondFor(h.metricCol, sel)), h.seriesKey, h.tsCol)
@@ -2248,6 +2263,37 @@ object PromQlParser {
             filtered.withColumn("__step", explode(stepsFor(te, te + lit(wUs))))
               .groupBy(keyCols :+ col("__step"): _*)
               .agg((max_by(v, ord) - min_by(v, ord)).as("value"))
+          case "irate" | "idelta" =>
+            // last two in-window samples = the newest in-window sample
+            // and its GLOBAL predecessor (an in-window older sample would
+            // be adjacent-closer), so pairs compute ONCE per series —
+            // one window shuffle — and each step keeps its newest pair,
+            // guarded on the predecessor landing inside the window
+            val wSer = Window.partitionBy(keyCols: _*)
+              .orderBy(col(src.tsCol), col(src.orderCol))
+            val paired = filtered
+              .withColumn("__pv", lag(v, 1).over(wSer))
+              .withColumn("__pt", lag(unix_micros(col(src.tsCol)), 1).over(wSer))
+            val newest = paired
+              .withColumn("__step", explode(stepsFor(te, te + lit(wUs))))
+              .groupBy(keyCols :+ col("__step"): _*)
+              .agg(max_by(struct(v.as("__v1"), col("__pv").as("__v2"),
+                unix_micros(col(src.tsCol)).as("__t1"), col("__pt").as("__t2")),
+                ord).as("__p"))
+              .select(keyCols ++ Seq(col("__step"), col("__p.__v1").as("__v1"),
+                col("__p.__v2").as("__v2"), col("__p.__t1").as("__t1"),
+                col("__p.__t2").as("__t2")): _*)
+            val winStartUs =
+              lit(startUs) + col("__step") * lit(stepUs) - lit(wUs)
+            val value =
+              if (fn == "idelta") col("__v1") - col("__v2")
+              else when(col("__v1") < col("__v2"), col("__v1"))
+                .otherwise(col("__v1") - col("__v2")) /
+                ((col("__t1") - col("__t2")) / 1000000.0)
+            newest
+              .filter(col("__v2").isNotNull &&
+                col("__t2") + lit(sel.offsetSec * 1000000L) > winStartUs)
+              .select(keyCols ++ Seq(col("__step"), value.as("value")): _*)
           case f if overTimeFns(f) =>
             overTimeAgg(
               filtered.withColumn("__step", explode(stepsFor(te, te + lit(wUs))))

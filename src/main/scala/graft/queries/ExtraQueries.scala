@@ -538,6 +538,44 @@ object ExtraQueries {
         .select(col("which"), col("event_type"), col("step_ts"),
           round(col("value"), 4).as("value"))
         .orderBy(col("which"), col("event_type"), col("step_ts"))
+    }),
+
+    // The round-10 grid-gap closers: irate/idelta on the query_range
+    // grid (newest global-adjacent pair per step, predecessor guarded
+    // into the window — one window shuffle, no per-step loop) and an
+    // `@`-pinned native-histogram selector on the grid (step-invariant:
+    // one instant evaluation broadcast across the step domain).
+    "q172_grid_irate" -> ((s, d) => {
+      import graft.metrics.{NativeHistogram, PromQlParser}
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      def run(q: String, tag: String) =
+        PromQlParser.evalRange(src, q,
+          "2024-01-14 00:00:00", "2024-01-15 00:00:00", stepSec = 10800)
+          .withColumn("which", lit(tag))
+      val marks = sequence(lit("2024-01-10 00:00:00").cast("timestamp"),
+        lit("2024-01-11 00:00:00").cast("timestamp"), expr("INTERVAL 6 HOURS"))
+      val cum = NativeHistogram.assemble(
+        NativeHistogram.bucketCounts(
+          events(s, d).withColumn("mark", explode(marks))
+            .filter(col("ts") <= col("mark")),
+          Seq(col("mark"), col("event_type")), "value", 2),
+        Seq("mark", "event_type"), 2)
+      val hsrc = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value",
+        hist = Some(PromQlParser.HistBinding(
+          cum, "event_type", Seq("event_type"), "mark", "mark")))
+      val ha = PromQlParser.evalRange(hsrc,
+          """histogram_count({event_type=~".+"} @ 1704888000)""",
+          "2024-01-10 06:00:00", "2024-01-11 00:00:00", stepSec = 21600)
+        .withColumn("which", lit("hist_at"))
+      run("irate(purchase[6h])", "irate")
+        .unionByName(run("idelta(purchase[6h])", "idelta"))
+        .unionByName(ha, allowMissingColumns = true)
+        .select(col("which"), col("user_id"), col("event_type"),
+          col("step_ts"), round(col("value"), 9).as("value"))
+        .orderBy(col("which"), col("user_id"), col("event_type"),
+          col("step_ts"))
     })
   )
 
@@ -938,6 +976,53 @@ object ExtraQueries {
         |)
         |SELECT t.which, a.event_type, a.step_ts, a.value
         |FROM agg a CROSS JOIN (VALUES ('cold'), ('warm')) t(which)
-        |ORDER BY t.which, a.event_type, a.step_ts""".stripMargin
+        |ORDER BY t.which, a.event_type, a.step_ts""".stripMargin,
+
+    // irate/idelta: per step the newest in-window sample paired with its
+    // global predecessor, kept iff that predecessor is in-window too (the
+    // "last two samples" rule); Δt in integer micros then one double
+    // division (identical in both engines). hist_at: the pinned instant's
+    // cumulative event count per type, constant across the four steps.
+    "q172_grid_irate" ->
+      """WITH steps AS (
+        |  SELECT make_timestamp((1705190400 + i * 10800) * 1000000) AS step_ts
+        |  FROM (SELECT unnest(generate_series(0, 8)) AS i)
+        |), d AS (
+        |  SELECT user_id, event_type, ts, event_id, value,
+        |    lag(value) OVER win AS prev, lag(ts) OVER win AS prev_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |  WINDOW win AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |), j AS (
+        |  SELECT s.step_ts, d.user_id, d.event_type, d.value, d.prev,
+        |    d.prev_ts, d.ts,
+        |    row_number() OVER (PARTITION BY s.step_ts, d.user_id, d.event_type
+        |                       ORDER BY d.ts DESC, d.event_id DESC) AS rn
+        |  FROM steps s JOIN d
+        |    ON d.ts <= s.step_ts AND d.ts > s.step_ts - INTERVAL 6 HOURS
+        |), last2 AS (
+        |  SELECT * FROM j
+        |  WHERE rn = 1 AND prev IS NOT NULL
+        |    AND prev_ts > step_ts - INTERVAL 6 HOURS
+        |), hsteps AS (
+        |  SELECT make_timestamp((1704866400 + i * 21600) * 1000000) AS step_ts
+        |  FROM (SELECT unnest(generate_series(0, 3)) AS i)
+        |), hcnt AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS v
+        |  FROM events WHERE ts <= TIMESTAMP '2024-01-10 12:00:00'
+        |  GROUP BY 1
+        |)
+        |SELECT which, user_id, event_type, step_ts, value FROM (
+        |  SELECT 'irate' AS which, user_id, event_type, step_ts,
+        |    round(CASE WHEN value < prev THEN value ELSE value - prev END /
+        |      ((epoch_us(ts) - epoch_us(prev_ts)) / 1000000.0), 9) AS value
+        |  FROM last2
+        |  UNION ALL
+        |  SELECT 'idelta', user_id, event_type, step_ts,
+        |    round(value - prev, 9) FROM last2
+        |  UNION ALL
+        |  SELECT 'hist_at', CAST(NULL AS BIGINT), h.event_type, s.step_ts,
+        |    round(h.v, 9)
+        |  FROM hcnt h CROSS JOIN hsteps s
+        |) ORDER BY which, user_id, event_type, step_ts""".stripMargin
   )
 }

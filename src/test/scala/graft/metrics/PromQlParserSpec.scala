@@ -1094,4 +1094,30 @@ class PromQlParserSpec extends AnyFunSuite {
       RangeSub("avg_over_time",
         Subquery(Selector(Some("cpu"), Nil), 3600L, 60L, 300L)))
   }
+
+  test("grid irate/idelta agree with instant evaluation at every step") {
+    // cpu: 1@10:00 5@10:04 3@10:09 9@10:10 (reset at 10:09)
+    val df = Seq(
+      (1L, ts(0), 7L, "cpu", 1.0), (2L, ts(4), 7L, "cpu", 5.0),
+      (3L, ts(9), 7L, "cpu", 3.0), (4L, ts(10), 7L, "cpu", 9.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    for (fn <- Seq("irate", "idelta")) {
+      val grid = evalRange(src(df), s"$fn(cpu[6m])",
+        "2024-01-01 10:02:00", "2024-01-01 10:12:00", 120L)
+        .collect().map(r => (r.getAs[java.sql.Timestamp]("step_ts").toString,
+          math.round(r.getAs[Double]("value") * 1e9))).toSet
+      val inst = (0 to 5).flatMap { i =>
+        val t = f"2024-01-01 10:${2 + 2 * i}%02d:00"
+        eval(src(df), s"$fn(cpu[6m])", t)
+          .collect().map(r => (t + ".0", math.round(r.getAs[Double]("value") * 1e9)))
+      }.toSet
+      assert(grid == inst, s"$fn grid != instant")
+    }
+    // spot-check the reset + guard: at 10:10 the pair is (3@10:09, 9@10:10)
+    // → no reset (9 > 3) Δ=6 over 60 s; at 10:02 the only in-window sample
+    // is 1@10:00 whose predecessor is absent → no output row
+    val at1010 = eval(src(df), "irate(cpu[6m])", "2024-01-01 10:10:00").collect()
+    assert(at1010.length == 1 && at1010(0).getAs[Double]("value") == 0.1)
+    assert(eval(src(df), "irate(cpu[6m])", "2024-01-01 10:02:00").collect().isEmpty)
+  }
 }
