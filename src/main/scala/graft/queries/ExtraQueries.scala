@@ -576,6 +576,61 @@ object ExtraQueries {
           col("step_ts"), round(col("value"), 9).as("value"))
         .orderBy(col("which"), col("user_id"), col("event_type"),
           col("step_ts"))
+    }),
+
+    // InfluxDB line-protocol round-trip: two days of events rendered as
+    // `app_events,etype=<type> value=<v> <ns>` lines (%.6f values,
+    // nanosecond timestamps), parsed back by the pure-regex column
+    // pipeline (one row per field, measurement_field naming, tag map,
+    // i-suffix integers handled), aggregated per tag. The oracle
+    // aggregates RAW events — renderer/parser asymmetry hashes red.
+    "q173_influx_line" -> ((s, d) => {
+      import graft.sources.InfluxLine
+      val ev = events(s, d)
+        .filter(col("ts") < lit("2024-01-03").cast("timestamp"))
+      val lines = InfluxLine.render(ev, lit("app_events"),
+        Seq("etype" -> col("event_type")), "value", col("value"), col("ts"))
+      InfluxLine.parse(lines)
+        .groupBy(col("measurement"), col("metric"),
+          element_at(col("tags"), "etype").as("etype"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(round(col("value"), 6).cast("decimal(18,6)"))
+            .cast("double"), 4).as("sum_value"),
+          max(col("ts")).as("max_ts"))
+        .orderBy(col("etype"))
+    }),
+
+    // promtool `tsdb create-blocks-from openmetrics`, Spark-native:
+    // three days of events rendered as OpenMetrics text, parsed by the
+    // exposition parser, BACKFILLED into a day-partitioned parquet block
+    // store, then queried for ONLY the middle day — the day predicate
+    // resolves to partition pruning (one directory listed, the other
+    // days' files never open; pinned in BlocksSpec). The oracle
+    // aggregates the raw middle-day events, so the whole render → parse
+    // → backfill → prune → read chain must be lossless to hash green.
+    "q174_backfill_blocks" -> ((s, d) => {
+      import graft.metrics.Exposition
+      import graft.sources.Blocks
+      val span = events(s, d)
+        .filter(col("ts") >= lit("2024-01-11").cast("timestamp") &&
+          col("ts") < lit("2024-01-14").cast("timestamp"))
+      val lines = span.select(concat(
+        lit("metric_"), col("event_type"),
+        lit("{user=\""), col("user_id").cast("string"), lit("\"} "),
+        round(col("value"), 6).cast("decimal(18,6)").cast("string"),
+        lit(" "), unix_millis(col("ts")).cast("string")).as("line"))
+      val parsed = Exposition.parseSamples(lines, "line")
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+      val dir = java.nio.file.Files.createTempDirectory("graft_blocks").toString
+      Blocks.backfill(parsed, dir)
+      Blocks.read(s, dir, "2024-01-12", "2024-01-12")
+        .groupBy(col("name"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4)
+            .as("sum_v"),
+          countDistinct(col("labels")("user")).as("n_users"),
+          max(col("ts")).as("max_ts"))
+        .orderBy(col("name"))
     })
   )
 
@@ -1023,6 +1078,30 @@ object ExtraQueries {
         |  SELECT 'hist_at', CAST(NULL AS BIGINT), h.event_type, s.step_ts,
         |    round(h.v, 9)
         |  FROM hcnt h CROSS JOIN hsteps s
-        |) ORDER BY which, user_id, event_type, step_ts""".stripMargin
+        |) ORDER BY which, user_id, event_type, step_ts""".stripMargin,
+
+    // The %.6f render rounds each value to 6 dp (half-up; all values
+    // positive, so both engines' round agrees) — the oracle applies the
+    // same round before the decimal sum.
+    "q173_influx_line" ->
+      """SELECT 'app_events' AS measurement, 'app_events_value' AS metric,
+        |  event_type AS etype, count(*) AS n,
+        |  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE),
+        |    4) AS sum_value,
+        |  max(ts) AS max_ts
+        |FROM events WHERE ts < TIMESTAMP '2024-01-03'
+        |GROUP BY 3 ORDER BY etype""".stripMargin,
+
+    // The middle backfill day straight from raw events; values ride the
+    // same round-6 decimal the renderer printed, timestamps the same ms.
+    "q174_backfill_blocks" ->
+      """SELECT 'metric_' || event_type AS name, count(*) AS n,
+        |  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE),
+        |    4) AS sum_v,
+        |  count(DISTINCT user_id) AS n_users,
+        |  max(make_timestamp(epoch_ms(ts) * 1000)) AS max_ts
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-12' AND ts < TIMESTAMP '2024-01-13'
+        |GROUP BY 1 ORDER BY name""".stripMargin
   )
 }

@@ -97,6 +97,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(c.getAs[Double]("value") == 7.5)
   }
 
+  test("Influx line protocol: multi-field, i-suffix, tags, malformed") {
+    import graft.sources.InfluxLine
+    val lines = Seq(
+      "weather,location=us,sensor=a temperature=82.5,humidity=71i 1704067200000000000",
+      "cpu usage=0.93",                    // no tags, no timestamp
+      "disk,host=h1 used=\"lots\"",        // string field → null value
+      "   not a line at all",              // malformed → dropped
+      "mem,host=h1 free=12.0,cached=3.5 1704067260000000000")
+    val df = InfluxLine.parse(lines.toDF("line"))
+    val rows = df.collect()
+    assert(rows.length == 6) // 2 + 1 + 1 + 0 + 2 field-rows
+    val byMetric = rows.map(r => r.getAs[String]("metric") -> r).toMap
+    val t = byMetric("weather_temperature")
+    assert(t.getAs[Double]("value") == 82.5 &&
+      t.getAs[Map[String, String]]("tags") ==
+        Map("location" -> "us", "sensor" -> "a"))
+    assert(t.getAs[java.sql.Timestamp]("ts").toString == "2024-01-01 00:00:00.0")
+    assert(byMetric("weather_humidity").getAs[Double]("value") == 71.0)
+    val c = byMetric("cpu_usage")
+    assert(c.getAs[Double]("value") == 0.93 && c.isNullAt(c.fieldIndex("ts")) &&
+      c.getAs[Map[String, String]]("tags").isEmpty)
+    assert(byMetric("disk_used").isNullAt(rows(0).fieldIndex("value")))
+    assert(byMetric("mem_cached").getAs[Double]("value") == 3.5)
+  }
+
   test("OTLP/JSON: render → parse is the identity on samples") {
     import graft.sources.Otlp
     val sub = ev.filter($"event_id" <= 200)
