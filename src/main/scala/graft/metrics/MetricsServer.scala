@@ -110,9 +110,43 @@ final class MetricsServer(observed: Observed, port: Int = 0,
         throw new IllegalArgumentException("missing 'query' parameter"))
       val t = MetricsServer.parseTime(params.getOrElse("time",
         throw new IllegalArgumentException("missing 'time' parameter")))
-      val rows = MetricsServer.collectCapped(
-        PromQlParser.eval(src, query, t), maxResultRows)
-      MetricsServer.vectorJson(rows, MetricsServer.epochSec(t))
+      // stats=all (upstream query stats): totals read from the EXECUTED
+      // plan's own SQLMetrics — totalQueryableSamples = rows leaving the
+      // scans, peakSamples = the widest operator — no second pass.
+      val wantStats = params.get("stats").contains("all")
+      val limited = PromQlParser.eval(src, query, t).limit(maxResultRows + 1)
+      val t0 = System.nanoTime()
+      val rows = limited.collect()
+      val evalSec = (System.nanoTime() - t0) / 1e9
+      if (rows.length > maxResultRows)
+        throw new MetricsServer.ResultTooLarge(maxResultRows)
+      val body = MetricsServer.vectorJson(rows, MetricsServer.epochSec(t))
+      if (!wantStats) body
+      else {
+        val plan = limited.queryExecution.executedPlan
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        // unwrap AQE: the adaptive node and its materialized stages hide
+        // the real operators (and their populated SQLMetrics) as inner
+        // plans, not children
+        def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec        => Seq(q.plan)
+          case other                    => other.children
+        }
+        def outRows(p: SparkPlan): Seq[Long] =
+          p.metrics.get("numOutputRows").map(_.value).toSeq ++
+            kids(p).flatMap(outRows) ++ p.subqueries.flatMap(outRows)
+        def scanRows(p: SparkPlan): Seq[Long] =
+          if (kids(p).isEmpty)
+            p.metrics.get("numOutputRows").map(_.value).toSeq
+          else kids(p).flatMap(scanRows) ++ p.subqueries.flatMap(scanRows)
+        val stats = s""","stats":{"timings":{"evalTotalTime":$evalSec},""" +
+          s""""samples":{"totalQueryableSamples":${scanRows(plan).sum},""" +
+          s""""peakSamples":${(outRows(plan) :+ 0L).max}}}"""
+        // splice inside the data object (upstream: data.stats)
+        body.patch(body.length - 2, stats + "}", 1)
+      }
     })
     server.createContext("/api/v1/query_range", MetricsServer.jsonHandler { params =>
       def need(k: String) = params.getOrElse(k,

@@ -631,6 +631,26 @@ object ExtraQueries {
           countDistinct(col("labels")("user")).as("n_users"),
           max(col("ts")).as("max_ts"))
         .orderBy(col("name"))
+    }),
+
+    // Product quantization (PQ4x16: 64-dim float32 → 4 codes = 64×
+    // compression at rest): one deterministic Lloyd step from first-k
+    // init, decimal-routed centroid means, map-side code assignment.
+    // Rows-only per the q52/q72/q157 FP-argmin policy (the d² fold's
+    // near-ties resolve differently across engines) — PqSpec pins the
+    // semantics: code bounds, SSE non-increase vs the init codebooks,
+    // bit-stable retrain, recon-error soundness.
+    "q175_product_quantization" -> ((s, d) => {
+      import graft.text.Pq
+      val emb = embeddings(s, d)
+      val books = Pq.train(emb, m = 4, k = 16)
+      Pq.encode(emb, books, m = 4)
+        .join(emb.select(col("vec_id"), col("label")), "vec_id")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          countDistinct(col("codes").cast("string")).as("n_distinct_codes"),
+          round(avg(col("sq_err")), 3).as("avg_sq_err"))
+        .orderBy(col("label"))
     })
   )
 

@@ -124,7 +124,25 @@ class MetricsSpec extends AnyFunSuite {
         val (ok, vec) = get(capped.boundPort, """cpu{user_id="1"}""")
         assert(ok == 200 && vec.contains(""""resultType":"vector""""))
         assert(vec.contains(""""value":[1704103320,"7.0"]"""))
+        // no stats unless asked
+        assert(!vec.contains(""""stats""""))
       } finally capped.close()
+      // stats=all: totals from the executed plan's own SQLMetrics
+      val srv = new MetricsServer(obs, promSource = Some(src))
+      try {
+        val url = new java.net.URI(s"http://127.0.0.1:${srv.boundPort}" +
+          "/api/v1/query?query=cpu&time=2024-01-01T10:02:00Z&stats=all").toURL
+        val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        assert(conn.getResponseCode == 200)
+        val body = scala.io.Source.fromInputStream(conn.getInputStream).mkString
+        // the three-sample fixture: every scan row is queryable
+        assert(body.contains(""""totalQueryableSamples":3"""), body.takeRight(300))
+        assert(body.contains(""""peakSamples":3"""))
+        assert(body.contains(""""evalTotalTime""""))
+        // stats live INSIDE data (upstream shape), body stays valid JSON
+        assert(body.indexOf(""""stats"""") > body.indexOf(""""result""""))
+        assert(body.count(_ == '{') == body.count(_ == '}'))
+      } finally srv.close()
     }
   }
 
