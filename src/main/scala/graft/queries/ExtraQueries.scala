@@ -651,6 +651,44 @@ object ExtraQueries {
           countDistinct(col("codes").cast("string")).as("n_distinct_codes"),
           round(avg(col("sq_err")), 3).as("avg_sq_err"))
         .orderBy(col("label"))
+    }),
+
+    // SLO multi-window multi-burn-rate alerting (the SRE-workbook
+    // pattern): error-budget burn rate = error_ratio / (1 − SLO) over a
+    // short AND a long trailing window, gated together — the short
+    // window cuts alert latency, the long one cuts flap. Engine face:
+    // two count_over_time grids per window via the real PromQL grid
+    // compiler, ratio/gate math in the plan; windows 3h/12h on an
+    // hourly day grid (the canonical 5m/1h pair is degenerate at this
+    // event density), SLO 99%, page=14.4 ticket=6.
+    "q176_slo_burn_rate" -> ((s, d) => {
+      val src = graft.metrics.PromQlParser.PromSource(events(s, d),
+        "event_type", Seq("user_id", "event_type"), "ts", "event_id", "value")
+      def cnt(sel: String, w: String, out: String) =
+        graft.metrics.PromQlParser.evalRange(src,
+            s"sum(count_over_time($sel[$w]))",
+            "2024-01-15 00:00:00", "2024-01-16 00:00:00", stepSec = 3600)
+          .select(col("step_ts"), col("value").as(out))
+      val tot3 = cnt("""{event_type=~".+"}""", "3h", "tot3")
+      val tot12 = cnt("""{event_type=~".+"}""", "12h", "tot12")
+      val err3 = cnt("""{event_type="error"}""", "3h", "err3")
+      val err12 = cnt("""{event_type="error"}""", "12h", "err12")
+      val budget = 0.01 // SLO 99%
+      tot3.join(tot12, "step_ts")
+        .join(err3, Seq("step_ts"), "left")
+        .join(err12, Seq("step_ts"), "left")
+        .withColumn("burn3",
+          coalesce(col("err3"), lit(0.0)) / col("tot3") / budget)
+        .withColumn("burn12",
+          coalesce(col("err12"), lit(0.0)) / col("tot12") / budget)
+        .select(col("step_ts"),
+          col("tot3").cast("long").as("tot3"),
+          coalesce(col("err3"), lit(0.0)).cast("long").as("err3"),
+          round(col("burn3"), 6).as("burn3"),
+          round(col("burn12"), 6).as("burn12"),
+          (col("burn3") > 14.4 && col("burn12") > 14.4).as("page"),
+          (col("burn3") > 6.0 && col("burn12") > 6.0).as("ticket"))
+        .orderBy(col("step_ts"))
     })
   )
 
@@ -1122,6 +1160,35 @@ object ExtraQueries {
         |  max(make_timestamp(epoch_ms(ts) * 1000)) AS max_ts
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-12' AND ts < TIMESTAMP '2024-01-13'
-        |GROUP BY 1 ORDER BY name""".stripMargin
+        |GROUP BY 1 ORDER BY name""".stripMargin,
+
+    // Window counts from one 12h join (3h counts are conditional sums
+    // inside it); burn = (err/tot)/0.01 as the same double chain the
+    // engine computes; a step exists iff its 3h window holds a sample.
+    "q176_slo_burn_rate" ->
+      """WITH steps AS (
+        |  SELECT make_timestamp((1705276800 + i * 3600) * 1000000) AS step_ts
+        |  FROM (SELECT unnest(generate_series(0, 24)) AS i)
+        |), c AS (
+        |  SELECT s.step_ts,
+        |    sum(CASE WHEN e.ts > s.step_ts - INTERVAL 3 HOURS
+        |      THEN 1 ELSE 0 END) AS tot3,
+        |    sum(CASE WHEN e.ts > s.step_ts - INTERVAL 3 HOURS
+        |      AND e.event_type = 'error' THEN 1 ELSE 0 END) AS err3,
+        |    count(*) AS tot12,
+        |    sum(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END) AS err12
+        |  FROM steps s JOIN events e
+        |    ON e.ts <= s.step_ts AND e.ts > s.step_ts - INTERVAL 12 HOURS
+        |  GROUP BY 1
+        |)
+        |SELECT step_ts, CAST(tot3 AS BIGINT) AS tot3,
+        |  CAST(err3 AS BIGINT) AS err3,
+        |  round(CAST(err3 AS DOUBLE) / tot3 / 0.01, 6) AS burn3,
+        |  round(CAST(err12 AS DOUBLE) / tot12 / 0.01, 6) AS burn12,
+        |  (CAST(err3 AS DOUBLE) / tot3 / 0.01 > 14.4 AND
+        |   CAST(err12 AS DOUBLE) / tot12 / 0.01 > 14.4) AS page,
+        |  (CAST(err3 AS DOUBLE) / tot3 / 0.01 > 6.0 AND
+        |   CAST(err12 AS DOUBLE) / tot12 / 0.01 > 6.0) AS ticket
+        |FROM c WHERE tot3 > 0 ORDER BY step_ts""".stripMargin
   )
 }

@@ -69,6 +69,41 @@ object Pq {
         sum(col("d2")).as("sq_err"))
   }
 
+  /** ADC search (asymmetric distance computation — the reason PQ exists):
+    * approximate L2² from a QUERY vector to every ENCODED vector as the
+    * sum over subspaces of d²(query_sub, centroid[code]). The per-sub
+    * distances form an m×k LOOKUP TABLE computed once per query on the
+    * driver (m·k float ops), then each encoded row costs m array-index
+    * lookups — no float math per corpus row at all. That is the 100 TB
+    * contract: the corpus is 4-byte codes, the scan is additions over a
+    * broadcast-literal table. Returns the approximate top-n by (dist,
+    * vec_id) total order. */
+  def adcSearch(encoded: DataFrame, codebooks: DataFrame,
+                query: Seq[Float], m: Int, topN: Int): DataFrame = {
+    val cents = codebooks.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2)))
+    val subD = cents.head._3.length
+    require(query.length == subD * m, "query dim mismatch")
+    def l2sq(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    // lut(sub)(code) = d²(query_sub, centroid)
+    val lut: Map[Int, Array[Double]] = cents.groupBy(_._1).map {
+      case (sub, cs) =>
+        val q = query.slice(sub * subD, (sub + 1) * subD)
+        sub -> cs.sortBy(_._2).map(c => l2sq(q, c._3)).toArray
+    }
+    val tables = array((0 until m).map(sub =>
+      typedlit(lut(sub).toSeq)): _*)
+    val dist = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+        (code, sub) => element_at(element_at(tables, sub + 1),
+          code.cast("int") + 1)),
+      lit(0.0), (acc, d) => acc + d)
+    encoded.withColumn("adc_dist", dist)
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(topN)
+  }
+
   /** Subvector rows: (vec_id, sub, sv). */
   private def subFrame(emb: DataFrame, m: Int, subD: Int): DataFrame =
     emb.select(col("vec_id"), explode(array((0 until m).map(i =>

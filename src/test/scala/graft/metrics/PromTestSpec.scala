@@ -1,5 +1,6 @@
 package graft.metrics
 
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** promtool `test rules` harness: notation expansion, staleness-marker
@@ -81,5 +82,29 @@ class PromTestSpec extends AnyFunSuite {
     val iv = PromTest.instantVector(df, KEY, "2024-01-01 00:55:00")
       .collect()
     assert(iv.map(_.getAs[Double]("value")).toSeq == Seq(110.0))
+  }
+
+  test("alert_rule_test: promtool-shaped case through AlertRules") {
+    // promtool test file shape:
+    //   interval: 1m
+    //   input_series:
+    //     - series: 'up{job="api"}'   values: '1x4 0x9 1x6'
+    //   alert_rule_test:
+    //     - eval_time: 6m  → InstanceDown pending (for: 5m not yet served)
+    //     - eval_time: 11m → InstanceDown firing
+    //     - eval_time: 16m → no alerts (up recovered)
+    val df = PromTest.expand(spark, Seq(("""up{job="api"}""", "1x4 0x9 1x6")),
+      Seq("job", "instance"), "2024-01-01 00:00:00", 60L)
+    val src = PromQlParser.PromSource(PromTest.rangeSamples(df), "metric",
+      KEY, "ts", "order", "value")
+    val alerts = AlertRules.evalRule(src,
+      AlertRules.Rule("InstanceDown", """up == 0""", forSec = 300L),
+      "2024-01-01 00:00:00", "2024-01-01 00:20:00", stepSec = 60L)
+    def stateAt(min: Int): Seq[String] = alerts
+      .filter(col("step_ts") === lit(f"2024-01-01 00:$min%02d:00").cast("timestamp"))
+      .collect().map(_.getAs[String]("alertstate")).toSeq
+    assert(stateAt(6) == Seq("pending"))
+    assert(stateAt(11) == Seq("firing"))
+    assert(stateAt(16) == Seq())
   }
 }
