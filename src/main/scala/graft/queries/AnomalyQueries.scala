@@ -201,7 +201,83 @@ object AnomalyQueries {
     }),
 
     // FLAGSHIP (SURVEY §7.0): the whole pipeline P2→P10 + top-k (E31).
-    "q42_anomaly_topk" -> ((s, d) => anomalyTopK(s, d))
+    "q42_anomaly_topk" -> ((s, d) => anomalyTopK(s, d)),
+
+    // Seasonal-baseline anomaly scoring (the classic hour-of-day
+    // profile): TRAIN on Jan 1–14's hourly counts per (metric,
+    // hour-of-day) — mean and σ via the exact integer-moment formula
+    // (Σ, Σ², n are integer sums, so both engines derive the identical
+    // doubles; no FP-order-dependent stddev_pop) — then z-score Jan 15's
+    // hours against the profile. σ=0 profiles (constant training hours)
+    // are excluded rather than divided by. One keyed agg per stage, no
+    // self-joins over samples.
+    "q177_seasonal_baseline" -> ((s, d) => {
+      val hourly = events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("hod", hour(col("h")))
+      val mu = col("s").cast("double") / col("n")
+      val train = hourly
+        .filter(col("h") < lit("2024-01-15").cast("timestamp"))
+        .groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
+          sum(col("cnt") * col("cnt")).as("ss"))
+        .withColumn("mu", mu)
+        .withColumn("sigma",
+          sqrt(col("ss").cast("double") / col("n") - mu * mu))
+        .filter(col("sigma") > 0)
+      hourly
+        .filter(col("h") >= lit("2024-01-15").cast("timestamp") &&
+          col("h") < lit("2024-01-16").cast("timestamp"))
+        .join(train.select(col("event_type"), col("hod"), col("mu"),
+          col("sigma")), Seq("event_type", "hod"))
+        .withColumn("z", (col("cnt") - col("mu")) / col("sigma"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          round(max(abs(col("z"))), 6).as("max_abs_z"),
+          sum(when(abs(col("z")) > 2.0, 1).otherwise(0)).as("n_flagged"))
+        .orderBy(col("event_type"))
+    }),
+
+    // CUSUM changepoint detection (Page 1954) on hourly counts: the
+    // recursive S_i = max(0, S_{i-1} + dev_i) rewritten into its
+    // prefix-sum identity S_i = C_i − min(0, min_{j≤i} C_j) — two
+    // WINDOW passes over DECIMAL cumsums (6-dp-rounded devs, so
+    // accumulation is exact and order-proof), no recursion, no driver
+    // loop; flagged where S exceeds 3σ (σ from the exact integer-moment
+    // formula). The window partitions by series — at 100 TB the state
+    // is one series' hours, never the corpus.
+    "q178_cusum_changepoint" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("cnt"))
+      val mu = col("sm").cast("double") / col("n")
+      val stats = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cnt")).as("sm"),
+          sum(col("cnt") * col("cnt")).as("ss"))
+        .withColumn("mu", mu)
+        .withColumn("sigma",
+          sqrt(col("ss").cast("double") / col("n") - mu * mu))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val scored = hourly
+        .join(stats.select(col("event_type"), col("mu"), col("sigma")),
+          Seq("event_type"))
+        .withColumn("dev",
+          round(col("cnt") - col("mu"), 6).cast("decimal(18,6)"))
+        .withColumn("c", sum(col("dev")).over(w))
+        .withColumn("minc",
+          least(min(col("c")).over(w), lit(0).cast("decimal(18,6)")))
+        .withColumn("cusum", (col("c") - col("minc")).cast("double"))
+        .withColumn("cp", col("cusum") > lit(3.0) * col("sigma"))
+      scored.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          round(max(col("cusum")), 4).as("max_cusum"),
+          sum(when(col("cp"), 1).otherwise(0)).as("n_cp_hours"),
+          min(when(col("cp"), col("h"))).as("first_cp"))
+        .orderBy(col("event_type"))
+    })
   )
 
   /** The multivariate window's oracle-able projection — shared by the
@@ -385,6 +461,77 @@ object AnomalyQueries {
          |)
          |SELECT event_type, hour, round(mx, 6) AS score, rn
          |FROM ranked WHERE rn <= 5
-         |ORDER BY event_type, rn""".stripMargin
+         |ORDER BY event_type, rn""".stripMargin,
+
+    // Integer moments (Σ, Σ², n) make mu/sigma the identical doubles in
+    // both engines; σ=0 profiles excluded before the division.
+    "q177_seasonal_baseline" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), train AS (
+        |  SELECT event_type, extract(hour FROM h) AS hod,
+        |    count(*) AS n, sum(cnt) AS s, sum(cnt * cnt) AS ss
+        |  FROM hourly WHERE h < TIMESTAMP '2024-01-15' GROUP BY 1, 2
+        |), prof AS (
+        |  SELECT event_type, hod,
+        |    CAST(s AS DOUBLE) / n AS mu,
+        |    sqrt(CAST(ss AS DOUBLE) / n -
+        |      (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS sigma
+        |  FROM train
+        |), z AS (
+        |  SELECT t.event_type, (t.cnt - p.mu) / p.sigma AS z
+        |  FROM hourly t JOIN prof p
+        |    ON p.event_type = t.event_type
+        |   AND p.hod = extract(hour FROM t.h) AND p.sigma > 0
+        |  WHERE t.h >= TIMESTAMP '2024-01-15' AND t.h < TIMESTAMP '2024-01-16'
+        |)
+        |SELECT event_type, count(*) AS n_hours,
+        |  round(max(abs(z)), 6) AS max_abs_z,
+        |  CAST(sum(CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged
+        |FROM z GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // The prefix-sum CUSUM identity over DECIMAL cumsums of 6-dp devs —
+    // exact in both engines; the 3σ gate compares identical doubles.
+    "q178_cusum_changepoint" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT event_type, count(*) AS n, sum(cnt) AS sm,
+        |    sum(cnt * cnt) AS ss
+        |  FROM hourly GROUP BY 1
+        |), st AS (
+        |  SELECT event_type, CAST(sm AS DOUBLE) / n AS mu,
+        |    sqrt(CAST(ss AS DOUBLE) / n -
+        |      (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n)) AS sigma
+        |  FROM stats
+        |), dev AS (
+        |  SELECT h.event_type, h.h, s.sigma,
+        |    CAST(round(h.cnt - s.mu, 6) AS DECIMAL(18,6)) AS d
+        |  FROM hourly h JOIN st s ON s.event_type = h.event_type
+        |), cum0 AS (
+        |  SELECT event_type, h, sigma, sum(d) OVER win AS c
+        |  FROM dev
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), cum AS (
+        |  SELECT event_type, h, sigma, c,
+        |    least(min(c) OVER win, CAST(0 AS DECIMAL(18,6))) AS minc
+        |  FROM cum0
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), cus AS (
+        |  SELECT event_type, h,
+        |    CAST(c - minc AS DOUBLE) AS cusum,
+        |    CAST(c - minc AS DOUBLE) > 3.0 * sigma AS cp
+        |  FROM cum
+        |)
+        |SELECT event_type, count(*) AS n_hours,
+        |  round(max(cusum), 4) AS max_cusum,
+        |  CAST(sum(CASE WHEN cp THEN 1 ELSE 0 END) AS BIGINT) AS n_cp_hours,
+        |  min(CASE WHEN cp THEN h END) AS first_cp
+        |FROM cus GROUP BY 1 ORDER BY event_type""".stripMargin
   )
 }

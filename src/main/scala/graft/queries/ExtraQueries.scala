@@ -526,8 +526,14 @@ object ExtraQueries {
       import graft.metrics.QueryFrontend
       val src = graft.metrics.PromQlParser.PromSource(events(s, d),
         "event_type", Seq("user_id", "event_type"), "ts", "event_id", "value")
+      // tmpfs when available: the cache unit is chunk RESULTS (tiny);
+      // fsync latency, not capacity, dominates a bench-sized store
+      val base = new java.io.File("/dev/shm")
       val cache = new QueryFrontend.ResultsCache(
-        java.nio.file.Files.createTempDirectory("graft_rescache").toString)
+        java.nio.file.Files.createTempDirectory(
+          if (base.isDirectory && base.canWrite) base.toPath
+          else new java.io.File(sys.props("java.io.tmpdir")).toPath,
+          "graft_rescache").toString)
       def run(tag: String) =
         QueryFrontend.evalRangeSplitCached(src,
             "sum without (user_id) (rate(purchase[6h]))",
@@ -621,7 +627,11 @@ object ExtraQueries {
         lit(" "), unix_millis(col("ts")).cast("string")).as("line"))
       val parsed = Exposition.parseSamples(lines, "line")
         .withColumn("ts", timestamp_millis(col("ts_ms")))
-      val dir = java.nio.file.Files.createTempDirectory("graft_blocks").toString
+      val shm = new java.io.File("/dev/shm")
+      val dir = java.nio.file.Files.createTempDirectory(
+        if (shm.isDirectory && shm.canWrite) shm.toPath
+        else new java.io.File(sys.props("java.io.tmpdir")).toPath,
+        "graft_blocks").toString
       Blocks.backfill(parsed, dir)
       Blocks.read(s, dir, "2024-01-12", "2024-01-12")
         .groupBy(col("name"))
