@@ -271,6 +271,32 @@ object StreamingQueries {
       t.select(col("metric"), col("n"),
           round(col("sv").cast("double"), 4).as("sum_value"), col("max_ts"))
         .orderBy(col("metric"))
+    }),
+
+    // N-R96 streaming face: online CUSUM with offline-trained (μ, σ) —
+    // stats from one batch pass (integer moments, model-sized collect),
+    // the recursion at the edge in exact 1e-6 fixed-point. The sink
+    // equals q178's batch prefix-identity twin digit-for-digit.
+    "s179_stream_cusum" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("cnt"))
+      val stats = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cnt")).as("sm"),
+          sum(col("cnt") * col("cnt")).as("ss"))
+        .collect().map { r =>
+          val n = r.getLong(1); val sm = r.getLong(2); val ss = r.getLong(3)
+          val mu = sm.toDouble / n
+          r.getString(0) -> (mu, math.sqrt(ss.toDouble / n - mu * mu))
+        }.toMap
+      val t = StreamOps.replayEvents(s, d, "s179_sink", 1, flushPerType = true)(
+        ds => StreamOps.streamCusum(ds, stats).toDF(), OutputMode.Append)
+      t.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          round(max(col("cusum")), 4).as("max_cusum"),
+          sum(when(col("cp"), 1).otherwise(0)).as("n_cp_hours"),
+          min(when(col("cp"), col("h"))).as("first_cp"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -554,6 +580,48 @@ object StreamingQueries {
         |    4) AS sum_value,
         |  max(ts) AS max_ts
         |FROM events WHERE ts < TIMESTAMP '2024-01-03'
-        |GROUP BY 1 ORDER BY metric""".stripMargin
+        |GROUP BY 1 ORDER BY metric""".stripMargin,
+
+    // Exact-parity twin of the BATCH q178 — the streaming fixed-point
+    // recursion must land on the identical decimals.
+    "s179_stream_cusum" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT event_type, count(*) AS n, sum(cnt) AS sm,
+        |    sum(cnt * cnt) AS ss
+        |  FROM hourly GROUP BY 1
+        |), st AS (
+        |  SELECT event_type, CAST(sm AS DOUBLE) / n AS mu,
+        |    sqrt(CAST(ss AS DOUBLE) / n -
+        |      (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n)) AS sigma
+        |  FROM stats
+        |), dev AS (
+        |  SELECT h.event_type, h.h, s.sigma,
+        |    CAST(round(h.cnt - s.mu, 6) AS DECIMAL(18,6)) AS d
+        |  FROM hourly h JOIN st s ON s.event_type = h.event_type
+        |), cum0 AS (
+        |  SELECT event_type, h, sigma, sum(d) OVER win AS c
+        |  FROM dev
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), cum AS (
+        |  SELECT event_type, h, sigma, c,
+        |    least(min(c) OVER win, CAST(0 AS DECIMAL(18,6))) AS minc
+        |  FROM cum0
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), cus AS (
+        |  SELECT event_type, h,
+        |    CAST(c - minc AS DOUBLE) AS cusum,
+        |    CAST(c - minc AS DOUBLE) > 3.0 * sigma AS cp
+        |  FROM cum
+        |)
+        |SELECT event_type, count(*) AS n_hours,
+        |  round(max(cusum), 4) AS max_cusum,
+        |  CAST(sum(CASE WHEN cp THEN 1 ELSE 0 END) AS BIGINT) AS n_cp_hours,
+        |  min(CASE WHEN cp THEN h END) AS first_cp
+        |FROM cus GROUP BY 1 ORDER BY event_type""".stripMargin
   )
 }

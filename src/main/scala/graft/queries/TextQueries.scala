@@ -439,6 +439,48 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // Bloom-accelerated decontamination — q81's semantics behind a
+    // broadcast BLOOM pre-filter (graft.text.Bloom: distributed bit_or
+    // bitmap build bounded by the 128 KiB bitmap, map-side literal-array
+    // probe, zero UDFs). At 100 TB this is the shape that survives: the
+    // test side drops to bloom candidates BEFORE the verify join, so the
+    // exact join's build side is the only corpus-sized shuffle left.
+    // No false negatives ⇒ n_contaminated must EQUAL q81's; candidates
+    // (with the md5 probes' deterministic false positives) are also
+    // oracle-replicated via a positions semi-join.
+    "q180_bloom_decontamination" -> ((s, d) => {
+      import graft.text.Bloom
+      val K = 4
+      val split = docsWithTokens(s, d)
+        .withColumn("bucket",
+          pmod(conv(substring(md5(concat(lit("split|"), col("doc_id"))), 1, 12), 16, 10)
+            .cast("long"), lit(100)))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+        .withColumn("sh8",
+          transform(TextOps.shingles(col("toks"), 8), sh => TextOps.md5Hash48(sh, "dc")))
+      val trainHashes = split.filter(col("split") === "train")
+        .select(explode(col("sh8")).as("h")).distinct()
+      val bitmap = Bloom.build(trainHashes, "h", K)
+      val testSh = split.filter(col("split") === "test")
+        .select(col("lang"), col("doc_id"), explode(col("sh8")).as("h"))
+      val cand = testSh.filter(Bloom.mightContain(bitmap, col("h"), K))
+      val candDocs = cand.select(col("lang"), col("doc_id")).distinct()
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_candidate_docs"))
+      val contaminated = cand.join(trainHashes, "h")
+        .select(col("lang"), col("doc_id")).distinct()
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_contaminated"))
+      split.filter(col("split") === "test")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_test"))
+        .join(candDocs, Seq("lang"), "left")
+        .join(contaminated, Seq("lang"), "left")
+        .select(col("lang"), col("n_test"),
+          coalesce(col("n_candidate_docs"), lit(0L)).as("n_candidate_docs"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+        .orderBy(col("lang"))
+    }),
+
     // E56: multimodal column — struct(text payload as opaque binary,
     // typed metadata, embedding); scalar projections for the oracle.
     "q56_multimodal" -> ((s, d) => {
@@ -795,6 +837,69 @@ object TextQueries {
         |FROM sh s LEFT JOIN (
         |  SELECT lang, count(*) AS n FROM contaminated GROUP BY lang
         |) c ON s.lang = c.lang
+        |WHERE s.split = 'test'
+        |GROUP BY s.lang ORDER BY s.lang""".stripMargin,
+
+    // q81's CTEs + the bloom face: a bitmap bit is set iff some train
+    // hash maps a probe onto it, so membership = every probe position
+    // present in the train position SET (duplicated positions in one
+    // hash's probe list match iff the position is present — exactly the
+    // engine's ANDed bit tests).
+    "q180_bloom_decontamination" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    CAST(concat('0x', substr(md5(concat('split|', doc_id)), 1, 12)) AS BIGINT)
+        |      % 100 AS bucket
+        |  FROM documents
+        |), sp AS (
+        |  SELECT doc_id, lang, toks,
+        |    CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM t
+        |), sh AS (
+        |  SELECT doc_id, lang, split,
+        |    list_distinct([CAST(concat('0x',
+        |        substr(md5(concat('dc|', array_to_string(toks[i:i+7], ' '))), 1, 12)) AS BIGINT)
+        |      for i in generate_series(1, len(toks) - 7)]) AS hs
+        |  FROM sp
+        |), train_h AS (
+        |  SELECT DISTINCT unnest(hs) AS h FROM sh WHERE split = 'train'
+        |), train_pos AS (
+        |  SELECT DISTINCT unnest([
+        |    CAST(concat('0x', substr(md5(concat('bl0|', CAST(h AS VARCHAR))), 1, 12)) AS BIGINT) % 1048576,
+        |    CAST(concat('0x', substr(md5(concat('bl1|', CAST(h AS VARCHAR))), 1, 12)) AS BIGINT) % 1048576,
+        |    CAST(concat('0x', substr(md5(concat('bl2|', CAST(h AS VARCHAR))), 1, 12)) AS BIGINT) % 1048576,
+        |    CAST(concat('0x', substr(md5(concat('bl3|', CAST(h AS VARCHAR))), 1, 12)) AS BIGINT) % 1048576]) AS p
+        |  FROM train_h
+        |), test_h AS (
+        |  SELECT lang, doc_id, unnest(hs) AS h FROM sh WHERE split = 'test'
+        |), test_probes AS (
+        |  SELECT lang, doc_id, h, unnest([
+        |    CAST(concat('0x', substr(md5(concat('bl0|', CAST(h AS VARCHAR))), 1, 12)) AS BIGINT) % 1048576,
+        |    CAST(concat('0x', substr(md5(concat('bl1|', CAST(h AS VARCHAR))), 1, 12)) AS BIGINT) % 1048576,
+        |    CAST(concat('0x', substr(md5(concat('bl2|', CAST(h AS VARCHAR))), 1, 12)) AS BIGINT) % 1048576,
+        |    CAST(concat('0x', substr(md5(concat('bl3|', CAST(h AS VARCHAR))), 1, 12)) AS BIGINT) % 1048576]) AS p
+        |  FROM test_h
+        |), cand AS (
+        |  SELECT lang, doc_id, h FROM (
+        |    SELECT tp.lang, tp.doc_id, tp.h, count(*) AS hits
+        |    FROM test_probes tp JOIN train_pos USING (p)
+        |    GROUP BY 1, 2, 3
+        |  ) WHERE hits = 4
+        |), cd AS (
+        |  SELECT lang, count(DISTINCT doc_id) AS n_candidate_docs
+        |  FROM cand GROUP BY 1
+        |), contaminated AS (
+        |  SELECT c.lang, count(DISTINCT c.doc_id) AS n
+        |  FROM cand c JOIN train_h t ON c.h = t.h GROUP BY 1
+        |)
+        |SELECT s.lang, count(*) AS n_test,
+        |  coalesce(any_value(cd.n_candidate_docs), 0)::BIGINT AS n_candidate_docs,
+        |  coalesce(any_value(co.n), 0)::BIGINT AS n_contaminated
+        |FROM sh s
+        |LEFT JOIN cd ON s.lang = cd.lang
+        |LEFT JOIN contaminated co ON s.lang = co.lang
         |WHERE s.split = 'test'
         |GROUP BY s.lang ORDER BY s.lang""".stripMargin,
 

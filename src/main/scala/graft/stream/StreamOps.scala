@@ -47,6 +47,12 @@ case class IncState(last: Double, tsMs: Long, tsNanos: Int, eventId: Long)
 /** Streaming alert state per series: the open hour + its qualifying
   * count, the active run's start step, and the last closed ACTIVE step
   * (contiguity probe). Four longs — O(1) at 10M series. */
+/** Streaming-CUSUM state: the open hour, its count so far, and the CUSUM
+  * in 1e-6 fixed-point units (exact decimal recursion). */
+case class CusumState(curStep: Long, curCount: Long, sUnits: Long)
+case class CusumOut(event_type: String, h: java.sql.Timestamp,
+                    cusum: Double, cp: Boolean)
+
 case class AlertState(curStep: Long, curCount: Long, runStart: Long,
                       lastActive: Long)
 
@@ -409,6 +415,52 @@ object StreamOps {
                 if (st.curStep != MinV && step > st.curStep) close()
                 if (st.curStep == MinV) st = st.copy(curStep = step)
                 if (e.value > threshold) st = st.copy(curCount = st.curCount + 1)
+              }
+            }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** N-R96's STREAMING face: online CUSUM over hourly counts with
+    * OFFLINE-trained (μ, σ) per series — the standard deployment split
+    * (stats from the warehouse, the recursion at the edge). Hours close
+    * on step advance (or the per-type sentinel), each closed hour folds
+    * S ← max(0, S + dev) where dev = round(cnt − μ, 6) held in integer
+    * MICRO-UNITS — exact fixed-point arithmetic, so the committed sink
+    * equals the batch prefix-sum-identity twin digit-for-digit. State
+    * per key: three longs. */
+  def streamCusum(ds: Dataset[Ev],
+                  stats: Map[String, (Double, Double)]): Dataset[CusumOut] = {
+    import ds.sparkSession.implicits._
+    val MinV = Long.MinValue
+    def stepOf(ts: java.sql.Timestamp): Long = ts.getTime - ts.getTime % 3600000L
+    def devUnits(cnt: Long, mu: Double): Long =
+      BigDecimal(cnt - mu).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(1000000)).toLongExact
+    ds.groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (etype, events, state: GroupState[CusumState]) =>
+          val (mu, sigma) = stats.getOrElse(etype, (0.0, 0.0))
+          var st = if (state.exists) state.get else CusumState(MinV, 0L, 0L)
+          val out = Vector.newBuilder[CusumOut]
+          def close(): Unit = if (st.curStep != MinV) {
+            val s = math.max(0L, st.sUnits + devUnits(st.curCount, mu))
+            val cusum = s / 1e6
+            out += CusumOut(etype, new java.sql.Timestamp(st.curStep),
+              cusum, cusum > 3.0 * sigma)
+            st = CusumState(MinV, 0L, s)
+          }
+          events.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            .foreach { e =>
+              if (e.user_id == -1L) close() // per-type flush sentinel
+              else {
+                val step = stepOf(e.ts)
+                if (st.curStep != MinV && step > st.curStep) close()
+                if (st.curStep == MinV) st = st.copy(curStep = step)
+                st = st.copy(curCount = st.curCount + 1)
               }
             }
           state.update(st)
