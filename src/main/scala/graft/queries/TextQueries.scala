@@ -481,6 +481,38 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // Matryoshka-truncation ANN (MRL, Kusupati et al. 2022): rank by
+    // cosine over only the FIRST 16 of 64 dims — the speed/recall dial
+    // an MRL-trained embedding ships with (cosine is scale-invariant,
+    // so no renorm needed). Output: the 16-dim top-5 per query with an
+    // `in_full_top5` marker against the 64-dim ranking — the recall
+    // face is IN the result, cross-engine hashed. Same broadcast-q
+    // cross-join shape as q51; at scale the truncated pass reads a
+    // quarter of the vector bytes.
+    "q181_matryoshka_ann" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val scored = emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("sim16", VectorFunctions.vecCosine(
+          slice(col("embedding"), 1, 16), slice(col("qv"), 1, 16)))
+        .withColumn("sim64",
+          VectorFunctions.vecCosine(col("embedding"), col("qv")))
+      val w16 = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim16").desc, col("vec_id"))
+      val w64 = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim64").desc, col("vec_id"))
+      val ranked = scored
+        .withColumn("r16", row_number().over(w16))
+        .withColumn("r64", row_number().over(w64))
+      ranked.filter(col("r16") <= 5)
+        .select(col("query_id"), col("r16").cast("long").as("rank"),
+          col("vec_id"), round(col("sim16"), 6).as("sim16"),
+          (col("r64") <= 5).as("in_full_top5"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // E56: multimodal column — struct(text payload as opaque binary,
     // typed metadata, embedding); scalar projections for the oracle.
     "q56_multimodal" -> ((s, d) => {
@@ -902,6 +934,31 @@ object TextQueries {
         |LEFT JOIN contaminated co ON s.lang = co.lang
         |WHERE s.split = 'test'
         |GROUP BY s.lang ORDER BY s.lang""".stripMargin,
+
+    "q181_matryoshka_ann" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id < 3
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_cosine_similarity(
+        |      list_transform(e.embedding[1:16], x -> CAST(x AS DOUBLE)),
+        |      q.qv[1:16]) AS sim16,
+        |    list_cosine_similarity(
+        |      list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv) AS sim64
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+        |), ranked AS (
+        |  SELECT query_id, vec_id, sim16,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim16 DESC, vec_id) AS r16,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim64 DESC, vec_id) AS r64
+        |  FROM scored
+        |)
+        |SELECT query_id, r16 AS rank, vec_id, round(sim16, 6) AS sim16,
+        |  (r64 <= 5) AS in_full_top5
+        |FROM ranked WHERE r16 <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q56_multimodal" ->
       """SELECT d.doc_id,

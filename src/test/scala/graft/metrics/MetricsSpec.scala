@@ -297,6 +297,17 @@ class MetricsSpec extends AnyFunSuite {
           series.contains(""""data":[{"user_id":"1","event_type":"cpu"}]"""))
         val (bc, err) = get(srv.boundPort, "/api/v1/label/nope/values")
         assert(bc == 400 && err.contains("unknown label"))
+        // limit param (upstream): caps the list; 0 = unlimited
+        val (l1, lim1) = get(srv.boundPort, "/api/v1/label/event_type/values?limit=1")
+        assert(l1 == 200 && lim1.contains("""["cpu"]"""))
+        val (l0, lim0) = get(srv.boundPort, "/api/v1/labels?limit=0")
+        assert(l0 == 200 && lim0.contains("\"user_id\""))
+        // query_range with stats=all carries data.stats
+        val (qc, qr) = get(srv.boundPort,
+          "/api/v1/query_range?query=cpu&start=2024-01-01T10:00:00Z" +
+            "&end=2024-01-01T10:05:00Z&step=5m&stats=all")
+        assert(qc == 200 && qr.contains(""""totalQueryableSamples""""))
+        assert(qr.count(_ == '{') == qr.count(_ == '}'))
         // duration parsing: compound forms work, sub-second steps refuse
         assert(MetricsServer.parseDurationSec("1h30m") == 5400L)
         assert(MetricsServer.parseDurationSec("90s") == 90L)
