@@ -317,19 +317,53 @@ object QueryFrontend {
                        endTs: String, stepSec: Long, shards: Int,
                        lookbackSec: Long = 300L): DataFrame = {
     require(shards > 0, "shards must be positive")
-    val ast = parse(query) match {
+    parse(query) match {
       case a @ AggBy(fn, _, child, _) =>
         require(Set("sum", "count", "min", "max", "avg")(fn),
           s"aggregation '$fn' is not shardable")
         require(seriesLocal(child),
           s"inner expression is not series-local, cannot shard: $child")
-        a
+        shardedAgg(src, a, startTs, endTs, stepSec, shards, lookbackSec)
+      // topk/bottomk merge EXACTLY: every member of the global top-k is
+      // in its own shard's top-k, so re-ranking the union of per-shard
+      // partials reproduces the direct ranking (ties resolved by the
+      // same label total order both times)
+      case t @ TopK(_, _, child, _) =>
+        require(seriesLocal(child),
+          s"inner expression is not series-local, cannot shard: $child")
+        shardedTopK(src, t, startTs, endTs, stepSec, shards, lookbackSec)
       case other => throw new IllegalArgumentException(
         s"only a top-level aggregation is shardable, got: $other")
     }
-    val shardCol = pmod(hash(src.seriesKey.map(col): _*), lit(shards))
+  }
+
+  private def shardCol(src: PromSource, shards: Int): Column =
+    pmod(hash(src.seriesKey.map(col): _*), lit(shards))
+
+  private def shardedTopK(src: PromSource, ast: TopK, startTs: String,
+                          endTs: String, stepSec: Long, shards: Int,
+                          lookbackSec: Long): DataFrame = {
+    val sc = shardCol(src, shards)
+    val parts = (0 until shards).map { s =>
+      evalRange(src.copy(df = src.df.filter(sc === s)),
+        PromQlFormat.format(ast), startTs, endTs, stepSec, lookbackSec)
+    }.reduce(_.unionByName(_))
+    // re-rank the union of partials with the SAME total order the
+    // engine's topk uses: value desc (asc for bottomk), ties on every
+    // non-value label column
+    val tieCols = parts.columns
+      .filterNot(c => c == "value" || c == "rank" || ast.by.contains(c)).toSeq
+    PromQl.topk(parts.drop("rank"), ast.k, ast.by :+ "step_ts", "value",
+        tieCols.filterNot(_ == "step_ts"), asc = ast.bottom)
+      .select(parts.columns.map(col): _*)
+  }
+
+  private def shardedAgg(src: PromSource, ast: AggBy, startTs: String,
+                         endTs: String, stepSec: Long, shards: Int,
+                         lookbackSec: Long): DataFrame = {
+    val sCol = shardCol(src, shards)
     def shardEval(fn: String, s: Int): DataFrame =
-      evalRange(src.copy(df = src.df.filter(shardCol === s)),
+      evalRange(src.copy(df = src.df.filter(sCol === s)),
         PromQlFormat.format(ast.copy(fn = fn)), startTs, endTs, stepSec,
         lookbackSec)
     def merged(fn: String, merge: Column => Column): DataFrame = {

@@ -88,15 +88,20 @@ class QueryFrontendSpec extends AnyFunSuite {
     assertShardedEqDirect("sum by (event_type) (rate(purchase[6h]))", 1)
   }
 
+  test("sharded topk/bottomk ≡ direct (partial top-k merge is exact)") {
+    assertShardedEqDirect("topk(3, rate(purchase[6h]))", 4)
+    assertShardedEqDirect("bottomk(2, avg_over_time(click[6h]))", 3)
+  }
+
   test("non-shardable shapes fail loudly") {
     def bad(q: String) = intercept[IllegalArgumentException] {
       QueryFrontend.evalRangeSharded(src, q,
         "2024-01-14 00:00:00", "2024-01-14 06:00:00", 10800L, 2)
     }
     bad("rate(purchase[6h])")                       // no top-level agg
-    bad("topk(3, purchase)")                        // not a mergeable agg
     bad("stddev by (event_type) (purchase)")        // non-linear merge
     bad("sum(sum by (user_id) (purchase))")         // nested aggregation
+    bad("topk(3, sum by (user_id) (purchase))")     // nested under topk
     bad("sum(purchase + on(user_id, event_type) login)") // vector-vector
   }
 
