@@ -157,10 +157,15 @@ final class MetricsServer(observed: Observed, port: Int = 0,
       val colName = if (name == "__name__") src.metricCol else name
       require(src.seriesKey.contains(colName) || colName == src.metricCol,
         s"unknown label: $name")
-      val rows = MetricsServer.collectCapped(
-        src.df.select(col(colName).cast("string").as("v"))
-          .filter(col("v").isNotNull) // a NULL label value is "unset", not a value
-          .distinct().orderBy(col("v")), maxResultRows)
+      val distinctVals = src.df.select(col(colName).cast("string").as("v"))
+        .filter(col("v").isNotNull) // a NULL label value is "unset", not a value
+        .distinct().orderBy(col("v"))
+      // Push `limit` into the PLAN (upstream truncates to the limit): a
+      // label whose distinct count exceeds maxResultRows must still serve
+      // a small-limit request instead of throwing ResultTooLarge.
+      val capped = params.get("limit").map(_.toInt).filter(_ > 0)
+        .map(distinctVals.limit).getOrElse(distinctVals)
+      val rows = MetricsServer.collectCapped(capped, maxResultRows)
       val vals = MetricsServer.applyLimit(
         rows.toSeq.map(r => "\"" + MetricsServer.jsonEscape(r.getString(0)) + "\""),
         params)

@@ -220,8 +220,13 @@ object AnomalyQueries {
       val train = hourly
         .filter(col("h") < lit("2024-01-15").cast("timestamp"))
         .groupBy(col("event_type"), col("hod"))
+        // cnt² through DECIMAL: long*long wraps silently in non-ANSI
+        // Spark once an hourly count passes ~3.04e9 (plausible at the
+        // 100 TB posture) while DuckDB promotes — decimal keeps the
+        // second moment exact and identical in both engines.
         .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
-          sum(col("cnt") * col("cnt")).as("ss"))
+          sum(col("cnt").cast("decimal(19,0)") *
+            col("cnt").cast("decimal(19,0)")).as("ss"))
         .withColumn("mu", mu)
         .withColumn("sigma",
           sqrt(col("ss").cast("double") / col("n") - mu * mu))
@@ -255,7 +260,9 @@ object AnomalyQueries {
       val mu = col("sm").cast("double") / col("n")
       val stats = hourly.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("cnt")).as("sm"),
-          sum(col("cnt") * col("cnt")).as("ss"))
+          // decimal second moment — same wrap-guard as q177
+          sum(col("cnt").cast("decimal(19,0)") *
+            col("cnt").cast("decimal(19,0)")).as("ss"))
         .withColumn("mu", mu)
         .withColumn("sigma",
           sqrt(col("ss").cast("double") / col("n") - mu * mu))
@@ -471,7 +478,8 @@ object AnomalyQueries {
         |  FROM events GROUP BY 1, 2
         |), train AS (
         |  SELECT event_type, extract(hour FROM h) AS hod,
-        |    count(*) AS n, sum(cnt) AS s, sum(cnt * cnt) AS ss
+        |    count(*) AS n, sum(cnt) AS s,
+        |    sum(CAST(cnt AS DECIMAL(19,0)) * CAST(cnt AS DECIMAL(19,0))) AS ss
         |  FROM hourly WHERE h < TIMESTAMP '2024-01-15' GROUP BY 1, 2
         |), prof AS (
         |  SELECT event_type, hod,
@@ -500,7 +508,7 @@ object AnomalyQueries {
         |  FROM events GROUP BY 1, 2
         |), stats AS (
         |  SELECT event_type, count(*) AS n, sum(cnt) AS sm,
-        |    sum(cnt * cnt) AS ss
+        |    sum(CAST(cnt AS DECIMAL(19,0)) * CAST(cnt AS DECIMAL(19,0))) AS ss
         |  FROM hourly GROUP BY 1
         |), st AS (
         |  SELECT event_type, CAST(sm AS DOUBLE) / n AS mu,

@@ -72,8 +72,11 @@ object Otlp {
     dps.select(
       col("metric"), col("kind"), col("monotonic"), col("job"),
       attrMap(col("dp.attributes")).as("attrs"),
-      timestamp_micros((col("dp.timeUnixNano").cast("long") / 1000L)
-        .cast("long")).as("ts"),
+      // Integral `div`, never `/`: Column `/` is DOUBLE division, and
+      // 2024-era nanosecond epochs exceed 2^53, so a double hop silently
+      // rounds ~1.5% of µs values to N-1 (e.g. µs ≡ 16 mod 64).
+      timestamp_micros(expr("cast(dp.timeUnixNano as long) div 1000"))
+        .as("ts"),
       coalesce(col("dp.asDouble"), col("dp.asInt").cast("double")).as("value"))
   }
 

@@ -86,20 +86,26 @@ object Pq {
     require(query.length == subD * m, "query dim mismatch")
     def l2sq(a: Seq[Float], b: Seq[Float]): Double =
       a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
-    // lut(sub)(code) = d²(query_sub, centroid)
-    val lut: Map[Int, Array[Double]] = cents.groupBy(_._1).map {
+    // lut(sub): centroid_id → d²(query_sub, centroid). Keyed by ID, not
+    // array position: a centroid left empty by the Lloyd step makes IDs
+    // non-contiguous, and a positional table would then read the wrong
+    // centroid's distance for every code above the gap.
+    val lut: Map[Int, Map[Long, Double]] = cents.groupBy(_._1).map {
       case (sub, cs) =>
         val q = query.slice(sub * subD, (sub + 1) * subD)
-        sub -> cs.sortBy(_._2).map(c => l2sq(q, c._3)).toArray
+        sub -> cs.map(c => c._2 -> l2sq(q, c._3)).toMap
     }
     val tables = array((0 until m).map(sub =>
-      typedlit(lut(sub).toSeq)): _*)
+      typedlit(lut(sub))): _*)
     val dist = aggregate(
       zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
         (code, sub) => element_at(element_at(tables, sub + 1),
-          code.cast("int") + 1)),
+          code.cast("long"))),
       lit(0.0), (acc, d) => acc + d)
     encoded.withColumn("adc_dist", dist)
+      // A code absent from the codebook yields a null distance, which an
+      // ascending sort would rank FIRST — drop it rather than pollute top-N.
+      .filter(col("adc_dist").isNotNull)
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(topN)
   }
