@@ -216,12 +216,16 @@ object QueryFrontend {
 
     def getOrCompute(spark: org.apache.spark.sql.SparkSession, k: String)
                     (compute: => DataFrame): DataFrame = {
-      val path = s"$dir/$k"
-      if (new java.io.File(s"$path/_SUCCESS").exists())
-        spark.read.parquet(path)
+      // Hadoop FS API, not java.io.File: the cache dir may be any
+      // cluster-visible URI (hdfs://, s3a://, file:/) — a driver-local
+      // File check would read every scheme as cold and re-write forever.
+      val path = new org.apache.hadoop.fs.Path(dir, k)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+        spark.read.parquet(path.toString)
       else {
-        compute.write.mode("overwrite").parquet(path)
-        spark.read.parquet(path)
+        compute.write.mode("overwrite").parquet(path.toString)
+        spark.read.parquet(path.toString)
       }
     }
   }
@@ -303,6 +307,13 @@ object QueryFrontend {
     * vector `sum`/`avg` round each sample to 6 dp and sum as
     * DECIMAL(18,6), so shard partials are exact decimals and decimal
     * addition is associative — merged ≡ unsharded, hash-provable.
+    * Exactness bound: each shard partial crosses one double-typed hop
+    * (`evalRange`'s `value` column) before the decimal merge, so the
+    * merged ≡ unsharded identity holds while every per-shard partial
+    * stays below 2^53 in 6-dp units (|partial| < ~9.0e9) — above that
+    * the partial itself is no longer representable and the claim
+    * degrades to double-precision, same as the unsharded path's output
+    * type. Lifting it would need evalRange to emit DECIMAL end-to-end.
     * `count` merges by summing integer partials, `min`/`max` by
     * min/max; `avg` is rewritten to merged-sum / merged-count (the
     * Mimir rewrite). Anything non-shardable fails loudly.

@@ -344,17 +344,21 @@ object TextQueries {
     // the corpus-size scalar rides in as a broadcast, not a driver count.
     "q75_tfidf" -> ((s, d) => {
       // len_d rides through the explode (functionally dependent on doc_id,
-      // so adding it to the tf grouping key is free), and df_t comes from a
-      // count-over-tok window on tf — which is already (doc, term) distinct
-      // — instead of a second explode + distinct + join. 11 → 6 shuffles.
+      // so adding it to the tf grouping key is free). df_t is a KEYED agg
+      // over tf (already (doc, term) distinct) joined back on tok — not a
+      // count-over-tok window: a window agg gets no map-side partial
+      // aggregation, so a hot stopword's every (doc, term) row would land
+      // on one task at scale, while groupBy keeps the partial-agg path
+      // and is skew-safe.
       val tok = docsWithTokens(s, d)
         .select(col("lang"), col("doc_id"), size(col("toks")).as("len_d"),
           explode(col("toks")).as("tok"))
       val tf = tok.groupBy(col("lang"), col("doc_id"), col("len_d"), col("tok"))
         .agg(count(lit(1)).as("n_td"))
+      val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df_t"))
       val ndocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
       val contrib = tf
-        .withColumn("df_t", count(lit(1)).over(Window.partitionBy(col("tok"))))
+        .join(dfT, Seq("tok"))
         .crossJoin(broadcast(ndocs))
         .withColumn("tfidf", round(
           col("n_td").cast("double") / col("len_d").cast("double") *
@@ -488,28 +492,38 @@ object TextQueries {
     // `in_full_top5` marker against the 64-dim ranking — the recall
     // face is IN the result, cross-engine hashed. Same broadcast-q
     // cross-join shape as q51; at scale the truncated pass reads a
-    // quarter of the vector bytes.
+    // quarter of the vector bytes. Each ranking is its own SINGLE-rank
+    // window + filter so Spark's WindowGroupLimit pushdown caps every
+    // partition at 5 rows before the sort — two rankings in ONE window
+    // would defeat the pushdown and full-sort the corpus per query —
+    // then the 64-dim top-5 id set (k·|q| rows) joins the marker on.
     "q181_matryoshka_ann" -> ((s, d) => {
       val emb = embeddings(s, d)
       val q = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val scored = emb.crossJoin(broadcast(q))
+      val base = emb.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("sim16", VectorFunctions.vecCosine(
-          slice(col("embedding"), 1, 16), slice(col("qv"), 1, 16)))
-        .withColumn("sim64",
-          VectorFunctions.vecCosine(col("embedding"), col("qv")))
       val w16 = Window.partitionBy(col("query_id"))
         .orderBy(col("sim16").desc, col("vec_id"))
+      val top16 = base
+        .withColumn("sim16", VectorFunctions.vecCosine(
+          slice(col("embedding"), 1, 16), slice(col("qv"), 1, 16)))
+        .withColumn("r16", row_number().over(w16))
+        .filter(col("r16") <= 5)
       val w64 = Window.partitionBy(col("query_id"))
         .orderBy(col("sim64").desc, col("vec_id"))
-      val ranked = scored
-        .withColumn("r16", row_number().over(w16))
+      val top64 = base
+        .withColumn("sim64",
+          VectorFunctions.vecCosine(col("embedding"), col("qv")))
         .withColumn("r64", row_number().over(w64))
-      ranked.filter(col("r16") <= 5)
+        .filter(col("r64") <= 5)
+        .select(col("query_id").as("q64"), col("vec_id").as("v64"))
+      top16.join(broadcast(top64),
+          col("query_id") === col("q64") && col("vec_id") === col("v64"),
+          "left")
         .select(col("query_id"), col("r16").cast("long").as("rank"),
           col("vec_id"), round(col("sim16"), 6).as("sim16"),
-          (col("r64") <= 5).as("in_full_top5"))
+          col("v64").isNotNull.as("in_full_top5"))
         .orderBy(col("query_id"), col("rank"))
     }),
 

@@ -108,7 +108,9 @@ class QueryFrontendSpec extends AnyFunSuite {
   test("results cache: warm ≡ cold ≡ direct; cached chunks never rescan") {
     val q = "sum without (user_id) (rate(purchase[6h]))"
     val (start, end) = ("2024-01-14 00:00:00", "2024-01-15 00:00:00")
-    val cache = new QueryFrontend.ResultsCache(
+    // explicit file:/ URI — pins the serving path to the Hadoop FS API
+    // (a java.io.File check would misread any scheme'd URI as cold)
+    val cache = new QueryFrontend.ResultsCache("file:" +
       java.nio.file.Files.createTempDirectory("rescache_spec").toString)
     val direct = rows(PromQlParser.evalRange(src, q, start, end, 10800L))
     val cold = rows(QueryFrontend.evalRangeSplitCached(src, q, start, end,
@@ -116,7 +118,10 @@ class QueryFrontendSpec extends AnyFunSuite {
     assert(cold == direct)
     // grid 00:00..24:00 step 3h = 9 instants over 5 absolute 6h chunks;
     // the last chunk (holding only the 24:00 instant) stays uncached
-    assert(new java.io.File(cache.dir).listFiles().count(_.isDirectory) == 4)
+    val cacheRoot = new org.apache.hadoop.fs.Path(cache.dir)
+    val fs = cacheRoot.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(cacheRoot).count(_.isDirectory) == 4)
     val warm = rows(QueryFrontend.evalRangeSplitCached(src, q, start, end,
       10800L, 21600L, cache, "ev"))
     assert(warm == direct)

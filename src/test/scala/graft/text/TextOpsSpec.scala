@@ -294,4 +294,17 @@ class TextOpsSpec extends AnyFunSuite {
     assert(droppedIds.subsetOf(globalDups),
       s"invented drops: ${droppedIds -- globalDups}")
   }
+
+  test("q181 both rankings keep WindowGroupLimit pushdown (scale-true MRL)") {
+    // Two rankings in ONE window node would defeat Spark's group-limit
+    // pushdown and full-sort the corpus per query partition; the split
+    // shape must show a WindowGroupLimit above EACH ranking branch.
+    val df = graft.SparkEntry.queries("q181_matryoshka_ann")(
+      spark, graft.TestSpark.SF)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    val n = "WindowGroupLimit".r.findAllIn(plan).length
+    assert(n >= 2, s"expected >=2 WindowGroupLimit nodes, got $n:\n" +
+      plan.take(3000))
+  }
 }
