@@ -57,17 +57,35 @@ object BenchAudit {
     numericFields(root)
   }
 
-  /** Per-query medians + the worse of the two probe samples from
-    * `bench_full.json` (probe is None for a pre-probe-era artifact). */
+  /** Per-query medians + the worst probe sample from `bench_full.json`
+    * (probe is None for a pre-probe-era artifact). Reads the interleaved
+    * `probe.samples` array when present (round-11 artifacts) so mid-run
+    * load is judged too, falling back to the start/end bracket. */
   def parseBenchFull(text: String): (Map[String, Double], Option[Double]) = {
     val root = parseJson(text, benchCurrentPath)
     val queries = Option(root.get("queries")).filter(_.isObject)
       .map(numericFields).getOrElse(Map.empty[String, Double])
     val probe = Option(root.get("probe")).filter(_.isObject).flatMap { p =>
-      val vals = Seq("start", "end").flatMap(k => Option(p.get(k)).filter(_.isNumber).map(_.asDouble()))
+      val interleaved = Option(p.get("samples")).filter(_.isArray)
+        .map(_.asScala.toSeq.filter(_.isNumber).map(_.asDouble())).getOrElse(Nil)
+      val vals = interleaved ++
+        Seq("start", "end").flatMap(k => Option(p.get(k)).filter(_.isNumber).map(_.asDouble()))
       if (vals.isEmpty) None else Some(vals.max)
     }
     (queries, probe)
+  }
+
+  /** Round-11 self-defense extras from `bench_full.json`: per-query
+    * MIN-of-reps and the suspect list (queries whose rep spread exceeded
+    * 3× — some reps ran under load). Both empty for older artifacts. */
+  def parseBenchExtras(text: String): (Map[String, Double], Set[String]) = {
+    val root = parseJson(text, benchCurrentPath)
+    val mins = Option(root.get("mins")).filter(_.isObject)
+      .map(numericFields).getOrElse(Map.empty[String, Double])
+    val suspect = Option(root.get("suspect")).filter(_.isArray)
+      .map(_.asScala.toSeq.filter(_.isTextual).map(_.asText()).toSet)
+      .getOrElse(Set.empty[String])
+    (mins, suspect)
   }
 
   private def readFile(path: String): Option[String] =
@@ -156,15 +174,23 @@ object BenchAudit {
     // of identical code were measured at ~2× spread with a quiet probe
     // (s61 1.95 s → 6.9 s within one session, round 9).
     // On a contaminated run these are informational — the probe already
-    // proved the clock, not the code, is at fault.
-    benchNow.foreach { case (q, t) =>
+    // proved the clock, not the code, is at fault. A SUSPECT query (rep
+    // spread >3× — some reps hit load the probes missed) gates on its
+    // MIN-of-reps: the quiet rep measures the code, the median measures
+    // the box.
+    val (benchMins, benchSuspect) = readFile(benchCurrentPath)
+      .map(parseBenchExtras).getOrElse((Map.empty[String, Double], Set.empty[String]))
+    benchNow.foreach { case (q, t0) =>
       benchBase.get(q).foreach { b =>
+        val suspect = benchSuspect.contains(q)
+        val t = if (suspect) benchMins.getOrElse(q, t0) else t0
         val factor = if (q.startsWith("s")) 3.0 else 2.0
+        val tag = if (suspect) ", min-of-reps (suspect spread)" else ""
         if (t > factor * b && t - b > 0.5) {
-          if (contaminated) notes += f"$q: wall time $b%.2fs -> $t%.2fs (>${factor}%.0fx, contaminated run)"
-          else failures += f"$q: wall time $b%.2fs -> $t%.2fs (>${factor}%.0fx drift)"
+          if (contaminated) notes += f"$q: wall time $b%.2fs -> $t%.2fs (>${factor}%.0fx, contaminated run$tag)"
+          else failures += f"$q: wall time $b%.2fs -> $t%.2fs (>${factor}%.0fx drift$tag)"
         } else if (b > 2 * t && b - t > 0.5)
-          notes += f"$q: wall time $b%.2fs -> $t%.2fs (improved)"
+          notes += f"$q: wall time $b%.2fs -> $t%.2fs (improved$tag)"
       }
     }
 

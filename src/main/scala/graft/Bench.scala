@@ -35,10 +35,24 @@ object Bench {
   /** The self-defense verdict stamped into the artifact: "true" when the
     * worse probe sample exceeds 1.5× its recorded clean cost (the box was
     * loaded — wall times are suspect), "false" when within it, "null"
-    * when no baseline exists to judge against. */
+    * when no baseline exists to judge against. The samples now include
+    * INTERLEAVED mid-suite probes (every ~30 queries), because round 10
+    * proved sustained mid-run load can arrive and leave entirely between
+    * two endpoint probes: the driver artifact stamped itself clean while
+    * 14 queries read >2× on identical code. */
   def loadVerdict(probeWorst: Double, base: Option[Double]): String = base match {
     case Some(b) if b > 0 => if (probeWorst > 1.5 * b) "true" else "false"
     case _ => "null"
+  }
+
+  /** Per-query load-suspicion stamp: a rep spread (max/min) above 3× on
+    * identical code is load/GC, not plan cost — round 10's q152 read reps
+    * [11.3, 8.1, 1.4]. Suspect queries are listed in the artifact and
+    * BenchAudit gates their drift on MIN-of-reps (the one rep that ran on
+    * a quiet slice) instead of the load-inflated median. */
+  def suspectSpread(times: Seq[Double]): Boolean = {
+    val mn = times.min
+    mn > 0 && times.max / mn > 3.0
   }
 
   def main(args: Array[String]): Unit = {
@@ -71,9 +85,16 @@ object Bench {
       q.processAllAvailable(); q.stop()
     } catch { case _: Throwable => () }
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0 // Double.toString is locale-safe
-    // Calibration probe brackets the suite (load can arrive mid-run; two
-    // samples catch sustained load at either end).
+    // Calibration probes bracket AND interleave the suite: endpoint-only
+    // bracketing is blind to load that arrives and leaves mid-run (the
+    // round-10 gap), so a probe sample lands every `probeEvery` queries
+    // too. ~0.6 s per sample × ~6 interior samples ≈ 4 s on a ~100 s
+    // suite — cheap insurance that the artifact can indict itself.
+    val probeEvery =
+      sys.env.getOrElse("SPARK_GRAFT_PROBE_EVERY", "30").toInt.max(1)
+    val probeSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
     val probeStart = r3(probeSec(spark))
+    probeSamples += probeStart
     // Sorted execution order: Map iteration order varies run-to-run, which
     // moves cache/JIT effects between queries and inflates variance.
     //
@@ -91,7 +112,9 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val perRep = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
+      .zipWithIndex
+      .map { case ((name, fn), i) =>
+      if (i > 0 && i % probeEvery == 0) probeSamples += r3(probeSec(spark))
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -102,13 +125,20 @@ object Bench {
       name -> times
     }
     val probeEnd = r3(probeSec(spark))
+    probeSamples += probeEnd
     val results = perRep.map { case (n, ts) => n -> ts.sorted.apply(ts.length / 2) }.toMap
-    // Self-defense verdict: compare the worse of the two probe samples to
-    // the committed baseline. >1.5× = contaminated (stamped in BOTH the
-    // full dump and the driver-captured line); no baseline = null.
+    // Self-defense verdict: compare the WORST of all probe samples
+    // (endpoints + interleaved) to the committed baseline. >1.5× =
+    // contaminated (stamped in BOTH the full dump and the driver-captured
+    // line); no baseline = null.
     val probeBasePath = sys.env.getOrElse("SPARK_GRAFT_PROBE_BASE", "/root/repo/tools/bench_baseline.json")
-    val loadFlag = loadVerdict(math.max(probeStart, probeEnd),
+    val loadFlag = loadVerdict(probeSamples.max,
       baselineProbe(probeBasePath))
+    // Per-query suspicion: reps spreading >3× mean SOME reps ran under
+    // load even if every probe read quiet — the second self-defense axis.
+    val suspects = perRep.collect {
+      case (n, ts) if reps > 1 && suspectSpread(ts) => n
+    }.sorted
     // The driver keeps only a ~2000-char tail of this process's output, so
     // the printed JSON line must stay well under that or the leading
     // {"metric"... gets truncated and the line never parses (this is what
@@ -116,14 +146,20 @@ object Bench {
     // verdict, plus the 15 slowest queries — and write the full per-query
     // map (medians AND per-rep spreads) to a file.
     val total = r3(if (results.nonEmpty) results.values.sum else 0.0)
-    val probeJson = s""""probe":{"start":$probeStart,"end":$probeEnd},"contaminated":$loadFlag"""
+    val probeJson = s""""probe":{"start":$probeStart,"end":$probeEnd,""" +
+      s""""samples":[${probeSamples.map(r3).mkString(",")}]},""" +
+      s""""contaminated":$loadFlag,"n_suspect":${suspects.size}"""
     val medianJson = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val repsJson = perRep
       .map { case (k, ts) => "\"" + k + "\":[" + ts.map(r3).mkString(",") + "]" }
       .mkString("{", ",", "}")
+    val minsJson = perRep
+      .map { case (k, ts) => "\"" + k + "\":" + r3(ts.min) }
+      .mkString("{", ",", "}")
+    val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",$probeJson,"queries":$medianJson,"reps":$repsJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",$probeJson,"queries":$medianJson,"reps":$repsJson,"mins":$minsJson,"suspect":$suspectJson}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json")
     // On write failure advertise "full":null (and delete any stale file
     // first) so a consumer never reads a previous run's dump as current.
