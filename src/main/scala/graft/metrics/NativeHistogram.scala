@@ -327,4 +327,153 @@ object NativeHistogram {
   def histogramStddev(schemaCol: Column = col("schema"),
                       meanCol: Option[Column] = None): Column =
     sqrt(histogramStdvar(schemaCol, meanCol))
+
+  // ---------- NHCB: native histograms with custom buckets (3.x) --------
+
+  /** Prometheus 3.x "custom buckets" schema marker (upstream
+    * `histogram.CustomBucketsSchema = -53`): the histogram's buckets are
+    * defined by an explicit sorted bound array instead of the exponential
+    * formula. This is what `convert_classic_histograms_to_nhcb` scrapes
+    * classic le-bucket families INTO — exactly the data shape of the
+    * reference's `Histogram` metric (`metrics/_metrics.py:71`, the A5
+    * path) — so the classic surface gains native-histogram storage,
+    * merge, and quantiles without changing a single scrape target. */
+  val CustomBucketSchema: Int = -53
+
+  /** NHCB bucket layout: `custom_values` holds the FINITE classic `le`
+    * bounds ascending; positive bucket idx i (0-based) covers
+    * (custom_values(i-1), custom_values(i)], idx 0 covers
+    * (-Inf, custom_values(0)], and idx = size(custom_values) is the
+    * +Inf overflow bucket. `pos` stays the sparse (idx, cnt) array the
+    * exponential family uses; `neg`/zero bucket are unused (classic
+    * histograms are one-sided by construction). */
+
+  /** DENSE classic cumulative buckets: one row per (group, le) for EVERY
+    * declared bound (+Inf included), zero-count buckets present — the
+    * scrape-exposition shape (a classic exposition always carries its
+    * full bucket list). `MetricRegistry.histogram` emits only populated
+    * buckets, which is fine for serving but NOT for NHCB conversion:
+    * custom_values derived from populated-only rows would differ between
+    * shards and poison the identical-layout merge rule. One keyed
+    * aggregation (a conditional-sum per bound — cumulative counts are
+    * `count(v <= bound)` directly), then an in-row unpivot; no window,
+    * no per-sample explode. */
+  def classicCumulativeDense(df: DataFrame, groupCols: Seq[String],
+                             value: String,
+                             buckets: Seq[Double]): DataFrame = {
+    val all = buckets.sorted :+ Double.PositiveInfinity
+    val aggs = all.zipWithIndex.map { case (b, i) =>
+      sum(when(col(value) <= b, 1L).otherwise(0L)).cast("double").as(s"__c$i")
+    }
+    val g = df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val pairs = all.zipWithIndex.map { case (b, i) =>
+      struct(lit(b).as("le"), col(s"__c$i").as("cum"))
+    }
+    g.select(groupCols.map(col) :+ explode(array(pairs: _*)).as("__p"): _*)
+      .select(groupCols.map(col) :+ col("__p.le").as("le") :+
+        col("__p.cum").as("cum_count"): _*)
+  }
+
+  /** Convert CLASSIC cumulative le-bucket rows — one row per (group, le)
+    * with le ascending and including the +Inf bucket, the exact output
+    * shape of `MetricRegistry.histogram` — into one NHCB row per group:
+    * `(group…, schema=-53, count, custom_values, pos)`. The upstream
+    * scrape-time conversion (`convert_classic_histograms_to_nhcb`):
+    * de-cumulate adjacent bounds, drop empty buckets (sparse), keep the
+    * finite bounds as custom_values, total = the +Inf cumulative count.
+    *
+    * ONE keyed aggregation: the per-group bucket list is model-sized
+    * (|bounds|+1 entries), so collect_list + in-array adjacent
+    * differences beat a lag-window (same shuffle key, no second sort
+    * pass); everything after the agg is pure column math in codegen. */
+  def fromClassicCumulative(df: DataFrame, groupCols: Seq[String],
+                            leCol: String = "le",
+                            cumCol: String = "cum_count"): DataFrame = {
+    val g = df.groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(
+        col(leCol).cast("double").as("le"),
+        col(cumCol).cast("double").as("cum")))).as("__b"))
+    val decum = transform(col("__b"), (b, i) => struct(
+      i.as("idx"),
+      b.getField("le").as("le"),
+      (b.getField("cum") - when(i === 0, lit(0.0))
+        .otherwise(element_at(col("__b"), i).getField("cum"))).as("cnt")))
+    g.select(
+      (groupCols.map(col) :+
+        lit(CustomBucketSchema).as("schema") :+
+        element_at(col("__b"), size(col("__b"))).getField("cum").as("count") :+
+        filter(transform(col("__b"), b => b.getField("le")),
+          le => !isnan(le) && le =!= Double.PositiveInfinity)
+          .as("custom_values") :+
+        transform(filter(decum, b => b.getField("cnt") > 0), b =>
+          struct(b.getField("idx").cast("int").as("idx"),
+            b.getField("cnt").as("cnt"))).as("pos")): _*)
+  }
+
+  /** `sum()` over NHCB histograms. Upstream merges custom-bucket
+    * histograms only when their bound arrays are IDENTICAL (mismatched
+    * layouts cannot be rescaled like exponential schemas can) — a mixed
+    * group fails LOUDLY here rather than emitting a silently wrong
+    * layout. Shuffles bucket rows only, keyed by the output group. */
+  def mergeCustom(df: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val keys = groupCols.map(col)
+    val scalars = df.groupBy(keys: _*)
+      .agg(collect_set(col("custom_values")).as("__cvs"),
+        sum(col("count")).as("count"))
+      .withColumn("custom_values",
+        when(size(col("__cvs")) > 1, raise_error(concat(lit(
+          "NHCB merge: mismatched custom bucket layouts in group "),
+          to_json(struct(keys: _*)))))
+          .otherwise(element_at(col("__cvs"), 1)))
+      .drop("__cvs")
+    val buckets = df
+      .select(keys :+ explode(col("pos")).as("__b"): _*)
+      .groupBy((keys :+ col("__b.idx").as("__idx")): _*)
+      .agg(sum(col("__b.cnt")).as("__cnt"))
+      .groupBy(keys: _*)
+      .agg(sort_array(collect_list(
+        struct(col("__idx").as("idx"), col("__cnt").as("cnt")))).as("pos"))
+    scalars.join(buckets, groupCols, "left")
+      .withColumn("schema", lit(CustomBucketSchema))
+      .withColumn("pos", coalesce(col("pos"),
+        array().cast("array<struct<idx:int,cnt:double>>")))
+  }
+
+  /** `histogram_quantile(φ)` over an NHCB row — upstream's CLASSIC
+    * interpolation rules (promql `bucketQuantile`), which NHCB inherits:
+    * linear interpolation inside the hit bucket; a hit in the first
+    * bucket interpolates from lower bound 0 when its upper bound is
+    * positive and returns the upper bound itself otherwise; a hit in
+    * the +Inf overflow bucket returns the highest finite bound. All
+    * arithmetic is on exact bound literals and integer-valued counts,
+    * so both engines derive bit-identical doubles. */
+  def nhcbQuantile(phi: Double): Column = {
+    val cv = col("custom_values")
+    val nFinite = size(cv)
+    val r = lit(phi) * col("count")
+    val folded = aggregate(
+      col("pos"),
+      struct(lit(0.0).as("cum"), lit(null).cast("double").as("res")),
+      (acc, b) => {
+        val hit = acc.getField("res").isNull &&
+          (acc.getField("cum") + b.getField("cnt") >= r)
+        val isInf = b.getField("idx") >= nFinite
+        val upper = when(isInf, lit(Double.PositiveInfinity))
+          .otherwise(element_at(cv, b.getField("idx") + 1))
+        val lower = when(b.getField("idx") === 0, lit(0.0))
+          .otherwise(element_at(cv, b.getField("idx")))
+        val v = when(isInf, element_at(cv, nFinite))
+          .when(b.getField("idx") === 0 && upper <= 0, upper)
+          .otherwise(lower + (upper - lower) *
+            ((r - acc.getField("cum")) / b.getField("cnt")))
+        struct(
+          (acc.getField("cum") + b.getField("cnt")).as("cum"),
+          when(hit, v).otherwise(acc.getField("res")).as("res"))
+      },
+      acc => acc.getField("res"))
+    when(lit(phi) < 0, lit(Double.NegativeInfinity))
+      .when(lit(phi) > 1, lit(Double.PositiveInfinity))
+      .when(col("count") === 0 || nFinite === 0, lit(Double.NaN))
+      .otherwise(folded)
+  }
 }

@@ -180,6 +180,40 @@ object NativeHistogramQueries {
         .join(one(s"histogram_count(increase($sel[24h]))", v.cast("long"), "n_inc"), "event_type")
         .join(one(s"histogram_quantile(0.9, rate($sel[24h]))", round(v, 6), "p90_rate"), "event_type")
         .orderBy(col("event_type"))
+    }),
+
+    // NHCB — native histograms with CUSTOM buckets (Prometheus 3.x,
+    // schema −53): the scrape option `convert_classic_histograms_to_nhcb`
+    // turns the classic le-bucket family (the reference's A5 shape,
+    // `metrics/_metrics.py:71`, q46's bounds) into native-histogram
+    // storage whose buckets are the classic bounds. Pipeline under test:
+    // DENSE classic cumulative build per (metric, user-shard) → NHCB
+    // conversion per shard → `sum()` merge across shards (legal only
+    // because every shard carries the identical bound layout — the dense
+    // build's whole point; mismatched layouts raise) → classic-rule
+    // quantiles (linear inside the hit bucket, first-bucket lower = 0,
+    // +Inf bucket → highest finite bound). Counts are integers and
+    // bounds are exact literals, so every figure is oracle-exact. Scale:
+    // two keyed aggs to histograms (|groups|·|bounds| rows, never
+    // sample-sized), bucket-row-only merge — same discipline as the
+    // exponential family.
+    "q182_nhcb_histogram" -> ((s, d) => {
+      val bounds = Seq(1.0, 5.0, 10.0, 50.0, 100.0)
+      val ev = events(s, d).withColumn("metric", col("event_type"))
+        .withColumn("shard", pmod(col("user_id"), lit(10)))
+      val dense = NativeHistogram.classicCumulativeDense(
+        ev, Seq("metric", "shard"), "value", bounds)
+      val nhcb = NativeHistogram.fromClassicCumulative(
+        dense, Seq("metric", "shard"))
+      val merged = NativeHistogram.mergeCustom(nhcb, Seq("metric"))
+      merged.select(
+        col("metric"),
+        col("count").cast("long").as("n_obs"),
+        size(col("pos")).as("n_buckets"),
+        round(NativeHistogram.nhcbQuantile(0.5), 6).as("p50"),
+        round(NativeHistogram.nhcbQuantile(0.9), 6).as("p90"),
+        round(NativeHistogram.nhcbQuantile(0.99), 6).as("p99"))
+        .orderBy(col("metric"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -473,5 +507,57 @@ object NativeHistogramQueries {
         |JOIN q USING (event_type)
         |JOIN stot st USING (event_type)
         |JOIN sq USING (event_type)
-        |ORDER BY t.event_type""".stripMargin)
+        |ORDER BY t.event_type""".stripMargin,
+
+    // NHCB twin: classic bucketQuantile over the same bounds — first
+    // finite bound whose cumulative count reaches φ·n is the hit bucket
+    // (lower bound = previous bound, 0 for the first); no finite bound
+    // reaching it means the +Inf bucket, which returns the highest
+    // finite bound. φ is cast to DOUBLE before multiplying so both
+    // engines compare and interpolate the identical IEEE values.
+    // n_buckets counts populated buckets (+Inf included), matching the
+    // sparse NHCB layout after merge.
+    "q182_nhcb_histogram" ->
+      """WITH b AS (
+        |  SELECT event_type AS metric, value FROM events
+        |), tot AS (
+        |  SELECT metric, count(*) AS n FROM b GROUP BY 1
+        |), bounds(le) AS (
+        |  VALUES (1.0),(5.0),(10.0),(50.0),(100.0)
+        |), cum AS (
+        |  SELECT v.metric, CAST(bo.le AS DOUBLE) AS le,
+        |    sum(CASE WHEN v.value <= bo.le THEN 1 ELSE 0 END) AS cum
+        |  FROM b v CROSS JOIN bounds bo GROUP BY 1, 2
+        |), nb AS (
+        |  SELECT metric, count(DISTINCT CASE
+        |      WHEN value <= 1.0 THEN 1.0 WHEN value <= 5.0 THEN 5.0
+        |      WHEN value <= 10.0 THEN 10.0 WHEN value <= 50.0 THEN 50.0
+        |      WHEN value <= 100.0 THEN 100.0
+        |      ELSE 'Infinity'::DOUBLE END) AS n_buckets
+        |  FROM b GROUP BY 1
+        |), phis(phi) AS (
+        |  VALUES (0.5),(0.9),(0.99)
+        |), walk AS (
+        |  SELECT c.metric, CAST(p.phi AS DOUBLE) AS phi, c.le, c.cum,
+        |    lag(c.cum, 1, 0) OVER w AS prevcum,
+        |    coalesce(lag(c.le) OVER w, 0.0) AS lower,
+        |    t.n
+        |  FROM cum c JOIN tot t USING (metric) CROSS JOIN phis p
+        |  WINDOW w AS (PARTITION BY c.metric, p.phi ORDER BY c.le)
+        |), hits AS (
+        |  SELECT metric, phi,
+        |    CASE WHEN count(*) FILTER (WHERE cum >= phi * n) = 0
+        |      THEN max(le)  -- +Inf bucket: highest finite bound
+        |      ELSE arg_min(
+        |        lower + (le - lower) * ((phi*n - prevcum) / (cum - prevcum)),
+        |        le) FILTER (WHERE cum >= phi * n)
+        |    END AS q
+        |  FROM walk GROUP BY 1, 2
+        |)
+        |SELECT t.metric, CAST(t.n AS BIGINT) AS n_obs, nb.n_buckets,
+        |  round(max(CASE WHEN h.phi = 0.5  THEN h.q END), 6) AS p50,
+        |  round(max(CASE WHEN h.phi = 0.9  THEN h.q END), 6) AS p90,
+        |  round(max(CASE WHEN h.phi = 0.99 THEN h.q END), 6) AS p99
+        |FROM tot t JOIN nb USING (metric) JOIN hits h USING (metric)
+        |GROUP BY 1, 2, 3 ORDER BY t.metric""".stripMargin)
 }

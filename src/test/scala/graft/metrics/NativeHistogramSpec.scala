@@ -223,4 +223,77 @@ class NativeHistogramSpec extends AnyFunSuite {
       NativeHistogram.histogramQuantile(1.1).as("hi")).collect().head
     assert(out.getDouble(0).isNegInfinity && out.getDouble(1).isPosInfinity)
   }
+
+  // ---------- NHCB conversion battery (custom buckets, 3.x) ----------
+
+  private val nhcbBounds = Seq(1.0, 5.0, 10.0)
+
+  private def nhcbOf(rows: Seq[(String, Double)]) = {
+    val df = rows.toDF("g", "value")
+    NativeHistogram.fromClassicCumulative(
+      NativeHistogram.classicCumulativeDense(df, Seq("g"), "value", nhcbBounds),
+      Seq("g"))
+  }
+
+  test("NHCB conversion: dense classic cumulative → sparse custom buckets") {
+    // values 0.5, 3, 3, 20 → buckets: (−inf,1]=1, (1,5]=2, (5,10]=0, (10,+inf)=1
+    val h = nhcbOf(Seq("a" -> 0.5, "a" -> 3.0, "a" -> 3.0, "a" -> 20.0))
+      .collect().head
+    assert(h.getAs[Int]("schema") == NativeHistogram.CustomBucketSchema)
+    assert(h.getAs[Double]("count") == 4.0)
+    assert(h.getAs[scala.collection.Seq[Double]]("custom_values") == nhcbBounds)
+    // empty (5,10] bucket dropped; +Inf bucket is idx = |custom_values| = 3
+    assert(h.getAs[scala.collection.Seq[Row]]("pos")
+      .map(b => (b.getInt(0), b.getDouble(1))) == Seq((0, 1.0), (1, 2.0), (3, 1.0)))
+  }
+
+  test("NHCB merge over shards ≡ direct conversion of the union") {
+    val rows = (1 to 40).map(i => (s"s${i % 4}", (i % 13).toDouble + 0.5))
+    val df = rows.toDF("shard", "value").withColumn("g", lit("m"))
+    val sharded = NativeHistogram.fromClassicCumulative(
+      NativeHistogram.classicCumulativeDense(
+        df, Seq("g", "shard"), "value", nhcbBounds), Seq("g", "shard"))
+    val merged = NativeHistogram.mergeCustom(sharded, Seq("g")).collect().head
+    val direct = NativeHistogram.fromClassicCumulative(
+      NativeHistogram.classicCumulativeDense(df, Seq("g"), "value", nhcbBounds),
+      Seq("g")).collect().head
+    assert(merged.getAs[Double]("count") == direct.getAs[Double]("count"))
+    assert(merged.getAs[scala.collection.Seq[Double]]("custom_values")
+      == direct.getAs[scala.collection.Seq[Double]]("custom_values"))
+    assert(merged.getAs[scala.collection.Seq[Row]]("pos")
+      == direct.getAs[scala.collection.Seq[Row]]("pos"))
+  }
+
+  test("NHCB merge with mismatched bucket layouts fails loudly") {
+    val a = NativeHistogram.fromClassicCumulative(
+      NativeHistogram.classicCumulativeDense(
+        Seq(("m", 2.0)).toDF("g", "value"), Seq("g"), "value", Seq(1.0, 5.0)),
+      Seq("g"))
+    val b = NativeHistogram.fromClassicCumulative(
+      NativeHistogram.classicCumulativeDense(
+        Seq(("m", 2.0)).toDF("g", "value"), Seq("g"), "value", Seq(1.0, 9.0)),
+      Seq("g"))
+    val e = intercept[Exception] {
+      NativeHistogram.mergeCustom(a.unionByName(b), Seq("g")).collect()
+    }
+    assert(e.getMessage.contains("mismatched custom bucket layouts") ||
+      String.valueOf(e.getCause).contains("mismatched custom bucket layouts"))
+  }
+
+  test("NHCB quantile: classic interpolation rules on a hand fixture") {
+    // buckets (−inf,1]=2, (1,5]=2, (5,10]=0, +Inf=1; n=5
+    val h = nhcbOf(Seq("a" -> 0.2, "a" -> 0.8, "a" -> 2.0, "a" -> 4.0,
+      "a" -> 42.0))
+    val out = h.select(
+      NativeHistogram.nhcbQuantile(0.2).as("q20"),  // first bucket: lower=0
+      NativeHistogram.nhcbQuantile(0.6).as("q60"),  // second: interp 1..5
+      NativeHistogram.nhcbQuantile(0.95).as("q95")  // +Inf bucket → 10.0
+    ).collect().head
+    // q20: rank 1 in bucket (0,1], cnt 2 → 0 + 1*(1/2) = 0.5
+    assert(out.getDouble(0) == 0.5)
+    // q60: rank 3, prevcum 2, bucket (1,5] cnt 2 → 1 + 4*(1/2) = 3.0
+    assert(out.getDouble(1) == 3.0)
+    // q95: rank 4.75 > cum of last finite (4) → highest finite bound
+    assert(out.getDouble(2) == 10.0)
+  }
 }
