@@ -108,6 +108,29 @@ object MetricRegistry {
     grouped.withColumn("cum_count", sum(col("bucket_count")).over(w))
   }
 
+  /** OpenMetrics exemplars on the CLASSIC le-bucket path: at most ONE
+    * exemplar per (labelset, le) bucket, newest wins — OpenMetrics
+    * attaches exemplars to classic buckets first, and each scrape
+    * overwrites the bucket's previous exemplar. Same discipline as the
+    * native-histogram face (`NativeHistogram.exemplars`): one keyed
+    * `max_by` on the exposition bucket key, map-side partial all the
+    * way, output |labelsets|·|buckets| rows of
+    * `(labels…, le, exemplar STRUCT<trace labels…, value, ts>)` —
+    * directly servable by `/api/v1/query_exemplars`. */
+  def histogramExemplars(df: DataFrame, labelCols: Seq[String], value: String,
+                         buckets: Seq[Double], traceCols: Seq[String],
+                         tsCol: String, ordCol: String): DataFrame = {
+    val le = buckets.sorted.foldRight(lit(Double.PositiveInfinity)) { (b, acc) =>
+      when(col(value) <= b, lit(b)).otherwise(acc)
+    }
+    df.withColumn("le", le)
+      .groupBy((labelCols.map(col) :+ col("le")): _*)
+      .agg(max_by(
+        struct((traceCols.map(col) :+ col(value).cast("double").as("value") :+
+          col(tsCol).as("ts")): _*),
+        struct(col(tsCol), col(ordCol))).as("exemplar"))
+  }
+
   /** A2 Info: attach static key/value payload to each labelset. */
   def info(df: DataFrame, labelCols: Seq[String], payload: Map[String, String]): DataFrame = {
     val m = map(payload.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)

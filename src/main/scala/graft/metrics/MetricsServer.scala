@@ -267,9 +267,13 @@ final class MetricsServer(observed: Observed, port: Int = 0,
     })
     exemplarFrame.foreach { ef =>
       // /api/v1/query_exemplars — the OpenMetrics exemplar face: series
-      // selector + [start, end] over a per-bucket newest-exemplar frame
-      // (NativeHistogram.exemplars shape: series labels…, sign, idx,
-      // exemplar STRUCT<trace labels…, value, ts>). The frame is
+      // selector + [start, end] over a per-bucket newest-exemplar frame.
+      // Serves BOTH bucket families: the native shape
+      // (NativeHistogram.exemplars: series labels…, sign, idx, exemplar)
+      // and the classic le-bucket shape
+      // (MetricRegistry.histogramExemplars: series labels…, le,
+      // exemplar) — bucket columns are never series labels upstream, so
+      // all three are excluded from the series identity. The frame is
       // |series|·|buckets|-sized by construction, the filter is
       // selector + time-range pushdown, and the collect rides the same
       // hard cap as every query endpoint.
@@ -278,7 +282,7 @@ final class MetricsServer(observed: Observed, port: Int = 0,
           throw new IllegalArgumentException(s"missing '$k' parameter"))
         val startT = MetricsServer.parseTime(need("start"))
         val endT = MetricsServer.parseTime(need("end"))
-        val labelCols = ef.columns.filterNot(Set("sign", "idx", "exemplar")).toSeq
+        val labelCols = ef.columns.filterNot(Set("sign", "idx", "le", "exemplar")).toSeq
         val rows = MetricsServer.collectCapped(
           ef.filter(PromQlParser.selectorCond(src, need("query")))
             .filter(col("exemplar.ts") >= to_timestamp(lit(startT)) &&

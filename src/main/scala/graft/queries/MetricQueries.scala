@@ -60,6 +60,25 @@ object MetricQueries {
         Seq(1.0, 5.0, 10.0, 50.0, 100.0))
         .select(col("metric"), col("le"), col("bucket_count"), col("cum_count"))
         .orderBy(col("metric"), col("le"))
+    }),
+
+    // OpenMetrics exemplars on the CLASSIC le-bucket path (q46's bounds):
+    // at most one exemplar per (metric, le) bucket, newest wins — the
+    // scrape-overwrite rule, same as the native-bucket face (q146) but
+    // keyed by the exposition's le bucket. One keyed max_by, map-side
+    // partial; the output frame is exactly what
+    // /api/v1/query_exemplars serves for classic families.
+    "q183_classic_histogram_exemplars" -> ((s, d) => {
+      val ev = events(s, d).withColumn("metric", col("event_type"))
+        .withColumn("trace_id",
+          concat(lit("t"), get_json_object(col("props"), "$.k")))
+      MetricRegistry.histogramExemplars(ev, Seq("metric"), "value",
+        Seq(1.0, 5.0, 10.0, 50.0, 100.0), Seq("trace_id"), "ts", "event_id")
+        .select(col("metric"), col("le"),
+          col("exemplar.trace_id").as("trace_id"),
+          round(col("exemplar.value"), 6).as("ex_value"),
+          col("exemplar.ts").as("ex_ts"))
+        .orderBy(col("metric"), col("le"))
     })
   )
 
@@ -106,6 +125,25 @@ object MetricQueries {
         |SELECT metric, le, bucket_count,
         |  CAST(sum(bucket_count) OVER (PARTITION BY metric ORDER BY le
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_count
-        |FROM grouped ORDER BY metric, le""".stripMargin
+        |FROM grouped ORDER BY metric, le""".stripMargin,
+
+    // Newest-wins per classic bucket: the (ts DESC, event_id DESC) total
+    // order decides identically in both engines.
+    "q183_classic_histogram_exemplars" ->
+      """WITH b AS (
+        |  SELECT event_type AS metric,
+        |    CASE WHEN value <= 1.0 THEN 1.0 WHEN value <= 5.0 THEN 5.0
+        |         WHEN value <= 10.0 THEN 10.0 WHEN value <= 50.0 THEN 50.0
+        |         WHEN value <= 100.0 THEN 100.0 ELSE 'Infinity'::DOUBLE END AS le,
+        |    't' || CAST(json_extract(props, '$.k') AS VARCHAR) AS trace_id,
+        |    value, ts, event_id
+        |  FROM events
+        |)
+        |SELECT metric, le, trace_id,
+        |  round(value, 6) AS ex_value, ts AS ex_ts
+        |FROM b
+        |QUALIFY row_number() OVER (PARTITION BY metric, le
+        |                           ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY metric, le""".stripMargin
   )
 }

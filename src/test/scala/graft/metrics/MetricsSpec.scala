@@ -260,6 +260,43 @@ class MetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("query_exemplars serves the CLASSIC le-bucket exemplar frame too") {
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "cpu", 3.0, "ta"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "cpu", 3.5, "tb"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 10:06:00"), 1L, "cpu", 100.0, "tc"),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 10:07:00"), 2L, "mem", 3.0, "td"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "trace_id")
+    val src = PromQlParser.PromSource(df, "event_type",
+      Seq("user_id", "event_type"), "ts", "event_id", "value")
+    // classic bounds (1, 5, 10]: 3.0 and 3.5 share the le=5 bucket
+    // (newest tb wins), 100.0 lands in +Inf; `le` must NOT leak into the
+    // series identity
+    val ef = MetricRegistry.histogramExemplars(df,
+      Seq("user_id", "event_type"), "value", Seq(1.0, 5.0, 10.0),
+      Seq("trace_id"), "ts", "event_id")
+    def get(port: Int, pathAndQuery: String): (Int, String) = {
+      val url = new java.net.URI(s"http://127.0.0.1:$port$pathAndQuery").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val code = conn.getResponseCode
+      val in = if (code == 200) conn.getInputStream else conn.getErrorStream
+      (code, scala.io.Source.fromInputStream(in).mkString)
+    }
+    Observed.use(spark) { obs =>
+      val srv = new MetricsServer(obs, promSource = Some(src), exemplarFrame = Some(ef))
+      try {
+        val (c, body) = get(srv.boundPort,
+          "/api/v1/query_exemplars?query=" +
+            java.net.URLEncoder.encode("""{event_type="cpu"}""", "UTF-8") +
+            "&start=2024-01-01T00:00:00Z&end=2024-01-02T00:00:00Z")
+        assert(c == 200)
+        assert(body.contains(""""trace_id":"tb"""") && !body.contains("\"ta\""))
+        assert(body.contains(""""trace_id":"tc"""") && !body.contains("\"td\""))
+        assert(!body.contains(""""le""""), "le leaked into series labels")
+      } finally srv.close()
+    }
+  }
+
   test("P14: query_range matrix JSON + metadata endpoints (labels/values/series)") {
     val df = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "cpu", 7.0),
