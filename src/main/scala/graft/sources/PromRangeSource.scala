@@ -66,6 +66,68 @@ object PromRangeSource {
     (java.lang.Long.parseLong(hex, 16) % 1000L) / 10.0
   }
 
+  /** LIVE HTTP face of the connector (P1's last face): each slice
+    * partition issues ONE `GET <endpoint>/api/v1/query_range?query=
+    * <series>&start=<from>&end=<to-step>&step=<step>` and parses the
+    * standard Prometheus JSON matrix response
+    * (`data.result[].values = [[sec, "v"], …]`). The fetch runs INSIDE
+    * the executor's PartitionReader — the driver plans only (series ×
+    * slice) metadata, so a month × 10k series is ~1.2M independent HTTP
+    * pulls fanned across the cluster, each bounded to one slice. Slice
+    * pruning and series pushdown happen before any request is issued
+    * (pruned slices are never fetched); a failed request throws, so
+    * Spark's task retry covers endpoint flakiness. Jackson rides Spark's
+    * own classpath. end is inclusive upstream, so the request sends
+    * `to − 1`: grid points are `from + k·step`, and an inclusive end of
+    * to−1 returns exactly the points < to — the generator face's [from,
+    * to) — even when step does not divide the slice. */
+  def httpReaderFactory(endpoint: String, fields: Seq[String]): PartitionReaderFactory = {
+    val fieldArr = fields.toArray
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val p = partition.asInstanceOf[PromSlice]
+        new PartitionReader[InternalRow] {
+          private var it: Iterator[(Long, Double)] = _
+          private var cur: (Long, Double) = _
+          private def fetch(): Iterator[(Long, Double)] = {
+            val url = new java.net.URI(endpoint +
+              "/api/v1/query_range?query=" +
+              java.net.URLEncoder.encode(p.series, "UTF-8") +
+              s"&start=${p.fromSec}&end=${p.toSec - 1}&step=${p.stepSec}").toURL
+            val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+            conn.setConnectTimeout(10000); conn.setReadTimeout(60000)
+            val code = conn.getResponseCode
+            if (code != 200)
+              throw new java.io.IOException(s"query_range $url -> HTTP $code")
+            val body = scala.io.Source.fromInputStream(conn.getInputStream, "UTF-8").mkString
+            val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+            require(root.path("status").asText() == "success",
+              s"query_range $url -> status=${root.path("status").asText()}")
+            val results = root.path("data").path("result")
+            (0 until results.size()).iterator.flatMap { i =>
+              val values = results.get(i).path("values")
+              (0 until values.size()).iterator.map { j =>
+                val v = values.get(j)
+                (v.get(0).asLong(), v.get(1).asText().toDouble)
+              }
+            }
+          }
+          override def next(): Boolean = {
+            if (it == null) it = fetch()
+            if (it.hasNext) { cur = it.next(); true } else false
+          }
+          override def get(): InternalRow =
+            InternalRow(fieldArr.map {
+              case "series" => UTF8String.fromString(p.series)
+              case "ts" => cur._1 * 1000000L
+              case "value" => cur._2
+            }: _*)
+          override def close(): Unit = ()
+        }
+      }
+    }
+  }
+
   /** Reader factory emitting exactly the (possibly pruned) column set, in
     * the requested order. Shared by the batch scan and the micro-batch
     * stream (the stream reads the full schema). */
@@ -139,7 +201,12 @@ class PromMicroBatch(props: Map[String, String]) extends MicroBatchStream {
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    PromRangeSource.readerFactory(PromRangeSource.schema.fieldNames.toSeq)
+    props.get("endpoint") match {
+      case Some(ep) =>
+        PromRangeSource.httpReaderFactory(ep, PromRangeSource.schema.fieldNames.toSeq)
+      case None =>
+        PromRangeSource.readerFactory(PromRangeSource.schema.fieldNames.toSeq)
+    }
 }
 
 /** One slice of one series: rows at `start + i*step` for ts ∈ [from, to). */
@@ -215,7 +282,10 @@ class PromRangeScan(props: Map[String, String])
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    PromRangeSource.readerFactory(required.fieldNames.toSeq)
+    props.get("endpoint") match {
+      case Some(ep) => PromRangeSource.httpReaderFactory(ep, required.fieldNames.toSeq)
+      case None => PromRangeSource.readerFactory(required.fieldNames.toSeq)
+    }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new PromMicroBatch(props)

@@ -78,4 +78,66 @@ class PromRangeSourceSpec extends AnyFunSuite {
     assert(row.getAs[Double]("value") == PromRangeSource.sampleValue("cpu", 1704067200L))
     assert(row.getAs[java.sql.Timestamp]("ts").getTime == 1704067200000L)
   }
+
+  // ---------- live HTTP face (endpoint option) ----------
+
+  /** Stub query_range endpoint serving the SAME deterministic payload as
+    * the generator face, recording every request path. */
+  private def withStubServer[A](f: (String, java.util.List[String]) => A): A = {
+    val seen = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/v1/query_range",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val q = ex.getRequestURI.getRawQuery
+        seen.add(q)
+        val params = q.split("&").map(_.split("=", 2))
+          .map(kv => kv(0) -> java.net.URLDecoder.decode(kv(1), "UTF-8")).toMap
+        val (series, start, end, step) = (params("query"),
+          params("start").toLong, params("end").toLong, params("step").toLong)
+        val values = (start to end by step)
+          .map(s => s"""[$s,"${PromRangeSource.sampleValue(series, s)}"]""")
+          .mkString(",")
+        val body = (s"""{"status":"success","data":{"resultType":"matrix",""" +
+          s""""result":[{"metric":{"__name__":"$series"},"values":[$values]}]}}""")
+          .getBytes("UTF-8")
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body); ex.close()
+      })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}", seen)
+    finally server.stop(0)
+  }
+
+  test("HTTP face: endpoint read ≡ generator read, slice-parallel pulls") {
+    withStubServer { (ep, seen) =>
+      val http = spark.read.format("graft.sources.PromRangeSource")
+        .option("start", "1704067200").option("end", "1704153600")
+        .option("stepSeconds", "300").option("series", "cpu,mem")
+        .option("endpoint", ep).load()
+      val gen = read(1704067200L, 1704153600L, 300L, "cpu,mem")
+      val a = http.collect().map(_.toString).sorted.toSeq
+      val b = gen.collect().map(_.toString).sorted.toSeq
+      assert(a == b, "HTTP payload must equal the generator payload")
+      // one request per (series × 6h slice): 2 series × 4 slices
+      assert(seen.size == 8, s"expected 8 slice pulls, got ${seen.size}")
+    }
+  }
+
+  test("HTTP face: pruned slices are never fetched") {
+    withStubServer { (ep, seen) =>
+      val http = spark.read.format("graft.sources.PromRangeSource")
+        .option("start", "1704067200").option("end", "1704153600")
+        .option("stepSeconds", "300").option("series", "cpu,mem,disk")
+        .option("endpoint", ep).load()
+        .filter($"series" === "mem" &&
+          $"ts" >= lit("2024-01-01 18:00:00").cast("timestamp"))
+      assert(http.count() == 72L) // 6h / 300s
+      assert(seen.size == 1,
+        s"series+ts pushdown must reduce 12 slice pulls to 1, got ${seen.size}")
+      assert(seen.get(0).contains("query=mem"))
+    }
+  }
 }
