@@ -282,12 +282,15 @@ object StreamingQueries {
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
         .agg(count(lit(1)).as("cnt"))
       val stats = hourly.groupBy(col("event_type"))
+        // decimal second moment — the same long*long wrap-guard as q177/q178
         .agg(count(lit(1)).as("n"), sum(col("cnt")).as("sm"),
-          sum(col("cnt") * col("cnt")).as("ss"))
+          sum(col("cnt").cast("decimal(19,0)") *
+            col("cnt").cast("decimal(19,0)")).as("ss"))
         .collect().map { r =>
-          val n = r.getLong(1); val sm = r.getLong(2); val ss = r.getLong(3)
+          val n = r.getLong(1); val sm = r.getLong(2)
+          val ss = r.getDecimal(3).doubleValue()
           val mu = sm.toDouble / n
-          r.getString(0) -> (mu, math.sqrt(ss.toDouble / n - mu * mu))
+          r.getString(0) -> (mu, math.sqrt(ss / n - mu * mu))
         }.toMap
       val t = StreamOps.replayEvents(s, d, "s179_sink", 1, flushPerType = true)(
         ds => StreamOps.streamCusum(ds, stats).toDF(), OutputMode.Append)
@@ -297,6 +300,38 @@ object StreamingQueries {
           sum(when(col("cp"), 1).otherwise(0)).as("n_cp_hours"),
           min(when(col("cp"), col("h"))).as("first_cp"))
         .orderBy(col("event_type"))
+    }),
+
+    // Prometheus REMOTE-WRITE streaming ingestion (the reference's actual
+    // ingest wire, CHANGELOG.md:353 prometheus-serde): events rendered
+    // into WriteRequest documents (one per user, one timeseries per
+    // metric+labels, ms timestamps), replayed as a 3-chunk stream, parsed
+    // back by the zero-UDF RemoteWrite.parse, aggregated per metric.
+    // Render → parse is the identity on samples up to the wire's
+    // MILLISECOND timestamp unit, so the twin is the raw-events rollup
+    // with ms-truncated timestamps. The label map round-trips: max(user)
+    // is read back out of the parsed label map, not the raw column.
+    "s184_stream_remote_write" -> ((s, d) => {
+      import graft.sources.RemoteWrite
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .filter(col("ts") < lit("2024-01-03").cast("timestamp"))
+      val docs = RemoteWrite.render(ev, col("user_id"),
+          concat(lit("app_events_"), col("event_type")),
+          col("ts"), col("value"), Seq("user" -> col("user_id")))
+        .orderBy(col("__doc")).select(col("json")).as[String].collect().toSeq
+      val t = StreamOps.replayStrings(s, "s184_sink", docs, 3)(ds =>
+        RemoteWrite.parse(ds.toDF("json"))
+          .groupBy(col("metric"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value"), 6).cast("decimal(18,6)")).as("sv"),
+            max(col("ts")).as("max_ts"),
+            max(element_at(col("labels"), "user").cast("long")).as("max_user")),
+        OutputMode.Complete)
+      t.select(col("metric"), col("n"),
+          round(col("sv").cast("double"), 4).as("sum_value"),
+          col("max_ts"), col("max_user"))
+        .orderBy(col("metric"))
     })
   )
 
@@ -579,6 +614,17 @@ object StreamingQueries {
         |  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE),
         |    4) AS sum_value,
         |  max(ts) AS max_ts
+        |FROM events WHERE ts < TIMESTAMP '2024-01-03'
+        |GROUP BY 1 ORDER BY metric""".stripMargin,
+
+    // Remote-write render → parse is the identity on samples up to the
+    // wire's ms timestamp unit; the label map round-trips user intact.
+    "s184_stream_remote_write" ->
+      """SELECT 'app_events_' || event_type AS metric, count(*) AS n,
+        |  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE),
+        |    4) AS sum_value,
+        |  max(date_trunc('milliseconds', ts)) AS max_ts,
+        |  max(user_id) AS max_user
         |FROM events WHERE ts < TIMESTAMP '2024-01-03'
         |GROUP BY 1 ORDER BY metric""".stripMargin,
 

@@ -136,4 +136,38 @@ class SourcesSpec extends AnyFunSuite {
       sub.agg(sum(round($"value", 6).cast("decimal(18,6)")))
         .collect()(0).getDecimal(0))
   }
+
+  test("remote-write: parse extracts __name__/labels; render → parse identity") {
+    import graft.sources.RemoteWrite
+    val doc =
+      """{"timeseries":[
+        |  {"labels":[{"name":"__name__","value":"http_requests_total"},
+        |             {"name":"job","value":"api"}],
+        |   "samples":[{"value":1.0,"timestamp":1704067200000},
+        |              {"value":2.5,"timestamp":1704067260000}]},
+        |  {"labels":[{"name":"__name__","value":"up"},
+        |             {"name":"job","value":"api"}],
+        |   "samples":[{"value":1.0,"timestamp":1704067200000}]}
+        |]}""".stripMargin
+    val out = RemoteWrite.parse(Seq(doc).toDF("json")).collect()
+    assert(out.length == 3)
+    val reqs = out.filter(_.getString(0) == "http_requests_total")
+    assert(reqs.length == 2)
+    // __name__ moved to the metric column, NOT left in the label map
+    assert(reqs.head.getMap[String, String](1).toMap == Map("job" -> "api"))
+    assert(reqs.map(_.getDouble(3)).sorted.toSeq == Seq(1.0, 2.5))
+    assert(reqs.map(_.getTimestamp(2).getTime).min == 1704067200000L)
+
+    val sub = ev.filter($"event_id" <= 200)
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+    val docs = RemoteWrite.render(sub, col("user_id"),
+      concat(lit("m_"), col("event_type")), col("ts"),
+      col("value"), Seq("eid" -> col("event_id")))
+    val back = RemoteWrite.parse(docs)
+    assert(back.count() == sub.count())
+    assert(back.agg(sum(round(col("value"), 6).cast("decimal(18,6)")))
+      .collect()(0).getDecimal(0) ==
+      sub.agg(sum(round($"value", 6).cast("decimal(18,6)")))
+        .collect()(0).getDecimal(0))
+  }
 }
