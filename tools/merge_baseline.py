@@ -1,0 +1,44 @@
+#!/usr/bin/env python3
+"""Merge two clean bench_full.json runs into tools/bench_baseline.json.
+
+Per VERDICT r10 item 1: the committed per-query baseline is the MEDIAN OF
+TWO clean runs separated by a cache drop (median of two = their mean), so
+one unusually warm recording run can't set optimistic baselines that read
+as drift later. __probe__ = mean of the two runs' MINIMUM probe samples
+(the quietest observed cost of the fixed workload).
+
+    python3 tools/merge_baseline.py runA.json runB.json [extra.json ...]
+
+Extra runs contribute only queries absent from the first two (e.g. a
+targeted mini-bench of queries added after the full runs).
+"""
+import json, sys
+
+runs = [json.load(open(p)) for p in sys.argv[1:]]
+if len(runs) < 2:
+    sys.exit("need at least two bench_full.json runs")
+
+a, b = runs[0], runs[1]
+merged = {}
+for q in sorted(set(a["queries"]) | set(b["queries"])):
+    va, vb = a["queries"].get(q), b["queries"].get(q)
+    vals = [v for v in (va, vb) if v is not None]
+    merged[q] = round(sum(vals) / len(vals), 3)
+for extra in runs[2:]:
+    for q, v in extra["queries"].items():
+        if q not in merged:
+            merged[q] = round(v, 3)
+
+probes = []
+for r in (a, b):
+    samples = r.get("probe", {}).get("samples") or [
+        r["probe"]["start"], r["probe"]["end"]]
+    probes.append(min(samples))
+merged["__probe__"] = round(sum(probes) / len(probes), 3)
+
+out = "tools/bench_baseline.json"
+body = "{\n" + ",\n".join(
+    f'  "{k}": {v}' for k, v in sorted(merged.items())) + "\n}\n"
+open(out, "w").write(body)
+print(f"wrote {len(merged)-1} query baselines + __probe__="
+      f"{merged['__probe__']} -> {out}")
