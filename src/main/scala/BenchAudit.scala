@@ -20,8 +20,11 @@ import scala.jdk.CollectionConverters._
   * plans don't depend on load). Round 8's driver-recorded 122.8 s vs the
   * judge's 54.4 s re-run of identical code is the failure this closes.
   *
-  *   sbt "runMain BenchAudit"            # audit vs recorded baselines
-  *   sbt "runMain BenchAudit --record"   # refresh both baselines
+  *   sbt "runMain BenchAudit"               # audit vs recorded baselines
+  *   sbt "runMain BenchAudit --record"      # refresh both baselines
+  *   sbt "runMain BenchAudit --plans-only"  # refresh ONLY plan baselines
+  *                                          # (keeps a two-run bench
+  *                                          # baseline from merge_baseline.py)
   *
   * Exit 1 on any regression; new queries are reported and pass (record
   * them once reviewed). Baselines are committed so the next round diffs
@@ -103,7 +106,8 @@ object BenchAudit {
   }
 
   def main(args: Array[String]): Unit = {
-    val record = args.contains("--record")
+    val plansOnly = args.contains("--plans-only")
+    val record = args.contains("--record") || plansOnly
     val spark = ExplainAudit.auditSession()
     val d = "/root/testdata/sf0.01"
     val current = ExplainAudit.batchQueryNames
@@ -115,6 +119,11 @@ object BenchAudit {
 
     if (record) {
       writeFlat(planPath, current.map { case (q, m) => q -> m.exchanges.toDouble })
+      if (plansOnly) {
+        println(s"[benchaudit] recorded ${current.size} plan baselines -> $planPath " +
+          "(bench baselines untouched)")
+        return
+      }
       val existing = readFile(benchBasePath)
         .map(parseFlat(_, benchBasePath)).getOrElse(Map.empty[String, Double])
       val fresh = benchNowAll
