@@ -60,10 +60,13 @@ object BenchAudit {
     numericFields(root)
   }
 
-  /** Per-query medians + the worst probe sample from `bench_full.json`
-    * (probe is None for a pre-probe-era artifact). Reads the interleaved
-    * `probe.samples` array when present (round-11 artifacts) so mid-run
-    * load is judged too, falling back to the start/end bracket. */
+  /** Per-query medians + the probe verdict statistic from
+    * `bench_full.json` (None for a pre-probe-era artifact). Round-11
+    * artifacts carry the interleaved `probe.samples` array — the
+    * statistic is its MEDIAN (sustained load moves the median; single
+    * samples jitter 0.07–0.27 s on a quiet box, and bursts are covered
+    * by the per-query suspect stamps). Pre-round-11 artifacts fall back
+    * to the worse of the start/end bracket, as before. */
   def parseBenchFull(text: String): (Map[String, Double], Option[Double]) = {
     val root = parseJson(text, benchCurrentPath)
     val queries = Option(root.get("queries")).filter(_.isObject)
@@ -71,9 +74,15 @@ object BenchAudit {
     val probe = Option(root.get("probe")).filter(_.isObject).flatMap { p =>
       val interleaved = Option(p.get("samples")).filter(_.isArray)
         .map(_.asScala.toSeq.filter(_.isNumber).map(_.asDouble())).getOrElse(Nil)
-      val vals = interleaved ++
-        Seq("start", "end").flatMap(k => Option(p.get(k)).filter(_.isNumber).map(_.asDouble()))
-      if (vals.isEmpty) None else Some(vals.max)
+      if (interleaved.nonEmpty) {
+        val s = interleaved.sorted
+        Some(if (s.length % 2 == 1) s(s.length / 2)
+             else (s(s.length / 2 - 1) + s(s.length / 2)) / 2)
+      } else {
+        val vals = Seq("start", "end").flatMap(k =>
+          Option(p.get(k)).filter(_.isNumber).map(_.asDouble()))
+        if (vals.isEmpty) None else Some(vals.max)
+      }
     }
     (queries, probe)
   }

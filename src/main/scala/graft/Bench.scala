@@ -33,16 +33,27 @@ object Bench {
     } catch { case _: Throwable => None }
 
   /** The self-defense verdict stamped into the artifact: "true" when the
-    * worse probe sample exceeds 1.5× its recorded clean cost (the box was
-    * loaded — wall times are suspect), "false" when within it, "null"
-    * when no baseline exists to judge against. The samples now include
-    * INTERLEAVED mid-suite probes (every ~30 queries), because round 10
-    * proved sustained mid-run load can arrive and leave entirely between
-    * two endpoint probes: the driver artifact stamped itself clean while
-    * 14 queries read >2× on identical code. */
-  def loadVerdict(probeWorst: Double, base: Option[Double]): String = base match {
-    case Some(b) if b > 0 => if (probeWorst > 1.5 * b) "true" else "false"
+    * MEDIAN of all probe samples exceeds 1.5× its recorded clean cost
+    * (the box was loaded — wall times are suspect), "false" when within
+    * it, "null" when no baseline exists to judge against. The samples
+    * include INTERLEAVED mid-suite probes (every ~30 queries), because
+    * round 10 proved sustained mid-run load can arrive and leave entirely
+    * between two endpoint probes: the driver artifact stamped itself
+    * clean while 14 queries read >2× on identical code. Median, not max:
+    * single samples on this box jitter 0.07–0.27 s on a genuinely quiet
+    * run (GC, scheduler), so one elevated sample among ~8 is noise —
+    * sustained load moves the median, and short bursts are caught by the
+    * per-query rep-spread suspect stamps instead. */
+  def loadVerdict(probeMedian: Double, base: Option[Double]): String = base match {
+    case Some(b) if b > 0 => if (probeMedian > 1.5 * b) "true" else "false"
     case _ => "null"
+  }
+
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
   }
 
   /** Per-query load-suspicion stamp: a rep spread (max/min) above 3× on
@@ -127,12 +138,12 @@ object Bench {
     val probeEnd = r3(probeSec(spark))
     probeSamples += probeEnd
     val results = perRep.map { case (n, ts) => n -> ts.sorted.apply(ts.length / 2) }.toMap
-    // Self-defense verdict: compare the WORST of all probe samples
+    // Self-defense verdict: compare the MEDIAN of all probe samples
     // (endpoints + interleaved) to the committed baseline. >1.5× =
     // contaminated (stamped in BOTH the full dump and the driver-captured
     // line); no baseline = null.
     val probeBasePath = sys.env.getOrElse("SPARK_GRAFT_PROBE_BASE", "/root/repo/tools/bench_baseline.json")
-    val loadFlag = loadVerdict(probeSamples.max,
+    val loadFlag = loadVerdict(median(probeSamples.toSeq),
       baselineProbe(probeBasePath))
     // Per-query suspicion: reps spreading >3× mean SOME reps ran under
     // load even if every probe read quiet — the second self-defense axis.

@@ -358,6 +358,128 @@ object CurationQueries {
           sum(when(col("ok_wc") && col("ok_wl") && col("ok_sym") &&
             col("ok_alpha") && col("ok_stop"), 1).otherwise(0)).as("n_keep"))
         .orderBy(col("lang"), col("source"))
+    }),
+
+    // DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    // the pretraining-data selection standard): hash every token into
+    // B=256 buckets (md5-derived, so DuckDB replicates the hash exactly),
+    // estimate Laplace-smoothed bucket distributions for the TARGET
+    // (lang='en', the "quality domain" stand-in) and the RAW corpus, then
+    // score each doc log w = Σ_tok (log p_t − log p_r) and Gumbel-top-k
+    // resample: key = logw + Gumbel(md5-uniform(doc)) ≡ sampling ∝ w,
+    // derandomized the repo way (hash-derived uniforms, 9-dp-rounded logs,
+    // decimal sums) so both engines rank identically. Scale: the bucket
+    // table is 256 rows broadcast; the corpus sees one explode + two keyed
+    // aggs — no all-pairs, no driver loop.
+    "q185_dsir_importance" -> ((s, d) => {
+      val B = 256
+      val tok = docsWithTokens(s, d)
+        .select(col("lang"), col("doc_id"), explode(col("toks")).as("tok"))
+        .withColumn("bucket",
+          pmod(conv(substring(md5(concat(lit("dsir|"), col("tok"))), 1, 12),
+            16, 10).cast("long"), lit(B)))
+      // ONE corpus pass for both distributions (raw + target as a
+      // conditional sum in the same agg); totals via an unpartitioned
+      // window over the 256-row bucket table, not a second corpus pass.
+      val counts = tok.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cr"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      val wAll = Window.partitionBy()
+      // per-bucket log-ratio with Laplace smoothing, 9-dp-pinned
+      val ratios = counts
+        .withColumn("tot_r", sum(col("cr")).over(wAll))
+        .withColumn("tot_t", sum(col("ct")).over(wAll))
+        .select(col("bucket"), round(
+          log((col("ct") + 1).cast("double") / (col("tot_t") + B)) -
+            log((col("cr") + 1).cast("double") / (col("tot_r") + B)), 9)
+          .cast("decimal(28,9)").as("lr"))
+      val logw = tok.join(broadcast(ratios), Seq("bucket"))
+        .groupBy(col("lang"), col("doc_id"))
+        .agg(sum(col("lr")).as("logw"))
+      // Gumbel key from the doc's own hash: u ∈ (0,1) md5-derived,
+      // g = −ln(−ln u) — libm outputs 9-dp-pinned before the sum so the
+      // ranking doubles are bit-identical cross-engine
+      val u = (pmod(conv(substring(md5(concat(lit("gum|"), col("doc_id"))),
+        1, 12), 16, 10).cast("long"), lit(1000000L)).cast("double") + 0.5) /
+        1000000.0
+      val keyed = logw.withColumn("key",
+        col("logw").cast("double") + round(-log(-log(u)), 9))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("key").desc, col("doc_id"))
+      keyed.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("lang"), col("rank").cast("long").as("rank"),
+          col("doc_id"), round(col("logw").cast("double"), 6).as("logw"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
+    // Retrieval-grade DOCUMENT CHUNKING (the RAG/embedding-pipeline
+    // primitive): fixed 64-token windows at stride 48 (16-token overlap),
+    // short docs = one chunk, chunk identity = md5 of the joined window.
+    // Chunk starts come from integer math (1 + max(0, (len−17) div 48)
+    // chunks) so both engines cut identical windows; duplicate-chunk
+    // fraction per language is the cross-doc redundancy a chunk-level
+    // dedup would remove. One explode per chunk (bounded by corpus
+    // tokens / 48), two keyed aggs — no self-joins.
+    "q186_doc_chunking" -> ((s, d) => {
+      val docs = docsWithTokens(s, d)
+        .withColumn("len", size(col("toks"))).filter(col("len") > 0)
+        .withColumn("n_chunks",
+          lit(1) + greatest(lit(0L), expr("(len - 17) div 48")))
+      val chunks = docs
+        .select(col("lang"), col("doc_id"), col("toks"), col("len"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("i"))
+        .withColumn("chunk_toks",
+          slice(col("toks"), (col("i") * 48 + 1).cast("int"), lit(64)))
+        .withColumn("chunk_len", size(col("chunk_toks")))
+        .withColumn("h", md5(concat_ws(" ", col("chunk_toks"))))
+      chunks.groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          countDistinct(col("h")).as("n_unique_chunks"),
+          round(sum(col("chunk_len").cast("decimal(18,0)")).cast("double") /
+            count(lit(1)), 6).as("avg_chunk_toks"))
+        .withColumn("dup_fraction",
+          round(lit(1.0) - col("n_unique_chunks").cast("double") /
+            col("n_chunks").cast("double"), 6))
+        .orderBy(col("lang"))
+    }),
+
+    // CCNet head/middle/tail bucketing (Wenzek et al. 2020): per
+    // language, rank docs by the q88 unigram-LM cross-entropy (the CCNet
+    // quality proxy — lower = closer to the LM = "head") on the total
+    // order (ce, doc_id), cut into terciles with ntile(3), report each
+    // bucket's size, mean score, and character share. ntile's
+    // extra-row-to-first-groups rule is identical in Spark and DuckDB,
+    // and the ce doubles are the q88 determinism route, so the cut is
+    // reproducible. One window per lang partition — state is a
+    // language's docs, never the corpus.
+    "q187_ccnet_buckets" -> ((s, d) => {
+      val tok = docsWithTokens(s, d)
+        .select(col("lang"), col("doc_id"), explode(col("toks")).as("tok"))
+      val freq = tok.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
+        .withColumn("tot", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+        .withColumn("logp",
+          round(log(col("cnt").cast("double") / col("tot").cast("double")), 9)
+            .cast("decimal(28,9)"))
+      val doc = tok.join(freq.select(col("lang"), col("tok"), col("logp")), Seq("lang", "tok"))
+        .groupBy(col("lang"), col("doc_id"))
+        .agg(count(lit(1)).as("n"), sum(col("logp")).as("s"))
+        .withColumn("ce", round(-col("s").cast("double") / col("n"), 6))
+      val chars = documents(s, d).select(col("doc_id"), col("n_chars"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("ce"), col("doc_id"))
+      doc.withColumn("bucket_i", ntile(3).over(w))
+        .withColumn("bucket",
+          when(col("bucket_i") === 1, "head")
+            .when(col("bucket_i") === 2, "middle").otherwise("tail"))
+        .join(chars, Seq("doc_id"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("ce").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("avg_ce"),
+          sum(col("n_chars")).as("n_chars"))
+        .orderBy(col("lang"), col("bucket"))
     })
   )
 
@@ -672,6 +794,122 @@ object CurationQueries {
         |    AS drop_stopword,
         |  CAST(sum(CASE WHEN ok_wc AND ok_wl AND ok_sym AND ok_alpha
         |    AND ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
-        |FROM v GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
+        |FROM v GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
+
+    // Same md5 bucket/uniform derivations, Laplace smoothing, 9-dp log
+    // pins and decimal sums as the engine — the Gumbel-top-k ranking
+    // doubles are bit-identical, so the selected docs match exactly.
+    "q185_dsir_importance" ->
+      """WITH tok AS (
+        |  SELECT lang, doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |), b AS (
+        |  SELECT lang, doc_id,
+        |    CAST(concat('0x', substr(md5('dsir|' || tok), 1, 12)) AS BIGINT)
+        |      % 256 AS bucket
+        |  FROM tok
+        |), raw AS (
+        |  SELECT bucket, count(*) AS cr FROM b GROUP BY 1
+        |), tgt AS (
+        |  SELECT bucket, count(*) AS ct FROM b WHERE lang = 'en' GROUP BY 1
+        |), tots AS (
+        |  SELECT (SELECT sum(cr) FROM raw) AS tot_r,
+        |         (SELECT sum(ct) FROM tgt) AS tot_t
+        |), ratios AS (
+        |  SELECT r.bucket,
+        |    CAST(round(
+        |      ln((coalesce(t.ct, 0) + 1)::DOUBLE / ((tots.tot_t + 256)::DOUBLE)) -
+        |      ln((r.cr + 1)::DOUBLE / ((tots.tot_r + 256)::DOUBLE)), 9)
+        |      AS DECIMAL(28,9)) AS lr
+        |  FROM raw r LEFT JOIN tgt t USING (bucket) CROSS JOIN tots
+        |), logw AS (
+        |  SELECT b.lang, b.doc_id, sum(ratios.lr) AS logw
+        |  FROM b JOIN ratios USING (bucket) GROUP BY 1, 2
+        |), keyed AS (
+        |  SELECT lang, doc_id, logw,
+        |    CAST(logw AS DOUBLE) + round(-ln(-ln(
+        |      ((CAST(concat('0x', substr(md5('gum|' || doc_id), 1, 12)) AS BIGINT)
+        |        % 1000000)::DOUBLE + 0.5) / 1000000.0)), 9) AS key
+        |  FROM logw
+        |), ranked AS (
+        |  SELECT lang, doc_id, logw,
+        |    row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id)
+        |      AS rank
+        |  FROM keyed
+        |)
+        |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id,
+        |  round(CAST(logw AS DOUBLE), 6) AS logw
+        |FROM ranked WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
+
+    // Integer chunk math ((len−17) // 48 under a greatest-0 guard makes
+    // DuckDB's floor and Spark's truncation agree), 1-based inclusive
+    // list_slice ≡ Spark slice(start, 64), md5 chunk identity.
+    "q186_doc_chunking" ->
+      """WITH tok AS (
+        |  SELECT lang, doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), docs AS (
+        |  SELECT lang, doc_id, toks, len(toks) AS len,
+        |    1 + greatest(0, (len(toks) - 17) // 48) AS n_chunks
+        |  FROM tok WHERE len(toks) > 0
+        |), starts AS (
+        |  SELECT lang, doc_id, toks,
+        |    unnest(range(0, n_chunks)) AS i
+        |  FROM docs
+        |), chunks AS (
+        |  SELECT lang, doc_id,
+        |    list_slice(toks, i*48 + 1, i*48 + 64) AS chunk_toks
+        |  FROM starts
+        |), c2 AS (
+        |  SELECT lang, doc_id, len(chunk_toks) AS chunk_len,
+        |    md5(array_to_string(chunk_toks, ' ')) AS h
+        |  FROM chunks
+        |)
+        |SELECT lang,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  count(*) AS n_chunks,
+        |  CAST(count(DISTINCT h) AS BIGINT) AS n_unique_chunks,
+        |  round(CAST(sum(CAST(chunk_len AS DECIMAL(18,0))) AS DOUBLE)
+        |    / count(*), 6) AS avg_chunk_toks,
+        |  round(1.0 - count(DISTINCT h)::DOUBLE / count(*)::DOUBLE, 6)
+        |    AS dup_fraction
+        |FROM c2 GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // The q88 determinism route feeds ntile(3) on the (ce, doc_id) total
+    // order; NTILE's extra-row-to-first-groups rule is the SQL standard
+    // in both engines, so the tercile cut is identical.
+    "q187_ccnet_buckets" ->
+      """WITH tok AS (
+        |  SELECT lang, doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |), freq AS (
+        |  SELECT lang, tok, count(*) AS cnt FROM tok GROUP BY 1, 2
+        |), lp AS (
+        |  SELECT lang, tok,
+        |    CAST(round(ln(cnt::DOUBLE / (sum(cnt) OVER (PARTITION BY lang))::DOUBLE), 9)
+        |      AS DECIMAL(28,9)) AS logp
+        |  FROM freq
+        |), doc AS (
+        |  SELECT t.lang, t.doc_id, count(*) AS n, sum(lp.logp) AS s
+        |  FROM tok t JOIN lp ON t.lang = lp.lang AND t.tok = lp.tok
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT lang, doc_id, round(-CAST(s AS DOUBLE) / n, 6) AS ce FROM doc
+        |), cut AS (
+        |  SELECT lang, doc_id, ce,
+        |    ntile(3) OVER (PARTITION BY lang ORDER BY ce, doc_id) AS bi
+        |  FROM scored
+        |)
+        |SELECT c.lang,
+        |  CASE bi WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+        |    AS bucket,
+        |  count(*) AS n_docs,
+        |  round(CAST(sum(CAST(ce AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+        |    AS avg_ce,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS n_chars
+        |FROM cut c JOIN documents d USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY c.lang, bucket""".stripMargin
   )
 }

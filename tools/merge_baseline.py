@@ -29,11 +29,20 @@ for extra in runs[2:]:
         if q not in merged:
             merged[q] = round(v, 3)
 
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+# __probe__ = mean of the two runs' per-run sample MEDIANS: the verdict
+# compares a run's sample median against this, so the baseline must be
+# the same statistic (min-of-samples would false-alarm every run — quiet
+# samples jitter 0.07-0.27s on this box).
 probes = []
 for r in (a, b):
     samples = r.get("probe", {}).get("samples") or [
         r["probe"]["start"], r["probe"]["end"]]
-    probes.append(min(samples))
+    probes.append(_median(samples))
 merged["__probe__"] = round(sum(probes) / len(probes), 3)
 
 out = "tools/bench_baseline.json"
