@@ -439,6 +439,17 @@ object NativeHistogram {
         array().cast("array<struct<idx:int,cnt:double>>")))
   }
 
+  /** Schema-dispatching `histogram_quantile(φ)`: exponential-schema rows
+    * interpolate exponentially, custom-bucket (schema −53) rows use the
+    * classic rules — the 3.x behavior when one selector touches both
+    * kinds. Requires the frame to carry the UNION column set
+    * (pos/neg/zero_count/custom_values); [[fromClassicCumulative]]
+    * emits NHCB rows and a caller binding a mixed frame pads the other
+    * side with empty/zero columns. */
+  def histogramQuantileAuto(phi: Double): Column =
+    when(col("schema") === CustomBucketSchema, nhcbQuantile(phi))
+      .otherwise(histogramQuantile(phi))
+
   /** `histogram_quantile(φ)` over an NHCB row — upstream's CLASSIC
     * interpolation rules (promql `bucketQuantile`), which NHCB inherits:
     * linear interpolation inside the hit bucket; a hit in the first

@@ -1941,8 +1941,12 @@ object PromQlParser {
         // child against the histogram frame and interpolate in-bucket
         case Some(h) =>
           val (hv, _) = histVector(h, child, evalTs, lookback)
-          hv.select(h.seriesKey.map(col) :+
-            NativeHistogram.histogramQuantile(q).as("value"): _*)
+          // NHCB-aware: a binding whose frame carries custom_values
+          // dispatches per-row on schema (3.x mixed-schema rule)
+          val qc = if (hv.columns.contains("custom_values"))
+            NativeHistogram.histogramQuantileAuto(q)
+          else NativeHistogram.histogramQuantile(q)
+          hv.select(h.seriesKey.map(col) :+ qc.as("value"): _*)
         case None => throw new IllegalArgumentException(
           "histogram_quantile needs an 'le'-labeled bucket vector, or a " +
             "native-histogram binding (PromSource.hist) for the native form")
@@ -2468,8 +2472,11 @@ object PromQlParser {
         else src.hist match {
           case Some(h) =>
             val (hv, _) = gridHistVector(h, child)
+            val qc = if (hv.columns.contains("custom_values"))
+              NativeHistogram.histogramQuantileAuto(q)
+            else NativeHistogram.histogramQuantile(q)
             hv.select(h.seriesKey.map(col) ++ Seq(col("__step"),
-              NativeHistogram.histogramQuantile(q).as("value")): _*)
+              qc.as("value")): _*)
           case None => throw new IllegalArgumentException(
             "histogram_quantile needs an 'le'-labeled bucket vector, or a " +
               "native-histogram binding (PromSource.hist) for the native form")

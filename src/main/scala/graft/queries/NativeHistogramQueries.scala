@@ -214,6 +214,44 @@ object NativeHistogramQueries {
         round(NativeHistogram.nhcbQuantile(0.9), 6).as("p90"),
         round(NativeHistogram.nhcbQuantile(0.99), 6).as("p99"))
         .orderBy(col("metric"))
+    }),
+
+    // The PromQL TEXT surface over NHCB: the converted custom-bucket
+    // histograms bound as the PromSource's hist frame (padded to the
+    // union column set), queried through parsed `histogram_quantile` /
+    // `histogram_count` — the parser dispatches per-row on schema −53,
+    // which is how a 3.x server serves a selector that touches converted
+    // classic families. Two scrape marks prove instant-vector staleness
+    // picks the newest histogram at T.
+    "q188_promql_nhcb" -> ((s, d) => {
+      val bounds = Seq(1.0, 5.0, 10.0, 50.0, 100.0)
+      val ev = events(s, d)
+      val marked = ev.withColumn("mark", explode(array(
+          lit("2024-01-10 12:00:00").cast("timestamp"),
+          lit("2024-01-11 00:00:00").cast("timestamp"))))
+        .filter(col("ts") <= col("mark"))
+      val nhcb = NativeHistogram.fromClassicCumulative(
+        NativeHistogram.classicCumulativeDense(
+          marked, Seq("event_type", "mark"), "value", bounds),
+        Seq("event_type", "mark"))
+        .withColumn("zero_count", lit(0.0))
+        .withColumn("neg", array().cast("array<struct<idx:int,cnt:double>>"))
+        .withColumn("sum", lit(null).cast("double"))
+      val src = graft.metrics.PromQlParser.PromSource(ev,
+        "event_type", Seq("user_id", "event_type"), "ts", "event_id", "value",
+        hist = Some(graft.metrics.PromQlParser.HistBinding(
+          nhcb, "event_type", Seq("event_type"), "mark", "mark")))
+      val T = "2024-01-11 00:00:00"
+      val sel = """{event_type=~".+"}"""
+      def one(q: String, out: Column, name: String) =
+        graft.metrics.PromQlParser.eval(src, q, T)
+          .select(col("event_type"), out.as(name))
+      val v = col("value")
+      one(s"histogram_count($sel)", v.cast("long"), "n_obs")
+        .join(one(s"histogram_quantile(0.5, $sel)", round(v, 6), "p50"), "event_type")
+        .join(one(s"histogram_quantile(0.9, $sel)", round(v, 6), "p90"), "event_type")
+        .join(one(s"histogram_quantile(0.99, $sel)", round(v, 6), "p99"), "event_type")
+        .orderBy(col("event_type"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -559,5 +597,46 @@ object NativeHistogramQueries {
         |  round(max(CASE WHEN h.phi = 0.9  THEN h.q END), 6) AS p90,
         |  round(max(CASE WHEN h.phi = 0.99 THEN h.q END), 6) AS p99
         |FROM tot t JOIN nb USING (metric) JOIN hits h USING (metric)
-        |GROUP BY 1, 2, 3 ORDER BY t.metric""".stripMargin)
+        |GROUP BY 1, 2, 3 ORDER BY t.metric""".stripMargin,
+
+    // q182's twin sliced at the newest scrape mark (ts ≤ T): the PromQL
+    // face serves the cumulative NHCB at T, so the classic bucketQuantile
+    // walk over events up to T reproduces every figure.
+    "q188_promql_nhcb" ->
+      """WITH b AS (
+        |  SELECT event_type, value FROM events
+        |  WHERE ts <= TIMESTAMP '2024-01-11 00:00:00'
+        |), tot AS (
+        |  SELECT event_type, count(*) AS n FROM b GROUP BY 1
+        |), bounds(le) AS (
+        |  VALUES (1.0),(5.0),(10.0),(50.0),(100.0)
+        |), cum AS (
+        |  SELECT v.event_type, CAST(bo.le AS DOUBLE) AS le,
+        |    sum(CASE WHEN v.value <= bo.le THEN 1 ELSE 0 END) AS cum
+        |  FROM b v CROSS JOIN bounds bo GROUP BY 1, 2
+        |), phis(phi) AS (
+        |  VALUES (0.5),(0.9),(0.99)
+        |), walk AS (
+        |  SELECT c.event_type, CAST(p.phi AS DOUBLE) AS phi, c.le, c.cum,
+        |    lag(c.cum, 1, 0) OVER w AS prevcum,
+        |    coalesce(lag(c.le) OVER w, 0.0) AS lower,
+        |    t.n
+        |  FROM cum c JOIN tot t USING (event_type) CROSS JOIN phis p
+        |  WINDOW w AS (PARTITION BY c.event_type, p.phi ORDER BY c.le)
+        |), hits AS (
+        |  SELECT event_type, phi,
+        |    CASE WHEN count(*) FILTER (WHERE cum >= phi * n) = 0
+        |      THEN max(le)
+        |      ELSE arg_min(
+        |        lower + (le - lower) * ((phi*n - prevcum) / (cum - prevcum)),
+        |        le) FILTER (WHERE cum >= phi * n)
+        |    END AS q
+        |  FROM walk GROUP BY 1, 2
+        |)
+        |SELECT t.event_type, CAST(t.n AS BIGINT) AS n_obs,
+        |  round(max(CASE WHEN h.phi = 0.5  THEN h.q END), 6) AS p50,
+        |  round(max(CASE WHEN h.phi = 0.9  THEN h.q END), 6) AS p90,
+        |  round(max(CASE WHEN h.phi = 0.99 THEN h.q END), 6) AS p99
+        |FROM tot t JOIN hits h USING (event_type)
+        |GROUP BY 1, 2 ORDER BY t.event_type""".stripMargin)
 }
