@@ -37,6 +37,40 @@ object Exposition {
       // ANSI runtime failure; handles NaN and decimal/exponent forms
       .otherwise(s.try_cast("double"))
 
+  // ---------- OpenMetrics 1.0 (the 3.x scrape-preferred format) -------
+
+  /** OpenMetrics sample grammar: like 0.0.4 but timestamps are FLOAT
+    * SECONDS (not integer ms) and a sample may carry an EXEMPLAR after
+    * ` # `: `name{labels} value [ts] # {exemplar-labels} exvalue [exts]`.
+    * The label body is matched lazily so it cannot swallow the exemplar
+    * braces; `# EOF` / `# TYPE` / `# HELP`/`# UNIT` comment lines drop
+    * like any comment. */
+  private val omPat =
+    "^([a-zA-Z_:][a-zA-Z0-9_:]*)(?:\\{(.*?)\\})?\\s+(\\S+)" +
+      "(?:\\s+(-?[0-9.eE+]+))?" +
+      "(?:\\s+#\\s+\\{(.*)\\}\\s+(\\S+)(?:\\s+(-?[0-9.eE+]+))?)?$"
+
+  /** Parse OpenMetrics lines into `(name, labels, value, ts_sec,
+    * ex_labels, ex_value, ex_ts_sec)` — exemplar columns null when the
+    * sample carries none. Pure column regexes, zero UDFs, map-side. */
+  def parseOpenMetrics(df: DataFrame, lineCol: String): DataFrame = {
+    val line = trim(col(lineCol))
+    def grp(i: Int) = regexp_extract(line, omPat, i)
+    def pairsOf(body: Column) = map_from_entries(transform(
+      regexp_extract_all(body, lit(pairPat), lit(0)), p => struct(
+        regexp_extract(p, pairPat, 1).as("k"),
+        unescape(regexp_extract(p, pairPat, 2)).as("v"))))
+    df.filter(!line.startsWith(lit("#")) && line =!= "")
+      .select(
+        when(grp(1) =!= "", grp(1)).as("name"),
+        pairsOf(grp(2)).as("labels"),
+        parseValue(grp(3)).as("value"),
+        when(grp(4) =!= "", grp(4).try_cast("double")).as("ts_sec"),
+        when(grp(5) =!= "", pairsOf(grp(5))).as("ex_labels"),
+        when(grp(6) =!= "", parseValue(grp(6))).as("ex_value"),
+        when(grp(7) =!= "", grp(7).try_cast("double")).as("ex_ts_sec"))
+  }
+
   /** Parse a frame of exposition lines; malformed non-comment lines keep
     * a null name (callers can count them as scrape errors). */
   def parseSamples(df: DataFrame, lineCol: String): DataFrame = {

@@ -261,6 +261,52 @@ object ExtraQueries {
     }),
 
     // Exposition-text ROUND TRIP: render one scrape day as exposition
+    // OpenMetrics 1.0 roundtrip WITH EXEMPLARS (the 3.x scrape-preferred
+    // format — exemplars exist ONLY in OpenMetrics text): classic
+    // histogram bucket lines rendered with their newest exemplar
+    // (`eh_<m>_bucket{le="..."} cum ts # {trace_id="..."} v ts.sss`),
+    // TYPE comments and the `# EOF` terminator mixed in, parsed back by
+    // the pure-regex parseOpenMetrics (lazy label body so the exemplar
+    // braces never get swallowed; float-second timestamps). The oracle
+    // recomputes buckets + newest-exemplar directly from raw events, so
+    // any render/parse asymmetry hashes red. Zero UDFs, map-side parse.
+    "q189_openmetrics_exemplars" -> ((s, d) => {
+      import graft.metrics.{Exposition, MetricRegistry}
+      val bounds = Seq(1.0, 5.0, 10.0, 50.0, 100.0)
+      val ev = events(s, d).withColumn("metric", col("event_type"))
+        .withColumn("trace_id",
+          concat(lit("t"), get_json_object(col("props"), "$.k")))
+      val buckets = MetricRegistry.histogram(ev, Seq("metric"), "value", bounds)
+      val ex = MetricRegistry.histogramExemplars(ev, Seq("metric"), "value",
+        bounds, Seq("trace_id"), "ts", "event_id")
+      val leStr = when(col("le") === Double.PositiveInfinity, lit("+Inf"))
+        .otherwise(col("le").cast("string"))
+      val sampleLines = buckets.join(ex, Seq("metric", "le"))
+        .select(concat(
+          lit("eh_"), col("metric"), lit("_bucket{le=\""), leStr, lit("\"} "),
+          col("cum_count").cast("string"), lit(" 1705017600"),
+          lit(" # {trace_id=\""), col("exemplar.trace_id"), lit("\"} "),
+          round(col("exemplar.value"), 6).cast("decimal(18,6)").cast("string"),
+          lit(" "),
+          (unix_millis(col("exemplar.ts")).cast("decimal(17,3)") / 1000)
+            .cast("decimal(17,3)").cast("string")).as("line"))
+      val comments = buckets.select(col("metric")).distinct()
+        .select(concat(lit("# TYPE eh_"), col("metric"), lit(" histogram"))
+          .as("line"))
+        .unionByName(events(s, d).limit(1).select(lit("# EOF").as("line")))
+      val parsed = Exposition.parseOpenMetrics(
+        sampleLines.unionByName(comments), "line")
+      parsed.select(
+          regexp_extract(col("name"), "^eh_(.*)_bucket$", 1).as("metric"),
+          when(col("labels")("le") === "+Inf", lit(Double.PositiveInfinity))
+            .otherwise(col("labels")("le").try_cast("double")).as("le"),
+          col("value").cast("long").as("cum_count"),
+          col("ex_labels")("trace_id").as("trace_id"),
+          col("ex_value"),
+          round(col("ex_ts_sec"), 3).as("ex_ts"))
+        .orderBy(col("metric"), col("le"))
+    }),
+
     // 0.0.4 lines (values as 6-dp decimal strings — the cross-engine-
     // stable text form), mix in TYPE comments, parse everything back
     // with the pure-regex Exposition parser, and aggregate the parsed
@@ -843,6 +889,36 @@ object ExtraQueries {
         |  round(any_value(l.v_counter), 6) AS v_counter
         |FROM raw r JOIN lastv l USING (event_type, w_ts)
         |GROUP BY r.event_type, r.w_ts ORDER BY r.event_type, r.w_ts""".stripMargin,
+
+    // Buckets + newest-exemplar recomputed raw; ex_ts = round(ms/1000, 3)
+    // matches the engine's parse of the rendered 3-dp float-second.
+    "q189_openmetrics_exemplars" ->
+      """WITH b AS (
+        |  SELECT event_type AS metric,
+        |    CASE WHEN value <= 1.0 THEN 1.0 WHEN value <= 5.0 THEN 5.0
+        |         WHEN value <= 10.0 THEN 10.0 WHEN value <= 50.0 THEN 50.0
+        |         WHEN value <= 100.0 THEN 100.0 ELSE 'Infinity'::DOUBLE END AS le,
+        |    't' || CAST(json_extract(props, '$.k') AS VARCHAR) AS trace_id,
+        |    value, ts, event_id
+        |  FROM events
+        |), buckets AS (
+        |  SELECT metric, le, count(*) AS bucket_count FROM b GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT metric, le,
+        |    CAST(sum(bucket_count) OVER (PARTITION BY metric ORDER BY le
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_count
+        |  FROM buckets
+        |), exe AS (
+        |  SELECT metric, le, trace_id, round(value, 6) AS ex_value,
+        |    round(epoch_ms(ts) / 1000.0, 3) AS ex_ts
+        |  FROM b
+        |  QUALIFY row_number() OVER (PARTITION BY metric, le
+        |                             ORDER BY ts DESC, event_id DESC) = 1
+        |)
+        |SELECT c.metric, c.le, c.cum_count, e.trace_id, e.ex_value, e.ex_ts
+        |FROM cum c JOIN exe e USING (metric, le)
+        |ORDER BY c.metric, c.le""".stripMargin,
 
     "q159_exposition_roundtrip" ->
       """SELECT 'metric_' || event_type AS name, count(*) AS n,
