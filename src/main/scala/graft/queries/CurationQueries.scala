@@ -24,6 +24,27 @@ object CurationQueries {
       .repartition(s.sparkContext.defaultParallelism)
       .withColumn("toks", TextOps.tokens(col("text")))
 
+  /** The q92 near-dup cluster pipeline (banded MinHash LSH candidates →
+    * signature-verify → pointer-doubling connected components), shared
+    * with the canonical-selection face (q190). */
+  private def dedupComponents(s: SparkSession, d: String): DataFrame = {
+    val sig = docsWithTokens(s, d)
+      .withColumn("bh", TextOps.minhashBase(TextOps.shingles(col("toks"), 3)))
+      .select(col("lang"), col("doc_id"),
+        TextOps.minhashSignature(col("bh"), 8).as("sig"))
+    val banded = sig.select(col("lang"), col("doc_id"), col("sig"),
+      explode(TextOps.bandKeys(col("sig"), 4, 2)).as("bk"))
+    val lhs = banded.select(col("lang"), col("bk"), col("doc_id").as("id1"), col("sig").as("sig1"))
+    val rhs = banded.select(col("lang"), col("bk"), col("doc_id").as("id2"), col("sig").as("sig2"))
+    val pairs = lhs.join(rhs, Seq("lang", "bk")).filter(col("id1") < col("id2"))
+      .filter(aggregate(
+        zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v) >= 4)
+      .select(col("id1"), col("id2")).distinct()
+    val nodes = documents(s, d).select(col("lang"), col("doc_id"))
+    graft.text.Components.connectedComponents(nodes, pairs, "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Gopher-style repetition signals per doc, rolled up per language:
     // duplicate-word fraction, top-bigram mass, mean word length, and the
@@ -129,27 +150,42 @@ object CurationQueries {
     // oracle computes the same closure with a recursive CTE. Outputs are
     // all integers (cluster counts/sizes).
     "q92_dedup_clusters" -> ((s, d) => {
-      val sig = docsWithTokens(s, d)
-        .withColumn("bh", TextOps.minhashBase(TextOps.shingles(col("toks"), 3)))
-        .select(col("lang"), col("doc_id"),
-          TextOps.minhashSignature(col("bh"), 8).as("sig"))
-      val banded = sig.select(col("lang"), col("doc_id"), col("sig"),
-        explode(TextOps.bandKeys(col("sig"), 4, 2)).as("bk"))
-      val lhs = banded.select(col("lang"), col("bk"), col("doc_id").as("id1"), col("sig").as("sig1"))
-      val rhs = banded.select(col("lang"), col("bk"), col("doc_id").as("id2"), col("sig").as("sig2"))
-      val pairs = lhs.join(rhs, Seq("lang", "bk")).filter(col("id1") < col("id2"))
-        .filter(aggregate(
-          zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v) >= 4)
-        .select(col("id1"), col("id2")).distinct()
-      val nodes = documents(s, d).select(col("lang"), col("doc_id"))
-      val comp = graft.text.Components.connectedComponents(nodes, pairs, "doc_id")
+      val comp = dedupComponents(s, d)
       val sizes = comp.groupBy(col("lang"), col("component"))
         .agg(count(lit(1)).as("sz"))
       sizes.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_clusters"),
           max(col("sz")).as("max_cluster_size"),
           sum(when(col("sz") >= 2, col("sz")).otherwise(0)).as("n_docs_multi"))
+        .orderBy(col("lang"))
+    }),
+
+    // Quality-aware CANONICAL selection over the q92 dedup clusters —
+    // real-pipeline dedup keeps the BEST representative, not the
+    // smallest id: per cluster, the doc with the most characters wins
+    // (ties to the smaller id, a total order). Reports what the policy
+    // keeps/drops per language and how often quality-keep differs from
+    // naive min-id-keep. Same banded-LSH + pointer-doubling closure as
+    // q92 (never corpus-quadratic); the selection itself is one window
+    // over cluster members.
+    "q190_quality_canonical" -> ((s, d) => {
+      val comp = dedupComponents(s, d)
+      val withQ = comp.join(
+        documents(s, d).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      val byC = Window.partitionBy(col("component"))
+      val w = byC.orderBy(col("n_chars").desc, col("doc_id"))
+      val ranked = withQ.withColumn("rn", row_number().over(w))
+        .withColumn("min_id", min(col("doc_id")).over(byC))
+        .withColumn("csz", count(lit(1)).over(byC))
+      ranked.groupBy(col("lang"))
+        .agg(countDistinct(col("component")).as("n_clusters"),
+          count(lit(1)).as("n_docs"),
+          sum(when(col("rn") =!= 1, 1).otherwise(0)).as("n_dropped"),
+          sum(when(col("rn") === 1, col("n_chars")).otherwise(0)).as("chars_kept"),
+          sum(when(col("rn") =!= 1, col("n_chars")).otherwise(0)).as("chars_dropped"),
+          sum(when(col("rn") === 1 && col("csz") >= 2 &&
+            col("doc_id") =!= col("min_id"), 1).otherwise(0))
+            .as("n_quality_beats_minid"))
         .orderBy(col("lang"))
     }),
 
@@ -618,6 +654,73 @@ object CurationQueries {
         |SELECT lang, count(*) AS n_clusters, max(sz) AS max_cluster_size,
         |  CAST(sum(CASE WHEN sz >= 2 THEN sz ELSE 0 END) AS BIGINT) AS n_docs_multi
         |FROM sizes GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q92's closure + a per-cluster (n_chars DESC, doc_id) ranking: the
+    // quality-keep policy and its delta vs naive min-id keep.
+    "q190_quality_canonical" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT lang, doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT lang, doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ')
+        |      for i in generate_series(1, len(toks) - 2)]) AS sh
+        |  FROM t
+        |), base AS (
+        |  SELECT lang, doc_id,
+        |    list_transform(sh, s ->
+        |      concat(md5(concat('mhA|', s)), md5(concat('mhB|', s)))) AS bh
+        |  FROM sh
+        |), sig AS (
+        |  SELECT lang, doc_id,
+        |    [list_min(list_transform(bh, s ->
+        |       CAST(concat('0x', substr(s, j*8 + 1, 8)) AS BIGINT)))
+        |     for j in generate_series(0, 7)] AS sig
+        |  FROM base
+        |), banded AS (
+        |  SELECT lang, doc_id, sig, b AS band,
+        |    concat(sig[b*2+1], ',', sig[b*2+2]) AS key
+        |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bands
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM banded a JOIN banded b
+        |    ON a.lang = b.lang AND a.band = b.band AND a.key = b.key
+        |    AND a.doc_id < b.doc_id
+        |  WHERE len([i for i in generate_series(1, 8) if a.sig[i] = b.sig[i]]) >= 4
+        |), edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION ALL SELECT id2, id1 FROM pairs
+        |), reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |), lbl AS (
+        |  SELECT d.lang, d.doc_id,
+        |    least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component
+        |  FROM documents d LEFT JOIN reach r ON d.doc_id = r.a
+        |  GROUP BY d.lang, d.doc_id
+        |), withq AS (
+        |  SELECT l.lang, l.doc_id, l.component, d.n_chars
+        |  FROM lbl l JOIN documents d ON d.doc_id = l.doc_id
+        |), ranked AS (
+        |  SELECT lang, doc_id, component, n_chars,
+        |    row_number() OVER (PARTITION BY component
+        |      ORDER BY n_chars DESC, doc_id) AS rn,
+        |    min(doc_id) OVER (PARTITION BY component) AS min_id,
+        |    count(*) OVER (PARTITION BY component) AS csz
+        |  FROM withq
+        |)
+        |SELECT lang,
+        |  CAST(count(DISTINCT component) AS BIGINT) AS n_clusters,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN rn <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(sum(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+        |    AS chars_kept,
+        |  CAST(sum(CASE WHEN rn <> 1 THEN n_chars ELSE 0 END) AS BIGINT)
+        |    AS chars_dropped,
+        |  CAST(sum(CASE WHEN rn = 1 AND csz >= 2 AND doc_id <> min_id
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_beats_minid
+        |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q93_vocab_coverage" ->
       """WITH tok AS (

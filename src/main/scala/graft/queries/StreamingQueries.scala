@@ -332,6 +332,38 @@ object StreamingQueries {
           round(col("sv").cast("double"), 4).as("sum_value"),
           col("max_ts"), col("max_user"))
         .orderBy(col("metric"))
+    }),
+
+    // STREAMING Thanos downsampling — the live face of q158: 5m aggr
+    // chunks (count/decimal-sum/min/max/last-by-(ts,ord) counter) built
+    // as ONE streaming windowed aggregation over the replay, then the
+    // committed chunk table rolls up through the SAME batch reAggregate
+    // to hourly — so the sink must equal the batch raw→5m→1h chain, and
+    // the oracle is q158's SQL verbatim. This is the deployment shape:
+    // the edge holds only open 5m windows of state per series, and the
+    // store compacts chunks, never raw samples.
+    "s191_stream_downsample" -> ((s, d) => {
+      val t = StreamOps.replayEvents(s, d, "s191_sink", 2)(
+        ds => ds.toDF()
+          .filter(col("ts") >= lit("2024-01-12").cast("timestamp") &&
+            col("ts") < lit("2024-01-13").cast("timestamp"))
+          .groupBy(col("event_type"),
+            window(col("ts"), "5 minutes").getField("start").as("chunk_ts"))
+          .agg(count(lit(1)).as("c_count"),
+            sum(round(col("value"), 6).cast("decimal(18,6)"))
+              .cast("double").as("c_sum"),
+            min(col("value")).as("c_min"),
+            max(col("value")).as("c_max"),
+            max_by(col("value"), struct(col("ts"), col("event_id")))
+              .as("c_counter")),
+        OutputMode.Complete)
+      graft.metrics.Downsample.reAggregate(t, Seq("event_type"), "1 hour")
+        .select(col("event_type"), col("w_ts"), col("n"),
+          round(col("v_avg"), 6).as("v_avg"),
+          round(col("v_min"), 6).as("v_min"),
+          round(col("v_max"), 6).as("v_max"),
+          round(col("v_counter"), 6).as("v_counter"))
+        .orderBy(col("event_type"), col("w_ts"))
     })
   )
 
@@ -616,6 +648,29 @@ object StreamingQueries {
         |  max(ts) AS max_ts
         |FROM events WHERE ts < TIMESTAMP '2024-01-03'
         |GROUP BY 1 ORDER BY metric""".stripMargin,
+
+    // q158's twin verbatim: the streaming 5m chunk build + batch hourly
+    // rollup must equal the batch raw→5m→1h chain exactly.
+    "s191_stream_downsample" ->
+      """WITH raw AS (
+        |  SELECT event_type, ts, event_id, value,
+        |    time_bucket(INTERVAL 1 HOUR, ts) AS w_ts
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-12' AND ts < TIMESTAMP '2024-01-13'
+        |), lastv AS (
+        |  SELECT event_type, w_ts, value AS v_counter
+        |  FROM raw
+        |  QUALIFY row_number() OVER (PARTITION BY event_type, w_ts
+        |                             ORDER BY ts DESC, event_id DESC) = 1
+        |)
+        |SELECT r.event_type, r.w_ts, count(*) AS n,
+        |  round(CAST(sum(CAST(round(r.value, 6) AS DECIMAL(18,6))) AS DOUBLE) /
+        |    count(*), 6) AS v_avg,
+        |  round(min(r.value), 6) AS v_min,
+        |  round(max(r.value), 6) AS v_max,
+        |  round(any_value(l.v_counter), 6) AS v_counter
+        |FROM raw r JOIN lastv l USING (event_type, w_ts)
+        |GROUP BY r.event_type, r.w_ts ORDER BY r.event_type, r.w_ts""".stripMargin,
 
     // Remote-write render → parse is the identity on samples up to the
     // wire's ms timestamp unit; the label map round-trips user intact.
