@@ -261,6 +261,69 @@ object ExtraQueries {
     }),
 
     // Exposition-text ROUND TRIP: render one scrape day as exposition
+    // Ingest SERIES-LIMIT enforcement (Cortex/Mimir per-tenant
+    // max_series guardrail — the protection that keeps one cardinality
+    // explosion from OOMing an ingester): per metric, only the first K
+    // series (by first-seen (ts, event_id), a total order) are admitted;
+    // later series' samples are rejected with the per-series accounting
+    // a limits endpoint reports. Two keyed aggs + one window over
+    // |series| rows (never samples) + one broadcast-size join back.
+    "q192_series_limit" -> ((s, d) => {
+      val K = 20
+      val ev = events(s, d)
+      val firstSeen = ev.groupBy(col("event_type"), col("user_id"))
+        .agg(min(struct(col("ts"), col("event_id"))).as("fs"),
+          count(lit(1)).as("n_samples"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("fs.ts"), col("fs.event_id"), col("user_id"))
+      val admitted = firstSeen
+        .withColumn("rank", row_number().over(w))
+        .withColumn("ok", col("rank") <= K)
+      admitted.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_series"),
+          sum(when(col("ok"), 1).otherwise(0)).as("n_admitted_series"),
+          sum(when(!col("ok"), 1).otherwise(0)).as("n_rejected_series"),
+          sum(col("n_samples")).as("n_samples"),
+          sum(when(!col("ok"), col("n_samples")).otherwise(0L))
+            .as("n_rejected_samples"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Out-of-order ingest handling (Prometheus TSDB's
+    // out_of_order_time_window): in ARRIVAL order, a sample older than
+    // the series' max-so-far is out-of-order; it is still accepted while
+    // within the OOO window (1h here) and rejected as too-old beyond it.
+    // The data's event_id follows event time, so a deterministic md5
+    // arrival shuffle stands in for network reordering — both engines
+    // derive the identical arrival sequence, keeping the accounting
+    // oracle-exact. One window per series (running max over arrival
+    // order); state is a series' samples, never the corpus.
+    "q193_ooo_ingest" -> ((s, d) => {
+      val arr = events(s, d).withColumn("arr",
+        conv(substring(md5(concat(lit("arr|"), col("event_id"))), 1, 12),
+          16, 10).cast("long"))
+      val w = Window.partitionBy(col("event_type"), col("user_id"))
+        .orderBy(col("arr"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val marked = arr
+        .withColumn("prev_max", max(col("ts")).over(w))
+        // integral div, not `/` (double division) — the repo-wide rule
+        .withColumn("lag_s", expr(
+          "unix_micros(prev_max) div 1000000 - unix_micros(ts) div 1000000"))
+        .withColumn("status",
+          when(col("prev_max").isNull || col("ts") >= col("prev_max"),
+            "in_order")
+            .when(col("lag_s") <= 3600, "ooo_accepted")
+            .otherwise("ooo_rejected"))
+      marked.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_samples"),
+          sum(when(col("status") === "in_order", 1).otherwise(0)).as("n_in_order"),
+          sum(when(col("status") === "ooo_accepted", 1).otherwise(0)).as("n_ooo_accepted"),
+          sum(when(col("status") === "ooo_rejected", 1).otherwise(0)).as("n_ooo_rejected"),
+          max(when(col("status") =!= "in_order", col("lag_s"))).as("max_lag_s"))
+        .orderBy(col("event_type"))
+    }),
+
     // OpenMetrics 1.0 roundtrip WITH EXEMPLARS (the 3.x scrape-preferred
     // format — exemplars exist ONLY in OpenMetrics text): classic
     // histogram bucket lines rendered with their newest exemplar
@@ -889,6 +952,64 @@ object ExtraQueries {
         |  round(any_value(l.v_counter), 6) AS v_counter
         |FROM raw r JOIN lastv l USING (event_type, w_ts)
         |GROUP BY r.event_type, r.w_ts ORDER BY r.event_type, r.w_ts""".stripMargin,
+
+    // First-K admission on the (first_ts, first_event_id, user_id)
+    // total order — identical ranking in both engines.
+    "q192_series_limit" ->
+      """WITH fs AS (
+        |  SELECT event_type, user_id, ts AS fts, event_id AS fid,
+        |    count(*) OVER (PARTITION BY event_type, user_id) AS n_samples
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY event_type, user_id
+        |    ORDER BY ts, event_id) = 1
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY fts, fid, user_id) AS rank
+        |  FROM fs
+        |)
+        |SELECT event_type,
+        |  count(*) AS n_series,
+        |  CAST(sum(CASE WHEN rank <= 20 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_admitted_series,
+        |  CAST(sum(CASE WHEN rank > 20 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_rejected_series,
+        |  CAST(sum(n_samples) AS BIGINT) AS n_samples,
+        |  CAST(sum(CASE WHEN rank > 20 THEN n_samples ELSE 0 END) AS BIGINT)
+        |    AS n_rejected_samples
+        |FROM ranked GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // Same md5 arrival shuffle, same integral-second lag math, same 1h
+    // window rule.
+    "q193_ooo_ingest" ->
+      """WITH arr AS (
+        |  SELECT event_type, user_id, ts, event_id,
+        |    CAST(concat('0x', substr(md5('arr|' || event_id), 1, 12)) AS BIGINT)
+        |      AS arr
+        |  FROM events
+        |), w AS (
+        |  SELECT event_type, ts,
+        |    max(ts) OVER (PARTITION BY event_type, user_id
+        |      ORDER BY arr, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM arr
+        |), m AS (
+        |  SELECT event_type,
+        |    (epoch_us(prev_max) // 1000000) - (epoch_us(ts) // 1000000) AS lag_s,
+        |    CASE WHEN prev_max IS NULL OR ts >= prev_max THEN 'in_order'
+        |         WHEN (epoch_us(prev_max) // 1000000) -
+        |              (epoch_us(ts) // 1000000) <= 3600 THEN 'ooo_accepted'
+        |         ELSE 'ooo_rejected' END AS status
+        |  FROM w
+        |)
+        |SELECT event_type, count(*) AS n_samples,
+        |  CAST(sum(CASE WHEN status = 'in_order' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_in_order,
+        |  CAST(sum(CASE WHEN status = 'ooo_accepted' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_ooo_accepted,
+        |  CAST(sum(CASE WHEN status = 'ooo_rejected' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_ooo_rejected,
+        |  max(CASE WHEN status <> 'in_order' THEN lag_s END) AS max_lag_s
+        |FROM m GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // Buckets + newest-exemplar recomputed raw; ex_ts = round(ms/1000, 3)
     // matches the engine's parse of the rendered 3-dp float-second.
