@@ -261,6 +261,46 @@ object ExtraQueries {
     }),
 
     // Exposition-text ROUND TRIP: render one scrape day as exposition
+    // Remote-write 2.0 ROUNDTRIP (io.prometheus.write.v2.Request): the
+    // interned-symbol wire — one request-level string table, every
+    // label set (series AND exemplar) as alternating ref pairs into it.
+    // renderV2 builds a properly deduped sorted table per document
+    // (empty string first, per spec) and resolves refs with
+    // array_position; parseV2 resolves them back with element_at inside
+    // transform — interning costs zero at parse time, no UDFs anywhere.
+    // Output: per-metric sample rollup + exemplar accounting, the
+    // newest-exemplar trace on a (ms-ts, value, trace) total order.
+    "q194_remote_write_v2" -> ((s, d) => {
+      import graft.sources.RemoteWrite
+      val ev = events(s, d)
+        .filter(col("ts") < lit("2024-01-03").cast("timestamp"))
+        .withColumn("trace_id",
+          concat(lit("t"), get_json_object(col("props"), "$.k")))
+      val docs = RemoteWrite.renderV2(ev, col("user_id"),
+        concat(lit("app_events_"), col("event_type")),
+        col("ts"), col("value"), Seq("user" -> col("user_id")),
+        "trace_id" -> col("trace_id"))
+      val parsed = RemoteWrite.parseV2(docs)
+      val samples = parsed.filter(!col("is_exemplar"))
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n_samples"),
+          sum(round(col("value"), 6).cast("decimal(18,6)")).as("sv"),
+          max(col("ts")).as("max_ts"))
+      val exemplars = parsed.filter(col("is_exemplar"))
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n_exemplars"),
+          max(col("ts")).as("max_ex_ts"),
+          max_by(col("ex_labels")("trace_id"),
+            struct(col("ts"), col("value"), col("ex_labels")("trace_id")))
+            .as("top_trace"))
+      samples.join(exemplars, Seq("metric"))
+        .select(col("metric"), col("n_samples"),
+          round(col("sv").cast("double"), 4).as("sum_value"),
+          col("max_ts"), col("n_exemplars"), col("max_ex_ts"),
+          col("top_trace"))
+        .orderBy(col("metric"))
+    }),
+
     // Ingest SERIES-LIMIT enforcement (Cortex/Mimir per-tenant
     // max_series guardrail — the protection that keeps one cardinality
     // explosion from OOMing an ingester): per metric, only the first K
@@ -952,6 +992,43 @@ object ExtraQueries {
         |  round(any_value(l.v_counter), 6) AS v_counter
         |FROM raw r JOIN lastv l USING (event_type, w_ts)
         |GROUP BY r.event_type, r.w_ts ORDER BY r.event_type, r.w_ts""".stripMargin,
+
+    // renderV2 → parseV2 is the identity on samples (up to ms
+    // timestamps) and exemplars (per-series newest on the (ts, value,
+    // trace) total order), so the twin is the raw rollup plus the same
+    // per-series exemplar pick.
+    "q194_remote_write_v2" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, ts, value,
+        |    't' || CAST(json_extract(props, '$.k') AS VARCHAR) AS trace
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-03'
+        |), ex AS (
+        |  SELECT event_type, user_id, trace, ts, value
+        |  FROM e
+        |  QUALIFY row_number() OVER (PARTITION BY event_type, user_id
+        |    ORDER BY ts DESC, value DESC, trace DESC) = 1
+        |), sam AS (
+        |  SELECT 'app_events_' || event_type AS metric, count(*) AS n_samples,
+        |    round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |      AS sum_value,
+        |    max(date_trunc('milliseconds', ts)) AS max_ts
+        |  FROM e GROUP BY 1
+        |), exm AS (
+        |  SELECT 'app_events_' || event_type AS metric,
+        |    count(*) AS n_exemplars,
+        |    max(date_trunc('milliseconds', ts)) AS max_ex_ts
+        |  FROM ex GROUP BY 1
+        |), top AS (
+        |  SELECT 'app_events_' || event_type AS metric, trace AS top_trace
+        |  FROM ex
+        |  QUALIFY row_number() OVER (PARTITION BY event_type
+        |    ORDER BY date_trunc('milliseconds', ts) DESC, value DESC,
+        |             trace DESC) = 1
+        |)
+        |SELECT s.metric, s.n_samples, s.sum_value, s.max_ts,
+        |  x.n_exemplars, x.max_ex_ts, t.top_trace
+        |FROM sam s JOIN exm x USING (metric) JOIN top t USING (metric)
+        |ORDER BY s.metric""".stripMargin,
 
     // First-K admission on the (first_ts, first_event_id, user_id)
     // total order — identical ranking in both engines.

@@ -57,6 +57,126 @@ object RemoteWrite {
         col("s.value").as("value"))
   }
 
+  // ---------- remote-write 2.0 (interned symbols, exemplars) ----------
+
+  /** Remote-write 2.0 (`io.prometheus.write.v2.Request`): ONE
+    * request-level `symbols` string table, and every label set — series
+    * labels AND exemplar labels — as `labelsRefs`, a flat int array of
+    * alternating (name-ref, value-ref) indices into it. The deduped
+    * symbol table is the wire's size win at 100 TB scale; resolving refs
+    * is pure column math here (`element_at` into the per-document
+    * symbols array inside `transform`), so the interning costs nothing
+    * at parse time — no shuffle, no UDF, whole-stage codegen. Exemplars
+    * ride each timeseries (`{labelsRefs, value, timestamp(ms)}`). */
+  private val rw2Schema: DataType = StructType(Seq(
+    StructField("symbols", ArrayType(StringType)),
+    StructField("timeseries", ArrayType(StructType(Seq(
+      StructField("labelsRefs", ArrayType(IntegerType)),
+      StructField("samples", sampleType),
+      StructField("exemplars", ArrayType(StructType(Seq(
+        StructField("labelsRefs", ArrayType(IntegerType)),
+        StructField("value", DoubleType),
+        StructField("timestamp", LongType)))))))))))
+
+  /** Resolve an alternating (name-ref, value-ref) array against the
+    * document's symbol table into a label map. Refs are 0-based
+    * (element_at is 1-based, hence +1); ref 0 = the spec's mandatory
+    * empty-string first symbol. */
+  private def resolveRefs(refs: Column, symbols: Column): Column =
+    map_from_entries(transform(
+      sequence(lit(0), (size(refs) / 2).cast("int") - 1),
+      i => struct(
+        element_at(symbols, element_at(refs, i * 2 + 1) + 1).as("k"),
+        element_at(symbols, element_at(refs, i * 2 + 2) + 1).as("v"))))
+
+  /** Parse remote-write 2.0 request documents into samples
+    * `(metric, labels, ts, value)` plus per-series exemplars exploded
+    * into `(metric, labels, ex_labels, ex_value, ex_ts)` rows — callers
+    * split on `is_exemplar`. */
+  def parseV2(df: DataFrame, jsonCol: String = "json"): DataFrame = {
+    val base = df.select(from_json(col(jsonCol), rw2Schema).as("d"))
+      .select(col("d.symbols").as("__sym"),
+        explode(col("d.timeseries")).as("ts_row"))
+      .withColumn("__labels", resolveRefs(col("ts_row.labelsRefs"), col("__sym")))
+    val samples = base
+      .select(col("__labels"), lit(false).as("is_exemplar"),
+        explode(col("ts_row.samples")).as("s"),
+        lit(null).cast("map<string,string>").as("ex_labels"))
+      .select(
+        element_at(col("__labels"), "__name__").as("metric"),
+        map_filter(col("__labels"), (k, _) => k =!= "__name__").as("labels"),
+        col("is_exemplar"),
+        timestamp_millis(col("s.timestamp")).as("ts"),
+        col("s.value").as("value"),
+        col("ex_labels"))
+    val exemplars = base
+      .select(col("__sym"), col("__labels"), lit(true).as("is_exemplar"),
+        explode(col("ts_row.exemplars")).as("e"))
+      .select(
+        element_at(col("__labels"), "__name__").as("metric"),
+        map_filter(col("__labels"), (k, _) => k =!= "__name__").as("labels"),
+        col("is_exemplar"),
+        timestamp_millis(col("e.timestamp")).as("ts"),
+        col("e.value").as("value"),
+        resolveRefs(col("e.labelsRefs"), col("__sym")).as("ex_labels"))
+    samples.unionByName(exemplars)
+  }
+
+  /** Render samples + per-series newest exemplars INTO remote-write 2.0
+    * documents with a properly interned symbol table: per `docKey`, the
+    * deduped sorted symbol set (empty string first, per spec) is built
+    * in-row and every label resolves to its ref via `array_position` —
+    * the exact inverse of [[parseV2]], still zero UDFs. */
+  def renderV2(df: DataFrame, docKey: Column, metricCol: Column,
+               tsCol: Column, valueCol: Column,
+               labelCols: Seq[(String, Column)],
+               exLabel: (String, Column)): DataFrame = {
+    val sample = struct(
+      unix_millis(tsCol).as("timestamp"),
+      valueCol.cast("double").as("value"))
+    val perSeries = df
+      .groupBy(docKey.as("__doc"),
+        metricCol.cast("string").as("__m"),
+        array(labelCols.map { case (k, c) =>
+          struct(lit(k).as("k"), c.cast("string").as("v")) }: _*).as("__lbl"))
+      .agg(array_sort(collect_list(sample)).as("samples"),
+        max_by(struct(exLabel._2.cast("string").as("exv"),
+          unix_millis(tsCol).as("exts"),
+          valueCol.cast("double").as("exval")),
+          // (ts, value, trace): a TOTAL order — same-(ts, value) samples
+          // with different traces must pick deterministically
+          struct(tsCol, valueCol, exLabel._2.cast("string"))).as("__ex"))
+    perSeries.groupBy(col("__doc"))
+      .agg(collect_list(struct(col("__m"), col("__lbl"), col("samples"),
+        col("__ex"))).as("__series"))
+      // the interned table: series/label/exemplar strings only — its
+      // size is bounded by the document's series metadata, never samples
+      .withColumn("symbols", array_sort(array_distinct(concat(
+        array(lit(""), lit("__name__"), lit(exLabel._1)),
+        flatten(transform(col("__series"), s => concat(
+          array(s.getField("__m"), s.getField("__ex").getField("exv")),
+          flatten(transform(s.getField("__lbl"), l =>
+            array(l.getField("k"), l.getField("v")))))))))))
+      .select(col("__doc"), to_json(struct(
+        col("symbols"),
+        transform(col("__series"), s => {
+          def ref(c: Column) = (array_position(col("symbols"), c) - 1).cast("int")
+          struct(
+            concat(
+              array(ref(lit("__name__")), ref(s.getField("__m"))),
+              flatten(transform(s.getField("__lbl"), l =>
+                array(ref(l.getField("k")), ref(l.getField("v"))))))
+              .as("labelsRefs"),
+            s.getField("samples").as("samples"),
+            array(struct(
+              array(ref(lit(exLabel._1)), ref(s.getField("__ex").getField("exv")))
+                .as("labelsRefs"),
+              s.getField("__ex").getField("exval").as("value"),
+              s.getField("__ex").getField("exts").as("timestamp")))
+              .as("exemplars"))
+        }).as("timeseries"))).as("json"))
+  }
+
   /** Render a sample frame INTO remote-write request documents — the
     * inverse used by the replay harness and oracle (one request per
     * `docKey` group, one timeseries per (metric, label set) within it,

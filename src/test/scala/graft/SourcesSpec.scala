@@ -170,4 +170,34 @@ class SourcesSpec extends AnyFunSuite {
       sub.agg(sum(round($"value", 6).cast("decimal(18,6)")))
         .collect()(0).getDecimal(0))
   }
+
+  test("remote-write 2.0: interned symbols round-trip; table deduped, empty-first") {
+    import graft.sources.RemoteWrite
+    val sub = ev.filter($"event_id" <= 50)
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .withColumn("trace", concat(lit("tr"), $"event_id"))
+    val docs = RemoteWrite.renderV2(sub, col("user_id"),
+      concat(lit("m_"), col("event_type")), col("ts"), col("value"),
+      Seq("user" -> col("user_id")), "trace" -> col("trace"))
+    // the spec's symbol-table invariants, checked on the wire itself
+    val sym = spark.read.json(docs.select(col("json")).as[String])
+      .selectExpr("symbols").as[Seq[String]].collect()
+    sym.foreach { t =>
+      assert(t.head == "", "first symbol must be the empty string")
+      assert(t.distinct.length == t.length, "symbol table must be deduped")
+      assert(t.contains("__name__"))
+    }
+    val parsed = RemoteWrite.parseV2(docs)
+    val samples = parsed.filter(!col("is_exemplar"))
+    assert(samples.count() == sub.count())
+    // refs resolved: every metric name and label survives the interning
+    assert(samples.select("metric").distinct().collect().map(_.getString(0))
+      .forall(_.startsWith("m_")))
+    assert(samples.filter(col("labels")("user").isNull).count() == 0)
+    // one exemplar per (doc, series), trace label resolved
+    val exn = parsed.filter(col("is_exemplar"))
+    assert(exn.count() ==
+      sub.select($"user_id", $"event_type").distinct().count())
+    assert(exn.filter(col("ex_labels")("trace").isNull).count() == 0)
+  }
 }
