@@ -252,7 +252,100 @@ object NativeHistogramQueries {
         .join(one(s"histogram_quantile(0.9, $sel)", round(v, 6), "p90"), "event_type")
         .join(one(s"histogram_quantile(0.99, $sel)", round(v, 6), "p99"), "event_type")
         .orderBy(col("event_type"))
+    }),
+
+    // q139's battery THROUGH the remote-write 2.0 span/delta wire: the
+    // per-shard histograms render into `histograms[]` (span offsets =
+    // gap to the previous span's exclusive end; delta-coded counts —
+    // both single aggregate folds, pure column math), parse back, and
+    // merge. Wire identity means the output — and the oracle — is
+    // byte-identical to q139's; a codec asymmetry (span gap math, delta
+    // base, zero-bucket handling) hashes red immediately.
+    "q195_rw2_native_histograms" -> ((s, d) => {
+      import graft.sources.RemoteWrite
+      val sharded = NativeHistogram.fromSamples(
+        events(s, d).withColumn("shard", pmod(col("user_id"), lit(10))),
+        Seq("event_type", "shard"), "value", Schema)
+        .withColumn("sts", lit("2024-01-31 00:00:00").cast("timestamp"))
+      val docs = RemoteWrite.renderV2Hist(
+        sharded, col("shard"), col("event_type"), col("sts"))
+      val back = RemoteWrite.parseV2Hist(docs)
+        .withColumnRenamed("metric", "event_type")
+      val merged = NativeHistogram.merge(back, Seq("event_type"))
+      val exactSum = round(col("sum"), 2)
+      val mean = exactSum / col("count")
+      merged.select(
+        col("event_type"),
+        col("count").cast("long").as("n_samples"),
+        size(col("pos")).as("n_buckets"),
+        exactSum.as("sum_value"),
+        round(mean, 6).as("avg_value"),
+        round(NativeHistogram.histogramQuantile(0.5), 6).as("p50"),
+        round(NativeHistogram.histogramQuantile(0.9), 6).as("p90"),
+        round(NativeHistogram.histogramQuantile(0.99), 6).as("p99"),
+        round(NativeHistogram.histogramFraction(1.0, 100.0), 6).as("frac_1_100"),
+        round(NativeHistogram.histogramStdvar(meanCol = Some(mean)), 4).as("stdvar"),
+        round(NativeHistogram.histogramStddev(meanCol = Some(mean)), 4).as("stddev"))
+        .orderBy(col("event_type"))
     }))
+
+  private val q139Twin: String =
+    """WITH raw AS (
+      |  SELECT event_type, value FROM events
+      |), b AS (
+      |  SELECT event_type,
+      |         CAST(CEIL(ROUND(LOG2(value)*4, 9)) AS INT) AS idx,
+      |         value
+      |  FROM raw WHERE value > 0
+      |), tot AS (
+      |  SELECT event_type,
+      |         COUNT(*)::DOUBLE AS cnt_all,
+      |         ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE), 2) AS sum_all,
+      |         SUM(CASE WHEN value <= 0 THEN 1 ELSE 0 END)::DOUBLE AS zero_cnt
+      |  FROM raw GROUP BY 1
+      |), bc AS (
+      |  SELECT event_type, idx, COUNT(*)::DOUBLE AS cnt FROM b GROUP BY 1, 2
+      |), allb AS (
+      |  SELECT event_type, idx, cnt,
+      |         ROUND(POWER(2, (idx-1)/4.0), 9) AS lo,
+      |         ROUND(POWER(2, idx/4.0), 9) AS hi
+      |  FROM bc
+      |  UNION ALL
+      |  SELECT event_type, NULL, zero_cnt, 0.0, 0.0 FROM tot WHERE zero_cnt > 0
+      |), bounds AS (
+      |  SELECT *, SUM(cnt) OVER (PARTITION BY event_type ORDER BY lo, hi) AS cum
+      |  FROM allb
+      |), q AS (
+      |  SELECT t.event_type,
+      |         MAX(CASE WHEN b.cum >= 0.5*t.cnt_all AND b.cum - b.cnt < 0.5*t.cnt_all
+      |             THEN b.lo + (b.hi-b.lo) * ((0.5*t.cnt_all - (b.cum-b.cnt)) / b.cnt) END) AS p50,
+      |         MAX(CASE WHEN b.cum >= 0.9*t.cnt_all AND b.cum - b.cnt < 0.9*t.cnt_all
+      |             THEN b.lo + (b.hi-b.lo) * ((0.9*t.cnt_all - (b.cum-b.cnt)) / b.cnt) END) AS p90,
+      |         MAX(CASE WHEN b.cum >= 0.99*t.cnt_all AND b.cum - b.cnt < 0.99*t.cnt_all
+      |             THEN b.lo + (b.hi-b.lo) * ((0.99*t.cnt_all - (b.cum-b.cnt)) / b.cnt) END) AS p99,
+      |         CAST(SUM(CAST(CASE WHEN b.hi = b.lo
+      |             THEN (CASE WHEN 1 <= b.lo AND b.hi <= 100 THEN ROUND(b.cnt, 6) ELSE 0 END)
+      |             ELSE ROUND(b.cnt * GREATEST(0, LEAST((LEAST(100, b.hi) - GREATEST(1, b.lo)) / (b.hi - b.lo), 1)), 6) END AS DECIMAL(27,6))) AS DOUBLE) AS frac_num,
+      |         CAST(SUM(CAST(ROUND(b.cnt * ((b.lo+b.hi)/2 - t.sum_all/t.cnt_all) * ((b.lo+b.hi)/2 - t.sum_all/t.cnt_all), 6) AS DECIMAL(27,6))) AS DOUBLE) AS ss,
+      |         COUNT(b.idx) AS n_buckets
+      |  FROM bounds b JOIN tot t USING (event_type)
+      |  GROUP BY 1
+      |)
+      |SELECT t.event_type,
+      |       CAST(t.cnt_all AS BIGINT) AS n_samples,
+      |       CAST(q.n_buckets AS INT) AS n_buckets,
+      |       t.sum_all AS sum_value,
+      |       ROUND(t.sum_all / t.cnt_all, 6) AS avg_value,
+      |       ROUND(q.p50, 6) AS p50,
+      |       ROUND(q.p90, 6) AS p90,
+      |       ROUND(q.p99, 6) AS p99,
+      |       ROUND(q.frac_num / t.cnt_all, 6) AS frac_1_100,
+      |       ROUND(q.ss / t.cnt_all, 4) AS stdvar,
+      |       ROUND(SQRT(q.ss / t.cnt_all), 4) AS stddev
+      |FROM tot t JOIN q USING (event_type)
+      |ORDER BY t.event_type""".stripMargin
+
+  private val q195Twin: String = q139Twin
 
   val oracle: Map[String, String] = Map(
     // The twin rebuilds the bucket layout from raw samples with the
@@ -348,61 +441,10 @@ object NativeHistogramQueries {
         |                           ORDER BY ts DESC, event_id DESC) = 1
         |ORDER BY event_type, sign, idx""".stripMargin,
 
-    "q139_native_histogram" ->
-      """WITH raw AS (
-        |  SELECT event_type, value FROM events
-        |), b AS (
-        |  SELECT event_type,
-        |         CAST(CEIL(ROUND(LOG2(value)*4, 9)) AS INT) AS idx,
-        |         value
-        |  FROM raw WHERE value > 0
-        |), tot AS (
-        |  SELECT event_type,
-        |         COUNT(*)::DOUBLE AS cnt_all,
-        |         ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE), 2) AS sum_all,
-        |         SUM(CASE WHEN value <= 0 THEN 1 ELSE 0 END)::DOUBLE AS zero_cnt
-        |  FROM raw GROUP BY 1
-        |), bc AS (
-        |  SELECT event_type, idx, COUNT(*)::DOUBLE AS cnt FROM b GROUP BY 1, 2
-        |), allb AS (
-        |  SELECT event_type, idx, cnt,
-        |         ROUND(POWER(2, (idx-1)/4.0), 9) AS lo,
-        |         ROUND(POWER(2, idx/4.0), 9) AS hi
-        |  FROM bc
-        |  UNION ALL
-        |  SELECT event_type, NULL, zero_cnt, 0.0, 0.0 FROM tot WHERE zero_cnt > 0
-        |), bounds AS (
-        |  SELECT *, SUM(cnt) OVER (PARTITION BY event_type ORDER BY lo, hi) AS cum
-        |  FROM allb
-        |), q AS (
-        |  SELECT t.event_type,
-        |         MAX(CASE WHEN b.cum >= 0.5*t.cnt_all AND b.cum - b.cnt < 0.5*t.cnt_all
-        |             THEN b.lo + (b.hi-b.lo) * ((0.5*t.cnt_all - (b.cum-b.cnt)) / b.cnt) END) AS p50,
-        |         MAX(CASE WHEN b.cum >= 0.9*t.cnt_all AND b.cum - b.cnt < 0.9*t.cnt_all
-        |             THEN b.lo + (b.hi-b.lo) * ((0.9*t.cnt_all - (b.cum-b.cnt)) / b.cnt) END) AS p90,
-        |         MAX(CASE WHEN b.cum >= 0.99*t.cnt_all AND b.cum - b.cnt < 0.99*t.cnt_all
-        |             THEN b.lo + (b.hi-b.lo) * ((0.99*t.cnt_all - (b.cum-b.cnt)) / b.cnt) END) AS p99,
-        |         CAST(SUM(CAST(CASE WHEN b.hi = b.lo
-        |             THEN (CASE WHEN 1 <= b.lo AND b.hi <= 100 THEN ROUND(b.cnt, 6) ELSE 0 END)
-        |             ELSE ROUND(b.cnt * GREATEST(0, LEAST((LEAST(100, b.hi) - GREATEST(1, b.lo)) / (b.hi - b.lo), 1)), 6) END AS DECIMAL(27,6))) AS DOUBLE) AS frac_num,
-        |         CAST(SUM(CAST(ROUND(b.cnt * ((b.lo+b.hi)/2 - t.sum_all/t.cnt_all) * ((b.lo+b.hi)/2 - t.sum_all/t.cnt_all), 6) AS DECIMAL(27,6))) AS DOUBLE) AS ss,
-        |         COUNT(b.idx) AS n_buckets
-        |  FROM bounds b JOIN tot t USING (event_type)
-        |  GROUP BY 1
-        |)
-        |SELECT t.event_type,
-        |       CAST(t.cnt_all AS BIGINT) AS n_samples,
-        |       CAST(q.n_buckets AS INT) AS n_buckets,
-        |       t.sum_all AS sum_value,
-        |       ROUND(t.sum_all / t.cnt_all, 6) AS avg_value,
-        |       ROUND(q.p50, 6) AS p50,
-        |       ROUND(q.p90, 6) AS p90,
-        |       ROUND(q.p99, 6) AS p99,
-        |       ROUND(q.frac_num / t.cnt_all, 6) AS frac_1_100,
-        |       ROUND(q.ss / t.cnt_all, 4) AS stdvar,
-        |       ROUND(SQRT(q.ss / t.cnt_all), 4) AS stddev
-        |FROM tot t JOIN q USING (event_type)
-        |ORDER BY t.event_type""".stripMargin,
+    "q139_native_histogram" -> q139Twin,
+    // q139 through the RW2.0 span/delta wire: render -> parse is the
+    // identity on histograms, so the twin is IDENTICAL.
+    "q195_rw2_native_histograms" -> q195Twin,
 
     // Counter-path twin: the engine's increase of cumulative histograms
     // at consecutive marks IS the (mark − 6h, mark] slice histogram, so

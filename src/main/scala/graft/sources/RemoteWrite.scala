@@ -89,6 +89,152 @@ object RemoteWrite {
         element_at(symbols, element_at(refs, i * 2 + 1) + 1).as("k"),
         element_at(symbols, element_at(refs, i * 2 + 2) + 1).as("v"))))
 
+  // ----- RW2.0 native histograms: span/delta wire codec ---------------
+
+  /** The wire's sparse-bucket encoding (upstream `BucketSpan` +
+    * delta-coded counts): `positiveSpans[] = {offset, length}` where a
+    * span's offset is the gap to the PREVIOUS span's exclusive end (the
+    * first span's offset is the absolute start), and
+    * `positiveDeltas[j]` is the count's delta vs the previous bucket
+    * (first = absolute). Encode and decode are both single `aggregate`
+    * folds over model-sized arrays — pure column math, no UDFs, no
+    * shuffle. */
+  private val histWireType = ArrayType(StructType(Seq(
+    StructField("countInt", LongType),
+    StructField("sum", DoubleType),
+    StructField("schema", IntegerType),
+    StructField("zeroCountInt", LongType),
+    StructField("positiveSpans", ArrayType(StructType(Seq(
+      StructField("offset", IntegerType),
+      StructField("length", IntegerType))))),
+    StructField("positiveDeltas", ArrayType(LongType)),
+    StructField("negativeSpans", ArrayType(StructType(Seq(
+      StructField("offset", IntegerType),
+      StructField("length", IntegerType))))),
+    StructField("negativeDeltas", ArrayType(LongType)),
+    StructField("timestamp", LongType))))
+
+  /** spans + deltas → the engine's sparse `(idx, cnt)` bucket array. */
+  private def decodeBuckets(spans: Column, deltas: Column): Column = {
+    // absolute indexes: fold spans carrying the running exclusive end
+    val idxs = aggregate(
+      coalesce(spans, array().cast(
+        "array<struct<offset:int,length:int>>")),
+      struct(lit(0).as("cur"),
+        array().cast("array<int>").as("ix")),
+      (acc, sp) => {
+        val start = acc.getField("cur") + sp.getField("offset")
+        struct(
+          (start + sp.getField("length")).as("cur"),
+          concat(acc.getField("ix"),
+            transform(sequence(lit(0), sp.getField("length") - 1),
+              j => start + j)).as("ix"))
+      },
+      acc => acc.getField("ix"))
+    // absolute counts: running sum over the deltas
+    val cnts = aggregate(
+      coalesce(deltas, array().cast("array<bigint>")),
+      struct(lit(0L).as("cur"),
+        array().cast("array<bigint>").as("cs")),
+      (acc, d) => struct(
+        (acc.getField("cur") + d).as("cur"),
+        concat(acc.getField("cs"), array(acc.getField("cur") + d)).as("cs")),
+      acc => acc.getField("cs"))
+    zip_with(idxs, cnts, (i, c) =>
+      struct(i.as("idx"), c.cast("double").as("cnt")))
+  }
+
+  /** The engine's sparse `(idx, cnt)` array → (spans, deltas). Buckets
+    * must be idx-sorted (the engine's canonical form). */
+  private def encodeSpans(pos: Column): Column =
+    aggregate(
+      pos,
+      struct(
+        array().cast("array<struct<offset:int,length:int>>").as("spans"),
+        array().cast("array<bigint>").as("deltas"),
+        lit(null).cast("int").as("prev"),
+        lit(0L).as("prevCnt")),
+      (acc, b) => {
+        val contiguous = acc.getField("prev").isNotNull &&
+          b.getField("idx") === acc.getField("prev") + 1
+        val lastSpan = element_at(acc.getField("spans"), -1)
+        val extended = concat(
+          slice(acc.getField("spans"), lit(1),
+            size(acc.getField("spans")) - 1),
+          array(struct(lastSpan.getField("offset").as("offset"),
+            (lastSpan.getField("length") + 1).as("length"))))
+        val opened = concat(acc.getField("spans"), array(struct(
+          (b.getField("idx") -
+            coalesce(acc.getField("prev") + 1, lit(0))).as("offset"),
+          lit(1).as("length"))))
+        struct(
+          when(contiguous, extended).otherwise(opened).as("spans"),
+          concat(acc.getField("deltas"),
+            array(b.getField("cnt").cast("bigint") -
+              acc.getField("prevCnt"))).as("deltas"),
+          b.getField("idx").cast("int").as("prev"),
+          b.getField("cnt").cast("bigint").as("prevCnt"))
+      },
+      acc => struct(acc.getField("spans").as("spans"),
+        acc.getField("deltas").as("deltas")))
+
+  /** Render native-histogram rows (the engine shape: group cols +
+    * schema/count/sum/zero_count/pos/neg + a timestamp) into RW2.0
+    * documents carrying span/delta-encoded `histograms[]`. Declared
+    * delta: this codec face carries labels in the v1 name/value form —
+    * the symbol-interning machinery lives in [[renderV2]]/[[parseV2]]
+    * and composes orthogonally; here the point under test is the
+    * span/delta bucket wire. */
+  def renderV2Hist(df: DataFrame, docKey: Column, metricCol: Column,
+                   tsCol: Column): DataFrame = {
+    val posEnc = encodeSpans(col("pos"))
+    val negEnc = encodeSpans(col("neg"))
+    val h = struct(
+      col("count").cast("long").as("countInt"),
+      col("sum").as("sum"),
+      col("schema").as("schema"),
+      col("zero_count").cast("long").as("zeroCountInt"),
+      posEnc.getField("spans").as("positiveSpans"),
+      posEnc.getField("deltas").as("positiveDeltas"),
+      negEnc.getField("spans").as("negativeSpans"),
+      negEnc.getField("deltas").as("negativeDeltas"),
+      unix_millis(tsCol).as("timestamp"))
+    val labels = array(
+      struct(lit("__name__").as("name"), metricCol.cast("string").as("value")))
+    df.groupBy(docKey.as("__doc"), labels.as("__labels"))
+      .agg(array_sort(collect_list(h)).as("histograms"))
+      .groupBy(col("__doc"))
+      .agg(to_json(struct(collect_list(
+        struct(col("__labels").as("labels"), col("histograms")))
+        .as("timeseries"))).as("json"))
+  }
+
+  private val rw2HistSchema: DataType = StructType(Seq(
+    StructField("timeseries", ArrayType(StructType(Seq(
+      StructField("labels", ArrayType(StructType(Seq(
+        StructField("name", StringType),
+        StructField("value", StringType))))),
+      StructField("histograms", histWireType)))))))
+
+  /** Parse RW2.0 histogram documents back into the engine shape:
+    * `(metric, ts, schema, count, sum, zero_count, pos, neg)`. */
+  def parseV2Hist(df: DataFrame, jsonCol: String = "json"): DataFrame = {
+    val labelMap = map_from_entries(transform(col("ts_row.labels"),
+      l => struct(l.getField("name"), l.getField("value"))))
+    df.select(from_json(col(jsonCol), rw2HistSchema).as("d"))
+      .select(explode(col("d.timeseries")).as("ts_row"))
+      .select(labelMap.as("__labels"), explode(col("ts_row.histograms")).as("h"))
+      .select(
+        element_at(col("__labels"), "__name__").as("metric"),
+        timestamp_millis(col("h.timestamp")).as("ts"),
+        col("h.schema").as("schema"),
+        col("h.countInt").cast("double").as("count"),
+        col("h.sum").as("sum"),
+        col("h.zeroCountInt").cast("double").as("zero_count"),
+        decodeBuckets(col("h.positiveSpans"), col("h.positiveDeltas")).as("pos"),
+        decodeBuckets(col("h.negativeSpans"), col("h.negativeDeltas")).as("neg"))
+  }
+
   /** Parse remote-write 2.0 request documents into samples
     * `(metric, labels, ts, value)` plus per-series exemplars exploded
     * into `(metric, labels, ex_labels, ex_value, ex_ts)` rows — callers

@@ -200,4 +200,31 @@ class SourcesSpec extends AnyFunSuite {
       sub.select($"user_id", $"event_type").distinct().count())
     assert(exn.filter(col("ex_labels")("trace").isNull).count() == 0)
   }
+
+  test("RW2.0 span/delta codec: gapped spans and negative start round-trip") {
+    import graft.sources.RemoteWrite
+    import org.apache.spark.sql.Row
+    // buckets at idx [-2, -1, 3, 4, 9]: three spans (first offset
+    // NEGATIVE, then gaps 4 and 5), counts delta-coded across all spans
+    // schema 0 (base 2): 0.2→idx −2, 0.3/0.4→−1, 5/6→3, 9/9.5→4, 400→9
+    val values = Seq(0.2, 0.3, 0.4, 5.0, 6.0, 9.0, 9.5, 400.0)
+    val hist = graft.metrics.NativeHistogram.fromSamples(
+      values.toDF("value").withColumn("g", lit("m")), Seq("g"), "value", 0)
+      .withColumn("sts", lit("2024-01-01 00:00:00").cast("timestamp"))
+    val before = hist.select("schema", "count", "sum", "zero_count", "pos", "neg")
+      .collect().head
+    val back = RemoteWrite.parseV2Hist(RemoteWrite.renderV2Hist(
+      hist, lit(1), lit("m"), col("sts")))
+    val after = back.select("schema", "count", "sum", "zero_count", "pos", "neg")
+      .collect().head
+    assert(after == before, s"wire round-trip changed the histogram:\n$before\n$after")
+    // the wire really did span-compress: 5 buckets, 3 spans
+    val doc = RemoteWrite.renderV2Hist(hist, lit(1), lit("m"), col("sts"))
+      .select("json").as[String].collect().head
+    assert(doc.contains("\"positiveSpans\":[{"))
+    val spans = "\"offset\":".r.findAllIn(doc).length
+    assert(spans == 3, s"expected 3 positive spans, got $spans in $doc")
+    assert(before.getAs[scala.collection.Seq[Row]]("pos").map(_.getInt(0))
+      == Seq(-2, -1, 3, 4, 9))
+  }
 }
