@@ -276,10 +276,15 @@ object ExtraQueries {
         .filter(col("ts") < lit("2024-01-03").cast("timestamp"))
         .withColumn("trace_id",
           concat(lit("t"), get_json_object(col("props"), "$.k")))
-      val docs = RemoteWrite.renderV2(ev, col("user_id"),
+      // persist the rendered docs: the samples branch, the exemplars
+      // branch, and the final join would otherwise re-run the whole
+      // render (two groupBys + symbol interning) four times
+      val docs = graft.CacheBag.register(RemoteWrite.renderV2(ev,
+        col("user_id"),
         concat(lit("app_events_"), col("event_type")),
         col("ts"), col("value"), Seq("user" -> col("user_id")),
         "trace_id" -> col("trace_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val parsed = RemoteWrite.parseV2(docs)
       val samples = parsed.filter(!col("is_exemplar"))
         .groupBy(col("metric"))
