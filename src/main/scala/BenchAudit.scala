@@ -87,6 +87,21 @@ object BenchAudit {
     (queries, probe)
   }
 
+  /** Median of the IO-probe samples (round-11 artifacts; None before).
+    * The CPU probe is blind to IO/page-cache contention — judged
+    * separately against `__probe_io__`. */
+  def parseBenchIo(text: String): Option[Double] = {
+    val root = parseJson(text, benchCurrentPath)
+    Option(root.get("probe")).filter(_.isObject).flatMap { p =>
+      val s = Option(p.get("io_samples")).filter(_.isArray)
+        .map(_.asScala.toSeq.filter(_.isNumber).map(_.asDouble()).sorted)
+        .getOrElse(Nil)
+      if (s.isEmpty) None
+      else Some(if (s.length % 2 == 1) s(s.length / 2)
+                else (s(s.length / 2 - 1) + s(s.length / 2)) / 2)
+    }
+  }
+
   /** Round-11 self-defense extras from `bench_full.json`: per-query
     * MIN-of-reps and the suspect list (queries whose rep spread exceeded
     * 3× — some reps ran under load). Both empty for older artifacts. */
@@ -163,15 +178,25 @@ object BenchAudit {
     val benchBase = readFile(benchBasePath).map(parseFlat(_, benchBasePath)).getOrElse(Map.empty)
     val benchNow = benchNowAll.filter { case (k, _) => k.startsWith("q") || k.startsWith("s") }
 
-    // Contamination verdict: worse probe sample vs recorded clean cost.
+    // Contamination verdict: probe sample median vs recorded clean cost,
+    // on EITHER axis (CPU probe or IO probe).
     val probeBase = benchBase.get("__probe__")
-    val contaminated = (probeNow, probeBase) match {
+    val cpuLoaded = (probeNow, probeBase) match {
       case (Some(now), Some(base)) if base > 0 && now > 1.5 * base =>
-        println(f"[benchaudit] CONTAMINATED RUN — calibration probe $now%.2fs vs recorded $base%.2fs " +
+        println(f"[benchaudit] CONTAMINATED RUN — CPU probe median $now%.2fs vs recorded $base%.2fs " +
           "(>1.5x): box was loaded; wall-time drift below is reported but NOT gated")
         true
       case _ => false
     }
+    val ioNow = readFile(benchCurrentPath).flatMap(parseBenchIo)
+    val ioLoaded = (ioNow, benchBase.get("__probe_io__")) match {
+      case (Some(now), Some(base)) if base > 0 && now > 1.5 * base =>
+        println(f"[benchaudit] CONTAMINATED RUN — IO probe median $now%.2fs vs recorded $base%.2fs " +
+          "(>1.5x): IO/page-cache contention; wall-time drift reported but NOT gated")
+        true
+      case _ => false
+    }
+    val contaminated = cpuLoaded || ioLoaded
 
     val failures = Seq.newBuilder[String]
     val notes = Seq.newBuilder[String]

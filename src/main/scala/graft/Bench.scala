@@ -22,15 +22,37 @@ object Bench {
     times(1)
   }
 
-  /** `__probe__` from the committed bench baseline, if present. Jackson is
-    * on Spark's classpath; a missing/malformed baseline yields None (the
-    * load flag is then advertised as null, not silently green). */
-  def baselineProbe(path: String): Option[Double] =
+  /** An IO-path calibration probe: a fixed parquet aggregation (scan +
+    * decode + hash-agg over lineitem). The CPU probe (spark.range) is
+    * blind to IO/page-cache/memory-bandwidth contention — round 11
+    * observed two back-to-back runs read 97 s and 127 s with broad >2×
+    * per-query inflation while every CPU probe sample sat quiet; only a
+    * probe that exercises the same scan machinery as the suite can
+    * indict that kind of load. Median of 3, like the CPU probe. */
+  def probeIoSec(spark: SparkSession, sfDir: String): Double = {
+    val times = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      try spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .selectExpr("sum(l_extendedprice)", "count(*)").collect()
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    times(1)
+  }
+
+  /** A named numeric key from the committed bench baseline, if present.
+    * Jackson is on Spark's classpath; a missing/malformed baseline
+    * yields None (the load flag is then advertised as null, not
+    * silently green). */
+  def baselineKey(path: String, key: String): Option[Double] =
     try {
       val root = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(new java.io.File(path))
-      Option(root.get("__probe__")).filter(_.isNumber).map(_.asDouble())
+      Option(root.get(key)).filter(_.isNumber).map(_.asDouble())
     } catch { case _: Throwable => None }
+
+  def baselineProbe(path: String): Option[Double] =
+    baselineKey(path, "__probe__")
 
   /** The self-defense verdict stamped into the artifact: "true" when the
     * MEDIAN of all probe samples exceeds 1.5× its recorded clean cost
@@ -104,8 +126,13 @@ object Bench {
     val probeEvery =
       sys.env.getOrElse("SPARK_GRAFT_PROBE_EVERY", "30").toInt.max(1)
     val probeSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val probeStart = r3(probeSec(spark))
-    probeSamples += probeStart
+    val ioSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def sampleProbes(): Unit = {
+      probeSamples += r3(probeSec(spark))
+      ioSamples += r3(probeIoSec(spark, sfDir))
+    }
+    sampleProbes()
+    val probeStart = probeSamples.head
     // Sorted execution order: Map iteration order varies run-to-run, which
     // moves cache/JIT effects between queries and inflates variance.
     //
@@ -125,7 +152,7 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .zipWithIndex
       .map { case ((name, fn), i) =>
-      if (i > 0 && i % probeEvery == 0) probeSamples += r3(probeSec(spark))
+      if (i > 0 && i % probeEvery == 0) sampleProbes()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -135,16 +162,24 @@ object Bench {
       }
       name -> times
     }
-    val probeEnd = r3(probeSec(spark))
-    probeSamples += probeEnd
+    sampleProbes()
+    val probeEnd = probeSamples.last
     val results = perRep.map { case (n, ts) => n -> ts.sorted.apply(ts.length / 2) }.toMap
     // Self-defense verdict: compare the MEDIAN of all probe samples
     // (endpoints + interleaved) to the committed baseline. >1.5× =
     // contaminated (stamped in BOTH the full dump and the driver-captured
     // line); no baseline = null.
+    // Contaminated when EITHER axis (CPU probe, IO probe) reads loaded —
+    // each judged by its own sample median vs its recorded clean cost.
     val probeBasePath = sys.env.getOrElse("SPARK_GRAFT_PROBE_BASE", "/root/repo/tools/bench_baseline.json")
-    val loadFlag = loadVerdict(median(probeSamples.toSeq),
+    val cpuFlag = loadVerdict(median(probeSamples.toSeq),
       baselineProbe(probeBasePath))
+    val ioFlag = loadVerdict(median(ioSamples.toSeq),
+      baselineKey(probeBasePath, "__probe_io__"))
+    val loadFlag =
+      if (cpuFlag == "true" || ioFlag == "true") "true"
+      else if (cpuFlag == "null" && ioFlag == "null") "null"
+      else "false"
     // Per-query suspicion: reps spreading >3× mean SOME reps ran under
     // load even if every probe read quiet — the second self-defense axis.
     val suspects = perRep.collect {
@@ -158,7 +193,8 @@ object Bench {
     // map (medians AND per-rep spreads) to a file.
     val total = r3(if (results.nonEmpty) results.values.sum else 0.0)
     val probeJson = s""""probe":{"start":$probeStart,"end":$probeEnd,""" +
-      s""""samples":[${probeSamples.map(r3).mkString(",")}]},""" +
+      s""""samples":[${probeSamples.map(r3).mkString(",")}],""" +
+      s""""io_samples":[${ioSamples.map(r3).mkString(",")}]},""" +
       s""""contaminated":$loadFlag,"n_suspect":${suspects.size}"""
     val medianJson = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")

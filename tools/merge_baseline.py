@@ -38,12 +38,17 @@ def _median(xs):
 # compares a run's sample median against this, so the baseline must be
 # the same statistic (min-of-samples would false-alarm every run — quiet
 # samples jitter 0.07-0.27s on this box).
-probes = []
+probes, io_probes = [], []
 for r in (a, b):
     samples = r.get("probe", {}).get("samples") or [
         r["probe"]["start"], r["probe"]["end"]]
     probes.append(_median(samples))
+    io = r.get("probe", {}).get("io_samples")
+    if io:
+        io_probes.append(_median(io))
 merged["__probe__"] = round(sum(probes) / len(probes), 3)
+if io_probes:
+    merged["__probe_io__"] = round(sum(io_probes) / len(io_probes), 3)
 
 out = "tools/bench_baseline.json"
 body = "{\n" + ",\n".join(
