@@ -104,7 +104,44 @@ final class MetricsServer(observed: Observed, port: Int = 0,
       }
     s"""{"status":"success","data":{${entries.mkString(",")}}}"""
   })
-  promSource.foreach { src =>
+  // TSDB admin API state (upstream: --web.enable-admin-api). Tombstones
+  // recorded by delete_series MASK every serving read below (the `src`
+  // def re-derives the masked view per request); clean_tombstones folds
+  // them permanently into the bound plan and clears the list. Plan-level
+  // masking is the serving-face analogue of the physical rewrite
+  // (Tombstones.clean), which q199 proves equivalent on the block store.
+  @volatile private var tombstonesList: Seq[Tombstones.Tombstone] = Nil
+  @volatile private var cleanedDf: Option[org.apache.spark.sql.DataFrame] = None
+
+  promSource.foreach { boundSrc =>
+    def src: PromQlParser.PromSource = {
+      val base = cleanedDf.map(df => boundSrc.copy(df = df)).getOrElse(boundSrc)
+      if (tombstonesList.isEmpty) base
+      else base.copy(df =
+        Tombstones.mask(base.df, tombstonesList, boundSrc.tsCol))
+    }
+    server.createContext("/api/v1/admin/tsdb/delete_series",
+      MetricsServer.jsonHandler { params =>
+        val sel = params.getOrElse("match[]",
+          throw new IllegalArgumentException("missing 'match[]' parameter"))
+        val mint = params.get("start").map(t =>
+          MetricsServer.epochSec(MetricsServer.parseTime(t)) * 1000L)
+          .getOrElse(Long.MinValue)
+        val maxt = params.get("end").map(t =>
+          MetricsServer.epochSec(MetricsServer.parseTime(t)) * 1000L)
+          .getOrElse(Long.MaxValue)
+        tombstonesList = tombstonesList :+ Tombstones.Tombstone(
+          PromQlParser.selectorMatchers(boundSrc, sel), mint, maxt)
+        """{"status":"success","data":null}"""
+      })
+    server.createContext("/api/v1/admin/tsdb/clean_tombstones",
+      MetricsServer.jsonHandler { _ =>
+        if (tombstonesList.nonEmpty) {
+          cleanedDf = Some(src.df)
+          tombstonesList = Nil
+        }
+        """{"status":"success","data":null}"""
+      })
     server.createContext("/api/v1/query", MetricsServer.jsonHandler { params =>
       val query = params.getOrElse("query",
         throw new IllegalArgumentException("missing 'query' parameter"))

@@ -1648,6 +1648,24 @@ object PromQlParser {
 
   /** The distinct series (label sets) a plain selector matches — the
     * `/api/v1/series` metadata contract. One distinct-aggregation plan. */
+  /** Parse a plain series selector into matcher triples (label, op,
+    * value) for the tombstone/admin path; the bare metric name becomes an
+    * equality on `src.metricCol` and `__name__` matchers rebind to it.
+    * `!~` is rejected (the tombstone predicate compiler supports `=`,
+    * `!=`, `=~` — the upstream delete_series surface). */
+  def selectorMatchers(src: PromSource,
+                       selector: String): Seq[(String, String, String)] =
+    parse(selector) match {
+      case sel: Selector =>
+        sel.metric.map(m => (src.metricCol, "=", m)).toSeq ++
+          sel.matchers.map { m =>
+            val label = if (m.label == "__name__") src.metricCol else m.label
+            (label, m.op, m.value)
+          }
+      case other => throw new IllegalArgumentException(
+        s"match[] must be a plain series selector, got $other")
+    }
+
   def seriesFor(src: PromSource, selector: String): DataFrame =
     parse(selector) match {
       case sel: Selector =>

@@ -516,6 +516,110 @@ object CurationQueries {
             count(lit(1)), 6).as("avg_ce"),
           sum(col("n_chars")).as("n_chars"))
         .orderBy(col("lang"), col("bucket"))
+    }),
+
+    // [N] Interpolated bigram-LM cross-entropy (the q88 unigram model's
+    // Jelinek-Mercer extension, λ=0.7): per-language bigram conditionals
+    // P(w2|w1) = c(w1,w2)/c(w1,·) mixed with the unigram P(w2). Both
+    // count tables key by (lang, word) / (lang, w1, w2) — never
+    // doc-cardinality joins — and the per-doc scoring join streams the
+    // corpus bigram instances against the broadcast-scale prob table.
+    // FP route identical to q88: round(ln, 9) → DECIMAL sums → round 6.
+    "q197_bigram_lm" -> ((s, d) => {
+      val tok = docsWithTokens(s, d)
+        .filter(size(col("toks")) >= 2)
+        .select(col("lang"), col("doc_id"), col("toks"))
+      val bg = tok.select(col("lang"), col("doc_id"),
+          explode(expr("transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))")).as("b"))
+        .select(col("lang"), col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val uni = tok.select(col("lang"), explode(col("toks")).as("w2"))
+        .groupBy(col("lang"), col("w2")).agg(count(lit(1)).as("ucnt"))
+        .withColumn("utot", sum(col("ucnt")).over(Window.partitionBy(col("lang"))))
+      val big = bg.groupBy(col("lang"), col("w1"), col("w2")).agg(count(lit(1)).as("bcnt"))
+        .withColumn("ptot",
+          sum(col("bcnt")).over(Window.partitionBy(col("lang"), col("w1"))))
+      val probs = big.join(uni, Seq("lang", "w2"))
+        .withColumn("p",
+          lit(0.7) * (col("bcnt").cast("double") / col("ptot")) +
+            lit(0.3) * (col("ucnt").cast("double") / col("utot")))
+        .withColumn("logp", round(log(col("p")), 9).cast("decimal(28,9)"))
+        .select(col("lang"), col("w1"), col("w2"), col("logp"))
+      val doc = bg.join(probs, Seq("lang", "w1", "w2"))
+        .groupBy(col("lang"), col("doc_id"))
+        .agg(count(lit(1)).as("nb"), sum(col("logp")).as("sl"))
+        .withColumn("ce", round(-col("sl").cast("double") / col("nb"), 6))
+      doc.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("ce").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("avg_ce"),
+          round(min(col("ce")), 6).as("min_ce"),
+          round(max(col("ce")), 6).as("max_ce"))
+        .orderBy(col("lang"))
+    }),
+
+    // [N] C4-style line-level cleaning (Raffel et al. 2020 §2.2): the
+    // fixture corpus has no line structure, so lines are RENDERED
+    // deterministically first (md5-seeded breaks every ~7 tokens,
+    // punctuation on 4/5 of lines, rare lorem-ipsum / curly-brace /
+    // javascript injections — the repo's synthetic-fixture pattern),
+    // then the published rules apply: keep lines ending in terminal
+    // punctuation with ≥5 words and no "javascript"; drop whole docs
+    // containing "lorem ipsum" or "{", or with <3 surviving lines.
+    // Everything is per-(doc, line) keyed aggregation — the render is
+    // map-side except one (doc_id, line_idx) groupBy; no corpus-wide
+    // shuffle beyond the final 20-row source rollup. All-integer output.
+    "q198_c4_clean" -> ((s, d) => {
+      val wLine = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val toks = docsWithTokens(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          posexplode(col("toks")).as(Seq("pos", "tok")))
+        .withColumn("brk",
+          (conv(substring(md5(concat(lit("ln|"), col("doc_id"), lit("|"), col("pos"))),
+            1, 6), 16, 10).cast("long") % 7 === 0).cast("int"))
+        .withColumn("line_idx", sum(col("brk")).over(wLine))
+      val lines = toks
+        .groupBy(col("doc_id"), col("source"), col("line_idx"))
+        .agg(concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok"))).as("base"))
+        .withColumn("h2",
+          conv(substring(md5(concat(lit("c4|"), col("doc_id"), lit("|"), col("line_idx"))),
+            1, 6), 16, 10).cast("long"))
+        .withColumn("deco",
+          when(col("h2") % 97 === 0, concat(col("base"), lit(" lorem ipsum dolor")))
+            .when(col("h2") % 89 === 0, concat(col("base"), lit(" { var x }")))
+            .when(col("h2") % 83 === 0, concat(col("base"), lit(" enable javascript please")))
+            .otherwise(col("base")))
+        .withColumn("line",
+          when(col("h2") % 5 =!= 0, concat(col("deco"), lit("."))).otherwise(col("deco")))
+        .withColumn("kept_line",
+          col("line").endsWith(".") && size(split(col("line"), " ")) >= 5 &&
+            !col("line").contains("javascript"))
+      val docs = lines.groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("line").contains("lorem ipsum"), 1).otherwise(0)).as("n_lorem"),
+          sum(when(col("line").contains("{"), 1).otherwise(0)).as("n_brace"),
+          sum(when(col("kept_line"), 1).otherwise(0)).as("n_kept_lines"),
+          sum(when(col("kept_line"), length(col("line"))).otherwise(0)).as("kept_chars"))
+        .withColumn("status",
+          when(col("n_lorem") > 0, "drop_lorem")
+            .when(col("n_brace") > 0, "drop_brace")
+            .when(col("n_kept_lines") < 3, "drop_short")
+            .otherwise("kept"))
+      docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("status") === "kept", 1).otherwise(0)).as("n_docs_kept"),
+          sum(when(col("status") === "drop_lorem", 1).otherwise(0)).as("n_drop_lorem"),
+          sum(when(col("status") === "drop_brace", 1).otherwise(0)).as("n_drop_brace"),
+          sum(when(col("status") === "drop_short", 1).otherwise(0)).as("n_drop_short"),
+          sum(col("n_lines")).as("n_lines_total"),
+          sum(when(col("status") === "kept", col("n_kept_lines")).otherwise(0))
+            .as("n_lines_kept"),
+          sum(when(col("status") === "kept", col("kept_chars")).otherwise(0))
+            .as("n_chars_kept"))
+        .orderBy(col("source"))
     })
   )
 
@@ -1013,6 +1117,115 @@ object CurationQueries {
         |    AS avg_ce,
         |  CAST(sum(d.n_chars) AS BIGINT) AS n_chars
         |FROM cut c JOIN documents d USING (doc_id)
-        |GROUP BY 1, 2 ORDER BY c.lang, bucket""".stripMargin
+        |GROUP BY 1, 2 ORDER BY c.lang, bucket""".stripMargin,
+
+    "q197_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), f AS (
+        |  SELECT lang, doc_id, toks FROM t WHERE len(toks) >= 2
+        |), bg AS (
+        |  SELECT lang, doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM f, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+        |), uni AS (
+        |  SELECT lang, w2, count(*) AS ucnt,
+        |    sum(count(*)) OVER (PARTITION BY lang) AS utot
+        |  FROM (SELECT lang, tok AS w2 FROM f, unnest(toks) AS u(tok))
+        |  GROUP BY lang, w2
+        |), big AS (
+        |  SELECT lang, w1, w2, count(*) AS bcnt,
+        |    sum(count(*)) OVER (PARTITION BY lang, w1) AS ptot
+        |  FROM bg GROUP BY lang, w1, w2
+        |), probs AS (
+        |  SELECT big.lang, big.w1, big.w2,
+        |    CAST(round(ln(
+        |      0.7 * (big.bcnt::DOUBLE / big.ptot) +
+        |      0.3 * (uni.ucnt::DOUBLE / uni.utot)), 9) AS DECIMAL(28,9)) AS logp
+        |  FROM big JOIN uni ON big.lang = uni.lang AND big.w2 = uni.w2
+        |), doc AS (
+        |  SELECT bg.lang, bg.doc_id, count(*) AS nb, sum(p.logp) AS sl
+        |  FROM bg JOIN probs p
+        |    ON bg.lang = p.lang AND bg.w1 = p.w1 AND bg.w2 = p.w2
+        |  GROUP BY 1, 2
+        |), ce AS (
+        |  SELECT lang, doc_id, round(-CAST(sl AS DOUBLE) / nb, 6) AS ce FROM doc
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(CAST(sum(CAST(ce AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+        |    AS avg_ce,
+        |  round(min(ce), 6) AS min_ce, round(max(ce), 6) AS max_ce
+        |FROM ce GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q198_c4_clean" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, source, i - 1 AS pos, toks[i] AS tok,
+        |    CASE WHEN CAST(concat('0x',
+        |        substr(md5('ln|' || doc_id || '|' || (i - 1)), 1, 6))
+        |      AS BIGINT) % 7 = 0 THEN 1 ELSE 0 END AS brk
+        |  FROM t, unnest(generate_series(1, len(toks))) AS g(i)
+        |), li AS (
+        |  SELECT doc_id, source, pos, tok,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS line_idx
+        |  FROM tok
+        |), l0 AS (
+        |  SELECT doc_id, source, line_idx, string_agg(tok, ' ' ORDER BY pos) AS base
+        |  FROM li GROUP BY 1, 2, 3
+        |), l1 AS (
+        |  SELECT doc_id, source, base,
+        |    CAST(concat('0x', substr(md5('c4|' || doc_id || '|' || line_idx), 1, 6))
+        |      AS BIGINT) AS h2
+        |  FROM l0
+        |), l2 AS (
+        |  SELECT doc_id, source, h2,
+        |    CASE WHEN h2 % 97 = 0 THEN base || ' lorem ipsum dolor'
+        |         WHEN h2 % 89 = 0 THEN base || ' { var x }'
+        |         WHEN h2 % 83 = 0 THEN base || ' enable javascript please'
+        |         ELSE base END AS deco
+        |  FROM l1
+        |), l3 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN h2 % 5 <> 0 THEN deco || '.' ELSE deco END AS line
+        |  FROM l2
+        |), l4 AS (
+        |  SELECT doc_id, source, line,
+        |    (ends_with(line, '.') AND len(string_split(line, ' ')) >= 5
+        |      AND NOT contains(line, 'javascript')) AS kept_line
+        |  FROM l3
+        |), docs AS (
+        |  SELECT doc_id, source, count(*) AS n_lines,
+        |    sum(CASE WHEN contains(line, 'lorem ipsum') THEN 1 ELSE 0 END) AS n_lorem,
+        |    sum(CASE WHEN contains(line, '{') THEN 1 ELSE 0 END) AS n_brace,
+        |    sum(CASE WHEN kept_line THEN 1 ELSE 0 END) AS n_kept_lines,
+        |    sum(CASE WHEN kept_line THEN length(line) ELSE 0 END) AS kept_chars
+        |  FROM l4 GROUP BY 1, 2
+        |), st AS (
+        |  SELECT source,
+        |    CASE WHEN n_lorem > 0 THEN 'drop_lorem'
+        |         WHEN n_brace > 0 THEN 'drop_brace'
+        |         WHEN n_kept_lines < 3 THEN 'drop_short'
+        |         ELSE 'kept' END AS status,
+        |    n_lines, n_kept_lines, kept_chars
+        |  FROM docs
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_kept,
+        |  CAST(sum(CASE WHEN status = 'drop_lorem' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_drop_lorem,
+        |  CAST(sum(CASE WHEN status = 'drop_brace' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_drop_brace,
+        |  CAST(sum(CASE WHEN status = 'drop_short' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_drop_short,
+        |  CAST(sum(n_lines) AS BIGINT) AS n_lines_total,
+        |  CAST(sum(CASE WHEN status = 'kept' THEN n_kept_lines ELSE 0 END)
+        |    AS BIGINT) AS n_lines_kept,
+        |  CAST(sum(CASE WHEN status = 'kept' THEN kept_chars ELSE 0 END)
+        |    AS BIGINT) AS n_chars_kept
+        |FROM st GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -799,6 +799,55 @@ object ExtraQueries {
         .orderBy(col("name"))
     }),
 
+    // TSDB tombstones (`/api/v1/admin/tsdb/delete_series` +
+    // `clean_tombstones`): two delete requests — an equality matcher
+    // over a 2-day interval and a regex+negation matcher over a 10-day
+    // interval — served under BOTH deletion faces: `masked` applies the
+    // compiled tombstone predicate at read time (deferred deletion, the
+    // filter folds into the scan), `cleaned` physically rewrites the
+    // day-partitioned block store and re-reads it. The two faces must
+    // hash identically to ONE oracle twin evaluated twice — a predicate
+    // compilation bug, an ms-grain boundary slip, or a partition lost in
+    // the rewrite diverges one face.
+    "q199_delete_series" -> ((s, d) => {
+      import graft.metrics.Tombstones
+      import graft.metrics.Tombstones.Tombstone
+      import graft.sources.Blocks
+      def ms(day: String): Long = java.time.LocalDate.parse(day)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+      val samples = events(s, d).select(
+        col("event_type").as("metric"),
+        (col("user_id") % 10).cast("string").as("shard"),
+        col("ts"), col("value"))
+      val tombs = Seq(
+        Tombstone(Seq(("metric", "=", "purchase")),
+          ms("2024-01-03"), ms("2024-01-05")),
+        Tombstone(Seq(("shard", "=~", "3|7"), ("metric", "!=", "error")),
+          ms("2024-01-10"), ms("2024-01-20")))
+      def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy(col("metric"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("shard")).as("n_shards"),
+            round(sum(round(col("value"), 6).cast("decimal(18,6)"))
+              .cast("double"), 4).as("sum_v"),
+            min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+          .withColumn("which", lit(tag))
+      val shm = new java.io.File("/dev/shm")
+      val base = if (shm.isDirectory && shm.canWrite) shm.toPath
+        else new java.io.File(sys.props("java.io.tmpdir")).toPath
+      val blocksDir = java.nio.file.Files.createTempDirectory(base, "graft_tsdb").toString
+      val cleanDir = java.nio.file.Files.createTempDirectory(base, "graft_tsdb_clean").toString
+      Blocks.backfill(samples, blocksDir)
+      Tombstones.clean(s, blocksDir, cleanDir, tombs)
+      val live = agg(Tombstones.mask(samples, tombs, "ts"), "masked")
+      val cleaned = agg(s.read.parquet(cleanDir)
+        .select(col("metric"), col("shard"), col("ts"), col("value")), "cleaned")
+      live.unionByName(cleaned)
+        .select(col("which"), col("metric"), col("n"), col("n_shards"),
+          col("sum_v"), col("min_ts"), col("max_ts"))
+        .orderBy(col("which"), col("metric"))
+    }),
+
     // Product quantization (PQ4x16: 64-dim float32 → 4 codes = 64×
     // compression at rest): one deterministic Lloyd step from first-k
     // init, decimal-routed centroid means, map-side code assignment.
@@ -1452,6 +1501,34 @@ object ExtraQueries {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-12' AND ts < TIMESTAMP '2024-01-13'
         |GROUP BY 1 ORDER BY name""".stripMargin,
+
+    // ONE deletion twin under both tags: the NOT(OR-of-tombstones)
+    // predicate is the oracle's whole deletion semantics; ms-grain
+    // boundary equivalence holds because floor-to-ms >= m iff ts >= m
+    // for whole-ms bounds.
+    "q199_delete_series" ->
+      """WITH kept AS (
+        |  SELECT event_type AS metric,
+        |    CAST(user_id % 10 AS VARCHAR) AS shard, ts, value
+        |  FROM events
+        |  WHERE NOT (
+        |    (event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-03'
+        |       AND ts < TIMESTAMP '2024-01-05')
+        |    OR (regexp_full_match(CAST(user_id % 10 AS VARCHAR), '(?:3|7)')
+        |       AND event_type <> 'error'
+        |       AND ts >= TIMESTAMP '2024-01-10'
+        |       AND ts < TIMESTAMP '2024-01-20'))
+        |), a AS (
+        |  SELECT metric, count(*) AS n, count(DISTINCT shard) AS n_shards,
+        |    round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE),
+        |      4) AS sum_v,
+        |    min(ts) AS min_ts, max(ts) AS max_ts
+        |  FROM kept GROUP BY 1
+        |)
+        |SELECT 'masked' AS which, * FROM a
+        |UNION ALL
+        |SELECT 'cleaned' AS which, * FROM a
+        |ORDER BY which, metric""".stripMargin,
 
     // Window counts from one 12h join (3h counts are conditional sums
     // inside it); burn = (err/tot)/0.01 as the same double chain the

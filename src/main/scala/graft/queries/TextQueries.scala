@@ -527,6 +527,44 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // [N] BM25 retrieval scoring (Robertson/Lucene form, k1=1.2 b=0.75):
+    // corpus stats (N, avgdl) in one tiny agg, term df from the per-doc
+    // tf frame, idf = ln(1 + (N - df + 0.5)/(df + 0.5)). The query-term
+    // filter lands BEFORE the tf groupBy, so only matching postings
+    // shuffle — at 100 TB the posting-list build touches |terms| keys,
+    // never the corpus vocabulary — and df/stats broadcast. Top-k is
+    // orderBy+limit (distributed takeOrdered), not a global window; the
+    // rank number attaches on the 20 survivors. Per-term scores take the
+    // q88 determinism route (round 9dp → DECIMAL sum → round 6dp).
+    "q196_bm25" -> ((s, d) => {
+      val terms = Seq("spark", "vector", "customer")
+      val docs = docsWithTokens(s, d)
+        .select(col("doc_id"), col("lang"), col("toks"),
+          size(col("toks")).cast("long").as("dl"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+      val tf = docs
+        .select(col("doc_id"), col("lang"), col("dl"), explode(col("toks")).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+        .groupBy(col("doc_id"), col("lang"), col("dl"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(dfs), Seq("tok")).crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("tot_dl").cast("double") / col("n_docs"))
+        .withColumn("idf",
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+        .withColumn("tfc",
+          col("tf") * lit(2.2) /
+            (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))))
+        .withColumn("term_score", round(col("idf") * col("tfc"), 9).cast("decimal(28,9)"))
+      val top = scored.groupBy(col("doc_id"), col("lang"))
+        .agg(round(sum(col("term_score")).cast("double"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+      top.withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select(col("rank"), col("doc_id"), col("lang"), col("score"))
+        .orderBy(col("rank"))
+    }),
+
     // E56: multimodal column — struct(text payload as opaque binary,
     // typed metadata, embedding); scalar projections for the oracle.
     "q56_multimodal" -> ((s, d) => {
@@ -948,6 +986,39 @@ object TextQueries {
         |LEFT JOIN contaminated co ON s.lang = co.lang
         |WHERE s.split = 'test'
         |GROUP BY s.lang ORDER BY s.lang""".stripMargin,
+
+    "q196_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), docs AS (
+        |  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS dl, toks FROM d
+        |), stats AS (
+        |  SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM docs
+        |), tf AS (
+        |  SELECT doc_id, lang, dl, tok, count(*) AS tf
+        |  FROM docs, unnest(toks) AS u(tok)
+        |  WHERE tok IN ('spark', 'vector', 'customer')
+        |  GROUP BY 1, 2, 3, 4
+        |), dfs AS (
+        |  SELECT tok, count(*) AS df FROM tf GROUP BY 1
+        |), sc AS (
+        |  SELECT tf.doc_id, tf.lang,
+        |    CAST(round(
+        |      ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+        |      (tf.tf * 2.2 /
+        |        (tf.tf + 1.2 * (1.0 - 0.75 +
+        |           0.75 * tf.dl / (CAST(stats.tot_dl AS DOUBLE) / stats.n_docs)))),
+        |      9) AS DECIMAL(28,9)) AS term_score
+        |  FROM tf JOIN dfs ON tf.tok = dfs.tok CROSS JOIN stats
+        |), agg AS (
+        |  SELECT doc_id, lang, round(CAST(sum(term_score) AS DOUBLE), 6) AS score
+        |  FROM sc GROUP BY 1, 2
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        |    AS rank,
+        |  doc_id, lang, score
+        |FROM agg ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q181_matryoshka_ann" ->
       """WITH q AS (

@@ -496,4 +496,53 @@ class MetricsSpec extends AnyFunSuite {
     assert(j5.contains(""""type":"call"""") &&
       j5.contains("""{"type":"stringLiteral","val":"dst"}"""))
   }
+
+  test("admin API: delete_series masks reads; clean_tombstones folds them in") {
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "cpu", 7.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 2L, "cpu", 3.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "mem", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val src = PromQlParser.PromSource(df, "event_type",
+      Seq("user_id", "event_type"), "ts", "event_id", "value")
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    def get(port: Int, pathAndQuery: String): (Int, String) = {
+      val url = new java.net.URI(s"http://127.0.0.1:$port$pathAndQuery").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val code = conn.getResponseCode
+      val in = if (code == 200) conn.getInputStream else conn.getErrorStream
+      (code, scala.io.Source.fromInputStream(in).mkString)
+    }
+    Observed.use(spark) { obs =>
+      val srv = new MetricsServer(obs, promSource = Some(src))
+      try {
+        val q = "/api/v1/query?query=" + enc("sum(cpu)") +
+          "&time=2024-01-01T10:02:00Z"
+        val (c0, b0) = get(srv.boundPort, q)
+        assert(c0 == 200 && b0.contains("\"10.0\""), b0)
+        // delete the user_id=2 cpu series over a day; reads mask it out
+        val (cd, bd) = get(srv.boundPort,
+          "/api/v1/admin/tsdb/delete_series?match[]=" +
+            enc("""cpu{user_id="2"}""") +
+            "&start=2024-01-01T00:00:00Z&end=2024-01-02T00:00:00Z")
+        assert(cd == 200 && bd.contains("success"), bd)
+        val (c1, b1) = get(srv.boundPort, q)
+        assert(c1 == 200 && b1.contains("\"7.0\""), b1)
+        // an interval BEFORE the sample must not mask anything extra
+        val (c1b, _) = get(srv.boundPort,
+          "/api/v1/admin/tsdb/delete_series?match[]=" + enc("mem") +
+            "&start=2023-01-01T00:00:00Z&end=2023-01-02T00:00:00Z")
+        assert(c1b == 200)
+        val (c2, b2) = get(srv.boundPort,
+          "/api/v1/query?query=" + enc("sum(mem)") +
+            "&time=2024-01-01T10:02:00Z")
+        assert(c2 == 200 && b2.contains("\"5.0\""), b2)
+        // clean folds the masks in permanently; the view is unchanged
+        val (cc, bc) = get(srv.boundPort, "/api/v1/admin/tsdb/clean_tombstones")
+        assert(cc == 200 && bc.contains("success"), bc)
+        val (c3, b3) = get(srv.boundPort, q)
+        assert(c3 == 200 && b3.contains("\"7.0\""), b3)
+      } finally srv.close()
+    }
+  }
 }
