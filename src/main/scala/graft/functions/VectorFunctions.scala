@@ -145,8 +145,30 @@ case class VecNorm(child: Expression) extends org.apache.spark.sql.catalyst.expr
   override protected def withNewChildInternal(c: Expression): VecNorm = copy(c)
 }
 
+/** IEEE-754 raw bit pattern of a double as BIGINT — the Gorilla /
+  * Prometheus XOR chunk codec (tsdb/chunkenc/xor.go) operates on these
+  * bits, and Spark has no reinterpret cast. Codegen is a single
+  * intrinsic call; a Scala UDF here would box every sample in the
+  * encode hot path. */
+case class DoubleBits(child: Expression) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expects double, got ${other.catalogString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Double.doubleToRawLongBits(v.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"java.lang.Double.doubleToRawLongBits($c)")
+  override protected def withNewChildInternal(c: Expression): DoubleBits = copy(c)
+}
+
 object VectorFunctions {
   /** Column-API entry points. */
+  def doubleBits(a: Column): Column =
+    ExpressionUtils.column(DoubleBits(ExpressionUtils.expression(a)))
   def vecDot(a: Column, b: Column): Column =
     ExpressionUtils.column(VecDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def vecCosine(a: Column, b: Column): Column =
@@ -160,5 +182,6 @@ object VectorFunctions {
     reg.createOrReplaceTempFunction("vec_dot", es => VecDot(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("vec_cosine", es => VecCosine(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("vec_norm", es => VecNorm(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("double_bits", es => DoubleBits(es.head), "scala_udf")
   }
 }

@@ -848,6 +848,80 @@ object ExtraQueries {
         .orderBy(col("which"), col("metric"))
     }),
 
+    // TSDB block compaction (vertical + horizontal; Prometheus compact.go
+    // / Thanos vertical compaction): three overlapping source blocks —
+    // a full base block, a partial "corrected backfill" overlay, and a
+    // late block, values offset per block so the keep-newest rule is
+    // OBSERVABLE — merge by (series, ts) keeping the sample from the
+    // max block ULID, then regroup into 5-day level-2 blocks. One
+    // keyed groupBy does the vertical dedup (max_by — never a window
+    // over the full union), one more rolls up per output block. The
+    // oracle replays the same union with arg_max.
+    "q200_block_compaction" -> ((s, d) => {
+      val base = events(s, d).select(col("event_type"), col("user_id"),
+        col("ts"), col("event_id"), round(col("value"), 6).as("v"))
+      def block(from: String, until: String, ulid: String, offset: Double,
+                onlyEven: Boolean) = {
+        val span = base.filter(col("ts") >= lit(from).cast("timestamp") &&
+          col("ts") < lit(until).cast("timestamp"))
+        val part = if (onlyEven) span.filter(col("event_id") % 2 === 0) else span
+        part.withColumn("block", lit(ulid)).withColumn("v", col("v") + offset)
+      }
+      val u = block("2024-01-01", "2024-01-11", "01A", 0.0, onlyEven = false)
+        .unionByName(block("2024-01-05", "2024-01-16", "01B", 1000.0, onlyEven = true))
+        .unionByName(block("2024-01-08", "2024-01-21", "01C", 2000.0, onlyEven = false))
+      // keep-newest by max block ULID; the (block, v) struct max keeps
+      // the winner deterministic even under a same-µs ts collision
+      val compacted = u.groupBy(col("event_type"), col("user_id"), col("ts"))
+        .agg(count(lit(1)).as("n_in"),
+          max(struct(col("block"), col("v"))).getField("v").as("v"),
+          max(col("block")).as("win_block"))
+        .withColumn("out_block", expr("unix_micros(ts) div 86400000000 div 5"))
+      compacted.groupBy(col("out_block"))
+        .agg(count(lit(1)).as("n_samples"),
+          countDistinct(col("event_type"), col("user_id")).as("n_series"),
+          sum(col("n_in") - 1).as("n_dups_dropped"),
+          sum(when(col("win_block") === "01A", 1).otherwise(0)).as("n_from_a"),
+          sum(when(col("win_block") === "01B", 1).otherwise(0)).as("n_from_b"),
+          sum(when(col("win_block") === "01C", 1).otherwise(0)).as("n_from_c"),
+          round(sum(col("v").cast("decimal(18,6)")).cast("double"), 4).as("sum_v"),
+          min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+        .orderBy(col("out_block"))
+    }),
+
+    // Gorilla / Prometheus XOR chunk encoding (tsdb/chunkenc/xor.go;
+    // Pelkonen et al. VLDB'15) — the at-rest sample format. Timestamp
+    // delta-of-delta costs are pure window math; the value XOR window
+    // chain folds per 120-sample chunk (graft.metrics.Gorilla); the
+    // IEEE reinterpret is the DoubleBits codegen expression. The oracle
+    // rebuilds the DOUBLE bit patterns arithmetically (integer-valued
+    // samples: (1023+e)<<52 | mantissa — exact in BIGINT), re-walks the
+    // XOR chain with a bounded recursive CTE (≤120 steps), and must
+    // reproduce every bit count.
+    "q201_gorilla_chunks" -> ((s, d) => {
+      import graft.metrics.Gorilla
+      val samples = events(s, d).select(
+        col("event_type"),
+        (col("user_id") % 5).as("shard"),
+        expr("unix_micros(ts) div 1000").as("t_ms"),
+        col("event_id"),
+        round(col("value")).as("v"))
+      val stats = Gorilla.encodeStats(samples, Seq("event_type", "shard"),
+        "t_ms", "event_id", "v")
+      stats.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_samples")).as("n_samples"),
+          sum(col("ts_bits")).as("ts_bits"),
+          sum(col("val_bits")).as("val_bits"),
+          sum(col("n_xor_zero")).as("n_xor_zero"),
+          sum(col("n_window_reuse")).as("n_window_reuse"),
+          sum(col("n_new_window")).as("n_new_window"),
+          sum(expr("(ts_bits + val_bits + 7) div 8")).as("chunk_bytes"))
+        .withColumn("bytes_per_sample",
+          round(col("chunk_bytes").cast("double") / col("n_samples"), 6))
+        .orderBy(col("event_type"))
+    }),
+
     // Product quantization (PQ4x16: 64-dim float32 → 4 codes = 64×
     // compression at rest): one deterministic Lloyd step from first-k
     // init, decimal-routed centroid means, map-side code assignment.
@@ -1529,6 +1603,140 @@ object ExtraQueries {
         |UNION ALL
         |SELECT 'cleaned' AS which, * FROM a
         |ORDER BY which, metric""".stripMargin,
+
+    // Same three-block union; vertical dedup replayed with the identical
+    // lexicographic (block, v) struct max; out_block = 5-day bucket of
+    // the epoch day, integer math both engines.
+    "q200_block_compaction" ->
+      """WITH base AS (
+        |  SELECT event_type, user_id, ts, event_id, round(value, 6) AS v
+        |  FROM events
+        |), u AS (
+        |  SELECT event_type, user_id, ts, event_id, v, '01A' AS block FROM base
+        |    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-11'
+        |  UNION ALL
+        |  SELECT event_type, user_id, ts, event_id, v + 1000.0, '01B' FROM base
+        |    WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-16'
+        |      AND event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT event_type, user_id, ts, event_id, v + 2000.0, '01C' FROM base
+        |    WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-21'
+        |), comp AS (
+        |  SELECT event_type, user_id, ts, count(*) AS n_in,
+        |    (max(struct_pack(b := block, v := v))).v AS v,
+        |    max(block) AS win_block
+        |  FROM u GROUP BY 1, 2, 3
+        |), ob AS (
+        |  SELECT *, (epoch_us(ts) // 86400000000) // 5 AS out_block FROM comp
+        |)
+        |SELECT out_block, count(*) AS n_samples,
+        |  count(DISTINCT (event_type, user_id)) AS n_series,
+        |  CAST(sum(n_in - 1) AS BIGINT) AS n_dups_dropped,
+        |  CAST(sum(CASE WHEN win_block = '01A' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_from_a,
+        |  CAST(sum(CASE WHEN win_block = '01B' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_from_b,
+        |  CAST(sum(CASE WHEN win_block = '01C' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_from_c,
+        |  round(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_v,
+        |  min(ts) AS min_ts, max(ts) AS max_ts
+        |FROM ob GROUP BY 1 ORDER BY out_block""".stripMargin,
+
+    // The engine's bit accounting replayed end-to-end: IEEE bits from
+    // exact integer arithmetic (samples are integer-valued by
+    // construction), dod buckets from two lags, the XOR window chain
+    // from a bounded recursive walk (<=120 steps, one join per step).
+    "q201_gorilla_chunks" ->
+      """|WITH RECURSIVE s AS (
+  SELECT event_type, user_id % 5 AS shard, epoch_us(ts) // 1000 AS t_ms,
+        |    event_id, CAST(round(value, 0) AS BIGINT) AS vi
+        |  FROM events
+        |), seq AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type, shard
+        |      ORDER BY t_ms, event_id) - 1 AS seqn
+        |  FROM s
+        |), ch AS (
+        |  SELECT event_type, shard, seqn // 120 AS chunk, seqn % 120 AS idx,
+        |    t_ms, event_id, vi
+        |  FROM seq
+        |), tsb AS (
+        |  SELECT *, lag(t_ms, 1) OVER w AS t1, lag(t_ms, 2) OVER w AS t2
+        |  FROM ch
+        |  WINDOW w AS (PARTITION BY event_type, shard, chunk ORDER BY t_ms, event_id)
+        |), tcost AS (
+        |  SELECT event_type, shard, chunk, idx, vi,
+        |    CASE WHEN idx = 0 THEN ((len(bin(t_ms * 2)) + 6) // 7) * 8
+        |         WHEN idx = 1 THEN ((len(bin((t_ms - t1) * 2)) + 6) // 7) * 8
+        |         WHEN t_ms - 2 * t1 + t2 = 0 THEN 1
+        |         WHEN t_ms - 2 * t1 + t2 BETWEEN -8191 AND 8192 THEN 16
+        |         WHEN t_ms - 2 * t1 + t2 BETWEEN -65535 AND 65536 THEN 20
+        |         WHEN t_ms - 2 * t1 + t2 BETWEEN -524287 AND 524288 THEN 24
+        |         ELSE 68 END AS ts_bits
+        |  FROM tsb
+        |), vb AS (
+        |  SELECT event_type, shard, chunk, idx,
+        |    CASE WHEN vi = 0 THEN 0
+        |         ELSE ((1023 + len(bin(vi)) - 1)::BIGINT << 52)
+        |              + ((vi << (52 - (len(bin(vi)) - 1))) - (1::BIGINT << 52))
+        |    END AS bits
+        |  FROM tcost
+        |), walk AS (
+        |  SELECT event_type, shard, chunk, idx, bits AS prev,
+        |    255 AS lead, 0 AS trail, 64::BIGINT AS acc,
+        |    0::BIGINT AS nzero, 0::BIGINT AS nreuse, 0::BIGINT AS nnew
+        |  FROM vb WHERE idx = 0
+        |  UNION ALL
+        |  SELECT event_type, shard, chunk, idx, bits,
+        |    CASE WHEN xr = 0 OR reuse THEN lead ELSE lz END,
+        |    CASE WHEN xr = 0 OR reuse THEN trail ELSE tz END,
+        |    acc + CASE WHEN xr = 0 THEN 1
+        |               WHEN reuse THEN 2 + 64 - lead - trail
+        |               ELSE 13 + 64 - lz - tz END,
+        |    nzero + CASE WHEN xr = 0 THEN 1 ELSE 0 END,
+        |    nreuse + CASE WHEN xr <> 0 AND reuse THEN 1 ELSE 0 END,
+        |    nnew + CASE WHEN xr <> 0 AND NOT reuse THEN 1 ELSE 0 END
+        |  FROM (
+        |    SELECT q.*, (lead <> 255 AND lz >= lead AND tz >= trail) AS reuse
+        |    FROM (
+        |      SELECT p.*,
+        |        least(CASE WHEN xr < 0 THEN 0 ELSE 64 - len(bin(xr)) END, 31) AS lz,
+        |        CASE WHEN xr = 0 THEN 64
+        |             ELSE len(bin(xr)) - len(rtrim(bin(xr), '0')) END AS tz
+        |      FROM (
+        |        SELECT v.event_type, v.shard, v.chunk, v.idx, v.bits,
+        |          w.lead, w.trail, w.acc, w.nzero, w.nreuse, w.nnew,
+        |          xor(w.prev, v.bits) AS xr
+        |        FROM walk w JOIN vb v ON v.event_type = w.event_type
+        |          AND v.shard = w.shard AND v.chunk = w.chunk AND v.idx = w.idx + 1
+        |      ) p
+        |    ) q
+        |  )
+        |), done AS (
+        |  SELECT event_type, shard, chunk,
+        |    arg_max(acc, idx) AS val_bits, arg_max(nzero, idx) AS n_xor_zero,
+        |    arg_max(nreuse, idx) AS n_window_reuse, arg_max(nnew, idx) AS n_new_window
+        |  FROM walk GROUP BY 1, 2, 3
+        |), tchunk AS (
+        |  SELECT event_type, shard, chunk, count(*) AS n_samples,
+        |    sum(ts_bits) AS ts_bits
+        |  FROM tcost GROUP BY 1, 2, 3
+        |), per AS (
+        |  SELECT t.event_type, t.shard, t.chunk, t.n_samples, t.ts_bits, d.val_bits,
+        |    d.n_xor_zero, d.n_window_reuse, d.n_new_window,
+        |    (t.ts_bits + d.val_bits + 7) // 8 AS bytes
+        |  FROM tchunk t JOIN done d USING (event_type, shard, chunk)
+        |)
+        |SELECT event_type, count(*) AS n_chunks,
+        |  CAST(sum(n_samples) AS BIGINT) AS n_samples,
+        |  CAST(sum(ts_bits) AS BIGINT) AS ts_bits,
+        |  CAST(sum(val_bits) AS BIGINT) AS val_bits,
+        |  CAST(sum(n_xor_zero) AS BIGINT) AS n_xor_zero,
+        |  CAST(sum(n_window_reuse) AS BIGINT) AS n_window_reuse,
+        |  CAST(sum(n_new_window) AS BIGINT) AS n_new_window,
+        |  CAST(sum(bytes) AS BIGINT) AS chunk_bytes,
+        |  round(CAST(sum(bytes) AS DOUBLE) / CAST(sum(n_samples) AS BIGINT), 6)
+        |    AS bytes_per_sample
+        |FROM per GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // Window counts from one 12h join (3h counts are conditional sums
     // inside it); burn = (err/tot)/0.01 as the same double chain the
