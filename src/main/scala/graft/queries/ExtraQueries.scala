@@ -922,6 +922,32 @@ object ExtraQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Cortex/Mimir HA replica deduplication (ha_tracker): hour-blocked
+    // replica assignment with a 4-day primary outage; the election walk
+    // runs over REPLICA RUNS (lag + prefix-sum — mid-run failover is a
+    // pure t > last+timeout filter since the elected's last-seen is
+    // frozen while another replica sends), so the sequential state is
+    // O(flaps), not O(samples). The oracle re-walks the runs with a
+    // recursive CTE; counts, election count, final electee, and the
+    // DECIMAL-exact accepted-value sum must all match.
+    "q203_ha_dedup" -> ((s, d) => {
+      import graft.metrics.HaTracker
+      val ev = events(s, d)
+        .withColumn("t_us", expr("unix_micros(ts)"))
+        .withColumn("t", expr("unix_micros(ts) div 1000000"))
+        .withColumn("hh", date_format(col("ts"), "yyyy-MM-dd-HH"))
+        .withColumn("replica",
+          when(col("ts") >= lit("2024-01-10").cast("timestamp") &&
+            col("ts") < lit("2024-01-14").cast("timestamp"), lit("r2"))
+            .otherwise(when(
+              conv(substring(md5(concat(lit("ha|"), col("event_type"),
+                lit("|"), col("hh"))), 1, 6), 16, 10).cast("long") % 3 < 2,
+              "r1").otherwise("r2")))
+      HaTracker.dedupStats(ev, "event_type", "replica", "t_us", "t",
+          "event_id", "value", failoverSec = 10800L)
+        .orderBy(col("event_type"))
+    }),
+
     // Product quantization (PQ4x16: 64-dim float32 → 4 codes = 64×
     // compression at rest): one deterministic Lloyd step from first-k
     // init, decimal-routed centroid means, map-side code assignment.
@@ -1641,6 +1667,70 @@ object ExtraQueries {
         |  round(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_v,
         |  min(ts) AS min_ts, max(ts) AS max_ts
         |FROM ob GROUP BY 1 ORDER BY out_block""".stripMargin,
+
+    // The same run-compressed election walk, recursive-CTE'd.
+    "q203_ha_dedup" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT event_type AS cluster, epoch_us(ts) AS t_us,
+        |    epoch_us(ts) // 1000000 AS t, event_id,
+        |    round(value, 6) AS v,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-14'
+        |         THEN 'r2'
+        |         WHEN CAST(concat('0x', substr(md5('ha|' || event_type || '|' ||
+        |              strftime(ts, '%Y-%m-%d-%H')), 1, 6)) AS BIGINT) % 3 < 2
+        |         THEN 'r1' ELSE 'r2' END AS rep
+        |  FROM events
+        |), m AS (
+        |  SELECT *, CASE WHEN lag(rep) OVER w IS NULL OR lag(rep) OVER w <> rep
+        |                 THEN 1 ELSE 0 END AS chg
+        |  FROM s WINDOW w AS (PARTITION BY cluster ORDER BY t_us, event_id)
+        |), rr AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY cluster ORDER BY t_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+        |  FROM m
+        |), runs AS (
+        |  SELECT cluster, rid, max(rep) AS rep, max(t) AS t_last,
+        |    count(*)::BIGINT AS n,
+        |    list(struct_pack(t := t, v := CAST(v AS DECIMAL(18,6)))) AS arr
+        |  FROM rr GROUP BY 1, 2
+        |), nr AS (
+        |  SELECT cluster, count(*)::BIGINT AS n_runs FROM runs GROUP BY 1
+        |), walk AS (
+        |  SELECT cluster, rid, rep AS elected, t_last AS last,
+        |    n AS nacc, 0::BIGINT AS nrej, 1::BIGINT AS nelect,
+        |    CAST(coalesce(list_sum(list_transform(arr, x -> x.v)), 0) AS DECIMAL(28,6)) AS vsum
+        |  FROM runs WHERE rid = 1
+        |  UNION ALL
+        |  SELECT r.cluster, r.rid,
+        |    CASE WHEN r.rep = w.elected
+        |           OR len(list_filter(r.arr, x -> x.t > w.last + 10800)) > 0
+        |         THEN r.rep ELSE w.elected END,
+        |    CASE WHEN r.rep = w.elected
+        |           OR len(list_filter(r.arr, x -> x.t > w.last + 10800)) > 0
+        |         THEN r.t_last ELSE w.last END,
+        |    w.nacc + CASE WHEN r.rep = w.elected THEN r.n
+        |                  ELSE len(list_filter(r.arr, x -> x.t > w.last + 10800)) END,
+        |    w.nrej + CASE WHEN r.rep = w.elected THEN 0
+        |                  ELSE r.n - len(list_filter(r.arr, x -> x.t > w.last + 10800)) END,
+        |    w.nelect + CASE WHEN r.rep <> w.elected
+        |                      AND len(list_filter(r.arr, x -> x.t > w.last + 10800)) > 0
+        |                    THEN 1 ELSE 0 END,
+        |    CAST(w.vsum + CASE WHEN r.rep = w.elected
+        |        THEN coalesce(list_sum(list_transform(r.arr, x -> x.v)), 0)
+        |        ELSE coalesce(list_sum(list_transform(
+        |               list_filter(r.arr, x -> x.t > w.last + 10800), x -> x.v)), 0)
+        |      END AS DECIMAL(28,6))
+        |  FROM walk w JOIN runs r ON r.cluster = w.cluster AND r.rid = w.rid + 1
+        |), fin AS (
+        |  SELECT cluster, arg_max(elected, rid) AS elected_final,
+        |    arg_max(nelect, rid) AS n_elections, arg_max(nacc, rid) AS n_accepted,
+        |    arg_max(nrej, rid) AS n_rejected,
+        |    round(CAST(arg_max(vsum, rid) AS DOUBLE), 4) AS sum_accepted
+        |  FROM walk GROUP BY 1
+        |)
+        |SELECT f.cluster AS event_type, nr.n_runs, f.elected_final, f.n_elections,
+        |  f.n_accepted, f.n_rejected, f.sum_accepted
+        |FROM fin f JOIN nr ON nr.cluster = f.cluster ORDER BY event_type""".stripMargin,
 
     // The engine's bit accounting replayed end-to-end: IEEE bits from
     // exact integer arithmetic (samples are integer-valued by

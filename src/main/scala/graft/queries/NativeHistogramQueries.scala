@@ -287,6 +287,43 @@ object NativeHistogramQueries {
         round(NativeHistogram.histogramStdvar(meanCol = Some(mean)), 4).as("stdvar"),
         round(NativeHistogram.histogramStddev(meanCol = Some(mean)), 4).as("stddev"))
         .orderBy(col("event_type"))
+    }),
+
+    // q139's battery through a THIRD wire: OTLP/JSON exponential
+    // histograms (the Prometheus 3.x OTLP receiver path). Per-job
+    // histograms render as exponentialHistogram datapoints (scale =
+    // schema, dense zero-filled bucketCounts, uint64s as strings, OTLP
+    // index = Prometheus index − 1), parse back through from_json column
+    // math, and merge — the result must be byte-identical to the classic
+    // build and the RW2.0 wire, all three against ONE oracle twin. An
+    // off-by-one in the index translation, a gap mis-fill, or a dropped
+    // zero bucket shifts every quantile and hashes red.
+    "q202_otlp_exp_histogram" -> ((s, d) => {
+      import graft.sources.Otlp
+      val perJob = NativeHistogram.fromSamples(
+        events(s, d).withColumn("job", pmod(col("user_id"), lit(3))),
+        Seq("event_type", "job"), "value", Schema)
+        .withColumn("sts", lit("2024-01-31 00:00:00").cast("timestamp"))
+      val docs = Otlp.renderExpHistogram(
+        perJob, col("job"), col("event_type"), col("sts"))
+      val back = Otlp.parseExpHistogram(docs)
+        .withColumnRenamed("metric", "event_type")
+      val merged = NativeHistogram.merge(back, Seq("event_type"))
+      val exactSum = round(col("sum"), 2)
+      val mean = exactSum / col("count")
+      merged.select(
+        col("event_type"),
+        col("count").cast("long").as("n_samples"),
+        size(col("pos")).as("n_buckets"),
+        exactSum.as("sum_value"),
+        round(mean, 6).as("avg_value"),
+        round(NativeHistogram.histogramQuantile(0.5), 6).as("p50"),
+        round(NativeHistogram.histogramQuantile(0.9), 6).as("p90"),
+        round(NativeHistogram.histogramQuantile(0.99), 6).as("p99"),
+        round(NativeHistogram.histogramFraction(1.0, 100.0), 6).as("frac_1_100"),
+        round(NativeHistogram.histogramStdvar(meanCol = Some(mean)), 4).as("stdvar"),
+        round(NativeHistogram.histogramStddev(meanCol = Some(mean)), 4).as("stddev"))
+        .orderBy(col("event_type"))
     }))
 
   private val q139Twin: String =
@@ -445,6 +482,9 @@ object NativeHistogramQueries {
     // q139 through the RW2.0 span/delta wire: render -> parse is the
     // identity on histograms, so the twin is IDENTICAL.
     "q195_rw2_native_histograms" -> q195Twin,
+    // Third wire, same twin: the OTLP exponential-histogram roundtrip
+    // must land exactly where the classic build and RW2.0 wire land.
+    "q202_otlp_exp_histogram" -> q139Twin,
 
     // Counter-path twin: the engine's increase of cumulative histograms
     // at consecutive marks IS the (mark − 6h, mark] slice histogram, so

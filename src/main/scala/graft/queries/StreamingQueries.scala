@@ -277,6 +277,40 @@ object StreamingQueries {
     // stats from one batch pass (integer moments, model-sized collect),
     // the recursion at the edge in exact 1e-6 fixed-point. The sink
     // equals q178's batch prefix-identity twin digit-for-digit.
+    // STREAMING HA replica dedup — the production face of q203's batch
+    // walk: per-cluster flatMapGroupsWithState holds (elected, last-seen,
+    // counters, fixed-point value sum) and walks samples in the SAME
+    // (µs, event_id) total order the batch fold and the oracle use.
+    // Matching the batch twin exactly also proves the batch side's
+    // run-compression is equivalence-preserving.
+    "s204_stream_ha_dedup" -> ((s, d) => {
+      val silentFrom = java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli
+      val silentTo = java.time.Instant.parse("2024-01-14T00:00:00Z").toEpochMilli
+      val repOf: graft.stream.Ev => String = { e =>
+        val ms = e.ts.getTime
+        if (ms >= silentFrom && ms < silentTo) "r2"
+        else {
+          // hand-formatted UTC hour key: DateTimeFormatter is not
+          // serializable, and the closure ships to executors
+          val t = java.time.LocalDateTime.ofEpochSecond(
+            ms / 1000, 0, java.time.ZoneOffset.UTC)
+          val hh = f"${t.getYear}%04d-${t.getMonthValue}%02d-" +
+            f"${t.getDayOfMonth}%02d-${t.getHour}%02d"
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(("ha|" + e.event_type + "|" + hh).getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString
+          if (java.lang.Long.parseLong(hex.substring(0, 6), 16) % 3 < 2) "r1"
+          else "r2"
+        }
+      }
+      val t = StreamOps.replayEvents(s, d, "s204_sink", 3, flushPerType = true)(
+        ds => StreamOps.streamHaDedup(ds, repOf, 10800L).toDF(),
+        OutputMode.Append)
+      t.select(col("event_type"), col("elected_final"), col("n_elections"),
+          col("n_accepted"), col("n_rejected"), col("sum_accepted"))
+        .orderBy(col("event_type"))
+    }),
+
     "s179_stream_cusum" -> ((s, d) => {
       val hourly = Tables.events(s, d)
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
@@ -374,6 +408,66 @@ object StreamingQueries {
     * (s59 excluded: append-mode sessions inside the final watermark never
     * emit, so no batch SQL matches its tail.) */
   val oracle: Map[String, String] = Map(
+    // q203's run-compressed election walk, minus the batch-only n_runs
+    // column — the streaming sink must land exactly on it.
+    "s204_stream_ha_dedup" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT event_type AS cluster, epoch_us(ts) AS t_us,
+        |    epoch_us(ts) // 1000000 AS t, event_id,
+        |    round(value, 6) AS v,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-14'
+        |         THEN 'r2'
+        |         WHEN CAST(concat('0x', substr(md5('ha|' || event_type || '|' ||
+        |              strftime(ts, '%Y-%m-%d-%H')), 1, 6)) AS BIGINT) % 3 < 2
+        |         THEN 'r1' ELSE 'r2' END AS rep
+        |  FROM events
+        |), m AS (
+        |  SELECT *, CASE WHEN lag(rep) OVER w IS NULL OR lag(rep) OVER w <> rep
+        |                 THEN 1 ELSE 0 END AS chg
+        |  FROM s WINDOW w AS (PARTITION BY cluster ORDER BY t_us, event_id)
+        |), rr AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY cluster ORDER BY t_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+        |  FROM m
+        |), runs AS (
+        |  SELECT cluster, rid, max(rep) AS rep, max(t) AS t_last,
+        |    count(*)::BIGINT AS n,
+        |    list(struct_pack(t := t, v := CAST(v AS DECIMAL(18,6)))) AS arr
+        |  FROM rr GROUP BY 1, 2
+        |), walk AS (
+        |  SELECT cluster, rid, rep AS elected, t_last AS last,
+        |    n AS nacc, 0::BIGINT AS nrej, 1::BIGINT AS nelect,
+        |    CAST(coalesce(list_sum(list_transform(arr, x -> x.v)), 0)
+        |      AS DECIMAL(28,6)) AS vsum
+        |  FROM runs WHERE rid = 1
+        |  UNION ALL
+        |  SELECT r.cluster, r.rid,
+        |    CASE WHEN r.rep = w.elected
+        |           OR len(list_filter(r.arr, x -> x.t > w.last + 10800)) > 0
+        |         THEN r.rep ELSE w.elected END,
+        |    CASE WHEN r.rep = w.elected
+        |           OR len(list_filter(r.arr, x -> x.t > w.last + 10800)) > 0
+        |         THEN r.t_last ELSE w.last END,
+        |    w.nacc + CASE WHEN r.rep = w.elected THEN r.n
+        |                  ELSE len(list_filter(r.arr, x -> x.t > w.last + 10800)) END,
+        |    w.nrej + CASE WHEN r.rep = w.elected THEN 0
+        |                  ELSE r.n - len(list_filter(r.arr, x -> x.t > w.last + 10800)) END,
+        |    w.nelect + CASE WHEN r.rep <> w.elected
+        |                      AND len(list_filter(r.arr, x -> x.t > w.last + 10800)) > 0
+        |                    THEN 1 ELSE 0 END,
+        |    CAST(w.vsum + CASE WHEN r.rep = w.elected
+        |        THEN coalesce(list_sum(list_transform(r.arr, x -> x.v)), 0)
+        |        ELSE coalesce(list_sum(list_transform(
+        |               list_filter(r.arr, x -> x.t > w.last + 10800), x -> x.v)), 0)
+        |      END AS DECIMAL(28,6))
+        |  FROM walk w JOIN runs r ON r.cluster = w.cluster AND r.rid = w.rid + 1
+        |)
+        |SELECT cluster AS event_type, arg_max(elected, rid) AS elected_final,
+        |  arg_max(nelect, rid) AS n_elections, arg_max(nacc, rid) AS n_accepted,
+        |  arg_max(nrej, rid) AS n_rejected,
+        |  round(CAST(arg_max(vsum, rid) AS DOUBLE), 4) AS sum_accepted
+        |FROM walk GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     // Tumbling 6h windows are epoch-aligned in Spark: bucket by µs-epoch
     // division. Decimal-routed value sum = bit-exact in both engines.
     "s57_stream_tumbling" ->

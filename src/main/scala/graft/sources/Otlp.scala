@@ -80,6 +80,97 @@ object Otlp {
       coalesce(col("dp.asDouble"), col("dp.asInt").cast("double")).as("value"))
   }
 
+  // ---- exponential histograms (OTLP → Prometheus native histograms) ----
+
+  private val expDpType = ArrayType(StructType(Seq(
+    StructField("timeUnixNano", StringType),
+    StructField("scale", IntegerType),
+    StructField("zeroCount", StringType),
+    StructField("count", StringType),
+    StructField("sum", DoubleType),
+    StructField("positive", StructType(Seq(
+      StructField("offset", IntegerType),
+      StructField("bucketCounts", ArrayType(StringType))))))))
+
+  val expSchema: DataType = StructType(Seq(
+    StructField("resourceMetrics", ArrayType(StructType(Seq(
+      StructField("resource", StructType(Seq(
+        StructField("attributes", attrType)))),
+      StructField("scopeMetrics", ArrayType(StructType(Seq(
+        StructField("metrics", ArrayType(StructType(Seq(
+          StructField("name", StringType),
+          StructField("exponentialHistogram", StructType(Seq(
+            StructField("aggregationTemporality", IntegerType),
+            StructField("dataPoints", expDpType))))))))))))))))))
+
+  /** Render native-histogram rows (`schema`/`count`/`sum`/`zero_count`/
+    * `pos`, the [[graft.metrics.NativeHistogram]] frame) into OTLP/JSON
+    * exponentialHistogram export documents — scale = schema, dense
+    * `bucketCounts` from `offset` with zero-filled gaps, uint64s as
+    * strings per the OTLP JSON encoding. OTLP bucket i covers
+    * (base^(offset+i), base^(offset+i+1)], one LOWER than the Prometheus
+    * index convention, so offset = min(promIdx) − 1. */
+  def renderExpHistogram(hist: DataFrame, docKey: Column, metricCol: Column,
+                         tsCol: Column): DataFrame = {
+    val idxs = transform(col("pos"), b => b.getField("idx"))
+    val m = map_from_entries(col("pos"))
+    val dense = transform(
+      sequence(array_min(idxs), array_max(idxs)),
+      i => coalesce(element_at(m, i), lit(0.0)).cast("long").cast("string"))
+    val dp = struct(
+      (unix_micros(tsCol) * 1000L).cast("string").as("timeUnixNano"),
+      col("schema").cast("int").as("scale"),
+      col("zero_count").cast("long").cast("string").as("zeroCount"),
+      col("count").cast("long").cast("string").as("count"),
+      col("sum").as("sum"),
+      struct((array_min(idxs) - 1).as("offset"),
+        dense.as("bucketCounts")).as("positive"))
+    hist.groupBy(docKey.as("__doc"), metricCol.as("__metric"))
+      .agg(collect_list(dp).as("dataPoints"))
+      .groupBy(col("__doc"))
+      .agg(collect_list(struct(col("__metric").as("name"),
+        struct(lit(2).as("aggregationTemporality"),
+          col("dataPoints")).as("exponentialHistogram"))).as("metrics"))
+      .select(col("__doc"), to_json(struct(array(struct(
+        struct(array(struct(lit("service.name").as("key"),
+          struct(col("__doc").cast("string").as("stringValue")).as("value")))
+          .as("attributes")).as("resource"),
+        array(struct(col("metrics"))).as("scopeMetrics")))
+        .as("resourceMetrics"))).as("json"))
+  }
+
+  /** Parse OTLP/JSON exponentialHistogram documents back into the
+    * native-histogram frame shape: one row per datapoint with `job`,
+    * normalized `metric`, `ts`, `schema`, `count`, `sum`, `zero_count`,
+    * and ascending sparse `pos` (zero-count buckets dropped; OTLP index
+    * + 1 = Prometheus index). Pure column math — no explode is needed
+    * for the bucket array at all. */
+  def parseExpHistogram(df: DataFrame, jsonCol: String = "json"): DataFrame = {
+    val parsed = df.select(from_json(col(jsonCol), expSchema).as("d"))
+      .select(explode(col("d.resourceMetrics")).as("rm"))
+      .select(
+        attrMap(col("rm.resource.attributes")).getItem("service.name").as("job"),
+        explode(col("rm.scopeMetrics")).as("sm"))
+      .select(col("job"), explode(col("sm.metrics")).as("m"))
+      .select(col("job"),
+        regexp_replace(col("m.name"), "[^a-zA-Z0-9_:]", "_").as("metric"),
+        explode(col("m.exponentialHistogram.dataPoints")).as("dp"))
+    parsed.select(
+      col("job"), col("metric"),
+      timestamp_micros(expr("cast(dp.timeUnixNano as long) div 1000")).as("ts"),
+      col("dp.scale").as("schema"),
+      col("dp.count").cast("double").as("count"),
+      col("dp.sum").as("sum"),
+      col("dp.zeroCount").cast("double").as("zero_count"),
+      filter(
+        transform(col("dp.positive.bucketCounts"),
+          (c, i) => struct(
+            (col("dp.positive.offset") + i + 1).cast("int").as("idx"),
+            c.cast("double").as("cnt"))),
+        b => b.getField("cnt") > 0).as("pos"),
+      array().cast("array<struct<idx:int,cnt:double>>").as("neg"))
+  }
+
   /** Render a sample frame INTO OTLP/JSON export documents — the inverse
     * used by the round-trip oracle (and a handy test-data generator).
     * One document per `docKey` group; within it, one metric entry per

@@ -47,6 +47,16 @@ case class IncState(last: Double, tsMs: Long, tsNanos: Int, eventId: Long)
 /** Streaming alert state per series: the open hour + its qualifying
   * count, the active run's start step, and the last closed ACTIVE step
   * (contiguity probe). Four longs — O(1) at 10M series. */
+/** Streaming HA-tracker state (Cortex/Mimir ha_tracker, per cluster):
+  * the elected replica, its last-seen second, accept/reject/election
+  * counters, and the accepted-value sum in 1e-6 fixed-point units
+  * (exact decimal accumulation). Six fields — O(1) per cluster. */
+case class HaState(elected: String, lastSec: Long, nacc: Long, nrej: Long,
+                   nelect: Long, vsumMicros: Long)
+case class HaOut(event_type: String, elected_final: String,
+                 n_elections: Long, n_accepted: Long, n_rejected: Long,
+                 sum_accepted: Double)
+
 /** Streaming-CUSUM state: the open hour, its count so far, and the CUSUM
   * in 1e-6 fixed-point units (exact decimal recursion). */
 case class CusumState(curStep: Long, curCount: Long, sUnits: Long)
@@ -430,6 +440,54 @@ object StreamOps {
     * MICRO-UNITS — exact fixed-point arithmetic, so the committed sink
     * equals the batch prefix-sum-identity twin digit-for-digit. State
     * per key: three longs. */
+  /** Streaming HA replica dedup — the per-sample walk the batch
+    * run-compressed fold (graft.metrics.HaTracker) is an optimization
+    * of: accept from the elected replica (refreshing last-seen), fail
+    * over to a different sender only after `failoverSec` of elected
+    * silence. Emits the cluster's running totals at each per-type flush
+    * sentinel. Matching the batch twin exactly also PROVES the
+    * run-compression equivalence. Samples order by (second, event_id) —
+    * the same total order as the batch walk and the oracle. */
+  def streamHaDedup(ds: Dataset[Ev], replicaOf: Ev => String,
+                    failoverSec: Long): Dataset[HaOut] = {
+    import ds.sparkSession.implicits._
+    def vUnits(v: Double): Long =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(1000000)).toLongExact
+    ds.groupByKey(_.event_type)
+      .flatMapGroupsWithState[HaState, HaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (etype, events, state: GroupState[HaState]) =>
+          var st = if (state.exists) state.get
+            else HaState("", Long.MinValue / 4, 0L, 0L, 0L, 0L)
+          val out = Vector.newBuilder[HaOut]
+          events.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            .foreach { e =>
+              if (e.user_id == -1L)
+                out += HaOut(etype, st.elected, st.nelect, st.nacc, st.nrej,
+                  java.math.BigDecimal.valueOf(st.vsumMicros.toDouble / 1e6)
+                    .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
+              else {
+                val t = e.ts.getTime / 1000
+                val r = replicaOf(e)
+                if (st.nelect == 0L)
+                  st = HaState(r, t, st.nacc + 1, st.nrej, 1L,
+                    st.vsumMicros + vUnits(e.value))
+                else if (r == st.elected)
+                  st = st.copy(lastSec = t, nacc = st.nacc + 1,
+                    vsumMicros = st.vsumMicros + vUnits(e.value))
+                else if (t > st.lastSec + failoverSec)
+                  st = HaState(r, t, st.nacc + 1, st.nrej, st.nelect + 1,
+                    st.vsumMicros + vUnits(e.value))
+                else st = st.copy(nrej = st.nrej + 1)
+              }
+            }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   def streamCusum(ds: Dataset[Ev],
                   stats: Map[String, (Double, Double)]): Dataset[CusumOut] = {
     import ds.sparkSession.implicits._
