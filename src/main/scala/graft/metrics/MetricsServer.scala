@@ -142,6 +142,17 @@ final class MetricsServer(observed: Observed, port: Int = 0,
         }
         """{"status":"success","data":null}"""
       })
+    // Snapshot (upstream api/v1/admin/tsdb/snapshot): persist the current
+    // tombstone-masked view as parquet and return the snapshot name. The
+    // write path is the Hadoop FS API, so the base can be hdfs://s3a://.
+    server.createContext("/api/v1/admin/tsdb/snapshot",
+      MetricsServer.jsonHandler { _ =>
+        val name = "graft-snap-" + java.lang.Long.toHexString(System.nanoTime())
+        val base = new java.io.File(sys.props("java.io.tmpdir"), "graft-snapshots")
+        val dir = new java.io.File(base, name)
+        src.df.write.mode("error").parquet(dir.getAbsolutePath)
+        s"""{"status":"success","data":{"name":"${MetricsServer.jsonEscape(name)}","dir":"${MetricsServer.jsonEscape(dir.getAbsolutePath)}"}}"""
+      })
     server.createContext("/api/v1/query", MetricsServer.jsonHandler { params =>
       val query = params.getOrElse("query",
         throw new IllegalArgumentException("missing 'query' parameter"))

@@ -948,6 +948,124 @@ object ExtraQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Scrape-loop `up` synthesis — the metrics Prometheus MAKES UP about
+    // every scrape (up, scrape_duration_seconds, scrape_samples_scraped):
+    // 10 targets (5 jobs × 2 instances) × 72 hourly rounds over 3 days,
+    // deterministic ~5% scrape failures, per-round sample counts joined
+    // from the events the target would have exposed. Availability is
+    // avg_over_time(up); the outage face is a gaps-and-islands walk
+    // (lag + prefix-sum run ids — the same run machinery as q203) for
+    // MAX CONSECUTIVE failed rounds. Scrape rounds are a generated
+    // (target × round) grid — never sample-cardinality — and the events
+    // join is one keyed agg on (job, instance, hour).
+    "q205_scrape_up" -> ((s, d) => {
+      import s.implicits._
+      val targets = events(s, d).select(col("event_type").as("job")).distinct()
+        .crossJoin(Seq(0, 1).toDF("instance"))
+      val rounds = targets.withColumn("round",
+        explode(sequence(lit(0), lit(71))))
+        .withColumn("h",
+          expr("timestampadd(HOUR, round, timestamp'2024-01-05 00:00:00')"))
+        .withColumn("hsh",
+          conv(substring(md5(concat(lit("up|"), col("job"), lit("|"),
+            col("instance"), lit("|"), col("round"))), 1, 6), 16, 10)
+            .cast("long"))
+        .withColumn("up", when(col("hsh") % 20 =!= 0, 1).otherwise(0))
+        .withColumn("scrape_duration",
+          round(lit(0.05) + (col("hsh") % 1000).cast("double") / 10000.0, 6))
+      val exposed = events(s, d)
+        .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
+          col("ts") < lit("2024-01-08").cast("timestamp"))
+        .groupBy(col("event_type").as("job"),
+          (col("user_id") % 2).cast("int").as("instance"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n_samples"))
+      val grid = rounds.join(exposed, Seq("job", "instance", "h"), "left")
+        .withColumn("scraped",
+          when(col("up") === 1, coalesce(col("n_samples"), lit(0L))).otherwise(0L))
+      val wT = Window.partitionBy(col("job"), col("instance")).orderBy(col("round"))
+      val runs = grid
+        .withColumn("chg", when(lag(col("up"), 1).over(wT).isNull ||
+          lag(col("up"), 1).over(wT) =!= col("up"), 1).otherwise(0))
+        .withColumn("rid", sum(col("chg")).over(
+          wT.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val maxDown = runs.filter(col("up") === 0)
+        .groupBy(col("job"), col("instance"), col("rid"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("job"), col("instance"))
+        .agg(max(col("len")).as("max_consec_down"))
+      grid.groupBy(col("job"), col("instance"))
+        .agg(count(lit(1)).as("n_rounds"),
+          sum(col("up")).as("n_up"),
+          round(sum(col("up")).cast("double") / count(lit(1)), 6)
+            .as("availability"),
+          sum(col("scraped")).as("samples_scraped"),
+          round(sum(col("scrape_duration").cast("decimal(18,6)"))
+            .cast("double") / count(lit(1)), 6).as("avg_duration"))
+        .join(maxDown, Seq("job", "instance"), "left")
+        .withColumn("max_consec_down", coalesce(col("max_consec_down"), lit(0L)))
+        .orderBy(col("job"), col("instance"))
+    }),
+
+    // TSDB WAL → head replay (prometheus/tsdb/wal.go + checkpoint rule):
+    // series RECORDS carry (ref, labels) once per first-seen series —
+    // refs assigned in first-seen order, the sequential head rule —
+    // sample records carry only (ref, t_ms, v) in hour segments. Three
+    // faces: `replayed` rebuilds the head by re-attaching labels through
+    // the ref indirection, `direct` builds straight from raw samples
+    // (must be identical — a ref collision or mis-join diverges it), and
+    // `checkpointed` replays after WAL truncation (sample records below
+    // the keep-mark dropped, series records retained). The series table
+    // broadcasts; sample records never carry labels — the WAL's actual
+    // space win at 100 TB.
+    "q206_wal_replay" -> ((s, d) => {
+      val base = events(s, d)
+        .filter(col("ts") < lit("2024-01-08").cast("timestamp"))
+        .select(col("event_type").as("job"),
+          (col("user_id") % 4).cast("int").as("shard"),
+          expr("unix_micros(ts)").as("t_us"),
+          expr("unix_micros(ts) div 1000").as("t_ms"),
+          col("event_id"), round(col("value"), 6).as("v"))
+      val firstSeen = base.groupBy(col("job"), col("shard"))
+        .agg(min(struct(col("t_us"), col("event_id"))).as("fs"))
+      val refs = firstSeen.withColumn("ref",
+          row_number().over(Window.orderBy(col("fs.t_us"), col("fs.event_id")))
+            .cast("long"))
+        .select(col("ref"), col("job"), col("shard"))
+      val sampleRecords = base.join(broadcast(refs), Seq("job", "shard"))
+        .select(col("ref"), expr("t_ms div 3600000").as("segment"),
+          col("t_ms"), col("event_id"), col("v"))
+      val keepMs = java.time.Instant.parse("2024-01-05T00:00:00Z").toEpochMilli
+      def headOf(recs: org.apache.spark.sql.DataFrame, tag: String) =
+        recs.join(broadcast(refs), Seq("ref"))
+          .groupBy(col("job"), col("shard"))
+          .agg(count(lit(1)).as("n_samples"),
+            countDistinct(col("segment")).as("n_segments"),
+            min(col("t_ms")).as("min_t_ms"), max(col("t_ms")).as("max_t_ms"),
+            max(struct(col("t_ms"), col("event_id"), col("v")))
+              .getField("v").as("last_v"),
+            round(sum(col("v").cast("decimal(18,6)")).cast("double"), 4)
+              .as("sum_v"))
+          .withColumn("which", lit(tag))
+      val direct = base.groupBy(col("job"), col("shard"))
+        .agg(count(lit(1)).as("n_samples"),
+          countDistinct(expr("t_ms div 3600000")).as("n_segments"),
+          min(col("t_ms")).as("min_t_ms"), max(col("t_ms")).as("max_t_ms"),
+          max(struct(col("t_ms"), col("event_id"), col("v")))
+            .getField("v").as("last_v"),
+          round(sum(col("v").cast("decimal(18,6)")).cast("double"), 4)
+            .as("sum_v"))
+        .withColumn("which", lit("direct"))
+      headOf(sampleRecords, "replayed")
+        .unionByName(direct)
+        .unionByName(headOf(sampleRecords.filter(col("t_ms") >= keepMs),
+          "checkpointed"))
+        .select(col("which"), col("job"), col("shard"), col("n_samples"),
+          col("n_segments"), col("min_t_ms"), col("max_t_ms"), col("last_v"),
+          col("sum_v"))
+        .orderBy(col("which"), col("job"), col("shard"))
+    }),
+
     // Product quantization (PQ4x16: 64-dim float32 → 4 codes = 64×
     // compression at rest): one deterministic Lloyd step from first-k
     // init, decimal-routed centroid means, map-side code assignment.
@@ -1667,6 +1785,84 @@ object ExtraQueries {
         |  round(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_v,
         |  min(ts) AS min_ts, max(ts) AS max_ts
         |FROM ob GROUP BY 1 ORDER BY out_block""".stripMargin,
+
+    // Same grid, same run machinery, one SQL pass.
+    "q205_scrape_up" ->
+      """WITH targets AS (
+        |  SELECT DISTINCT event_type AS job FROM events
+        |), t2 AS (
+        |  SELECT job, instance FROM targets, (SELECT unnest([0, 1]) AS instance) i
+        |), ru AS (
+        |  SELECT job, instance, r AS round,
+        |    TIMESTAMP '2024-01-05 00:00:00' + r * INTERVAL 1 HOUR AS h,
+        |    CAST(concat('0x', substr(md5('up|' || job || '|' || instance || '|' || r),
+        |      1, 6)) AS BIGINT) AS hsh
+        |  FROM t2, unnest(generate_series(0, 71)) AS g(r)
+        |), rr AS (
+        |  SELECT *, CASE WHEN hsh % 20 <> 0 THEN 1 ELSE 0 END AS up,
+        |    round(0.05 + (hsh % 1000)::DOUBLE / 10000.0, 6) AS dur
+        |  FROM ru
+        |), exposed AS (
+        |  SELECT event_type AS job, CAST(user_id % 2 AS INT) AS instance,
+        |    date_trunc('hour', ts) AS h, count(*) AS n_samples
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-08'
+        |  GROUP BY 1, 2, 3
+        |), grid AS (
+        |  SELECT rr.*, CASE WHEN rr.up = 1 THEN coalesce(e.n_samples, 0) ELSE 0 END
+        |    AS scraped
+        |  FROM rr LEFT JOIN exposed e USING (job, instance, h)
+        |), marked AS (
+        |  SELECT *, CASE WHEN lag(up) OVER w IS NULL OR lag(up) OVER w <> up
+        |                 THEN 1 ELSE 0 END AS chg
+        |  FROM grid WINDOW w AS (PARTITION BY job, instance ORDER BY round)
+        |), runs AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY job, instance ORDER BY round
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+        |  FROM marked
+        |), md AS (
+        |  SELECT job, instance, max(len) AS max_consec_down FROM (
+        |    SELECT job, instance, rid, count(*) AS len
+        |    FROM runs WHERE up = 0 GROUP BY 1, 2, 3
+        |  ) GROUP BY 1, 2
+        |)
+        |SELECT g.job, g.instance, count(*) AS n_rounds,
+        |  CAST(sum(g.up) AS BIGINT) AS n_up,
+        |  round(CAST(sum(g.up) AS DOUBLE) / count(*), 6) AS availability,
+        |  CAST(sum(g.scraped) AS BIGINT) AS samples_scraped,
+        |  round(CAST(sum(CAST(g.dur AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+        |    AS avg_duration,
+        |  coalesce(any_value(md.max_consec_down), 0)::BIGINT AS max_consec_down
+        |FROM grid g LEFT JOIN md ON md.job = g.job AND md.instance = g.instance
+        |GROUP BY 1, 2 ORDER BY g.job, g.instance""".stripMargin,
+
+    // Direct rebuild emitted under replayed/direct; the checkpoint face
+    // refilters at the keep-mark. last_v picked by the same (t, e, v)
+    // lexicographic struct max.
+    "q206_wal_replay" ->
+      """WITH base AS (
+        |  SELECT event_type AS job, CAST(user_id % 4 AS INT) AS shard,
+        |    epoch_us(ts) // 1000 AS t_ms, event_id, round(value, 6) AS v
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-08'
+        |), agg AS (
+        |  SELECT job, shard, count(*) AS n_samples,
+        |    count(DISTINCT t_ms // 3600000) AS n_segments,
+        |    min(t_ms) AS min_t_ms, max(t_ms) AS max_t_ms,
+        |    (max(struct_pack(t := t_ms, e := event_id, v := v))).v AS last_v,
+        |    round(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_v
+        |  FROM base GROUP BY 1, 2
+        |), ck AS (
+        |  SELECT job, shard, count(*) AS n_samples,
+        |    count(DISTINCT t_ms // 3600000) AS n_segments,
+        |    min(t_ms) AS min_t_ms, max(t_ms) AS max_t_ms,
+        |    (max(struct_pack(t := t_ms, e := event_id, v := v))).v AS last_v,
+        |    round(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_v
+        |  FROM base WHERE t_ms >= 1704412800000 GROUP BY 1, 2
+        |)
+        |SELECT 'replayed' AS which, * FROM agg
+        |UNION ALL SELECT 'direct' AS which, * FROM agg
+        |UNION ALL SELECT 'checkpointed' AS which, * FROM ck
+        |ORDER BY which, job, shard""".stripMargin,
 
     // The same run-compressed election walk, recursive-CTE'd.
     "q203_ha_dedup" ->

@@ -542,6 +542,11 @@ class MetricsSpec extends AnyFunSuite {
         assert(cc == 200 && bc.contains("success"), bc)
         val (c3, b3) = get(srv.boundPort, q)
         assert(c3 == 200 && b3.contains("\"7.0\""), b3)
+        // snapshot persists the masked view (2 of 3 rows survive deletion)
+        val (cs, bs) = get(srv.boundPort, "/api/v1/admin/tsdb/snapshot")
+        assert(cs == 200 && bs.contains("graft-snap-"), bs)
+        val dir = bs.split("\"dir\":\"")(1).split("\"")(0)
+        assert(spark.read.parquet(dir).count() == 2L)
       } finally srv.close()
     }
   }
