@@ -558,6 +558,49 @@ object CurationQueries {
         .orderBy(col("lang"))
     }),
 
+    // [N] UniMax language-balanced sampling (Chung et al. 2023): spread
+    // a token budget uniformly across languages, capping each at E_max
+    // epochs of its corpus. The sequential waterfill has a CLOSED FORM
+    // on cap-ascending order — languages before the first index where
+    // cap exceeds the running fair share hit their caps, everything
+    // after splits the remainder equally — so it's two windows over the
+    // per-language count table (|langs| rows), zero recursion. Budget =
+    // 1.5x total tokens (the multilingual upsampling posture), E_max = 2
+    // — low-resource languages hit their 2-epoch caps, the head language
+    // absorbs the remaining fair share.
+    "q207_unimax_sampling" -> ((s, d) => {
+      val counts = docsWithTokens(s, d)
+        .select(col("lang"), explode(col("toks")).as("tok"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("c"))
+        .withColumn("cap", col("c") * 2)
+      val budget = counts.agg(
+        (sum(col("c")) * 3).as("b3"), count(lit(1)).as("n_langs"))
+        .select(expr("b3 div 2").as("budget"), col("n_langs"))
+      val w = Window.orderBy(col("cap"), col("lang"))
+      val ranked = counts.crossJoin(broadcast(budget))
+        .withColumn("i", row_number().over(w))
+        .withColumn("cs", coalesce(sum(col("cap")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("fair",
+          (col("budget") - col("cs")).cast("double") /
+            (col("n_langs") - col("i") + 1))
+        .withColumn("over", col("cap").cast("double") > col("fair"))
+      val sw = ranked.filter(col("over"))
+        .orderBy(col("i")).limit(1)
+        .select(col("i").as("sw_i"), col("fair").as("sw_fair"))
+      // left join on TRUE, not crossJoin: an all-capped corpus has no
+      // switch row and must keep every language at its cap
+      ranked.join(broadcast(sw), lit(true), "left")
+        .withColumn("alloc",
+          when(col("sw_i").isNull || col("i") < col("sw_i"),
+            col("cap").cast("double")).otherwise(col("sw_fair")))
+        .select(col("lang"), col("c").as("n_tokens"), col("cap"),
+          col("over").as("hit_fair_share"),
+          round(col("alloc"), 4).as("alloc_tokens"),
+          round(col("alloc") / col("c"), 6).as("epochs"))
+        .orderBy(col("lang"))
+    }),
+
     // [N] C4-style line-level cleaning (Raffel et al. 2020 §2.2): the
     // fixture corpus has no line structure, so lines are RENDERED
     // deterministically first (md5-seeded breaks every ~7 tokens,
@@ -1156,6 +1199,37 @@ object CurationQueries {
         |    AS avg_ce,
         |  round(min(ce), 6) AS min_ce, round(max(ce), 6) AS max_ce
         |FROM ce GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q207_unimax_sampling" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents
+        |), counts AS (
+        |  SELECT lang, count(*) AS c, count(*) * 2 AS cap FROM tok GROUP BY 1
+        |), b AS (
+        |  SELECT (sum(c) * 3) // 2 AS budget, count(*) AS n_langs FROM counts
+        |), ranked AS (
+        |  SELECT counts.*, b.budget, b.n_langs,
+        |    row_number() OVER w AS i,
+        |    coalesce(sum(cap) OVER (ORDER BY cap, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cs
+        |  FROM counts, b
+        |  WINDOW w AS (ORDER BY cap, lang)
+        |), f AS (
+        |  SELECT *, CAST(budget - cs AS DOUBLE) / (n_langs - i + 1) AS fair,
+        |    CAST(cap AS DOUBLE) >
+        |      CAST(budget - cs AS DOUBLE) / (n_langs - i + 1) AS over
+        |  FROM ranked
+        |), sw AS (
+        |  SELECT i AS sw_i, fair AS sw_fair FROM f WHERE over ORDER BY i LIMIT 1
+        |)
+        |SELECT f.lang, f.c AS n_tokens, CAST(f.cap AS BIGINT) AS cap,
+        |  f.over AS hit_fair_share,
+        |  round(CASE WHEN sw.sw_i IS NULL OR f.i < sw.sw_i
+        |    THEN CAST(f.cap AS DOUBLE) ELSE sw.sw_fair END, 4) AS alloc_tokens,
+        |  round(CASE WHEN sw.sw_i IS NULL OR f.i < sw.sw_i
+        |    THEN CAST(f.cap AS DOUBLE) ELSE sw.sw_fair END / f.c, 6) AS epochs
+        |FROM f LEFT JOIN sw ON TRUE ORDER BY f.lang""".stripMargin,
 
     "q198_c4_clean" ->
       """WITH t AS (

@@ -311,6 +311,21 @@ object StreamingQueries {
         .orderBy(col("event_type"))
     }),
 
+    // STREAMING Gorilla/XOR chunk encoding — q201's codec run ONLINE
+    // with the Prometheus head appender's per-series O(1) registers;
+    // chunks cut at 120 samples emit their closed bit costs, the open
+    // head chunk stays in state (upstream behavior — so the twin
+    // compares CLOSED chunks only). Matching the batch fold digit for
+    // digit proves the codec is genuinely streamable.
+    "s208_stream_gorilla_chunks" -> ((s, d) => {
+      val t = StreamOps.replayEvents(s, d, "s208_sink", 3)(
+        ds => StreamOps.streamXorChunks(ds).toDF(), OutputMode.Append)
+      t.select(col("event_type"), col("shard"), col("chunk"),
+          col("n_samples"), col("ts_bits"), col("val_bits"),
+          col("n_xor_zero"), col("n_window_reuse"), col("n_new_window"))
+        .orderBy(col("event_type"), col("shard"), col("chunk"))
+    }),
+
     "s179_stream_cusum" -> ((s, d) => {
       val hourly = Tables.events(s, d)
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
@@ -408,6 +423,92 @@ object StreamingQueries {
     * (s59 excluded: append-mode sessions inside the final watermark never
     * emit, so no batch SQL matches its tail.) */
   val oracle: Map[String, String] = Map(
+    // q201's bit-exact walk at CHUNK grain, closed chunks only.
+    "s208_stream_gorilla_chunks" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT event_type, user_id % 5 AS shard, epoch_us(ts) // 1000 AS t_ms,
+        |    event_id, CAST(round(value, 0) AS BIGINT) AS vi
+        |  FROM events
+        |), seq AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type, shard
+        |      ORDER BY t_ms, event_id) - 1 AS seqn
+        |  FROM s
+        |), ch AS (
+        |  SELECT event_type, shard, seqn // 120 AS chunk, seqn % 120 AS idx,
+        |    t_ms, event_id, vi
+        |  FROM seq
+        |), tsb AS (
+        |  SELECT *, lag(t_ms, 1) OVER w AS t1, lag(t_ms, 2) OVER w AS t2
+        |  FROM ch
+        |  WINDOW w AS (PARTITION BY event_type, shard, chunk ORDER BY t_ms, event_id)
+        |), tcost AS (
+        |  SELECT event_type, shard, chunk, idx, vi,
+        |    CASE WHEN idx = 0 THEN ((len(bin(t_ms * 2)) + 6) // 7) * 8
+        |         WHEN idx = 1 THEN ((len(bin((t_ms - t1) * 2)) + 6) // 7) * 8
+        |         WHEN t_ms - 2 * t1 + t2 = 0 THEN 1
+        |         WHEN t_ms - 2 * t1 + t2 BETWEEN -8191 AND 8192 THEN 16
+        |         WHEN t_ms - 2 * t1 + t2 BETWEEN -65535 AND 65536 THEN 20
+        |         WHEN t_ms - 2 * t1 + t2 BETWEEN -524287 AND 524288 THEN 24
+        |         ELSE 68 END AS ts_bits
+        |  FROM tsb
+        |), vb AS (
+        |  SELECT event_type, shard, chunk, idx,
+        |    CASE WHEN vi = 0 THEN 0
+        |         ELSE ((1023 + len(bin(vi)) - 1)::BIGINT << 52)
+        |              + ((vi << (52 - (len(bin(vi)) - 1))) - (1::BIGINT << 52))
+        |    END AS bits
+        |  FROM tcost
+        |), walk AS (
+        |  SELECT event_type, shard, chunk, idx, bits AS prev,
+        |    255 AS lead, 0 AS trail, 64::BIGINT AS acc,
+        |    0::BIGINT AS nzero, 0::BIGINT AS nreuse, 0::BIGINT AS nnew
+        |  FROM vb WHERE idx = 0
+        |  UNION ALL
+        |  SELECT event_type, shard, chunk, idx, bits,
+        |    CASE WHEN xr = 0 OR reuse THEN lead ELSE lz END,
+        |    CASE WHEN xr = 0 OR reuse THEN trail ELSE tz END,
+        |    acc + CASE WHEN xr = 0 THEN 1
+        |               WHEN reuse THEN 2 + 64 - lead - trail
+        |               ELSE 13 + 64 - lz - tz END,
+        |    nzero + CASE WHEN xr = 0 THEN 1 ELSE 0 END,
+        |    nreuse + CASE WHEN xr <> 0 AND reuse THEN 1 ELSE 0 END,
+        |    nnew + CASE WHEN xr <> 0 AND NOT reuse THEN 1 ELSE 0 END
+        |  FROM (
+        |    SELECT q.*, (lead <> 255 AND lz >= lead AND tz >= trail) AS reuse
+        |    FROM (
+        |      SELECT p.*,
+        |        least(CASE WHEN xr < 0 THEN 0 ELSE 64 - len(bin(xr)) END, 31) AS lz,
+        |        CASE WHEN xr = 0 THEN 64
+        |             ELSE len(bin(xr)) - len(rtrim(bin(xr), '0')) END AS tz
+        |      FROM (
+        |        SELECT v.event_type, v.shard, v.chunk, v.idx, v.bits,
+        |          w.lead, w.trail, w.acc, w.nzero, w.nreuse, w.nnew,
+        |          xor(w.prev, v.bits) AS xr
+        |        FROM walk w JOIN vb v ON v.event_type = w.event_type
+        |          AND v.shard = w.shard AND v.chunk = w.chunk AND v.idx = w.idx + 1
+        |      ) p
+        |    ) q
+        |  )
+        |), done AS (
+        |  SELECT event_type, shard, chunk,
+        |    arg_max(acc, idx) AS val_bits, arg_max(nzero, idx) AS n_xor_zero,
+        |    arg_max(nreuse, idx) AS n_window_reuse, arg_max(nnew, idx) AS n_new_window
+        |  FROM walk GROUP BY 1, 2, 3
+        |), tchunk AS (
+        |  SELECT event_type, shard, chunk, count(*) AS n_samples,
+        |    sum(ts_bits) AS ts_bits
+        |  FROM tcost GROUP BY 1, 2, 3
+        |), per AS (
+        |  SELECT t.event_type, t.shard, t.chunk, t.n_samples, t.ts_bits, d.val_bits,
+        |    d.n_xor_zero, d.n_window_reuse, d.n_new_window
+        |  FROM tchunk t JOIN done d USING (event_type, shard, chunk)
+        |)
+        |SELECT event_type, CAST(shard AS BIGINT) AS shard, chunk,
+        |  CAST(n_samples AS BIGINT) AS n_samples, CAST(ts_bits AS BIGINT) AS ts_bits,
+        |  val_bits, n_xor_zero, n_window_reuse, n_new_window
+        |FROM per WHERE n_samples = 120
+        |ORDER BY event_type, shard, chunk""".stripMargin,
+
     // q203's run-compressed election walk, minus the batch-only n_runs
     // column — the streaming sink must land exactly on it.
     "s204_stream_ha_dedup" ->

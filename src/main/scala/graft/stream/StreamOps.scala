@@ -57,6 +57,19 @@ case class HaOut(event_type: String, elected_final: String,
                  n_elections: Long, n_accepted: Long, n_rejected: Long,
                  sum_accepted: Double)
 
+/** Streaming Gorilla/XOR encoder state per series: the open chunk's
+  * index/counters plus the codec registers (two timestamp lags, previous
+  * value bits, leading/trailing window) — O(1), the exact state the
+  * Prometheus head appender holds per series. */
+case class XorState(chunk: Long, idx: Long, t1: Long, t2: Long,
+                    prevBits: Long, lead: Int, trail: Int,
+                    tsBits: Long, valBits: Long,
+                    nzero: Long, nreuse: Long, nnew: Long)
+case class XorChunkOut(event_type: String, shard: Long, chunk: Long,
+                       n_samples: Long, ts_bits: Long, val_bits: Long,
+                       n_xor_zero: Long, n_window_reuse: Long,
+                       n_new_window: Long)
+
 /** Streaming-CUSUM state: the open hour, its count so far, and the CUSUM
   * in 1e-6 fixed-point units (exact decimal recursion). */
 case class CusumState(curStep: Long, curCount: Long, sUnits: Long)
@@ -440,6 +453,76 @@ object StreamOps {
     * MICRO-UNITS — exact fixed-point arithmetic, so the committed sink
     * equals the batch prefix-sum-identity twin digit-for-digit. State
     * per key: three longs. */
+  /** Streaming Gorilla/XOR chunk encoder — the ONLINE face of
+    * graft.metrics.Gorilla.encodeStats, holding exactly the registers
+    * the Prometheus head appender keeps per series (xor.go: two ts lags,
+    * previous value bits, the leading/trailing window). Chunks cut at
+    * `chunkSize` samples and emit their closed bit-cost stats; the open
+    * head chunk stays in state, never emitted — the upstream behavior.
+    * Same bucket/window/varint math as the batch fold, digit for digit. */
+  def streamXorChunks(ds: Dataset[Ev], chunkSize: Int = 120): Dataset[XorChunkOut] = {
+    import ds.sparkSession.implicits._
+    def uvarintBits(x: Long): Long = {
+      val bitlen = if (x == 0L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(x)
+      ((bitlen + 6) / 7).toLong * 8L
+    }
+    def dodBits(dod: Long): Long =
+      if (dod == 0L) 1L
+      else if (dod >= -8191L && dod <= 8192L) 16L
+      else if (dod >= -65535L && dod <= 65536L) 20L
+      else if (dod >= -524287L && dod <= 524288L) 24L
+      else 68L
+    ds.groupByKey(e => (e.event_type, e.user_id % 5))
+      .flatMapGroupsWithState[XorState, XorChunkOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((etype, shard), events, state: GroupState[XorState]) =>
+          var st = if (state.exists) state.get
+            else XorState(0L, 0L, 0L, 0L, 0L, 255, 0, 0L, 0L, 0L, 0L, 0L)
+          val out = Vector.newBuilder[XorChunkOut]
+          events.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            .foreach { e =>
+              val tMs = e.ts.getTime
+              val bits = java.lang.Double.doubleToRawLongBits(
+                BigDecimal(e.value).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+                  .toDouble)
+              val tsCost =
+                if (st.idx == 0L) uvarintBits(tMs * 2)
+                else if (st.idx == 1L) uvarintBits((tMs - st.t1) * 2)
+                else dodBits(tMs - 2 * st.t1 + st.t2)
+              st =
+                if (st.idx == 0L)
+                  st.copy(idx = 1L, t1 = tMs, prevBits = bits, lead = 255,
+                    trail = 0, tsBits = st.tsBits + tsCost, valBits = 64L)
+                else {
+                  val xor = st.prevBits ^ bits
+                  val (cost, lead, trail, z, r, n) =
+                    if (xor == 0L) (1L, st.lead, st.trail, 1L, 0L, 0L)
+                    else {
+                      val lz = math.min(java.lang.Long.numberOfLeadingZeros(xor), 31)
+                      val tz = java.lang.Long.numberOfTrailingZeros(xor)
+                      if (st.lead != 255 && lz >= st.lead && tz >= st.trail)
+                        (2L + (64 - st.lead - st.trail), st.lead, st.trail, 0L, 1L, 0L)
+                      else (13L + (64 - lz - tz), lz, tz, 0L, 0L, 1L)
+                    }
+                  st.copy(idx = st.idx + 1, t2 = st.t1, t1 = tMs,
+                    prevBits = bits, lead = lead, trail = trail,
+                    tsBits = st.tsBits + tsCost, valBits = st.valBits + cost,
+                    nzero = st.nzero + z, nreuse = st.nreuse + r,
+                    nnew = st.nnew + n)
+                }
+              if (st.idx == chunkSize.toLong) {
+                out += XorChunkOut(etype, shard, st.chunk, st.idx,
+                  st.tsBits, st.valBits, st.nzero, st.nreuse, st.nnew)
+                st = XorState(st.chunk + 1, 0L, 0L, 0L, 0L, 255, 0,
+                  0L, 0L, 0L, 0L, 0L)
+              }
+            }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming HA replica dedup — the per-sample walk the batch
     * run-compressed fold (graft.metrics.HaTracker) is an optimization
     * of: accept from the elected replica (refreshing last-seen), fail
