@@ -558,6 +558,38 @@ object CurationQueries {
         .orderBy(col("lang"))
     }),
 
+    // [N] Model-based quality classification (the fastText-shaped linear
+    // filter of FineWeb-Edu/CCNet pipelines): hashed unigram+bigram
+    // features into 256 buckets, per-bucket weights derived inline from
+    // the bucket hash (no weight table to ship), doc score = mean weight
+    // → sigmoid. The integer milli-weight sum keeps scoring exact until
+    // ONE final division, so the FP surface is a single sigmoid per doc
+    // (rounded 6 dp). Inference is one explode + one keyed agg —
+    // map-side partial, classifier-at-scan-speed, the 100 TB shape. The
+    // rule-based (q168), LM-based (q88/q187), and classifier-based
+    // curation archetypes are now all present.
+    "q209_quality_classifier" -> ((s, d) => {
+      val feats = docsWithTokens(s, d)
+        .select(col("lang"), col("doc_id"),
+          explode(concat(col("toks"), TextOps.shingles(col("toks"), 2))).as("f"))
+      val scored = feats
+        .withColumn("b", pmod(TextOps.md5Hash48(col("f"), "qc"), lit(256)))
+        .withColumn("w_milli",
+          pmod(TextOps.md5Hash48(col("b").cast("string"), "qw"), lit(2001)) - 1000)
+        .groupBy(col("lang"), col("doc_id"))
+        .agg(count(lit(1)).as("nf"), sum(col("w_milli")).as("sw"))
+        .withColumn("sc", col("sw").cast("double") / (col("nf") * 1000.0))
+        .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-col("sc"))), 6))
+      scored.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("p") > 0.5, 1).otherwise(0)).as("n_keep"),
+          round(sum(col("p").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("avg_p"),
+          round(min(col("p")), 6).as("min_p"),
+          round(max(col("p")), 6).as("max_p"))
+        .orderBy(col("lang"))
+    }),
+
     // [N] UniMax language-balanced sampling (Chung et al. 2023): spread
     // a token budget uniformly across languages, capping each at E_max
     // epochs of its corpus. The sequential waterfill has a CLOSED FORM
@@ -1199,6 +1231,40 @@ object CurationQueries {
         |    AS avg_ce,
         |  round(min(ce), 6) AS min_ce, round(max(ce), 6) AS max_ce
         |FROM ce GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q209_quality_classifier" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), feats AS (
+        |  SELECT lang, doc_id, f FROM (
+        |    SELECT lang, doc_id,
+        |      list_concat(toks,
+        |        list_distinct([array_to_string(toks[i:i+1], ' ')
+        |          for i in generate_series(1, len(toks) - 1)])) AS fs
+        |    FROM t
+        |  ), unnest(fs) AS u(f)
+        |), w AS (
+        |  SELECT lang, doc_id,
+        |    CAST(concat('0x', substr(md5('qw|' ||
+        |      (CAST(concat('0x', substr(md5('qc|' || f), 1, 12)) AS BIGINT) % 256)
+        |      ), 1, 12)) AS BIGINT) % 2001 - 1000 AS w_milli
+        |  FROM feats
+        |), doc AS (
+        |  SELECT lang, doc_id, count(*) AS nf, sum(w_milli) AS sw
+        |  FROM w GROUP BY 1, 2
+        |), p AS (
+        |  SELECT lang,
+        |    round(1.0 / (1.0 + exp(-(CAST(sw AS DOUBLE) / (nf * 1000.0)))), 6)
+        |      AS p
+        |  FROM doc
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN p > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  round(CAST(sum(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+        |    AS avg_p,
+        |  round(min(p), 6) AS min_p, round(max(p), 6) AS max_p
+        |FROM p GROUP BY 1 ORDER BY lang""".stripMargin,
 
     "q207_unimax_sampling" ->
       """WITH tok AS (

@@ -1066,6 +1066,56 @@ object ExtraQueries {
         .orderBy(col("which"), col("job"), col("shard"))
     }),
 
+    // STORAGE-STACK integration: one query through the whole round-11
+    // TSDB write path — overlapping blocks → vertical compaction (q200's
+    // keyed dedup) → tombstone masking (q199's predicate) → 5m aggr
+    // chunks (q158's downsampling) → trailing-6h grid sums (q164's
+    // chunk-aligned join). The oracle computes the same grid DIRECTLY
+    // from raw events minus the deletion — so an inconsistency in ANY of
+    // the four storage stages (a dup surviving compaction, a tombstone
+    // leaking into chunks, a chunk crossing a window edge) lands in the
+    // hash. The grid spans the tombstoned days, so the deletion is load-
+    // bearing, not decorative.
+    "q210_storage_stack" -> ((s, d) => {
+      import graft.metrics.{Downsample, Tombstones}
+      import graft.metrics.Tombstones.Tombstone
+      val base = events(s, d).select(col("event_type"), col("user_id"),
+        col("ts"), col("event_id"), round(col("value"), 6).as("v"))
+      def block(from: String, until: String, onlyEven: Boolean) = {
+        val span = base.filter(col("ts") >= lit(from).cast("timestamp") &&
+          col("ts") < lit(until).cast("timestamp"))
+        if (onlyEven) span.filter(col("event_id") % 2 === 0) else span
+      }
+      val u = block("2024-01-01", "2024-01-11", onlyEven = false)
+        .unionByName(block("2024-01-05", "2024-01-16", onlyEven = true))
+        .unionByName(block("2024-01-08", "2024-01-21", onlyEven = false))
+      // vertical compaction: identical replicas, one survivor per sample
+      val compacted = u.groupBy(col("event_type"), col("user_id"),
+          col("ts"), col("event_id"))
+        .agg(max(col("v")).as("v"))
+      def ms(day: String): Long = java.time.LocalDate.parse(day)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+      val masked = Tombstones.mask(compacted,
+        Seq(Tombstone(Seq(("event_type", "=", "purchase")),
+          ms("2024-01-03"), ms("2024-01-05"))), "ts")
+      val chunks = Downsample.aggrChunks(masked, Seq("event_type"),
+        "ts", "event_id", "v", "5 minutes")
+      val steps = base.select(col("event_type")).distinct()
+        .select(col("event_type"), explode(sequence(
+          lit("2024-01-02 06:00:00").cast("timestamp"),
+          lit("2024-01-06 00:00:00").cast("timestamp"),
+          expr("INTERVAL 6 HOURS"))).as("step_ts"))
+      steps.join(chunks,
+          steps("event_type") === chunks("event_type") &&
+            col("chunk_ts") >= col("step_ts") - expr("INTERVAL 6 HOURS") &&
+            col("chunk_ts") < col("step_ts"))
+        .groupBy(steps("event_type"), col("step_ts"))
+        .agg(sum(col("c_count")).cast("long").as("n_samples"),
+          round(sum(col("c_sum").cast("decimal(18,6)")).cast("double"), 4)
+            .as("sum_v"))
+        .orderBy(steps("event_type"), col("step_ts"))
+    }),
+
     // Product quantization (PQ4x16: 64-dim float32 → 4 codes = 64×
     // compression at rest): one deterministic Lloyd step from first-k
     // init, decimal-routed centroid means, map-side code assignment.
@@ -1835,6 +1885,28 @@ object ExtraQueries {
         |  coalesce(any_value(md.max_consec_down), 0)::BIGINT AS max_consec_down
         |FROM grid g LEFT JOIN md ON md.job = g.job AND md.instance = g.instance
         |GROUP BY 1, 2 ORDER BY g.job, g.instance""".stripMargin,
+
+    // The stack's oracle skips every storage stage: block coverage is
+    // total over [Jan1, Jan21) (B only duplicates), so kept = raw minus
+    // the deletion; windows are the engine's [T−6h, T) chunk alignment.
+    "q210_storage_stack" ->
+      """WITH kept AS (
+        |  SELECT event_type, ts, round(value, 6) AS v
+        |  FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-21'
+        |    AND NOT (event_type = 'purchase'
+        |      AND ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-05')
+        |), grid AS (
+        |  SELECT t.event_type,
+        |    make_timestamp((1704175200 + i * 21600) * 1000000) AS step_ts
+        |  FROM (SELECT DISTINCT event_type FROM events) t,
+        |    unnest(generate_series(0, 15)) AS g(i)
+        |)
+        |SELECT g.event_type, g.step_ts, count(*) AS n_samples,
+        |  round(CAST(sum(CAST(e.v AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_v
+        |FROM grid g JOIN kept e ON e.event_type = g.event_type
+        |  AND e.ts >= g.step_ts - INTERVAL 6 HOURS AND e.ts < g.step_ts
+        |GROUP BY 1, 2 ORDER BY g.event_type, g.step_ts""".stripMargin,
 
     // Direct rebuild emitted under replayed/direct; the checkpoint face
     // refilters at the keep-mark. last_v picked by the same (t, e, v)
