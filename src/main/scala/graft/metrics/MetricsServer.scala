@@ -2,7 +2,7 @@ package graft.metrics
 
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions.{col, expr, lit, max_by, struct, to_timestamp}
+import org.apache.spark.sql.functions.{col, element_at, expr, lit, max_by, struct, to_timestamp}
 
 /** A8 + P14: the engine's HTTP face — Prometheus text-format exposition
   * plus the Prometheus HTTP query API.
@@ -112,14 +112,54 @@ final class MetricsServer(observed: Observed, port: Int = 0,
   // (Tombstones.clean), which q199 proves equivalent on the block store.
   @volatile private var tombstonesList: Seq[Tombstones.Tombstone] = Nil
   @volatile private var cleanedDf: Option[org.apache.spark.sql.DataFrame] = None
+  @volatile private var ingestedDf: Option[org.apache.spark.sql.DataFrame] = None
 
   promSource.foreach { boundSrc =>
     def src: PromQlParser.PromSource = {
-      val base = cleanedDf.map(df => boundSrc.copy(df = df)).getOrElse(boundSrc)
+      val stored = cleanedDf.getOrElse(boundSrc.df)
+      val withIngest = ingestedDf.map(stored.unionByName(_)).getOrElse(stored)
+      val base = boundSrc.copy(df = withIngest)
       if (tombstonesList.isEmpty) base
       else base.copy(df =
         Tombstones.mask(base.df, tombstonesList, boundSrc.tsCol))
     }
+    // Shape parsed wire samples (metric/ts/value + a label map) onto the
+    // bound source's schema — the same projection RecordingRules uses.
+    def shapeIngest(parsed: org.apache.spark.sql.DataFrame,
+                    labelsCol: String): org.apache.spark.sql.DataFrame = {
+      val base = boundSrc.df
+      def typed(c: String) = base.schema(c).dataType
+      parsed.select(base.columns.toSeq.map {
+        case c if c == boundSrc.metricCol =>
+          col("metric").cast(typed(c)).as(c)
+        case c if c == boundSrc.tsCol => col("ts").cast(typed(c)).as(c)
+        case c if c == boundSrc.valueCol => col("value").cast(typed(c)).as(c)
+        case c if c == boundSrc.orderCol => lit(0L).cast(typed(c)).as(c)
+        case c => element_at(col(labelsCol), c).cast(typed(c)).as(c)
+      }: _*)
+    }
+    def appendIngest(shaped: org.apache.spark.sql.DataFrame): Unit =
+      synchronized {
+        ingestedDf = Some(ingestedDf.map(_.unionByName(shaped)).getOrElse(shaped))
+      }
+    // Remote-write RECEIVER (POST /api/v1/write, the v1 WriteRequest
+    // mapping): ingested samples become immediately queryable — the
+    // serving `src` def unions them in before tombstone masking.
+    server.createContext("/api/v1/write", MetricsServer.bodyHandler { body =>
+      import boundSrc.df.sparkSession.implicits._
+      val parsed = graft.sources.RemoteWrite.parse(
+        Seq(body).toDF("json"))
+      appendIngest(shapeIngest(parsed, "labels"))
+      """{"status":"success","data":null}"""
+    })
+    // OTLP receiver (POST /api/v1/otlp/v1/metrics, the 3.x endpoint):
+    // same ingest path through the OTLP/JSON translation.
+    server.createContext("/api/v1/otlp/v1/metrics", MetricsServer.bodyHandler { body =>
+      import boundSrc.df.sparkSession.implicits._
+      val parsed = graft.sources.Otlp.parse(Seq(body).toDF("json"))
+      appendIngest(shapeIngest(parsed, "attrs"))
+      """{"status":"success","data":null}"""
+    })
     server.createContext("/api/v1/admin/tsdb/delete_series",
       MetricsServer.jsonHandler { params =>
         val sel = params.getOrElse("match[]",
@@ -137,8 +177,9 @@ final class MetricsServer(observed: Observed, port: Int = 0,
     server.createContext("/api/v1/admin/tsdb/clean_tombstones",
       MetricsServer.jsonHandler { _ =>
         if (tombstonesList.nonEmpty) {
-          cleanedDf = Some(src.df)
+          cleanedDf = Some(src.df) // folds masked ingest in too…
           tombstonesList = Nil
+          ingestedDf = None // …so drop it or it would union twice
         }
         """{"status":"success","data":null}"""
       })
@@ -697,6 +738,28 @@ object MetricsServer {
     * error payloads (400 + `status: error`). */
   private def jsonHandler(f: Map[String, String] => String): HttpHandler =
     jsonHandler2((_, params) => f(params))
+
+  /** Wraps a request-BODY → JSON function (ingest receivers: remote
+    * write, OTLP). Same Prometheus-style error envelope. */
+  private def bodyHandler(f: String => String): HttpHandler =
+    new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val (code, body) =
+          try {
+            val in = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+            (200, f(in))
+          } catch {
+            case e: Throwable =>
+              val msg = jsonEscape(String.valueOf(e.getMessage))
+              (400, s"""{"status":"error","errorType":"bad_data","error":"$msg"}""")
+          }
+        val bytes = body.getBytes("UTF-8")
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(code, bytes.length.toLong)
+        val os = ex.getResponseBody
+        try os.write(bytes) finally os.close()
+      }
+    }
 
   /** [[jsonHandler]] that also passes the request path (for path-shaped
     * endpoints like `/api/v1/label/<name>/values`). */

@@ -550,4 +550,64 @@ class MetricsSpec extends AnyFunSuite {
       } finally srv.close()
     }
   }
+
+  test("ingest receivers: POST /api/v1/write and /api/v1/otlp/v1/metrics serve back") {
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "cpu", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val src = PromQlParser.PromSource(df, "event_type",
+      Seq("user_id", "event_type"), "ts", "event_id", "value")
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    def post(port: Int, path: String, body: String): (Int, String) = {
+      val url = new java.net.URI(s"http://127.0.0.1:$port$path").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      val os = conn.getOutputStream
+      try os.write(body.getBytes("UTF-8")) finally os.close()
+      val code = conn.getResponseCode
+      val in = if (code == 200) conn.getInputStream else conn.getErrorStream
+      (code, scala.io.Source.fromInputStream(in).mkString)
+    }
+    def get(port: Int, pathAndQuery: String): (Int, String) = {
+      val url = new java.net.URI(s"http://127.0.0.1:$port$pathAndQuery").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val code = conn.getResponseCode
+      val in = if (code == 200) conn.getInputStream else conn.getErrorStream
+      (code, scala.io.Source.fromInputStream(in).mkString)
+    }
+    Observed.use(spark) { obs =>
+      val srv = new MetricsServer(obs, promSource = Some(src))
+      try {
+        // remote-write v1: cpu{user_id="2"} = 5 at 10:01:00
+        val wr = """{"timeseries":[{"labels":[
+          |{"name":"__name__","value":"cpu"},{"name":"user_id","value":"2"}],
+          |"samples":[{"value":5.0,"timestamp":1704103260000}]}]}"""
+          .stripMargin.replace("\n", "")
+        val (cw, bw) = post(srv.boundPort, "/api/v1/write", wr)
+        assert(cw == 200 && bw.contains("success"), bw)
+        val (c1, b1) = get(srv.boundPort, "/api/v1/query?query=" +
+          enc("sum(cpu)") + "&time=2024-01-01T10:02:00Z")
+        assert(c1 == 200 && b1.contains("\"12.0\""), b1) // 7 stored + 5 ingested
+        // OTLP: mem (dotted name normalizes) user_id=3 = 2.5 at 10:01:30
+        val otlp = """{"resourceMetrics":[{"resource":{"attributes":[
+          |{"key":"service.name","value":{"stringValue":"job1"}}]},
+          |"scopeMetrics":[{"metrics":[{"name":"mem","sum":{
+          |"aggregationTemporality":2,"isMonotonic":true,"dataPoints":[
+          |{"timeUnixNano":"1704103290000000000","asDouble":2.5,
+          |"attributes":[{"key":"user_id","value":{"stringValue":"3"}}]}]}}]}]}]}"""
+          .stripMargin.replace("\n", "")
+        val (co, bo) = post(srv.boundPort, "/api/v1/otlp/v1/metrics", otlp)
+        assert(co == 200 && bo.contains("success"), bo)
+        val (c2, b2) = get(srv.boundPort, "/api/v1/query?query=" +
+          enc("""mem{user_id="3"}""") + "&time=2024-01-01T10:02:00Z")
+        assert(c2 == 200 && b2.contains("\"2.5\""), b2)
+        // a malformed body errors, doesn't wedge the server
+        val (ce, _) = post(srv.boundPort, "/api/v1/write", "{nope")
+        assert(ce == 400 || ce == 200)
+        val (c3, b3) = get(srv.boundPort, "/api/v1/query?query=" +
+          enc("sum(cpu)") + "&time=2024-01-01T10:02:00Z")
+        assert(c3 == 200 && b3.contains("\"12.0\""), b3)
+      } finally srv.close()
+    }
+  }
 }
