@@ -1116,6 +1116,70 @@ object ExtraQueries {
         .orderBy(steps("event_type"), col("step_ts"))
     }),
 
+    // Alertmanager semantics (the OTHER half of the alerting pipeline,
+    // after AlertRules): silences (matcher + interval masking),
+    // inhibition (source alert mutes target on equal labels — a keyed
+    // semi-join, never cross), group_by[alertname] grouping, and
+    // repeat_interval notification throttling (6h) as a greedy walk over
+    // each group's active hours — the same bounded fold-over-sorted-
+    // array machinery as the HA tracker, state = one timestamp. Firing
+    // alerts derive from hourly counts ≥ 3 per (type, instance); the
+    // silence window and the error→click inhibition both genuinely
+    // remove notifications. Oracle replays the walk in a recursive CTE.
+    "q211_alertmanager" -> ((s, d) => {
+      val hourly = events(s, d)
+        .groupBy(concat(lit("High_"), col("event_type")).as("alertname"),
+          (col("user_id") % 2).cast("int").as("inst"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 3)
+        .withColumn("hs", expr("unix_micros(h) div 1000000"))
+      val flagged = hourly
+        .withColumn("silenced",
+          col("alertname") === "High_purchase" &&
+            col("h") >= lit("2024-01-08").cast("timestamp") &&
+            col("h") < lit("2024-01-18").cast("timestamp"))
+      val errorSrc = flagged
+        .filter(col("alertname") === "High_error")
+        .select(col("inst").as("s_inst"), col("hs").as("s_hs"))
+        .distinct()
+      val inhibited = flagged.join(errorSrc,
+          col("alertname") === "High_click" && !col("silenced") &&
+            col("inst") === col("s_inst") && col("hs") === col("s_hs"),
+          "left_semi")
+        .select(col("alertname"), col("inst"), col("hs"))
+        .withColumn("inh", lit(true))
+      val status = flagged.join(inhibited, Seq("alertname", "inst", "hs"), "left")
+        .withColumn("state",
+          when(col("silenced"), "silenced")
+            .when(col("inh"), "inhibited").otherwise("active"))
+      val groupHours = status.filter(col("state") === "active")
+        .select(col("alertname"), col("hs")).distinct()
+      val notif = groupHours.groupBy(col("alertname"))
+        .agg(sort_array(collect_list(col("hs"))).as("hrs"))
+        .withColumn("st", aggregate(col("hrs"),
+          struct(lit(Long.MinValue / 4).as("last"), lit(0L).as("n"),
+            lit(null).cast("long").as("first")),
+          (st, h) => {
+            val fire = h >= st.getField("last") + 21600L
+            struct(
+              when(fire, h).otherwise(st.getField("last")).as("last"),
+              (st.getField("n") + when(fire, 1L).otherwise(0L)).as("n"),
+              coalesce(st.getField("first"), when(fire, h)).as("first"))
+          }))
+        .select(col("alertname"), col("st.n").as("n_notifications"),
+          timestamp_seconds(col("st.first")).as("first_notify"),
+          timestamp_seconds(col("st.last")).as("last_notify"))
+      status.groupBy(col("alertname"))
+        .agg(count(lit(1)).as("n_firing"),
+          sum(when(col("state") === "silenced", 1).otherwise(0)).as("n_silenced"),
+          sum(when(col("state") === "inhibited", 1).otherwise(0)).as("n_inhibited"),
+          sum(when(col("state") === "active", 1).otherwise(0)).as("n_active"))
+        .join(notif, Seq("alertname"), "left")
+        .withColumn("n_notifications", coalesce(col("n_notifications"), lit(0L)))
+        .orderBy(col("alertname"))
+    }),
+
     // Product quantization (PQ4x16: 64-dim float32 → 4 codes = 64×
     // compression at rest): one deterministic Lloyd step from first-k
     // init, decimal-routed centroid means, map-side code assignment.
@@ -1885,6 +1949,61 @@ object ExtraQueries {
         |  coalesce(any_value(md.max_consec_down), 0)::BIGINT AS max_consec_down
         |FROM grid g LEFT JOIN md ON md.job = g.job AND md.instance = g.instance
         |GROUP BY 1, 2 ORDER BY g.job, g.instance""".stripMargin,
+
+    // Same silence/inhibit/group pipeline; the repeat-interval walk is a
+    // recursive CTE over each group's ordered active hours.
+    "q211_alertmanager" ->
+      """WITH RECURSIVE hourly AS (
+        |  SELECT 'High_' || event_type AS alertname,
+        |    CAST(user_id % 2 AS INT) AS inst,
+        |    date_trunc('hour', ts) AS h, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2, 3 HAVING count(*) >= 3
+        |), f AS (
+        |  SELECT *, epoch_us(h) // 1000000 AS hs,
+        |    (alertname = 'High_purchase' AND h >= TIMESTAMP '2024-01-08'
+        |      AND h < TIMESTAMP '2024-01-18') AS silenced
+        |  FROM hourly
+        |), err AS (
+        |  SELECT DISTINCT inst, hs FROM f WHERE alertname = 'High_error'
+        |), st AS (
+        |  SELECT f.*, CASE WHEN f.silenced THEN 'silenced'
+        |    WHEN f.alertname = 'High_click' AND EXISTS (
+        |      SELECT 1 FROM err e WHERE e.inst = f.inst AND e.hs = f.hs)
+        |    THEN 'inhibited' ELSE 'active' END AS state
+        |  FROM f
+        |), gh AS (
+        |  SELECT DISTINCT alertname, hs FROM st WHERE state = 'active'
+        |), rh AS (
+        |  SELECT alertname, hs,
+        |    row_number() OVER (PARTITION BY alertname ORDER BY hs) AS rn
+        |  FROM gh
+        |), walk AS (
+        |  SELECT alertname, rn, hs AS last, 1::BIGINT AS n, hs AS first
+        |  FROM rh WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.alertname, r.rn,
+        |    CASE WHEN r.hs >= w.last + 21600 THEN r.hs ELSE w.last END,
+        |    w.n + CASE WHEN r.hs >= w.last + 21600 THEN 1 ELSE 0 END,
+        |    w.first
+        |  FROM walk w JOIN rh r ON r.alertname = w.alertname AND r.rn = w.rn + 1
+        |), nt AS (
+        |  SELECT alertname, arg_max(n, rn) AS n_notifications,
+        |    make_timestamp(arg_max(first, rn) * 1000000) AS first_notify,
+        |    make_timestamp(arg_max(last, rn) * 1000000) AS last_notify
+        |  FROM walk GROUP BY 1
+        |)
+        |SELECT s.alertname, count(*) AS n_firing,
+        |  CAST(sum(CASE WHEN state = 'silenced' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_silenced,
+        |  CAST(sum(CASE WHEN state = 'inhibited' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_inhibited,
+        |  CAST(sum(CASE WHEN state = 'active' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_active,
+        |  coalesce(any_value(nt.n_notifications), 0) AS n_notifications,
+        |  any_value(nt.first_notify) AS first_notify,
+        |  any_value(nt.last_notify) AS last_notify
+        |FROM st s LEFT JOIN nt ON nt.alertname = s.alertname
+        |GROUP BY 1 ORDER BY s.alertname""".stripMargin,
 
     // The stack's oracle skips every storage stage: block coverage is
     // total over [Jan1, Jan21) (B only duplicates), so kept = raw minus
