@@ -256,10 +256,11 @@ object NativeHistogram {
     * cumulative counts are the same IEEE doubles in any engine, so the
     * bucket pick is deterministic; only the libm `pow` bounds need the
     * caller's 6-dp output rounding. */
-  def histogramQuantile(phi: Double, schemaCol: Column = col("schema")): Column = {
+  def histogramQuantile(phi: Double, schemaCol: Column = col("schema"),
+                        zeroThreshold: Double = 0.0): Column = {
     val r = lit(phi) * col("count")
     val folded = aggregate(
-      orderedBounds(schemaCol),
+      orderedBounds(schemaCol, zeroThreshold),
       struct(lit(0.0).as("cum"), lit(null).cast("double").as("res")),
       (acc, b) => {
         val hit = acc.getField("res").isNull && (acc.getField("cum") + b.getField("cnt") >= r)
@@ -282,9 +283,10 @@ object NativeHistogram {
     * contributions are 6-dp-rounded and summed in DECIMAL, so the total
     * is independent of fold order and the oracle's SUM reproduces it
     * exactly (the repo's decimal-sum discipline). */
-  def histogramFraction(lo: Double, hi: Double, schemaCol: Column = col("schema")): Column = {
+  def histogramFraction(lo: Double, hi: Double, schemaCol: Column = col("schema"),
+                        zeroThreshold: Double = 0.0): Column = {
     val part = aggregate(
-      orderedBounds(schemaCol),
+      orderedBounds(schemaCol, zeroThreshold),
       lit(0).cast("decimal(27,6)"),
       (acc, b) => {
         val width = b.getField("hi") - b.getField("lo")

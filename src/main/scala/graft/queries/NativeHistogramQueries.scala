@@ -289,6 +289,33 @@ object NativeHistogramQueries {
         .orderBy(col("event_type"))
     }),
 
+    // TWO-SIDED native histogram with a real zero-bucket width: shifted
+    // samples (v − 50) populate negative buckets, the zero bucket
+    // absorbs |v| ≤ 0.5, and the quantile/fraction walks interpolate
+    // across the mirrored-negative → zero → positive bucket order —
+    // p25 lands in negative buckets, ±10 fraction spans all three
+    // regions. The oracle rebuilds the full two-sided cumulative order
+    // in SQL (mirrored bounds, the same 9-dp pow pins).
+    "q212_two_sided_histogram" -> ((s, d) => {
+      val ev = events(s, d).withColumn("v", round(col("value"), 6) - 50.0)
+      val hist = NativeHistogram.fromSamples(ev, Seq("event_type"), "v",
+        Schema, zeroThreshold = 0.5)
+      val exactSum = round(col("sum"), 2)
+      hist.select(
+        col("event_type"),
+        col("count").cast("long").as("n_samples"),
+        col("zero_count").cast("long").as("n_zero"),
+        size(col("pos")).as("n_pos_buckets"),
+        size(col("neg")).as("n_neg_buckets"),
+        exactSum.as("sum_value"),
+        round(NativeHistogram.histogramQuantile(0.25, zeroThreshold = 0.5), 6).as("p25"),
+        round(NativeHistogram.histogramQuantile(0.5, zeroThreshold = 0.5), 6).as("p50"),
+        round(NativeHistogram.histogramQuantile(0.9, zeroThreshold = 0.5), 6).as("p90"),
+        round(NativeHistogram.histogramFraction(-10.0, 10.0, zeroThreshold = 0.5), 6)
+          .as("frac_pm10"))
+        .orderBy(col("event_type"))
+    }),
+
     // q139's battery through a THIRD wire: OTLP/JSON exponential
     // histograms (the Prometheus 3.x OTLP receiver path). Per-job
     // histograms render as exponentialHistogram datapoints (scale =
@@ -482,6 +509,65 @@ object NativeHistogramQueries {
     // q139 through the RW2.0 span/delta wire: render -> parse is the
     // identity on histograms, so the twin is IDENTICAL.
     "q195_rw2_native_histograms" -> q195Twin,
+    // Two-sided cumulative order rebuilt raw: mirrored negative bounds,
+    // the [-0.5, 0.5] zero bucket, the same 9-dp pow pins and the
+    // q139-style first-bucket-at-rank quantile CASE.
+    "q212_two_sided_histogram" ->
+      """WITH raw AS (
+        |  SELECT event_type, round(value, 6) - 50.0 AS v FROM events
+        |), cls AS (
+        |  SELECT event_type, v,
+        |    CASE WHEN v > 0.5 THEN 1 WHEN v < -0.5 THEN -1 ELSE 0 END AS sgn,
+        |    CASE WHEN abs(v) > 0.5
+        |      THEN CAST(CEIL(ROUND(LOG2(abs(v)) * 4, 9)) AS INT) END AS idx
+        |  FROM raw
+        |), tot AS (
+        |  SELECT event_type, COUNT(*)::DOUBLE AS cnt_all,
+        |    ROUND(CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE), 2) AS sum_all,
+        |    SUM(CASE WHEN sgn = 0 THEN 1 ELSE 0 END)::DOUBLE AS zero_cnt
+        |  FROM cls GROUP BY 1
+        |), bc AS (
+        |  SELECT event_type, sgn, idx, COUNT(*)::DOUBLE AS cnt
+        |  FROM cls WHERE sgn <> 0 GROUP BY 1, 2, 3
+        |), allb AS (
+        |  SELECT event_type,
+        |    CASE WHEN sgn = 1 THEN ROUND(POWER(2, (idx - 1) / 4.0), 9)
+        |         ELSE -ROUND(POWER(2, idx / 4.0), 9) END AS lo,
+        |    CASE WHEN sgn = 1 THEN ROUND(POWER(2, idx / 4.0), 9)
+        |         ELSE -ROUND(POWER(2, (idx - 1) / 4.0), 9) END AS hi,
+        |    cnt
+        |  FROM bc
+        |  UNION ALL
+        |  SELECT event_type, -0.5, 0.5, zero_cnt FROM tot WHERE zero_cnt > 0
+        |), bounds AS (
+        |  SELECT *, SUM(cnt) OVER (PARTITION BY event_type ORDER BY lo, hi) AS cum
+        |  FROM allb
+        |), q AS (
+        |  SELECT t.event_type,
+        |    MAX(CASE WHEN b.cum >= 0.25*t.cnt_all AND b.cum - b.cnt < 0.25*t.cnt_all
+        |        THEN b.lo + (b.hi-b.lo) * ((0.25*t.cnt_all - (b.cum-b.cnt)) / b.cnt)
+        |        END) AS p25,
+        |    MAX(CASE WHEN b.cum >= 0.5*t.cnt_all AND b.cum - b.cnt < 0.5*t.cnt_all
+        |        THEN b.lo + (b.hi-b.lo) * ((0.5*t.cnt_all - (b.cum-b.cnt)) / b.cnt)
+        |        END) AS p50,
+        |    MAX(CASE WHEN b.cum >= 0.9*t.cnt_all AND b.cum - b.cnt < 0.9*t.cnt_all
+        |        THEN b.lo + (b.hi-b.lo) * ((0.9*t.cnt_all - (b.cum-b.cnt)) / b.cnt)
+        |        END) AS p90,
+        |    CAST(SUM(CAST(ROUND(b.cnt * GREATEST(LEAST(
+        |      (LEAST(10.0, b.hi) - GREATEST(-10.0, b.lo)) / (b.hi - b.lo),
+        |      1.0), 0.0), 6) AS DECIMAL(27,6))) AS DOUBLE) AS frac_num,
+        |    CAST(SUM(CASE WHEN b.lo > 0 THEN 1 ELSE 0 END) AS INT) AS n_pos,
+        |    CAST(SUM(CASE WHEN b.hi < 0 THEN 1 ELSE 0 END) AS INT) AS n_neg
+        |  FROM bounds b JOIN tot t USING (event_type)
+        |  GROUP BY 1
+        |)
+        |SELECT t.event_type, CAST(t.cnt_all AS BIGINT) AS n_samples,
+        |  CAST(t.zero_cnt AS BIGINT) AS n_zero,
+        |  q.n_pos AS n_pos_buckets, q.n_neg AS n_neg_buckets,
+        |  t.sum_all AS sum_value,
+        |  ROUND(q.p25, 6) AS p25, ROUND(q.p50, 6) AS p50, ROUND(q.p90, 6) AS p90,
+        |  ROUND(q.frac_num / t.cnt_all, 6) AS frac_pm10
+        |FROM tot t JOIN q USING (event_type) ORDER BY t.event_type""".stripMargin,
     // Third wire, same twin: the OTLP exponential-histogram roundtrip
     // must land exactly where the classic build and RW2.0 wire land.
     "q202_otlp_exp_histogram" -> q139Twin,
