@@ -617,7 +617,7 @@ object MetricsServer {
     * quoted `{"name",...}` form). External labels fill in only where the
     * series doesn't already carry the label. One keyed max_by, map-side
     * partial; the collect is series-sized under the standard cap. */
-  private[metrics] def federateText(src: PromQlParser.PromSource,
+  def federateText(src: PromQlParser.PromSource,
                                     matches: Seq[String], t: String,
                                     external: Seq[(String, String)],
                                     max: Int): String = {

@@ -1180,6 +1180,38 @@ object ExtraQueries {
         .orderBy(col("alertname"))
     }),
 
+    // FEDERATION as a wire: 24 hourly /federate scrapes of the bound
+    // source (newest-in-5m-staleness sample per series, original ms
+    // timestamps, external env label) rendered to exposition TEXT, then
+    // parsed back through the zero-UDF Exposition parser and rolled up.
+    // The oracle recomputes every scrape window directly from raw
+    // events — so the renderer's value formatting (lossless
+    // Double.toString), ms truncation, label escaping, and the
+    // newest-per-series pick are all hash-checked through the actual
+    // federation text format. Each scrape's collect is series-sized
+    // (the federation contract); 24 scrapes ≈ one day of a 1h-interval
+    // federation job.
+    "q213_federate_roundtrip" -> ((s, d) => {
+      import graft.metrics.{Exposition, MetricsServer, PromQlParser}
+      import s.implicits._
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      val text = (0 until 24).map { h =>
+        MetricsServer.federateText(src, Seq("""{event_type=~".+"}"""),
+          f"2024-01-15 $h%02d:03:00", Seq("env" -> "prod"), 100000)
+      }.mkString
+      val lines = text.split("\n").toSeq.toDF("line")
+      val parsed = Exposition.parseSamples(lines, "line")
+      parsed.groupBy(col("name"))
+        .agg(count(lit(1)).as("n_series_scrapes"),
+          countDistinct(element_at(col("labels"), "user_id")).as("n_users"),
+          max(element_at(col("labels"), "env")).as("env"),
+          round(sum(round(col("value"), 6).cast("decimal(18,6)"))
+            .cast("double"), 4).as("sum_v"),
+          max(col("ts_ms")).as("max_ts_ms"))
+        .orderBy(col("name"))
+    }),
+
     // Product quantization (PQ4x16: 64-dim float32 → 4 codes = 64×
     // compression at rest): one deterministic Lloyd step from first-k
     // init, decimal-routed centroid means, map-side code assignment.
@@ -1949,6 +1981,30 @@ object ExtraQueries {
         |  coalesce(any_value(md.max_consec_down), 0)::BIGINT AS max_consec_down
         |FROM grid g LEFT JOIN md ON md.job = g.job AND md.instance = g.instance
         |GROUP BY 1, 2 ORDER BY g.job, g.instance""".stripMargin,
+
+    // Every scrape window recomputed raw; newest-per-series by the same
+    // (ts, event_id) order; ms truncation via epoch_ms.
+    "q213_federate_roundtrip" ->
+      """WITH marks AS (
+        |  SELECT make_timestamp((1705276800 + h * 3600 + 180) * 1000000) AS t
+        |  FROM (SELECT unnest(generate_series(0, 23)) AS h)
+        |), win AS (
+        |  SELECT m.t, e.event_type, e.user_id, e.ts, e.event_id, e.value
+        |  FROM marks m JOIN events e
+        |    ON e.ts <= m.t AND e.ts > m.t - INTERVAL 5 MINUTES
+        |), newest AS (
+        |  SELECT t, event_type AS name, user_id,
+        |    (max(struct_pack(ts := ts, e := event_id, v := value))).v AS v,
+        |    epoch_ms(max(ts)) AS ts_ms
+        |  FROM win GROUP BY 1, 2, 3
+        |)
+        |SELECT name, count(*) AS n_series_scrapes,
+        |  count(DISTINCT user_id) AS n_users,
+        |  'prod' AS env,
+        |  round(CAST(sum(CAST(round(v, 6) AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |    AS sum_v,
+        |  CAST(max(ts_ms) AS BIGINT) AS max_ts_ms
+        |FROM newest GROUP BY 1 ORDER BY name""".stripMargin,
 
     // Same silence/inhibit/group pipeline; the repeat-interval walk is a
     // recursive CTE over each group's ordered active hours.
