@@ -1189,16 +1189,17 @@ object ExtraQueries {
     // Double.toString), ms truncation, label escaping, and the
     // newest-per-series pick are all hash-checked through the actual
     // federation text format. Each scrape's collect is series-sized
-    // (the federation contract); 24 scrapes ≈ one day of a 1h-interval
-    // federation job.
+    // (the federation contract); 8 scrapes = one day of a 3h-interval
+    // federation job (8 sequential driver-side jobs is the bench-visible
+    // cost — each is sub-second and series-sized).
     "q213_federate_roundtrip" -> ((s, d) => {
       import graft.metrics.{Exposition, MetricsServer, PromQlParser}
       import s.implicits._
       val src = PromQlParser.PromSource(events(s, d), "event_type",
         Seq("user_id", "event_type"), "ts", "event_id", "value")
-      val text = (0 until 24).map { h =>
+      val text = (0 until 8).map { h =>
         MetricsServer.federateText(src, Seq("""{event_type=~".+"}"""),
-          f"2024-01-15 $h%02d:03:00", Seq("env" -> "prod"), 100000)
+          f"2024-01-15 ${h * 3}%02d:03:00", Seq("env" -> "prod"), 100000)
       }.mkString
       val lines = text.split("\n").toSeq.toDF("line")
       val parsed = Exposition.parseSamples(lines, "line")
@@ -1986,8 +1987,8 @@ object ExtraQueries {
     // (ts, event_id) order; ms truncation via epoch_ms.
     "q213_federate_roundtrip" ->
       """WITH marks AS (
-        |  SELECT make_timestamp((1705276800 + h * 3600 + 180) * 1000000) AS t
-        |  FROM (SELECT unnest(generate_series(0, 23)) AS h)
+        |  SELECT make_timestamp((1705276800 + h * 10800 + 180) * 1000000) AS t
+        |  FROM (SELECT unnest(generate_series(0, 7)) AS h)
         |), win AS (
         |  SELECT m.t, e.event_type, e.user_id, e.ts, e.event_id, e.value
         |  FROM marks m JOIN events e
