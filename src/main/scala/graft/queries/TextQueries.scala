@@ -419,9 +419,13 @@ object TextQueries {
     // at corpus scale the train side is a distinct-hash table (orders of
     // magnitude smaller than text), never an all-pairs comparison.
     "q81_decontamination" -> ((s, d) => {
-      // persisted: three consumers (train hashes, test shingles, test
-      // counts) otherwise re-run the tokenize → 8-shingle → md5 chain
-      val split = graft.CacheBag.register(docsWithTokens(s, d)
+      // NOT persisted: a round-11 experiment persisting this shared frame
+      // (MEMORY_AND_DISK) made q180 2x faster in isolation but measurably
+      // degraded a dozen LATER bench queries (q5x/q6x consistently 3-5x
+      // on identical code, reverting recovered them) — the cache's
+      // storage-memory footprint outlives the blocking drain's benefit
+      // at this suite density. Recompute-per-consumer is the stable shape.
+      val split = docsWithTokens(s, d)
         .withColumn("bucket",
           pmod(conv(substring(md5(concat(lit("split|"), col("doc_id"))), 1, 12), 16, 10)
             .cast("long"), lit(100)))
@@ -430,8 +434,6 @@ object TextQueries {
             .when(col("bucket") < 90, "val").otherwise("test"))
         .withColumn("sh8",
           transform(TextOps.shingles(col("toks"), 8), sh => TextOps.md5Hash48(sh, "dc")))
-        .select(col("lang"), col("doc_id"), col("split"), col("sh8"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val trainHashes = split.filter(col("split") === "train")
         .select(explode(col("sh8")).as("h")).distinct()
       val testSh = split.filter(col("split") === "test")
@@ -459,10 +461,8 @@ object TextQueries {
     "q180_bloom_decontamination" -> ((s, d) => {
       import graft.text.Bloom
       val K = 4
-      // persisted: three consumers (bitmap build, test probe, test
-      // counts) otherwise re-run the tokenize → 8-shingle → md5 chain —
-      // the dominant map cost of this query — once each
-      val split = graft.CacheBag.register(docsWithTokens(s, d)
+      // not persisted — same revert rationale as q81 above
+      val split = docsWithTokens(s, d)
         .withColumn("bucket",
           pmod(conv(substring(md5(concat(lit("split|"), col("doc_id"))), 1, 12), 16, 10)
             .cast("long"), lit(100)))
@@ -471,8 +471,6 @@ object TextQueries {
             .when(col("bucket") < 90, "val").otherwise("test"))
         .withColumn("sh8",
           transform(TextOps.shingles(col("toks"), 8), sh => TextOps.md5Hash48(sh, "dc")))
-        .select(col("lang"), col("doc_id"), col("split"), col("sh8"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val trainHashes = split.filter(col("split") === "train")
         .select(explode(col("sh8")).as("h")).distinct()
       val bitmap = Bloom.build(trainHashes, "h", K)
