@@ -1213,6 +1213,56 @@ object ExtraQueries {
         .orderBy(col("name"))
     }),
 
+    // QUERY-TIME replica dedup (the Thanos --query.replica-label shape,
+    // complementing q203's INGEST-side tracker): strip the replica
+    // label, prefer the primary's samples, and fill from the secondary
+    // only where the primary has no sample within the tolerance — the
+    // sample-choice semantics the adaptive penalty iterator optimizes.
+    // Declarative form: two ignoreNulls window lookups (last primary
+    // before / first primary after) give every secondary sample its
+    // nearest-primary distance — no walk, no recursion, scale-clean.
+    // The q203 outage fixture makes the fill load-bearing: secondary
+    // samples genuinely reconstruct the 4-day primary gap.
+    "q214_query_dedup" -> ((s, d) => {
+      val tolUs = 600L * 1000000L
+      val ev = events(s, d)
+        .withColumn("t_us", expr("unix_micros(ts)"))
+        .withColumn("hh", date_format(col("ts"), "yyyy-MM-dd-HH"))
+        .withColumn("replica",
+          when(col("ts") >= lit("2024-01-10").cast("timestamp") &&
+            col("ts") < lit("2024-01-14").cast("timestamp"), lit("r2"))
+            .otherwise(when(
+              conv(substring(md5(concat(lit("ha|"), col("event_type"),
+                lit("|"), col("hh"))), 1, 6), 16, 10).cast("long") % 3 < 2,
+              "r1").otherwise("r2")))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("t_us"), col("event_id"))
+      val r1t = when(col("replica") === "r1", col("t_us"))
+      val marked = ev
+        .withColumn("prev_r1", last(r1t, ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("next_r1", first(r1t, ignoreNulls = true)
+          .over(w.rowsBetween(1, Window.unboundedFollowing)))
+        .withColumn("keep",
+          col("replica") === "r1" ||
+            ((col("prev_r1").isNull || col("t_us") - col("prev_r1") > tolUs) &&
+             (col("next_r1").isNull || col("next_r1") - col("t_us") > tolUs)))
+      marked.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_samples"),
+          sum(when(col("replica") === "r1", 1).otherwise(0)).as("n_primary"),
+          sum(when(col("replica") === "r2" && col("keep"), 1).otherwise(0))
+            .as("n_filled"),
+          sum(when(col("replica") === "r2" && !col("keep"), 1).otherwise(0))
+            .as("n_deduped"),
+          sum(when(col("keep") && col("replica") === "r2" &&
+            col("ts") >= lit("2024-01-10").cast("timestamp") &&
+            col("ts") < lit("2024-01-14").cast("timestamp"), 1).otherwise(0))
+            .as("n_filled_in_outage"),
+          round(sum(when(col("keep"),
+            round(col("value"), 6).cast("decimal(18,6)"))).cast("double"), 4)
+            .as("sum_merged"))
+        .orderBy(col("event_type"))
+    }),
+
     // Product quantization (PQ4x16: 64-dim float32 → 4 codes = 64×
     // compression at rest): one deterministic Lloyd step from first-k
     // init, decimal-routed centroid means, map-side code assignment.
@@ -1982,6 +2032,46 @@ object ExtraQueries {
         |  coalesce(any_value(md.max_consec_down), 0)::BIGINT AS max_consec_down
         |FROM grid g LEFT JOIN md ON md.job = g.job AND md.instance = g.instance
         |GROUP BY 1, 2 ORDER BY g.job, g.instance""".stripMargin,
+
+    // Same two window lookups (strict-before / strict-after primary ts).
+    "q214_query_dedup" ->
+      """WITH s AS (
+        |  SELECT event_type, epoch_us(ts) AS t_us, ts, event_id,
+        |    round(value, 6) AS v,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-10'
+        |           AND ts < TIMESTAMP '2024-01-14' THEN 'r2'
+        |         WHEN CAST(concat('0x', substr(md5('ha|' || event_type || '|' ||
+        |              strftime(ts, '%Y-%m-%d-%H')), 1, 6)) AS BIGINT) % 3 < 2
+        |         THEN 'r1' ELSE 'r2' END AS rep
+        |  FROM events
+        |), m AS (
+        |  SELECT *,
+        |    max(CASE WHEN rep = 'r1' THEN t_us END) OVER
+        |      (PARTITION BY event_type ORDER BY t_us, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_r1,
+        |    min(CASE WHEN rep = 'r1' THEN t_us END) OVER
+        |      (PARTITION BY event_type ORDER BY t_us, event_id
+        |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_r1
+        |  FROM s
+        |), k AS (
+        |  SELECT *, (rep = 'r1' OR
+        |    ((prev_r1 IS NULL OR t_us - prev_r1 > 600000000)
+        |     AND (next_r1 IS NULL OR next_r1 - t_us > 600000000))) AS keep
+        |  FROM m
+        |)
+        |SELECT event_type, count(*) AS n_samples,
+        |  CAST(sum(CASE WHEN rep = 'r1' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_primary,
+        |  CAST(sum(CASE WHEN rep = 'r2' AND keep THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_filled,
+        |  CAST(sum(CASE WHEN rep = 'r2' AND NOT keep THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_deduped,
+        |  CAST(sum(CASE WHEN keep AND rep = 'r2'
+        |    AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-14'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_filled_in_outage,
+        |  round(CAST(sum(CASE WHEN keep
+        |    THEN CAST(v AS DECIMAL(18,6)) END) AS DOUBLE), 4) AS sum_merged
+        |FROM k GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // Every scrape window recomputed raw; newest-per-series by the same
     // (ts, event_id) order; ms truncation via epoch_ms.
