@@ -104,6 +104,18 @@ final class MetricsServer(observed: Observed, port: Int = 0,
       }
     s"""{"status":"success","data":{${entries.mkString(",")}}}"""
   })
+  // Lifecycle + status faces (upstream web/api): health/readiness probes
+  // and the buildinfo/flags status endpoints k8s and dashboards poll.
+  server.createContext("/-/healthy", MetricsServer.jsonHandler { _ =>
+    """{"status":"success","data":"Healthy"}""" })
+  server.createContext("/-/ready", MetricsServer.jsonHandler { _ =>
+    """{"status":"success","data":"Ready"}""" })
+  server.createContext("/api/v1/status/buildinfo", MetricsServer.jsonHandler { _ =>
+    s"""{"status":"success","data":{"version":"graft-0.11","revision":"spark",""" +
+      s""""features":{"promql-experimental-functions":"true"}}}""" })
+  server.createContext("/api/v1/status/flags", MetricsServer.jsonHandler { _ =>
+    s"""{"status":"success","data":{"query.max-result-rows":"$maxResultRows",""" +
+      s""""web.enable-admin-api":"true","storage.tsdb.retention.time":"0s"}}""" })
   // TSDB admin API state (upstream: --web.enable-admin-api). Tombstones
   // recorded by delete_series MASK every serving read below (the `src`
   // def re-derives the masked view per request); clean_tombstones folds

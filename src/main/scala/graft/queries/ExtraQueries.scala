@@ -1263,6 +1263,46 @@ object ExtraQueries {
         .orderBy(col("event_type"))
     }),
 
+    // ZONE-MAP pruning over aggr chunks (the parquet row-group / TSDB
+    // chunk min-max skip, made explicit): a value-threshold query served
+    // (a) directly from raw samples and (b) by first PRUNING 5m chunks
+    // whose c_max can't qualify, then re-reading only surviving chunk
+    // windows — the two faces must agree exactly, and the output carries
+    // the skip ratio (the scan-cost win zone maps buy at 100 TB). The
+    // chunk join is a broadcast semi-join on (series, chunk_ts).
+    "q215_zone_map_pruning" -> ((s, d) => {
+      import graft.metrics.Downsample
+      val samples = events(s, d)
+        .filter(col("ts") >= lit("2024-01-12").cast("timestamp") &&
+          col("ts") < lit("2024-01-13").cast("timestamp"))
+        .select(col("event_type"), col("ts"), col("event_id"),
+          round(col("value"), 6).as("v"))
+      val chunks = Downsample.aggrChunks(samples, Seq("event_type"),
+        "ts", "event_id", "v", "5 minutes")
+      val qualifying = chunks.filter(col("c_max") > 100.0)
+        .select(col("event_type"), col("chunk_ts"))
+      val pruned = samples
+        .withColumn("chunk_ts",
+          window(col("ts"), "5 minutes").getField("start"))
+        .join(broadcast(qualifying), Seq("event_type", "chunk_ts"), "left_semi")
+        .filter(col("v") > 100.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pruned_path"),
+          round(sum(col("v").cast("decimal(18,6)")).cast("double"), 4)
+            .as("sum_pruned_path"))
+      val direct = samples.filter(col("v") > 100.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_direct"),
+          round(sum(col("v").cast("decimal(18,6)")).cast("double"), 4)
+            .as("sum_direct"))
+      val stats = chunks.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("c_max") > 100.0, 1).otherwise(0)).as("n_chunks_scanned"))
+      direct.join(pruned, Seq("event_type"))
+        .join(stats, Seq("event_type"))
+        .orderBy(col("event_type"))
+    }),
+
     // Product quantization (PQ4x16: 64-dim float32 → 4 codes = 64×
     // compression at rest): one deterministic Lloyd step from first-k
     // init, decimal-routed centroid means, map-side code assignment.
@@ -2032,6 +2072,33 @@ object ExtraQueries {
         |  coalesce(any_value(md.max_consec_down), 0)::BIGINT AS max_consec_down
         |FROM grid g LEFT JOIN md ON md.job = g.job AND md.instance = g.instance
         |GROUP BY 1, 2 ORDER BY g.job, g.instance""".stripMargin,
+
+    // Direct face twice (pruning cannot change the answer) + chunk skip
+    // stats from 5m floor-bucketing.
+    "q215_zone_map_pruning" ->
+      """WITH s AS (
+        |  SELECT event_type, ts, round(value, 6) AS v,
+        |    to_timestamp((epoch_us(ts) // 300000000) * 300) AS chunk_ts
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-12' AND ts < TIMESTAMP '2024-01-13'
+        |), direct AS (
+        |  SELECT event_type, count(*) AS n_direct,
+        |    round(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |      AS sum_direct
+        |  FROM s WHERE v > 100.0 GROUP BY 1
+        |), ch AS (
+        |  SELECT event_type, chunk_ts, max(v) AS c_max FROM s GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT event_type, count(*) AS n_chunks,
+        |    CAST(sum(CASE WHEN c_max > 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_chunks_scanned
+        |  FROM ch GROUP BY 1
+        |)
+        |SELECT d.event_type, d.n_direct, d.sum_direct,
+        |  d.n_direct AS n_pruned_path, d.sum_direct AS sum_pruned_path,
+        |  st.n_chunks, st.n_chunks_scanned
+        |FROM direct d JOIN stats st USING (event_type)
+        |ORDER BY d.event_type""".stripMargin,
 
     // Same two window lookups (strict-before / strict-after primary ts).
     "q214_query_dedup" ->

@@ -551,6 +551,27 @@ class MetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("lifecycle/status faces: healthy, ready, buildinfo, flags") {
+    def get(port: Int, p: String): (Int, String) = {
+      val url = new java.net.URI(s"http://127.0.0.1:$port$p").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val code = conn.getResponseCode
+      val in = if (code == 200) conn.getInputStream else conn.getErrorStream
+      (code, scala.io.Source.fromInputStream(in).mkString)
+    }
+    Observed.use(spark) { obs =>
+      val srv = new MetricsServer(obs, maxResultRows = 123)
+      try {
+        assert(get(srv.boundPort, "/-/healthy")._2.contains("Healthy"))
+        assert(get(srv.boundPort, "/-/ready")._2.contains("Ready"))
+        assert(get(srv.boundPort, "/api/v1/status/buildinfo")._2
+          .contains("\"version\""))
+        val (cf, bf) = get(srv.boundPort, "/api/v1/status/flags")
+        assert(cf == 200 && bf.contains("\"query.max-result-rows\":\"123\""), bf)
+      } finally srv.close()
+    }
+  }
+
   test("ingest receivers: POST /api/v1/write and /api/v1/otlp/v1/metrics serve back") {
     val df = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "cpu", 7.0))
