@@ -221,7 +221,11 @@ final class MetricsServer(observed: Observed, port: Int = 0,
       val evalSec = (System.nanoTime() - t0) / 1e9
       if (rows.length > maxResultRows)
         throw new MetricsServer.ResultTooLarge(maxResultRows)
-      val body = MetricsServer.vectorJson(rows, MetricsServer.epochSec(t))
+      val body =
+        if (PromQlParser.isScalarQuery(query))
+          MetricsServer.scalarJson(rows.head.getAs[Double]("value"),
+            MetricsServer.epochSec(t))
+        else MetricsServer.vectorJson(rows, MetricsServer.epochSec(t))
       if (!wantStats) body
       // splice inside the data object (upstream: data.stats)
       else body.patch(body.length - 2,
@@ -689,6 +693,10 @@ object MetricsServer {
     if (rows.isEmpty) Seq.empty
     else rows.head.schema.fields.zipWithIndex.toSeq
       .collect { case (f, i) if f.name != "value" && f.name != "step_ts" => (f.name, i) }
+
+  /** `resultType: scalar` payload — a pure-scalar instant query. */
+  private[metrics] def scalarJson(v: Double, ts: Long): String =
+    s"""{"status":"success","data":{"resultType":"scalar","result":[$ts,"${fmtVal(v)}"]}}"""
 
   /** `resultType: vector` payload for an instant query result. */
   private[metrics] def vectorJson(rows: Array[Row], ts: Long): String = {

@@ -346,7 +346,8 @@ object PromQlParser {
   }
 
   // ---------- Parser (recursive descent over the token list) ----------
-  private final class P(var toks: List[Tok], query: String) {
+  private final class P(var toks: List[Tok], query: String,
+                        stepSec: Long = 0L) {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"PromQL parse error: $msg in: $query")
     def peek: Option[Tok] = toks.headOption
@@ -623,6 +624,15 @@ object PromQlParser {
       case Num(n) => n.toDouble // bare number = seconds (the upstream rule)
       case Flt(d) => d
       case Sym("(") => val v = durAdd(); expect(")"); v
+      // 3.4 duration functions: `step()` is the query's step (0 on an
+      // instant query — a range built only from step() then fails the
+      // positive-range check loudly, as upstream errors); min/max fold
+      // their folded operands. All still parse-time constants.
+      case Ident("step") => expect("("); expect(")"); stepSec.toDouble
+      case Ident(f @ ("min" | "max")) =>
+        expect("(")
+        val a = durAdd(); expect(","); val b = durAdd(); expect(")")
+        if (f == "min") math.min(a, b) else math.max(a, b)
       case other => fail(s"expected a duration like 6h, got $other")
     }
 
@@ -1065,8 +1075,16 @@ object PromQlParser {
     }
   }
 
-  def parse(query: String): Ast = {
-    val p = new P(lex(query), query)
+  /** Whether `query` is a pure-scalar expression — the upstream "scalar"
+    * result type on `/api/v1/query` (range queries wrap scalars into an
+    * unlabeled matrix series, which the grid path already does). */
+  def isScalarQuery(query: String): Boolean =
+    pureScalarCol(parse(query), lit(0.0)).isDefined
+
+  /** `stepSec` feeds the 3.4 `step()` duration function — the query step
+    * for a range query, 0 for an instant query (the upstream values). */
+  def parse(query: String, stepSec: Long = 0L): Ast = {
+    val p = new P(lex(query), query, stepSec)
     val ast = p.parseExpr()
     if (p.toks.nonEmpty) p.fail(s"trailing tokens ${p.toks}")
     ast
@@ -1377,6 +1395,31 @@ object PromQlParser {
       .drop("__s", "__vals")
   }
 
+  /** The Column a pure-scalar expression denotes against `timeCol` (the
+    * evaluation instant — the per-step instant on the grid), or None if
+    * any part is vector-typed. Backs the upstream "scalar" result type
+    * for top-level queries (`time()`, `pi()`, `time() % 3600`) and lets
+    * nested scalar arithmetic (`cpu + time()*2`) ride the ordinary
+    * scalar-operand path. Scalar–scalar comparisons require `bool`
+    * (the Prometheus rule) and yield 1.0/0.0. */
+  private def pureScalarCol(ast: Ast, timeCol: Column): Option[Column] = ast match {
+    case ScalarLit(v) => Some(lit(v))
+    case TimeFn => Some(timeCol)
+    case BinOp(op, l, r, _, _, boolMode) =>
+      (pureScalarCol(l, timeCol), pureScalarCol(r, timeCol)) match {
+        case (Some(a), Some(b)) =>
+          if (cmpOps(op)) {
+            if (!boolMode) throw new IllegalArgumentException(
+              "comparisons between scalars must use BOOL modifier")
+            Some(when(cmpPred(op, a, b), 1.0).otherwise(0.0))
+          } else if (setOps(op)) throw new IllegalArgumentException(
+            s"set operator '$op' is not defined between scalars")
+          else Some(binApply(op, a, b))
+        case _ => None
+      }
+    case _ => None
+  }
+
   private def cmpPred(op: String, a: Column, b: Column): Column = op match {
     case "==" => a === b
     case "!=" => a =!= b
@@ -1613,8 +1656,15 @@ object PromQlParser {
   /** Evaluate `query` as an instant query at `evalTs`. Returns a vector
     * frame: label columns + `value` (+ `rank` under topk). */
   def eval(src: PromSource, query: String, evalTs: String,
-           lookback: String = "5 MINUTES"): DataFrame =
-    compile(src, parse(query), evalTs, lookback)
+           lookback: String = "5 MINUTES"): DataFrame = {
+    val ast = parse(query)
+    // upstream's "scalar" result type: a pure-scalar top-level query
+    // returns one unlabeled row rather than an instant vector
+    pureScalarCol(ast, lit(usOf(evalTs) / 1000000.0)) match {
+      case Some(c) => src.df.sparkSession.range(1).select(c.as("value"))
+      case None => compile(src, ast, evalTs, lookback)
+    }
+  }
 
   /** The info-row filter and the copied-data-label set an `info()`
     * data-label selector denotes against a binding: a `__name__` matcher
@@ -1915,11 +1965,8 @@ object PromQlParser {
         .withColumn("value", timeCompCol(fn, col("value")))
 
     case BinOp(op, lhs, rhs, matching, group, boolMode) =>
-      def scalarOf(a: Ast): Option[Column] = a match {
-        case ScalarLit(v) => Some(lit(v))
-        case TimeFn => Some(lit(usOf(evalTs) / 1000000.0))
-        case _ => None
-      }
+      def scalarOf(a: Ast): Option[Column] =
+        pureScalarCol(a, lit(usOf(evalTs) / 1000000.0))
       (scalarOf(lhs), scalarOf(rhs)) match {
         case (Some(_), Some(_)) =>
           throw new IllegalArgumentException(
@@ -2121,7 +2168,7 @@ object PromQlParser {
     val stepUs = stepSec * 1000000L
     val g = new GridCompiler(src, startUs, stepUs,
       nSteps = (endUs - startUs) / stepUs, lookbackUs = lookbackSec * 1000000L)
-    g.compile(parse(query))
+    g.compileTop(parse(query, stepSec))
       .withColumn("step_ts",
         timestamp_micros(lit(startUs) + col("__step") * lit(stepUs)))
       .drop("__step")
@@ -2234,6 +2281,16 @@ object PromQlParser {
           s"${lookbackUs / 1000000L} SECONDS")
         .crossJoin(broadcast(stepsDomain))
     }
+
+    /** Top-level entry: a pure-scalar query (upstream result type
+      * "scalar") yields one unlabeled row per step — `time()` reads each
+      * step's own instant; anything vector-typed goes to [[compile]]. */
+    def compileTop(ast: Ast): DataFrame =
+      pureScalarCol(ast,
+        (lit(startUs) + col("__step") * lit(stepUs)) / 1000000.0) match {
+        case Some(c) => stepsDomain.select(col("__step"), c.as("value"))
+        case None => compile(ast)
+      }
 
     def compile(ast: Ast): DataFrame = ast match {
       case sel: Selector if sel.at.isDefined => fixedInstant(sel, sel.at.get)
@@ -2448,12 +2505,8 @@ object PromQlParser {
       case BinOp(op, lhs, rhs, matching, group, boolMode) =>
         // time() on the grid is each step's own evaluation instant — a
         // column over __step, riding the same projection as a literal
-        def scalarOf(a: Ast): Option[Column] = a match {
-          case ScalarLit(v) => Some(lit(v))
-          case TimeFn =>
-            Some((lit(startUs) + col("__step") * lit(stepUs)) / 1000000.0)
-          case _ => None
-        }
+        def scalarOf(a: Ast): Option[Column] =
+          pureScalarCol(a, (lit(startUs) + col("__step") * lit(stepUs)) / 1000000.0)
         // scalar(v) operand: its one-row-per-step frame broadcast-joins
         // onto the vector side on __step; empty steps read NaN.
         def withScalar(vec: DataFrame, s: ScalarFn): DataFrame =

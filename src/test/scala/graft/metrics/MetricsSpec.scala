@@ -142,6 +142,16 @@ class MetricsSpec extends AnyFunSuite {
         // stats live INSIDE data (upstream shape), body stays valid JSON
         assert(body.indexOf(""""stats"""") > body.indexOf(""""result""""))
         assert(body.count(_ == '{') == body.count(_ == '}'))
+        // a pure-scalar query serves the upstream "scalar" result type:
+        // a bare [ts, value] pair, no vector wrapping
+        val surl = new java.net.URI(s"http://127.0.0.1:${srv.boundPort}" +
+          "/api/v1/query?query=" + java.net.URLEncoder.encode("pi()", "UTF-8") +
+          "&time=2024-01-01T10:02:00Z").toURL
+        val sconn = surl.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        assert(sconn.getResponseCode == 200)
+        val sbody = scala.io.Source.fromInputStream(sconn.getInputStream).mkString
+        assert(sbody.contains(""""resultType":"scalar""""), sbody)
+        assert(sbody.contains(""""result":[1704103320,"3.141592653589793"]"""), sbody)
       } finally srv.close()
     }
   }
