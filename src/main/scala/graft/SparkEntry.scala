@@ -34,6 +34,7 @@ object SparkEntry {
       CurationQueries.queries ++
       PromQlQueries.queries ++
       NativeHistogramQueries.queries ++
+      IngestQueries.queries ++
       StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -51,5 +52,6 @@ object SparkEntry {
       CurationQueries.oracle ++
       PromQlQueries.oracle ++
       NativeHistogramQueries.oracle ++
+      IngestQueries.oracle ++
       StreamingQueries.oracle
 }

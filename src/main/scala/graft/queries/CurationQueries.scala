@@ -695,10 +695,77 @@ object CurationQueries {
           sum(when(col("status") === "kept", col("kept_chars")).otherwise(0))
             .as("n_chars_kept"))
         .orderBy(col("source"))
+    }),
+
+    // CCNet LINE-level dedup (Wenzek et al. 2020 §3.1 — the removal pass
+    // CCNet runs BEFORE LM bucketing; q186 only MEASURES chunk
+    // redundancy, this one REMOVES it): every repeated line keeps only
+    // its first occurrence in (doc_id, position) order; later copies are
+    // dropped and the survivors' character mass is re-accounted per
+    // language. The synthetic corpus has no newlines, so a "line" is a
+    // fixed 8-token paragraph chunk cut by integer math (both engines
+    // slice identically). First-winner selection is a keyed min(struct)
+    // — partial-aggregated and skew-safe on hot boilerplate lines (the
+    // r10-prescribed shape over a windowed row_number), then a
+    // hash-keyed join marks survivors; nothing is corpus-quadratic.
+    "q218_line_dedup" -> ((s, d) => {
+      val docs = documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("arr", split(col("text"), " "))
+        .withColumn("len", size(col("arr"))).filter(col("len") > 0)
+      val lines = docs
+        .select(col("lang"), col("doc_id"), col("arr"),
+          explode(expr("sequence(0L, (len - 1) div 8)")).as("c"))
+        .withColumn("line",
+          array_join(slice(col("arr"), (col("c") * 8 + 1).cast("int"), lit(8)), " "))
+        .select(col("lang"), col("doc_id"), col("c"), md5(col("line")).as("h"),
+          length(col("line")).as("line_chars"))
+      val firsts = lines.groupBy(col("h"))
+        .agg(min(struct(col("doc_id"), col("c"))).as("first"))
+      lines.join(firsts, "h")
+        .withColumn("kept",
+          col("doc_id") === col("first.doc_id") && col("c") === col("first.c"))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_lines"),
+          sum(when(!col("kept"), 1).otherwise(0)).as("n_dropped"),
+          sum(when(col("kept"), col("line_chars")).otherwise(0)).as("n_chars_kept"),
+          round(avg(when(col("kept"), 1.0).otherwise(0.0)), 6).as("keep_ratio"))
+        .orderBy(col("lang"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // Same 8-token cut (range is end-exclusive, hence the +1), same
+    // min(struct) first-winner; 0/1 doubles under avg sum exactly in
+    // both engines.
+    "q218_line_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS arr,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents WHERE len(string_split(text, ' ')) > 0
+        |), lines AS (
+        |  SELECT lang, doc_id, c,
+        |    md5(array_to_string(arr[(c*8+1):(c*8+8)], ' ')) AS h,
+        |    length(array_to_string(arr[(c*8+1):(c*8+8)], ' ')) AS line_chars
+        |  FROM (SELECT lang, doc_id, arr,
+        |          unnest(range(0, ((n - 1) // 8) + 1)) AS c
+        |        FROM docs)
+        |), firsts AS (
+        |  SELECT h, min(struct_pack(doc_id := doc_id, c := c)) AS f
+        |  FROM lines GROUP BY 1
+        |), m AS (
+        |  SELECT l.lang, l.doc_id, l.line_chars,
+        |    (l.doc_id = firsts.f.doc_id AND l.c = firsts.f.c) AS kept
+        |  FROM lines l JOIN firsts USING (h)
+        |)
+        |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  CAST(sum(CASE WHEN kept THEN line_chars ELSE 0 END) AS BIGINT)
+        |    AS n_chars_kept,
+        |  round(avg(CASE WHEN kept THEN 1.0 ELSE 0.0 END), 6) AS keep_ratio
+        |FROM m GROUP BY 1 ORDER BY lang""".stripMargin,
     "q86_quality_signals" ->
       """WITH docs AS (
         |  SELECT lang, doc_id, text,

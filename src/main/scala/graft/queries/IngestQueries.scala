@@ -1,0 +1,299 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Ingest-boundary semantics a production TSDB enforces BEFORE samples
+  * reach the head: out-of-order acceptance windows (Prometheus 2.39+
+  * `out_of_order_time_window`, the OOO head + WBL design) and per-tenant
+  * series limits with tenant-federated reads (the Cortex/Mimir
+  * `max_global_series_per_user` + `-tenant-federation.enabled` pair).
+  * The reference's scrape path (`CHANGELOG.md:353` prometheus-serde)
+  * feeds exactly such an ingest boundary once it leaves the demo scale.
+  *
+  * Cross-engine determinism: classifications are integer/µs comparisons
+  * on md5-derived fixtures (the q155/q214 hashmod discipline); value sums
+  * are rounded-then-DECIMAL so accumulation order can't flip a digit.
+  *
+  * Scale notes (100 TB posture):
+  *  - q216's head-max is ONE running-max window per series, keyed by the
+  *    series id — per-series sequential semantics parallelize across the
+  *    millions of series of a real head; nothing is corpus-global. The
+  *    running max over ALL prior arrivals equals the head's maxTime
+  *    (proof in the query doc) so no iterative state is needed.
+  *  - q217 ranks SERIES (one row per series from a partial-agg groupBy),
+  *    never samples; the per-tenant admission window runs on the
+  *    series-sized frame, and sample counts ride the same pre-aggregated
+  *    rows — the limiter costs one keyed agg + one series-sized window.
+  */
+object IngestQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // OUT-OF-ORDER ingestion (tsdb/head_append.go semantics): a sample
+    // older than its series' head maxTime is accepted into the OOO head
+    // iff maxTime − t ≤ the configured window (1h here), else rejected
+    // "too old". Key identity making this declarative: head maxTime only
+    // advances on in-order appends, but the running max over ALL prior
+    // arrivals is provably equal to it (induction: an OOO/rejected sample
+    // is < the running max, so it never advances either side) — one
+    // window function, no recursion. The arrival fixture ships ~20% of
+    // samples 30 min late (lands OOO) and ~10% 3 h late (lands too-old,
+    // except where the series' local gap exceeds the lateness).
+    // Query-time merge = in-order ∪ OOO sorted by t, duplicate-ts dropped
+    // by the merge iterator — surfaced as n_unique_ts.
+    "q216_ooo_ingest" -> ((s, d) => {
+      val wUs = 3600L * 1000000L
+      val ev = events(s, d)
+        .withColumn("b",
+          conv(substring(md5(concat(lit("ooo|"),
+            col("event_id").cast("string"))), 1, 6), 16, 10)
+            .cast("long") % 10)
+        .withColumn("t_us", expr("unix_micros(ts)") -
+          (when(col("b") >= 9, 10800L)
+            .when(col("b") >= 7, 1800L).otherwise(0L)) * lit(1000000L))
+      val head = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val classed = ev
+        .withColumn("head_max", max(col("t_us")).over(head))
+        .withColumn("cls",
+          when(col("head_max").isNull || col("t_us") >= col("head_max"),
+            "in_order")
+            .when(col("head_max") - col("t_us") <= wUs, "ooo")
+            .otherwise("too_old"))
+      classed.groupBy(col("event_type"))
+        .agg(
+          sum(when(col("cls") === "in_order", 1).otherwise(0)).as("n_in_order"),
+          sum(when(col("cls") === "ooo", 1).otherwise(0)).as("n_ooo"),
+          sum(when(col("cls") === "too_old", 1).otherwise(0)).as("n_too_old"),
+          countDistinct(when(col("cls") =!= "too_old", col("t_us")))
+            .as("n_unique_ts"),
+          round(sum(when(col("cls") =!= "too_old",
+            round(col("value"), 6).cast("decimal(18,6)"))).cast("double"), 4)
+            .as("sum_merged"),
+          max(when(col("cls") =!= "too_old", col("t_us"))).as("max_accepted_us"))
+        .orderBy(col("event_type"))
+    }),
+
+    // PER-TENANT series limits + tenant federation (Mimir
+    // `max_global_series_per_user`): series are admitted in first-seen
+    // order until the tenant's cap (150); every sample of a
+    // never-admitted series is discarded (the
+    // `cortex_discarded_samples_total{reason="per_user_series_limit"}`
+    // accounting). The read side is a tenant-federated query: the tenant
+    // id rides the output as a label (the injected `__tenant_id__`),
+    // merged across tenants in one frame. Admission order = min(event_id)
+    // per series — unique by construction, so the rank is deterministic.
+    "q217_tenant_limits" -> ((s, d) => {
+      val capPerTenant = 150
+      val series = events(s, d)
+        .withColumn("tenant", concat(lit("t"), pmod(col("user_id"), lit(3L))))
+        .groupBy(col("tenant"), col("event_type"), col("user_id"))
+        .agg(min(col("event_id")).as("first_seen"),
+          count(lit(1)).as("n_samp"),
+          sum(round(col("value"), 6).cast("decimal(18,6)")).as("sum_v"))
+      val admitted = series.withColumn("rk",
+        row_number().over(
+          Window.partitionBy(col("tenant")).orderBy(col("first_seen"))))
+        .withColumn("accepted", col("rk") <= capPerTenant)
+      admitted.groupBy(col("tenant"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_series"),
+          sum(when(col("accepted"), 1).otherwise(0)).as("n_series_accepted"),
+          sum(col("n_samp")).as("n_samples"),
+          sum(when(col("accepted"), col("n_samp")).otherwise(0))
+            .as("n_samples_accepted"),
+          sum(when(!col("accepted"), col("n_samp")).otherwise(0))
+            .as("n_samples_discarded"),
+          round(sum(when(col("accepted"), col("sum_v"))
+            .otherwise(lit(0).cast("decimal(18,6)"))).cast("double"), 4)
+            .as("sum_accepted"))
+        .orderBy(col("tenant"), col("event_type"))
+    }),
+
+    // SHUFFLE SHARDING + RF-3 QUORUM READS (the Mimir/Cortex ring): each
+    // tenant gets a deterministic 4-of-12 ingester subring (rank by
+    // md5(tenant, ingester) — a documented stand-in for the ring's
+    // token-walk shard: same properties, hash-derived, stable, disjointly
+    // spread); each series replicates to 3 consecutive subring positions
+    // starting at hash(series) mod 4. One ingester (ing 3) is DOWN — all
+    // its copies are lost — and the quorum read (≥2 of 3 surviving)
+    // still reconstructs every sample exactly: sum_quorum must equal
+    // sum_direct computed without the ring, the availability invariant
+    // RF-3 buys. The ring table is tenants×ingesters (broadcast-sized),
+    // replica routing is series-grain, and the quorum agg keys by sample
+    // id — partial-agg friendly, nothing corpus-quadratic.
+    "q219_shuffle_shard_quorum" -> ((s, d) => {
+      val ings = s.range(12).select(col("id").cast("int").as("ing"))
+      val tenants = s.range(3).select(concat(lit("t"), col("id")).as("tenant"))
+      val ring = tenants.crossJoin(ings)
+        .withColumn("hk", conv(substring(md5(concat(lit("ring|"),
+          col("tenant"), lit("|"), col("ing").cast("string"))), 1, 12),
+          16, 10).cast("long"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("tenant")).orderBy(col("hk"), col("ing"))) - 1)
+        .filter(col("pos") < 4)
+      val ev = events(s, d)
+        .withColumn("tenant", concat(lit("t"), pmod(col("user_id"), lit(3L))))
+      val series = ev.select("tenant", "event_type", "user_id").distinct()
+        .withColumn("p0", pmod(conv(substring(md5(concat(lit("ser|"),
+          col("event_type"), lit("|"), col("user_id").cast("string"))), 1, 12),
+          16, 10).cast("long"), lit(4L)))
+      val replicas = series
+        .select(col("tenant"), col("event_type"), col("user_id"), col("p0"),
+          explode(array(lit(0L), lit(1L), lit(2L))).as("r"))
+        .withColumn("pos", pmod(col("p0") + col("r"), lit(4L)).cast("int"))
+        .join(broadcast(ring.select(col("tenant"), col("pos"), col("ing"))),
+          Seq("tenant", "pos"))
+        .select(col("tenant"), col("event_type"), col("user_id"), col("ing"))
+      val copies = ev.join(replicas, Seq("tenant", "event_type", "user_id"))
+      val quorum = copies
+        .groupBy(col("tenant"), col("event_type"), col("user_id"),
+          col("event_id"), col("value"))
+        .agg(count(lit(1)).as("n_rep"),
+          sum(when(col("ing") =!= 3, 1).otherwise(0)).as("n_surv"))
+      val perTenant = quorum.groupBy(col("tenant"))
+        .agg(countDistinct(col("event_type"), col("user_id")).as("n_series"),
+          count(lit(1)).as("n_samples"),
+          sum(col("n_rep")).as("n_copies"),
+          sum(lit(3) - col("n_surv")).as("n_copies_lost"),
+          sum(when(col("n_surv") >= 2, 1).otherwise(0)).as("n_quorum_ok"),
+          round(sum(when(col("n_surv") >= 2,
+            round(col("value"), 6).cast("decimal(18,6)"))).cast("double"), 4)
+            .as("sum_quorum"))
+      val direct = ev.groupBy(col("tenant"))
+        .agg(round(sum(round(col("value"), 6).cast("decimal(18,6)"))
+          .cast("double"), 4).as("sum_direct"))
+      val shard = ring.groupBy(col("tenant"))
+        .agg(concat_ws(",", transform(sort_array(collect_list(col("ing"))),
+          x => x.cast("string"))).as("shard_ings"))
+      perTenant.join(direct, "tenant").join(broadcast(shard), "tenant")
+        .orderBy(col("tenant"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    // Same running-max head classification; DuckDB's window max over the
+    // same (event_type, event_id) arrival order.
+    "q216_ooo_ingest" ->
+      """WITH s AS (
+        |  SELECT event_type, event_id, value,
+        |    epoch_us(ts) - CAST(CASE WHEN b >= 9 THEN 10800
+        |                             WHEN b >= 7 THEN 1800 ELSE 0 END
+        |      AS BIGINT) * 1000000 AS t_us
+        |  FROM (SELECT *,
+        |          CAST(concat('0x', substr(md5('ooo|' || event_id), 1, 6))
+        |            AS BIGINT) % 10 AS b
+        |        FROM events)
+        |), c AS (
+        |  SELECT *, max(t_us) OVER (PARTITION BY event_type ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS head_max
+        |  FROM s
+        |), k AS (
+        |  SELECT *, CASE
+        |    WHEN head_max IS NULL OR t_us >= head_max THEN 'in_order'
+        |    WHEN head_max - t_us <= 3600000000 THEN 'ooo'
+        |    ELSE 'too_old' END AS cls
+        |  FROM c
+        |)
+        |SELECT event_type,
+        |  CAST(sum(CASE WHEN cls = 'in_order' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_in_order,
+        |  CAST(sum(CASE WHEN cls = 'ooo' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_ooo,
+        |  CAST(sum(CASE WHEN cls = 'too_old' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_too_old,
+        |  count(DISTINCT CASE WHEN cls <> 'too_old' THEN t_us END)
+        |    AS n_unique_ts,
+        |  round(CAST(sum(CASE WHEN cls <> 'too_old'
+        |    THEN CAST(round(value, 6) AS DECIMAL(18,6)) END) AS DOUBLE), 4)
+        |    AS sum_merged,
+        |  max(CASE WHEN cls <> 'too_old' THEN t_us END) AS max_accepted_us
+        |FROM k GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // Same series-grain admission rank; first_seen = min(event_id) is
+    // unique across series, so row_number is deterministic.
+    "q217_tenant_limits" ->
+      """WITH series AS (
+        |  SELECT 't' || (user_id % 3) AS tenant, event_type, user_id,
+        |    min(event_id) AS first_seen, count(*) AS n_samp,
+        |    sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS sum_v
+        |  FROM events GROUP BY 1, 2, 3
+        |), admitted AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY tenant ORDER BY first_seen) <= 150 AS accepted
+        |  FROM series
+        |)
+        |SELECT tenant, event_type,
+        |  count(*) AS n_series,
+        |  CAST(sum(CASE WHEN accepted THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_series_accepted,
+        |  CAST(sum(n_samp) AS BIGINT) AS n_samples,
+        |  CAST(sum(CASE WHEN accepted THEN n_samp ELSE 0 END) AS BIGINT)
+        |    AS n_samples_accepted,
+        |  CAST(sum(CASE WHEN NOT accepted THEN n_samp ELSE 0 END) AS BIGINT)
+        |    AS n_samples_discarded,
+        |  round(CAST(sum(CASE WHEN accepted THEN sum_v
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE), 4) AS sum_accepted
+        |FROM admitted GROUP BY 1, 2 ORDER BY tenant, event_type""".stripMargin,
+
+    // Same ring ranks, replica routing, and quorum fold; range() is
+    // end-exclusive; sum_quorum ≡ sum_direct is the availability check.
+    "q219_shuffle_shard_quorum" ->
+      """WITH ring0 AS (
+        |  SELECT t.tenant, i.ing,
+        |    CAST(concat('0x', substr(md5('ring|' || t.tenant || '|' || i.ing),
+        |      1, 12)) AS BIGINT) AS hk
+        |  FROM (SELECT 't' || unnest(range(0, 3)) AS tenant) t,
+        |       (SELECT unnest(range(0, 12)) AS ing) i
+        |), ring AS (
+        |  SELECT * FROM (
+        |    SELECT tenant, ing, row_number() OVER
+        |      (PARTITION BY tenant ORDER BY hk, ing) - 1 AS pos
+        |    FROM ring0) WHERE pos < 4
+        |), ev AS (
+        |  SELECT 't' || (user_id % 3) AS tenant, event_type, user_id,
+        |    event_id, value
+        |  FROM events
+        |), series AS (
+        |  SELECT DISTINCT tenant, event_type, user_id,
+        |    CAST(concat('0x', substr(md5('ser|' || event_type || '|' ||
+        |      user_id), 1, 12)) AS BIGINT) % 4 AS p0
+        |  FROM ev
+        |), replicas AS (
+        |  SELECT s.tenant, s.event_type, s.user_id, ring.ing
+        |  FROM (SELECT *, unnest(range(0, 3)) AS r FROM series) s
+        |  JOIN ring ON ring.tenant = s.tenant
+        |    AND ring.pos = (s.p0 + s.r) % 4
+        |), quorum AS (
+        |  SELECT e.tenant, e.event_type, e.user_id, e.event_id, e.value,
+        |    count(*) AS n_rep,
+        |    sum(CASE WHEN r.ing <> 3 THEN 1 ELSE 0 END) AS n_surv
+        |  FROM ev e JOIN replicas r
+        |    USING (tenant, event_type, user_id)
+        |  GROUP BY 1, 2, 3, 4, 5
+        |), per_tenant AS (
+        |  SELECT tenant,
+        |    count(DISTINCT (event_type, user_id)) AS n_series,
+        |    count(*) AS n_samples,
+        |    CAST(sum(n_rep) AS BIGINT) AS n_copies,
+        |    CAST(sum(3 - n_surv) AS BIGINT) AS n_copies_lost,
+        |    CAST(sum(CASE WHEN n_surv >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_quorum_ok,
+        |    round(CAST(sum(CASE WHEN n_surv >= 2
+        |      THEN CAST(round(value, 6) AS DECIMAL(18,6)) END) AS DOUBLE), 4)
+        |      AS sum_quorum
+        |  FROM quorum GROUP BY 1
+        |), direct AS (
+        |  SELECT tenant, round(CAST(sum(CAST(round(value, 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_direct
+        |  FROM ev GROUP BY 1
+        |), shard AS (
+        |  SELECT tenant, string_agg(ing, ',' ORDER BY ing) AS shard_ings
+        |  FROM ring GROUP BY 1
+        |)
+        |SELECT p.*, d.sum_direct, s.shard_ings
+        |FROM per_tenant p JOIN direct d USING (tenant)
+        |JOIN shard s USING (tenant)
+        |ORDER BY tenant""".stripMargin)
+}
