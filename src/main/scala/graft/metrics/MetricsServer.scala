@@ -172,6 +172,34 @@ final class MetricsServer(observed: Observed, port: Int = 0,
       appendIngest(shapeIngest(parsed, "attrs"))
       """{"status":"success","data":null}"""
     })
+    // REMOTE-READ (POST /api/v1/read, `prometheus.ReadRequest`): the
+    // server half of remote_read — raw SAMPLED series for each query's
+    // matchers × ms range (the wire a federating Prometheus or Thanos
+    // sidecar pulls long-term samples over; wire stand-in rule in
+    // [[RemoteRead]]'s doc). The data path is the same tombstone-masked,
+    // ingest-unioned `src` serving /api/v1/query: matchers render to a
+    // selector, compile through selectorCond (pushdown-eligible), and
+    // the collect rides the usual maxResultRows cap.
+    server.createContext("/api/v1/read", MetricsServer.bodyHandler { body =>
+      val results = RemoteRead.parseRequest(body).map { q =>
+        val s0 = src
+        val cond = PromQlParser.selectorCond(
+          s0, RemoteRead.selectorString(q.matchers))
+        val rows = s0.df.filter(cond)
+          .withColumn("__ts_ms", expr(s"unix_millis(${s0.tsCol})"))
+          .filter(col("__ts_ms") >= q.startMs && col("__ts_ms") <= q.endMs)
+          .select(s0.seriesKey.map(col) :+ col("__ts_ms") :+
+            col(s0.valueCol).cast("double").as("__v"): _*)
+          .orderBy(s0.seriesKey.map(col) :+ col("__ts_ms"): _*)
+          .limit(maxResultRows + 1)
+          .collect()
+        if (rows.length > maxResultRows)
+          throw new MetricsServer.ResultTooLarge(maxResultRows)
+        rows
+      }
+      MetricsServer.remoteReadJson(results, boundSrc.metricCol,
+        boundSrc.seriesKey)
+    })
     server.createContext("/api/v1/admin/tsdb/delete_series",
       MetricsServer.jsonHandler { params =>
         val sel = params.getOrElse("match[]",
@@ -675,6 +703,41 @@ object MetricsServer {
         Some(name)
       }
     sb.result()
+  }
+
+  /** protobuf-JSON `ReadResponse`: one result per request query, each a
+    * list of timeseries with full label pair sets and ms samples. Rows
+    * arrive sorted by (seriesKey, ts); grouping preserves that order.
+    * Sample values are JSON numbers (the protobuf JSON double mapping);
+    * non-finite values quote as strings, as protobuf JSON specifies. */
+  private[metrics] def remoteReadJson(results: Seq[Array[Row]],
+      metricCol: String, seriesKey: Seq[String]): String = {
+    def sampleVal(d: Double): String =
+      if (d.isNaN || d.isInfinite) "\"" + fmtVal(d) + "\"" else fmtVal(d)
+    def seriesJson(rows: Array[Row]): String = {
+      val grouped = scala.collection.mutable.LinkedHashMap
+        .empty[Seq[(String, String)], scala.collection.mutable.ArrayBuffer[Row]]
+      rows.foreach { r =>
+        val ls = seriesKey.map { k =>
+          (if (k == metricCol) "__name__" else k) ->
+            String.valueOf(r.getAs[Any](k))
+        }
+        grouped.getOrElseUpdate(ls,
+          scala.collection.mutable.ArrayBuffer.empty) += r
+      }
+      grouped.map { case (ls, rs) =>
+        val labels = ls.map { case (n, v) =>
+          s"""{"name":"${jsonEscape(n)}","value":"${jsonEscape(v)}"}"""
+        }.mkString("[", ",", "]")
+        val samples = rs.map { r =>
+          s"""{"value":${sampleVal(r.getAs[Double]("__v"))},""" +
+            s""""timestamp":${r.getAs[Long]("__ts_ms")}}"""
+        }.mkString("[", ",", "]")
+        s"""{"labels":$labels,"samples":$samples}"""
+      }.mkString("[", ",", "]")
+    }
+    s"""{"results":[${results.map(rs =>
+      s"""{"timeseries":${seriesJson(rs)}}""").mkString(",")}]}"""
   }
 
   /** Prometheus sample-value formatting: a plain decimal string. */

@@ -638,6 +638,36 @@ class MetricsSpec extends AnyFunSuite {
         val (c3, b3) = get(srv.boundPort, "/api/v1/query?query=" +
           enc("sum(cpu)") + "&time=2024-01-01T10:02:00Z")
         assert(c3 == 200 && b3.contains("\"12.0\""), b3)
+        // REMOTE-READ: raw samples back out over the same wire family —
+        // the ingested cpu{user_id="2"}=5 is visible to remote readers
+        // (ingest union + tombstone masking ride the same src), and a
+        // second query in the request gets its own results entry.
+        val rr = """{"queries":[
+          |{"startTimestampMs":1704103200000,"endTimestampMs":1704103500000,
+          | "matchers":[{"type":"EQ","name":"__name__","value":"cpu"}]},
+          |{"startTimestampMs":0,"endTimestampMs":9999999999999,
+          | "matchers":[{"type":"RE","name":"user_id","value":"3"}]}]}"""
+          .stripMargin.replace("\n", "")
+        val (cr, br) = post(srv.boundPort, "/api/v1/read", rr)
+        assert(cr == 200, br)
+        // q1: both cpu series (stored user_id=1 @10:00 v=7, ingested
+        // user_id=2 @10:01 v=5), labels as pairs, ms timestamps
+        assert(br.contains(""""name":"__name__","value":"cpu""""), br)
+        assert(br.contains(""""value":7.0,"timestamp":1704103200000"""), br)
+        assert(br.contains(""""value":5.0,"timestamp":1704103260000"""), br)
+        // q2: the OTLP-ingested mem{user_id="3"} sample, own result slot
+        assert(br.contains(""""results":[{"timeseries":["""), br)
+        assert(br.contains(""""value":2.5,"timestamp":1704103290000"""), br)
+        // NRE matcher type + unknown type rejection
+        val (cu, bu) = post(srv.boundPort, "/api/v1/read",
+          """{"queries":[{"matchers":[{"type":"XX","name":"a","value":"b"}]}]}""")
+        assert(cu == 400 && bu.contains("unknown matcher type"), bu)
+        // delete_series masks remote reads too (same src discipline)
+        val (cd, _) = get(srv.boundPort,
+          "/api/v1/admin/tsdb/delete_series?match[]=" + enc("""mem{user_id="3"}"""))
+        assert(cd == 200)
+        val (cr2, br2) = post(srv.boundPort, "/api/v1/read", rr)
+        assert(cr2 == 200 && !br2.contains("2.5"), br2)
       } finally srv.close()
     }
   }
