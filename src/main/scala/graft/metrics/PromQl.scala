@@ -43,6 +43,70 @@ object PromQl {
       .drop("__prev", "__delta")
   }
 
+  /** Prometheus's EXACT boundary extrapolation — upstream
+    * `extrapolatedRate` (promql/functions.go, 3.x), the semantics behind
+    * real `rate()`/`increase()`/`delta()`: the raw last−first result
+    * (reset-corrected via [[counterIncrease]] when `isCounter`) is scaled
+    * from the sampled interval out toward the full window. Each edge
+    * extrapolates the full distance to the boundary when the edge sample
+    * sits within 1.1× the average sample spacing of it, else half the
+    * average spacing; the counter face additionally clamps the start-side
+    * extrapolation at the counter's zero crossing. This is the upstream
+    * fidelity face of [[rate]]'s documented no-extrapolation baseline —
+    * both are available, and q220 hash-proves this one against a SQL twin.
+    *
+    * `winSamples` must already be filtered to the (start, end] range
+    * selection; `startUs`/`endUs` feed only the boundary math. Series
+    * with fewer than 2 samples in the window yield no row (upstream
+    * returns none). Determinism route: the result value is a DECIMAL sum
+    * of 6-dp increments; the factor chain is written as the SAME ordered
+    * double expression the DuckDB twin uses, so every step is the same
+    * IEEE op in both engines.
+    *
+    * Scale shape: one keyed window (the [[counterIncrease]] lag) + one
+    * keyed agg — per-series semantics, parallel across series, nothing
+    * corpus-global. */
+  def extrapolated(winSamples: DataFrame, seriesKey: Seq[String],
+                   tsCol: String, orderCol: String, valueCol: String,
+                   startUs: Long, endUs: Long,
+                   isCounter: Boolean, isRate: Boolean): DataFrame = {
+    val keyCols = seriesKey.map(col)
+    val ord = struct(col(tsCol), col(orderCol))
+    val tUs = expr(s"unix_micros($tsCol)")
+    val withInc =
+      if (isCounter)
+        counterIncrease(winSamples, seriesKey, tsCol, orderCol, valueCol)
+          .withColumn("__inc", round(col("inc"), 6).cast("decimal(18,6)"))
+      else winSamples.withColumn("__inc",
+        lit(0).cast("decimal(18,6)")) // gauge: last−first below
+    val agg = withInc.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("__n"),
+        min(tUs).as("__first_us"), max(tUs).as("__last_us"),
+        min_by(col(valueCol), ord).as("__first_v"),
+        max_by(col(valueCol), ord).as("__last_v"),
+        sum(col("__inc")).as("__res_dec"))
+    val res =
+      if (isCounter) col("__res_dec").cast("double")
+      else col("__last_v") - col("__first_v")
+    val firstV = col("__first_v")
+    val sampled = (col("__last_us") - col("__first_us")).cast("double") / 1e6
+    val avgDur = sampled / (col("__n") - 1).cast("double")
+    val thr = avgDur * 1.1
+    val ds0 = (col("__first_us") - lit(startUs)).cast("double") / 1e6
+    val de0 = (lit(endUs) - col("__last_us")).cast("double") / 1e6
+    val ds1 = when(ds0 >= thr, avgDur / 2).otherwise(ds0)
+    val dz = sampled * (firstV / res)
+    val ds =
+      if (isCounter) when(res > 0 && firstV >= 0 && dz < ds1, dz).otherwise(ds1)
+      else ds1
+    val de = when(de0 >= thr, avgDur / 2).otherwise(de0)
+    val factor0 = (sampled + ds + de) / sampled
+    val factor =
+      if (isRate) factor0 / lit((endUs - startUs) / 1e6) else factor0
+    agg.filter(col("__n") >= 2)
+      .select(keyCols :+ (res * factor).as("value") :+ col("__n").as("n"): _*)
+  }
+
   /** PromQL `rate()`: the reset-aware increase over a trailing range
     * window, normalized per second. Per sample, the frame is the trailing
     * `windowSec` seconds ([t − windowSec + 1, t] on whole-second grain —

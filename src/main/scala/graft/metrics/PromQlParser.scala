@@ -1744,7 +1744,9 @@ object PromQlParser {
         case "rate" | "increase" =>
           // reset-aware increase over the range window; rate normalizes
           // per second (counterIncrease emits 0 for the window's first
-          // sample — Prometheus's no-extrapolation baseline)
+          // sample — Prometheus's no-extrapolation baseline; the exact
+          // upstream boundary extrapolation is PromQl.extrapolated,
+          // hash-proved by q220)
           val inc = PromQl.counterIncrease(inWindow, src.seriesKey,
             src.tsCol, src.orderCol, src.valueCol)
           val total = decSum(col("inc"))

@@ -845,10 +845,111 @@ object PromQlQueries {
         .select(col("which"), col("user_id"), col("event_type"),
           col("tier"), col("zone"), round(col("value"), 6).as("value"))
         .orderBy(col("which"), col("user_id"))
+    }),
+
+    // UPSTREAM rate()/increase()/delta() boundary EXTRAPOLATION
+    // (promql/functions.go `extrapolatedRate`) — the exact semantics the
+    // engine's baseline rate() deliberately simplifies, now available as
+    // its fidelity face (PromQl.extrapolated) and hash-proved here. The
+    // counter fixture is a per-(series, day) cumulative sum (daily reset
+    // at midnight), and the 6 h window (2024-01-14 22:00 → 01-15 04:00]
+    // SPANS that midnight, so the reset correction, the start-side
+    // zero-crossing clamp (first_v small right after reset), and both
+    // edge-extrapolation branches are all load-bearing. Three faces from
+    // the same window: xrate, xincrease (counter), xdelta (gauge).
+    "q220_rate_extrapolated" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val startUs = 1705269600L * 1000000L // 2024-01-14 22:00:00 UTC
+      val endUs = 1705291200L * 1000000L   // 2024-01-15 04:00:00 UTC
+      val wCum = Window
+        .partitionBy(col("event_type"), col("bucket"), to_date(col("ts")))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val counter = events(s, d)
+        .withColumn("bucket", pmod(col("user_id"), lit(4L)))
+        .withColumn("cnt_v",
+          sum(round(col("value"), 6).cast("decimal(18,6)")).over(wCum)
+            .cast("double"))
+      val win = counter
+        .filter(col("ts") > lit("2024-01-14 22:00:00").cast("timestamp") &&
+          col("ts") <= lit("2024-01-15 04:00:00").cast("timestamp"))
+        .select(col("event_type"), col("bucket"), col("ts"), col("event_id"),
+          col("cnt_v"))
+      val key = Seq("event_type", "bucket")
+      def face(isCounter: Boolean, isRate: Boolean, name: String) =
+        PromQl.extrapolated(win, key, "ts", "event_id", "cnt_v",
+            startUs, endUs, isCounter, isRate)
+          .select(col("event_type"), col("bucket"), col("n"),
+            round(col("value"), 9).as(name))
+      face(isCounter = true, isRate = true, "xrate")
+        .join(face(isCounter = true, isRate = false, "xincrease")
+          .drop("n"), key)
+        .join(face(isCounter = false, isRate = false, "xdelta")
+          .drop("n"), key)
+        .orderBy(col("event_type"), col("bucket"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // Same cumsum fixture, same window-filtered lag increases, and the
+    // SAME ordered double chain for the extrapolation factor — every
+    // step is the identical IEEE op in both engines.
+    "q220_rate_extrapolated" ->
+      """WITH c0 AS (
+        |  SELECT event_type, user_id % 4 AS bucket, ts, event_id,
+        |    epoch_us(ts) AS t_us,
+        |    CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) OVER
+        |      (PARTITION BY event_type, user_id % 4, CAST(ts AS DATE)
+        |       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |      AS cnt_v
+        |  FROM events
+        |), win AS (
+        |  SELECT * FROM c0
+        |  WHERE ts > TIMESTAMP '2024-01-14 22:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-15 04:00:00'
+        |), i AS (
+        |  SELECT *, lag(cnt_v) OVER (PARTITION BY event_type, bucket
+        |    ORDER BY ts, event_id) AS prev
+        |  FROM win
+        |), agg AS (
+        |  SELECT event_type, bucket, count(*) AS n,
+        |    min(t_us) AS first_us, max(t_us) AS last_us,
+        |    (min(struct_pack(ts := ts, e := event_id, v := cnt_v))).v
+        |      AS first_v,
+        |    (max(struct_pack(ts := ts, e := event_id, v := cnt_v))).v
+        |      AS last_v,
+        |    CAST(sum(CAST(round(CASE WHEN prev IS NULL THEN 0.0
+        |      WHEN cnt_v - prev < 0 THEN cnt_v ELSE cnt_v - prev END, 6)
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS res
+        |  FROM i GROUP BY 1, 2
+        |), m AS (
+        |  SELECT *,
+        |    CAST(last_us - first_us AS DOUBLE) / 1000000.0 AS sampled,
+        |    CAST(last_us - first_us AS DOUBLE) / 1000000.0
+        |      / CAST(n - 1 AS DOUBLE) AS avgd,
+        |    CAST(first_us - 1705269600000000 AS DOUBLE) / 1000000.0 AS ds0,
+        |    CAST(1705291200000000 - last_us AS DOUBLE) / 1000000.0 AS de0
+        |  FROM agg WHERE n >= 2
+        |), f AS (
+        |  SELECT *,
+        |    CASE WHEN ds0 >= avgd * 1.1 THEN avgd / 2 ELSE ds0 END AS ds1,
+        |    CASE WHEN de0 >= avgd * 1.1 THEN avgd / 2 ELSE de0 END AS de,
+        |    sampled * (first_v / res) AS dz
+        |  FROM m
+        |), g AS (
+        |  SELECT *,
+        |    CASE WHEN res > 0 AND first_v >= 0 AND dz < ds1
+        |      THEN dz ELSE ds1 END AS dsc
+        |  FROM f
+        |)
+        |SELECT event_type, bucket, n,
+        |  round(res * (((sampled + dsc + de) / sampled) / 21600.0), 9)
+        |    AS xrate,
+        |  round(res * ((sampled + dsc + de) / sampled), 9) AS xincrease,
+        |  round((last_v - first_v) * ((sampled + ds1 + de) / sampled), 9)
+        |    AS xdelta
+        |FROM g ORDER BY event_type, bucket""".stripMargin,
+
     "q89_counter_increase" ->
       """WITH d AS (
         |  SELECT event_type, ts, value,
