@@ -170,6 +170,59 @@ object IngestQueries {
           x => x.cast("string"))).as("shard_ings"))
       perTenant.join(direct, "tenant").join(broadcast(shard), "tenant")
         .orderBy(col("tenant"))
+    }),
+
+    // TSDB INVERTED INDEX (the block index's postings lists — the one
+    // head/block structure q206's WAL + q195's compaction didn't model):
+    // per (label name, label value), the sorted list of series ids
+    // owning that pair; a conjunctive matcher evaluates as a postings
+    // INTERSECTION (sid equi-joins), then fetches the matched series'
+    // pre-aggregated sample stats. Series ids are min(event_id) — the
+    // head's first-seen ref rule, same as q206. Three matcher faces are
+    // each proved ≡ the direct predicate scan (hash-equal count + sum),
+    // with the index TOC stats riding along. Scale shape: the postings
+    // build is one series-grain explode + keyed agg; intersections join
+    // on sid (never scan samples); only the DIRECT face touches raw
+    // rows — which is exactly the cost asymmetry the index exists for.
+    "q222_postings_index" -> ((s, d) => {
+      val ev = events(s, d)
+      val series = ev.groupBy(col("event_type"), col("user_id"))
+        .agg(min(col("event_id")).as("sid"), count(lit(1)).as("n_samp"),
+          sum(round(col("value"), 6).cast("decimal(18,6)")).as("sum_v"))
+        .withColumn("parity", pmod(col("user_id"), lit(2L)))
+      val postings = series.select(col("sid"), explode(map(
+          lit("__name__"), col("event_type").cast("string"),
+          lit("user"), col("user_id").cast("string"),
+          lit("parity"), col("parity").cast("string")))
+          .as(Seq("lname", "lvalue")))
+      def lookup(n: String, v: String) =
+        postings.filter(col("lname") === n && col("lvalue") === v)
+          .select("sid")
+      val faces = Seq(("m1", "click", "1"), ("m2", "error", "0"),
+        ("m3", "view", "1")).map { case (id, nm, par) =>
+        val sids = lookup("__name__", nm).join(lookup("parity", par), "sid")
+        val idx = series.join(sids, "sid")
+          .agg(count(lit(1)).as("n_series_idx"),
+            sum(col("n_samp")).as("n_samples_idx"),
+            round(sum(col("sum_v")).cast("double"), 4).as("sum_idx"))
+          .withColumn("matcher", lit(id))
+        val direct = ev.filter(col("event_type") === nm &&
+            pmod(col("user_id"), lit(2L)) === par.toLong)
+          .agg(count(lit(1)).as("n_samples_direct"),
+            round(sum(round(col("value"), 6).cast("decimal(18,6)"))
+              .cast("double"), 4).as("sum_direct"))
+          .withColumn("matcher", lit(id))
+        idx.join(direct, "matcher")
+      }.reduce(_ unionByName _)
+      val stats = postings.agg(
+        countDistinct(struct(col("lname"), col("lvalue")))
+          .as("n_postings_lists"),
+        count(lit(1)).as("n_postings"))
+      faces.crossJoin(broadcast(stats))
+        .select(col("matcher"), col("n_series_idx"), col("n_samples_idx"),
+          col("sum_idx"), col("n_samples_direct"), col("sum_direct"),
+          col("n_postings_lists"), col("n_postings"))
+        .orderBy(col("matcher"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -295,5 +348,46 @@ object IngestQueries {
         |SELECT p.*, d.sum_direct, s.shard_ings
         |FROM per_tenant p JOIN direct d USING (tenant)
         |JOIN shard s USING (tenant)
-        |ORDER BY tenant""".stripMargin)
+        |ORDER BY tenant""".stripMargin,
+
+    // Same postings build (UNION ALL per label), same sid intersections.
+    "q222_postings_index" ->
+      """WITH series AS (
+        |  SELECT event_type, user_id, user_id % 2 AS parity,
+        |    min(event_id) AS sid, count(*) AS n_samp,
+        |    sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS sum_v
+        |  FROM events GROUP BY 1, 2, 3
+        |), postings AS (
+        |  SELECT sid, '__name__' AS lname, event_type AS lvalue FROM series
+        |  UNION ALL SELECT sid, 'user', CAST(user_id AS VARCHAR) FROM series
+        |  UNION ALL SELECT sid, 'parity', CAST(parity AS VARCHAR) FROM series
+        |), st AS (
+        |  SELECT count(DISTINCT (lname, lvalue)) AS n_postings_lists,
+        |    count(*) AS n_postings
+        |  FROM postings
+        |), faces AS (
+        |  SELECT m.matcher, count(*) AS n_series_idx,
+        |    CAST(sum(s.n_samp) AS BIGINT) AS n_samples_idx,
+        |    round(CAST(sum(s.sum_v) AS DOUBLE), 4) AS sum_idx
+        |  FROM (VALUES ('m1', 'click', '1'), ('m2', 'error', '0'),
+        |        ('m3', 'view', '1')) AS m(matcher, nm, par)
+        |  JOIN postings p1 ON p1.lname = '__name__' AND p1.lvalue = m.nm
+        |  JOIN postings p2 ON p2.lname = 'parity' AND p2.lvalue = m.par
+        |    AND p2.sid = p1.sid
+        |  JOIN series s ON s.sid = p1.sid
+        |  GROUP BY 1
+        |), direct AS (
+        |  SELECT m.matcher, count(*) AS n_samples_direct,
+        |    round(CAST(sum(CAST(round(e.value, 6) AS DECIMAL(18,6)))
+        |      AS DOUBLE), 4) AS sum_direct
+        |  FROM (VALUES ('m1', 'click', 1), ('m2', 'error', 0),
+        |        ('m3', 'view', 1)) AS m(matcher, nm, par)
+        |  JOIN events e ON e.event_type = m.nm AND e.user_id % 2 = m.par
+        |  GROUP BY 1
+        |)
+        |SELECT f.matcher, f.n_series_idx, f.n_samples_idx, f.sum_idx,
+        |  d.n_samples_direct, d.sum_direct, st.n_postings_lists,
+        |  st.n_postings
+        |FROM faces f JOIN direct d USING (matcher), st
+        |ORDER BY f.matcher""".stripMargin)
 }

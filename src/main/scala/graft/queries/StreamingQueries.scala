@@ -311,6 +311,21 @@ object StreamingQueries {
         .orderBy(col("event_type"))
     }),
 
+    // STREAMING out-of-order ingestion — q216's OOO-head classification
+    // run ONLINE with the head appender's O(1) per-series registers
+    // (maxTime + counters). Matching the batch twin digit for digit also
+    // PROVES the batch query's running-max identity holds under
+    // micro-batched arrival (3 chunks here). n_unique_ts is batch-only:
+    // the ingest path never dedups timestamps (the merge iterator does,
+    // at read), so the streaming face doesn't carry it.
+    "s221_stream_ooo" -> ((s, d) => {
+      val t = StreamOps.replayEvents(s, d, "s221_sink", 3, flushPerType = true)(
+        ds => StreamOps.streamOooIngest(ds, 3600L).toDF(), OutputMode.Append)
+      t.select(col("event_type"), col("n_in_order"), col("n_ooo"),
+          col("n_too_old"), col("sum_merged"), col("max_accepted_us"))
+        .orderBy(col("event_type"))
+    }),
+
     // STREAMING Gorilla/XOR chunk encoding — q201's codec run ONLINE
     // with the Prometheus head appender's per-series O(1) registers;
     // chunks cut at 120 samples emit their closed bit costs, the open
@@ -511,6 +526,42 @@ object StreamingQueries {
 
     // q203's run-compressed election walk, minus the batch-only n_runs
     // column — the streaming sink must land exactly on it.
+    // q216's oracle minus the read-time n_unique_ts column (ingest never
+    // dedups timestamps); same fixture, same running-max classification.
+    "s221_stream_ooo" ->
+      """WITH s AS (
+        |  SELECT event_type, event_id, value,
+        |    epoch_us(ts) - CAST(CASE WHEN b >= 9 THEN 10800
+        |                             WHEN b >= 7 THEN 1800 ELSE 0 END
+        |      AS BIGINT) * 1000000 AS t_us
+        |  FROM (SELECT *,
+        |          CAST(concat('0x', substr(md5('ooo|' || event_id), 1, 6))
+        |            AS BIGINT) % 10 AS b
+        |        FROM events)
+        |), c AS (
+        |  SELECT *, max(t_us) OVER (PARTITION BY event_type ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS head_max
+        |  FROM s
+        |), k AS (
+        |  SELECT *, CASE
+        |    WHEN head_max IS NULL OR t_us >= head_max THEN 'in_order'
+        |    WHEN head_max - t_us <= 3600000000 THEN 'ooo'
+        |    ELSE 'too_old' END AS cls
+        |  FROM c
+        |)
+        |SELECT event_type,
+        |  CAST(sum(CASE WHEN cls = 'in_order' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_in_order,
+        |  CAST(sum(CASE WHEN cls = 'ooo' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_ooo,
+        |  CAST(sum(CASE WHEN cls = 'too_old' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_too_old,
+        |  round(CAST(sum(CASE WHEN cls <> 'too_old'
+        |    THEN CAST(round(value, 6) AS DECIMAL(18,6)) END) AS DOUBLE), 4)
+        |    AS sum_merged,
+        |  max(CASE WHEN cls <> 'too_old' THEN t_us END) AS max_accepted_us
+        |FROM k GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     "s204_stream_ha_dedup" ->
       """WITH RECURSIVE s AS (
         |  SELECT event_type AS cluster, epoch_us(ts) AS t_us,

@@ -70,6 +70,16 @@ case class XorChunkOut(event_type: String, shard: Long, chunk: Long,
                        n_xor_zero: Long, n_window_reuse: Long,
                        n_new_window: Long)
 
+/** Streaming OOO-head state per series: exactly the head's registers —
+  * maxTime plus accept/reject counters and the accepted-value sum in
+  * 1e-6 fixed-point units. O(1) per series; the in-memory face the WBL
+  * would rebuild on restart. */
+case class OooState(headMaxUs: Long, nIn: Long, nOoo: Long, nOld: Long,
+                    sumUnits: Long, maxAccUs: Long)
+case class OooOut(event_type: String, n_in_order: Long, n_ooo: Long,
+                  n_too_old: Long, sum_merged: Double,
+                  max_accepted_us: Long)
+
 /** Streaming-CUSUM state: the open hour, its count so far, and the CUSUM
   * in 1e-6 fixed-point units (exact decimal recursion). */
 case class CusumState(curStep: Long, curCount: Long, sUnits: Long)
@@ -564,6 +574,62 @@ object StreamOps {
                   st = HaState(r, t, st.nacc + 1, st.nrej, st.nelect + 1,
                     st.vsumMicros + vUnits(e.value))
                 else st = st.copy(nrej = st.nrej + 1)
+              }
+            }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming twin of q216's out-of-order ingestion classification
+    * (tsdb/head_append.go + the 1h OOO window): per-series state is the
+    * head's own registers — maxTime + counters — O(1)/series. A sample
+    * with t >= maxTime appends in-order (advancing maxTime); an older
+    * one is OOO-accepted iff maxTime − t ≤ window, else too-old. The
+    * same md5 lateness fixture as the batch twin; processing order is
+    * arrival order (event_id — the replay's own order). Emits one row
+    * per series at its flush sentinel; matching the batch twin digit for
+    * digit proves the running-max identity under micro-batched arrival. */
+  def streamOooIngest(ds: Dataset[Ev], windowSec: Long): Dataset[OooOut] = {
+    import ds.sparkSession.implicits._
+    val windowUs = windowSec * 1000000L
+    def vUnits(v: Double): Long =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(1000000)).toLongExact
+    def delayUs(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(("ooo|" + id).getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val b = java.lang.Long.parseLong(hex.substring(0, 6), 16) % 10
+      (if (b >= 9) 10800L else if (b >= 7) 1800L else 0L) * 1000000L
+    }
+    ds.groupByKey(_.event_type)
+      .flatMapGroupsWithState[OooState, OooOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (etype, events, state: GroupState[OooState]) =>
+          var st = if (state.exists) state.get
+            else OooState(Long.MinValue, 0L, 0L, 0L, 0L, Long.MinValue)
+          val out = Vector.newBuilder[OooOut]
+          // sentinel (user_id = -1) sorts LAST regardless of its ids
+          events.toSeq.sortBy(e => (e.user_id == -1L, e.event_id))
+            .foreach { e =>
+              if (e.user_id == -1L)
+                out += OooOut(etype, st.nIn, st.nOoo, st.nOld,
+                  java.math.BigDecimal.valueOf(st.sumUnits.toDouble / 1e6)
+                    .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue(),
+                  st.maxAccUs)
+              else {
+                val tUs = (e.ts.getTime / 1000) * 1000000L +
+                  e.ts.getNanos / 1000 - delayUs(e.event_id)
+                if (tUs >= st.headMaxUs)
+                  st = st.copy(headMaxUs = tUs, nIn = st.nIn + 1,
+                    sumUnits = st.sumUnits + vUnits(e.value),
+                    maxAccUs = math.max(st.maxAccUs, tUs))
+                else if (st.headMaxUs - tUs <= windowUs)
+                  st = st.copy(nOoo = st.nOoo + 1,
+                    sumUnits = st.sumUnits + vUnits(e.value),
+                    maxAccUs = math.max(st.maxAccUs, tUs))
+                else st = st.copy(nOld = st.nOld + 1)
               }
             }
           state.update(st)
