@@ -223,6 +223,54 @@ object IngestQueries {
           col("sum_idx"), col("n_samples_direct"), col("sum_direct"),
           col("n_postings_lists"), col("n_postings"))
         .orderBy(col("matcher"))
+    }),
+
+    // CREATED-TIMESTAMP zero-ingestion (Prometheus 3.x
+    // `created-timestamp-zero-ingestion`): a counter that exposes its
+    // creation instant (OpenMetrics `_created` / the PRW CT field) gets
+    // a synthetic ZERO sample ingested at CT, so increase() over a
+    // window containing the series' birth counts the head increment the
+    // naive fold misses (the first in-window sample contributes 0 when
+    // it has no predecessor). Counters here are per-(type, user)
+    // all-time cumsums; CT = first sample − 1 ms; the [Jan 2, Jan 6)
+    // window has both old series (no injection, naive ≡ CT) and ~150
+    // series born inside it (the CT face recovers their first value).
+    // Both faces are the same one-window-one-agg shape; the injection
+    // is a series-grain union, never a sample re-scan.
+    "q223_created_timestamp" -> ((s, d) => {
+      val winStart = "2024-01-02 00:00:00"
+      val winEnd = "2024-01-06 00:00:00"
+      val wCum = Window.partitionBy(col("event_type"), col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val counter = events(s, d)
+        .withColumn("cnt_v",
+          sum(round(col("value"), 6).cast("decimal(18,6)")).over(wCum)
+            .cast("double"))
+        .select(col("event_type"), col("user_id"), col("ts"),
+          col("event_id"), col("cnt_v"))
+      val win = counter
+        .filter(col("ts") >= lit(winStart).cast("timestamp") &&
+          col("ts") < lit(winEnd).cast("timestamp"))
+      val zeros = events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(min(col("ts")).as("first_ts"))
+        .withColumn("ct", expr("first_ts - INTERVAL 1 MILLISECOND"))
+        .filter(col("ct") >= lit(winStart).cast("timestamp") &&
+          col("ct") < lit(winEnd).cast("timestamp"))
+        .select(col("event_type"), col("user_id"), col("ct").as("ts"),
+          lit(-1L).as("event_id"), lit(0.0).as("cnt_v"))
+      def fold(df: DataFrame, name: String) =
+        graft.metrics.PromQl.counterIncrease(df,
+            Seq("event_type", "user_id"), "ts", "event_id", "cnt_v")
+          .groupBy(col("event_type"))
+          .agg(round(sum(round(col("inc"), 6).cast("decimal(18,6)"))
+            .cast("double"), 4).as(name))
+      fold(win, "increase_naive")
+        .join(fold(win.unionByName(zeros), "increase_ct"), "event_type")
+        .join(zeros.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_zero_injected")), "event_type")
+        .orderBy(col("event_type"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -389,5 +437,52 @@ object IngestQueries {
         |  d.n_samples_direct, d.sum_direct, st.n_postings_lists,
         |  st.n_postings
         |FROM faces f JOIN direct d USING (matcher), st
-        |ORDER BY f.matcher""".stripMargin)
+        |ORDER BY f.matcher""".stripMargin,
+
+    // Same all-time cumsum counters, same CT = first_ts − 1 ms zero
+    // injection (event_id −1 orders the zero before its first sample).
+    "q223_created_timestamp" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, ts, event_id,
+        |    CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) OVER
+        |      (PARTITION BY event_type, user_id ORDER BY ts, event_id
+        |       ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cnt_v
+        |  FROM events
+        |), win AS (
+        |  SELECT * FROM c
+        |  WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-06'
+        |), zeros AS (
+        |  SELECT event_type, user_id,
+        |    min(ts) - INTERVAL 1 MILLISECOND AS ts,
+        |    CAST(-1 AS BIGINT) AS event_id, 0.0 AS cnt_v
+        |  FROM events GROUP BY 1, 2
+        |  HAVING min(ts) - INTERVAL 1 MILLISECOND >= TIMESTAMP '2024-01-02'
+        |     AND min(ts) - INTERVAL 1 MILLISECOND < TIMESTAMP '2024-01-06'
+        |), naive AS (
+        |  SELECT event_type,
+        |    round(CAST(sum(CAST(round(CASE WHEN prev IS NULL THEN 0.0
+        |      WHEN cnt_v - prev < 0 THEN cnt_v ELSE cnt_v - prev END, 6)
+        |      AS DECIMAL(18,6))) AS DOUBLE), 4) AS increase_naive
+        |  FROM (SELECT *, lag(cnt_v) OVER (PARTITION BY event_type, user_id
+        |          ORDER BY ts, event_id) AS prev FROM win)
+        |  GROUP BY 1
+        |), ct AS (
+        |  SELECT event_type,
+        |    round(CAST(sum(CAST(round(CASE WHEN prev IS NULL THEN 0.0
+        |      WHEN cnt_v - prev < 0 THEN cnt_v ELSE cnt_v - prev END, 6)
+        |      AS DECIMAL(18,6))) AS DOUBLE), 4) AS increase_ct
+        |  FROM (SELECT *, lag(cnt_v) OVER (PARTITION BY event_type, user_id
+        |          ORDER BY ts, event_id) AS prev
+        |        FROM (SELECT event_type, user_id, ts, event_id, cnt_v FROM win
+        |              UNION ALL SELECT * FROM zeros))
+        |  GROUP BY 1
+        |), nz AS (
+        |  SELECT event_type, count(*) AS n_zero_injected
+        |  FROM zeros GROUP BY 1
+        |)
+        |SELECT n.event_type, n.increase_naive, c2.increase_ct,
+        |  nz.n_zero_injected
+        |FROM naive n JOIN ct c2 USING (event_type)
+        |JOIN nz USING (event_type)
+        |ORDER BY n.event_type""".stripMargin)
 }
