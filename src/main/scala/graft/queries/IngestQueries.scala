@@ -195,30 +195,38 @@ object IngestQueries {
           lit("user"), col("user_id").cast("string"),
           lit("parity"), col("parity").cast("string")))
           .as(Seq("lname", "lvalue")))
-      def lookup(n: String, v: String) =
-        postings.filter(col("lname") === n && col("lvalue") === v)
-          .select("sid")
-      val faces = Seq(("m1", "click", "1"), ("m2", "error", "0"),
-        ("m3", "view", "1")).map { case (id, nm, par) =>
-        val sids = lookup("__name__", nm).join(lookup("parity", par), "sid")
-        val idx = series.join(sids, "sid")
-          .agg(count(lit(1)).as("n_series_idx"),
-            sum(col("n_samp")).as("n_samples_idx"),
-            round(sum(col("sum_v")).cast("double"), 4).as("sum_idx"))
-          .withColumn("matcher", lit(id))
-        val direct = ev.filter(col("event_type") === nm &&
-            pmod(col("user_id"), lit(2L)) === par.toLong)
-          .agg(count(lit(1)).as("n_samples_direct"),
-            round(sum(round(col("value"), 6).cast("decimal(18,6)"))
-              .cast("double"), 4).as("sum_direct"))
-          .withColumn("matcher", lit(id))
-        idx.join(direct, "matcher")
-      }.reduce(_ unionByName _)
+      // The whole matcher BATTERY evaluates in one pass: a broadcast
+      // 3-row matcher table joins the postings frame once per label
+      // position (not once per matcher), so adding matchers costs rows
+      // in a broadcast, never another postings scan — the batch shape a
+      // real query frontend uses against one index.
+      val m = s.createDataFrame(Seq(("m1", "click", "1"),
+        ("m2", "error", "0"), ("m3", "view", "1")))
+        .toDF("matcher", "mname", "mpar")
+      val p1 = postings.filter(col("lname") === "__name__")
+        .join(broadcast(m), col("lvalue") === col("mname"))
+        .select(col("matcher"), col("sid"))
+      val p2 = postings.filter(col("lname") === "parity")
+        .join(broadcast(m), col("lvalue") === col("mpar"))
+        .select(col("matcher"), col("sid"))
+      val idx = p1.join(p2, Seq("matcher", "sid")) // postings intersection
+        .join(series, "sid")
+        .groupBy(col("matcher"))
+        .agg(count(lit(1)).as("n_series_idx"),
+          sum(col("n_samp")).as("n_samples_idx"),
+          round(sum(col("sum_v")).cast("double"), 4).as("sum_idx"))
+      val direct = ev
+        .join(broadcast(m), col("event_type") === col("mname") &&
+          pmod(col("user_id"), lit(2L)).cast("string") === col("mpar"))
+        .groupBy(col("matcher"))
+        .agg(count(lit(1)).as("n_samples_direct"),
+          round(sum(round(col("value"), 6).cast("decimal(18,6)"))
+            .cast("double"), 4).as("sum_direct"))
       val stats = postings.agg(
         countDistinct(struct(col("lname"), col("lvalue")))
           .as("n_postings_lists"),
         count(lit(1)).as("n_postings"))
-      faces.crossJoin(broadcast(stats))
+      idx.join(direct, "matcher").crossJoin(broadcast(stats))
         .select(col("matcher"), col("n_series_idx"), col("n_samples_idx"),
           col("sum_idx"), col("n_samples_direct"), col("sum_direct"),
           col("n_postings_lists"), col("n_postings"))

@@ -115,4 +115,66 @@ class PromQlSpec extends AnyFunSuite {
       .orderBy("q").collect().map(_.getDouble(2))
     assert(qs.sliding(2).forall(p => p(0) <= p(1)), qs.mkString(","))
   }
+
+  // ---- PromQl.extrapolated: the upstream extrapolatedRate chain ----
+
+  private def extraFixture(samples: Seq[(Long, Double)]) = {
+    // epoch-second timestamps inside a [t=0, t=60] window
+    samples.zipWithIndex.map { case ((sec, v), i) =>
+      (i.toLong, new java.sql.Timestamp(sec * 1000L), v)
+    }.toDF("event_id", "ts", "value").withColumn("k", lit("a"))
+  }
+
+  test("extrapolated matches the canonical Prometheus example exactly") {
+    // 6 samples every 10 s (t=5..55, values 1..6) in a 60 s window:
+    // sampled=50, avg=10, threshold=11, both edges 5 s away (< thr) so
+    // they extrapolate fully; zero clamp: dz = 50·(1/5) = 10 > 5 — no
+    // clamp. factor = (50+5+5)/50 = 1.2 → increase = 5·1.2 = 6 (one
+    // increment per 10 s over the full window), rate = 0.1.
+    val df = extraFixture(Seq((5L, 1.0), (15L, 2.0), (25L, 3.0),
+      (35L, 4.0), (45L, 5.0), (55L, 6.0)))
+    val inc = PromQl.extrapolated(df, Seq("k"), "ts", "event_id", "value",
+      0L, 60L * 1000000L, isCounter = true, isRate = false)
+      .select("value").collect().head.getDouble(0)
+    assert(inc == 6.0, s"increase $inc")
+    val rate = PromQl.extrapolated(df, Seq("k"), "ts", "event_id", "value",
+      0L, 60L * 1000000L, isCounter = true, isRate = true)
+      .select("value").collect().head.getDouble(0)
+    assert(rate == 0.1, s"rate $rate")
+  }
+
+  test("extrapolated far edges fall back to half a sample spacing") {
+    // samples at t=40,50 in a [0,60] window: sampled=10, avg=10,
+    // thr=11; ds0=40 ≥ thr → ds=5 (half spacing); de0=10 < thr → de=10;
+    // counter zero clamp: res=1, first=1 → dz=10·(1/1)=10 > 5, no clamp.
+    // increase = 1 · (10+5+10)/10 = 2.5
+    val df = extraFixture(Seq((40L, 1.0), (50L, 2.0)))
+    val inc = PromQl.extrapolated(df, Seq("k"), "ts", "event_id", "value",
+      0L, 60L * 1000000L, isCounter = true, isRate = false)
+      .select("value").collect().head.getDouble(0)
+    assert(inc == 2.5, s"increase $inc")
+  }
+
+  test("extrapolated counter clamps the start side at the zero crossing") {
+    // samples (10,1),(50,100): sampled=40, avg=40, thr=44; ds0=10 < thr
+    // → ds1=10; dz = 40·(1/99) ≈ 0.404 < 10 → CLAMPED; de0=10 < thr →
+    // de=10. increase = 99·(40 + 40/99 + 10)/40; the gauge face (no
+    // clamp) uses ds=10 → delta = 99·(40+10+10)/40 = 148.5
+    val df = extraFixture(Seq((10L, 1.0), (50L, 100.0)))
+    val inc = PromQl.extrapolated(df, Seq("k"), "ts", "event_id", "value",
+      0L, 60L * 1000000L, isCounter = true, isRate = false)
+      .select("value").collect().head.getDouble(0)
+    val expected = 99.0 * ((40.0 + 40.0 * (1.0 / 99.0) + 10.0) / 40.0)
+    assert(inc == expected, s"increase $inc vs $expected")
+    val delta = PromQl.extrapolated(df, Seq("k"), "ts", "event_id", "value",
+      0L, 60L * 1000000L, isCounter = false, isRate = false)
+      .select("value").collect().head.getDouble(0)
+    assert(delta == 148.5, s"delta $delta")
+  }
+
+  test("extrapolated yields no row for single-sample series") {
+    val df = extraFixture(Seq((30L, 5.0)))
+    assert(PromQl.extrapolated(df, Seq("k"), "ts", "event_id", "value",
+      0L, 60L * 1000000L, isCounter = true, isRate = true).count() == 0)
+  }
 }

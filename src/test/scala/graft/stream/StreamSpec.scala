@@ -92,6 +92,41 @@ class StreamSpec extends AnyFunSuite {
     assert(rows.map(_.getInt(1)).sum == 0)
   }
 
+  test("streaming OOO head: in-order / within-window / too-old classes") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
+    val q = StreamOps.streamOooIngest(ms.toDS(), 3600L).toDF()
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("t_ooo").start()
+    // pick ids whose md5 lateness bucket is 0-6 (no synthetic delay) so
+    // the test controls disorder through the timestamps alone
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(("ooo|" + id).getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 6), 16) % 10
+    }
+    val ids = (1L to 200L).filter(bucket(_) <= 6).iterator
+    def tsOf(hhmm: String) =
+      java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    def ev(hhmm: String, v: Double) = Ev(ids.next(), tsOf(hhmm), 1L, "cpu", v)
+    val last = tsOf("10:40")
+    try {
+      ms.addData(ev("10:00", 1.0), ev("10:30", 2.0)); q.processAllAvailable()
+      ms.addData(ev("10:10", 3.0)) // 20 min behind head max → OOO window
+      ms.addData(ev("08:00", 4.0)) // 2.5 h behind → too old
+      ms.addData(ev("10:40", 5.0)); q.processAllAvailable()
+      ms.addData(StreamOps.flushSentinel(last).copy(event_type = "cpu"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val r = spark.table("t_ooo").collect().head
+    assert(r.getAs[Long]("n_in_order") == 3, r)
+    assert(r.getAs[Long]("n_ooo") == 1, r)
+    assert(r.getAs[Long]("n_too_old") == 1, r)
+    assert(r.getAs[Double]("sum_merged") == 11.0, r) // 1+2+3+5
+    val wantUs = (last.getTime / 1000) * 1000000L + last.getNanos / 1000
+    assert(r.getAs[Long]("max_accepted_us") == wantUs, r)
+  }
+
   test("streaming alert rule: pending→firing, inactive hour breaks the run") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
