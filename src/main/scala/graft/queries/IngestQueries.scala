@@ -279,6 +279,43 @@ object IngestQueries {
         .join(zeros.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_zero_injected")), "event_type")
         .orderBy(col("event_type"))
+    }),
+
+    // ACTIVE-SERIES TRACKING + churn (the Mimir active-series tracker /
+    // `prometheus_tsdb_head_series` accounting, daily grain): at each
+    // daily mark, a series is ACTIVE when it produced a sample in the
+    // trailing 24 h, NEW when its first-ever sample falls in that day,
+    // CHURNED when its last-ever sample fell in the PREVIOUS day (it
+    // went silent). A 24 h window at daily marks means each sample
+    // activates exactly one mark, so the whole grid is keyed daily
+    // countDistincts — no mark × sample range join, the shape that
+    // keeps a billion-series tracker one agg wide. Cumulative
+    // registrations ride a per-tenant running sum over the day grid.
+    "q224_active_series" -> ((s, d) => {
+      val lo = "2024-01-05"; val hi = "2024-01-25"
+      val ev = events(s, d)
+        .withColumn("tenant", concat(lit("t"), pmod(col("user_id"), lit(3L))))
+      val active = ev
+        .withColumn("day", to_date(col("ts")))
+        .groupBy(col("tenant"), col("day"))
+        .agg(countDistinct(col("event_type"), col("user_id")).as("n_active"))
+      val span = ev.groupBy(col("tenant"), col("event_type"), col("user_id"))
+        .agg(min(to_date(col("ts"))).as("first_day"),
+          max(to_date(col("ts"))).as("last_day"))
+      val born = span.groupBy(col("tenant"), col("first_day").as("day"))
+        .agg(count(lit(1)).as("n_new"))
+      val churn = span
+        .groupBy(col("tenant"), date_add(col("last_day"), 1).as("day"))
+        .agg(count(lit(1)).as("n_churned"))
+      val w = Window.partitionBy(col("tenant")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      active.join(born, Seq("tenant", "day"), "left")
+        .join(churn, Seq("tenant", "day"), "left")
+        .na.fill(0L, Seq("n_new", "n_churned"))
+        .withColumn("n_registered", sum(col("n_new")).over(w))
+        .filter(col("day") >= lit(lo).cast("date") &&
+          col("day") < lit(hi).cast("date"))
+        .orderBy(col("tenant"), col("day"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -492,5 +529,43 @@ object IngestQueries {
         |  nz.n_zero_injected
         |FROM naive n JOIN ct c2 USING (event_type)
         |JOIN nz USING (event_type)
-        |ORDER BY n.event_type""".stripMargin)
+        |ORDER BY n.event_type""".stripMargin,
+
+    // Same daily-mark identities; the running registration sum computes
+    // BEFORE the [lo, hi) grid filter (subquery), as in the engine.
+    "q224_active_series" ->
+      """WITH ev AS (
+        |  SELECT 't' || (user_id % 3) AS tenant, event_type, user_id,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events
+        |), active AS (
+        |  SELECT tenant, day,
+        |    count(DISTINCT (event_type, user_id)) AS n_active
+        |  FROM ev GROUP BY 1, 2
+        |), span AS (
+        |  SELECT tenant, event_type, user_id,
+        |    min(day) AS first_day, max(day) AS last_day
+        |  FROM ev GROUP BY 1, 2, 3
+        |), born AS (
+        |  SELECT tenant, first_day AS day, count(*) AS n_new
+        |  FROM span GROUP BY 1, 2
+        |), churn AS (
+        |  SELECT tenant, last_day + 1 AS day, count(*) AS n_churned
+        |  FROM span GROUP BY 1, 2
+        |), j AS (
+        |  SELECT a.tenant, a.day, a.n_active,
+        |    coalesce(b.n_new, 0) AS n_new,
+        |    coalesce(c.n_churned, 0) AS n_churned
+        |  FROM active a LEFT JOIN born b USING (tenant, day)
+        |  LEFT JOIN churn c USING (tenant, day)
+        |), r AS (
+        |  SELECT *, CAST(sum(n_new) OVER (PARTITION BY tenant ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_registered
+        |  FROM j
+        |)
+        |SELECT tenant, day, n_active, CAST(n_new AS BIGINT) AS n_new,
+        |  CAST(n_churned AS BIGINT) AS n_churned, n_registered
+        |FROM r
+        |WHERE day >= DATE '2024-01-05' AND day < DATE '2024-01-25'
+        |ORDER BY tenant, day""".stripMargin)
 }

@@ -326,6 +326,21 @@ object StreamingQueries {
         .orderBy(col("event_type"))
     }),
 
+    // STREAMING per-tenant series limiter — q217's cap enforced ONLINE:
+    // the state is the Mimir ingester's own memory shape (the series
+    // admission map + counters), and since replay order is arrival
+    // order, the admitted set equals the batch twin's first-seen rank
+    // exactly — the q217 oracle verifies this sink digit for digit.
+    "s225_stream_tenant_limits" -> ((s, d) => {
+      val t = StreamOps.replayEvents(s, d, "s225_sink", 3, flushPerUser = true)(
+        ds => StreamOps.streamTenantLimits(ds, 150L).toDF(), OutputMode.Append)
+      t.select(col("tenant"), col("event_type"), col("n_series"),
+          col("n_series_accepted"), col("n_samples"),
+          col("n_samples_accepted"), col("n_samples_discarded"),
+          col("sum_accepted"))
+        .orderBy(col("tenant"), col("event_type"))
+    }),
+
     // STREAMING Gorilla/XOR chunk encoding — q201's codec run ONLINE
     // with the Prometheus head appender's per-series O(1) registers;
     // chunks cut at 120 samples emit their closed bit costs, the open
@@ -526,6 +541,32 @@ object StreamingQueries {
 
     // q203's run-compressed election walk, minus the batch-only n_runs
     // column — the streaming sink must land exactly on it.
+    // q217's oracle verbatim: the streaming limiter must reproduce the
+    // batch admission rank exactly (arrival order = first-seen order).
+    "s225_stream_tenant_limits" ->
+      """WITH series AS (
+        |  SELECT 't' || (user_id % 3) AS tenant, event_type, user_id,
+        |    min(event_id) AS first_seen, count(*) AS n_samp,
+        |    sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS sum_v
+        |  FROM events GROUP BY 1, 2, 3
+        |), admitted AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY tenant ORDER BY first_seen) <= 150 AS accepted
+        |  FROM series
+        |)
+        |SELECT tenant, event_type,
+        |  count(*) AS n_series,
+        |  CAST(sum(CASE WHEN accepted THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_series_accepted,
+        |  CAST(sum(n_samp) AS BIGINT) AS n_samples,
+        |  CAST(sum(CASE WHEN accepted THEN n_samp ELSE 0 END) AS BIGINT)
+        |    AS n_samples_accepted,
+        |  CAST(sum(CASE WHEN NOT accepted THEN n_samp ELSE 0 END) AS BIGINT)
+        |    AS n_samples_discarded,
+        |  round(CAST(sum(CASE WHEN accepted THEN sum_v
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE), 4) AS sum_accepted
+        |FROM admitted GROUP BY 1, 2 ORDER BY tenant, event_type""".stripMargin,
+
     // q216's oracle minus the read-time n_unique_ts column (ingest never
     // dedups timestamps); same fixture, same running-max classification.
     "s221_stream_ooo" ->

@@ -80,6 +80,20 @@ case class OooOut(event_type: String, n_in_order: Long, n_ooo: Long,
                   n_too_old: Long, sum_merged: Double,
                   max_accepted_us: Long)
 
+/** Streaming tenant-limiter state (the Mimir ingester's own memory
+  * shape): the per-series admission map (exactly what the ingester's
+  * series map holds), the admitted count against the cap, per-type
+  * counter rows [nSamp, nAcc, nDisc, sumUnits], and an emitted flag so
+  * only the first flush sentinel produces output. State is
+  * series-cardinality — the ingester's true footprint, bounded by the
+  * cap it enforces. */
+case class TlState(seen: Map[String, Boolean], nAdm: Long,
+                   ctrs: Map[String, Seq[Long]], emitted: Boolean)
+case class TlOut(tenant: String, event_type: String, n_series: Long,
+                 n_series_accepted: Long, n_samples: Long,
+                 n_samples_accepted: Long, n_samples_discarded: Long,
+                 sum_accepted: Double)
+
 /** Streaming-CUSUM state: the open hour, its count so far, and the CUSUM
   * in 1e-6 fixed-point units (exact decimal recursion). */
 case class CusumState(curStep: Long, curCount: Long, sUnits: Long)
@@ -630,6 +644,65 @@ object StreamOps {
                     sumUnits = st.sumUnits + vUnits(e.value),
                     maxAccUs = math.max(st.maxAccUs, tUs))
                 else st = st.copy(nOld = st.nOld + 1)
+              }
+            }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming twin of q217's per-tenant series limiter
+    * (`max_global_series_per_user`): keyed by tenant, a sample's series
+    * is admitted iff already known or the cap has room — first-seen
+    * order IS arrival order (event_id, the replay's order), so the
+    * admitted set equals the batch twin's min(event_id) rank ≤ cap
+    * exactly. Values accumulate in 1e-6 fixed-point; one output row per
+    * (tenant, event_type) on the tenant's FIRST flush sentinel
+    * (flushPerUser reaches every tenant key; later sentinels no-op). */
+  def streamTenantLimits(ds: Dataset[Ev], cap: Long): Dataset[TlOut] = {
+    import ds.sparkSession.implicits._
+    def vUnits(v: Double): Long =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(1000000)).toLongExact
+    ds.groupByKey(e => "t" + java.lang.Math.floorMod(e.user_id, 3L))
+      .flatMapGroupsWithState[TlState, TlOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (tenant, events, state: GroupState[TlState]) =>
+          var st = if (state.exists) state.get
+            else TlState(Map.empty, 0L, Map.empty, emitted = false)
+          val out = Vector.newBuilder[TlOut]
+          events.toSeq
+            .sortBy(e => (e.event_type == "__flush__", e.event_id))
+            .foreach { e =>
+              if (e.event_type == "__flush__") {
+                if (!st.emitted) {
+                  st.ctrs.toSeq.sortBy(_._1).foreach { case (et, c) =>
+                    val nSeries = st.seen.keysIterator
+                      .count(_.startsWith(et + "|"))
+                    val nSeriesAcc = st.seen.iterator
+                      .count(kv => kv._1.startsWith(et + "|") && kv._2)
+                    out += TlOut(tenant, et, nSeries, nSeriesAcc,
+                      c(0), c(1), c(2),
+                      java.math.BigDecimal.valueOf(c(3).toDouble / 1e6)
+                        .setScale(4, java.math.RoundingMode.HALF_UP)
+                        .doubleValue())
+                  }
+                  st = st.copy(emitted = true)
+                }
+              } else {
+                val skey = e.event_type + "|" + e.user_id
+                val admitted = st.seen.getOrElse(skey, {
+                  val adm = st.nAdm < cap
+                  st = st.copy(seen = st.seen + (skey -> adm),
+                    nAdm = st.nAdm + (if (adm) 1L else 0L))
+                  adm
+                })
+                val c = st.ctrs.getOrElse(e.event_type, Seq(0L, 0L, 0L, 0L))
+                val nc =
+                  if (admitted) Seq(c(0) + 1, c(1) + 1, c(2),
+                    c(3) + vUnits(e.value))
+                  else Seq(c(0) + 1, c(1), c(2) + 1, c(3))
+                st = st.copy(ctrs = st.ctrs + (e.event_type -> nc))
               }
             }
           state.update(st)
