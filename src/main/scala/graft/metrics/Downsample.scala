@@ -39,6 +39,32 @@ object Downsample {
         max_by(v, struct(col(tsCol), col(orderCol))).as("c_counter"))
   }
 
+  /** The compactor CHAIN: coarser aggr chunks built FROM finer ones
+    * (1h from 5m — Thanos' second downsampling level never re-reads
+    * raw). For aligned grains this is EXACT-equal to building from raw:
+    * counts/min/max compose, the decimal re-fold sums 6-dp-exact chunk
+    * sums, and the counter picks the last finer chunk's counter (same
+    * (ts) total order). q226 hash-proves the identity per chunk. */
+  def downsampleChunks(chunks: DataFrame, seriesKey: Seq[String],
+                       grain: String): DataFrame =
+    chunks.withColumnRenamed("chunk_ts", "src_ts")
+      .groupBy(seriesKey.map(col) :+
+        window(col("src_ts"), grain).getField("start").as("chunk_ts"): _*)
+      .agg(sum(col("c_count")).as("c_count"),
+        sum(col("c_sum").cast("decimal(18,6)")).cast("double").as("c_sum"),
+        min(col("c_min")).as("c_min"),
+        max(col("c_max")).as("c_max"),
+        max_by(col("c_counter"), col("src_ts")).as("c_counter"))
+
+  /** Thanos' auto-downsampling pick: `maxSourceResolution = range / 5`;
+    * serve the coarsest available level whose resolution still fits.
+    * With the standard raw/5m/1h ladder: sub-25m ranges read raw, sub-5h
+    * ranges read 5m, everything longer reads 1h. */
+  def selectLevel(rangeSec: Long): String = {
+    val maxRes = rangeSec / 5
+    if (maxRes >= 3600L) "1h" else if (maxRes >= 300L) "5m" else "raw"
+  }
+
   /** Re-aggregate chunks to a coarser aligned grain (e.g. hourly):
     * Σcount, Σsum, min(min), max(max), last counter by chunk_ts — the
     * query-time form Thanos' downsampled queriers run. */

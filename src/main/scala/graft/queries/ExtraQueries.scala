@@ -1303,6 +1303,72 @@ object ExtraQueries {
         .orderBy(col("event_type"))
     }),
 
+    // THE THANOS RETENTION LADDER, end to end: raw → 5m aggr chunks →
+    // 1h aggr chunks where the second level is built FROM THE FIRST
+    // (Downsample.downsampleChunks — the compactor chain; Thanos never
+    // re-reads raw for 1h), hash-proved chunk-for-chunk against a
+    // direct 1h build from raw. Plus the auto-downsampling pick
+    // (maxSourceResolution = range/5): a 20 m range reads raw, 1 h
+    // reads the 5m level, 12 h reads the 1h level — each selected
+    // level's trailing-window sum equals the raw fold exactly (aligned
+    // windows, decimal re-folds). The 100 TB story: the chain builds
+    // each level from 12× fewer rows than raw, and the selection rule
+    // is what keeps dashboard zoom-outs from ever touching raw.
+    "q226_downsample_chain" -> ((s, d) => {
+      import graft.metrics.Downsample
+      val T = "2024-01-20 00:00:00"
+      val samples = events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          round(col("value"), 6).as("v"))
+      val l5 = Downsample.aggrChunks(samples, Seq("event_type"),
+        "ts", "event_id", "v", "5 minutes")
+      val l1Chain = Downsample.downsampleChunks(l5, Seq("event_type"), "1 hour")
+      val l1Direct = Downsample.aggrChunks(samples, Seq("event_type"),
+        "ts", "event_id", "v", "1 hour")
+      val dirR = l1Direct.select(col("event_type"), col("chunk_ts"),
+        col("c_count").as("d_count"), col("c_sum").as("d_sum"),
+        col("c_min").as("d_min"), col("c_max").as("d_max"),
+        col("c_counter").as("d_counter"))
+      val cmp = l1Chain.join(dirR, Seq("event_type", "chunk_ts"), "full_outer")
+        .withColumn("mismatch",
+          col("c_count").isNull || col("d_count").isNull ||
+            col("c_count") =!= col("d_count") ||
+            col("c_sum") =!= col("d_sum") ||
+            col("c_min") =!= col("d_min") ||
+            col("c_max") =!= col("d_max") ||
+            col("c_counter") =!= col("d_counter"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_chunks_1h"),
+          sum(when(col("mismatch"), 1).otherwise(0)).as("n_chain_mismatch"))
+      val tCol = lit(T).cast("timestamp")
+      def rawSum(rangeSec: Long, name: String) = samples
+        .filter(col("ts") >= tCol - expr(s"INTERVAL $rangeSec SECONDS") &&
+          col("ts") < tCol)
+        .groupBy(col("event_type"))
+        .agg(round(sum(col("v").cast("decimal(18,6)")).cast("double"), 4)
+          .as(name))
+      def chunkSum(chunks: DataFrame, rangeSec: Long, name: String) = chunks
+        .filter(col("chunk_ts") >= tCol - expr(s"INTERVAL $rangeSec SECONDS") &&
+          col("chunk_ts") < tCol)
+        .groupBy(col("event_type"))
+        .agg(round(sum(col("c_sum").cast("decimal(18,6)")).cast("double"), 4)
+          .as(name))
+      // the selection rule picks the face each range actually reads
+      require(Downsample.selectLevel(1200) == "raw" &&
+        Downsample.selectLevel(3600) == "5m" &&
+        Downsample.selectLevel(43200) == "1h")
+      cmp // left joins: a type with an empty trailing window reads 0.0
+        .join(rawSum(1200, "sum_20m_sel"), Seq("event_type"), "left")
+        .join(rawSum(1200, "sum_20m_raw"), Seq("event_type"), "left")
+        .join(chunkSum(l5, 3600, "sum_1h_sel"), Seq("event_type"), "left")
+        .join(rawSum(3600, "sum_1h_raw"), Seq("event_type"), "left")
+        .join(chunkSum(l1Chain, 43200, "sum_12h_sel"), Seq("event_type"), "left")
+        .join(rawSum(43200, "sum_12h_raw"), Seq("event_type"), "left")
+        .na.fill(0.0, Seq("sum_20m_sel", "sum_20m_raw", "sum_1h_sel",
+          "sum_1h_raw", "sum_12h_sel", "sum_12h_raw"))
+        .orderBy(col("event_type"))
+    }),
+
     // Product quantization (PQ4x16: 64-dim float32 → 4 codes = 64×
     // compression at rest): one deterministic Lloyd step from first-k
     // init, decimal-routed centroid means, map-side code assignment.
@@ -2075,6 +2141,86 @@ object ExtraQueries {
 
     // Direct face twice (pruning cannot change the answer) + chunk skip
     // stats from 5m floor-bucketing.
+    // Same ladder: 5m from raw, 1h from 5m (the chain), 1h from raw
+    // (the check), epoch-floor windows, decimal re-folds throughout.
+    "q226_downsample_chain" ->
+      """WITH s AS (
+        |  SELECT event_type, ts, event_id, round(value, 6) AS v FROM events
+        |), l5 AS (
+        |  SELECT event_type,
+        |    to_timestamp((epoch_us(ts) // 300000000) * 300) AS chunk_ts,
+        |    count(*) AS c_count,
+        |    CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS c_sum,
+        |    min(v) AS c_min, max(v) AS c_max,
+        |    (max(struct_pack(ts := ts, e := event_id, v := v))).v AS c_counter
+        |  FROM s GROUP BY 1, 2
+        |), l1c AS (
+        |  SELECT event_type,
+        |    to_timestamp((epoch_us(chunk_ts) // 3600000000) * 3600)
+        |      AS chunk_ts,
+        |    CAST(sum(c_count) AS BIGINT) AS c_count,
+        |    CAST(sum(CAST(c_sum AS DECIMAL(18,6))) AS DOUBLE) AS c_sum,
+        |    min(c_min) AS c_min, max(c_max) AS c_max,
+        |    (max(struct_pack(ts := chunk_ts, v := c_counter))).v AS c_counter
+        |  FROM l5 GROUP BY 1, 2
+        |), l1d AS (
+        |  SELECT event_type,
+        |    to_timestamp((epoch_us(ts) // 3600000000) * 3600) AS chunk_ts,
+        |    count(*) AS d_count,
+        |    CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS d_sum,
+        |    min(v) AS d_min, max(v) AS d_max,
+        |    (max(struct_pack(ts := ts, e := event_id, v := v))).v AS d_counter
+        |  FROM s GROUP BY 1, 2
+        |), cmp AS (
+        |  SELECT coalesce(a.event_type, b.event_type) AS event_type,
+        |    count(*) AS n_chunks_1h,
+        |    CAST(sum(CASE WHEN a.c_count IS NULL OR b.d_count IS NULL
+        |      OR a.c_count <> b.d_count OR a.c_sum <> b.d_sum
+        |      OR a.c_min <> b.d_min OR a.c_max <> b.d_max
+        |      OR a.c_counter <> b.d_counter THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_chain_mismatch
+        |  FROM l1c a FULL OUTER JOIN l1d b
+        |    ON a.event_type = b.event_type AND a.chunk_ts = b.chunk_ts
+        |  GROUP BY 1
+        |), raw20 AS (
+        |  SELECT event_type, round(CAST(sum(CAST(v AS DECIMAL(18,6)))
+        |    AS DOUBLE), 4) AS r
+        |  FROM s WHERE ts >= TIMESTAMP '2024-01-20' - INTERVAL 1200 SECONDS
+        |    AND ts < TIMESTAMP '2024-01-20' GROUP BY 1
+        |), raw1h AS (
+        |  SELECT event_type, round(CAST(sum(CAST(v AS DECIMAL(18,6)))
+        |    AS DOUBLE), 4) AS r
+        |  FROM s WHERE ts >= TIMESTAMP '2024-01-20' - INTERVAL 3600 SECONDS
+        |    AND ts < TIMESTAMP '2024-01-20' GROUP BY 1
+        |), raw12h AS (
+        |  SELECT event_type, round(CAST(sum(CAST(v AS DECIMAL(18,6)))
+        |    AS DOUBLE), 4) AS r
+        |  FROM s WHERE ts >= TIMESTAMP '2024-01-20' - INTERVAL 43200 SECONDS
+        |    AND ts < TIMESTAMP '2024-01-20' GROUP BY 1
+        |), c5 AS (
+        |  SELECT event_type, round(CAST(sum(CAST(c_sum AS DECIMAL(18,6)))
+        |    AS DOUBLE), 4) AS r
+        |  FROM l5 WHERE chunk_ts >= TIMESTAMP '2024-01-20' - INTERVAL 3600 SECONDS
+        |    AND chunk_ts < TIMESTAMP '2024-01-20' GROUP BY 1
+        |), c1 AS (
+        |  SELECT event_type, round(CAST(sum(CAST(c_sum AS DECIMAL(18,6)))
+        |    AS DOUBLE), 4) AS r
+        |  FROM l1c WHERE chunk_ts >= TIMESTAMP '2024-01-20' - INTERVAL 43200 SECONDS
+        |    AND chunk_ts < TIMESTAMP '2024-01-20' GROUP BY 1
+        |)
+        |SELECT cmp.event_type, cmp.n_chunks_1h, cmp.n_chain_mismatch,
+        |  coalesce(raw20.r, 0.0) AS sum_20m_sel,
+        |  coalesce(raw20.r, 0.0) AS sum_20m_raw,
+        |  coalesce(c5.r, 0.0) AS sum_1h_sel,
+        |  coalesce(raw1h.r, 0.0) AS sum_1h_raw,
+        |  coalesce(c1.r, 0.0) AS sum_12h_sel,
+        |  coalesce(raw12h.r, 0.0) AS sum_12h_raw
+        |FROM cmp LEFT JOIN raw20 USING (event_type)
+        |LEFT JOIN raw1h USING (event_type)
+        |LEFT JOIN raw12h USING (event_type)
+        |LEFT JOIN c5 USING (event_type) LEFT JOIN c1 USING (event_type)
+        |ORDER BY cmp.event_type""".stripMargin,
+
     "q215_zone_map_pruning" ->
       """WITH s AS (
         |  SELECT event_type, ts, round(value, 6) AS v,
