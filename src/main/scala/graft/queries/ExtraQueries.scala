@@ -1369,6 +1369,48 @@ object ExtraQueries {
         .orderBy(col("event_type"))
     }),
 
+    // EMBEDDING OUTLIER PRUNING (prototypicality — the SemDeDup
+    // complement the DataComp/SSL-prototypes pipelines run: SemDeDup
+    // drops points too CLOSE to a cluster's center-mass, this drops
+    // points too FAR): per label cluster, the centroid is the
+    // decimal-routed per-dimension mean, each vector's distance to it a
+    // single deterministic chain (9-dp-pinned squared diffs → decimal
+    // sum → one sqrt), and the prune gate is dist > 1.03 × mean dist (tight because
+    // unit-norm random embeddings concentrate distances hard — the gate
+    // must actually fire to be load-bearing).
+    // Scale shape: one posexplode + two keyed aggs + a broadcast-sized
+    // (label × 64-dim) centroid join — no pairwise anything; the
+    // centroid table at a billion vectors is still |labels|·dims rows.
+    "q227_embedding_outliers" -> ((s, d) => {
+      val comps = embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("label"), col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "xf")))
+        .withColumn("x", col("xf").cast("double"))
+        .withColumn("xr", round(col("x"), 6).cast("decimal(18,6)"))
+      val cent = comps.groupBy(col("label"), col("dim"))
+        .agg((sum(col("xr")).cast("double") / count(lit(1))).as("c"))
+      val dist = comps.join(broadcast(cent), Seq("label", "dim"))
+        .withColumn("d2",
+          round((col("x") - col("c")) * (col("x") - col("c")), 9)
+            .cast("decimal(28,9)"))
+        .groupBy(col("label"), col("vec_id"))
+        .agg(sqrt(sum(col("d2")).cast("double")).as("dist"))
+      val stats = dist.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          (sum(round(col("dist"), 6).cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("avg_raw"),
+          max(col("dist")).as("max_raw"))
+      dist.join(broadcast(stats), "label")
+        .groupBy(col("label"))
+        .agg(max(col("n_vecs")).as("n_vecs"),
+          round(max(col("avg_raw")), 6).as("avg_dist"),
+          round(max(col("max_raw")), 6).as("max_dist"),
+          sum(when(col("dist") > lit(1.03) * col("avg_raw"), 1).otherwise(0))
+            .as("n_outliers"))
+        .orderBy(col("label"))
+    }),
+
     // Product quantization (PQ4x16: 64-dim float32 → 4 codes = 64×
     // compression at rest): one deterministic Lloyd step from first-k
     // init, decimal-routed centroid means, map-side code assignment.
@@ -2141,6 +2183,40 @@ object ExtraQueries {
 
     // Direct face twice (pruning cannot change the answer) + chunk skip
     // stats from 5m floor-bucketing.
+    // Same decimal-routed centroid, same 9-dp-pinned distance chain;
+    // aligned unnest + generate_subscripts reproduces posexplode.
+    "q227_embedding_outliers" ->
+      """WITH comps AS (
+        |  SELECT label, vec_id,
+        |    generate_subscripts(embedding, 1) - 1 AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), compsr AS (
+        |  SELECT *, CAST(round(x, 6) AS DECIMAL(18,6)) AS xr FROM comps
+        |), cent AS (
+        |  SELECT label, dim,
+        |    CAST(sum(xr) AS DOUBLE) / count(*) AS c
+        |  FROM compsr GROUP BY 1, 2
+        |), dist AS (
+        |  SELECT label, vec_id,
+        |    sqrt(CAST(sum(CAST(round((x - c) * (x - c), 9)
+        |      AS DECIMAL(28,9))) AS DOUBLE)) AS dist
+        |  FROM compsr JOIN cent USING (label, dim)
+        |  GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT label, count(*) AS n_vecs,
+        |    CAST(sum(CAST(round(dist, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(*) AS avg_raw,
+        |    max(dist) AS max_raw
+        |  FROM dist GROUP BY 1
+        |)
+        |SELECT d.label, s.n_vecs, round(s.avg_raw, 6) AS avg_dist,
+        |  round(s.max_raw, 6) AS max_dist,
+        |  CAST(sum(CASE WHEN d.dist > 1.03 * s.avg_raw THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dist d JOIN stats s USING (label)
+        |GROUP BY 1, 2, 3, 4 ORDER BY d.label""".stripMargin,
+
     // Same ladder: 5m from raw, 1h from 5m (the chain), 1h from raw
     // (the check), epoch-floor windows, decimal re-folds throughout.
     "q226_downsample_chain" ->
