@@ -713,11 +713,15 @@ object CurationQueries {
         .repartition(s.sparkContext.defaultParallelism)
         .withColumn("arr", split(col("text"), " "))
         .withColumn("len", size(col("arr"))).filter(col("len") > 0)
+      // lines are CUT inside one projection (transform over the chunk
+      // indices) so the explode emits only the line strings — exploding
+      // the chunk index first would copy the full token array into
+      // every chunk row, a ~70× row-size blowup at this cut length
       val lines = docs
-        .select(col("lang"), col("doc_id"), col("arr"),
-          explode(expr("sequence(0L, (len - 1) div 8)")).as("c"))
-        .withColumn("line",
-          array_join(slice(col("arr"), (col("c") * 8 + 1).cast("int"), lit(8)), " "))
+        .select(col("lang"), col("doc_id"), posexplode(expr(
+          "transform(sequence(0L, (len - 1) div 8), " +
+            "c -> array_join(slice(arr, cast(c * 8 + 1 as int), 8), ' '))"))
+          .as(Seq("c", "line")))
         .select(col("lang"), col("doc_id"), col("c"), md5(col("line")).as("h"),
           length(col("line")).as("line_chars"))
       val firsts = lines.groupBy(col("h"))
@@ -732,10 +736,80 @@ object CurationQueries {
           sum(when(col("kept"), col("line_chars")).otherwise(0)).as("n_chars_kept"),
           round(avg(when(col("kept"), 1.0).otherwise(0.0)), 6).as("keep_ratio"))
         .orderBy(col("lang"))
+    }),
+
+    // CROSS-SOURCE DUPLICATION MATRIX (the RedPajama/SlimPajama-style
+    // provenance report a multi-source corpus merge needs: which feeds
+    // duplicate WHICH): line-grain content hashes (q218's 8-token cut)
+    // reduced to distinct (hash, source) pairs, then a hash-keyed
+    // self-join emits each source pair sharing a hash — the join's
+    // per-group fan-out is bounded by sources-per-hash (≤ |sources|,
+    // never corpus rows), the property that keeps provenance analysis
+    // off the all-pairs cliff. Pair overlap is reported as shared-hash
+    // count + Jaccard over the two sources' distinct-hash sets.
+    "q228_source_overlap" -> ((s, d) => {
+      val lines = documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("arr", split(col("text"), " "))
+        .withColumn("len", size(col("arr"))).filter(col("len") > 0)
+        .select(col("source"), explode(expr(
+          "transform(sequence(0L, (len - 1) div 8), " +
+            "c -> array_join(slice(arr, cast(c * 8 + 1 as int), 8), ' '))"))
+          .as("line"))
+        .select(col("source"), md5(col("line")).as("h"))
+      // hs feeds three consumers (per-source totals + both join sides);
+      // persist the md5 explode once — CacheBag drains it post-action
+      val hs = graft.CacheBag.register(
+        lines.select(col("h"), col("source")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val perSrc = hs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_distinct"))
+      val a = hs.select(col("h"), col("source").as("src_a"))
+      val b = hs.select(col("h"), col("source").as("src_b"))
+      a.join(b, "h").filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(perSrc.select(col("source").as("src_a"),
+          col("n_distinct").as("na")), "src_a")
+        .join(perSrc.select(col("source").as("src_b"),
+          col("n_distinct").as("nb")), "src_b")
+        .withColumn("jacc", round(col("n_shared").cast("double") /
+          (col("na") + col("nb") - col("n_shared")), 6))
+        .select(col("src_a"), col("src_b"), col("n_shared"), col("jacc"))
+        .orderBy(col("src_a"), col("src_b"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // Same line hashes, same distinct (hash, source) reduction and
+    // hash-keyed pair join.
+    "q228_source_overlap" ->
+      """WITH docs AS (
+        |  SELECT source, string_split(text, ' ') AS arr FROM documents
+        |  WHERE len(string_split(text, ' ')) > 0
+        |), lines AS (
+        |  SELECT source,
+        |    md5(array_to_string(arr[(c*8+1):(c*8+8)], ' ')) AS h
+        |  FROM (SELECT source, arr,
+        |          unnest(range(0, ((len(arr) - 1) // 8) + 1)) AS c
+        |        FROM docs)
+        |), hs AS (
+        |  SELECT DISTINCT h, source FROM lines
+        |), per_src AS (
+        |  SELECT source, count(*) AS n_distinct FROM hs GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        |  FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.src_a, p.src_b, p.n_shared,
+        |  round(CAST(p.n_shared AS DOUBLE) /
+        |    (pa.n_distinct + pb.n_distinct - p.n_shared), 6) AS jacc
+        |FROM pairs p
+        |JOIN per_src pa ON pa.source = p.src_a
+        |JOIN per_src pb ON pb.source = p.src_b
+        |ORDER BY p.src_a, p.src_b""".stripMargin,
+
     // Same 8-token cut (range is end-exclusive, hence the +1), same
     // min(struct) first-winner; 0/1 doubles under avg sum exactly in
     // both engines.
