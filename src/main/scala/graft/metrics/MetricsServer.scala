@@ -853,8 +853,8 @@ object MetricsServer {
           try {
             // keys are percent-decoded too: spec-conformant clients send
             // match%5B%5D= for match[]=
-            val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
-              .split("&").filter(_.nonEmpty).map { kv =>
+            def parseForm(s: String): Map[String, String] =
+              s.split("&").filter(_.nonEmpty).map { kv =>
                 val eq = kv.indexOf('=')
                 val k = java.net.URLDecoder
                   .decode(if (eq < 0) kv else kv.substring(0, eq), "UTF-8")
@@ -862,7 +862,18 @@ object MetricsServer {
                   .decode(kv.substring(eq + 1), "UTF-8")
                 k -> v
               }.toMap
-            (200, f(ex.getRequestURI.getPath, params))
+            val urlParams =
+              parseForm(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+            // POST with a form body (upstream api.go reads r.Form, which
+            // merges both; Grafana POSTs long queries this way) — body
+            // params win over URL params, as ParseForm's ordering does
+            val bodyParams =
+              if (ex.getRequestMethod == "POST" &&
+                Option(ex.getRequestHeaders.getFirst("Content-Type"))
+                  .exists(_.startsWith("application/x-www-form-urlencoded")))
+                parseForm(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+              else Map.empty[String, String]
+            (200, f(ex.getRequestURI.getPath, urlParams ++ bodyParams))
           } catch {
             case e: ResultTooLarge =>
               val msg = jsonEscape(String.valueOf(e.getMessage))

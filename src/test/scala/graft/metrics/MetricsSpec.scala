@@ -662,6 +662,21 @@ class MetricsSpec extends AnyFunSuite {
         val (cu, bu) = post(srv.boundPort, "/api/v1/read",
           """{"queries":[{"matchers":[{"type":"XX","name":"a","value":"b"}]}]}""")
         assert(cu == 400 && bu.contains("unknown matcher type"), bu)
+        // POST form-encoded query (upstream api.go r.Form; Grafana POSTs
+        // long queries this way) — body params reach the evaluator
+        val formUrl = new java.net.URI(
+          s"http://127.0.0.1:${srv.boundPort}/api/v1/query").toURL
+        val fc = formUrl.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        fc.setRequestMethod("POST"); fc.setDoOutput(true)
+        fc.setRequestProperty("Content-Type",
+          "application/x-www-form-urlencoded")
+        val form = "query=" + enc("sum(cpu)") + "&time=2024-01-01T10:02:00Z"
+        val fos = fc.getOutputStream
+        try fos.write(form.getBytes("UTF-8")) finally fos.close()
+        assert(fc.getResponseCode == 200)
+        val fb = scala.io.Source.fromInputStream(fc.getInputStream).mkString
+        assert(fb.contains("\"12.0\""), fb)
         // delete_series masks remote reads too (same src discipline)
         val (cd, _) = get(srv.boundPort,
           "/api/v1/admin/tsdb/delete_series?match[]=" + enc("""mem{user_id="3"}"""))
