@@ -101,6 +101,67 @@ object TextQueries {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // NEAR-DUP DECONTAMINATION — the fuzzy half of the decon story
+    // (q180's Bloom pass catches EXACT n-gram overlap; GPT-3/Llama-class
+    // pipelines additionally drop training docs NEAR-duplicating an eval
+    // document). The eval set is constructed as PERTURBED COPIES of
+    // every 37th train doc (last 5 tokens cut — a leaked benchmark
+    // answer with light edits), so the mechanism is load-bearing by
+    // construction: each eval doc MUST re-find its source. MinHash band
+    // collisions (8×1, recall-oriented) generate only train×eval
+    // candidates — never train×train, the asymmetric-join economy of
+    // decontamination vs dedup — and exact Jaccard on candidate shingle
+    // sets verifies at ≥ 0.5. Per-language report keeps every lang
+    // (left join + fill) so "nothing contaminated" is a stated result.
+    "q229_neardup_decontamination" -> ((s, d) => {
+      val base = docsWithTokens(s, d).filter(size(col("toks")) >= 3)
+      val train = base.withColumn("is_eval", lit(false))
+      val eval_ = base.filter(col("doc_id") % 37 === 0 &&
+          size(col("toks")) >= 10)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        .withColumn("toks", slice(col("toks"), lit(1), size(col("toks")) - 5))
+        .withColumn("is_eval", lit(true))
+      val marked = train.select(col("lang"), col("doc_id"), col("toks"),
+          col("is_eval"))
+        .unionByName(eval_.select(col("lang"), col("doc_id"), col("toks"),
+          col("is_eval")))
+      val sig = graft.CacheBag.register(marked
+        .withColumn("bh", TextOps.minhashBase(TextOps.shingles(col("toks"), 3)))
+        .select(col("lang"), col("doc_id"), col("is_eval"),
+          TextOps.minhashSignature(col("bh"), 8).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val banded = sig.select(col("lang"), col("doc_id"), col("is_eval"),
+        explode(TextOps.bandKeys(col("sig"), 8, 1)).as("bk"))
+      val cand = banded.filter(!col("is_eval"))
+        .select(col("lang"), col("bk"), col("doc_id").as("train_id"))
+        .join(banded.filter(col("is_eval"))
+          .select(col("lang"), col("bk"), col("doc_id").as("eval_id")),
+          Seq("lang", "bk"))
+        .select(col("lang"), col("train_id"), col("eval_id")).distinct()
+      val candIds = cand.select(
+        explode(array(col("train_id"), col("eval_id"))).as("doc_id")).distinct()
+      val candSh = marked.join(broadcast(candIds), Seq("doc_id"))
+        .select(col("doc_id"), TextOps.shingles(col("toks"), 3).as("sh"))
+      val verified = cand
+        .join(candSh.select(col("doc_id").as("train_id"), col("sh").as("sh1")),
+          Seq("train_id"))
+        .join(candSh.select(col("doc_id").as("eval_id"), col("sh").as("sh2")),
+          Seq("eval_id"))
+        .withColumn("jacc", TextOps.jaccard(col("sh1"), col("sh2")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_candidate_pairs"),
+          countDistinct(when(col("jacc") >= 0.5, col("train_id")))
+            .as("n_contaminated_train"),
+          round(max(col("jacc")), 6).as("max_jacc"))
+      marked.groupBy(col("lang"))
+        .agg(sum(when(col("is_eval"), 1).otherwise(0)).as("n_eval"),
+          sum(when(!col("is_eval"), 1).otherwise(0)).as("n_train"))
+        .join(verified, Seq("lang"), "left")
+        .na.fill(0L, Seq("n_candidate_pairs", "n_contaminated_train"))
+        .na.fill(0.0, Seq("max_jacc"))
+        .orderBy(col("lang"))
+    }),
+
     // E53 scale path: MinHash (k=8) + LSH banding (4 bands × 2 rows) —
     // candidate pairs only where a band bucket collides.
     "q49_minhash_lsh" -> ((s, d) => {
@@ -641,6 +702,65 @@ object TextQueries {
          |    AS sum_jacc,
          |  round(max(jacc), 6) AS max_jacc
          |FROM cand GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    // Same chain as q48's oracle with the eval/train split and the
+    // asymmetric train×eval candidate join.
+    "q229_neardup_decontamination" ->
+      s"""WITH raw AS (
+         |  SELECT lang, doc_id,
+         |    string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM documents
+         |), t AS (
+         |  SELECT lang, doc_id, FALSE AS is_eval, toks
+         |  FROM raw WHERE len(toks) >= 3
+         |  UNION ALL
+         |  SELECT lang, doc_id + 1000000 AS doc_id, TRUE AS is_eval,
+         |    toks[1:len(toks) - 5] AS toks
+         |  FROM raw WHERE doc_id % 37 = 0 AND len(toks) >= 10
+         |), sh AS (
+         |  SELECT lang, doc_id, is_eval, $shinglesSqlDuck AS sh FROM t
+         |), base AS (
+         |  SELECT lang, doc_id, is_eval, sh,
+         |    list_transform(sh, s ->
+         |      concat(md5(concat('mhA|', s)), md5(concat('mhB|', s)))) AS bh
+         |  FROM sh
+         |), sig AS (
+         |  SELECT lang, doc_id, is_eval, sh,
+         |    [list_min(list_transform(bh, s ->
+         |       CAST(concat('0x', substr(s, j*8 + 1, 8)) AS BIGINT)))
+         |     for j in generate_series(0, 7)] AS sig
+         |  FROM base
+         |), banded AS (
+         |  SELECT lang, doc_id, is_eval, sh, b AS band,
+         |    CAST(sig[b+1] AS VARCHAR) AS key
+         |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS b) bands
+         |), cand AS (
+         |  SELECT DISTINCT a.lang, a.doc_id AS train_id, b.doc_id AS eval_id,
+         |    len(list_intersect(a.sh, b.sh))::DOUBLE /
+         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE
+         |      AS jacc
+         |  FROM banded a JOIN banded b
+         |    ON a.lang = b.lang AND a.band = b.band AND a.key = b.key
+         |  WHERE NOT a.is_eval AND b.is_eval
+         |), v AS (
+         |  SELECT lang, count(*) AS n_candidate_pairs,
+         |    count(DISTINCT CASE WHEN jacc >= 0.5 THEN train_id END)
+         |      AS n_contaminated_train,
+         |    round(max(jacc), 6) AS max_jacc
+         |  FROM cand GROUP BY 1
+         |), tot AS (
+         |  SELECT lang,
+         |    CAST(sum(CASE WHEN is_eval THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+         |    CAST(sum(CASE WHEN NOT is_eval THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_train
+         |  FROM sh GROUP BY 1
+         |)
+         |SELECT tot.lang, tot.n_eval, tot.n_train,
+         |  coalesce(v.n_candidate_pairs, 0) AS n_candidate_pairs,
+         |  coalesce(v.n_contaminated_train, 0) AS n_contaminated_train,
+         |  coalesce(v.max_jacc, 0.0) AS max_jacc
+         |FROM tot LEFT JOIN v USING (lang)
+         |ORDER BY tot.lang""".stripMargin,
 
     "q49_minhash_lsh" ->
       s"""WITH t AS (
