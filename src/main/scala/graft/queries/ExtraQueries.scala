@@ -1369,6 +1369,75 @@ object ExtraQueries {
         .orderBy(col("event_type"))
     }),
 
+    // ORDERED WINDOWED FUNNEL (the events-analytics classic): view →
+    // click within 24 h of the view → purchase within 24 h of the
+    // click, each stage's timestamp the min strictly inside the
+    // previous stage's window — three keyed per-user aggs chained by
+    // join, never a per-user sort or collect; time-to-convert is an
+    // exact µs-integer sum divided once at the end. The 24 h windows
+    // make drop-off real on this corpus (~60-70% per stage).
+    "q230_funnel" -> ((s, d) => {
+      val ev = events(s, d)
+        .withColumn("tenant", concat(lit("t"), pmod(col("user_id"), lit(3L))))
+        .withColumn("t_us", expr("unix_micros(ts)"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("tenant"), col("user_id")).agg(min(col("t_us")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, Seq("tenant", "user_id"))
+        .filter(col("t_us") > col("t1") &&
+          col("t_us") <= col("t1") + lit(86400000000L))
+        .groupBy(col("tenant"), col("user_id"), col("t1"))
+        .agg(min(col("t_us")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, Seq("tenant", "user_id"))
+        .filter(col("t_us") > col("t2") &&
+          col("t_us") <= col("t2") + lit(86400000000L))
+        .groupBy(col("tenant"), col("user_id"), col("t1"), col("t2"))
+        .agg(min(col("t_us")).as("t3"))
+      val users = ev.groupBy(col("tenant"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      users
+        .join(s1.groupBy(col("tenant")).agg(count(lit(1)).as("n_viewed")),
+          Seq("tenant"), "left")
+        .join(s2.groupBy(col("tenant")).agg(count(lit(1)).as("n_clicked")),
+          Seq("tenant"), "left")
+        .join(s3.groupBy(col("tenant")).agg(count(lit(1)).as("n_purchased"),
+          sum((col("t3") - col("t1")).cast("decimal(38,0)")).as("us_sum")),
+          Seq("tenant"), "left")
+        .na.fill(0L, Seq("n_viewed", "n_clicked", "n_purchased"))
+        .withColumn("conv_rate", round(col("n_purchased").cast("double") /
+          col("n_users"), 6))
+        .withColumn("avg_hours_to_convert",
+          round(col("us_sum").cast("double") / col("n_purchased") /
+            3600000000.0, 4))
+        .drop("us_sum")
+        .orderBy(col("tenant"))
+    }),
+
+    // COHORT RETENTION (weekly): cohort = ISO week of the user's first
+    // event; the (cohort_week, week_offset) matrix counts users active
+    // in each later week — two keyed aggs (user-grain first-seen,
+    // user×week distinct activity) + one join; cell percentage divides
+    // once. The matrix is |cohorts|·|offsets| rows regardless of user
+    // count — the aggregation economy cohort dashboards rely on.
+    "q231_cohort_retention" -> ((s, d) => {
+      val ev = events(s, d)
+        .withColumn("wk", date_trunc("week", col("ts")).cast("date"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+      val activity = ev.select(col("user_id"), col("wk")).distinct()
+      val cohortSize = first.groupBy(col("cohort"))
+        .agg(count(lit(1)).as("cohort_size"))
+      activity.join(first, "user_id")
+        .withColumn("week_offset",
+          (datediff(col("wk"), col("cohort")) / 7).cast("long"))
+        .groupBy(col("cohort"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(cohortSize, "cohort")
+        .withColumn("pct_active", round(col("n_active").cast("double") /
+          col("cohort_size"), 6))
+        .orderBy(col("cohort"), col("week_offset"))
+    }),
+
     // EMBEDDING OUTLIER PRUNING (prototypicality — the SemDeDup
     // complement the DataComp/SSL-prototypes pipelines run: SemDeDup
     // drops points too CLOSE to a cluster's center-mass, this drops
@@ -2183,6 +2252,74 @@ object ExtraQueries {
 
     // Direct face twice (pruning cannot change the answer) + chunk skip
     // stats from 5m floor-bucketing.
+    // Same three-stage strict-after chain and µs-exact conversion time.
+    "q230_funnel" ->
+      """WITH ev AS (
+        |  SELECT 't' || (user_id % 3) AS tenant, user_id, event_type,
+        |    epoch_us(ts) AS t_us
+        |  FROM events
+        |), s1 AS (
+        |  SELECT tenant, user_id, min(t_us) AS t1
+        |  FROM ev WHERE event_type = 'view' GROUP BY 1, 2
+        |), s2 AS (
+        |  SELECT e.tenant, e.user_id, s1.t1, min(e.t_us) AS t2
+        |  FROM ev e JOIN s1 ON e.tenant = s1.tenant
+        |    AND e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.t_us > s1.t1
+        |    AND e.t_us <= s1.t1 + 86400000000
+        |  GROUP BY 1, 2, 3
+        |), s3 AS (
+        |  SELECT e.tenant, e.user_id, s2.t1, s2.t2, min(e.t_us) AS t3
+        |  FROM ev e JOIN s2 ON e.tenant = s2.tenant
+        |    AND e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.t_us > s2.t2
+        |    AND e.t_us <= s2.t2 + 86400000000
+        |  GROUP BY 1, 2, 3, 4
+        |), u AS (
+        |  SELECT tenant, count(DISTINCT user_id) AS n_users FROM ev GROUP BY 1
+        |), a1 AS (SELECT tenant, count(*) AS n_viewed FROM s1 GROUP BY 1),
+        |a2 AS (SELECT tenant, count(*) AS n_clicked FROM s2 GROUP BY 1),
+        |a3 AS (
+        |  SELECT tenant, count(*) AS n_purchased,
+        |    sum(CAST(t3 - t1 AS DECIMAL(38,0))) AS us_sum
+        |  FROM s3 GROUP BY 1
+        |)
+        |SELECT u.tenant, u.n_users,
+        |  CAST(coalesce(a1.n_viewed, 0) AS BIGINT) AS n_viewed,
+        |  CAST(coalesce(a2.n_clicked, 0) AS BIGINT) AS n_clicked,
+        |  CAST(coalesce(a3.n_purchased, 0) AS BIGINT) AS n_purchased,
+        |  round(CAST(coalesce(a3.n_purchased, 0) AS DOUBLE) / u.n_users, 6)
+        |    AS conv_rate,
+        |  round(CAST(a3.us_sum AS DOUBLE) / a3.n_purchased / 3600000000.0, 4)
+        |    AS avg_hours_to_convert
+        |FROM u LEFT JOIN a1 USING (tenant) LEFT JOIN a2 USING (tenant)
+        |LEFT JOIN a3 USING (tenant)
+        |ORDER BY u.tenant""".stripMargin,
+
+    // Same ISO-week cohort and integer week offsets.
+    "q231_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events
+        |), first AS (
+        |  SELECT user_id, min(wk) AS cohort FROM ev GROUP BY 1
+        |), activity AS (
+        |  SELECT DISTINCT user_id, wk FROM ev
+        |), cs AS (
+        |  SELECT cohort, count(*) AS cohort_size FROM first GROUP BY 1
+        |), m AS (
+        |  SELECT f.cohort,
+        |    CAST(date_diff('day', f.cohort, a.wk) // 7 AS BIGINT)
+        |      AS week_offset,
+        |    count(DISTINCT a.user_id) AS n_active
+        |  FROM activity a JOIN first f USING (user_id)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT m.cohort, m.week_offset, m.n_active, cs.cohort_size,
+        |  round(CAST(m.n_active AS DOUBLE) / cs.cohort_size, 6) AS pct_active
+        |FROM m JOIN cs USING (cohort)
+        |ORDER BY m.cohort, m.week_offset""".stripMargin,
+
     // Same decimal-routed centroid, same 9-dp-pinned distance chain;
     // aligned unnest + generate_subscripts reproduces posexplode.
     "q227_embedding_outliers" ->
