@@ -101,6 +101,42 @@ object TextQueries {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // COUNT-MIN SKETCH heavy hitters — the streaming-sketch family
+    // member beside Bloom (q180) and HLL (q70): d=4 hash rows × w=16
+    // buckets (narrow on purpose: the ~41-word synthetic vocabulary
+    // must actually collide for the overestimate column to measure the
+    // accuracy/width tradeoff), each cell a keyed count; a token's estimate is the MIN
+    // over its 4 cells, ≥ exact by construction and equal when no
+    // collision inflates all four rows. All-integer arithmetic → exact
+    // cross-engine hashing, no FP surface at all. The output reports
+    // the true top-20 tokens' exact counts beside their CMS estimates
+    // and the overestimate — the accuracy/width tradeoff a 100 TB
+    // heavy-hitter pass buys: the sketch is d·w cells regardless of
+    // vocabulary size, and the build is one explode + one keyed agg.
+    "q232_countmin_heavy_hitters" -> ((s, d) => {
+      val toks = docsWithTokens(s, d)
+        .select(explode(col("toks")).as("tok"))
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+      val top = exact.orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+      val hashed = toks
+        .select(col("tok"), explode(expr("sequence(0, 3)")).as("i"))
+        .withColumn("bucket", conv(substring(md5(concat(lit("cms"),
+          col("i").cast("string"), lit("|"), col("tok"))), 1, 6), 16, 10)
+          .cast("long") % 16)
+      val cells = hashed.groupBy(col("i"), col("bucket"))
+        .agg(count(lit(1)).as("cell"))
+      top.select(col("tok"), col("exact_cnt"),
+          explode(expr("sequence(0, 3)")).as("i"))
+        .withColumn("bucket", conv(substring(md5(concat(lit("cms"),
+          col("i").cast("string"), lit("|"), col("tok"))), 1, 6), 16, 10)
+          .cast("long") % 16)
+        .join(broadcast(cells), Seq("i", "bucket"))
+        .groupBy(col("tok"), col("exact_cnt"))
+        .agg(min(col("cell")).as("cms_est"))
+        .withColumn("overestimate", col("cms_est") - col("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok"))
+    }),
+
     // NEAR-DUP DECONTAMINATION — the fuzzy half of the decon story
     // (q180's Bloom pass catches EXACT n-gram overlap; GPT-3/Llama-class
     // pipelines additionally drop training docs NEAR-duplicating an eval
@@ -702,6 +738,37 @@ object TextQueries {
          |    AS sum_jacc,
          |  round(max(jacc), 6) AS max_jacc
          |FROM cand GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    // Same 4×16 cells, same min-over-rows estimate; pure integers.
+    "q232_countmin_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |), exact AS (
+        |  SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY 1
+        |), top AS (
+        |  SELECT * FROM exact ORDER BY exact_cnt DESC, tok LIMIT 20
+        |), hashed AS (
+        |  SELECT tok, i,
+        |    CAST(concat('0x', substr(md5(concat('cms', i, '|', tok)), 1, 6))
+        |      AS BIGINT) % 16 AS bucket
+        |  FROM toks, (SELECT unnest(generate_series(0, 3)) AS i)
+        |), cells AS (
+        |  SELECT i, bucket, count(*) AS cell FROM hashed GROUP BY 1, 2
+        |), topb AS (
+        |  SELECT t.tok, t.exact_cnt, ix.i,
+        |    CAST(concat('0x',
+        |      substr(md5(concat('cms', ix.i, '|', t.tok)), 1, 6))
+        |      AS BIGINT) % 16 AS bucket
+        |  FROM top t, (SELECT unnest(generate_series(0, 3)) AS i) ix
+        |), est AS (
+        |  SELECT tb.tok, tb.exact_cnt, min(c.cell) AS cms_est
+        |  FROM topb tb JOIN cells c ON c.i = tb.i AND c.bucket = tb.bucket
+        |  GROUP BY 1, 2
+        |)
+        |SELECT tok, exact_cnt, CAST(cms_est AS BIGINT) AS cms_est,
+        |  CAST(cms_est - exact_cnt AS BIGINT) AS overestimate
+        |FROM est ORDER BY exact_cnt DESC, tok""".stripMargin,
 
     // Same chain as q48's oracle with the eval/train split and the
     // asymmetric train×eval candidate join.
