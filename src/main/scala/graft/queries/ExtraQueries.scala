@@ -1369,6 +1369,79 @@ object ExtraQueries {
         .orderBy(col("event_type"))
     }),
 
+    // SCD2 + POINT-IN-TIME ATTRIBUTION (the warehouse classic the
+    // registry's as-of join q63 is the model-shaped cousin of): signup
+    // events are a tier change-stream (tier = event_id mod 3); SCD2
+    // validity intervals come from lead() per user, and purchases are
+    // attributed to the tier valid AT PURCHASE TIME — not by a range
+    // join but by the scale-right union trick: interleave changes and
+    // purchases on one per-user (ts, event_id) order and carry the last
+    // seen tier forward with an ignoreNulls window — one shuffle keyed
+    // by user, zero interval containment joins.
+    "q233_scd2_attribution" -> ((s, d) => {
+      val ev = events(s, d)
+      val changes = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          concat(lit("tier"), pmod(col("event_id"), lit(3L))).as("tier"),
+          lit(null).cast("double").as("pv"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(null).cast("string").as("tier"),
+          round(col("value"), 6).as("pv"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pit = changes.unionByName(purchases)
+        .withColumn("cur_tier",
+          last(col("tier"), ignoreNulls = true).over(w))
+      val intervals = changes.groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_intervals"))
+      pit.filter(col("pv").isNotNull)
+        .withColumn("tier_at_purchase",
+          coalesce(col("cur_tier"), lit("none")))
+        .groupBy(col("tier_at_purchase"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("pv").cast("decimal(18,6)")).cast("double"), 4)
+            .as("sum_value"))
+        .join(intervals.withColumnRenamed("tier", "tier_at_purchase"),
+          Seq("tier_at_purchase"), "left")
+        .na.fill(0L, Seq("n_intervals"))
+        .orderBy(col("tier_at_purchase"))
+    }),
+
+    // BATCH SESSIONIZATION (gaps-and-islands; the batch face of s59's
+    // streaming session windows): a 30-minute inactivity gap cuts a new
+    // session per user — lag + running flag-sum, one user-keyed window
+    // — then session-grain and tenant-grain keyed aggs; durations ride
+    // exact µs integers divided once at the end.
+    "q234_sessionization" -> ((s, d) => {
+      val gapUs = 1800L * 1000000L
+      val ev = events(s, d)
+        .withColumn("tenant", concat(lit("t"), pmod(col("user_id"), lit(3L))))
+        .withColumn("t_us", expr("unix_micros(ts)"))
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_us"), col("event_id"))
+      val flagged = ev
+        .withColumn("prev", lag(col("t_us"), 1).over(wOrd))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("t_us") - col("prev") > gapUs, 1)
+            .otherwise(0))
+        .withColumn("sess", sum(col("new_s")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val sessions = flagged
+        .groupBy(col("tenant"), col("user_id"), col("sess"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("t_us")) - min(col("t_us"))).as("dur_us"))
+      sessions.groupBy(col("tenant"))
+        .agg(count(lit(1)).as("n_sessions"),
+          round(sum(col("n_events")).cast("double") / count(lit(1)), 6)
+            .as("avg_events_per_session"),
+          round(sum(col("dur_us").cast("decimal(38,0)")).cast("double") /
+            count(lit(1)) / 60000000.0, 4).as("avg_duration_min"),
+          max(col("n_events")).as("max_session_events"))
+        .orderBy(col("tenant"))
+    }),
+
     // ORDERED WINDOWED FUNNEL (the events-analytics classic): view →
     // click within 24 h of the view → purchase within 24 h of the
     // click, each stage's timestamp the min strictly inside the
@@ -2252,6 +2325,66 @@ object ExtraQueries {
 
     // Direct face twice (pruning cannot change the answer) + chunk skip
     // stats from 5m floor-bucketing.
+    // Same union-interleave PIT carry-forward, no interval joins.
+    "q233_scd2_attribution" ->
+      """WITH ch AS (
+        |  SELECT user_id, ts, event_id,
+        |    'tier' || (event_id % 3) AS tier,
+        |    CAST(NULL AS DOUBLE) AS pv
+        |  FROM events WHERE event_type = 'signup'
+        |), pu AS (
+        |  SELECT user_id, ts, event_id, CAST(NULL AS VARCHAR) AS tier,
+        |    round(value, 6) AS pv
+        |  FROM events WHERE event_type = 'purchase'
+        |), pit AS (
+        |  SELECT *, last_value(tier IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur_tier
+        |  FROM (SELECT * FROM ch UNION ALL SELECT * FROM pu)
+        |), iv AS (
+        |  SELECT tier, count(*) AS n_intervals FROM ch GROUP BY 1
+        |), agg AS (
+        |  SELECT coalesce(cur_tier, 'none') AS tier_at_purchase,
+        |    count(*) AS n_purchases,
+        |    round(CAST(sum(CAST(pv AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |      AS sum_value
+        |  FROM pit WHERE pv IS NOT NULL GROUP BY 1
+        |)
+        |SELECT a.tier_at_purchase, a.n_purchases, a.sum_value,
+        |  CAST(coalesce(iv.n_intervals, 0) AS BIGINT) AS n_intervals
+        |FROM agg a LEFT JOIN iv ON iv.tier = a.tier_at_purchase
+        |ORDER BY a.tier_at_purchase""".stripMargin,
+
+    // Same lag + flag-sum islands, same µs-exact duration fold.
+    "q234_sessionization" ->
+      """WITH ev AS (
+        |  SELECT 't' || (user_id % 3) AS tenant, user_id, event_id,
+        |    epoch_us(ts) AS t_us
+        |  FROM events
+        |), flagged AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR t_us - prev > 1800000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM (SELECT *, lag(t_us) OVER
+        |          (PARTITION BY user_id ORDER BY t_us, event_id) AS prev
+        |        FROM ev)
+        |), sess AS (
+        |  SELECT *, sum(new_s) OVER
+        |    (PARTITION BY user_id ORDER BY t_us, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_id
+        |  FROM flagged
+        |), sessions AS (
+        |  SELECT tenant, user_id, s_id, count(*) AS n_events,
+        |    max(t_us) - min(t_us) AS dur_us
+        |  FROM sess GROUP BY 1, 2, 3
+        |)
+        |SELECT tenant, count(*) AS n_sessions,
+        |  round(CAST(sum(n_events) AS DOUBLE) / count(*), 6)
+        |    AS avg_events_per_session,
+        |  round(CAST(sum(CAST(dur_us AS DECIMAL(38,0))) AS DOUBLE)
+        |    / count(*) / 60000000.0, 4) AS avg_duration_min,
+        |  CAST(max(n_events) AS BIGINT) AS max_session_events
+        |FROM sessions GROUP BY 1 ORDER BY tenant""".stripMargin,
+
     // Same three-stage strict-after chain and µs-exact conversion time.
     "q230_funnel" ->
       """WITH ev AS (
