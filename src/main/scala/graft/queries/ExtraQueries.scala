@@ -1532,6 +1532,11 @@ object ExtraQueries {
         .withColumn("xr", round(col("x"), 6).cast("decimal(18,6)"))
       val cent = comps.groupBy(col("label"), col("dim"))
         .agg((sum(col("xr")).cast("double") / count(lit(1))).as("c"))
+      // dist feeds two consumers but is NOT persisted: the whole
+      // explode+centroid chain is codegen'd column math, and a measured
+      // persist attempt cost more than the recompute (1.20 → 1.39 s)
+      // — the q81/q180 lesson again: persist only interpreted-expensive
+      // chains, not cheap codegen lineage
       val dist = comps.join(broadcast(cent), Seq("label", "dim"))
         .withColumn("d2",
           round((col("x") - col("c")) * (col("x") - col("c")), 9)
