@@ -58,6 +58,8 @@ final class MetricsServer(observed: Observed, port: Int = 0,
                           metadata: Seq[PromMetricList] = Nil)
     extends AutoCloseable {
 
+  private val startedAtMs: Long = System.currentTimeMillis()
+
   private val server =
     HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/metrics", new HttpHandler {
@@ -116,6 +118,17 @@ final class MetricsServer(observed: Observed, port: Int = 0,
   server.createContext("/api/v1/status/flags", MetricsServer.jsonHandler { _ =>
     s"""{"status":"success","data":{"query.max-result-rows":"$maxResultRows",""" +
       s""""web.enable-admin-api":"true","storage.tsdb.retention.time":"0s"}}""" })
+  server.createContext("/api/v1/status/runtimeinfo", MetricsServer.jsonHandler { _ =>
+    val rt = Runtime.getRuntime
+    s"""{"status":"success","data":{"startTime":"${MetricsServer.iso(startedAtMs)}",""" +
+      s""""CWD":"${MetricsServer.jsonEscape(sys.props("user.dir"))}",""" +
+      s""""reloadConfigSuccess":true,"goroutineCount":${rt.availableProcessors()},""" +
+      s""""storageRetention":"0s"}}""" })
+  // The engine serves from parquet, not a WAL — replay is always
+  // complete by the time the server answers (the q206 replay path runs
+  // at load, not serve). Upstream shape: min/max/current/state.
+  server.createContext("/api/v1/status/walreplay", MetricsServer.jsonHandler { _ =>
+    """{"status":"success","data":{"min":0,"max":0,"current":0,"state":"done"}}""" })
   // TSDB admin API state (upstream: --web.enable-admin-api). Tombstones
   // recorded by delete_series MASK every serving read below (the `src`
   // def re-derives the masked view per request); clean_tombstones folds
@@ -739,6 +752,10 @@ object MetricsServer {
     s"""{"results":[${results.map(rs =>
       s"""{"timeseries":${seriesJson(rs)}}""").mkString(",")}]}"""
   }
+
+  /** RFC3339 UTC instant for status payloads. */
+  private[metrics] def iso(ms: Long): String =
+    java.time.Instant.ofEpochMilli(ms).toString
 
   /** Prometheus sample-value formatting: a plain decimal string. */
   private def fmtVal(d: Double): String =

@@ -578,6 +578,11 @@ class MetricsSpec extends AnyFunSuite {
           .contains("\"version\""))
         val (cf, bf) = get(srv.boundPort, "/api/v1/status/flags")
         assert(cf == 200 && bf.contains("\"query.max-result-rows\":\"123\""), bf)
+        val (cr, br) = get(srv.boundPort, "/api/v1/status/runtimeinfo")
+        assert(cr == 200 && br.contains("\"startTime\":\"20") &&
+          br.contains("\"reloadConfigSuccess\":true"), br)
+        val (cw, bw) = get(srv.boundPort, "/api/v1/status/walreplay")
+        assert(cw == 200 && bw.contains("\"state\":\"done\""), bw)
       } finally srv.close()
     }
   }
