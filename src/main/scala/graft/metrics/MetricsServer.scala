@@ -129,6 +129,26 @@ final class MetricsServer(observed: Observed, port: Int = 0,
   // at load, not serve). Upstream shape: min/max/current/state.
   server.createContext("/api/v1/status/walreplay", MetricsServer.jsonHandler { _ =>
     """{"status":"success","data":{"min":0,"max":0,"current":0,"state":"done"}}""" })
+  // status/config serves the server's ACTUAL effective configuration
+  // rendered as YAML (the upstream shape: {"yaml": "..."}) — external
+  // labels, rule count, and the result cap are what this server truly
+  // runs with; there is no config file to echo.
+  server.createContext("/api/v1/status/config", MetricsServer.jsonHandler { _ =>
+    val ext = externalLabels.map { case (k, v) => s"    $k: $v" }.mkString("\n")
+    val yaml = "global:\n  external_labels:\n" +
+      (if (ext.nonEmpty) ext + "\n" else "") +
+      s"query:\n  max_result_rows: $maxResultRows\n" +
+      s"rule_files_inline: ${rules.size}\n"
+    s"""{"status":"success","data":{"yaml":"${MetricsServer.jsonEscape(yaml)}"}}""" })
+  // No scrape manager / alertmanager discovery in this engine — the
+  // upstream endpoints exist and serve their empty-but-well-formed
+  // shapes (exactly what a Prometheus with no scrape_configs returns).
+  server.createContext("/api/v1/targets", MetricsServer.jsonHandler { _ =>
+    """{"status":"success","data":{"activeTargets":[],"droppedTargets":[]}}""" })
+  server.createContext("/api/v1/alertmanagers", MetricsServer.jsonHandler { _ =>
+    """{"status":"success","data":{"activeAlertmanagers":[],"droppedAlertmanagers":[]}}""" })
+  server.createContext("/api/v1/notifications", MetricsServer.jsonHandler { _ =>
+    """{"status":"success","data":[]}""" })
   // TSDB admin API state (upstream: --web.enable-admin-api). Tombstones
   // recorded by delete_series MASK every serving read below (the `src`
   // def re-derives the masked view per request); clean_tombstones folds

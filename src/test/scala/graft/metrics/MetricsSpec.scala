@@ -583,6 +583,14 @@ class MetricsSpec extends AnyFunSuite {
           br.contains("\"reloadConfigSuccess\":true"), br)
         val (cw, bw) = get(srv.boundPort, "/api/v1/status/walreplay")
         assert(cw == 200 && bw.contains("\"state\":\"done\""), bw)
+        val (cc, bc) = get(srv.boundPort, "/api/v1/status/config")
+        assert(cc == 200 && bc.contains("max_result_rows: 123"), bc)
+        assert(get(srv.boundPort, "/api/v1/targets")._2
+          .contains("\"activeTargets\":[]"))
+        assert(get(srv.boundPort, "/api/v1/alertmanagers")._2
+          .contains("\"activeAlertmanagers\":[]"))
+        assert(get(srv.boundPort, "/api/v1/notifications")._2
+          .contains("\"data\":[]"))
       } finally srv.close()
     }
   }
