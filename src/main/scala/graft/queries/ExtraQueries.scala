@@ -1369,6 +1369,50 @@ object ExtraQueries {
         .orderBy(col("event_type"))
     }),
 
+    // OTLP CLASSIC (explicitBounds) HISTOGRAMS — the collector's main
+    // histogram wire, completing the OTLP trio beside gauges/sums
+    // (q169) and exponentialHistogram (q202): hourly per-type
+    // datapoints with NON-cumulative OTLP bucket counts render to
+    // OTLP/JSON, parse back, and convert to CUMULATIVE Prometheus
+    // le-buckets (+Inf = total) inside in-array column math — the
+    // prometheus-exporter conversion, hash-proved against a direct
+    // cumulative build from raw samples. The oracle never sees the
+    // JSON: equality proves the wire lossless.
+    "q235_otlp_classic_histogram" -> ((s, d) => {
+      import graft.sources.Otlp
+      val boundsArr = array(lit(25.0), lit(50.0), lit(100.0), lit(200.0))
+      val day = events(s, d)
+        .filter(col("ts") >= lit("2024-01-12").cast("timestamp") &&
+          col("ts") < lit("2024-01-13").cast("timestamp"))
+        .withColumn("bi", aggregate(boundsArr, lit(0),
+          (acc, b) => acc + when(col("value") > b, 1).otherwise(0)))
+      val dp = day
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("count"),
+          round(sum(round(col("value"), 6).cast("decimal(18,6)"))
+            .cast("double"), 6).as("sum"),
+          sum(when(col("bi") === 0, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("bi") === 1, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("bi") === 2, 1L).otherwise(0L)).as("c2"),
+          sum(when(col("bi") === 3, 1L).otherwise(0L)).as("c3"),
+          sum(when(col("bi") === 4, 1L).otherwise(0L)).as("c4"))
+        .withColumn("bucket_counts",
+          array(col("c0"), col("c1"), col("c2"), col("c3"), col("c4")))
+        .withColumn("bounds", boundsArr)
+      val wire = Otlp.renderHistogram(dp, col("event_type"),
+        lit("req_duration"), col("h"))
+      val back = Otlp.parseHistogram(wire)
+      back.select(col("job"), col("count"), col("sum"),
+          explode(col("buckets")).as("b"))
+        .groupBy(col("job"), col("b.le").as("le"))
+        .agg(count(lit(1)).as("n_dp"),
+          sum(col("b.cum")).as("cum_total"),
+          sum(col("count")).as("count_total"),
+          round(sum(round(col("sum"), 6).cast("decimal(18,6)"))
+            .cast("double"), 4).as("sum_total"))
+        .orderBy(col("job"), col("le"))
+    }),
+
     // SCD2 + POINT-IN-TIME ATTRIBUTION (the warehouse classic the
     // registry's as-of join q63 is the model-shaped cousin of): signup
     // events are a tier change-stream (tier = event_id mod 3); SCD2
@@ -2330,6 +2374,39 @@ object ExtraQueries {
 
     // Direct face twice (pruning cannot change the answer) + chunk skip
     // stats from 5m floor-bucketing.
+    // Direct cumulative build from raw — the wire roundtrip must match.
+    "q235_otlp_classic_histogram" ->
+      """WITH day AS (
+        |  SELECT event_type AS job, date_trunc('hour', ts) AS h, value
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-12' AND ts < TIMESTAMP '2024-01-13'
+        |), dp AS (
+        |  SELECT job, h, count(*) AS cnt,
+        |    round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+        |      AS DOUBLE), 6) AS s,
+        |    CAST(sum(CASE WHEN value <= 25.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS le25,
+        |    CAST(sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS le50,
+        |    CAST(sum(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS le100,
+        |    CAST(sum(CASE WHEN value <= 200.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS le200
+        |  FROM day GROUP BY 1, 2
+        |), b AS (
+        |  SELECT job, h, cnt, s, '25.0' AS le, le25 AS cum FROM dp
+        |  UNION ALL SELECT job, h, cnt, s, '50.0', le50 FROM dp
+        |  UNION ALL SELECT job, h, cnt, s, '100.0', le100 FROM dp
+        |  UNION ALL SELECT job, h, cnt, s, '200.0', le200 FROM dp
+        |  UNION ALL SELECT job, h, cnt, s, '+Inf', cnt FROM dp
+        |)
+        |SELECT job, le, count(*) AS n_dp,
+        |  CAST(sum(cum) AS BIGINT) AS cum_total,
+        |  CAST(sum(cnt) AS BIGINT) AS count_total,
+        |  round(CAST(sum(CAST(round(s, 6) AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |    AS sum_total
+        |FROM b GROUP BY 1, 2 ORDER BY job, le""".stripMargin,
+
     // Same union-interleave PIT carry-forward, no interval joins.
     "q233_scd2_attribution" ->
       """WITH ch AS (

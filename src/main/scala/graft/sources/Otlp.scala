@@ -171,6 +171,88 @@ object Otlp {
       array().cast("array<struct<idx:int,cnt:double>>").as("neg"))
   }
 
+  // ---- classic histograms (OTLP explicitBounds → Prometheus le-buckets) ----
+
+  private val histDpType = ArrayType(StructType(Seq(
+    StructField("timeUnixNano", StringType),
+    StructField("count", StringType),
+    StructField("sum", DoubleType),
+    StructField("explicitBounds", ArrayType(DoubleType)),
+    StructField("bucketCounts", ArrayType(StringType)))))
+
+  val histSchema: DataType = StructType(Seq(
+    StructField("resourceMetrics", ArrayType(StructType(Seq(
+      StructField("resource", StructType(Seq(
+        StructField("attributes", attrType)))),
+      StructField("scopeMetrics", ArrayType(StructType(Seq(
+        StructField("metrics", ArrayType(StructType(Seq(
+          StructField("name", StringType),
+          StructField("histogram", StructType(Seq(
+            StructField("aggregationTemporality", IntegerType),
+            StructField("dataPoints", histDpType))))))))))))))))))
+
+  /** Render classic-histogram datapoint rows (`bounds` array<double>,
+    * `bucket_counts` array<long> NON-cumulative of length bounds+1 —
+    * the OTLP bucket convention — plus `count`/`sum`) into OTLP/JSON
+    * `histogram` export documents, uint64s as strings. */
+  def renderHistogram(dp: DataFrame, docKey: Column, metricCol: Column,
+                      tsCol: Column): DataFrame = {
+    val point = struct(
+      (unix_micros(tsCol) * 1000L).cast("string").as("timeUnixNano"),
+      col("count").cast("long").cast("string").as("count"),
+      col("sum").as("sum"),
+      col("bounds").as("explicitBounds"),
+      transform(col("bucket_counts"), c => c.cast("string"))
+        .as("bucketCounts"))
+    dp.groupBy(docKey.as("__doc"), metricCol.as("__metric"))
+      .agg(collect_list(point).as("dataPoints"))
+      .groupBy(col("__doc"))
+      .agg(collect_list(struct(col("__metric").as("name"),
+        struct(lit(2).as("aggregationTemporality"),
+          col("dataPoints")).as("histogram"))).as("metrics"))
+      .select(col("__doc"), to_json(struct(array(struct(
+        struct(array(struct(lit("service.name").as("key"),
+          struct(col("__doc").cast("string").as("stringValue")).as("value")))
+          .as("attributes")).as("resource"),
+        array(struct(col("metrics"))).as("scopeMetrics")))
+        .as("resourceMetrics"))).as("json"))
+  }
+
+  /** Parse OTLP/JSON classic `histogram` documents into Prometheus
+    * le-bucket datapoints: one row per datapoint with `job`, normalized
+    * `metric`, `ts`, `count`, `sum`, and `buckets` — CUMULATIVE
+    * `{le, cum}` structs (the OTLP→Prometheus conversion the collector's
+    * prometheus exporter runs: OTLP counts are per-interval, le buckets
+    * are cumulative, and the `+Inf` bucket is the total count). The
+    * cumulative fold is in-array column math (aggregate over a slice) —
+    * no explode until the caller wants bucket rows. */
+  def parseHistogram(df: DataFrame, jsonCol: String = "json"): DataFrame = {
+    val parsed = df.select(from_json(col(jsonCol), histSchema).as("d"))
+      .select(explode(col("d.resourceMetrics")).as("rm"))
+      .select(
+        attrMap(col("rm.resource.attributes")).getItem("service.name").as("job"),
+        explode(col("rm.scopeMetrics")).as("sm"))
+      .select(col("job"), explode(col("sm.metrics")).as("m"))
+      .select(col("job"),
+        regexp_replace(col("m.name"), "[^a-zA-Z0-9_:]", "_").as("metric"),
+        explode(col("m.histogram.dataPoints")).as("dp"))
+    val counts = transform(col("dp.bucketCounts"), c => c.cast("long"))
+    val nb = size(col("dp.explicitBounds"))
+    val buckets = transform(sequence(lit(0), nb),
+      i => struct(
+        when(i < nb, element_at(col("dp.explicitBounds"), i + 1)
+          .cast("string")).otherwise("+Inf").as("le"),
+        when(i < nb, aggregate(slice(counts, lit(1), i + 1),
+          lit(0L), (acc, c) => acc + c))
+          .otherwise(col("dp.count").cast("long")).as("cum")))
+    parsed.select(
+      col("job"), col("metric"),
+      timestamp_micros(expr("cast(dp.timeUnixNano as long) div 1000")).as("ts"),
+      col("dp.count").cast("long").as("count"),
+      col("dp.sum").as("sum"),
+      buckets.as("buckets"))
+  }
+
   /** Render a sample frame INTO OTLP/JSON export documents — the inverse
     * used by the round-trip oracle (and a handy test-data generator).
     * One document per `docKey` group; within it, one metric entry per
