@@ -55,7 +55,8 @@ final class MetricsServer(observed: Observed, port: Int = 0,
                           rules: Seq[AlertRules.Rule] = Nil,
                           exemplarFrame: Option[org.apache.spark.sql.DataFrame] = None,
                           externalLabels: Seq[(String, String)] = Nil,
-                          metadata: Seq[PromMetricList] = Nil)
+                          metadata: Seq[PromMetricList] = Nil,
+                          targets: Option[org.apache.spark.sql.DataFrame] = None)
     extends AutoCloseable {
 
   private val startedAtMs: Long = System.currentTimeMillis()
@@ -143,8 +144,36 @@ final class MetricsServer(observed: Observed, port: Int = 0,
   // No scrape manager / alertmanager discovery in this engine — the
   // upstream endpoints exist and serve their empty-but-well-formed
   // shapes (exactly what a Prometheus with no scrape_configs returns).
-  server.createContext("/api/v1/targets", MetricsServer.jsonHandler { _ =>
-    """{"status":"success","data":{"activeTargets":[],"droppedTargets":[]}}""" })
+  // targets: data-bearing when a targets frame is bound (columns `job`,
+  // `instance`, `health`, `last_scrape` — the q205 scrape-state shape);
+  // otherwise the empty-but-well-formed no-scrape-config shape.
+  server.createContext("/api/v1/targets", MetricsServer.jsonHandler { params =>
+    targets match {
+      case None =>
+        """{"status":"success","data":{"activeTargets":[],"droppedTargets":[]}}"""
+      case Some(tf) =>
+        val stateFilter = params.get("state")
+        val rows = tf.limit(maxResultRows + 1).collect()
+        if (rows.length > maxResultRows)
+          throw new MetricsServer.ResultTooLarge(maxResultRows)
+        val items = rows.toSeq.map { r =>
+          val job = String.valueOf(r.getAs[Any]("job"))
+          val inst = String.valueOf(r.getAs[Any]("instance"))
+          val health = String.valueOf(r.getAs[Any]("health"))
+          val lastScrape = MetricsServer.iso(
+            r.getAs[java.sql.Timestamp]("last_scrape").getTime)
+          s"""{"discoveredLabels":{"job":"${MetricsServer.jsonEscape(job)}"},""" +
+            s""""labels":{"job":"${MetricsServer.jsonEscape(job)}",""" +
+            s""""instance":"${MetricsServer.jsonEscape(inst)}"},""" +
+            s""""scrapeUrl":"http://${MetricsServer.jsonEscape(inst)}/metrics",""" +
+            s""""health":"${MetricsServer.jsonEscape(health)}",""" +
+            s""""lastScrape":"$lastScrape"}"""
+        }
+        // upstream ?state=active|dropped|any: this engine drops nothing
+        val active = if (stateFilter.contains("dropped")) Nil else items
+        s"""{"status":"success","data":{"activeTargets":[${active.mkString(",")}],""" +
+          s""""droppedTargets":[]}}"""
+    } })
   server.createContext("/api/v1/alertmanagers", MetricsServer.jsonHandler { _ =>
     """{"status":"success","data":{"activeAlertmanagers":[],"droppedAlertmanagers":[]}}""" })
   server.createContext("/api/v1/notifications", MetricsServer.jsonHandler { _ =>

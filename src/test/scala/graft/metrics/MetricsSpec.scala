@@ -587,6 +587,22 @@ class MetricsSpec extends AnyFunSuite {
         assert(cc == 200 && bc.contains("max_result_rows: 123"), bc)
         assert(get(srv.boundPort, "/api/v1/targets")._2
           .contains("\"activeTargets\":[]"))
+        // data-bearing targets when a frame is bound (q205 scrape-state shape)
+        val tf = Seq(
+          ("api", "10.0.0.1:9100", "up",
+            java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+          ("api", "10.0.0.2:9100", "down",
+            java.sql.Timestamp.valueOf("2024-01-01 10:00:30")))
+          .toDF("job", "instance", "health", "last_scrape")
+        val srv2 = new MetricsServer(obs, targets = Some(tf))
+        try {
+          val (ct, bt) = get(srv2.boundPort, "/api/v1/targets")
+          assert(ct == 200 && bt.contains("\"instance\":\"10.0.0.1:9100\"") &&
+            bt.contains("\"health\":\"down\"") &&
+            bt.contains("\"lastScrape\":\"2024-01-01T10:00:00"), bt)
+          val (_, bd) = get(srv2.boundPort, "/api/v1/targets?state=dropped")
+          assert(bd.contains("\"activeTargets\":[]"), bd)
+        } finally srv2.close()
         assert(get(srv.boundPort, "/api/v1/alertmanagers")._2
           .contains("\"activeAlertmanagers\":[]"))
         assert(get(srv.boundPort, "/api/v1/notifications")._2
