@@ -922,6 +922,56 @@ object ExtraQueries {
         .orderBy(col("event_type"))
     }),
 
+    // XOR chunk CODEC — q201's bit-cost model made into BYTES
+    // (tsdb/chunkenc/xor.go): encode each 120-sample chunk to the real
+    // bit stream, decode it back, and prove three things at once —
+    // (a) decode(encode(x)) == x on every chunk (content), (b) the
+    // encoded length equals the independently-committed cost model's
+    // `(16 + ts_bits + val_bits + 7) div 8` chunk for chunk (the oracle
+    // re-walks those bits in recursive SQL without ever seeing the
+    // bytes), and (c) the aggregates a reader would compute from DECODED
+    // samples (sum, max ts) equal the raw-table truth. The codec runs at
+    // chunk grain after the keyed collect — one eval call per ≤120
+    // samples — while the per-sample IEEE reinterpret stays codegen'd.
+    "q236_xor_chunk_codec" -> ((s, d) => {
+      import graft.functions.{DoubleFromBits, XorChunk}
+      val samples = events(s, d).select(
+        col("event_type"),
+        (col("user_id") % 5).as("shard"),
+        expr("unix_micros(ts) div 1000").as("t_ms"),
+        col("event_id"),
+        round(col("value")).as("v"))
+      val wS = Window.partitionBy(col("event_type"), col("shard"))
+        .orderBy(col("t_ms"), col("event_id"))
+      val chunked = samples
+        .withColumn("b", VectorFunctions.doubleBits(col("v").cast("double")))
+        .withColumn("seq", (row_number().over(wS) - 1).cast("long"))
+        .withColumn("chunk", expr("seq div 120"))
+        .groupBy(col("event_type"), col("shard"), col("chunk"))
+        .agg(sort_array(collect_list(struct(col("t_ms").as("t"),
+          col("event_id").as("o"), col("b")))).as("arr"))
+        .withColumn("samples", transform(col("arr"),
+          x => struct(x.getField("t").as("t"), x.getField("b").as("b"))))
+        .withColumn("enc", XorChunk.encodeCol(col("samples")))
+        .withColumn("dec", XorChunk.decodeCol(col("enc")))
+      chunked.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(size(col("dec"))).cast("long").as("n_samples"),
+          sum(length(col("enc"))).cast("long").as("chunk_bytes"),
+          sum(when(col("dec") === col("samples"), 1L).otherwise(0L))
+            .as("n_roundtrip_ok"),
+          // decoded-value fold: samples are integer-valued by
+          // construction, so the double sum is exact and the BIGINT cast
+          // is a no-op rounding-wise
+          sum(aggregate(col("dec"), lit(0.0),
+            (acc, x) => acc + DoubleFromBits(x.getField("b"))).cast("long"))
+            .as("sum_v"),
+          max(element_at(col("dec"), -1).getField("t")).as("max_t_ms"))
+        .withColumn("bytes_per_sample",
+          round(col("chunk_bytes").cast("double") / col("n_samples"), 6))
+        .orderBy(col("event_type"))
+    }),
+
     // Cortex/Mimir HA replica deduplication (ha_tracker): hour-blocked
     // replica assignment with a 4-day primary outage; the election walk
     // runs over REPLICA RUNS (lag + prefix-sum — mid-run failover is a
@@ -2999,6 +3049,95 @@ object ExtraQueries {
         |  CAST(sum(n_window_reuse) AS BIGINT) AS n_window_reuse,
         |  CAST(sum(n_new_window) AS BIGINT) AS n_new_window,
         |  CAST(sum(bytes) AS BIGINT) AS chunk_bytes,
+        |  round(CAST(sum(bytes) AS DOUBLE) / CAST(sum(n_samples) AS BIGINT), 6)
+        |    AS bytes_per_sample
+        |FROM per GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // The q201 bit walk, re-aimed at the CODEC: per-chunk bytes =
+    // (16-bit count header + ts_bits + val_bits) padded to bytes — the
+    // oracle never sees the encoded stream, it re-derives what the
+    // stream's length MUST be; every roundtrip is declared ok (the
+    // engine column falsifies it if decode drifts), and sum/max come
+    // from the raw table (what decoded content must reproduce).
+    "q236_xor_chunk_codec" ->
+      """|WITH RECURSIVE s AS (
+  SELECT event_type, user_id % 5 AS shard, epoch_us(ts) // 1000 AS t_ms,
+        |    event_id, CAST(round(value, 0) AS BIGINT) AS vi
+        |  FROM events
+        |), seq AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type, shard
+        |      ORDER BY t_ms, event_id) - 1 AS seqn
+        |  FROM s
+        |), ch AS (
+        |  SELECT event_type, shard, seqn // 120 AS chunk, seqn % 120 AS idx,
+        |    t_ms, event_id, vi
+        |  FROM seq
+        |), tsb AS (
+        |  SELECT *, lag(t_ms, 1) OVER w AS t1, lag(t_ms, 2) OVER w AS t2
+        |  FROM ch
+        |  WINDOW w AS (PARTITION BY event_type, shard, chunk ORDER BY t_ms, event_id)
+        |), tcost AS (
+        |  SELECT event_type, shard, chunk, idx, vi,
+        |    CASE WHEN idx = 0 THEN ((len(bin(t_ms * 2)) + 6) // 7) * 8
+        |         WHEN idx = 1 THEN ((len(bin((t_ms - t1) * 2)) + 6) // 7) * 8
+        |         WHEN t_ms - 2 * t1 + t2 = 0 THEN 1
+        |         WHEN t_ms - 2 * t1 + t2 BETWEEN -8191 AND 8192 THEN 16
+        |         WHEN t_ms - 2 * t1 + t2 BETWEEN -65535 AND 65536 THEN 20
+        |         WHEN t_ms - 2 * t1 + t2 BETWEEN -524287 AND 524288 THEN 24
+        |         ELSE 68 END AS ts_bits, t_ms AS t_keep
+        |  FROM tsb
+        |), vb AS (
+        |  SELECT event_type, shard, chunk, idx,
+        |    CASE WHEN vi = 0 THEN 0
+        |         ELSE ((1023 + len(bin(vi)) - 1)::BIGINT << 52)
+        |              + ((vi << (52 - (len(bin(vi)) - 1))) - (1::BIGINT << 52))
+        |    END AS bits
+        |  FROM tcost
+        |), walk AS (
+        |  SELECT event_type, shard, chunk, idx, bits AS prev,
+        |    255 AS lead, 0 AS trail, 64::BIGINT AS acc
+        |  FROM vb WHERE idx = 0
+        |  UNION ALL
+        |  SELECT event_type, shard, chunk, idx, bits,
+        |    CASE WHEN xr = 0 OR reuse THEN lead ELSE lz END,
+        |    CASE WHEN xr = 0 OR reuse THEN trail ELSE tz END,
+        |    acc + CASE WHEN xr = 0 THEN 1
+        |               WHEN reuse THEN 2 + 64 - lead - trail
+        |               ELSE 13 + 64 - lz - tz END
+        |  FROM (
+        |    SELECT q.*, (lead <> 255 AND lz >= lead AND tz >= trail) AS reuse
+        |    FROM (
+        |      SELECT p.*,
+        |        least(CASE WHEN xr < 0 THEN 0 ELSE 64 - len(bin(xr)) END, 31) AS lz,
+        |        CASE WHEN xr = 0 THEN 64
+        |             ELSE len(bin(xr)) - len(rtrim(bin(xr), '0')) END AS tz
+        |      FROM (
+        |        SELECT v.event_type, v.shard, v.chunk, v.idx, v.bits,
+        |          w.lead, w.trail, w.acc,
+        |          xor(w.prev, v.bits) AS xr
+        |        FROM walk w JOIN vb v ON v.event_type = w.event_type
+        |          AND v.shard = w.shard AND v.chunk = w.chunk AND v.idx = w.idx + 1
+        |      ) p
+        |    ) q
+        |  )
+        |), done AS (
+        |  SELECT event_type, shard, chunk, arg_max(acc, idx) AS val_bits
+        |  FROM walk GROUP BY 1, 2, 3
+        |), tchunk AS (
+        |  SELECT event_type, shard, chunk, count(*) AS n_samples,
+        |    sum(ts_bits) AS ts_bits, sum(vi) AS sum_vi, max(t_keep) AS max_t
+        |  FROM tcost GROUP BY 1, 2, 3
+        |), per AS (
+        |  SELECT t.event_type, t.shard, t.chunk, t.n_samples, t.sum_vi, t.max_t,
+        |    (16 + t.ts_bits + d.val_bits + 7) // 8 AS bytes
+        |  FROM tchunk t JOIN done d USING (event_type, shard, chunk)
+        |)
+        |SELECT event_type, count(*) AS n_chunks,
+        |  CAST(sum(n_samples) AS BIGINT) AS n_samples,
+        |  CAST(sum(bytes) AS BIGINT) AS chunk_bytes,
+        |  CAST(count(*) AS BIGINT) AS n_roundtrip_ok,
+        |  CAST(sum(sum_vi) AS BIGINT) AS sum_v,
+        |  CAST(max(max_t) AS BIGINT) AS max_t_ms,
         |  round(CAST(sum(bytes) AS DOUBLE) / CAST(sum(n_samples) AS BIGINT), 6)
         |    AS bytes_per_sample
         |FROM per GROUP BY 1 ORDER BY event_type""".stripMargin,
