@@ -2,7 +2,7 @@ package graft.metrics
 
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions.{col, element_at, expr, lit, max_by, struct, to_timestamp}
+import org.apache.spark.sql.functions.{col, collect_list, element_at, expr, lit, max, max_by, min, row_number, sort_array, struct, to_timestamp}
 
 /** A8 + P14: the engine's HTTP face — Prometheus text-format exposition
   * plus the Prometheus HTTP query API.
@@ -242,25 +242,76 @@ final class MetricsServer(observed: Observed, port: Int = 0,
     // ingest-unioned `src` serving /api/v1/query: matchers render to a
     // selector, compile through selectorCond (pushdown-eligible), and
     // the collect rides the usual maxResultRows cap.
-    server.createContext("/api/v1/read", MetricsServer.bodyHandler { body =>
-      val results = RemoteRead.parseRequest(body).map { q =>
-        val s0 = src
-        val cond = PromQlParser.selectorCond(
-          s0, RemoteRead.selectorString(q.matchers))
-        val rows = s0.df.filter(cond)
-          .withColumn("__ts_ms", expr(s"unix_millis(${s0.tsCol})"))
-          .filter(col("__ts_ms") >= q.startMs && col("__ts_ms") <= q.endMs)
-          .select(s0.seriesKey.map(col) :+ col("__ts_ms") :+
-            col(s0.valueCol).cast("double").as("__v"): _*)
-          .orderBy(s0.seriesKey.map(col) :+ col("__ts_ms"): _*)
-          .limit(maxResultRows + 1)
-          .collect()
-        if (rows.length > maxResultRows)
-          throw new MetricsServer.ResultTooLarge(maxResultRows)
-        rows
+    server.createContext("/api/v1/read", MetricsServer.bodyHandlerCt { body =>
+      // Response-type negotiation (storage/remote NegotiateResponseType):
+      // first accepted type the server supports wins; empty → SAMPLES.
+      val streamed = RemoteRead.acceptedTypes(body)
+        .find(t => t == "STREAMED_XOR_CHUNKS" || t == "SAMPLES")
+        .contains("STREAMED_XOR_CHUNKS")
+      val queries = RemoteRead.parseRequest(body)
+      if (!streamed) {
+        val results = queries.map { q =>
+          val s0 = src
+          val cond = PromQlParser.selectorCond(
+            s0, RemoteRead.selectorString(q.matchers))
+          val rows = s0.df.filter(cond)
+            .withColumn("__ts_ms", expr(s"unix_millis(${s0.tsCol})"))
+            .filter(col("__ts_ms") >= q.startMs && col("__ts_ms") <= q.endMs)
+            .select(s0.seriesKey.map(col) :+ col("__ts_ms") :+
+              col(s0.valueCol).cast("double").as("__v"): _*)
+            .orderBy(s0.seriesKey.map(col) :+ col("__ts_ms"): _*)
+            .limit(maxResultRows + 1)
+            .collect()
+          if (rows.length > maxResultRows)
+            throw new MetricsServer.ResultTooLarge(maxResultRows)
+          rows
+        }
+        // JSON stand-in Content-Type (upstream: snappy'd protobuf as
+        // application/x-protobuf — the documented codec swap)
+        ("application/json",
+          MetricsServer.remoteReadJson(results, boundSrc.metricCol,
+            boundSrc.seriesKey))
+      } else {
+        // STREAMED_XOR_CHUNKS: series are cut into ≤120-sample XOR chunks
+        // IN SPARK (keyed window + collect_list + the XorChunkEncode
+        // expression), so the driver only ever holds encoded chunk rows —
+        // ~10 bytes/sample instead of 16 — and the chunking parallelizes
+        // across executors; one ChunkedReadResponse frame per series.
+        // Wire stand-in (same rule as the SAMPLES path): upstream frames
+        // are 4-byte-BE-length + CRC32C + uncompressed protobuf; here each
+        // frame is one JSON line. The chunk `data` bytes are REAL XOR
+        // chunks (graft.functions.XorChunk), base64 in the JSON mapping.
+        val frames = queries.zipWithIndex.flatMap { case (q, qi) =>
+          val s0 = src
+          val cond = PromQlParser.selectorCond(
+            s0, RemoteRead.selectorString(q.matchers))
+          val sKey = s0.seriesKey.map(col)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(sKey: _*).orderBy(col("__ts_ms"), col("__b"))
+          val rows = s0.df.filter(cond)
+            .withColumn("__ts_ms", expr(s"unix_millis(${s0.tsCol})"))
+            .filter(col("__ts_ms") >= q.startMs && col("__ts_ms") <= q.endMs)
+            .withColumn("__b", graft.functions.VectorFunctions
+              .doubleBits(col(s0.valueCol).cast("double")))
+            .withColumn("__seq", (row_number().over(w) - 1).cast("long"))
+            .withColumn("__chunk", expr("__seq div 120"))
+            .groupBy(sKey :+ col("__chunk"): _*)
+            .agg(min(col("__ts_ms")).as("__min_t"),
+              max(col("__ts_ms")).as("__max_t"),
+              graft.functions.XorChunk.encodeCol(sort_array(collect_list(
+                struct(col("__ts_ms").as("t"), col("__b").as("b")))))
+                .as("__data"))
+            .orderBy(sKey :+ col("__chunk"): _*)
+            .limit(maxResultRows + 1)
+            .collect()
+          if (rows.length > maxResultRows)
+            throw new MetricsServer.ResultTooLarge(maxResultRows)
+          MetricsServer.chunkedReadFrames(rows, boundSrc.metricCol,
+            boundSrc.seriesKey, qi)
+        }
+        ("application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse",
+          frames.mkString("", "\n", "\n"))
       }
-      MetricsServer.remoteReadJson(results, boundSrc.metricCol,
-        boundSrc.seriesKey)
     })
     server.createContext("/api/v1/admin/tsdb/delete_series",
       MetricsServer.jsonHandler { params =>
@@ -887,6 +938,67 @@ object MetricsServer {
     * error payloads (400 + `status: error`). */
   private def jsonHandler(f: Map[String, String] => String): HttpHandler =
     jsonHandler2((_, params) => f(params))
+
+  /** [[bodyHandler]] whose function also picks the response
+    * Content-Type (remote-read response negotiation). Errors fall back
+    * to the JSON envelope, as upstream's error paths do. */
+  private def bodyHandlerCt(f: String => (String, String)): HttpHandler =
+    new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val (code, ctype, body) =
+          try {
+            val in = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+            val (ct, b) = f(in)
+            (200, ct, b)
+          } catch {
+            case e: ResultTooLarge =>
+              val msg = jsonEscape(String.valueOf(e.getMessage))
+              (422, "application/json",
+                s"""{"status":"error","errorType":"too_many_results","error":"$msg"}""")
+            case e: Throwable =>
+              val msg = jsonEscape(String.valueOf(e.getMessage))
+              (400, "application/json",
+                s"""{"status":"error","errorType":"bad_data","error":"$msg"}""")
+          }
+        val bytes = body.getBytes("UTF-8")
+        ex.getResponseHeaders.set("Content-Type", ctype)
+        ex.sendResponseHeaders(code, bytes.length.toLong)
+        val os = ex.getResponseBody
+        try os.write(bytes) finally os.close()
+      }
+    }
+
+  /** One `ChunkedReadResponse` frame per series: rows arrive sorted by
+    * (seriesKey, chunk) with encoded XOR chunk bytes; consecutive rows
+    * of one series fold into one frame's chunk list (protobuf-JSON
+    * field names; `data` is base64, the JSON bytes mapping). */
+  private[metrics] def chunkedReadFrames(rows: Array[Row],
+      metricCol: String, seriesKey: Seq[String], queryIndex: Int): Seq[String] = {
+    val grouped = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[(String, String)], scala.collection.mutable.ArrayBuffer[Row]]
+    rows.foreach { r =>
+      val ls = seriesKey.map { k =>
+        (if (k == metricCol) "__name__" else k) ->
+          String.valueOf(r.getAs[Any](k))
+      }
+      grouped.getOrElseUpdate(ls,
+        scala.collection.mutable.ArrayBuffer.empty) += r
+    }
+    grouped.map { case (ls, rs) =>
+      val labels = ls.map { case (n, v) =>
+        s"""{"name":"${jsonEscape(n)}","value":"${jsonEscape(v)}"}"""
+      }.mkString("[", ",", "]")
+      val chunks = rs.map { r =>
+        val b64 = java.util.Base64.getEncoder
+          .encodeToString(r.getAs[Array[Byte]]("__data"))
+        s"""{"minTimeMs":${r.getAs[Long]("__min_t")},""" +
+          s""""maxTimeMs":${r.getAs[Long]("__max_t")},""" +
+          s""""type":"XOR","data":"$b64"}"""
+      }.mkString("[", ",", "]")
+      s"""{"chunkedSeries":[{"labels":$labels,"chunks":$chunks}],""" +
+        s""""queryIndex":$queryIndex}"""
+    }.toSeq
+  }
 
   /** Wraps a request-BODY → JSON function (ingest receivers: remote
     * write, OTLP). Same Prometheus-style error envelope. */

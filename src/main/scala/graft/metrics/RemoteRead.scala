@@ -58,6 +58,16 @@ object RemoteRead {
     }
   }
 
+  /** `accepted_response_types` of a ReadRequest (protobuf-JSON enum
+    * names). Upstream semantics (storage/remote/codec.go
+    * NegotiateResponseType): the FIRST accepted type the server
+    * supports wins; an absent/empty list means SAMPLES. */
+  def acceptedTypes(json: String): Seq[String] = {
+    val root = mapper.readTree(json)
+    Option(root.get("acceptedResponseTypes")).filter(_.isArray)
+      .map(_.asScala.toSeq.map(_.asText)).getOrElse(Nil)
+  }
+
   /** The PromQL selector string equivalent to the matcher triples —
     * compiled through the SAME parser path serving every other endpoint,
     * so there is exactly one escape rule and one regex-anchoring rule

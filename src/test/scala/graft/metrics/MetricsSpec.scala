@@ -715,4 +715,77 @@ class MetricsSpec extends AnyFunSuite {
       } finally srv.close()
     }
   }
+
+  test("remote-read STREAMED_XOR_CHUNKS: negotiated, real decodable chunk bytes") {
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "cpu", 7.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:15"), 1L, "cpu", 7.5),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 10:00:30"), 1L, "cpu", 7.5),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 10:00:45"), 1L, "cpu", 8.25),
+      (5L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 2L, "cpu", 1.0),
+      (6L, java.sql.Timestamp.valueOf("2024-01-01 10:00:30"), 2L, "cpu", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val src = PromQlParser.PromSource(df, "event_type",
+      Seq("user_id", "event_type"), "ts", "event_id", "value")
+    def post(port: Int, path: String, body: String): (Int, String, String) = {
+      val url = new java.net.URI(s"http://127.0.0.1:$port$path").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      val os = conn.getOutputStream
+      try os.write(body.getBytes("UTF-8")) finally os.close()
+      val code = conn.getResponseCode
+      val ct = Option(conn.getHeaderField("Content-Type")).getOrElse("")
+      val in = if (code == 200) conn.getInputStream else conn.getErrorStream
+      (code, ct, scala.io.Source.fromInputStream(in).mkString)
+    }
+    Observed.use(spark) { obs =>
+      val srv = new MetricsServer(obs, promSource = Some(src))
+      try {
+        val rr = """{"acceptedResponseTypes":["STREAMED_XOR_CHUNKS"],
+          |"queries":[{"startTimestampMs":0,"endTimestampMs":9999999999999,
+          | "matchers":[{"type":"EQ","name":"__name__","value":"cpu"}]}]}"""
+          .stripMargin.replace("\n", "")
+        val (code, ct, body) = post(srv.boundPort, "/api/v1/read", rr)
+        assert(code == 200, body)
+        assert(ct.startsWith("application/x-streamed-protobuf"), ct)
+        val frames = body.split("\n").filter(_.nonEmpty)
+        assert(frames.length == 2, body) // one frame per series
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val bySeries = frames.map { f =>
+          val root = mapper.readTree(f)
+          assert(root.get("queryIndex").asInt == 0)
+          val cs = root.get("chunkedSeries").get(0)
+          val uid = {
+            import scala.jdk.CollectionConverters._
+            cs.get("labels").asScala
+              .find(_.get("name").asText == "user_id").get.get("value").asText
+          }
+          val ch = cs.get("chunks").get(0)
+          assert(ch.get("type").asText == "XOR")
+          val samples = graft.functions.XorChunk.decode(
+            java.util.Base64.getDecoder.decode(ch.get("data").asText))
+            .map { case (t, b) => (t, java.lang.Double.longBitsToDouble(b)) }
+          assert(samples.head._1 == ch.get("minTimeMs").asLong)
+          assert(samples.last._1 == ch.get("maxTimeMs").asLong)
+          uid -> samples.toSeq
+        }.toMap
+        // decoded chunk content == the stored samples, ms-exact
+        val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+        assert(bySeries("1") == Seq((base, 7.0), (base + 15000L, 7.5),
+          (base + 30000L, 7.5), (base + 45000L, 8.25)), bySeries("1"))
+        assert(bySeries("2") == Seq((base, 1.0), (base + 30000L, 2.0)))
+        // no acceptedResponseTypes → SAMPLES JSON (negotiation default)
+        val (c2, ct2, b2) = post(srv.boundPort, "/api/v1/read",
+          """{"queries":[{"matchers":[{"type":"EQ","name":"__name__","value":"cpu"}]}]}""")
+        assert(c2 == 200 && ct2.startsWith("application/json") &&
+          b2.contains("\"samples\""), b2)
+        // SAMPLES listed first wins even if streamed is also accepted
+        val (c3, ct3, _) = post(srv.boundPort, "/api/v1/read",
+          """{"acceptedResponseTypes":["SAMPLES","STREAMED_XOR_CHUNKS"],
+            |"queries":[{"matchers":[{"type":"EQ","name":"__name__","value":"cpu"}]}]}"""
+            .stripMargin.replace("\n", ""))
+        assert(c3 == 200 && ct3.startsWith("application/json"))
+      } finally srv.close()
+    }
+  }
 }
