@@ -1,6 +1,6 @@
 package graft.metrics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -159,6 +159,97 @@ object PromQl {
       .withColumn("avg_ot", col("sum_ot").cast("double") / col("count_ot"))
       .withColumn("max_ot", max(col(valueCol)).over(w))
       .withColumn("min_ot", min(col(valueCol)).over(w))
+  }
+
+  /** EXTENDED range selectors — Prometheus 3.5's experimental `anchored` /
+    * `smoothed` range-selector modifiers
+    * (`--enable-feature=promql-extended-range-selectors`), the upstream
+    * answer to extrapolation guesswork: instead of scaling the sampled
+    * interval outward ([[extrapolated]]), the window's BOUNDARY values are
+    * made explicit from the samples straddling each boundary —
+    *
+    *  - `anchored`: the boundary value is the last sample AT OR BEFORE the
+    *    boundary (zero-order hold). The left anchor may sit BEFORE the
+    *    window (that is the point of the feature: a 1m window over 2m
+    *    scrapes still covers the full range); a missing left anchor falls
+    *    back to the first in-window sample, a window with no samples holds
+    *    the left anchor flat (increase 0 — the stale-counter face).
+    *  - `smoothed`: the boundary value is LINEARLY INTERPOLATED between
+    *    the last sample ≤ boundary and the first sample > boundary; an
+    *    absent side falls back to the present side's sample value (no
+    *    extrapolation past the data).
+    *
+    * result = vEnd − vStart, rate divides by the FULL window once. Counter
+    * semantics ride the [[counterIncrease]] reset chain: boundary values
+    * live on the reset-adjusted cumulative scale (a DECIMAL prefix sum of
+    * 6-dp increments — exact, association-free), so a reset between the
+    * left anchor and the window contributes exactly the post-reset level,
+    * and interpolation happens on the monotone scale, as upstream does.
+    *
+    * `samples` must already cover the EXTENDED fetch — (start − lookback,
+    * end] for anchored, plus the right lookahead for smoothed — so the
+    * range predicate rides the scan (pushdown). Series yield a row when
+    * the window holds ≥ 1 sample and the fetch holds ≥ 2 (documented
+    * engine rule; upstream emits for ≥ 1 in-window with a usable anchor).
+    *
+    * Scale shape: one series-keyed window (the inc chain + prefix sum) +
+    * one keyed agg with conditional min_by/max_by — no self-joins, no
+    * per-boundary passes; parallel across series. */
+  def extendedRange(samples: DataFrame, seriesKey: Seq[String],
+                    tsCol: String, orderCol: String, valueCol: String,
+                    startUs: Long, endUs: Long, mode: String,
+                    isCounter: Boolean, isRate: Boolean): DataFrame = {
+    require(mode == "anchored" || mode == "smoothed", s"bad mode: $mode")
+    val keyCols = seriesKey.map(col)
+    val wCum = Window.partitionBy(keyCols: _*)
+      .orderBy(col(tsCol), col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val based =
+      if (isCounter)
+        counterIncrease(samples, seriesKey, tsCol, orderCol, valueCol)
+          .withColumn("__adj",
+            sum(round(col("inc"), 6).cast("decimal(18,6)")).over(wCum)
+              .cast("double"))
+      else samples.withColumn("__adj", col(valueCol).cast("double"))
+    val tagged = based
+      .withColumn("__t_us", expr(s"unix_micros($tsCol)"))
+      .withColumn("__reg",
+        when(col("__t_us") <= startUs, "pre")
+          .when(col("__t_us") <= endUs, "in").otherwise("post"))
+    val ord = struct(col("__t_us"), col(orderCol))
+    val pt = struct(col("__t_us").as("t"), col("__adj").as("v"))
+    def only(reg: String, c: Column) = when(col("__reg") === reg, c)
+    val agg = tagged.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("__n_tot"),
+        sum(when(col("__reg") === "in", 1L).otherwise(0L)).as("n"),
+        max_by(only("pre", pt), only("pre", ord)).as("__pre"),
+        min_by(only("in", pt), only("in", ord)).as("__fin"),
+        max_by(only("in", pt), only("in", ord)).as("__lin"),
+        min_by(only("post", pt), only("post", ord)).as("__post"))
+    def interp(le: Column, gt: Column, bUs: Long): Column =
+      le.getField("v") + (gt.getField("v") - le.getField("v")) *
+        ((lit(bUs) - le.getField("t")).cast("double") /
+          (gt.getField("t") - le.getField("t")).cast("double"))
+    val pre = col("__pre"); val fin = col("__fin")
+    val lin = col("__lin"); val post = col("__post")
+    val (vStart, vEnd) =
+      if (mode == "anchored")
+        (coalesce(pre.getField("v"), fin.getField("v")),
+          coalesce(lin.getField("v"), pre.getField("v")))
+      else {
+        // smoothed: boundary straddle is (pre, first-in) / (last-in, post)
+        val vs = when(pre.isNull, fin.getField("v"))
+          .when(fin.isNull, pre.getField("v"))
+          .otherwise(interp(pre, fin, startUs))
+        val ve = when(post.isNull, lin.getField("v"))
+          .when(lin.isNull, post.getField("v"))
+          .otherwise(interp(lin, post, endUs))
+        (vs, ve)
+      }
+    val res = vEnd - vStart
+    val value = if (isRate) res / lit((endUs - startUs) / 1e6) else res
+    agg.filter(col("n") >= 1 && col("__n_tot") >= 2)
+      .select(keyCols :+ value.as("value") :+ col("n"): _*)
   }
 
   /** PromQL `topk(k, v by (group))`: the k largest-valued series of an

@@ -82,7 +82,10 @@ object PromQlFormat {
     case s: Selector => formatSel(s)
     case ScalarLit(v) => if (v < 0) s"($v)" else v.toString
     case TimeFn => "time()"
-    case RangeVec(sel, w) => s"${formatSel(sel)}[${durS(w)}]"
+    case RangeVec(sel, w, None) => s"${formatSel(sel)}[${durS(w)}]"
+    case RangeVec(sel, w, Some(m)) => s"${formatSel(sel)}[${durS(w)}] $m"
+    case ExtRange(m, fn, sel, w) =>
+      s"$fn(${formatSel(sel)}[${durS(w)}] $m)"
     case RangeFn("holt_winters", sel, w, Some(sf), Some(tf)) =>
       s"holt_winters(${formatSel(sel)}[${durS(w)}], $sf, $tf)"
     case RangeFn("predict_linear", sel, w, Some(p), None) =>

@@ -54,6 +54,12 @@ object PromQlJson {
       s""""matchers":${matchers(s)},"range":${windowSec * 1000L},""" +
       s"""${atFields(s.at, s.offsetSec)}}"""
 
+  private def matSelMode(s: Selector, windowSec: Long, mode: String): String =
+    s"""{"type":"matrixSelector","name":"${esc(s.metric.getOrElse(""))}",""" +
+      s""""matchers":${matchers(s)},"range":${windowSec * 1000L},""" +
+      s""""timeRangeMode":"${esc(mode)}",""" +
+      s"""${atFields(s.at, s.offsetSec)}}"""
+
   private def call(fn: String, args: Seq[String]): String =
     s"""{"type":"call","func":{"name":"${esc(fn)}"},""" +
       s""""args":${args.mkString("[", ",", "]")}}"""
@@ -67,7 +73,11 @@ object PromQlJson {
 
   def json(a: Ast): String = a match {
     case s: Selector      => vecSel(s)
-    case RangeVec(s, w)   => matSel(s, w)
+    case RangeVec(s, w, None) => matSel(s, w)
+    case RangeVec(s, w, Some(m)) => matSelMode(s, w, m)
+    // extended range selectors (3.5 experimental): the modifier rides the
+    // matrix selector as `timeRangeMode` (SAMPLES-era absent = default)
+    case ExtRange(m, fn, s, w) => call(fn, Seq(matSelMode(s, w, m)))
     case RangeFn(fn, s, w, p, p2) =>
       val ps = Seq(p, p2).flatten.map(num)
       fn match {

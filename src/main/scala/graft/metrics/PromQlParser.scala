@@ -216,7 +216,18 @@ object PromQlParser {
   final case class VecFn(fn: String, child: Ast, args: Seq[Double] = Nil) extends Ast
   /** `selector '[' DUR ']'` — a range vector; only valid as a range
     * function's argument (enforced at compile). */
-  final case class RangeVec(sel: Selector, windowSec: Long) extends Ast
+  final case class RangeVec(sel: Selector, windowSec: Long,
+                            mode: Option[String] = None) extends Ast
+  /** EXTENDED range selector (Prometheus 3.5 experimental
+    * `promql-extended-range-selectors`): `rate(sel[1m] anchored)` /
+    * `smoothed` — boundary values from straddling samples instead of
+    * extrapolation; only `rate`/`increase`/`delta` accept the modifier
+    * (the upstream restriction). Instant-eval only in this engine: the
+    * grid compiler rejects it loudly (documented divergence — upstream
+    * evaluates per step; the per-step left-anchor window shape is the
+    * same machinery and can land later). */
+  final case class ExtRange(mode: String, fn: String, sel: Selector,
+                            windowSec: Long) extends Ast
   /** `expr '[' RANGE ':' STEP ']'` — a PromQL subquery: the inner
     * expression evaluated on a step grid over the trailing range; only
     * valid under a `*_over_time` function (enforced at compile). */
@@ -408,7 +419,14 @@ object PromQlParser {
       * `selector[dur]` → [[RangeFn]]; `expr[range:step]` → [[RangeSub]]. */
     private def rangeArg(fn: String, arg: Ast, param: Option[Double]): Ast =
       arg match {
-        case RangeVec(sel, w) => RangeFn(fn, sel, w, param)
+        case RangeVec(sel, w, None) => RangeFn(fn, sel, w, param)
+        case RangeVec(sel, w, Some(m)) =>
+          // upstream restricts the extended modifiers to the three
+          // boundary-sensitive functions
+          if (fn == "rate" || fn == "increase" || fn == "delta")
+            ExtRange(m, fn, sel, w)
+          else fail(s"'$m' range modifier is not allowed with $fn " +
+            "(only rate/increase/delta)")
         case sub: Subquery => RangeSub(fn, sub, param)
         case other => fail(s"$fn expects a range vector or subquery, got $other")
       }
@@ -665,7 +683,17 @@ object PromQlParser {
             case _ =>
               expect("]")
               e match {
-                case sel: Selector => RangeVec(parseOffsetOpt(sel), r)
+                case sel: Selector =>
+                  // extended-range modifier (3.5 experimental): accepted
+                  // on either side of offset/@ (upstream's parser treats
+                  // it as a selector suffix among the modifiers)
+                  val s1 = parseOffsetOpt(sel)
+                  peek match {
+                    case Some(Ident(m @ ("anchored" | "smoothed"))) =>
+                      next()
+                      RangeVec(parseOffsetOpt(s1), r, Some(m))
+                    case _ => RangeVec(s1, r)
+                  }
                 case other => fail(s"a [range] suffix needs a plain selector, got $other")
               }
           }
@@ -824,7 +852,9 @@ object PromQlParser {
         require(sf > 0 && sf < 1 && tf > 0 && tf < 1,
           s"holt_winters smoothing/trend factors must be in (0, 1); got $sf, $tf")
         arg match {
-          case RangeVec(sel, w) => RangeFn("holt_winters", sel, w, Some(sf), Some(tf))
+          case RangeVec(sel, w, None) => RangeFn("holt_winters", sel, w, Some(sf), Some(tf))
+          case RangeVec(_, _, Some(m)) =>
+            fail(s"'$m' range modifier is not allowed with holt_winters")
           case other => fail(s"holt_winters expects a range vector, got $other")
         }
       case Some(Ident("quantile_over_time")) if !selectorAhead =>
@@ -1732,6 +1762,24 @@ object PromQlParser {
       PromQl.instantVector(src.df.filter(matcherCond(src, sel)), src.seriesKey,
           src.tsCol, src.orderCol, evalInstantFor(sel, evalTs), lookback)
         .select(src.seriesKey.map(col) :+ col(src.valueCol).as("value"): _*)
+
+    case ExtRange(mode, fn, sel, w) =>
+      // extended fetch: the window PLUS the lookback behind it, so the
+      // left anchor (last sample at/before the window start) is in frame;
+      // no post-window fetch at instant eval — data ends at T, so
+      // smoothed's right edge falls back to the last in-window sample,
+      // exactly upstream's at-the-head behavior
+      val endUs = usOf(evalInstantFor(sel, evalTs))
+      val startUs = endUs - w * 1000000L
+      val t = to_timestamp(lit(evalInstantFor(sel, evalTs)))
+      val fetched = src.df.filter(matcherCond(src, sel))
+        .filter(col(src.tsCol) <= t &&
+          col(src.tsCol) > t - expr(s"INTERVAL $w SECONDS") -
+            expr(s"INTERVAL $lookback"))
+      PromQl.extendedRange(fetched, src.seriesKey, src.tsCol, src.orderCol,
+          src.valueCol, startUs, endUs, mode,
+          isCounter = fn != "delta", isRate = fn == "rate")
+        .select(src.seriesKey.map(col) :+ col("value"): _*)
 
     case RangeFn(fn, sel, w, param, param2) =>
       val t = to_timestamp(lit(evalInstantFor(sel, evalTs)))
@@ -2645,6 +2693,9 @@ object PromQlParser {
         s"a subquery ($sq) is only valid under a *_over_time function")
       case rv: RangeVec => throw new IllegalArgumentException(
         s"a range vector ($rv) is only valid as a range function's argument")
+      case er: ExtRange => throw new IllegalArgumentException(
+        s"extended range selectors (${er.mode}) are instant-query only " +
+          "in this engine (documented divergence)")
     }
   }
 }

@@ -62,7 +62,10 @@ object QueryFrontend {
     def walk(a: Ast): Option[(Long, Long)] = a match {
       case s: Selector             => sel(s, L)
       case RangeFn(_, s, w, _, _)  => sel(s, w)
-      case RangeVec(s, w)          => sel(s, w)
+      case RangeVec(s, w, _)       => sel(s, w)
+      // extended fetch reaches one lookback BEHIND the window start for
+      // the left anchor
+      case ExtRange(_, _, s, w)    => sel(s, w + L)
       case Absent(s)               => sel(s, L)
       case TimestampFn(s)          => sel(s, L)
       case Subquery(child, range, _, off, at) =>
@@ -106,7 +109,8 @@ object QueryFrontend {
     def go(x: Ast): Ast = x match {
       case s: Selector                  => s.copy(at = at(s.at))
       case r: RangeFn                   => r.copy(sel = go(r.sel).asInstanceOf[Selector])
-      case RangeVec(s, w)               => RangeVec(go(s).asInstanceOf[Selector], w)
+      case RangeVec(s, w, m)            => RangeVec(go(s).asInstanceOf[Selector], w, m)
+      case e: ExtRange                  => e.copy(sel = go(e.sel).asInstanceOf[Selector])
       case Absent(s)                    => Absent(go(s).asInstanceOf[Selector])
       case TimestampFn(s)               => TimestampFn(go(s).asInstanceOf[Selector])
       case sq: Subquery                 => sq.copy(child = go(sq.child), at = at(sq.at))

@@ -887,6 +887,52 @@ object PromQlQueries {
         .join(face(isCounter = false, isRate = false, "xdelta")
           .drop("n"), key)
         .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // EXTENDED range selectors (Prometheus 3.5 experimental `anchored` /
+    // `smoothed`, --enable-feature=promql-extended-range-selectors) — the
+    // THIRD boundary semantics beside the engine's no-extrapolation
+    // baseline (q95) and upstream extrapolatedRate (q220), from the same
+    // daily-reset counter fixture and the same midnight-spanning 6 h
+    // window: anchored holds the last sample at/before each boundary
+    // (the left anchor genuinely sits BEFORE the window — hourly samples
+    // vs a 22:00 boundary), smoothed interpolates the straddling pair on
+    // the reset-adjusted scale. Four faces: anchored rate/increase,
+    // smoothed rate, and smoothed gauge delta (raw-value interpolation).
+    // The fetch is the pushdown-eligible (start−12h, end+12h] slice.
+    "q237_extended_range" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val startUs = 1705269600L * 1000000L // 2024-01-14 22:00:00 UTC
+      val endUs = 1705291200L * 1000000L   // 2024-01-15 04:00:00 UTC
+      val wCum = Window
+        .partitionBy(col("event_type"), col("bucket"), to_date(col("ts")))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val counter = events(s, d)
+        .withColumn("bucket", pmod(col("user_id"), lit(4L)))
+        .withColumn("cnt_v",
+          sum(round(col("value"), 6).cast("decimal(18,6)")).over(wCum)
+            .cast("double"))
+      val fetch = counter
+        .filter(col("ts") > lit("2024-01-14 10:00:00").cast("timestamp") &&
+          col("ts") <= lit("2024-01-15 16:00:00").cast("timestamp"))
+        .select(col("event_type"), col("bucket"), col("ts"), col("event_id"),
+          col("cnt_v"))
+      val key = Seq("event_type", "bucket")
+      def face(mode: String, isCounter: Boolean, isRate: Boolean,
+               name: String) =
+        PromQl.extendedRange(fetch, key, "ts", "event_id", "cnt_v",
+            startUs, endUs, mode, isCounter, isRate)
+          .select(col("event_type"), col("bucket"), col("n"),
+            round(col("value"), 9).as(name))
+      face("anchored", isCounter = true, isRate = true, "arate")
+        .join(face("anchored", isCounter = true, isRate = false,
+          "aincrease").drop("n"), key)
+        .join(face("smoothed", isCounter = true, isRate = true,
+          "srate").drop("n"), key)
+        .join(face("smoothed", isCounter = false, isRate = false,
+          "sdelta").drop("n"), key)
+        .orderBy(col("event_type"), col("bucket"))
     })
   )
 
@@ -949,6 +995,85 @@ object PromQlQueries {
         |  round((last_v - first_v) * ((sampled + ds1 + de) / sampled), 9)
         |    AS xdelta
         |FROM g ORDER BY event_type, bucket""".stripMargin,
+
+    // Same cumsum fixture; the inc chain runs over the ±12h FETCH, adj is
+    // the decimal prefix sum of 6-dp increments (exact), boundary regions
+    // split at the window edges, and the boundary math is the SAME
+    // ordered double expression the engine compiles — anchor = struct
+    // max/min FILTERed per region (lexicographic (t, event_id) ==
+    // the engine's max_by ordering since event_id is unique).
+    "q237_extended_range" ->
+      """WITH c0 AS (
+        |  SELECT event_type, user_id % 4 AS bucket, ts, event_id,
+        |    epoch_us(ts) AS t_us,
+        |    CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) OVER
+        |      (PARTITION BY event_type, user_id % 4, CAST(ts AS DATE)
+        |       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |      AS cnt_v
+        |  FROM events
+        |), fch AS (
+        |  SELECT * FROM c0
+        |  WHERE ts > TIMESTAMP '2024-01-14 10:00:00'
+        |    AND ts <= TIMESTAMP '2024-01-15 16:00:00'
+        |), i AS (
+        |  SELECT *, lag(cnt_v) OVER (PARTITION BY event_type, bucket
+        |    ORDER BY ts, event_id) AS prev
+        |  FROM fch
+        |), a AS (
+        |  SELECT *,
+        |    CAST(sum(CAST(round(CASE WHEN prev IS NULL THEN 0.0
+        |      WHEN cnt_v - prev < 0 THEN cnt_v ELSE cnt_v - prev END, 6)
+        |      AS DECIMAL(18,6))) OVER (PARTITION BY event_type, bucket
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |      AS adj,
+        |    CASE WHEN t_us <= 1705269600000000 THEN 'pre'
+        |         WHEN t_us <= 1705291200000000 THEN 'in'
+        |         ELSE 'post' END AS reg
+        |  FROM i
+        |), g AS (
+        |  SELECT event_type, bucket, count(*) AS n_tot,
+        |    sum(CASE WHEN reg = 'in' THEN 1 ELSE 0 END) AS n,
+        |    max(struct_pack(t := t_us, e := event_id, v := adj, rv := cnt_v))
+        |      FILTER (WHERE reg = 'pre') AS pre,
+        |    min(struct_pack(t := t_us, e := event_id, v := adj, rv := cnt_v))
+        |      FILTER (WHERE reg = 'in') AS fin,
+        |    max(struct_pack(t := t_us, e := event_id, v := adj, rv := cnt_v))
+        |      FILTER (WHERE reg = 'in') AS lin,
+        |    min(struct_pack(t := t_us, e := event_id, v := adj, rv := cnt_v))
+        |      FILTER (WHERE reg = 'post') AS post
+        |  FROM a GROUP BY 1, 2
+        |), v AS (
+        |  SELECT *,
+        |    coalesce(pre.v, fin.v) AS a_vs,
+        |    coalesce(lin.v, pre.v) AS a_ve,
+        |    CASE WHEN pre IS NULL THEN fin.v
+        |         WHEN fin IS NULL THEN pre.v
+        |         ELSE pre.v + (fin.v - pre.v) *
+        |           (CAST(1705269600000000 - pre.t AS DOUBLE) /
+        |            CAST(fin.t - pre.t AS DOUBLE)) END AS s_vs,
+        |    CASE WHEN post IS NULL THEN lin.v
+        |         WHEN lin IS NULL THEN post.v
+        |         ELSE lin.v + (post.v - lin.v) *
+        |           (CAST(1705291200000000 - lin.t AS DOUBLE) /
+        |            CAST(post.t - lin.t AS DOUBLE)) END AS s_ve,
+        |    CASE WHEN pre IS NULL THEN fin.rv
+        |         WHEN fin IS NULL THEN pre.rv
+        |         ELSE pre.rv + (fin.rv - pre.rv) *
+        |           (CAST(1705269600000000 - pre.t AS DOUBLE) /
+        |            CAST(fin.t - pre.t AS DOUBLE)) END AS sg_vs,
+        |    CASE WHEN post IS NULL THEN lin.rv
+        |         WHEN lin IS NULL THEN post.rv
+        |         ELSE lin.rv + (post.rv - lin.rv) *
+        |           (CAST(1705291200000000 - lin.t AS DOUBLE) /
+        |            CAST(post.t - lin.t AS DOUBLE)) END AS sg_ve
+        |  FROM g WHERE n >= 1 AND n_tot >= 2
+        |)
+        |SELECT event_type, bucket, CAST(n AS BIGINT) AS n,
+        |  round((a_ve - a_vs) / 21600.0, 9) AS arate,
+        |  round(a_ve - a_vs, 9) AS aincrease,
+        |  round((s_ve - s_vs) / 21600.0, 9) AS srate,
+        |  round(sg_ve - sg_vs, 9) AS sdelta
+        |FROM v ORDER BY event_type, bucket""".stripMargin,
 
     "q89_counter_increase" ->
       """WITH d AS (

@@ -1120,4 +1120,57 @@ class PromQlParserSpec extends AnyFunSuite {
     assert(at1010.length == 1 && at1010(0).getAs[Double]("value") == 0.1)
     assert(eval(src(df), "irate(cpu[6m])", "2024-01-01 10:02:00").collect().isEmpty)
   }
+
+  test("extended range selectors: parse, restrict, format/json, eval") {
+    // parse both modes, either side of offset
+    assert(parse("rate(cpu[1m] anchored)") ==
+      ExtRange("anchored", "rate", Selector(Some("cpu"), Nil), 60L))
+    assert(parse("increase(cpu[5m] smoothed)") ==
+      ExtRange("smoothed", "increase", Selector(Some("cpu"), Nil), 300L))
+    assert(parse("delta(cpu[5m] offset 1m anchored)") ==
+      ExtRange("anchored", "delta",
+        Selector(Some("cpu"), Nil, offsetSec = 60L), 300L))
+    assert(parse("rate(cpu[5m] anchored offset 1m)") ==
+      ExtRange("anchored", "rate",
+        Selector(Some("cpu"), Nil, offsetSec = 60L), 300L))
+    // 'anchored'/'smoothed' in metric-name position still select
+    assert(parse("anchored") == Selector(Some("anchored"), Nil))
+    // only rate/increase/delta accept the modifier (upstream restriction)
+    for (bad <- Seq("sum_over_time(cpu[5m] anchored)",
+      "irate(cpu[5m] smoothed)", "holt_winters(cpu[5m] anchored, 0.5, 0.5)"))
+      assert(intercept[IllegalArgumentException](parse(bad))
+        .getMessage.contains("not allowed"), bad)
+    // format round-trip: format(parse(q)) re-parses to the same AST
+    for (q <- Seq("rate(cpu[1m] anchored)", "increase(cpu[5m] smoothed)",
+      "delta(cpu[5m] offset 1m anchored)"))
+      assert(parse(PromQlFormat.format(parse(q))) == parse(q), q)
+    // parse_query JSON carries the modifier on the matrix selector
+    assert(PromQlJson.json(parse("rate(cpu[1m] anchored)"))
+      .contains("\"timeRangeMode\":\"anchored\""))
+    // instant eval: constant-rate counter (+6/min) at T = the last
+    // sample, window start 10:01:30 BETWEEN samples; the left anchor /
+    // straddle comes from BEFORE the window via the extended fetch.
+    // smoothed interpolates the start boundary (v=9) → exactly 0.1;
+    // anchored holds the 10:01 sample (v=6) → exactly 12/90 (the
+    // zero-order-hold face). No post-window data exists at the head, so
+    // the right edge is the last in-window sample in both modes.
+    val df = Seq(
+      (1L, ts(0), 1L, "cpu", 0.0), (2L, ts(1), 1L, "cpu", 6.0),
+      (3L, ts(2), 1L, "cpu", 12.0), (4L, ts(3), 1L, "cpu", 18.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    def one(q: String): Double = {
+      val out = eval(src(df), q, "2024-01-01 10:03:00").collect()
+      assert(out.length == 1, s"$q: ${out.toSeq}")
+      out(0).getAs[Double]("value")
+    }
+    assert(math.abs(one("rate(cpu[90s] smoothed)") - 0.1) < 1e-12)
+    assert(math.abs(one("rate(cpu[90s] anchored)") - 12.0 / 90) < 1e-12)
+    assert(math.abs(one("increase(cpu[90s] smoothed)") - 9.0) < 1e-12)
+    assert(math.abs(one("delta(cpu[90s] smoothed)") - 9.0) < 1e-12)
+    // the grid compiler rejects loudly (documented divergence)
+    val e = intercept[IllegalArgumentException](
+      evalRange(src(df), "rate(cpu[1m] anchored)",
+        "2024-01-01 10:00:00", "2024-01-01 10:10:00", 60L).collect())
+    assert(e.getMessage.contains("instant-query only"))
+  }
 }
