@@ -23,13 +23,12 @@ import PromQlParser.PromSource
   */
 object RecordingRules {
 
-  /** Evaluate `expr` over `[startTs, endTs]` at `stepSec` and return a new
-    * [[PromSource]] whose frame is the source plus the recorded series
-    * named `record`. Recorded samples get order-column 0 — there is at
-    * most one sample per (series, step), so the tie-break never applies. */
-  def materialize(src: PromSource, record: String, expr: String,
-                  startTs: String, endTs: String, stepSec: Long,
-                  lookbackSec: Long = 300L): PromSource = {
+  /** The recorded frame alone: `expr` evaluated on the grid, shaped to the
+    * source schema under the new metric name (order-column 0 — at most
+    * one sample per (series, step), so the tie-break never applies). */
+  def recordedFrame(src: PromSource, record: String, expr: String,
+                    startTs: String, endTs: String, stepSec: Long,
+                    lookbackSec: Long = 300L): org.apache.spark.sql.DataFrame = {
     val grid = PromQlParser.evalRange(src, expr, startTs, endTs,
       stepSec, lookbackSec)
     val labels = grid.columns.filterNot(Set("step_ts", "value")).toSeq
@@ -43,6 +42,108 @@ object RecordingRules {
       case c if labels.contains(c) => col(c).cast(typed(c)).as(c)
       case c                       => lit(null).cast(typed(c)).as(c)
     }
-    src.copy(df = base.unionByName(grid.select(shaped: _*)))
+    grid.select(shaped: _*)
   }
+
+  /** Evaluate `expr` over `[startTs, endTs]` at `stepSec` and return a new
+    * [[PromSource]] whose frame is the source plus the recorded series
+    * named `record`. */
+  def materialize(src: PromSource, record: String, expr: String,
+                  startTs: String, endTs: String, stepSec: Long,
+                  lookbackSec: Long = 300L): PromSource =
+    src.copy(df = src.df.unionByName(
+      recordedFrame(src, record, expr, startTs, endTs, stepSec, lookbackSec)))
+}
+
+/** Rule-GROUP evaluation with upstream's intra-group semantics and 3.0's
+  * concurrency analysis (rules/group.go `dependencyMap` +
+  * `--rules.max-concurrent-evals`): within a group, rules evaluate in
+  * order and a rule SEES the outputs of rules before it in the same
+  * cycle; 3.0 detects rules whose selectors provably don't read another
+  * group member's output and evaluates those concurrently.
+  *
+  * This engine computes the same dependency analysis and turns it into
+  * BATCHES: batch 0 = rules with no in-group reads, batch k = rules whose
+  * last dependency sits in batch k−1; every rule in a batch evaluates
+  * against the SAME input source (the base plus all earlier batches'
+  * records) — their proven independence is what makes the shared input
+  * sound, and q239 hash-proves batched ≡ strictly-sequential. A selector
+  * that doesn't pin the metric name with an exact equality (regex / bare
+  * matchers) conservatively reads EVERYTHING, exactly like upstream's
+  * `dependencyMap` marking such rules un-parallelizable. A read of a
+  * LATER rule's name is the previous cycle's value upstream; a single
+  * batch cycle has no previous cycle, so it reads nothing here
+  * (documented divergence — the driver of that rule order is the same).
+  *
+  * Scale shape: batching composes plans — each batch's records are
+  * unioned frames, not driver buffers, so the whole group remains one
+  * declarative plan; the win at 100 TB is the independent batch-0 rules
+  * sharing one scan of the raw source via Spark's plan-level reuse
+  * rather than evaluating serially.
+  */
+object RuleGroup {
+
+  final case class Rule(record: String, expr: String)
+
+  import PromQlParser.{Ast, Matcher, PromSource, Selector}
+
+  /** Every [[Selector]] in an AST, via product recursion — robust to all
+    * node types without enumerating them. */
+  private def collectSelectors(a: Any): Seq[Selector] = a match {
+    case s: Selector => Seq(s)
+    case o: Option[_] => o.toSeq.flatMap(collectSelectors)
+    case xs: Seq[_] => xs.flatMap(collectSelectors)
+    case p: Product => p.productIterator.flatMap(collectSelectors).toSeq
+    case _ => Nil
+  }
+
+  /** (exact metric names read, reads-everything flag). A name pin is the
+    * bare metric or an exact `=` matcher on `__name__`/the bound metric
+    * column; any selector without one is a conservative read-all. */
+  def readsOf(expr: String, metricCol: String): (Set[String], Boolean) = {
+    val sels = collectSelectors(PromQlParser.parse(expr))
+    def namePins(s: Selector): Seq[String] =
+      s.metric.toSeq ++ s.matchers.collect {
+        case Matcher(l, "=", v) if l == "__name__" || l == metricCol => v
+      }
+    val names = sels.flatMap(namePins).toSet
+    val readsAll = sels.exists(s => namePins(s).isEmpty)
+    (names, readsAll)
+  }
+
+  /** The batch index per rule (0 = no in-group dependencies). */
+  def batches(rules: Seq[Rule], metricCol: String): Seq[Int] = {
+    val rds = rules.map(r => readsOf(r.expr, metricCol))
+    val names = rules.map(_.record)
+    val out = new Array[Int](rules.length)
+    for (j <- rules.indices) {
+      val deps = (0 until j).filter(i =>
+        rds(j)._2 || rds(j)._1.contains(names(i)))
+      out(j) = if (deps.isEmpty) 0 else deps.map(out(_)).max + 1
+    }
+    out.toSeq
+  }
+
+  /** Batched evaluation: returns the source extended with every rule's
+    * records plus the batch index per rule. */
+  def evalBatched(src: PromSource, rules: Seq[Rule], startTs: String,
+                  endTs: String, stepSec: Long): (PromSource, Seq[Int]) = {
+    val bs = batches(rules, src.metricCol)
+    var cur = src
+    for (b <- 0 to (if (bs.isEmpty) -1 else bs.max)) {
+      val input = cur // shared by the whole batch — independence proven
+      val frames = rules.indices.filter(bs(_) == b).map(j =>
+        RecordingRules.recordedFrame(input, rules(j).record, rules(j).expr,
+          startTs, endTs, stepSec))
+      cur = cur.copy(df = frames.foldLeft(cur.df)(_ unionByName _))
+    }
+    (cur, bs)
+  }
+
+  /** Strictly-sequential evaluation (upstream's pre-3.0 behavior): each
+    * rule sees everything before it. The proof twin for [[evalBatched]]. */
+  def evalSequential(src: PromSource, rules: Seq[Rule], startTs: String,
+                     endTs: String, stepSec: Long): PromSource =
+    rules.foldLeft(src)((cur, r) =>
+      RecordingRules.materialize(cur, r.record, r.expr, startTs, endTs, stepSec))
 }

@@ -972,6 +972,90 @@ object ExtraQueries {
         .orderBy(col("event_type"))
     }),
 
+    // STALE MARKERS (prometheus pkg/value.StaleNaN, 0x7ff0000000000002):
+    // when a scrape fails after a success, the ingester writes a stale
+    // marker AT the failed round — and queries change behavior: the
+    // instant lookback treats a latest-row marker as SERIES ABSENT
+    // (instead of serving dead data for the whole lookback — the naive
+    // pre-2.0 face), and range aggregations must SKIP markers or the NaN
+    // poisons every sum.
+    //
+    // SPARK-NATIVE DESIGN RULE (found the hard way): a NaN PAYLOAD cannot
+    // ride a double column — UnsafeRowWriter canonicalizes every NaN to
+    // 0x7ff8… by design so NaN equals NaN in joins/groupBys. So the
+    // engine's sample model carries the IEEE BITS as the at-rest column
+    // (exactly what the XOR chunk codec q236 stores), markers are bit
+    // equality on THAT column, and the double face is derived per use via
+    // DoubleFromBits — NaN-ness (not payload) survives every aggregate,
+    // which `raw_sum_poisoned` proves. The oracle derives every count
+    // from the deterministic up/down rule without representing NaN at
+    // all. Presence at each round is pure lag window math on the scrape
+    // grid (no per-round sample joins).
+    "q238_stale_markers" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.DoubleFromBits
+      val staleBits = 0x7ff0000000000002L
+      val targets = events(s, d).select(col("event_type").as("job")).distinct()
+        .crossJoin(Seq(0, 1).toDF("instance"))
+      val rounds = targets
+        .withColumn("round", explode(sequence(lit(0), lit(71))))
+        .withColumn("h",
+          expr("timestampadd(HOUR, round, timestamp'2024-01-05 00:00:00')"))
+        .withColumn("hsh",
+          conv(substring(md5(concat(lit("up|"), col("job"), lit("|"),
+            col("instance"), lit("|"), col("round"))), 1, 6), 16, 10)
+            .cast("long"))
+        .withColumn("up", when(col("hsh") % 20 =!= 0, 1).otherwise(0))
+      val exposed = events(s, d)
+        .filter(col("ts") >= lit("2024-01-05").cast("timestamp") &&
+          col("ts") < lit("2024-01-08").cast("timestamp"))
+        .groupBy(col("event_type").as("job"),
+          (col("user_id") % 2).cast("int").as("instance"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n_exposed"))
+      val wT = Window.partitionBy(col("job"), col("instance"))
+        .orderBy(col("round"))
+      val grid = rounds.join(exposed, Seq("job", "instance", "h"), "left")
+        .withColumn("prev_up", lag(col("up"), 1).over(wT))
+        .withColumn("rowtype",
+          when(col("up") === 1, "sample")
+            .when(col("prev_up") === 1, "marker") // series just went away
+            .otherwise("none"))
+        .withColumn("vbits",
+          when(col("rowtype") === "sample", VectorFunctions.doubleBits(
+            coalesce(col("n_exposed"), lit(0L)).cast("double")))
+            .when(col("rowtype") === "marker", lit(staleBits)))
+      // instant-query presence per round (2h lookback = rounds r-1, r):
+      // marker-aware: the LATEST row decides (marker => absent);
+      // naive: any sample row in the lookback keeps the series alive
+      val pres = grid
+        .withColumn("prev_type", lag(col("rowtype"), 1).over(wT))
+        .withColumn("aware",
+          when(col("rowtype") =!= "none", col("rowtype") === "sample")
+            .otherwise(coalesce(col("prev_type") === "sample", lit(false))))
+        .withColumn("naive",
+          col("rowtype") === "sample" ||
+            coalesce(col("prev_type") === "sample", lit(false)))
+      pres.groupBy(col("job"), col("instance"))
+        .agg(count(lit(1)).as("n_rounds"),
+          sum(when(col("rowtype") === "sample", 1).otherwise(0))
+            .as("n_samples"),
+          sum(when(col("vbits") === lit(staleBits), 1)
+            .otherwise(0)).as("n_markers"),
+          sum(when(col("naive"), 1).otherwise(0)).as("n_naive_present"),
+          sum(when(col("aware"), 1).otherwise(0)).as("n_aware_present"),
+          coalesce(isnan(sum(DoubleFromBits(col("vbits")))), lit(false))
+            .as("raw_sum_poisoned"),
+          // the range-function rule: markers are NOT samples — skip by
+          // bit equality, exactly as upstream's chunk iterators do
+          sum(when(col("vbits") =!= lit(staleBits),
+            DoubleFromBits(col("vbits")).cast("decimal(18,6)")))
+            .cast("double").as("sum_scraped"))
+        .withColumn("n_killed",
+          col("n_naive_present") - col("n_aware_present"))
+        .orderBy(col("job"), col("instance"))
+    }),
+
     // Cortex/Mimir HA replica deduplication (ha_tracker): hour-blocked
     // replica assignment with a 4-day primary outage; the election walk
     // runs over REPLICA RUNS (lag + prefix-sum — mid-run failover is a
@@ -2373,6 +2457,62 @@ object ExtraQueries {
         |FROM ob GROUP BY 1 ORDER BY out_block""".stripMargin,
 
     // Same grid, same run machinery, one SQL pass.
+    // The same deterministic up/down rule re-derives every face WITHOUT
+    // ever holding a NaN: markers are rows where up=0 and prev up=1,
+    // poisoned = any marker exists, sums run over sample rows only.
+    "q238_stale_markers" ->
+      """WITH targets AS (
+        |  SELECT DISTINCT event_type AS job FROM events
+        |), t2 AS (
+        |  SELECT job, instance FROM targets, (SELECT unnest([0, 1]) AS instance) i
+        |), ru AS (
+        |  SELECT job, instance, r AS round,
+        |    TIMESTAMP '2024-01-05 00:00:00' + r * INTERVAL 1 HOUR AS h,
+        |    CAST(concat('0x', substr(md5('up|' || job || '|' || instance || '|' || r),
+        |      1, 6)) AS BIGINT) AS hsh
+        |  FROM t2, unnest(generate_series(0, 71)) AS g(r)
+        |), rr AS (
+        |  SELECT *, CASE WHEN hsh % 20 <> 0 THEN 1 ELSE 0 END AS up FROM ru
+        |), exposed AS (
+        |  SELECT event_type AS job, CAST(user_id % 2 AS INT) AS instance,
+        |    date_trunc('hour', ts) AS h, count(*) AS n_exposed
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-08'
+        |  GROUP BY 1, 2, 3
+        |), grid AS (
+        |  SELECT rr.*, lag(rr.up) OVER w AS prev_up,
+        |    CASE WHEN rr.up = 1 THEN 'sample'
+        |         WHEN lag(rr.up) OVER w = 1 THEN 'marker'
+        |         ELSE 'none' END AS rowtype,
+        |    CASE WHEN rr.up = 1 THEN coalesce(e.n_exposed, 0) END AS sv
+        |  FROM rr LEFT JOIN exposed e USING (job, instance, h)
+        |  WINDOW w AS (PARTITION BY job, instance ORDER BY round)
+        |), pres AS (
+        |  SELECT *, lag(rowtype) OVER w AS prev_type
+        |  FROM grid WINDOW w AS (PARTITION BY job, instance ORDER BY round)
+        |), flags AS (
+        |  SELECT *,
+        |    CASE WHEN rowtype <> 'none' THEN rowtype = 'sample'
+        |         ELSE coalesce(prev_type = 'sample', false) END AS aware,
+        |    (rowtype = 'sample' OR coalesce(prev_type = 'sample', false))
+        |      AS naive
+        |  FROM pres
+        |)
+        |SELECT job, instance, count(*) AS n_rounds,
+        |  CAST(sum(CASE WHEN rowtype = 'sample' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_samples,
+        |  CAST(sum(CASE WHEN rowtype = 'marker' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_markers,
+        |  CAST(sum(CASE WHEN naive THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_naive_present,
+        |  CAST(sum(CASE WHEN aware THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_aware_present,
+        |  bool_or(rowtype = 'marker') AS raw_sum_poisoned,
+        |  CAST(sum(CAST(sv AS DECIMAL(18,6))) AS DOUBLE) AS sum_scraped,
+        |  CAST(sum(CASE WHEN naive THEN 1 ELSE 0 END)
+        |     - sum(CASE WHEN aware THEN 1 ELSE 0 END) AS BIGINT) AS n_killed
+        |FROM flags GROUP BY 1, 2 ORDER BY job, instance""".stripMargin,
+
     "q205_scrape_up" ->
       """WITH targets AS (
         |  SELECT DISTINCT event_type AS job FROM events

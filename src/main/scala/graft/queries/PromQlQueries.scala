@@ -933,6 +933,54 @@ object PromQlQueries {
         .join(face("smoothed", isCounter = false, isRate = false,
           "sdelta").drop("n"), key)
         .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // RULE-GROUP dependency ordering + 3.0 concurrent evaluation
+    // (rules/group.go dependencyMap, --rules.max-concurrent-evals): a
+    // five-rule group whose chain is two independent base rules → a
+    // division reading BOTH → a scaling of that → plus an unrelated
+    // rule. The engine's dependency analysis assigns batches [0,0,1,2,0]
+    // (the oracle asserts those exact indices), every batch shares one
+    // input source, and `seq_equal` proves batched ≡ strictly-sequential
+    // sample for sample — the soundness claim of concurrent rule eval.
+    // Chained records are REAL reads (click:avg consumes the recorded
+    // frames of both batch-0 rules through on(user_id) matching).
+    "q239_rule_group_concurrency" -> ((s, d) => {
+      import s.implicits._
+      import graft.metrics.RuleGroup
+      val src0 = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      val rules = Seq(
+        RuleGroup.Rule("click:cnt1h",
+          """sum by (event_type, user_id) (count_over_time({event_type="click"}[1h]))"""),
+        RuleGroup.Rule("click:val1h",
+          """sum by (event_type, user_id) (sum_over_time({event_type="click"}[1h]))"""),
+        RuleGroup.Rule("click:avg",
+          """{event_type="click:val1h"} / on(user_id) {event_type="click:cnt1h"}"""),
+        RuleGroup.Rule("click:avg2x", """{event_type="click:avg"} * 2"""),
+        RuleGroup.Rule("purchase:max1h",
+          """max_over_time({event_type="purchase"}[1h])"""))
+      val (start, end) = ("2024-01-15 01:00:00", "2024-01-15 12:00:00")
+      val (batched, bs) = RuleGroup.evalBatched(src0, rules, start, end, 3600L)
+      val sequential = RuleGroup.evalSequential(src0, rules, start, end, 3600L)
+      val names = rules.map(_.record)
+      def aggOf(df: DataFrame) = df
+        .filter(col("event_type").isin(names: _*))
+        .groupBy(col("event_type").as("record"))
+        .agg(count(lit(1)).as("n_samples"),
+          round(sum(round(col("value"), 6).cast("decimal(18,6)"))
+            .cast("double"), 4).as("sum_v"))
+      val meta = names.zip(bs).toDF("record", "batch")
+      aggOf(batched.df)
+        .join(aggOf(sequential.df)
+          .withColumnRenamed("n_samples", "n_seq")
+          .withColumnRenamed("sum_v", "sum_seq"), Seq("record"))
+        .join(broadcast(meta), Seq("record"))
+        .withColumn("seq_equal",
+          col("n_samples") === col("n_seq") && col("sum_v") === col("sum_seq"))
+        .select(col("record"), col("batch"), col("n_samples"), col("sum_v"),
+          col("seq_equal"))
+        .orderBy(col("record"))
     })
   )
 
@@ -1074,6 +1122,50 @@ object PromQlQueries {
         |  round((s_ve - s_vs) / 21600.0, 9) AS srate,
         |  round(sg_ve - sg_vs, 9) AS sdelta
         |FROM v ORDER BY event_type, bucket""".stripMargin,
+
+    // The chained rule math recomputed flat: per (user, step) click
+    // count/valsum in the trailing hour, avg = the same double quotient
+    // of the same recorded operands, avg2x = *2, purchase max per
+    // series; batch indices are the EXPECTED dependency analysis
+    // ([0,0,1,2,0]) and seq_equal must come out TRUE in the engine.
+    "q239_rule_group_concurrency" ->
+      """WITH steps AS (
+        |  SELECT make_timestamp((1705280400 + i * 3600) * 1000000) AS step_ts
+        |  FROM (SELECT unnest(generate_series(0, 11)) AS i)
+        |), cv AS (
+        |  SELECT s.step_ts, e.user_id, count(*) AS cnt,
+        |    CAST(sum(CAST(round(e.value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS val
+        |  FROM steps s JOIN events e
+        |    ON e.event_type = 'click' AND e.ts <= s.step_ts
+        |   AND e.ts > s.step_ts - INTERVAL 1 HOUR
+        |  GROUP BY 1, 2
+        |), pm AS (
+        |  SELECT s.step_ts, e.user_id, max(e.value) AS mx
+        |  FROM steps s JOIN events e
+        |    ON e.event_type = 'purchase' AND e.ts <= s.step_ts
+        |   AND e.ts > s.step_ts - INTERVAL 1 HOUR
+        |  GROUP BY 1, 2
+        |), rws AS (
+        |  SELECT 'click:cnt1h' AS record, CAST(cnt AS DOUBLE) AS v FROM cv
+        |  UNION ALL SELECT 'click:val1h', val FROM cv
+        |  UNION ALL SELECT 'click:avg', val / CAST(cnt AS DOUBLE) FROM cv
+        |  UNION ALL SELECT 'click:avg2x',
+        |    (val / CAST(cnt AS DOUBLE)) * 2 FROM cv
+        |  UNION ALL SELECT 'purchase:max1h', mx FROM pm
+        |), ag AS (
+        |  SELECT record, count(*) AS n_samples,
+        |    round(CAST(sum(CAST(round(v, 6) AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |      AS sum_v
+        |  FROM rws GROUP BY 1
+        |), meta AS (
+        |  SELECT * FROM (VALUES ('click:cnt1h', 0), ('click:val1h', 0),
+        |    ('click:avg', 1), ('click:avg2x', 2), ('purchase:max1h', 0))
+        |    AS t(record, batch)
+        |)
+        |SELECT a.record, m.batch, CAST(a.n_samples AS BIGINT) AS n_samples,
+        |  a.sum_v, TRUE AS seq_equal
+        |FROM ag a JOIN meta m USING (record) ORDER BY a.record""".stripMargin,
 
     "q89_counter_increase" ->
       """WITH d AS (

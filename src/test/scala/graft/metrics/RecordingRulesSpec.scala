@@ -37,4 +37,30 @@ class RecordingRulesSpec extends AnyFunSuite {
     assert(eval(rec, "cpu", "2024-01-01 10:04:00")
       .select("value").head().getDouble(0) == 5.0)
   }
+
+  test("RuleGroup dependency analysis: batches, conservatism, later reads") {
+    import RuleGroup.{Rule, batches, readsOf}
+    // exact pins: bare metric, __name__=, metricCol=
+    assert(readsOf("""rate(cpu[5m])""", "event_type") == (Set("cpu"), false))
+    assert(readsOf("""{__name__="a"} + {event_type="b"}""", "event_type") ==
+      (Set("a", "b"), false))
+    // regex / bare-matcher selectors conservatively read everything
+    assert(readsOf("""{event_type=~"c.*"}""", "event_type")._2)
+    assert(readsOf("""{job="x"}""", "event_type")._2)
+    // chain: a,b independent; c reads both; d reads c; e unrelated
+    val rules = Seq(
+      Rule("a", "rate(cpu[5m])"),
+      Rule("b", "rate(mem[5m])"),
+      Rule("c", """{event_type="a"} / on(job) {event_type="b"}"""),
+      Rule("d", """{event_type="c"} * 2"""),
+      Rule("e", "rate(disk[5m])"))
+    assert(batches(rules, "event_type") == Seq(0, 0, 1, 2, 0))
+    // a read-everything rule serializes behind every earlier record
+    assert(batches(rules :+ Rule("f", """sum({event_type=~".+"})"""),
+      "event_type").last == 3)
+    // reading a LATER rule's name = previous cycle upstream → no
+    // in-group edge here (documented divergence), so both stay batch 0
+    assert(batches(Seq(Rule("x", """{event_type="y"} * 1"""),
+      Rule("y", "rate(cpu[5m])")), "event_type") == Seq(0, 0))
+  }
 }
