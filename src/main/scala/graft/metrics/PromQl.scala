@@ -282,7 +282,8 @@ object PromQl {
   def instantVector(samples: DataFrame, seriesKey: Seq[String],
                     tsCol: String, orderCol: String,
                     evalTs: String, lookback: String): DataFrame = {
-    val w = Window.partitionBy(seriesKey.map(col): _*)
+    // backtick-quoted: series labels may be UTF-8 (dotted) names, 3.x
+    val w = Window.partitionBy(seriesKey.map(n => col(s"`$n`")): _*)
       .orderBy(col(tsCol).desc, col(orderCol).desc)
     samples
       .filter(col(tsCol) <= to_timestamp(lit(evalTs)) &&

@@ -49,6 +49,10 @@ object PromQlFormat {
     n.nonEmpty && (n.head.isLetter || n.head == '_' || n.head == ':') &&
       n.forall(c => c.isLetterOrDigit || c == '_' || c == ':')
 
+  /** by/without/on/ignoring label list, quoting UTF-8 names (3.x). */
+  private def labelList(ls: Seq[String]): String =
+    ls.map(l => if (bareName(l)) l else str(l)).mkString(", ")
+
   private def formatSel(s: Selector): String = {
     val quotedMetric = s.metric.filterNot(bareName)
     val items = quotedMetric.map(str).toSeq ++
@@ -99,7 +103,7 @@ object PromQlFormat {
       val fn = if (desc) "sort_by_label_desc" else "sort_by_label"
       s"$fn(${format(child)}, ${ls.map(str).mkString(", ")})"
     case LimitK(k, by, child) =>
-      val tail = if (by.isEmpty) "" else s" by (${by.mkString(", ")})"
+      val tail = if (by.isEmpty) "" else s" by (${labelList(by)})"
       s"limitk($k, ${format(child)})$tail"
     case LimitRatio(r, child) => s"limit_ratio($r, ${format(child)})"
     case InfoFn(child, Nil) => s"info(${format(child)})"
@@ -113,13 +117,13 @@ object PromQlFormat {
     case TimeComp(fn, child) => s"$fn(${child.map(format).getOrElse("")})"
     case AggBy(fn, by, child, without) =>
       val kw = if (without) "without" else "by"
-      s"$fn $kw (${by.mkString(", ")}) (${format(child)})"
+      s"$fn $kw (${labelList(by)}) (${format(child)})"
     case AggQuantile(phi, by, child, without) =>
       val kw = if (without) "without" else "by"
-      s"quantile $kw (${by.mkString(", ")}) ($phi, ${format(child)})"
+      s"quantile $kw (${labelList(by)}) ($phi, ${format(child)})"
     case TopK(k, by, child, bottom) =>
       val fn = if (bottom) "bottomk" else "topk"
-      val tail = if (by.isEmpty) "" else s" by (${by.mkString(", ")})"
+      val tail = if (by.isEmpty) "" else s" by (${labelList(by)})"
       s"$fn($k, ${format(child)})$tail"
     case BinOp(op, lhs, rhs, m, g, bool) =>
       val b = if (bool) "bool " else ""

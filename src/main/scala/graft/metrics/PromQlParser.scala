@@ -572,7 +572,15 @@ object PromQlParser {
       var done = peek.contains(Sym(")"))
       if (done) next()
       while (!done) next() match {
+        // quoted (UTF-8, 3.x) label names are legal in by/without/on/
+        // ignoring lists: `sum by ("zone.region") (...)`
         case Ident(l) => labels += l
+          peek match {
+            case Some(Sym(",")) => next()
+            case Some(Sym(")")) => next(); done = true
+            case other => fail(s"expected ',' or ')' in label list, got $other")
+          }
+        case Str(l) => labels += l
           peek match {
             case Some(Sym(",")) => next()
             case Some(Sym(")")) => next(); done = true
@@ -1666,12 +1674,17 @@ object PromQlParser {
   private def matcherCond(src: PromSource, sel: Selector): Column =
     matcherCondFor(src.metricCol, sel)
 
+  /** A label name as a Column reference, dot-safe: quoted (UTF-8, 3.x)
+    * label names like `"zone.region"` bind to a COLUMN of that literal
+    * name — backtick quoting stops Spark's struct-field dot parsing. */
+  private[metrics] def labelCol(name: String): Column = col(s"`$name`")
+
   private def matcherCondFor(metricCol: String, sel: Selector): Column = {
-    val metricCond = sel.metric.map(m => col(metricCol) === lit(m))
+    val metricCond = sel.metric.map(m => labelCol(metricCol) === lit(m))
     val ms = sel.matchers.map { m =>
       // `{__name__="cpu"}` ≡ `cpu`, and `{__name__=~"cpu|mem"}` is the
       // Grafana multi-metric idiom — the reserved label IS the metric col
-      val c = if (m.label == "__name__") col(metricCol) else col(m.label)
+      val c = if (m.label == "__name__") labelCol(metricCol) else labelCol(m.label)
       m.op match {
         case "="  => c === lit(m.value)
         case "!=" => c =!= lit(m.value)
@@ -1761,7 +1774,7 @@ object PromQlParser {
     case sel: Selector =>
       PromQl.instantVector(src.df.filter(matcherCond(src, sel)), src.seriesKey,
           src.tsCol, src.orderCol, evalInstantFor(sel, evalTs), lookback)
-        .select(src.seriesKey.map(col) :+ col(src.valueCol).as("value"): _*)
+        .select(src.seriesKey.map(labelCol) :+ col(src.valueCol).as("value"): _*)
 
     case ExtRange(mode, fn, sel, w) =>
       // extended fetch: the window PLUS the lookback behind it, so the
@@ -2139,7 +2152,7 @@ object PromQlParser {
     if (groupBy.isEmpty)
       vec.agg(agg.as("value"), count(lit(1)).as("__n"))
         .filter(col("__n") > 0).drop("__n")
-    else vec.groupBy(groupBy.map(col): _*).agg(agg.as("value"))
+    else vec.groupBy(groupBy.map(labelCol): _*).agg(agg.as("value"))
   }
 
   /** `absent(sel)` over a compiled instant vector: at most one output row

@@ -1736,6 +1736,65 @@ object ExtraQueries {
         .orderBy(col("label"))
     }),
 
+    // DISTRIBUTED K-MEANS (two Lloyd iterations, k=8, first-k init) —
+    // the clustering pass a curation pipeline runs before per-cluster
+    // dedup/pruning (SemDeDup-style). The FP-argmin hazard that forced
+    // q52/q72/q157 rows-only is DEFUSED here: squared distances
+    // accumulate as 9-dp DECIMAL sums (exact, association-free in both
+    // engines), so the argmin compares exact decimals with a cid
+    // tiebreak — assignment is hash-provable, not just plausible. Lloyd
+    // structure: assignment = posexplode × broadcast(k×64 centroid
+    // table) keyed on dim, one keyed agg per iteration; centroids =
+    // decimal-routed per-dimension means keyed on (cid, dim). Nothing
+    // pairwise, nothing corpus-global: 1B vectors is still
+    // |vecs|·64·k map-side rows and k·64 centroid rows. Global SSE must
+    // not increase between iterations (the Lloyd property, in-result).
+    "q240_kmeans_lloyd" -> ((s, d) => {
+      val K = 8
+      val comps = embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "xf")))
+        .withColumn("x", col("xf").cast("double"))
+      val seeds = comps.filter(col("vec_id") < K)
+        .select(col("vec_id").cast("int").as("cid"), col("dim"),
+          col("x").as("c"))
+      def assign(cent: DataFrame): DataFrame = comps
+        .join(broadcast(cent), Seq("dim"))
+        .withColumn("d2",
+          round((col("x") - col("c")) * (col("x") - col("c")), 9)
+            .cast("decimal(28,9)"))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum(col("d2")).as("dist2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"),
+          col("m.dist2").as("dist2"))
+      val a1 = assign(seeds)
+      val cent1 = comps.join(a1.select("vec_id", "cid"), "vec_id")
+        .withColumn("xr", round(col("x"), 6).cast("decimal(18,6)"))
+        .groupBy(col("cid"), col("dim"))
+        .agg((sum(col("xr")).cast("double") / count(lit(1))).as("c"))
+      val a2 = assign(cent1)
+      def stats(a: DataFrame, n: String, sse: String) = a.groupBy("cid")
+        .agg(count(lit(1)).as(n),
+          round(sum(col("dist2")).cast("double"), 6).as(sse))
+      val joined = stats(a1, "n_iter1", "sse1")
+        .join(stats(a2, "n_iter2", "sse2"), Seq("cid"), "full")
+        .na.fill(0L, Seq("n_iter1", "n_iter2"))
+        .na.fill(0.0, Seq("sse1", "sse2"))
+      val wAll = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing) // k rows — a trivial single partition
+      joined
+        .withColumn("sse1_total",
+          sum(col("sse1").cast("decimal(18,6)")).over(wAll).cast("double"))
+        .withColumn("sse2_total",
+          sum(col("sse2").cast("decimal(18,6)")).over(wAll).cast("double"))
+        .withColumn("lloyd_improved",
+          col("sse2_total") <= col("sse1_total"))
+        .orderBy(col("cid"))
+    }),
+
     // Product quantization (PQ4x16: 64-dim float32 → 4 codes = 64×
     // compression at rest): one deterministic Lloyd step from first-k
     // init, decimal-routed centroid means, map-side code assignment.
@@ -2724,6 +2783,68 @@ object ExtraQueries {
         |  round(CAST(m.n_active AS DOUBLE) / cs.cohort_size, 6) AS pct_active
         |FROM m JOIN cs USING (cohort)
         |ORDER BY m.cohort, m.week_offset""".stripMargin,
+
+    // Same chain flat in SQL: seed centroids from vec_id < 8, exact
+    // DECIMAL d² argmin with the cid tiebreak (struct min), decimal-
+    // routed iteration-2 centroids, and the Lloyd totals.
+    "q240_kmeans_lloyd" ->
+      """WITH comps AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), seeds AS (
+        |  SELECT CAST(vec_id AS INT) AS cid, dim, x AS c
+        |  FROM comps WHERE vec_id < 8
+        |), a1 AS (
+        |  SELECT vec_id, (min(struct_pack(d := dist2, cid := cid))).cid AS cid,
+        |    (min(struct_pack(d := dist2, cid := cid))).d AS dist2
+        |  FROM (
+        |    SELECT p.vec_id, s.cid,
+        |      sum(CAST(round((p.x - s.c) * (p.x - s.c), 9)
+        |        AS DECIMAL(28,9))) AS dist2
+        |    FROM comps p JOIN seeds s USING (dim)
+        |    GROUP BY 1, 2
+        |  ) GROUP BY 1
+        |), cent1 AS (
+        |  SELECT a.cid, p.dim,
+        |    CAST(sum(CAST(round(p.x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(*) AS c
+        |  FROM comps p JOIN a1 a USING (vec_id)
+        |  GROUP BY 1, 2
+        |), a2 AS (
+        |  SELECT vec_id, (min(struct_pack(d := dist2, cid := cid))).cid AS cid,
+        |    (min(struct_pack(d := dist2, cid := cid))).d AS dist2
+        |  FROM (
+        |    SELECT p.vec_id, s.cid,
+        |      sum(CAST(round((p.x - s.c) * (p.x - s.c), 9)
+        |        AS DECIMAL(28,9))) AS dist2
+        |    FROM comps p JOIN cent1 s USING (dim)
+        |    GROUP BY 1, 2
+        |  ) GROUP BY 1
+        |), s1 AS (
+        |  SELECT cid, count(*) AS n_iter1,
+        |    round(CAST(sum(dist2) AS DOUBLE), 6) AS sse1
+        |  FROM a1 GROUP BY 1
+        |), s2 AS (
+        |  SELECT cid, count(*) AS n_iter2,
+        |    round(CAST(sum(dist2) AS DOUBLE), 6) AS sse2
+        |  FROM a2 GROUP BY 1
+        |), j AS (
+        |  SELECT coalesce(s1.cid, s2.cid) AS cid,
+        |    coalesce(n_iter1, 0) AS n_iter1, coalesce(sse1, 0.0) AS sse1,
+        |    coalesce(n_iter2, 0) AS n_iter2, coalesce(sse2, 0.0) AS sse2
+        |  FROM s1 FULL OUTER JOIN s2 ON s1.cid = s2.cid
+        |)
+        |SELECT cid, CAST(n_iter1 AS BIGINT) AS n_iter1, sse1,
+        |  CAST(n_iter2 AS BIGINT) AS n_iter2, sse2,
+        |  CAST(sum(CAST(sse1 AS DECIMAL(18,6))) OVER () AS DOUBLE)
+        |    AS sse1_total,
+        |  CAST(sum(CAST(sse2 AS DECIMAL(18,6))) OVER () AS DOUBLE)
+        |    AS sse2_total,
+        |  CAST(sum(CAST(sse2 AS DECIMAL(18,6))) OVER () AS DOUBLE) <=
+        |  CAST(sum(CAST(sse1 AS DECIMAL(18,6))) OVER () AS DOUBLE)
+        |    AS lloyd_improved
+        |FROM j ORDER BY cid""".stripMargin,
 
     // Same decimal-routed centroid, same 9-dp-pinned distance chain;
     // aligned unnest + generate_subscripts reproduces posexplode.

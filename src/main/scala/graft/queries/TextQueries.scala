@@ -669,6 +669,78 @@ object TextQueries {
         .orderBy(col("rank"))
     }),
 
+    // HYBRID RETRIEVAL with RECIPROCAL RANK FUSION — the fusion every
+    // RAG/retrieval stack runs over a lexical and a vector leg (RRF,
+    // Cormack et al. SIGIR'09; the Elasticsearch/Vespa default):
+    // rrf(d) = Σ_legs 1/(60 + rank_leg(d)) over each leg's top-20,
+    // fused top-5 per query. Legs reuse the committed rankers: BM25
+    // (q196's exact factor chain, per-query term sets) and cosine
+    // top-k (q51's shape). Determinism: both legs' ranks are already
+    // hash-provable; the fusion is two exact reciprocals summed and a
+    // doc_id tiebreak — so the FUSED ranking is oracle-checkable too.
+    // Scale: each leg is its own keyed top-k (group-limit pushdown),
+    // the fuse is a |q|·20-row full outer join — never corpus-sized.
+    "q241_hybrid_rrf" -> ((s, d) => {
+      import s.implicits._
+      val qterms = Seq((0L, "spark"), (0L, "vector"), (1L, "customer"),
+        (1L, "join"), (2L, "window"), (2L, "filter")).toDF("query_id", "tok")
+      val docs = docsWithTokens(s, d)
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast("long").as("dl"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("tot_dl"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+        .join(broadcast(qterms), Seq("tok"))
+        .groupBy(col("query_id"), col("doc_id"), col("dl"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dfs = tf.select(col("tok"), col("doc_id")).distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(dfs), Seq("tok"))
+        .crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("tot_dl").cast("double") / col("n_docs"))
+        .withColumn("idf",
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))))
+        .withColumn("tfc",
+          col("tf") * lit(2.2) /
+            (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) +
+              lit(0.75) * col("dl") / col("avgdl"))))
+        .withColumn("term_score",
+          round(col("idf") * col("tfc"), 9).cast("decimal(28,9)"))
+      val wq = Window.partitionBy(col("query_id"))
+        .orderBy(col("lex_score").desc, col("doc_id"))
+      val lex = scored.groupBy(col("query_id"), col("doc_id"))
+        .agg(round(sum(col("term_score")).cast("double"), 6).as("lex_score"))
+        .withColumn("lex_rank", row_number().over(wq).cast("long"))
+        .filter(col("lex_rank") <= 20)
+        .select(col("query_id"), col("doc_id"), col("lex_rank"))
+      val emb = embeddings(s, d)
+      val qv = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val wv = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      val vec = emb.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("sim",
+          graft.functions.VectorFunctions.vecCosine(col("embedding"), col("qv")))
+        .withColumn("vec_rank", row_number().over(wv).cast("long"))
+        .filter(col("vec_rank") <= 20)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("vec_rank"))
+      val fused = lex.join(vec, Seq("query_id", "doc_id"), "full")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)), 9))
+      val wf = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+      fused.withColumn("rank", row_number().over(wf).cast("long"))
+        .filter(col("rank") <= 5)
+        .na.fill(-1L, Seq("lex_rank", "vec_rank"))
+        .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"),
+          col("lex_rank"), col("vec_rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // E56: multimodal column — struct(text payload as opaque binary,
     // typed metadata, embedding); scalar projections for the oracle.
     "q56_multimodal" -> ((s, d) => {
@@ -1180,6 +1252,80 @@ object TextQueries {
         |LEFT JOIN contaminated co ON s.lang = co.lang
         |WHERE s.split = 'test'
         |GROUP BY s.lang ORDER BY s.lang""".stripMargin,
+
+    // Both legs' committed chains + the same two reciprocals; VALUES
+    // carries the per-query term sets; -1 fills a leg the doc missed.
+    "q241_hybrid_rrf" ->
+      """WITH qterms AS (
+        |  SELECT * FROM (VALUES (0, 'spark'), (0, 'vector'), (1, 'customer'),
+        |    (1, 'join'), (2, 'window'), (2, 'filter')) AS t(query_id, tok)
+        |), d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), docs AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d
+        |), stats AS (
+        |  SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM docs
+        |), tf AS (
+        |  SELECT q.query_id, docs.doc_id, docs.dl, u.tok, count(*) AS tf
+        |  FROM docs, unnest(toks) AS u(tok)
+        |  JOIN qterms q ON q.tok = u.tok
+        |  GROUP BY 1, 2, 3, 4
+        |), dfs AS (
+        |  SELECT tok, count(*) AS df
+        |  FROM (SELECT DISTINCT tok, doc_id FROM tf) GROUP BY 1
+        |), sc AS (
+        |  SELECT tf.query_id, tf.doc_id,
+        |    CAST(round(
+        |      ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+        |      (tf.tf * 2.2 /
+        |        (tf.tf + 1.2 * (1.0 - 0.75 +
+        |           0.75 * tf.dl / (CAST(stats.tot_dl AS DOUBLE) / stats.n_docs)))),
+        |      9) AS DECIMAL(28,9)) AS term_score
+        |  FROM tf JOIN dfs ON tf.tok = dfs.tok CROSS JOIN stats
+        |), lexs AS (
+        |  SELECT query_id, doc_id,
+        |    round(CAST(sum(term_score) AS DOUBLE), 6) AS lex_score
+        |  FROM sc GROUP BY 1, 2
+        |), lex AS (
+        |  SELECT query_id, doc_id, lex_rank FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY lex_score DESC, doc_id) AS lex_rank
+        |    FROM lexs
+        |  ) WHERE lex_rank <= 20
+        |), q AS (
+        |  SELECT vec_id AS query_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id < 3
+        |), vsc AS (
+        |  SELECT q.query_id, e.vec_id AS doc_id,
+        |    list_cosine_similarity(
+        |      list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv) AS sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+        |), vec AS (
+        |  SELECT query_id, doc_id, vec_rank FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, doc_id) AS vec_rank
+        |    FROM vsc
+        |  ) WHERE vec_rank <= 20
+        |), fused AS (
+        |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+        |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+        |    round(coalesce(1.0 / (60 + l.lex_rank), 0.0) +
+        |          coalesce(1.0 / (60 + v.vec_rank), 0.0), 9) AS rrf,
+        |    coalesce(l.lex_rank, -1) AS lex_rank,
+        |    coalesce(v.vec_rank, -1) AS vec_rank
+        |  FROM lex l FULL OUTER JOIN vec v
+        |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+        |)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf,
+        |  CAST(lex_rank AS BIGINT) AS lex_rank,
+        |  CAST(vec_rank AS BIGINT) AS vec_rank
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf DESC, doc_id) AS rank
+        |  FROM fused
+        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q196_bm25" ->
       """WITH d AS (

@@ -547,6 +547,28 @@ class PromQlParserSpec extends AnyFunSuite {
     assert(names("""{__name__=~"cpu|mem"}""") == Set("cpu", "mem"))
     assert(names("""{__name__="disk"}""") == Set("disk"))
     assert(names("""{__name__!~"d.*"}""") == Set("cpu", "mem"))
+    // quoted label names EVALUATE against dotted columns (3.x UTF-8
+    // names end-to-end): matchers bind dot-safely, and by-lists accept
+    // the quoted spelling
+    val dotted = Seq(
+      (1L, ts(0), 1L, "cpu", 5.0, "eu"), (2L, ts(0), 2L, "cpu", 7.0, "eu"),
+      (3L, ts(0), 3L, "cpu", 9.0, "us"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "zone.region")
+    val dsrc = PromSource(dotted, "event_type",
+      Seq("user_id", "event_type", "zone.region"), "ts", "event_id", "value")
+    val eu = eval(dsrc, """cpu{"zone.region"="eu"}""", "2024-01-01 10:02:00")
+      .collect()
+    assert(eu.length == 2, eu.toSeq)
+    val by = eval(dsrc, """sum by ("zone.region") (cpu)""",
+      "2024-01-01 10:02:00")
+      .collect().map(r => (r.getAs[String]("zone.region"),
+        r.getAs[Double]("value"))).toMap
+    assert(by == Map("eu" -> 12.0, "us" -> 9.0), by)
+    // parse + canonical print of the quoted by-list
+    assert(parse("""sum by ("zone.region") (cpu)""") ==
+      AggBy("sum", Seq("zone.region"), Selector(Some("cpu"), Nil)))
+    assert(PromQlFormat.format(parse("""sum by ("zone.region") (cpu)""")) ==
+      """sum by ("zone.region") (cpu)""")
   }
 
   test("info(): data-label enrichment, matcher narrowing, pass-through") {
