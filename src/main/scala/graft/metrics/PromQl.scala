@@ -201,18 +201,8 @@ object PromQl {
                     isCounter: Boolean, isRate: Boolean): DataFrame = {
     require(mode == "anchored" || mode == "smoothed", s"bad mode: $mode")
     val keyCols = seriesKey.map(col)
-    val wCum = Window.partitionBy(keyCols: _*)
-      .orderBy(col(tsCol), col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val based =
-      if (isCounter)
-        counterIncrease(samples, seriesKey, tsCol, orderCol, valueCol)
-          .withColumn("__adj",
-            sum(round(col("inc"), 6).cast("decimal(18,6)")).over(wCum)
-              .cast("double"))
-      else samples.withColumn("__adj", col(valueCol).cast("double"))
-    val tagged = based
-      .withColumn("__t_us", expr(s"unix_micros($tsCol)"))
+    val tagged = adjusted(samples, seriesKey, tsCol, orderCol, valueCol,
+      isCounter)
       .withColumn("__reg",
         when(col("__t_us") <= startUs, "pre")
           .when(col("__t_us") <= endUs, "in").otherwise("post"))
@@ -226,30 +216,73 @@ object PromQl {
         min_by(only("in", pt), only("in", ord)).as("__fin"),
         max_by(only("in", pt), only("in", ord)).as("__lin"),
         min_by(only("post", pt), only("post", ord)).as("__post"))
-    def interp(le: Column, gt: Column, bUs: Long): Column =
-      le.getField("v") + (gt.getField("v") - le.getField("v")) *
-        ((lit(bUs) - le.getField("t")).cast("double") /
-          (gt.getField("t") - le.getField("t")).cast("double"))
-    val pre = col("__pre"); val fin = col("__fin")
-    val lin = col("__lin"); val post = col("__post")
-    val (vStart, vEnd) =
-      if (mode == "anchored")
-        (coalesce(pre.getField("v"), fin.getField("v")),
-          coalesce(lin.getField("v"), pre.getField("v")))
-      else {
-        // smoothed: boundary straddle is (pre, first-in) / (last-in, post)
-        val vs = when(pre.isNull, fin.getField("v"))
-          .when(fin.isNull, pre.getField("v"))
-          .otherwise(interp(pre, fin, startUs))
-        val ve = when(post.isNull, lin.getField("v"))
-          .when(lin.isNull, post.getField("v"))
-          .otherwise(interp(lin, post, endUs))
-        (vs, ve)
-      }
-    val res = vEnd - vStart
-    val value = if (isRate) res / lit((endUs - startUs) / 1e6) else res
     agg.filter(col("n") >= 1 && col("__n_tot") >= 2)
-      .select(keyCols :+ value.as("value") :+ col("n"): _*)
+      .withColumn("value", boundaryValue(mode, col("__pre"), col("__fin"),
+        col("__lin"), col("__post"), lit(startUs), lit(endUs),
+        if (isRate) Some((endUs - startUs) / 1e6) else None))
+      .select(keyCols :+ col("value") :+ col("n"): _*)
+  }
+
+  /** Reset-adjusted 6-dp DECIMAL level per sample (`__adj`) + epoch-µs
+    * (`__t_us`): the shared base of [[extendedRange]] and the grid
+    * compiler's extended-selector face. Counters: a decimal prefix sum
+    * of 6-dp increments over the fetch (exact, association-free);
+    * gauges: the 6-dp value itself. DECIMAL (not double) on purpose —
+    * boundary math works on decimal DIFFERENCES, so the arbitrary
+    * prefix-sum base cancels EXACTLY and an instant eval equals a grid
+    * step bit for bit even though their fetches start elsewhere. */
+  private[metrics] def adjusted(samples: DataFrame, seriesKey: Seq[String],
+                                tsCol: String, orderCol: String,
+                                valueCol: String,
+                                isCounter: Boolean): DataFrame = {
+    val keyCols = seriesKey.map(col)
+    val wCum = Window.partitionBy(keyCols: _*)
+      .orderBy(col(tsCol), col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val based =
+      if (isCounter)
+        counterIncrease(samples, seriesKey, tsCol, orderCol, valueCol)
+          .withColumn("__adj",
+            sum(round(col("inc"), 6).cast("decimal(18,6)")).over(wCum)
+              .cast("decimal(18,6)"))
+      else samples.withColumn("__adj",
+        round(col(valueCol), 6).cast("decimal(18,6)"))
+    based.withColumn("__t_us", expr(s"unix_micros($tsCol)"))
+  }
+
+  /** The extended-selector boundary math over (t, DECIMAL adj) anchor
+    * structs — shared verbatim by instant and grid faces:
+    *
+    *  - anchored: vEnd − vStart = lin − (pre | fin), one exact decimal
+    *    difference cast to double;
+    *  - smoothed: (lin − pre) − (fin − pre)·r₁ + (post − lin)·r₂, where
+    *    r = the boundary's position inside its straddling pair — decimal
+    *    differences go double only at the multiply. A missing pre makes
+    *    the start boundary the first in-window sample; a missing post
+    *    (the at-the-head case, and every instant eval) makes the end
+    *    boundary the last in-window sample.
+    *
+    * `rateDenom` divides once at the end (rate), None for increase/delta. */
+  private[metrics] def boundaryValue(mode: String, pre: Column, fin: Column,
+                                     lin: Column, post: Column,
+                                     startUs: Column, endUs: Column,
+                                     rateDenom: Option[Double]): Column = {
+    def d(a: Column, b: Column): Column =
+      (a.getField("v") - b.getField("v")).cast("double")
+    def ratio(b: Column, le: Column, gt: Column): Column =
+      (b - le.getField("t")).cast("double") /
+        (gt.getField("t") - le.getField("t")).cast("double")
+    val res =
+      if (mode == "anchored") when(pre.isNull, d(lin, fin))
+        .otherwise(d(lin, pre))
+      else {
+        val base = when(pre.isNull, d(lin, fin))
+          .otherwise(d(lin, pre) - d(fin, pre) * ratio(startUs, pre, fin))
+        val endCorr = when(post.isNull, lit(0.0))
+          .otherwise(d(post, lin) * ratio(endUs, lin, post))
+        base + endCorr
+      }
+    rateDenom.map(w => res / lit(w)).getOrElse(res)
   }
 
   /** PromQL `topk(k, v by (group))`: the k largest-valued series of an

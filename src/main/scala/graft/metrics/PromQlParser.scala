@@ -222,10 +222,12 @@ object PromQlParser {
     * `promql-extended-range-selectors`): `rate(sel[1m] anchored)` /
     * `smoothed` — boundary values from straddling samples instead of
     * extrapolation; only `rate`/`increase`/`delta` accept the modifier
-    * (the upstream restriction). Instant-eval only in this engine: the
-    * grid compiler rejects it loudly (documented divergence — upstream
-    * evaluates per step; the per-step left-anchor window shape is the
-    * same machinery and can land later). */
+    * (the upstream restriction). Both eval faces supported — instant and
+    * grid share PromQl.adjusted + PromQl.boundaryValue, and a one-step
+    * range query equals the instant query exactly. Boundary values never
+    * read past the evaluation instant (right edge = newest in-window
+    * sample) — the two-sided smoothing with a right straddle is the
+    * batch face, PromQl.extendedRange (q237). */
   final case class ExtRange(mode: String, fn: String, sel: Selector,
                             windowSec: Long) extends Ast
   /** `expr '[' RANGE ':' STEP ']'` — a PromQL subquery: the inner
@@ -2359,6 +2361,8 @@ object PromQlParser {
       case sel: Selector if sel.at.isDefined => fixedInstant(sel, sel.at.get)
       case rf @ RangeFn(_, sel, _, _, _) if sel.at.isDefined =>
         fixedInstant(rf, sel.at.get)
+      case er @ ExtRange(_, _, sel, _) if sel.at.isDefined =>
+        fixedInstant(er, sel.at.get)
       case tsf @ TimestampFn(sel) if sel.at.isDefined =>
         fixedInstant(tsf, sel.at.get)
       // an @-pinned subquery is step-invariant like any pinned subtree
@@ -2706,9 +2710,61 @@ object PromQlParser {
         s"a subquery ($sq) is only valid under a *_over_time function")
       case rv: RangeVec => throw new IllegalArgumentException(
         s"a range vector ($rv) is only valid as a range function's argument")
-      case er: ExtRange => throw new IllegalArgumentException(
-        s"extended range selectors (${er.mode}) are instant-query only " +
-          "in this engine (documented divergence)")
+
+      // EXTENDED range selectors on the grid (3.5 experimental): three
+      // shared pieces with the instant face — the reset-adjusted DECIMAL
+      // level (PromQl.adjusted), the boundary math over decimal
+      // differences (PromQl.boundaryValue), and the left-anchor rule —
+      // so a one-step range query equals the instant query EXACTLY (the
+      // decimal differences cancel the fetches' different prefix-sum
+      // bases; PromQlConsistencySpec pins it). Two explode faces:
+      //  - in-window: sample → steps with T ∈ [te, te + w), aggregated
+      //    to first/last in-window anchors per (series, step);
+      //  - pre-anchor: a sample is the last-at-or-before-window-start
+      //    anchor exactly for steps whose S = T − w falls in
+      //    [te, min(next_te, te + lookback)) — consecutive samples'
+      //    intervals are disjoint, so each (series, step) gets ≤ 1 row
+      //    and the explode is bounded by lookback/step per sample.
+      // No post face: boundary values never read past the evaluation
+      // instant (the PromQL rule) — the full two-sided smoothing with a
+      // right straddle is PromQl.extendedRange's batch face (q237).
+      case ExtRange(mode, fn, sel, w) =>
+        val wUs = w * 1000000L
+        val te = teCol(sel.offsetSec)
+        val keyCols = src.seriesKey.map(col)
+        val ord = struct(col(src.tsCol), col(src.orderCol))
+        val filtered = src.df.filter(matcherCond(src, sel))
+        val wSeries = Window.partitionBy(keyCols: _*)
+          .orderBy(col(src.tsCol), col(src.orderCol))
+        val horizonCap = startUs + (nSteps + 1) * stepUs // past the grid
+        val adj = PromQl.adjusted(filtered, src.seriesKey, src.tsCol,
+            src.orderCol, src.valueCol, isCounter = fn != "delta")
+          .withColumn("__te", te)
+          .withColumn("__next_te", lead(col("__te"), 1).over(wSeries))
+        val pt = struct(col("__te").as("t"), col("__adj").as("v"))
+        val inFace = adj
+          .withColumn("__step",
+            explode(stepsFor(col("__te"), col("__te") + lit(wUs))))
+          .groupBy(keyCols :+ col("__step"): _*)
+          .agg(min_by(pt, ord).as("__fin"), max_by(pt, ord).as("__lin"),
+            count(lit(1)).as("__n"))
+        val preFace = adj
+          .withColumn("__step", explode(stepsFor(
+            col("__te") + lit(wUs),
+            least(coalesce(col("__next_te"), lit(horizonCap)),
+              col("__te") + lit(lookbackUs)) + lit(wUs))))
+          .groupBy(keyCols :+ col("__step"): _*)
+          .agg(max_by(pt, ord).as("__pre"))
+        val stepT = lit(startUs) + col("__step") * lit(stepUs)
+        val noPost = lit(null)
+          .cast("struct<t:bigint,v:decimal(18,6)>")
+        inFace.join(preFace, src.seriesKey :+ "__step", "left")
+          .filter(col("__n") >= 1 &&
+            (col("__pre").isNotNull || col("__n") >= 2))
+          .withColumn("value", PromQl.boundaryValue(mode, col("__pre"),
+            col("__fin"), col("__lin"), noPost, stepT - lit(wUs), stepT,
+            if (fn == "rate") Some(w.toDouble) else None))
+          .select(keyCols ++ Seq(col("__step"), col("value")): _*)
     }
   }
 }

@@ -935,6 +935,40 @@ object PromQlQueries {
         .orderBy(col("event_type"), col("bucket"))
     }),
 
+    // EXTENDED range selectors on the GRID (q237's PromQL-surface twin):
+    // the real parser text through evalRange — per-step left anchors
+    // (anchored holds, smoothed interpolates on the reset-adjusted
+    // decimal scale; right edge = newest in-window sample, the PromQL
+    // never-read-past-T rule), 12h anchor lookback on a 25-step hourly
+    // grid over the same midnight-spanning counter fixture. The oracle
+    // re-derives every step's anchors with windowed joins — exact,
+    // because the boundary math is decimal differences in both engines.
+    "q243_extended_grid" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wCum = Window
+        .partitionBy(col("event_type"), col("bucket"), to_date(col("ts")))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val counter = events(s, d)
+        .withColumn("bucket", pmod(col("user_id"), lit(4L)))
+        .withColumn("cnt_v",
+          sum(round(col("value"), 6).cast("decimal(18,6)")).over(wCum)
+            .cast("double"))
+        .select(col("event_type"), col("bucket"), col("ts"), col("event_id"),
+          col("cnt_v"))
+      val src0 = PromQlParser.PromSource(counter, "event_type",
+        Seq("event_type", "bucket"), "ts", "event_id", "cnt_v")
+      def face(q: String, name: String) =
+        PromQlParser.evalRange(src0, q, "2024-01-14 12:00:00",
+            "2024-01-15 12:00:00", 3600L, lookbackSec = 43200L)
+          .select(col("event_type"), col("bucket"), col("step_ts"),
+            round(col("value"), 9).as(name))
+      face("""increase({event_type=~".+"}[2h] anchored)""", "ainc")
+        .join(face("""rate({event_type=~".+"}[2h] smoothed)""", "srate"),
+          Seq("event_type", "bucket", "step_ts"))
+        .orderBy(col("event_type"), col("bucket"), col("step_ts"))
+    }),
+
     // RULE-GROUP dependency ordering + 3.0 concurrent evaluation
     // (rules/group.go dependencyMap, --rules.max-concurrent-evals): a
     // five-rule group whose chain is two independent base rules → a
@@ -1069,11 +1103,11 @@ object PromQlQueries {
         |  FROM fch
         |), a AS (
         |  SELECT *,
-        |    CAST(sum(CAST(round(CASE WHEN prev IS NULL THEN 0.0
+        |    sum(CAST(round(CASE WHEN prev IS NULL THEN 0.0
         |      WHEN cnt_v - prev < 0 THEN cnt_v ELSE cnt_v - prev END, 6)
         |      AS DECIMAL(18,6))) OVER (PARTITION BY event_type, bucket
-        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-        |      AS adj,
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS adj,
+        |    CAST(round(cnt_v, 6) AS DECIMAL(18,6)) AS rvd,
         |    CASE WHEN t_us <= 1705269600000000 THEN 'pre'
         |         WHEN t_us <= 1705291200000000 THEN 'in'
         |         ELSE 'post' END AS reg
@@ -1081,47 +1115,104 @@ object PromQlQueries {
         |), g AS (
         |  SELECT event_type, bucket, count(*) AS n_tot,
         |    sum(CASE WHEN reg = 'in' THEN 1 ELSE 0 END) AS n,
-        |    max(struct_pack(t := t_us, e := event_id, v := adj, rv := cnt_v))
+        |    max(struct_pack(t := t_us, e := event_id, v := adj, rv := rvd))
         |      FILTER (WHERE reg = 'pre') AS pre,
-        |    min(struct_pack(t := t_us, e := event_id, v := adj, rv := cnt_v))
+        |    min(struct_pack(t := t_us, e := event_id, v := adj, rv := rvd))
         |      FILTER (WHERE reg = 'in') AS fin,
-        |    max(struct_pack(t := t_us, e := event_id, v := adj, rv := cnt_v))
+        |    max(struct_pack(t := t_us, e := event_id, v := adj, rv := rvd))
         |      FILTER (WHERE reg = 'in') AS lin,
-        |    min(struct_pack(t := t_us, e := event_id, v := adj, rv := cnt_v))
+        |    min(struct_pack(t := t_us, e := event_id, v := adj, rv := rvd))
         |      FILTER (WHERE reg = 'post') AS post
         |  FROM a GROUP BY 1, 2
         |), v AS (
         |  SELECT *,
-        |    coalesce(pre.v, fin.v) AS a_vs,
-        |    coalesce(lin.v, pre.v) AS a_ve,
-        |    CASE WHEN pre IS NULL THEN fin.v
-        |         WHEN fin IS NULL THEN pre.v
-        |         ELSE pre.v + (fin.v - pre.v) *
-        |           (CAST(1705269600000000 - pre.t AS DOUBLE) /
-        |            CAST(fin.t - pre.t AS DOUBLE)) END AS s_vs,
-        |    CASE WHEN post IS NULL THEN lin.v
-        |         WHEN lin IS NULL THEN post.v
-        |         ELSE lin.v + (post.v - lin.v) *
-        |           (CAST(1705291200000000 - lin.t AS DOUBLE) /
-        |            CAST(post.t - lin.t AS DOUBLE)) END AS s_ve,
-        |    CASE WHEN pre IS NULL THEN fin.rv
-        |         WHEN fin IS NULL THEN pre.rv
-        |         ELSE pre.rv + (fin.rv - pre.rv) *
-        |           (CAST(1705269600000000 - pre.t AS DOUBLE) /
-        |            CAST(fin.t - pre.t AS DOUBLE)) END AS sg_vs,
-        |    CASE WHEN post IS NULL THEN lin.rv
-        |         WHEN lin IS NULL THEN post.rv
-        |         ELSE lin.rv + (post.rv - lin.rv) *
-        |           (CAST(1705291200000000 - lin.t AS DOUBLE) /
-        |            CAST(post.t - lin.t AS DOUBLE)) END AS sg_ve
+        |    CASE WHEN pre IS NULL THEN CAST(lin.v - fin.v AS DOUBLE)
+        |         ELSE CAST(lin.v - pre.v AS DOUBLE) END AS a_val,
+        |    (CASE WHEN pre IS NULL THEN CAST(lin.v - fin.v AS DOUBLE)
+        |          ELSE CAST(lin.v - pre.v AS DOUBLE)
+        |             - CAST(fin.v - pre.v AS DOUBLE) *
+        |               (CAST(1705269600000000 - pre.t AS DOUBLE) /
+        |                CAST(fin.t - pre.t AS DOUBLE)) END)
+        |    + (CASE WHEN post IS NULL THEN 0.0
+        |            ELSE CAST(post.v - lin.v AS DOUBLE) *
+        |               (CAST(1705291200000000 - lin.t AS DOUBLE) /
+        |                CAST(post.t - lin.t AS DOUBLE)) END) AS s_val,
+        |    (CASE WHEN pre IS NULL THEN CAST(lin.rv - fin.rv AS DOUBLE)
+        |          ELSE CAST(lin.rv - pre.rv AS DOUBLE)
+        |             - CAST(fin.rv - pre.rv AS DOUBLE) *
+        |               (CAST(1705269600000000 - pre.t AS DOUBLE) /
+        |                CAST(fin.t - pre.t AS DOUBLE)) END)
+        |    + (CASE WHEN post IS NULL THEN 0.0
+        |            ELSE CAST(post.rv - lin.rv AS DOUBLE) *
+        |               (CAST(1705291200000000 - lin.t AS DOUBLE) /
+        |                CAST(post.t - lin.t AS DOUBLE)) END) AS sg_val
         |  FROM g WHERE n >= 1 AND n_tot >= 2
         |)
         |SELECT event_type, bucket, CAST(n AS BIGINT) AS n,
-        |  round((a_ve - a_vs) / 21600.0, 9) AS arate,
-        |  round(a_ve - a_vs, 9) AS aincrease,
-        |  round((s_ve - s_vs) / 21600.0, 9) AS srate,
-        |  round(sg_ve - sg_vs, 9) AS sdelta
+        |  round(a_val / 21600.0, 9) AS arate,
+        |  round(a_val, 9) AS aincrease,
+        |  round(s_val / 21600.0, 9) AS srate,
+        |  round(sg_val, 9) AS sdelta
         |FROM v ORDER BY event_type, bucket""".stripMargin,
+
+    // Per-step anchors re-derived with windowed joins: in-window =
+    // te ∈ (T−w, T], pre-anchor = arg-max over te ∈ (S−L, S]; the same
+    // decimal-difference boundary math, step by step.
+    "q243_extended_grid" ->
+      """WITH steps AS (
+        |  SELECT i, make_timestamp((1705233600 + i * 3600) * 1000000)
+        |      AS step_ts,
+        |    (1705233600 + i * 3600) * 1000000 AS tus
+        |  FROM (SELECT unnest(generate_series(0, 24)) AS i)
+        |), c0 AS (
+        |  SELECT event_type, user_id % 4 AS bucket, ts, event_id,
+        |    epoch_us(ts) AS t_us,
+        |    CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) OVER
+        |      (PARTITION BY event_type, user_id % 4, CAST(ts AS DATE)
+        |       ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |      AS cnt_v
+        |  FROM events
+        |), i0 AS (
+        |  SELECT *, lag(cnt_v) OVER (PARTITION BY event_type, bucket
+        |    ORDER BY ts, event_id) AS prev
+        |  FROM c0
+        |), a AS (
+        |  SELECT event_type, bucket, t_us, event_id,
+        |    sum(CAST(round(CASE WHEN prev IS NULL THEN 0.0
+        |      WHEN cnt_v - prev < 0 THEN cnt_v ELSE cnt_v - prev END, 6)
+        |      AS DECIMAL(18,6))) OVER (PARTITION BY event_type, bucket
+        |      ORDER BY t_us, event_id ROWS UNBOUNDED PRECEDING) AS adj
+        |  FROM i0
+        |), inw AS (
+        |  SELECT s.i, s.step_ts, s.tus, a.event_type, a.bucket,
+        |    count(*) AS n,
+        |    min(struct_pack(t := a.t_us, e := a.event_id, v := a.adj)) AS fin,
+        |    max(struct_pack(t := a.t_us, e := a.event_id, v := a.adj)) AS lin
+        |  FROM steps s JOIN a
+        |    ON a.t_us > s.tus - 7200000000 AND a.t_us <= s.tus
+        |  GROUP BY 1, 2, 3, 4, 5
+        |), pr AS (
+        |  SELECT s.i, a.event_type, a.bucket,
+        |    max(struct_pack(t := a.t_us, e := a.event_id, v := a.adj)) AS pre
+        |  FROM steps s JOIN a
+        |    ON a.t_us <= s.tus - 7200000000
+        |   AND a.t_us > s.tus - 7200000000 - 43200000000
+        |  GROUP BY 1, 2, 3
+        |), j AS (
+        |  SELECT inw.*, pr.pre
+        |  FROM inw LEFT JOIN pr USING (i, event_type, bucket)
+        |  WHERE inw.n >= 1 AND (pr.pre IS NOT NULL OR inw.n >= 2)
+        |)
+        |SELECT event_type, bucket, step_ts,
+        |  round(CASE WHEN pre IS NULL THEN CAST(lin.v - fin.v AS DOUBLE)
+        |        ELSE CAST(lin.v - pre.v AS DOUBLE) END, 9) AS ainc,
+        |  round((CASE WHEN pre IS NULL THEN CAST(lin.v - fin.v AS DOUBLE)
+        |         ELSE CAST(lin.v - pre.v AS DOUBLE)
+        |            - CAST(fin.v - pre.v AS DOUBLE) *
+        |              (CAST(tus - 7200000000 - pre.t AS DOUBLE) /
+        |               CAST(fin.t - pre.t AS DOUBLE)) END) / 7200.0, 9)
+        |    AS srate
+        |FROM j ORDER BY event_type, bucket, step_ts""".stripMargin,
 
     // The chained rule math recomputed flat: per (user, step) click
     // count/valsum in the trailing hour, avg = the same double quotient

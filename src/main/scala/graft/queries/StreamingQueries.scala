@@ -326,6 +326,21 @@ object StreamingQueries {
         .orderBy(col("event_type"))
     }),
 
+    // ONLINE stale-marker synthesis on scrape gaps — the scrape-loop
+    // half of q238's staleness story: per (metric, instance) registers
+    // track the last present hour; a jump of ≥2 hours is a missed-scrape
+    // gap where upstream writes a stale marker at the first absent hour.
+    // Arrival order = event time (the replay sort), so the online walk
+    // must equal the batch lag-over-distinct-hours twin exactly.
+    "s242_stream_stale_gaps" -> ((s, d) => {
+      val t = StreamOps.replayEvents(s, d, "s242_sink", 3, flushPerType = true)(
+        ds => StreamOps.streamStaleGaps(ds).toDF(), OutputMode.Append)
+      t.select(col("event_type"), col("instance"), col("n_hours"),
+          col("n_gaps"), col("n_missed_hours"), col("first_h_ms"),
+          col("last_h_ms"))
+        .orderBy(col("event_type"), col("instance"))
+    }),
+
     // STREAMING per-tenant series limiter — q217's cap enforced ONLINE:
     // the state is the Mimir ingester's own memory shape (the series
     // admission map + counters), and since replay order is arrival
@@ -566,6 +581,29 @@ object StreamingQueries {
         |  round(CAST(sum(CASE WHEN accepted THEN sum_v
         |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE), 4) AS sum_accepted
         |FROM admitted GROUP BY 1, 2 ORDER BY tenant, event_type""".stripMargin,
+
+    // The batch twin: lag over DISTINCT present hours per (metric,
+    // instance); a step > 1h is a gap (one marker), the span in hours
+    // rides beside it. All-integer — no FP surface.
+    "s242_stream_stale_gaps" ->
+      """WITH hrs AS (
+        |  SELECT DISTINCT event_type, CAST(user_id % 2 AS INT) AS instance,
+        |    date_trunc('hour', ts) AS h
+        |  FROM events
+        |), lagd AS (
+        |  SELECT *, lag(h) OVER (PARTITION BY event_type, instance
+        |    ORDER BY h) AS ph
+        |  FROM hrs
+        |)
+        |SELECT event_type, instance, count(*) AS n_hours,
+        |  CAST(sum(CASE WHEN ph IS NOT NULL AND h > ph + INTERVAL 1 HOUR
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+        |  CAST(sum(CASE WHEN ph IS NOT NULL
+        |    THEN date_diff('hour', ph, h) - 1 ELSE 0 END) AS BIGINT)
+        |    AS n_missed_hours,
+        |  CAST(epoch_ms(min(h)) AS BIGINT) AS first_h_ms,
+        |  CAST(epoch_ms(max(h)) AS BIGINT) AS last_h_ms
+        |FROM lagd GROUP BY 1, 2 ORDER BY event_type, instance""".stripMargin,
 
     // q216's oracle minus the read-time n_unique_ts column (ingest never
     // dedups timestamps); same fixture, same running-max classification.

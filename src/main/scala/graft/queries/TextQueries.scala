@@ -669,6 +669,61 @@ object TextQueries {
         .orderBy(col("rank"))
     }),
 
+    // DISTRIBUTED BPE TRAINER (3 merge iterations) — the tokenizer-
+    // training inner loop at corpus scale (Sennrich et al. 2016): pair
+    // counts over the DISTINCT-WORD table weighted by word frequency
+    // (corpus size never re-enters after the first keyed agg), best pair
+    // = argmax (count, then lexicographic pair — a total order), merge
+    // applied to every word's symbol array as a left fold that is
+    // provably scan-equivalent (a merged symbol a+b can never equal the
+    // left symbol a, so fold-chaining ≡ the i+=2 scan; the only
+    // ambiguous case, runs of an (a,a) pair, resolves to the same
+    // leftmost-greedy parity in both). One driver round-trip per
+    // iteration collects ONE (pair, count) row — the same bounded-
+    // scalar discipline as Pq.train's Lloyd step. All counts integer →
+    // the argmax and everything downstream is hash-provable.
+    "q244_bpe_trainer" -> ((s, d) => {
+      val words = docsWithTokens(s, d)
+        .select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+        // split to characters; Spark's split(limit=-1) keeps a trailing
+        // "" element that DuckDB's string_split does not — strip it
+        .withColumn("sym", array_remove(split(col("w"), ""), ""))
+      def pairCounts(df: DataFrame): DataFrame = df
+        .select(col("wc"), explode(zip_with(
+          slice(col("sym"), lit(1), size(col("sym")) - 1),
+          slice(col("sym"), lit(2), size(col("sym")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wc")).as("cnt"))
+      def mergeCol(sym: org.apache.spark.sql.Column, a: String,
+                   b: String): org.apache.spark.sql.Column =
+        aggregate(sym, array().cast("array<string>"), (acc, x) =>
+          when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x))))
+      var cur = words
+      val iters = Seq.newBuilder[(Int, String, String, Long)]
+      for (it <- 1 to 3) {
+        val best = pairCounts(cur)
+          .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+          .collect()(0)
+        val (a, b, c) = (best.getString(0), best.getString(1), best.getLong(2))
+        iters += ((it, a, b, c))
+        cur = cur.withColumn("sym", mergeCol(col("sym"), a, b))
+      }
+      import s.implicits._
+      val meta = iters.result()
+        .toDF("iter", "pair_a", "pair_b", "pair_count")
+      val fin = cur
+        .agg(sum(col("wc") * size(col("sym"))).cast("long")
+          .as("n_symbols_after"),
+          sum(col("wc")).cast("long").as("n_word_occurrences"),
+          count(lit(1)).as("n_distinct_words"))
+      meta.crossJoin(broadcast(fin)).orderBy(col("iter"))
+    }),
+
     // HYBRID RETRIEVAL with RECIPROCAL RANK FUSION — the fusion every
     // RAG/retrieval stack runs over a lexical and a vector leg (RRF,
     // Cormack et al. SIGIR'09; the Elasticsearch/Vespa default):
@@ -1252,6 +1307,139 @@ object TextQueries {
         |LEFT JOIN contaminated co ON s.lang = co.lang
         |WHERE s.split = 'test'
         |GROUP BY s.lang ORDER BY s.lang""".stripMargin,
+
+    // Three chained merge blocks, each: weighted pair counts → argmax
+    // (cnt desc, pair asc) → leftmost-greedy merge via gaps-and-islands
+    // parity (the scan-equivalent of the engine's fold; runs longer
+    // than one match only occur for (a,a) pairs and resolve to the same
+    // even offsets).
+    "q244_bpe_trainer" ->
+      """WITH w0 AS (
+        |  SELECT w, count(*) AS wc FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |    FROM documents)
+        |  GROUP BY 1
+        |), s0 AS (
+        |  SELECT w AS word, wc, string_split(w, '') AS sym FROM w0
+        |), p1 AS (
+        |  SELECT sym[i] AS a, sym[i + 1] AS b, sum(wc) AS cnt
+        |  FROM s0, unnest(generate_series(1, len(sym) - 1)) AS g(i)
+        |  GROUP BY 1, 2
+        |), b1 AS (SELECT * FROM p1 ORDER BY cnt DESC, a, b LIMIT 1
+        |), e1 AS (
+        |  SELECT word, wc, g.i, sym[g.i] AS sm
+        |  FROM s0, unnest(generate_series(1, len(sym))) AS g(i)
+        |), m1 AS (
+        |  SELECT e1.*, b1.a, b1.b,
+        |    coalesce(sm = b1.a AND lead(sm) OVER w = b1.b, false) AS mt
+        |  FROM e1 CROSS JOIN b1
+        |  WINDOW w AS (PARTITION BY word ORDER BY i)
+        |), n1 AS (
+        |  SELECT *, (mt AND NOT coalesce(lag(mt) OVER w, false)) AS newrun
+        |  FROM m1 WINDOW w AS (PARTITION BY word ORDER BY i)
+        |), r1 AS (
+        |  SELECT *, sum(CASE WHEN newrun THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY word ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+        |  FROM n1
+        |), k1 AS (
+        |  SELECT *, CASE WHEN mt THEN
+        |    (i - min(CASE WHEN mt THEN i END)
+        |      OVER (PARTITION BY word, rid)) % 2 = 0 ELSE false END AS kept
+        |  FROM r1
+        |), d1 AS (
+        |  SELECT *, coalesce(lag(kept)
+        |    OVER (PARTITION BY word ORDER BY i), false) AS dropped
+        |  FROM k1
+        |), s1 AS (
+        |  SELECT word, any_value(wc) AS wc,
+        |    list(CASE WHEN kept THEN a || b ELSE sm END ORDER BY i)
+        |      FILTER (WHERE NOT dropped) AS sym
+        |  FROM d1 GROUP BY word
+        |), p2 AS (
+        |  SELECT sym[i] AS a, sym[i + 1] AS b, sum(wc) AS cnt
+        |  FROM s1, unnest(generate_series(1, len(sym) - 1)) AS g(i)
+        |  GROUP BY 1, 2
+        |), b2 AS (SELECT * FROM p2 ORDER BY cnt DESC, a, b LIMIT 1
+        |), e2 AS (
+        |  SELECT word, wc, g.i, sym[g.i] AS sm
+        |  FROM s1, unnest(generate_series(1, len(sym))) AS g(i)
+        |), m2 AS (
+        |  SELECT e2.*, b2.a, b2.b,
+        |    coalesce(sm = b2.a AND lead(sm) OVER w = b2.b, false) AS mt
+        |  FROM e2 CROSS JOIN b2
+        |  WINDOW w AS (PARTITION BY word ORDER BY i)
+        |), n2 AS (
+        |  SELECT *, (mt AND NOT coalesce(lag(mt) OVER w, false)) AS newrun
+        |  FROM m2 WINDOW w AS (PARTITION BY word ORDER BY i)
+        |), r2 AS (
+        |  SELECT *, sum(CASE WHEN newrun THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY word ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+        |  FROM n2
+        |), k2 AS (
+        |  SELECT *, CASE WHEN mt THEN
+        |    (i - min(CASE WHEN mt THEN i END)
+        |      OVER (PARTITION BY word, rid)) % 2 = 0 ELSE false END AS kept
+        |  FROM r2
+        |), d2 AS (
+        |  SELECT *, coalesce(lag(kept)
+        |    OVER (PARTITION BY word ORDER BY i), false) AS dropped
+        |  FROM k2
+        |), s2 AS (
+        |  SELECT word, any_value(wc) AS wc,
+        |    list(CASE WHEN kept THEN a || b ELSE sm END ORDER BY i)
+        |      FILTER (WHERE NOT dropped) AS sym
+        |  FROM d2 GROUP BY word
+        |), p3 AS (
+        |  SELECT sym[i] AS a, sym[i + 1] AS b, sum(wc) AS cnt
+        |  FROM s2, unnest(generate_series(1, len(sym) - 1)) AS g(i)
+        |  GROUP BY 1, 2
+        |), b3 AS (SELECT * FROM p3 ORDER BY cnt DESC, a, b LIMIT 1
+        |), e3 AS (
+        |  SELECT word, wc, g.i, sym[g.i] AS sm
+        |  FROM s2, unnest(generate_series(1, len(sym))) AS g(i)
+        |), m3 AS (
+        |  SELECT e3.*, b3.a, b3.b,
+        |    coalesce(sm = b3.a AND lead(sm) OVER w = b3.b, false) AS mt
+        |  FROM e3 CROSS JOIN b3
+        |  WINDOW w AS (PARTITION BY word ORDER BY i)
+        |), n3 AS (
+        |  SELECT *, (mt AND NOT coalesce(lag(mt) OVER w, false)) AS newrun
+        |  FROM m3 WINDOW w AS (PARTITION BY word ORDER BY i)
+        |), r3 AS (
+        |  SELECT *, sum(CASE WHEN newrun THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY word ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+        |  FROM n3
+        |), k3 AS (
+        |  SELECT *, CASE WHEN mt THEN
+        |    (i - min(CASE WHEN mt THEN i END)
+        |      OVER (PARTITION BY word, rid)) % 2 = 0 ELSE false END AS kept
+        |  FROM r3
+        |), d3 AS (
+        |  SELECT *, coalesce(lag(kept)
+        |    OVER (PARTITION BY word ORDER BY i), false) AS dropped
+        |  FROM k3
+        |), s3 AS (
+        |  SELECT word, any_value(wc) AS wc,
+        |    list(CASE WHEN kept THEN a || b ELSE sm END ORDER BY i)
+        |      FILTER (WHERE NOT dropped) AS sym
+        |  FROM d3 GROUP BY word
+        |), fin AS (
+        |  SELECT CAST(sum(wc * len(sym)) AS BIGINT) AS n_symbols_after,
+        |    CAST(sum(wc) AS BIGINT) AS n_word_occurrences,
+        |    count(*) AS n_distinct_words
+        |  FROM s3
+        |), meta AS (
+        |  SELECT 1 AS iter, a AS pair_a, b AS pair_b,
+        |    CAST(cnt AS BIGINT) AS pair_count FROM b1
+        |  UNION ALL SELECT 2, a, b, CAST(cnt AS BIGINT) FROM b2
+        |  UNION ALL SELECT 3, a, b, CAST(cnt AS BIGINT) FROM b3
+        |)
+        |SELECT m.iter, m.pair_a, m.pair_b, m.pair_count,
+        |  f.n_symbols_after, f.n_word_occurrences, f.n_distinct_words
+        |FROM meta m CROSS JOIN fin f ORDER BY m.iter""".stripMargin,
 
     // Both legs' committed chains + the same two reciprocals; VALUES
     // carries the per-query term sets; -1 fills a leg the doc missed.

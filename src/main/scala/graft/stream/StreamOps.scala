@@ -80,6 +80,16 @@ case class OooOut(event_type: String, n_in_order: Long, n_ooo: Long,
                   n_too_old: Long, sum_merged: Double,
                   max_accepted_us: Long)
 
+/** Streaming stale-gap state: per (series-key, instance) the scrape
+  * loop's own registers — last seen hour, present-hour and gap counters
+  * (the marker count), first hour. O(1) per target. */
+case class StaleSub(lastH: Long, nHours: Long, nGaps: Long,
+                    nMissed: Long, firstH: Long)
+case class StaleGapState(subs: Map[Int, StaleSub])
+case class StaleGapOut(event_type: String, instance: Int, n_hours: Long,
+                       n_gaps: Long, n_missed_hours: Long,
+                       first_h_ms: Long, last_h_ms: Long)
+
 /** Streaming tenant-limiter state (the Mimir ingester's own memory
   * shape): the per-series admission map (exactly what the ingester's
   * series map holds), the admitted count against the cap, per-type
@@ -647,6 +657,55 @@ object StreamOps {
               }
             }
           state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** ONLINE stale-marker synthesis on scrape gaps — the scrape-loop half
+    * of q238's staleness story, run as the loop itself would: keyed by
+    * metric, per-instance registers hold the last PRESENT hour; when a
+    * sample arrives ≥ 2 hours after it, the hours between were missed
+    * scrapes, and upstream would have written a stale marker at the
+    * first of them — `n_gaps` counts those markers, `n_missed_hours`
+    * the full outage span. Arrival is event-time order (the replay's
+    * sort), so the online walk equals the batch lag-over-distinct-hours
+    * twin exactly — which is what the oracle computes. Emits per
+    * instance at the metric's flush sentinel. */
+  def streamStaleGaps(ds: Dataset[Ev]): Dataset[StaleGapOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.event_type)
+      .flatMapGroupsWithState[StaleGapState, StaleGapOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (etype, events, state: GroupState[StaleGapState]) =>
+          var subs = if (state.exists) state.get.subs
+            else Map.empty[Int, StaleSub]
+          val out = Vector.newBuilder[StaleGapOut]
+          events.toSeq.sortBy(e => (e.user_id == -1L, e.ts.getTime, e.event_id))
+            .foreach { e =>
+              if (e.user_id == -1L)
+                subs.toSeq.sortBy(_._1).foreach { case (inst, st) =>
+                  out += StaleGapOut(etype, inst, st.nHours, st.nGaps,
+                    st.nMissed, st.firstH * 3600000L, st.lastH * 3600000L)
+                }
+              else {
+                val inst = (e.user_id % 2).toInt
+                val h = e.ts.getTime / 3600000L
+                subs.get(inst) match {
+                  case None =>
+                    subs += inst -> StaleSub(h, 1L, 0L, 0L, h)
+                  case Some(st) if h <= st.lastH => () // same scrape hour
+                  // (replay order is event-time ascending, so h < lastH
+                  // cannot occur; the guard keeps the walk total anyway)
+                  case Some(st) if h == st.lastH + 1 =>
+                    subs += inst -> st.copy(lastH = h, nHours = st.nHours + 1)
+                  case Some(st) => // gap: marker at lastH+1, span counted
+                    subs += inst -> st.copy(lastH = h, nHours = st.nHours + 1,
+                      nGaps = st.nGaps + 1,
+                      nMissed = st.nMissed + (h - st.lastH - 1))
+                }
+              }
+            }
+          state.update(StaleGapState(subs))
           out.result().iterator
       }
   }

@@ -55,7 +55,14 @@ class PromQlConsistencySpec extends AnyFunSuite {
     """label_join(cpu, "dst", "-", "metric", "inst")""",
     "scalar(sum(cpu))", "vector(1)", "time()", "pi() * 2",
     "avg_over_time(cpu[20m:5m])", "max_over_time(cpu[20m:5m] offset 5m)",
-    "sort(cpu)", "sort_by_label(cpu, \"inst\")")
+    "sort(cpu)", "sort_by_label(cpu, \"inst\")",
+    // extended range selectors (3.5): decimal-difference boundary math
+    // makes the two compilers' different fetch bases cancel exactly
+    "rate(cpu[20m] anchored)", "increase(cpu[20m] anchored)",
+    "delta(cpu[20m] anchored)", "rate(cpu[20m] smoothed)",
+    "increase(cpu[20m] smoothed)", "delta(cpu[20m] smoothed)",
+    "rate(cpu[20m] anchored offset 5m)",
+    "sum by (inst) (increase(cpu[20m] smoothed))")
 
   private def canon(df: org.apache.spark.sql.DataFrame): Set[String] = {
     val drop = Set("step_ts", "__step", "rank")

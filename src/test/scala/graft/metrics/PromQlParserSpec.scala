@@ -1189,10 +1189,28 @@ class PromQlParserSpec extends AnyFunSuite {
     assert(math.abs(one("rate(cpu[90s] anchored)") - 12.0 / 90) < 1e-12)
     assert(math.abs(one("increase(cpu[90s] smoothed)") - 9.0) < 1e-12)
     assert(math.abs(one("delta(cpu[90s] smoothed)") - 9.0) < 1e-12)
-    // the grid compiler rejects loudly (documented divergence)
-    val e = intercept[IllegalArgumentException](
-      evalRange(src(df), "rate(cpu[1m] anchored)",
-        "2024-01-01 10:00:00", "2024-01-01 10:10:00", 60L).collect())
-    assert(e.getMessage.contains("instant-query only"))
+    // grid eval: a ONE-STEP range query must equal the instant query
+    // EXACTLY (shared decimal-difference boundary math — the prefix-sum
+    // bases of the two fetches cancel in decimal)
+    for (q <- Seq("rate(cpu[90s] anchored)", "rate(cpu[90s] smoothed)",
+      "increase(cpu[90s] smoothed)", "delta(cpu[90s] smoothed)")) {
+      val grid = evalRange(src(df), q,
+        "2024-01-01 10:03:00", "2024-01-01 10:03:00", 60L)
+        .collect().map(r => (r.getAs[String]("event_type"),
+          r.getAs[Double]("value"))).toSeq
+      val inst = eval(src(df), q, "2024-01-01 10:03:00")
+        .collect().map(r => (r.getAs[String]("event_type"),
+          r.getAs[Double]("value"))).toSeq
+      assert(grid == inst, s"$q grid != instant: $grid vs $inst")
+    }
+    // a mid-grid step gets its left anchor from before its own window
+    val gridMid = evalRange(src(df), "increase(cpu[90s] anchored)",
+      "2024-01-01 10:02:00", "2024-01-01 10:03:00", 60L)
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("step_ts").toString,
+        r.getAs[Double]("value"))).toMap
+    // T=10:02: window (10:00:30,10:02], anchor=10:00 (v0) -> 12−0 = 12
+    // T=10:03: anchor=10:01 (v6) -> 18−6 = 12
+    assert(gridMid == Map("2024-01-01 10:02:00.0" -> 12.0,
+      "2024-01-01 10:03:00.0" -> 12.0), gridMid)
   }
 }
