@@ -633,6 +633,36 @@ object CurationQueries {
         .orderBy(col("lang"))
     }),
 
+    // DETERMINISTIC corpus shuffle + shard assignment — the data-ordering
+    // pass between curation and training: every run of the pipeline must
+    // produce the SAME global permutation (resumable training, auditable
+    // data order), so the shuffle key is md5(doc_id), sharding is
+    // HASH-RANGE (shard = first hex nibble) rather than round-robin —
+    // round-robin needs a global rank (one-partition window, the q99
+    // anti-pattern); hash ranges need nothing global and bound skew by
+    // hash uniformity, which the output MEASURES (max/min shard load vs
+    // the uniform ideal). Within a shard the write order is the hash
+    // order (the shard's own deterministic shuffle); head_doc pins it.
+    "q245_corpus_shuffle_shards" -> ((s, d) => {
+      val hashed = docsWithTokens(s, d)
+        .withColumn("h", md5(concat(lit("shuf|"), col("doc_id"))))
+        .withColumn("shard",
+          conv(substring(col("h"), 1, 1), 16, 10).cast("int"))
+        .withColumn("n_toks", size(col("toks")).cast("long"))
+      val perShard = hashed.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          min_by(col("doc_id"), col("h")).as("head_doc"),
+          min(col("h")).as("min_h"), max(col("h")).as("max_h"))
+      val wAll = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing) // 16 rows
+      perShard
+        .withColumn("skew",
+          round(col("n_tokens").cast("double") * 16 /
+            sum(col("n_tokens")).over(wAll), 6))
+        .orderBy(col("shard"))
+    }),
+
     // [N] C4-style line-level cleaning (Raffel et al. 2020 §2.2): the
     // fixture corpus has no line structure, so lines are RENDERED
     // deterministically first (md5-seeded breaks every ~7 tokens,
@@ -1437,6 +1467,28 @@ object CurationQueries {
         |  round(CASE WHEN sw.sw_i IS NULL OR f.i < sw.sw_i
         |    THEN CAST(f.cap AS DOUBLE) ELSE sw.sw_fair END / f.c, 6) AS epochs
         |FROM f LEFT JOIN sw ON TRUE ORDER BY f.lang""".stripMargin,
+
+    // Same md5 permutation key, same nibble ranges; skew = share of the
+    // uniform ideal. All aggregation integer except the one ratio.
+    "q245_corpus_shuffle_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5('shuf|' || doc_id) AS h,
+        |    CAST(concat('0x', substr(md5('shuf|' || doc_id), 1, 1))
+        |      AS INT) AS shard,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_toks
+        |  FROM documents
+        |), per AS (
+        |  SELECT shard, count(*) AS n_docs, sum(n_toks) AS n_tokens,
+        |    (min(struct_pack(h := h, d := doc_id))).d AS head_doc,
+        |    min(h) AS min_h, max(h) AS max_h
+        |  FROM h GROUP BY 1
+        |)
+        |SELECT shard, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  head_doc, min_h, max_h,
+        |  round(CAST(n_tokens AS DOUBLE) * 16 / sum(n_tokens) OVER (), 6)
+        |    AS skew
+        |FROM per ORDER BY shard""".stripMargin,
 
     "q198_c4_clean" ->
       """WITH t AS (

@@ -168,12 +168,17 @@ object TextQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val banded = sig.select(col("lang"), col("doc_id"), col("is_eval"),
         explode(TextOps.bandKeys(col("sig"), 8, 1)).as("bk"))
-      val cand = banded.filter(!col("is_eval"))
+      // cand persisted (pair ids — tiny), the q48 discipline: it feeds
+      // BOTH the candidate-id broadcast and the verify join; unpersisted,
+      // the asymmetric band join + distinct ran twice (21 exchanges —
+      // the round-11 audit's one open shuffle note; 17 after)
+      val cand = graft.CacheBag.register(banded.filter(!col("is_eval"))
         .select(col("lang"), col("bk"), col("doc_id").as("train_id"))
         .join(banded.filter(col("is_eval"))
           .select(col("lang"), col("bk"), col("doc_id").as("eval_id")),
           Seq("lang", "bk"))
         .select(col("lang"), col("train_id"), col("eval_id")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val candIds = cand.select(
         explode(array(col("train_id"), col("eval_id"))).as("doc_id")).distinct()
       val candSh = marked.join(broadcast(candIds), Seq("doc_id"))
@@ -189,7 +194,9 @@ object TextQueries {
           countDistinct(when(col("jacc") >= 0.5, col("train_id")))
             .as("n_contaminated_train"),
           round(max(col("jacc")), 6).as("max_jacc"))
-      marked.groupBy(col("lang"))
+      // per-lang totals from the PERSISTED sig frame (same row set as
+      // marked — both sit above the size-gate), not a tokenize re-run
+      sig.groupBy(col("lang"))
         .agg(sum(when(col("is_eval"), 1).otherwise(0)).as("n_eval"),
           sum(when(!col("is_eval"), 1).otherwise(0)).as("n_train"))
         .join(verified, Seq("lang"), "left")
