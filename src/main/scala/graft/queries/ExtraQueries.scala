@@ -1795,6 +1795,56 @@ object ExtraQueries {
         .orderBy(col("cid"))
     }),
 
+    // CLUSTER-BALANCED SAMPLING (the DataComp/SSL-prototypes selection
+    // pass q240 + q227 exist to feed): assign every vector to its
+    // nearest seed centroid with the SAME exact-decimal argmin as q240,
+    // then take an EQUAL per-cluster quota (budget/k), most-prototypical
+    // first (dist² asc, vec_id tiebreak — a total order on exact
+    // decimals, so the selected SET is hash-provable). Clusters smaller
+    // than their quota under-fill and report the shortfall rather than
+    // silently rebalancing (the documented policy: rebalancing couples
+    // clusters and breaks the per-cluster-parallel shape). One window
+    // rank per cluster — nothing corpus-global.
+    "q247_cluster_balanced_sample" -> ((s, d) => {
+      val K = 8
+      val comps = embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "xf")))
+        .withColumn("x", col("xf").cast("double"))
+      val seeds = comps.filter(col("vec_id") < K)
+        .select(col("vec_id").cast("int").as("cid"), col("dim"),
+          col("x").as("c"))
+      val a1 = comps.join(broadcast(seeds), Seq("dim"))
+        .withColumn("d2",
+          round((col("x") - col("c")) * (col("x") - col("c")), 9)
+            .cast("decimal(28,9)"))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum(col("d2")).as("dist2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"),
+          col("m.dist2").as("dist2"))
+      val total = a1.agg(count(lit(1)).as("n_total"))
+      val wC = Window.partitionBy(col("cid"))
+        .orderBy(col("dist2"), col("vec_id"))
+      a1.crossJoin(broadcast(total))
+        .withColumn("quota", expr("(n_total div 4) div 8"))
+        .withColumn("rk", row_number().over(wC).cast("long"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vecs"),
+          max(col("quota")).as("quota"),
+          sum(when(col("rk") <= col("quota"), 1L).otherwise(0L))
+            .as("n_selected"),
+          greatest(max(col("quota")) - count(lit(1)), lit(0L))
+            .as("shortfall"),
+          round(sum(when(col("rk") <= col("quota"), col("dist2")))
+            .cast("double"), 6).as("sum_sel_dist2"),
+          max(when(col("rk") <= col("quota"), col("vec_id")))
+            .as("max_sel_vec"))
+        .orderBy(col("cid"))
+    }),
+
     // Product quantization (PQ4x16: 64-dim float32 → 4 codes = 64×
     // compression at rest): one deterministic Lloyd step from first-k
     // init, decimal-routed centroid means, map-side code assignment.
@@ -2783,6 +2833,44 @@ object ExtraQueries {
         |  round(CAST(m.n_active AS DOUBLE) / cs.cohort_size, 6) AS pct_active
         |FROM m JOIN cs USING (cohort)
         |ORDER BY m.cohort, m.week_offset""".stripMargin,
+
+    // q240's assignment chain + one per-cluster rank; quota/shortfall
+    // all-integer, selected dist² an exact decimal sum.
+    "q247_cluster_balanced_sample" ->
+      """WITH comps AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), seeds AS (
+        |  SELECT CAST(vec_id AS INT) AS cid, dim, x AS c
+        |  FROM comps WHERE vec_id < 8
+        |), a1 AS (
+        |  SELECT vec_id, (min(struct_pack(d := dist2, cid := cid))).cid AS cid,
+        |    (min(struct_pack(d := dist2, cid := cid))).d AS dist2
+        |  FROM (
+        |    SELECT p.vec_id, s.cid,
+        |      sum(CAST(round((p.x - s.c) * (p.x - s.c), 9)
+        |        AS DECIMAL(28,9))) AS dist2
+        |    FROM comps p JOIN seeds s USING (dim)
+        |    GROUP BY 1, 2
+        |  ) GROUP BY 1
+        |), q AS (
+        |  SELECT (count(*) // 4) // 8 AS quota FROM a1
+        |), rk AS (
+        |  SELECT a1.*, q.quota,
+        |    row_number() OVER (PARTITION BY cid ORDER BY dist2, vec_id) AS rk
+        |  FROM a1 CROSS JOIN q
+        |)
+        |SELECT cid, count(*) AS n_vecs,
+        |  CAST(max(quota) AS BIGINT) AS quota,
+        |  CAST(sum(CASE WHEN rk <= quota THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_selected,
+        |  CAST(greatest(max(quota) - count(*), 0) AS BIGINT) AS shortfall,
+        |  round(CAST(sum(CASE WHEN rk <= quota THEN dist2 END) AS DOUBLE), 6)
+        |    AS sum_sel_dist2,
+        |  CAST(max(CASE WHEN rk <= quota THEN vec_id END) AS BIGINT)
+        |    AS max_sel_vec
+        |FROM rk GROUP BY 1 ORDER BY cid""".stripMargin,
 
     // Same chain flat in SQL: seed centroids from vec_id < 8, exact
     // DECIMAL d² argmin with the cid tiebreak (struct min), decimal-

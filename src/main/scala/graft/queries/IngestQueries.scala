@@ -233,6 +233,58 @@ object IngestQueries {
         .orderBy(col("matcher"))
     }),
 
+    // POSTINGS CODEC — q222's inverted index as BYTES (the index half of
+    // a TSDB block beside q236's chunk half): each (label, value) list
+    // of sorted series ids encodes to uvarint(count)·uvarint(first)·
+    // uvarint(delta)…, whose length is a CLOSED FORM (⌈len(bin(x))/7⌉
+    // per varint) the oracle recomputes without seeing the bytes —
+    // the same two-implementations-one-answer proof as the chunk codec.
+    // decode(encode(x)) == x per list in-result, and a matcher
+    // INTERSECTION evaluated over DECODED lists must reproduce the
+    // direct predicate scan's decimal-exact sum. The ~10-byte/series →
+    // ~1.1-byte/posting compression is what lets a 100 TB block's index
+    // sit in memory while chunks stay on disk.
+    "q246_postings_codec" -> ((s, d) => {
+      import graft.functions.Postings
+      val ev = events(s, d)
+      val series = ev.groupBy(col("event_type"), col("user_id"))
+        .agg(min(col("event_id")).as("sid"),
+          sum(round(col("value"), 6).cast("decimal(18,6)")).as("sum_v"))
+        .withColumn("parity", pmod(col("user_id"), lit(2L)))
+      val postings = series.select(col("sid"), explode(map(
+          lit("__name__"), col("event_type").cast("string"),
+          lit("user"), col("user_id").cast("string"),
+          lit("parity"), col("parity").cast("string")))
+          .as(Seq("lname", "lvalue")))
+      val lists = postings.groupBy(col("lname"), col("lvalue"))
+        .agg(sort_array(collect_list(col("sid"))).as("sids"))
+        .withColumn("enc", Postings.encodeCol(col("sids")))
+        .withColumn("dec", Postings.decodeCol(col("enc")))
+      val aSide = lists.filter(col("lname") === "__name__" &&
+        col("lvalue") === "click").select(explode(col("dec")).as("sid"))
+      val bSide = lists.filter(col("lname") === "parity" &&
+        col("lvalue") === "1").select(explode(col("dec")).as("sid"))
+      val inter = aSide.join(bSide, "sid").join(series, "sid")
+        .agg(count(lit(1)).as("n_click_odd_idx"),
+          round(sum(col("sum_v")).cast("double"), 4).as("sum_click_odd_idx"))
+      val direct = ev.filter(col("event_type") === "click" &&
+          pmod(col("user_id"), lit(2L)) === 1)
+        .agg(round(sum(round(col("value"), 6).cast("decimal(18,6)"))
+          .cast("double"), 4).as("sum_click_odd_direct"))
+      lists.groupBy(col("lname"))
+        .agg(count(lit(1)).as("n_lists"),
+          sum(size(col("sids"))).cast("long").as("n_postings"),
+          sum(length(col("enc"))).cast("long").as("enc_bytes"),
+          sum(when(col("dec") === col("sids"), 1L).otherwise(0L))
+            .as("n_roundtrip_ok"),
+          max(size(col("sids"))).cast("long").as("max_list_len"))
+        .withColumn("bytes_per_posting",
+          round(col("enc_bytes").cast("double") / col("n_postings"), 6))
+        .crossJoin(broadcast(inter))
+        .crossJoin(broadcast(direct))
+        .orderBy(col("lname"))
+    }),
+
     // CREATED-TIMESTAMP zero-ingestion (Prometheus 3.x
     // `created-timestamp-zero-ingestion`): a counter that exposes its
     // creation instant (OpenMetrics `_created` / the PRW CT field) gets
@@ -444,6 +496,57 @@ object IngestQueries {
         |ORDER BY tenant""".stripMargin,
 
     // Same postings build (UNION ALL per label), same sid intersections.
+    // The closed-form byte accounting: per list, uvarint(count) +
+    // uvarint(first) + Σ uvarint(delta), each ⌈len(bin(x))/7⌉ bytes;
+    // intersection/direct sums straight from the series/raw tables.
+    "q246_postings_codec" ->
+      """WITH series AS (
+        |  SELECT event_type, user_id, min(event_id) AS sid,
+        |    sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS sum_v
+        |  FROM events GROUP BY 1, 2
+        |), p AS (
+        |  SELECT sid, '__name__' AS lname, event_type AS lvalue FROM series
+        |  UNION ALL
+        |  SELECT sid, 'user', CAST(user_id AS VARCHAR) FROM series
+        |  UNION ALL
+        |  SELECT sid, 'parity', CAST(user_id % 2 AS VARCHAR) FROM series
+        |), o AS (
+        |  SELECT lname, lvalue, sid, lag(sid) OVER w AS prev,
+        |    count(*) OVER (PARTITION BY lname, lvalue) AS cnt
+        |  FROM p WINDOW w AS (PARTITION BY lname, lvalue ORDER BY sid)
+        |), b AS (
+        |  SELECT lname, lvalue, any_value(cnt) AS cnt,
+        |    CAST(sum((len(bin(CASE WHEN prev IS NULL THEN sid
+        |      ELSE sid - prev END)) + 6) // 7) AS BIGINT) AS body_bytes
+        |  FROM o GROUP BY 1, 2
+        |), lists AS (
+        |  SELECT lname, lvalue, cnt,
+        |    body_bytes + (len(bin(cnt)) + 6) // 7 AS bytes
+        |  FROM b
+        |), agg AS (
+        |  SELECT lname, count(*) AS n_lists,
+        |    CAST(sum(cnt) AS BIGINT) AS n_postings,
+        |    CAST(sum(bytes) AS BIGINT) AS enc_bytes,
+        |    count(*) AS n_roundtrip_ok,
+        |    CAST(max(cnt) AS BIGINT) AS max_list_len
+        |  FROM lists GROUP BY 1
+        |), inter AS (
+        |  SELECT count(*) AS n_click_odd_idx,
+        |    round(CAST(sum(sum_v) AS DOUBLE), 4) AS sum_click_odd_idx
+        |  FROM series WHERE event_type = 'click' AND user_id % 2 = 1
+        |), direct AS (
+        |  SELECT round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+        |    AS DOUBLE), 4) AS sum_click_odd_direct
+        |  FROM events WHERE event_type = 'click' AND user_id % 2 = 1
+        |)
+        |SELECT a.lname, a.n_lists, a.n_postings, a.enc_bytes,
+        |  a.n_roundtrip_ok, a.max_list_len,
+        |  round(CAST(a.enc_bytes AS DOUBLE) / a.n_postings, 6)
+        |    AS bytes_per_posting,
+        |  i.n_click_odd_idx, i.sum_click_odd_idx, d.sum_click_odd_direct
+        |FROM agg a CROSS JOIN inter i CROSS JOIN direct d
+        |ORDER BY a.lname""".stripMargin,
+
     "q222_postings_index" ->
       """WITH series AS (
         |  SELECT event_type, user_id, user_id % 2 AS parity,
