@@ -285,6 +285,94 @@ object IngestQueries {
         .orderBy(col("lname"))
     }),
 
+    // PHYSICAL TSDB BLOCK roundtrip — the two codecs COMPOSED into an
+    // at-rest block and queried back: chunks = per-(series, 120-sample
+    // cut) XOR bytes with zone-map (min_t, max_t) columns, index =
+    // per-(label, value) postings bytes; both written to parquet and
+    // re-read (a real block directory, ~10 B/sample at rest), then a
+    // matcher battery × a 24 h range is served ENTIRELY from the block:
+    // postings decode → sid intersection → zone-map chunk skip → XOR
+    // decode → range filter — and must reproduce the direct raw-table
+    // scan decimal for decimal. n_chunks_read/skipped measures what the
+    // zone map saved; the oracle re-derives the chunk grid and the skip
+    // counts without ever seeing a byte.
+    "q248_physical_block" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.{DoubleFromBits, Postings, VectorFunctions, XorChunk}
+      val lo = 1704888000000L // 2024-01-10 12:00:00 UTC (ms)
+      val hi = 1704974400000L // 2024-01-11 12:00:00 UTC
+      val span = events(s, d)
+        .filter(col("ts") >= lit("2024-01-10").cast("timestamp") &&
+          col("ts") < lit("2024-01-12").cast("timestamp"))
+        .select(col("event_type"), col("user_id"),
+          expr("unix_micros(ts) div 1000").as("t_ms"), col("event_id"),
+          round(col("value"), 6).as("v"))
+      val series = span.groupBy(col("event_type"), col("user_id"))
+        .agg(min(col("event_id")).as("sid"))
+        .withColumn("parity", pmod(col("user_id"), lit(2L)))
+      val wS = Window.partitionBy(col("sid"))
+        .orderBy(col("t_ms"), col("event_id"))
+      val chunks = span.join(series, Seq("event_type", "user_id"))
+        .withColumn("b", VectorFunctions.doubleBits(col("v").cast("double")))
+        .withColumn("seq", (row_number().over(wS) - 1).cast("long"))
+        .withColumn("chunk", expr("seq div 120"))
+        .groupBy(col("sid"), col("chunk"))
+        .agg(min(col("t_ms")).as("min_t"), max(col("t_ms")).as("max_t"),
+          XorChunk.encodeCol(sort_array(collect_list(
+            struct(col("t_ms").as("t"), col("b").as("b"))))).as("data"))
+      val index = series.select(col("sid"), explode(map(
+          lit("__name__"), col("event_type").cast("string"),
+          lit("parity"), col("parity").cast("string")))
+          .as(Seq("lname", "lvalue")))
+        .groupBy(col("lname"), col("lvalue"))
+        .agg(Postings.encodeCol(sort_array(collect_list(col("sid"))))
+          .as("plist"))
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-block-" + Integer.toHexString(d.hashCode))
+      chunks.write.mode("overwrite")
+        .parquet(new java.io.File(base, "chunks").getAbsolutePath)
+      index.write.mode("overwrite")
+        .parquet(new java.io.File(base, "index").getAbsolutePath)
+      val chunksR = s.read.parquet(new java.io.File(base, "chunks").getAbsolutePath)
+      val indexR = s.read.parquet(new java.io.File(base, "index").getAbsolutePath)
+      val m = Seq(("m1", "click", "1"), ("m2", "error", "0"),
+        ("m3", "view", "1")).toDF("matcher", "mname", "mpar")
+      val pName = indexR.filter(col("lname") === "__name__")
+        .join(broadcast(m), col("lvalue") === col("mname"))
+        .select(col("matcher"),
+          explode(Postings.decodeCol(col("plist"))).as("sid"))
+      val pPar = indexR.filter(col("lname") === "parity")
+        .join(broadcast(m), col("lvalue") === col("mpar"))
+        .select(col("matcher"),
+          explode(Postings.decodeCol(col("plist"))).as("sid"))
+      val sids = pName.join(pPar, Seq("matcher", "sid"))
+      val cands = chunksR.join(sids, "sid")
+        .withColumn("hit", col("min_t") < hi && col("max_t") >= lo)
+      val chunkStats = cands.groupBy(col("matcher"))
+        .agg(count(lit(1)).as("n_chunks_matched"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_chunks_read"))
+      val idxFace = cands.filter(col("hit"))
+        .select(col("matcher"),
+          explode(XorChunk.decodeCol(col("data"))).as("smp"))
+        .filter(col("smp.t") >= lo && col("smp.t") < hi)
+        .withColumn("v", DoubleFromBits(col("smp.b")))
+        .groupBy(col("matcher"))
+        .agg(count(lit(1)).as("n_idx"),
+          round(sum(col("v").cast("decimal(18,6)")).cast("double"), 4)
+            .as("sum_idx"))
+      val direct = events(s, d)
+        .filter(expr("unix_micros(ts) div 1000") >= lo &&
+          expr("unix_micros(ts) div 1000") < hi)
+        .join(broadcast(m), col("event_type") === col("mname") &&
+          pmod(col("user_id"), lit(2L)).cast("string") === col("mpar"))
+        .groupBy(col("matcher"))
+        .agg(count(lit(1)).as("n_direct"),
+          round(sum(round(col("value"), 6).cast("decimal(18,6)"))
+            .cast("double"), 4).as("sum_direct"))
+      idxFace.join(direct, "matcher").join(chunkStats, "matcher")
+        .orderBy(col("matcher"))
+    }),
+
     // CREATED-TIMESTAMP zero-ingestion (Prometheus 3.x
     // `created-timestamp-zero-ingestion`): a counter that exposes its
     // creation instant (OpenMetrics `_created` / the PRW CT field) gets
@@ -496,6 +584,56 @@ object IngestQueries {
         |ORDER BY tenant""".stripMargin,
 
     // Same postings build (UNION ALL per label), same sid intersections.
+    // The chunk grid, zone-map skips, and range sums re-derived from raw
+    // rows — the engine's idx face (postings decode → intersection →
+    // zone skip → XOR decode) must land on the same numbers as its own
+    // direct face AND this blind twin.
+    "q248_physical_block" ->
+      """WITH m AS (
+        |  SELECT * FROM (VALUES ('m1', 'click', 1), ('m2', 'error', 0),
+        |    ('m3', 'view', 1)) AS t(matcher, mname, mpar)
+        |), span AS (
+        |  SELECT event_type, user_id, epoch_us(ts) // 1000 AS t_ms, event_id
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
+        |), series AS (
+        |  SELECT event_type, user_id, min(event_id) AS sid,
+        |    user_id % 2 AS parity
+        |  FROM span GROUP BY 1, 2
+        |), sp AS (
+        |  SELECT span.t_ms, span.event_id, series.sid
+        |  FROM span JOIN series USING (event_type, user_id)
+        |), cagg AS (
+        |  SELECT sid, chunk, min(t_ms) AS min_t, max(t_ms) AS max_t FROM (
+        |    SELECT sid, t_ms, (row_number() OVER (PARTITION BY sid
+        |      ORDER BY t_ms, event_id) - 1) // 120 AS chunk
+        |    FROM sp
+        |  ) GROUP BY 1, 2
+        |), ms AS (
+        |  SELECT m.matcher, s.sid FROM m JOIN series s
+        |    ON s.event_type = m.mname AND s.parity = m.mpar
+        |), cstat AS (
+        |  SELECT ms.matcher, count(*) AS n_chunks_matched,
+        |    sum(CASE WHEN c.min_t < 1704974400000
+        |      AND c.max_t >= 1704888000000 THEN 1 ELSE 0 END)
+        |      AS n_chunks_read
+        |  FROM ms JOIN cagg c USING (sid) GROUP BY 1
+        |), agg AS (
+        |  SELECT m.matcher, count(*) AS n,
+        |    round(CAST(sum(CAST(round(e.value, 6) AS DECIMAL(18,6)))
+        |      AS DOUBLE), 4) AS sm
+        |  FROM events e JOIN m
+        |    ON e.event_type = m.mname AND e.user_id % 2 = m.mpar
+        |  WHERE epoch_us(e.ts) // 1000 >= 1704888000000
+        |    AND epoch_us(e.ts) // 1000 < 1704974400000
+        |  GROUP BY 1
+        |)
+        |SELECT a.matcher, a.n AS n_idx, a.sm AS sum_idx,
+        |  a.n AS n_direct, a.sm AS sum_direct,
+        |  CAST(c.n_chunks_matched AS BIGINT) AS n_chunks_matched,
+        |  CAST(c.n_chunks_read AS BIGINT) AS n_chunks_read
+        |FROM agg a JOIN cstat c USING (matcher) ORDER BY a.matcher""".stripMargin,
+
     // The closed-form byte accounting: per list, uvarint(count) +
     // uvarint(first) + Σ uvarint(delta), each ⌈len(bin(x))/7⌉ bytes;
     // intersection/direct sums straight from the series/raw tables.
