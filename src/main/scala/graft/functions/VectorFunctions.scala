@@ -145,6 +145,71 @@ case class VecNorm(child: Expression) extends org.apache.spark.sql.catalyst.expr
   override protected def withNewChildInternal(c: Expression): VecNorm = copy(c)
 }
 
+/** Σ round((xᵢ − cᵢ)², 9 dp) in 1e-9 UNITS (BIGINT) — the k-means
+  * assignment distance with the repo's exact-decimal argmin discipline
+  * fused into ONE pass over the arrays: integer unit accumulation is
+  * association-free, so the result equals the posexplode + per-dim
+  * DECIMAL(28,9) sum bit for bit (the q240 oracle's formulation) while
+  * scanning 64× fewer rows. Per-term rounding uses BigDecimal HALF_UP on
+  * the exact binary double — the same rule as Spark's `round` and
+  * DuckDB's `round` on non-negative values; `Math.round(v * 1e9)` would
+  * NOT be (the multiply re-rounds before the half-up decision).
+  * Left side may be float (embeddings) or double; right is the
+  * double-valued centroid. */
+case class VecD2Units(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  private def leftIsFloat: Boolean = left.dataType == ArrayType(FloatType) ||
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(a, _), ArrayType(DoubleType, _))
+      if a == FloatType || a == DoubleType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"expects (array<float|double>, array<double>), got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L; var i = 0
+    val isF = leftIsFloat
+    while (i < n) {
+      val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+      val d = x - b.getDouble(i)
+      s += VecD2Units.units(d * d)
+      i += 1
+    }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = if (leftIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.$getter($i) - $b.getDouble($i);
+         |  $s += graft.functions.VecD2Units.units($d * $d);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecD2Units = copy(l, r)
+}
+
+object VecD2Units {
+  /** round(v, 9 dp) of a non-negative double, in integer 1e-9 units —
+    * BigDecimal HALF_UP on the exact binary value, i.e. exactly what
+    * Spark's round(col, 9).cast(decimal) computes. */
+  def units(v: Double): Long =
+    new java.math.BigDecimal(v)
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+      .movePointRight(9).longValueExact()
+}
+
 /** IEEE-754 raw bit pattern of a double as BIGINT — the Gorilla /
   * Prometheus XOR chunk codec (tsdb/chunkenc/xor.go) operates on these
   * bits, and Spark has no reinterpret cast. Codegen is a single
@@ -175,6 +240,8 @@ object VectorFunctions {
     ExpressionUtils.column(VecCosine(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def vecNorm(a: Column): Column =
     ExpressionUtils.column(VecNorm(ExpressionUtils.expression(a)))
+  def vecD2Units(a: Column, b: Column): Column =
+    ExpressionUtils.column(VecD2Units(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** SQL registration: `SELECT vec_cosine(a, b)` etc. */
   def register(spark: SparkSession): Unit = {

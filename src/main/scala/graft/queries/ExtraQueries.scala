@@ -5,7 +5,7 @@ import graft.functions.VectorFunctions
 import graft.text.Multimodal
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Coverage completions: GROUPING SETS (E19), embedding-cosine near-dup
   * (E53 [N]), the P14 range-query service shape, CSV/JSON scan round-trip
@@ -1751,31 +1751,43 @@ object ExtraQueries {
     // not increase between iterations (the Lloyd property, in-result).
     "q240_kmeans_lloyd" -> ((s, d) => {
       val K = 8
-      val comps = embeddings(s, d)
+      val emb = embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("vec_id"),
-          posexplode(col("embedding")).as(Seq("dim", "xf")))
-        .withColumn("x", col("xf").cast("double"))
-      val seeds = comps.filter(col("vec_id") < K)
-        .select(col("vec_id").cast("int").as("cid"), col("dim"),
-          col("x").as("c"))
-      def assign(cent: DataFrame): DataFrame = comps
-        .join(broadcast(cent), Seq("dim"))
-        .withColumn("d2",
-          round((col("x") - col("c")) * (col("x") - col("c")), 9)
-            .cast("decimal(28,9)"))
-        .groupBy(col("vec_id"), col("cid"))
-        .agg(sum(col("d2")).as("dist2"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("dist2"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cid"),
-          col("m.dist2").as("dist2"))
-      val a1 = assign(seeds)
-      val cent1 = comps.join(a1.select("vec_id", "cid"), "vec_id")
-        .withColumn("xr", round(col("x"), 6).cast("decimal(18,6)"))
+        .select(col("vec_id"), col("embedding"))
+      // Assignment is MAP-SIDE: centroids collect to a k×64 literal (the
+      // Pq.train bounded-scalar discipline) and each vector's argmin runs
+      // inside one projection — the fused VecD2Units expression
+      // accumulates round((x−c)², 9 dp) in integer 1e-9 units, which
+      // equals the posexplode + DECIMAL(28,9) per-dim sum bit for bit
+      // (the oracle's formulation) while scanning 64× fewer rows and
+      // shuffling NOTHING for the assignment itself (measured 3.6 → <1 s
+      // at sf0.1). dist2 rematerializes as an exact decimal (units /
+      // 1e9 at scale 10 — representation, not rounding).
+      def centLit(rows: Array[(Int, Array[Double])]): Column =
+        array(rows.sortBy(_._1).map { case (cid, c) =>
+          struct(lit(cid).as("cid"), lit(c).as("cent")) }: _*)
+      val seeds = emb.filter(col("vec_id") < K)
+        .select(col("vec_id").cast("int"),
+          col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      def assign(cents: Column): DataFrame = emb
+        .withColumn("m", array_min(transform(cents,
+          c => struct(VectorFunctions.vecD2Units(col("embedding"),
+            c.getField("cent")).as("u"), c.getField("cid").as("cid")))))
+        .select(col("vec_id"), col("embedding"), col("m.cid").as("cid"),
+          (col("m.u").cast("decimal(28,0)") / lit(1000000000L)).as("dist2"))
+      val a1 = assign(centLit(seeds))
+      val cent1 = a1
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+        .withColumn("xr", round(col("xf").cast("double"), 6)
+          .cast("decimal(18,6)"))
         .groupBy(col("cid"), col("dim"))
         .agg((sum(col("xr")).cast("double") / count(lit(1))).as("c"))
-      val a2 = assign(cent1)
+        .groupBy(col("cid"))
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("c")))),
+          x => x.getField("c")).as("cent"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      val a2 = assign(centLit(cent1))
       def stats(a: DataFrame, n: String, sse: String) = a.groupBy("cid")
         .agg(count(lit(1)).as(n),
           round(sum(col("dist2")).cast("double"), 6).as(sse))
@@ -1807,24 +1819,23 @@ object ExtraQueries {
     // rank per cluster — nothing corpus-global.
     "q247_cluster_balanced_sample" -> ((s, d) => {
       val K = 8
-      val comps = embeddings(s, d)
+      val emb = embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("vec_id"),
-          posexplode(col("embedding")).as(Seq("dim", "xf")))
-        .withColumn("x", col("xf").cast("double"))
-      val seeds = comps.filter(col("vec_id") < K)
-        .select(col("vec_id").cast("int").as("cid"), col("dim"),
-          col("x").as("c"))
-      val a1 = comps.join(broadcast(seeds), Seq("dim"))
-        .withColumn("d2",
-          round((col("x") - col("c")) * (col("x") - col("c")), 9)
-            .cast("decimal(28,9)"))
-        .groupBy(col("vec_id"), col("cid"))
-        .agg(sum(col("d2")).as("dist2"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("dist2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("embedding"))
+      // same map-side fused assignment as q240 (VecD2Units unit sums ≡
+      // the oracle's per-dim decimal sums; zero assignment shuffle)
+      val seeds = emb.filter(col("vec_id") < K)
+        .select(col("vec_id").cast("int"),
+          col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      val centArr = array(seeds.sortBy(_._1).map { case (cid, c) =>
+        struct(lit(cid).as("cid"), lit(c).as("cent")) }: _*)
+      val a1 = emb
+        .withColumn("m", array_min(transform(centArr,
+          c => struct(VectorFunctions.vecD2Units(col("embedding"),
+            c.getField("cent")).as("u"), c.getField("cid").as("cid")))))
         .select(col("vec_id"), col("m.cid").as("cid"),
-          col("m.dist2").as("dist2"))
+          (col("m.u").cast("decimal(28,0)") / lit(1000000000L)).as("dist2"))
       val total = a1.agg(count(lit(1)).as("n_total"))
       val wC = Window.partitionBy(col("cid"))
         .orderBy(col("dist2"), col("vec_id"))
