@@ -647,6 +647,36 @@ object ExtraQueries {
     }),
 
     // OTLP/JSON ingestion round-trip (the Prometheus 3.x OTLP receiver's
+    // OTLP DELTA temporality → cumulative (the upstream
+    // `otlp-deltatocumulative` conversion, 3.2+): hourly per-series
+    // DELTAS rendered as aggregationTemporality=1 sums, parsed back,
+    // converted via a keyed DECIMAL prefix sum — the canonical Spark
+    // shape for the feature — and checkpointed against the raw table's
+    // direct cumulative at mid-range and at the end. The oracle never
+    // sees the wire: equality proves render→parse→convert lossless AND
+    // the conversion arithmetic exact.
+    "q249_otlp_delta" -> ((s, d) => {
+      import graft.sources.Otlp
+      val hourly = events(s, d)
+        .groupBy(col("event_type").as("job"),
+          pmod(col("user_id"), lit(3L)).cast("string").as("bucket"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(round(col("value"), 6).cast("decimal(18,6)"))
+          .cast("double").as("delta_v"))
+      val docs = Otlp.render(hourly, col("job"), lit("reqs.total"),
+        col("h"), col("delta_v"), Seq("bucket" -> col("bucket")),
+        temporality = 1)
+      val cum = Otlp.deltaToCumulative(Otlp.parse(docs),
+        Seq(col("metric"), col("job"), expr("attrs['bucket']")))
+      val mid = lit("2024-01-10 00:00:00").cast("timestamp")
+      cum.groupBy(col("job"), expr("attrs['bucket']").as("bucket"))
+        .agg(count(lit(1)).as("n_points"),
+          round(max_by(col("value"), col("ts")), 4).as("cum_final"),
+          round(max_by(when(col("ts") <= mid, col("value")),
+            when(col("ts") <= mid, col("ts"))), 4).as("cum_mid"))
+        .orderBy(col("job"), col("bucket"))
+    }),
+
     // translation): two days of events rendered into per-user OTLP
     // export documents (dotted metric names, service.name resource
     // attribute, nanos-as-string timestamps, datapoint attributes),
@@ -2398,6 +2428,21 @@ object ExtraQueries {
     // Aggregates the raw events under the OTLP translation: dotted name
     // with '.' → '_', every datapoint a monotonic-sum sample, job =
     // the per-user document's service.name, user attr stringified.
+    // Direct cumulative checkpoints from the raw table — the conversion
+    // must reproduce them without the oracle touching the wire.
+    "q249_otlp_delta" ->
+      """WITH hourly AS (
+        |  SELECT event_type AS job, CAST(user_id % 3 AS VARCHAR) AS bucket,
+        |    date_trunc('hour', ts) AS h,
+        |    sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS dv
+        |  FROM events GROUP BY 1, 2, 3
+        |)
+        |SELECT job, bucket, count(*) AS n_points,
+        |  round(CAST(sum(dv) AS DOUBLE), 4) AS cum_final,
+        |  round(CAST(sum(CASE WHEN h <= TIMESTAMP '2024-01-10 00:00:00'
+        |    THEN dv END) AS DOUBLE), 4) AS cum_mid
+        |FROM hourly GROUP BY 1, 2 ORDER BY job, bucket""".stripMargin,
+
     "q169_otlp_ingest" ->
       """SELECT 'app_events_' || event_type AS metric, 'sum' AS kind,
         |  count(*) AS n, count(DISTINCT user_id) AS n_jobs,

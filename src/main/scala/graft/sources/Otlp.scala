@@ -67,10 +67,14 @@ object Otlp {
       regexp_replace(col("m.name"), "[^a-zA-Z0-9_:]", "_").as("metric"),
       when(col("m.sum").isNotNull, lit("sum")).otherwise(lit("gauge")).as("kind"),
       coalesce(col("m.sum.isMonotonic"), lit(false)).as("monotonic"),
+      // CUMULATIVE(2) is the default; DELTA(1) marks points for the
+      // deltaToCumulative conversion (upstream's otlp-deltatocumulative)
+      coalesce(col("m.sum.aggregationTemporality"), lit(2)).as("temporality"),
       explode(coalesce(col("m.sum.dataPoints"), col("m.gauge.dataPoints")))
         .as("dp"))
     dps.select(
       col("metric"), col("kind"), col("monotonic"), col("job"),
+      col("temporality"),
       attrMap(col("dp.attributes")).as("attrs"),
       // Integral `div`, never `/`: Column `/` is DOUBLE division, and
       // 2024-era nanosecond epochs exceed 2^53, so a double hop silently
@@ -259,7 +263,8 @@ object Otlp {
     * `metricCol` value carrying that group's datapoints as a monotonic
     * cumulative sum. Names keep their dots here — parse() normalizes. */
   def render(df: DataFrame, docKey: Column, metricCol: Column, tsCol: Column,
-             valueCol: Column, attrCols: Seq[(String, Column)]): DataFrame = {
+             valueCol: Column, attrCols: Seq[(String, Column)],
+             temporality: Int = 2): DataFrame = {
     val dp = struct(
       (unix_micros(tsCol) * 1000L).cast("string").as("timeUnixNano"),
       valueCol.cast("double").as("asDouble"),
@@ -271,7 +276,7 @@ object Otlp {
       .agg(collect_list(dp).as("dataPoints"))
       .groupBy(col("__doc"))
       .agg(collect_list(struct(col("__metric").as("name"),
-        struct(lit(2).as("aggregationTemporality"),
+        struct(lit(temporality).as("aggregationTemporality"),
           lit(true).as("isMonotonic"),
           col("dataPoints")).as("sum"))).as("metrics"))
       .select(col("__doc"), to_json(struct(array(struct(
@@ -280,5 +285,30 @@ object Otlp {
           .as("attributes")).as("resource"),
         array(struct(col("metrics"))).as("scopeMetrics")))
         .as("resourceMetrics"))).as("json"))
+  }
+
+  /** DELTA → CUMULATIVE conversion (the upstream
+    * `otlp-deltatocumulative` feature, Prometheus 3.2+): monotonic-sum
+    * datapoints with aggregationTemporality = DELTA(1) become a
+    * per-series running total — a keyed DECIMAL prefix sum of 6-dp
+    * deltas (exact, association-free), the canonical Spark shape for
+    * the conversion. Cumulative and gauge rows pass through unchanged.
+    * Simplification vs upstream (documented): upstream tracks
+    * startTimeUnixNano to detect stream restarts; the fixture wire
+    * carries none, so the running sum is unconditional per series. */
+  def deltaToCumulative(samples: DataFrame,
+                        seriesKey: Seq[Column]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(seriesKey: _*).orderBy(col("ts"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    samples.withColumn("value",
+      when(col("kind") === "sum" && col("temporality") === 1,
+        sum(round(col("value"), 6).cast("decimal(18,6)")).over(w)
+          .cast("double"))
+        .otherwise(col("value")))
+      .withColumn("temporality",
+        when(col("kind") === "sum" && col("temporality") === 1, lit(2))
+          .otherwise(col("temporality")))
   }
 }
