@@ -285,6 +285,48 @@ object IngestQueries {
         .orderBy(col("lname"))
     }),
 
+    // TSDB RETENTION ENFORCEMENT (storage.tsdb.retention.time +
+    // retention.size, both active): daily blocks; the time rule deletes
+    // blocks wholly older than now − 20d, then the size rule walks the
+    // SURVIVORS newest-first and keeps while the running size stays
+    // under the cap (60% of eligible — upstream's oldest-first
+    // deletion, expressed as a newest-first keep prefix). Size rides in
+    // sample units (documented stand-in: the real byte model is
+    // q201/q236's codec — composing it again adds no new proof). Every
+    // decision and the kept blocks' decimal data sums are in-result;
+    // the one unpartitioned window runs at BLOCK grain (≤ a few dozen
+    // rows at any scale — blocks, not samples).
+    "q251_retention_enforcement" -> ((s, d) => {
+      val blocks = events(s, d)
+        .groupBy(to_date(col("ts")).as("block_day"))
+        .agg(count(lit(1)).as("n_samples"), max(col("ts")).as("max_t"),
+          sum(round(col("value"), 6).cast("decimal(18,6)")).as("sum_v"))
+      val glob = blocks.agg(max(col("max_t")).as("now"))
+      val marked = blocks.crossJoin(broadcast(glob))
+        .withColumn("time_deleted",
+          col("max_t") < col("now") - expr("INTERVAL 20 DAYS"))
+      val capDf = marked.filter(!col("time_deleted"))
+        .agg(expr("(sum(n_samples) * 3) div 5").as("cap"))
+      val wNewest = Window.orderBy(col("block_day").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      marked.crossJoin(broadcast(capDf))
+        .withColumn("cum_newest",
+          when(col("time_deleted"), lit(null)).otherwise(
+            sum(when(!col("time_deleted"), col("n_samples")))
+              .over(wNewest)))
+        .withColumn("reason",
+          when(col("time_deleted"), "time")
+            .when(col("cum_newest") > col("cap"), "size")
+            .otherwise("kept"))
+        .select(col("block_day"), col("n_samples"),
+          coalesce(col("cum_newest"), lit(-1L)).as("cum_newest"),
+          col("reason"),
+          round(when(col("reason") === "kept", col("sum_v"))
+            .otherwise(lit(0).cast("decimal(18,6)")).cast("double"), 4)
+            .as("kept_sum_v"))
+        .orderBy(col("block_day"))
+    }),
+
     // PHYSICAL TSDB BLOCK roundtrip — the two codecs COMPOSED into an
     // at-rest block and queried back: chunks = per-(series, 120-sample
     // cut) XOR bytes with zone-map (min_t, max_t) columns, index =
@@ -584,6 +626,38 @@ object IngestQueries {
         |ORDER BY tenant""".stripMargin,
 
     // Same postings build (UNION ALL per label), same sid intersections.
+    // Same two-rule walk: time mark, eligible cap, newest-first keep
+    // prefix; kept sums decimal-exact.
+    "q251_retention_enforcement" ->
+      """WITH blocks AS (
+        |  SELECT CAST(ts AS DATE) AS block_day, count(*) AS n_samples,
+        |    max(ts) AS max_t,
+        |    sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS sum_v
+        |  FROM events GROUP BY 1
+        |), g AS (SELECT max(max_t) AS now FROM blocks
+        |), mk AS (
+        |  SELECT b.*, b.max_t < g.now - INTERVAL 20 DAYS AS time_deleted
+        |  FROM blocks b, g
+        |), cap AS (
+        |  SELECT (sum(n_samples) * 3) // 5 AS cap FROM mk WHERE NOT time_deleted
+        |), j AS (
+        |  SELECT mk.*, cap.cap,
+        |    CASE WHEN time_deleted THEN NULL ELSE
+        |      sum(CASE WHEN NOT time_deleted THEN n_samples END)
+        |        OVER (ORDER BY block_day DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    END AS cum_newest
+        |  FROM mk, cap
+        |)
+        |SELECT block_day, n_samples,
+        |  CAST(coalesce(cum_newest, -1) AS BIGINT) AS cum_newest,
+        |  CASE WHEN time_deleted THEN 'time'
+        |       WHEN cum_newest > cap THEN 'size' ELSE 'kept' END AS reason,
+        |  round(CAST(CASE WHEN NOT time_deleted AND cum_newest <= cap
+        |    THEN sum_v ELSE CAST(0 AS DECIMAL(18,6)) END AS DOUBLE), 4)
+        |    AS kept_sum_v
+        |FROM j ORDER BY block_day""".stripMargin,
+
     // The chunk grid, zone-map skips, and range sums re-derived from raw
     // rows — the engine's idx face (postings decode → intersection →
     // zone skip → XOR decode) must land on the same numbers as its own

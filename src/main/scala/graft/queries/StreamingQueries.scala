@@ -326,6 +326,19 @@ object StreamingQueries {
         .orderBy(col("event_type"))
     }),
 
+    // ONLINE delta→cumulative (q249's streaming face): one running
+    // total per (metric, bucket) in exact fixed point, every delta
+    // point yielding a cumulative point; the sink spot-checks every
+    // 100th cumulative value as it happens plus the final total —
+    // both must land exactly on the batch running-sum twin's ranks.
+    "s250_stream_delta_cumulative" -> ((s, d) => {
+      val t = StreamOps.replayEvents(s, d, "s250_sink", 3, flushPerType = true)(
+        ds => StreamOps.streamDeltaToCumulative(ds).toDF(), OutputMode.Append)
+      t.select(col("event_type"), col("bucket"), col("which"), col("rn"),
+          col("cum"))
+        .orderBy(col("event_type"), col("bucket"), col("which"), col("rn"))
+    }),
+
     // ONLINE stale-marker synthesis on scrape gaps — the scrape-loop
     // half of q238's staleness story: per (metric, instance) registers
     // track the last present hour; a jump of ≥2 hours is a missed-scrape
@@ -581,6 +594,33 @@ object StreamingQueries {
         |  round(CAST(sum(CASE WHEN accepted THEN sum_v
         |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE), 4) AS sum_accepted
         |FROM admitted GROUP BY 1, 2 ORDER BY tenant, event_type""".stripMargin,
+
+    // The batch twin: exact running decimal sums per (metric, bucket)
+    // sampled at ranks 100, 200, … plus the per-bucket totals.
+    "s250_stream_delta_cumulative" ->
+      """WITH s AS (
+        |  SELECT event_type, CAST(user_id % 3 AS VARCHAR) AS bucket,
+        |    ts, event_id, CAST(round(value, 6) AS DECIMAL(18,6)) AS v
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, bucket,
+        |    row_number() OVER w AS rn,
+        |    sum(v) OVER (PARTITION BY event_type, bucket
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM s WINDOW w AS (PARTITION BY event_type, bucket
+        |    ORDER BY ts, event_id)
+        |), marks AS (
+        |  SELECT event_type, bucket, 'spot' AS which, rn,
+        |    round(CAST(cum AS DOUBLE), 4) AS cum
+        |  FROM r WHERE rn % 100 = 0
+        |  UNION ALL
+        |  SELECT event_type, bucket, 'final', count(*),
+        |    round(CAST(sum(v) AS DOUBLE), 4)
+        |  FROM s GROUP BY 1, 2
+        |)
+        |SELECT event_type, bucket, which, CAST(rn AS BIGINT) AS rn, cum
+        |FROM marks ORDER BY event_type, bucket, which, rn""".stripMargin,
 
     // The batch twin: lag over DISTINCT present hours per (metric,
     // instance); a step > 1h is a gap (one marker), the span in hours

@@ -80,6 +80,12 @@ case class OooOut(event_type: String, n_in_order: Long, n_ooo: Long,
                   n_too_old: Long, sum_merged: Double,
                   max_accepted_us: Long)
 
+/** Streaming delta→cumulative state: per in-key bucket the converter's
+  * registers — running total in 1e-6 fixed point + point count. */
+case class D2cState(subs: Map[String, Seq[Long]])
+case class D2cOut(event_type: String, bucket: String, which: String,
+                  rn: Long, cum: Double)
+
 /** Streaming stale-gap state: per (series-key, instance) the scrape
   * loop's own registers — last seen hour, present-hour and gap counters
   * (the marker count), first hour. O(1) per target. */
@@ -657,6 +663,48 @@ object StreamOps {
               }
             }
           state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** ONLINE delta→cumulative conversion (q249's streaming face — how
+    * the upstream otlp-deltatocumulative processor actually runs: one
+    * running total per series, each delta point emitting a cumulative
+    * point). Keyed by metric with per-bucket registers (total in 1e-6
+    * fixed point — exact, so the online walk ≡ the batch prefix sum);
+    * the sink emits every 100th cumulative point as it happens plus the
+    * final total at the flush sentinel, which the batch running-sum
+    * twin reproduces at the same ranks. */
+  def streamDeltaToCumulative(ds: Dataset[Ev]): Dataset[D2cOut] = {
+    import ds.sparkSession.implicits._
+    def vUnits(v: Double): Long =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(1000000)).toLongExact
+    def cumOf(units: Long): Double =
+      java.math.BigDecimal.valueOf(units.toDouble / 1e6)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    ds.groupByKey(_.event_type)
+      .flatMapGroupsWithState[D2cState, D2cOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (etype, events, state: GroupState[D2cState]) =>
+          var subs = if (state.exists) state.get.subs
+            else Map.empty[String, Seq[Long]]
+          val out = Vector.newBuilder[D2cOut]
+          events.toSeq.sortBy(e => (e.user_id == -1L, e.ts.getTime, e.event_id))
+            .foreach { e =>
+              if (e.user_id == -1L)
+                subs.toSeq.sortBy(_._1).foreach { case (b, Seq(u, n)) =>
+                  out += D2cOut(etype, b, "final", n, cumOf(u))
+                }
+              else {
+                val b = (e.user_id % 3).toString
+                val Seq(u0, n0) = subs.getOrElse(b, Seq(0L, 0L))
+                val u = u0 + vUnits(e.value); val n = n0 + 1
+                subs += b -> Seq(u, n)
+                if (n % 100 == 0) out += D2cOut(etype, b, "spot", n, cumOf(u))
+              }
+            }
+          state.update(D2cState(subs))
           out.result().iterator
       }
   }
