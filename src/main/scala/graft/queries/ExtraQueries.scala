@@ -647,6 +647,37 @@ object ExtraQueries {
     }),
 
     // OTLP/JSON ingestion round-trip (the Prometheus 3.x OTLP receiver's
+    // MULTIMODAL PIPELINE, hash-checked end to end — the upgrade over
+    // q67's rows-only FNV stub: opaque binary payloads + typed metadata,
+    // "decode + resize + embed" as 64-row BATCHES through mapPartitions
+    // (the vectorized-decoder / mapInPandas call shape), features from
+    // an md5 stub the ORACLE CAN RECOMPUTE from the source text — so the
+    // binary plumbing, batch shape, typed Encoder, and downstream
+    // per-lang aggregation all hash against DuckDB. Swapping the stub
+    // for a real JPEG decoder changes no plan shape (the documented E56
+    // posture); metadata-only readers never touch the blob pages.
+    "q252_multimodal_pipeline" -> ((s, d) => {
+      import graft.text.Multimodal
+      val media = documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          encode(col("text"), "utf-8").as("blob"),
+          (pmod(col("n_chars"), lit(640)) + 64).cast("int").as("w"),
+          (pmod(col("doc_id"), lit(480)) + 48).cast("int").as("h"))
+      val vecs = Multimodal.extractVecs(s, media, "doc_id", "blob", "w", "h")
+        .toDF()
+      vecs.join(media.select(col("doc_id").as("media_id"), col("lang")),
+          "media_id")
+        .withColumn("f0", element_at(col("feat"), 1))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(when(col("rw") === 224 || col("rh") === 224, 1L).otherwise(0L))
+            .as("n_resized"),
+          countDistinct(round(col("f0"), 9)).as("n_distinct_f0"),
+          round(sum(round(col("f0"), 9).cast("decimal(18,9)"))
+            .cast("double"), 6).as("sum_f0"))
+        .orderBy(col("lang"))
+    }),
+
     // OTLP DELTA temporality → cumulative (the upstream
     // `otlp-deltatocumulative` conversion, 3.2+): hourly per-series
     // DELTAS rendered as aggregationTemporality=1 sums, parsed back,
@@ -2428,6 +2459,28 @@ object ExtraQueries {
     // Aggregates the raw events under the OTLP translation: dotted name
     // with '.' → '_', every datapoint a monotonic-sum sample, job =
     // the per-user document's service.name, user attr stringified.
+    // The stub recomputed from source text (md5(text || ':0') — byte-
+    // identical to the engine's digest over the blob), resize clamps,
+    // exact 9-dp decimal feature sums.
+    "q252_multimodal_pipeline" ->
+      """WITH m AS (
+        |  SELECT doc_id, lang, text,
+        |    (n_chars % 640) + 64 AS w, (doc_id % 480) + 48 AS h
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, lang, least(w, 224) AS rw, least(h, 224) AS rh,
+        |    CAST(concat('0x', substr(md5(text || ':0'), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 AS f0
+        |  FROM m
+        |)
+        |SELECT lang, count(*) AS n_media,
+        |  CAST(sum(CASE WHEN rw = 224 OR rh = 224 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_resized,
+        |  count(DISTINCT round(f0, 9)) AS n_distinct_f0,
+        |  round(CAST(sum(CAST(round(f0, 9) AS DECIMAL(18,9))) AS DOUBLE), 6)
+        |    AS sum_f0
+        |FROM f GROUP BY 1 ORDER BY lang""".stripMargin,
+
     // Direct cumulative checkpoints from the raw table — the conversion
     // must reproduce them without the oracle touching the wire.
     "q249_otlp_delta" ->

@@ -12,6 +12,9 @@ case class MediaFeatures(
     distinct_bytes: Long,
     head_hash: Long)
 
+/** A decoded-and-embedded media row: resized dims + feature vector. */
+case class MediaVec(media_id: Long, rw: Int, rh: Int, feat: Array[Double])
+
 /** Multimodal column support (SURVEY §2 E56 [N]): media (image/audio/video)
   * travel as opaque `binary` columns beside typed metadata structs; decode /
   * feature-extract runs partition-batched over the binary payloads.
@@ -50,6 +53,36 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) =>
         decodeStub(id, if (bytes == null) Array.emptyByteArray else bytes)
       })
+  }
+
+  /** "Decode + resize + embed" over a 64-row BATCH — the vectorized-
+    * decoder call shape (mapInPandas' Arrow batches, in Scala form): the
+    * partition iterator is consumed in fixed batches, each handed to the
+    * decoder as a unit. The stub here is md5-based ON PURPOSE: unlike
+    * [[decodeStub]]'s FNV hash (q67, rows-only), md5 is computable in
+    * SQL, so the WHOLE multimodal pipeline — binary payloads, batch
+    * plumbing, typed Encoder, downstream aggregation — hash-checks
+    * against a DuckDB twin (q252). Features are hex32/2^32 ∈ [0,1)
+    * (exactly representable doubles); resize clamps to 224. */
+  def decodeBatch(batch: Seq[(Long, Array[Byte], Int, Int)]): Seq[MediaVec] =
+    batch.map { case (id, bytes, w, h) =>
+      val feat = Array.tabulate(8) { k =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(bytes ++ s":$k".getBytes("UTF-8"))
+        val hex = d.take(4).map(b => f"$b%02x").mkString
+        java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+      }
+      MediaVec(id, math.min(w, 224), math.min(h, 224), feat)
+    }
+
+  /** Partition-batched decode: 64-row batches, typed output. */
+  def extractVecs(spark: SparkSession, media: DataFrame, idCol: String,
+                  blobCol: String, wCol: String, hCol: String): Dataset[MediaVec] = {
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(blobCol).cast("binary"),
+        col(wCol).cast("int"), col(hCol).cast("int"))
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions(_.grouped(64).flatMap(b => decodeBatch(b.toSeq)))
   }
 
   /** Build the multimodal frame: blob + typed metadata + embedding struct
