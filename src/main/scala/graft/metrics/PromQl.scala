@@ -187,10 +187,10 @@ object PromQl {
     * and interpolation happens on the monotone scale, as upstream does.
     *
     * `samples` must already cover the EXTENDED fetch — (start − lookback,
-    * end] for anchored, plus the right lookahead for smoothed — so the
-    * range predicate rides the scan (pushdown). Series yield a row when
-    * the window holds ≥ 1 sample and the fetch holds ≥ 2 (documented
-    * engine rule; upstream emits for ≥ 1 in-window with a usable anchor).
+    * end + lookahead] — so the range predicate rides the scan (pushdown).
+    * Series yield a row when the window holds ≥ 1 sample AND a usable
+    * left anchor exists (a pre sample, or a second in-window sample) —
+    * the rule shared verbatim with the grid compiler's face.
     *
     * Scale shape: one series-keyed window (the inc chain + prefix sum) +
     * one keyed agg with conditional min_by/max_by — no self-joins, no
@@ -210,13 +210,15 @@ object PromQl {
     val pt = struct(col("__t_us").as("t"), col("__adj").as("v"))
     def only(reg: String, c: Column) = when(col("__reg") === reg, c)
     val agg = tagged.groupBy(keyCols: _*)
-      .agg(count(lit(1)).as("__n_tot"),
-        sum(when(col("__reg") === "in", 1L).otherwise(0L)).as("n"),
+      .agg(sum(when(col("__reg") === "in", 1L).otherwise(0L)).as("n"),
         max_by(only("pre", pt), only("pre", ord)).as("__pre"),
         min_by(only("in", pt), only("in", ord)).as("__fin"),
         max_by(only("in", pt), only("in", ord)).as("__lin"),
         min_by(only("post", pt), only("post", ord)).as("__post"))
-    agg.filter(col("n") >= 1 && col("__n_tot") >= 2)
+    // emission rule shared with the grid face: ≥1 in-window sample and
+    // a usable left anchor (a pre sample, or a second in-window sample)
+    agg.filter(col("n") >= 1 &&
+        (col("__pre").isNotNull || col("n") >= 2))
       .withColumn("value", boundaryValue(mode, col("__pre"), col("__fin"),
         col("__lin"), col("__post"), lit(startUs), lit(endUs),
         if (isRate) Some((endUs - startUs) / 1e6) else None))

@@ -222,12 +222,13 @@ object PromQlParser {
     * `promql-extended-range-selectors`): `rate(sel[1m] anchored)` /
     * `smoothed` — boundary values from straddling samples instead of
     * extrapolation; only `rate`/`increase`/`delta` accept the modifier
-    * (the upstream restriction). Both eval faces supported — instant and
-    * grid share PromQl.adjusted + PromQl.boundaryValue, and a one-step
-    * range query equals the instant query exactly. Boundary values never
-    * read past the evaluation instant (right edge = newest in-window
-    * sample) — the two-sided smoothing with a right straddle is the
-    * batch face, PromQl.extendedRange (q237). */
+    * (the upstream restriction). Both eval faces supported and two-sided:
+    * instant and grid share PromQl.adjusted + PromQl.boundaryValue, fetch
+    * one lookback behind the window start (left anchor) and one ahead of
+    * the window end (smoothed's right straddle, when storage has a later
+    * sample — at the live head there is none and the right edge falls
+    * back to the newest in-window sample). One-step evalRange ≡ eval
+    * exactly. */
   final case class ExtRange(mode: String, fn: String, sel: Selector,
                             windowSec: Long) extends Ast
   /** `expr '[' RANGE ':' STEP ']'` — a PromQL subquery: the inner
@@ -1779,16 +1780,17 @@ object PromQlParser {
         .select(src.seriesKey.map(labelCol) :+ col(src.valueCol).as("value"): _*)
 
     case ExtRange(mode, fn, sel, w) =>
-      // extended fetch: the window PLUS the lookback behind it, so the
-      // left anchor (last sample at/before the window start) is in frame;
-      // no post-window fetch at instant eval — data ends at T, so
-      // smoothed's right edge falls back to the last in-window sample,
-      // exactly upstream's at-the-head behavior
+      // extended fetch: one lookback BEHIND the window start (the left
+      // anchor) and one lookback AHEAD of the window end (smoothed's
+      // right straddle — the extended-selectors design reads the first
+      // sample past the boundary when storage has one; at the live head
+      // there is none and the right edge falls back to the last
+      // in-window sample)
       val endUs = usOf(evalInstantFor(sel, evalTs))
       val startUs = endUs - w * 1000000L
       val t = to_timestamp(lit(evalInstantFor(sel, evalTs)))
       val fetched = src.df.filter(matcherCond(src, sel))
-        .filter(col(src.tsCol) <= t &&
+        .filter(col(src.tsCol) <= t + expr(s"INTERVAL $lookback") &&
           col(src.tsCol) > t - expr(s"INTERVAL $w SECONDS") -
             expr(s"INTERVAL $lookback"))
       PromQl.extendedRange(fetched, src.seriesKey, src.tsCol, src.orderCol,
@@ -2725,9 +2727,16 @@ object PromQlParser {
       //    [te, min(next_te, te + lookback)) — consecutive samples'
       //    intervals are disjoint, so each (series, step) gets ≤ 1 row
       //    and the explode is bounded by lookback/step per sample.
-      // No post face: boundary values never read past the evaluation
-      // instant (the PromQL rule) — the full two-sided smoothing with a
-      // right straddle is PromQl.extendedRange's batch face (q237).
+      // Three anchor faces; the post face mirrors the pre face through
+      // lead/lag symmetry: a sample is the FIRST-after-boundary anchor
+      // exactly for boundaries in (max(prev_te, te − lookahead), te) —
+      // consecutive samples' intervals are disjoint, so each
+      // (series, step) gets ≤ 1 row. Smoothed's right straddle therefore
+      // reads the sample past the step instant when storage holds one
+      // (the extended-selectors design); at the data head there is none
+      // and the right edge falls back to the last in-window sample —
+      // identically to the instant compiler, whose fetch extends one
+      // lookback past T for the same reason.
       case ExtRange(mode, fn, sel, w) =>
         val wUs = w * 1000000L
         val te = teCol(sel.offsetSec)
@@ -2741,6 +2750,7 @@ object PromQlParser {
             src.orderCol, src.valueCol, isCounter = fn != "delta")
           .withColumn("__te", te)
           .withColumn("__next_te", lead(col("__te"), 1).over(wSeries))
+          .withColumn("__prev_te", lag(col("__te"), 1).over(wSeries))
         val pt = struct(col("__te").as("t"), col("__adj").as("v"))
         val inFace = adj
           .withColumn("__step",
@@ -2755,14 +2765,20 @@ object PromQlParser {
               col("__te") + lit(lookbackUs)) + lit(wUs))))
           .groupBy(keyCols :+ col("__step"): _*)
           .agg(max_by(pt, ord).as("__pre"))
+        val postFace = adj
+          .withColumn("__step", explode(stepsFor(
+            greatest(coalesce(col("__prev_te"), col("__te") - lit(lookbackUs)),
+              col("__te") - lit(lookbackUs)),
+            col("__te"))))
+          .groupBy(keyCols :+ col("__step"): _*)
+          .agg(min_by(pt, ord).as("__post"))
         val stepT = lit(startUs) + col("__step") * lit(stepUs)
-        val noPost = lit(null)
-          .cast("struct<t:bigint,v:decimal(18,6)>")
         inFace.join(preFace, src.seriesKey :+ "__step", "left")
+          .join(postFace, src.seriesKey :+ "__step", "left")
           .filter(col("__n") >= 1 &&
             (col("__pre").isNotNull || col("__n") >= 2))
           .withColumn("value", PromQl.boundaryValue(mode, col("__pre"),
-            col("__fin"), col("__lin"), noPost, stepT - lit(wUs), stepT,
+            col("__fin"), col("__lin"), col("__post"), stepT - lit(wUs), stepT,
             if (fn == "rate") Some(w.toDouble) else None))
           .select(keyCols ++ Seq(col("__step"), col("value")): _*)
     }

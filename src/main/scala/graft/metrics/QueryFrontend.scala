@@ -63,9 +63,11 @@ object QueryFrontend {
       case s: Selector             => sel(s, L)
       case RangeFn(_, s, w, _, _)  => sel(s, w)
       case RangeVec(s, w, _)       => sel(s, w)
-      // extended fetch reaches one lookback BEHIND the window start for
-      // the left anchor
-      case ExtRange(_, _, s, w)    => sel(s, w + L)
+      // extended fetch reaches one lookback BEHIND the window start (the
+      // left anchor) and one lookback AHEAD (smoothed's right straddle)
+      case ExtRange(_, _, s, w)    =>
+        if (s.at.isDefined) None
+        else clamp(s.offsetSec + w + L, -s.offsetSec + L)
       case Absent(s)               => sel(s, L)
       case TimestampFn(s)          => sel(s, L)
       case Subquery(child, range, _, off, at) =>

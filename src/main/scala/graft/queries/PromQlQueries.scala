@@ -936,13 +936,15 @@ object PromQlQueries {
     }),
 
     // EXTENDED range selectors on the GRID (q237's PromQL-surface twin):
-    // the real parser text through evalRange — per-step left anchors
-    // (anchored holds, smoothed interpolates on the reset-adjusted
-    // decimal scale; right edge = newest in-window sample, the PromQL
-    // never-read-past-T rule), 12h anchor lookback on a 25-step hourly
-    // grid over the same midnight-spanning counter fixture. The oracle
-    // re-derives every step's anchors with windowed joins — exact,
-    // because the boundary math is decimal differences in both engines.
+    // the real parser text through evalRange — per-step TWO-SIDED
+    // anchors (anchored holds the left anchor; smoothed interpolates
+    // BOTH boundaries on the reset-adjusted decimal scale, the right
+    // straddle reading the first sample past each step instant when
+    // storage holds one), 12h anchor lookback/lookahead on a 25-step
+    // hourly grid over the midnight-spanning counter fixture. The
+    // oracle re-derives every step's three anchors with windowed
+    // joins — exact, because the boundary math is decimal differences
+    // in both engines.
     "q243_extended_grid" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val wCum = Window
@@ -1146,7 +1148,7 @@ object PromQlQueries {
         |            ELSE CAST(post.rv - lin.rv AS DOUBLE) *
         |               (CAST(1705291200000000 - lin.t AS DOUBLE) /
         |                CAST(post.t - lin.t AS DOUBLE)) END) AS sg_val
-        |  FROM g WHERE n >= 1 AND n_tot >= 2
+        |  FROM g WHERE n >= 1 AND (pre IS NOT NULL OR n >= 2)
         |)
         |SELECT event_type, bucket, CAST(n AS BIGINT) AS n,
         |  round(a_val / 21600.0, 9) AS arate,
@@ -1156,8 +1158,10 @@ object PromQlQueries {
         |FROM v ORDER BY event_type, bucket""".stripMargin,
 
     // Per-step anchors re-derived with windowed joins: in-window =
-    // te ∈ (T−w, T], pre-anchor = arg-max over te ∈ (S−L, S]; the same
-    // decimal-difference boundary math, step by step.
+    // te ∈ (T−w, T], pre-anchor = arg-max over te ∈ (S−L, S],
+    // post-anchor = arg-min over te ∈ (T, T+L]; the same
+    // decimal-difference boundary math (incl. the right straddle),
+    // step by step.
     "q243_extended_grid" ->
       """WITH steps AS (
         |  SELECT i, make_timestamp((1705233600 + i * 3600) * 1000000)
@@ -1198,19 +1202,30 @@ object PromQlQueries {
         |    ON a.t_us <= s.tus - 7200000000
         |   AND a.t_us > s.tus - 7200000000 - 43200000000
         |  GROUP BY 1, 2, 3
+        |), po AS (
+        |  SELECT s.i, a.event_type, a.bucket,
+        |    min(struct_pack(t := a.t_us, e := a.event_id, v := a.adj)) AS post
+        |  FROM steps s JOIN a
+        |    ON a.t_us > s.tus AND a.t_us <= s.tus + 43200000000
+        |  GROUP BY 1, 2, 3
         |), j AS (
-        |  SELECT inw.*, pr.pre
+        |  SELECT inw.*, pr.pre, po.post
         |  FROM inw LEFT JOIN pr USING (i, event_type, bucket)
+        |  LEFT JOIN po USING (i, event_type, bucket)
         |  WHERE inw.n >= 1 AND (pr.pre IS NOT NULL OR inw.n >= 2)
         |)
         |SELECT event_type, bucket, step_ts,
         |  round(CASE WHEN pre IS NULL THEN CAST(lin.v - fin.v AS DOUBLE)
         |        ELSE CAST(lin.v - pre.v AS DOUBLE) END, 9) AS ainc,
-        |  round((CASE WHEN pre IS NULL THEN CAST(lin.v - fin.v AS DOUBLE)
-        |         ELSE CAST(lin.v - pre.v AS DOUBLE)
-        |            - CAST(fin.v - pre.v AS DOUBLE) *
-        |              (CAST(tus - 7200000000 - pre.t AS DOUBLE) /
-        |               CAST(fin.t - pre.t AS DOUBLE)) END) / 7200.0, 9)
+        |  round(((CASE WHEN pre IS NULL THEN CAST(lin.v - fin.v AS DOUBLE)
+        |          ELSE CAST(lin.v - pre.v AS DOUBLE)
+        |             - CAST(fin.v - pre.v AS DOUBLE) *
+        |               (CAST(tus - 7200000000 - pre.t AS DOUBLE) /
+        |                CAST(fin.t - pre.t AS DOUBLE)) END)
+        |    + (CASE WHEN post IS NULL THEN 0.0
+        |            ELSE CAST(post.v - lin.v AS DOUBLE) *
+        |              (CAST(tus - lin.t AS DOUBLE) /
+        |               CAST(post.t - lin.t AS DOUBLE)) END)) / 7200.0, 9)
         |    AS srate
         |FROM j ORDER BY event_type, bucket, step_ts""".stripMargin,
 
