@@ -102,17 +102,31 @@ object BenchAudit {
     }
   }
 
-  /** Round-11 self-defense extras from `bench_full.json`: per-query
-    * MIN-of-reps and the suspect list (queries whose rep spread exceeded
-    * 3× — some reps ran under load). Both empty for older artifacts. */
-  def parseBenchExtras(text: String): (Map[String, Double], Set[String]) = {
+  /** Round-11/12 self-defense extras from `bench_full.json`: per-query
+    * MIN-of-reps, the suspect list (rep spread >3× — some reps ran under
+    * load) and the haze list (a contiguous execution-order band
+    * uniformly elevated vs baseline — round 12's probe-invisible load
+    * signature). All empty for older artifacts. */
+  def parseBenchExtras(text: String): (Map[String, Double], Set[String], Set[String]) = {
     val root = parseJson(text, benchCurrentPath)
     val mins = Option(root.get("mins")).filter(_.isObject)
       .map(numericFields).getOrElse(Map.empty[String, Double])
-    val suspect = Option(root.get("suspect")).filter(_.isArray)
+    def names(field: String) = Option(root.get(field)).filter(_.isArray)
       .map(_.asScala.toSeq.filter(_.isTextual).map(_.asText()).toSet)
       .getOrElse(Set.empty[String])
-    (mins, suspect)
+    (mins, names("suspect"), names("haze_suspect"))
+  }
+
+  /** Per-query EFFECTIVE wall time of one artifact: min-of-reps for
+    * suspect/haze-stamped queries (the quiet rep measures the code),
+    * the median otherwise. */
+  def effectiveTimes(text: String): Map[String, Double] = {
+    val (queries, _) = parseBenchFull(text)
+    val (mins, suspect, haze) = parseBenchExtras(text)
+    queries.map { case (q, med) =>
+      q -> (if ((suspect(q) || haze(q)) && mins.contains(q))
+        math.min(mins(q), med) else med)
+    }
   }
 
   private def readFile(path: String): Option[String] =
@@ -150,7 +164,10 @@ object BenchAudit {
       }
       val existing = readFile(benchBasePath)
         .map(parseFlat(_, benchBasePath)).getOrElse(Map.empty[String, Double])
-      val fresh = benchNowAll
+      // record EFFECTIVE times (min-of-reps for suspect/haze-stamped
+      // queries) — a load-inflated median must not become the baseline
+      val fresh = readFile(benchCurrentPath).map(effectiveTimes)
+        .getOrElse(benchNowAll)
         .filter { case (k, _) => current.contains(k) || k.startsWith("s") }
       // A loaded recorder must not SOFTEN the gate: when the probe says
       // the run is contaminated, keep every existing wall baseline (and
@@ -221,14 +238,36 @@ object BenchAudit {
     // spread >3× — some reps hit load the probes missed) gates on its
     // MIN-of-reps: the quiet rep measures the code, the median measures
     // the box.
-    val (benchMins, benchSuspect) = readFile(benchCurrentPath)
-      .map(parseBenchExtras).getOrElse((Map.empty[String, Double], Set.empty[String]))
+    val (benchMins, benchSuspect, benchHaze) = readFile(benchCurrentPath)
+      .map(parseBenchExtras)
+      .getOrElse((Map.empty[String, Double], Set.empty[String], Set.empty[String]))
+    // Cross-run gating (round 12): `--cross <path>` names a SECOND bench
+    // artifact (another run of the same code — e.g. the driver's run next
+    // to a local re-run). Both round-12 runs self-stamped clean while
+    // carrying disjoint 2–5× load-haze bands; the per-query minimum
+    // across the two runs was clean everywhere — so when a second sample
+    // exists, drift gates on the cross-run minimum of effective times.
+    val crossPath = args.sliding(2).collectFirst {
+      case Array("--cross", p) => p }
+    val crossEff: Map[String, Double] = crossPath.flatMap(readFile)
+      .map(effectiveTimes).getOrElse(Map.empty)
+    if (crossPath.isDefined && crossEff.isEmpty)
+      println(s"[benchaudit] WARNING: --cross ${crossPath.get} unreadable/empty — single-run gating")
+    if (benchHaze.nonEmpty)
+      println(s"[benchaudit] haze_suspect band (${benchHaze.size} queries, " +
+        "gated on min-of-reps/cross-run min): " +
+        benchHaze.toSeq.sorted.mkString(", "))
     benchNow.foreach { case (q, t0) =>
       benchBase.get(q).foreach { b =>
-        val suspect = benchSuspect.contains(q)
-        val t = if (suspect) benchMins.getOrElse(q, t0) else t0
+        val suspect = benchSuspect.contains(q) || benchHaze.contains(q)
+        val own = if (suspect) math.min(benchMins.getOrElse(q, t0), t0) else t0
+        val t = crossEff.get(q).map(math.min(own, _)).getOrElse(own)
         val factor = if (q.startsWith("s")) 3.0 else 2.0
-        val tag = if (suspect) ", min-of-reps (suspect spread)" else ""
+        val tag =
+          (if (benchHaze.contains(q)) ", min-of-reps (haze band)"
+           else if (benchSuspect.contains(q)) ", min-of-reps (suspect spread)"
+           else "") +
+            (if (crossEff.contains(q)) ", cross-run min" else "")
         if (t > factor * b && t - b > 0.5) {
           if (contaminated) notes += f"$q: wall time $b%.2fs -> $t%.2fs (>${factor}%.0fx, contaminated run$tag)"
           else failures += f"$q: wall time $b%.2fs -> $t%.2fs (>${factor}%.0fx drift$tag)"

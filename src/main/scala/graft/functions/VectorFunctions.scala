@@ -170,10 +170,11 @@ case class VecD2Units(left: Expression, right: Expression) extends BinaryExpress
   }
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = VecD2Units.checkDims(a.numElements(), b.numElements())
     var s = 0L; var i = 0
     val isF = leftIsFloat
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) VecD2Units.nullElement(i)
       val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
       val d = x - b.getDouble(i)
       s += VecD2Units.units(d * d)
@@ -187,9 +188,10 @@ case class VecD2Units(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val s = ctx.freshName("s"); val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = graft.functions.VecD2Units.checkDims($a.numElements(), $b.numElements());
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) graft.functions.VecD2Units.nullElement($i);
          |  double $d = (double) $a.$getter($i) - $b.getDouble($i);
          |  $s += graft.functions.VecD2Units.units($d * $d);
          |}
@@ -201,6 +203,19 @@ case class VecD2Units(left: Expression, right: Expression) extends BinaryExpress
 }
 
 object VecD2Units {
+  /** Dimension guard shared by eval and codegen: a vector/centroid
+    * length mismatch is a data bug, not a shorter distance. */
+  def checkDims(a: Int, b: Int): Int = {
+    if (a != b) throw new IllegalArgumentException(
+      s"VecD2Units: dimension mismatch ($a vs $b)")
+    a
+  }
+
+  /** Null-element guard: a null component would read as 0 via
+    * getFloat/getDouble and silently shrink the distance. */
+  def nullElement(i: Int): Nothing = throw new IllegalArgumentException(
+    s"VecD2Units: null element at index $i (vectors must be dense)")
+
   /** round(v, 9 dp) of a non-negative double, in integer 1e-9 units —
     * BigDecimal HALF_UP on the exact binary value, i.e. exactly what
     * Spark's round(col, 9).cast(decimal) computes. */

@@ -30,7 +30,7 @@ object Downsample {
                  orderCol: String, valueCol: String,
                  resolution: String): DataFrame = {
     val v = col(valueCol)
-    df.groupBy(seriesKey.map(col) :+
+    df.groupBy(seriesKey.map(PromQlParser.labelCol) :+
         window(col(tsCol), resolution).getField("start").as("chunk_ts"): _*)
       .agg(count(lit(1)).as("c_count"),
         sum(round(v, 6).cast("decimal(18,6)")).cast("double").as("c_sum"),
@@ -48,7 +48,7 @@ object Downsample {
   def downsampleChunks(chunks: DataFrame, seriesKey: Seq[String],
                        grain: String): DataFrame =
     chunks.withColumnRenamed("chunk_ts", "src_ts")
-      .groupBy(seriesKey.map(col) :+
+      .groupBy(seriesKey.map(PromQlParser.labelCol) :+
         window(col("src_ts"), grain).getField("start").as("chunk_ts"): _*)
       .agg(sum(col("c_count")).as("c_count"),
         sum(col("c_sum").cast("decimal(18,6)")).cast("double").as("c_sum"),
@@ -70,7 +70,7 @@ object Downsample {
     * query-time form Thanos' downsampled queriers run. */
   def reAggregate(chunks: DataFrame, seriesKey: Seq[String],
                   grain: String): DataFrame =
-    chunks.groupBy(seriesKey.map(col) :+
+    chunks.groupBy(seriesKey.map(PromQlParser.labelCol) :+
         window(col("chunk_ts"), grain).getField("start").as("w_ts"): _*)
       .agg(sum(col("c_count")).as("n"),
         sum(col("c_sum").cast("decimal(18,6)")).cast("double").as("v_sum"),

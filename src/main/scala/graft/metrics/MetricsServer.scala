@@ -257,9 +257,9 @@ final class MetricsServer(observed: Observed, port: Int = 0,
           val rows = s0.df.filter(cond)
             .withColumn("__ts_ms", expr(s"unix_millis(${s0.tsCol})"))
             .filter(col("__ts_ms") >= q.startMs && col("__ts_ms") <= q.endMs)
-            .select(s0.seriesKey.map(col) :+ col("__ts_ms") :+
+            .select(s0.seriesKey.map(PromQlParser.labelCol) :+ col("__ts_ms") :+
               col(s0.valueCol).cast("double").as("__v"): _*)
-            .orderBy(s0.seriesKey.map(col) :+ col("__ts_ms"): _*)
+            .orderBy(s0.seriesKey.map(PromQlParser.labelCol) :+ col("__ts_ms"): _*)
             .limit(maxResultRows + 1)
             .collect()
           if (rows.length > maxResultRows)
@@ -285,7 +285,7 @@ final class MetricsServer(observed: Observed, port: Int = 0,
           val s0 = src
           val cond = PromQlParser.selectorCond(
             s0, RemoteRead.selectorString(q.matchers))
-          val sKey = s0.seriesKey.map(col)
+          val sKey = s0.seriesKey.map(PromQlParser.labelCol)
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(sKey: _*).orderBy(col("__ts_ms"), col("__b"))
           val rows = s0.df.filter(cond)
@@ -456,7 +456,7 @@ final class MetricsServer(observed: Observed, port: Int = 0,
       val byPair = MetricsServer.collectCapped(
         src.df.select(org.apache.spark.sql.functions.concat(
             lit(src.metricCol + "="), col(src.metricCol).cast("string")).as("n") +:
-            src.seriesKey.map(col): _*)
+            src.seriesKey.map(PromQlParser.labelCol): _*)
           .groupBy(col("n"))
           .agg(nSeries)
           .orderBy(col("v").desc, col("n")).limit(10), 10)
@@ -784,10 +784,10 @@ object MetricsServer {
     val newest = src.df.filter(cond)
       .filter(col(src.tsCol) <= te &&
         col(src.tsCol) > te - expr("INTERVAL 5 MINUTES"))
-      .groupBy(src.seriesKey.map(col): _*)
+      .groupBy(src.seriesKey.map(PromQlParser.labelCol): _*)
       .agg(max_by(struct(col(src.valueCol).as("v"), col(src.tsCol).as("sts")),
         struct(col(src.tsCol), col(src.orderCol))).as("s"))
-      .select(src.seriesKey.map(col) :+ col("s.v").as("__fv") :+
+      .select(src.seriesKey.map(PromQlParser.labelCol) :+ col("s.v").as("__fv") :+
         col("s.sts").as("__fts"): _*)
     val rows = collectCapped(newest, max)
     val sb = new StringBuilder

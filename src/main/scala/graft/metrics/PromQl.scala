@@ -30,7 +30,7 @@ object PromQl {
     * the counter dropped). */
   def counterIncrease(samples: DataFrame, seriesKey: Seq[String],
                       tsCol: String, orderCol: String, valueCol: String): DataFrame = {
-    val w = Window.partitionBy(seriesKey.map(col): _*)
+    val w = Window.partitionBy(seriesKey.map(PromQlParser.labelCol): _*)
       .orderBy(col(tsCol), col(orderCol))
     samples
       .withColumn("__prev", lag(col(valueCol), 1).over(w))
@@ -70,7 +70,7 @@ object PromQl {
                    tsCol: String, orderCol: String, valueCol: String,
                    startUs: Long, endUs: Long,
                    isCounter: Boolean, isRate: Boolean): DataFrame = {
-    val keyCols = seriesKey.map(col)
+    val keyCols = seriesKey.map(PromQlParser.labelCol)
     val ord = struct(col(tsCol), col(orderCol))
     val tUs = expr(s"unix_micros($tsCol)")
     val withInc =
@@ -123,7 +123,7 @@ object PromQl {
     * a bounded range frame — no extra shuffle beyond counterIncrease's. */
   def rate(samples: DataFrame, seriesKey: Seq[String], tsCol: String,
            orderCol: String, valueCol: String, windowSec: Int): DataFrame = {
-    val w = Window.partitionBy(seriesKey.map(col): _*)
+    val w = Window.partitionBy(seriesKey.map(PromQlParser.labelCol): _*)
       .orderBy(col(tsCol).cast("long"))
       .rangeBetween(-(windowSec - 1L), Window.currentRow)
     // rate_winsum (the EXACT decimal window sum) rides along so rollups
@@ -148,7 +148,7 @@ object PromQl {
     * One window spec — all aggregates share the single series-keyed sort. */
   def overTime(samples: DataFrame, seriesKey: Seq[String], tsCol: String,
                valueCol: String, windowSec: Int): DataFrame = {
-    val w = Window.partitionBy(seriesKey.map(col): _*)
+    val w = Window.partitionBy(seriesKey.map(PromQlParser.labelCol): _*)
       .orderBy(col(tsCol).cast("long"))
       .rangeBetween(-(windowSec - 1L), Window.currentRow)
     samples
@@ -200,7 +200,7 @@ object PromQl {
                     startUs: Long, endUs: Long, mode: String,
                     isCounter: Boolean, isRate: Boolean): DataFrame = {
     require(mode == "anchored" || mode == "smoothed", s"bad mode: $mode")
-    val keyCols = seriesKey.map(col)
+    val keyCols = seriesKey.map(PromQlParser.labelCol)
     val tagged = adjusted(samples, seriesKey, tsCol, orderCol, valueCol,
       isCounter)
       .withColumn("__reg",
@@ -237,7 +237,7 @@ object PromQl {
                                 tsCol: String, orderCol: String,
                                 valueCol: String,
                                 isCounter: Boolean): DataFrame = {
-    val keyCols = seriesKey.map(col)
+    val keyCols = seriesKey.map(PromQlParser.labelCol)
     val wCum = Window.partitionBy(keyCols: _*)
       .orderBy(col(tsCol), col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

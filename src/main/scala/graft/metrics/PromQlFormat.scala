@@ -74,10 +74,10 @@ object PromQlFormat {
   private def formatMatching(m: Option[(Boolean, Seq[String])],
                              g: Option[Grp]): String = {
     val mm = m.map { case (isOn, ls) =>
-      s"${if (isOn) "on" else "ignoring"} (${ls.mkString(", ")}) "
+      s"${if (isOn) "on" else "ignoring"} (${labelList(ls)}) "
     }.getOrElse("")
     val gg = g.map { grp =>
-      s"${if (grp.left) "group_left" else "group_right"} (${grp.copy.mkString(", ")}) "
+      s"${if (grp.left) "group_left" else "group_right"} (${labelList(grp.copy)}) "
     }.getOrElse("")
     mm + gg
   }

@@ -1766,8 +1766,8 @@ object PromQlParser {
     parse(selector) match {
       case sel: Selector =>
         src.df.filter(matcherCond(src, sel))
-          .select(src.seriesKey.map(col): _*)
-          .distinct().orderBy(src.seriesKey.map(col): _*)
+          .select(src.seriesKey.map(labelCol): _*)
+          .distinct().orderBy(src.seriesKey.map(labelCol): _*)
       case other => throw new IllegalArgumentException(
         s"match[] must be a plain series selector, got $other")
     }
@@ -1796,14 +1796,14 @@ object PromQlParser {
       PromQl.extendedRange(fetched, src.seriesKey, src.tsCol, src.orderCol,
           src.valueCol, startUs, endUs, mode,
           isCounter = fn != "delta", isRate = fn == "rate")
-        .select(src.seriesKey.map(col) :+ col("value"): _*)
+        .select(src.seriesKey.map(labelCol) :+ col("value"): _*)
 
     case RangeFn(fn, sel, w, param, param2) =>
       val t = to_timestamp(lit(evalInstantFor(sel, evalTs)))
       val inWindow = src.df.filter(matcherCond(src, sel))
         .filter(col(src.tsCol) <= t &&
           col(src.tsCol) > t - expr(s"INTERVAL $w SECONDS"))
-      val keyCols = src.seriesKey.map(col)
+      val keyCols = src.seriesKey.map(labelCol)
       val v = col(src.valueCol)
       fn match {
         case "rate" | "increase" =>
@@ -1988,7 +1988,7 @@ object PromQlParser {
       val t = to_timestamp(lit(evalInstantFor(sel, evalTs)))
       src.df.filter(matcherCond(src, sel))
         .filter(col(src.tsCol) <= t && col(src.tsCol) > t - expr(s"INTERVAL $lookback"))
-        .groupBy(src.seriesKey.map(col): _*)
+        .groupBy(src.seriesKey.map(labelCol): _*)
         .agg((max(unix_micros(col(src.tsCol))).cast("double") / 1000000.0).as("value"))
 
     case SortFn(desc, child, byLabels) =>
@@ -2078,7 +2078,7 @@ object PromQlParser {
           val qc = if (hv.columns.contains("custom_values"))
             NativeHistogram.histogramQuantileAuto(q)
           else NativeHistogram.histogramQuantile(q)
-          hv.select(h.seriesKey.map(col) :+ qc.as("value"): _*)
+          hv.select(h.seriesKey.map(labelCol) :+ qc.as("value"): _*)
         case None => throw new IllegalArgumentException(
           "histogram_quantile needs an 'le'-labeled bucket vector, or a " +
             "native-histogram binding (PromSource.hist) for the native form")
@@ -2100,7 +2100,7 @@ object PromQlParser {
         case "stdvar"   => NativeHistogram.histogramStdvar()
         case "fraction" => NativeHistogram.histogramFraction(lo.get, hi.get)
       }
-      hv.select(h.seriesKey.map(col) :+ value.as("value"): _*)
+      hv.select(h.seriesKey.map(labelCol) :+ value.as("value"): _*)
 
     // info(): one window (newest info sample per identifying key, the
     // same last-sample rule as every instant selector) + one LEFT join
@@ -2303,10 +2303,10 @@ object PromQlParser {
           val te = unix_micros(col(h.tsCol)) + lit(sel.offsetSec * 1000000L)
           val hv = h.df.filter(matcherCondFor(h.metricCol, sel))
             .withColumn("__step", explode(stepsFor(te, te + lit(lookbackUs))))
-            .groupBy(h.seriesKey.map(col) :+ col("__step"): _*)
+            .groupBy(h.seriesKey.map(labelCol) :+ col("__step"): _*)
             .agg(max_by(struct(histCols.map(col): _*),
               struct(col(h.tsCol), col(h.orderCol))).as("__h"))
-            .select((h.seriesKey.map(col) :+ col("__step")) ++
+            .select((h.seriesKey.map(labelCol) :+ col("__step")) ++
               histCols.map(c => col(s"__h.$c").as(c)): _*)
           (hv, lit(1.0))
         case RangeFn(fn @ ("rate" | "increase"), sel, w, _, _) =>
@@ -2374,7 +2374,7 @@ object PromQlParser {
       case sel: Selector =>
         // instant vector per step: latest sample within (T − lookback, T]
         val te = teCol(sel.offsetSec)
-        val keyCols = src.seriesKey.map(col)
+        val keyCols = src.seriesKey.map(labelCol)
         src.df.filter(matcherCond(src, sel))
           .withColumn("__step", explode(stepsFor(te, te + lit(lookbackUs))))
           .groupBy(keyCols :+ col("__step"): _*)
@@ -2384,7 +2384,7 @@ object PromQlParser {
       case RangeFn(fn, sel, w, param, param2) =>
         val wUs = w * 1000000L
         val te = teCol(sel.offsetSec)
-        val keyCols = src.seriesKey.map(col)
+        val keyCols = src.seriesKey.map(labelCol)
         val v = col(src.valueCol)
         val ord = struct(col(src.tsCol), col(src.orderCol))
         val filtered = src.df.filter(matcherCond(src, sel))
@@ -2528,7 +2528,7 @@ object PromQlParser {
         val te = teCol(sel.offsetSec)
         src.df.filter(matcherCond(src, sel))
           .withColumn("__step", explode(stepsFor(te, te + lit(lookbackUs))))
-          .groupBy(src.seriesKey.map(col) :+ col("__step"): _*)
+          .groupBy(src.seriesKey.map(labelCol) :+ col("__step"): _*)
           .agg((max(unix_micros(col(src.tsCol))).cast("double") / 1000000.0).as("value"))
 
       case CountValues(label, by, child, without) =>
@@ -2615,7 +2615,7 @@ object PromQlParser {
             val qc = if (hv.columns.contains("custom_values"))
               NativeHistogram.histogramQuantileAuto(q)
             else NativeHistogram.histogramQuantile(q)
-            hv.select(h.seriesKey.map(col) ++ Seq(col("__step"),
+            hv.select(h.seriesKey.map(labelCol) ++ Seq(col("__step"),
               qc.as("value")): _*)
           case None => throw new IllegalArgumentException(
             "histogram_quantile needs an 'le'-labeled bucket vector, or a " +
@@ -2634,7 +2634,7 @@ object PromQlParser {
           case "stdvar"   => NativeHistogram.histogramStdvar()
           case "fraction" => NativeHistogram.histogramFraction(lo.get, hi.get)
         }
-        hv.select(h.seriesKey.map(col) ++ Seq(col("__step"), value.as("value")): _*)
+        hv.select(h.seriesKey.map(labelCol) ++ Seq(col("__step"), value.as("value")): _*)
 
       // info() on the grid: the newest-per-key window becomes a keyed
       // (identifying, step) aggregation — each info row explodes onto
@@ -2740,7 +2740,7 @@ object PromQlParser {
       case ExtRange(mode, fn, sel, w) =>
         val wUs = w * 1000000L
         val te = teCol(sel.offsetSec)
-        val keyCols = src.seriesKey.map(col)
+        val keyCols = src.seriesKey.map(labelCol)
         val ord = struct(col(src.tsCol), col(src.orderCol))
         val filtered = src.df.filter(matcherCond(src, sel))
         val wSeries = Window.partitionBy(keyCols: _*)

@@ -113,11 +113,11 @@ object PromTest {
                     lookback: String = "5 MINUTES"): DataFrame = {
     val t = lit(evalTs).cast("timestamp")
     df.filter(col("ts") <= t && col("ts") > t - expr(s"INTERVAL $lookback"))
-      .groupBy(seriesKey.map(col): _*)
+      .groupBy(seriesKey.map(PromQlParser.labelCol): _*)
       .agg(max_by(struct(col("value"), col("stale")),
         struct(col("ts"), col("order"))).as("__s"))
       .filter(!col("__s.stale"))
-      .select(seriesKey.map(col) :+ col("__s.value").as("value"): _*)
+      .select(seriesKey.map(PromQlParser.labelCol) :+ col("__s.value").as("value"): _*)
   }
 
   /** Range-selection view: markers are invisible to range vectors. */

@@ -355,7 +355,7 @@ object QueryFrontend {
   }
 
   private def shardCol(src: PromSource, shards: Int): Column =
-    pmod(hash(src.seriesKey.map(col): _*), lit(shards))
+    pmod(hash(src.seriesKey.map(PromQlParser.labelCol): _*), lit(shards))
 
   private def shardedTopK(src: PromSource, ast: TopK, startTs: String,
                           endTs: String, stepSec: Long, shards: Int,

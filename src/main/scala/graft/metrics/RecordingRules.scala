@@ -111,15 +111,32 @@ object RuleGroup {
     (names, readsAll)
   }
 
-  /** The batch index per rule (0 = no in-group dependencies). */
+  /** The batch index per rule (0 = no in-group dependencies).
+    *
+    * Two constraint families, both pointing from lower to higher rule
+    * index (so one pass in declaration order solves them exactly):
+    *   - backward dep: rule i reads an earlier rule j's record →
+    *     `out(i) >= out(j) + 1` (i must see j's output);
+    *   - forward read: an EARLIER rule j reads rule i's record (i > j) →
+    *     `out(i) >= out(j)`, so i's output is NOT yet unioned into the
+    *     input when batch `out(j)` evaluates — preserving the sequential
+    *     "forward reads see nothing" semantics. Without this a
+    *     dependency-free later rule could land in batch 0 and leak its
+    *     records into an earlier rule's batch-1 input. */
   def batches(rules: Seq[Rule], metricCol: String): Seq[Int] = {
     val rds = rules.map(r => readsOf(r.expr, metricCol))
     val names = rules.map(_.record)
+    def reads(j: Int, name: String): Boolean =
+      rds(j)._2 || rds(j)._1.contains(name)
     val out = new Array[Int](rules.length)
-    for (j <- rules.indices) {
-      val deps = (0 until j).filter(i =>
-        rds(j)._2 || rds(j)._1.contains(names(i)))
-      out(j) = if (deps.isEmpty) 0 else deps.map(out(_)).max + 1
+    for (i <- rules.indices) {
+      val backward = (0 until i).collect {
+        case j if reads(i, names(j)) => out(j) + 1
+      }
+      val forward = (0 until i).collect {
+        case j if reads(j, names(i)) => out(j)
+      }
+      out(i) = (backward ++ forward :+ 0).max
     }
     out.toSeq
   }
@@ -146,4 +163,104 @@ object RuleGroup {
                      endTs: String, stepSec: Long): PromSource =
     rules.foldLeft(src)((cur, r) =>
       RecordingRules.materialize(cur, r.record, r.expr, startTs, endTs, stepSec))
+
+  /** Multi-CYCLE evaluation, upstream-exact (rules/group.go): each cycle
+    * evaluates the whole group sequentially at ONE instant against
+    * storage-so-far, so a FORWARD reference (a rule reading a
+    * later-declared rule's record name) genuinely reads the previous
+    * cycle's sample through the lookback window — the semantics a single
+    * whole-grid pass cannot see (it has no previous cycle). The
+    * reference twin for [[evalCyclesPlan]]; plan depth grows with the
+    * cycle count, so use it for bounded replays and proofs. */
+  def evalCyclesIterative(src: PromSource, rules: Seq[Rule],
+                          cycleTs: Seq[String],
+                          lookbackSec: Long = 300L): PromSource = {
+    // Only the RECORDS accumulate (rule-output grain — series × cycles,
+    // model-sized); the base frame stays out of the fold, and an eager
+    // localCheckpoint truncates each step's lineage — a naive
+    // union-into-the-input fold DOUBLES the logical plan per step
+    // (recordedFrame embeds the whole accumulated plan), which is
+    // exponential in rules × cycles.
+    var recs: Option[org.apache.spark.sql.DataFrame] = None
+    for (t <- cycleTs; r <- rules) {
+      val in = src.copy(df = recs.map(src.df.unionByName).getOrElse(src.df))
+      val f = RecordingRules.recordedFrame(in, r.record, r.expr, t, t, 1L,
+        lookbackSec)
+      recs = Some(recs.map(_.unionByName(f)).getOrElse(f)
+        .localCheckpoint(true))
+    }
+    src.copy(df = recs.map(src.df.unionByName).getOrElse(src.df))
+  }
+
+  /** Declarative multi-cycle twin: ONE whole-grid plan per rule,
+    * independent of the cycle count — the 100 TB face of
+    * [[evalCyclesIterative]]. Backward reads see same-cycle records
+    * (grid-pointwise identical to per-cycle sequential evaluation).
+    * Forward reads see the target rule's records SHIFTED one cycle
+    * later AND evaluate with lookback `L − step`: at cycle T the
+    * iterative truth admits original record times in `(T−L, T−step]`
+    * (width L−step — the newest possible record is the PREVIOUS
+    * cycle's), while a plain selector window has width L, so shifting
+    * alone would let an empty previous cycle fall through to a record
+    * the staleness rule already expired. The width fix forces two
+    * restrictions, both thrown as errors rather than silently
+    * mis-evaluated: a rule mixing forward and non-forward reads (one
+    * expression cannot carry two lookbacks), and a read cycle / genuine
+    * feedback loop (recursive across time — only the iterative twin can
+    * evaluate it). */
+  def evalCyclesPlan(src: PromSource, rules: Seq[Rule], startTs: String,
+                     endTs: String, stepSec: Long,
+                     lookbackSec: Long = 300L): PromSource = {
+    require(lookbackSec > stepSec,
+      s"lookback ($lookbackSec s) must exceed the cycle step ($stepSec s) " +
+        "for a forward reference to see the previous cycle at all")
+    val rds = rules.map(r => readsOf(r.expr, src.metricCol))
+    val names = rules.map(_.record)
+    val n = rules.length
+    // j needs frame(i): an explicit pin on names(i), or a conservative
+    // read-everything (which implies every OTHER rule; only an explicit
+    // self-pin makes a self-loop — readsAll does not prove one)
+    def reads(j: Int, i: Int): Boolean =
+      if (i == j) rds(j)._1.contains(names(i))
+      else rds(j)._2 || rds(j)._1.contains(names(i))
+    // forward-only: every selector pins a LATER rule's record (readsAll
+    // reads the raw source too, so it is never forward-only)
+    def forwardOnly(j: Int): Boolean = !rds(j)._2 && rds(j)._1.nonEmpty &&
+      rds(j)._1.forall(m => names.indexOf(m) > j)
+    def readsForward(j: Int): Boolean =
+      rds(j)._1.exists(m => names.indexOf(m) > j)
+    for (j <- 0 until n)
+      if (readsForward(j) && !forwardOnly(j))
+        throw new IllegalArgumentException(
+          s"rule '${names(j)}' mixes a forward reference with other " +
+            "reads — one expression cannot carry two lookbacks; use " +
+            "evalCyclesIterative")
+    val order = scala.collection.mutable.ArrayBuffer[Int]()
+    val state = new Array[Int](n) // 0 unvisited, 1 in-stack, 2 done
+    def visit(j: Int): Unit = {
+      if (state(j) == 1) throw new IllegalArgumentException(
+        s"rule-group read cycle through '${names(j)}' — a feedback loop " +
+          "is recursive across cycles; use evalCyclesIterative")
+      if (state(j) == 0) {
+        state(j) = 1
+        (0 until n).filter(reads(j, _)).foreach(visit)
+        state(j) = 2; order += j
+      }
+    }
+    (0 until n).foreach(visit)
+    val tsType = src.df.schema(src.tsCol).dataType
+    val frames = new Array[org.apache.spark.sql.DataFrame](n)
+    for (j <- order) {
+      val inputs = (0 until n).filter(reads(j, _)).map { i =>
+        if (i > j) frames(i).withColumn(src.tsCol,
+          (col(src.tsCol) + expr(s"INTERVAL $stepSec SECONDS")).cast(tsType))
+        else frames(i)
+      }
+      val in = src.copy(df = inputs.foldLeft(src.df)(_ unionByName _))
+      val lb = if (forwardOnly(j)) lookbackSec - stepSec else lookbackSec
+      frames(j) = RecordingRules.recordedFrame(in, rules(j).record,
+        rules(j).expr, startTs, endTs, stepSec, lb)
+    }
+    src.copy(df = frames.foldLeft(src.df)(_ unionByName _))
+  }
 }

@@ -708,6 +708,117 @@ object ExtraQueries {
         .orderBy(col("job"), col("bucket"))
     }),
 
+    // [N] OTLP delta→cumulative RESTART DETECTION (upstream
+    // deltatocumulative: a jump in startTimeUnixNano marks a collector
+    // restart and resets the accumulation) — q249's wire extended with a
+    // start_ts that changes mid-range, so every series restarts once:
+    // the running total after the restart must equal the sum of ONLY the
+    // post-restart deltas, while the pre-restart peak is preserved at
+    // mid. The whole conversion (restart segmentation included) shares
+    // ONE (series-key, ts) window partitioning — a single shuffle at any
+    // scale. The oracle recomputes both segment sums from the raw table
+    // without touching the wire.
+    "q254_otlp_restart" -> ((s, d) => {
+      import graft.sources.Otlp
+      val mid = lit("2024-01-10 00:00:00").cast("timestamp")
+      val hourly = events(s, d)
+        .groupBy(col("event_type").as("job"),
+          pmod(col("user_id"), lit(3L)).cast("string").as("bucket"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(round(col("value"), 6).cast("decimal(18,6)"))
+          .cast("double").as("delta_v"))
+        .withColumn("start_h",
+          when(col("h") <= mid, lit("2024-01-01 00:00:00").cast("timestamp"))
+            .otherwise(mid))
+      val docs = Otlp.render(hourly, col("job"), lit("reqs.total"),
+        col("h"), col("delta_v"), Seq("bucket" -> col("bucket")),
+        temporality = 1, startTsCol = Some(col("start_h")))
+      val cum = Otlp.deltaToCumulative(Otlp.parse(docs),
+        Seq(col("metric"), col("job"), expr("attrs['bucket']")))
+      cum.groupBy(col("job"), expr("attrs['bucket']").as("bucket"))
+        .agg(count(lit(1)).as("n_points"),
+          round(max_by(col("value"), col("ts")), 4).as("cum_final"),
+          round(max_by(when(col("ts") <= mid, col("value")),
+            when(col("ts") <= mid, col("ts"))), 4).as("cum_premid"))
+        .orderBy(col("job"), col("bucket"))
+    }),
+
+    // [N] REAL multimodal pixel decode — closes the md5-stub delta
+    // (q252 keeps the plumbing hash-check; this row makes the DECODER
+    // real): deterministic synthetic PPM (P6) images are generated per
+    // document (header with comments + RGB raster whose byte idx carries
+    // (doc_id*7 + idx*13) mod 256), then a REAL parser — magic, comment-
+    // tolerant header, truncation-checked raster — decodes actual pixel
+    // bytes in the same 64-row mapPartitions batches as q252, emitting
+    // exact integer channel sums and 2×2 average-pool cell sums (the
+    // resize path at provable grain). The oracle recomputes every sum
+    // from the closed form over (doc_id, idx) — if the parser misreads
+    // one header byte or one pixel, the hash goes red.
+    "q256_multimodal_ppm" -> ((s, d) => {
+      import graft.text.Multimodal
+      val dims = documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          (pmod(col("doc_id"), lit(9)) + 8).cast("int").as("w"),
+          (pmod(col("doc_id"), lit(7)) + 6).cast("int").as("h"))
+      import s.implicits._
+      val blobs = dims.select(col("doc_id"), col("w"), col("h"))
+        .as[(Long, Int, Int)]
+        .map { case (id, w, h) => (id, Multimodal.synthPpm(id, w, h)) }
+        .toDF("doc_id", "blob")
+      val feats = Multimodal.extractPpm(s, blobs, "doc_id", "blob").toDF()
+      feats.join(dims.select(col("doc_id").as("media_id"), col("lang"),
+          col("w").as("gw"), col("h").as("gh")), "media_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(when(col("w") === col("gw") && col("h") === col("gh"), 1L)
+            .otherwise(0L)).as("n_dim_ok"),
+          sum(col("n_pixels")).as("n_pixels"),
+          sum(col("sum_r")).as("sum_r"),
+          sum(col("sum_g")).as("sum_g"),
+          sum(col("sum_b")).as("sum_b"),
+          sum(element_at(col("pool"), 1)).as("pool00_r"),
+          sum(element_at(col("pool"), 12)).as("pool11_b"))
+        .orderBy(col("lang"))
+    }),
+
+    // [N] REAL protobuf remote-write bytes — closes the documented
+    // JSON-stand-in delta: the same sample frame rendered through BOTH
+    // wire faces, JSON documents AND actual `prometheus.WriteRequest`
+    // length-delimited protobuf (ProtoWire: tags, varints, little-endian
+    // fixed64 doubles; message-grain expression, so the byte walk
+    // amortizes over thousands of samples per call), each parsed back by
+    // its face into the SHARED downstream column math. `wire_equal`
+    // proves bytes ≡ JSON sample for sample, and the oracle recomputes
+    // the aggregates from the raw table — render→encode→decode→parse is
+    // hash-checked end to end without the oracle touching either wire.
+    "q255_remote_write_pb" -> ((s, d) => {
+      import graft.sources.RemoteWrite
+      val ev = events(s, d)
+        .filter(col("ts") < lit("2024-01-03").cast("timestamp"))
+      def met = concat(lit("app_events_"), col("event_type"))
+      val pb = RemoteWrite.parsePb(RemoteWrite.renderPb(ev, col("user_id"),
+        met, col("ts"), col("value"), Seq("user" -> col("user_id"))))
+      val js = RemoteWrite.parse(RemoteWrite.render(ev, col("user_id"),
+        met, col("ts"), col("value"), Seq("user" -> col("user_id"))))
+      def aggOf(df: DataFrame) = df.groupBy(col("metric"))
+        .agg(count(lit(1)).as("n_samples"),
+          countDistinct(col("labels")("user")).as("n_series"),
+          round(sum(round(col("value"), 6).cast("decimal(18,6)"))
+            .cast("double"), 4).as("sum_value"),
+          max(col("ts")).as("max_ts"))
+      aggOf(pb).join(aggOf(js)
+          .withColumnRenamed("n_samples", "n_j")
+          .withColumnRenamed("n_series", "s_j")
+          .withColumnRenamed("sum_value", "v_j")
+          .withColumnRenamed("max_ts", "t_j"), Seq("metric"))
+        .withColumn("wire_equal",
+          col("n_samples") === col("n_j") && col("n_series") === col("s_j") &&
+            col("sum_value") === col("v_j") && col("max_ts") === col("t_j"))
+        .select(col("metric"), col("n_samples"), col("n_series"),
+          col("sum_value"), col("max_ts"), col("wire_equal"))
+        .orderBy(col("metric"))
+    }),
+
     // translation): two days of events rendered into per-user OTLP
     // export documents (dotted metric names, service.name resource
     // attribute, nanos-as-string timestamps, datapoint attributes),
@@ -2495,6 +2606,66 @@ object ExtraQueries {
         |  round(CAST(sum(CASE WHEN h <= TIMESTAMP '2024-01-10 00:00:00'
         |    THEN dv END) AS DOUBLE), 4) AS cum_mid
         |FROM hourly GROUP BY 1, 2 ORDER BY job, bucket""".stripMargin,
+
+    // Restart face: after the start_ts jump the running total resets, so
+    // the final cumulative is the POST-restart segment sum only (full
+    // sum when a series never crosses the restart), while the pre-mid
+    // peak is the pre-restart segment sum.
+    "q254_otlp_restart" ->
+      """WITH hourly AS (
+        |  SELECT event_type AS job, CAST(user_id % 3 AS VARCHAR) AS bucket,
+        |    date_trunc('hour', ts) AS h,
+        |    sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS dv
+        |  FROM events GROUP BY 1, 2, 3
+        |)
+        |SELECT job, bucket, count(*) AS n_points,
+        |  round(CAST(coalesce(
+        |    sum(CASE WHEN h > TIMESTAMP '2024-01-10 00:00:00' THEN dv END),
+        |    sum(dv)) AS DOUBLE), 4) AS cum_final,
+        |  round(CAST(sum(CASE WHEN h <= TIMESTAMP '2024-01-10 00:00:00'
+        |    THEN dv END) AS DOUBLE), 4) AS cum_premid
+        |FROM hourly GROUP BY 1, 2 ORDER BY job, bucket""".stripMargin,
+
+    // Every sum from the synthetic-pixel closed form — the oracle never
+    // parses a byte; pool cell of pixel (x,y) is (2y/h, 2x/w).
+    "q256_multimodal_ppm" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(8 + doc_id % 9 AS BIGINT) AS w,
+        |    CAST(6 + doc_id % 7 AS BIGINT) AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT d.doc_id, d.lang, d.w, d.h, i.idx,
+        |    (d.doc_id * 7 + i.idx * 13) % 256 AS v,
+        |    i.idx % 3 AS c,
+        |    (i.idx // 3) % d.w AS x,
+        |    (i.idx // 3) // d.w AS y
+        |  FROM d, LATERAL (SELECT unnest(generate_series(0,
+        |    CAST(3 * d.w * d.h - 1 AS BIGINT))) AS idx) i
+        |)
+        |SELECT lang, count(DISTINCT doc_id) AS n_media,
+        |  count(DISTINCT doc_id) AS n_dim_ok,
+        |  CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pixels,
+        |  CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+        |  CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+        |  CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b,
+        |  CAST(sum(CASE WHEN c = 0 AND x * 2 // w = 0 AND y * 2 // h = 0
+        |    THEN v END) AS BIGINT) AS pool00_r,
+        |  CAST(sum(CASE WHEN c = 2 AND x * 2 // w = 1 AND y * 2 // h = 1
+        |    THEN v END) AS BIGINT) AS pool11_b
+        |FROM px GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // Both wire faces must land on the raw table's aggregates (ms
+    // timestamp unit, the remote-write grain).
+    "q255_remote_write_pb" ->
+      """SELECT 'app_events_' || event_type AS metric, count(*) AS n_samples,
+        |  count(DISTINCT user_id) AS n_series,
+        |  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE),
+        |    4) AS sum_value,
+        |  max(date_trunc('milliseconds', ts)) AS max_ts,
+        |  TRUE AS wire_equal
+        |FROM events WHERE ts < TIMESTAMP '2024-01-03'
+        |GROUP BY 1 ORDER BY metric""".stripMargin,
 
     "q169_otlp_ingest" ->
       """SELECT 'app_events_' || event_type AS metric, 'sum' AS kind,

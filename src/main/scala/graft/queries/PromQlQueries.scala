@@ -640,6 +640,29 @@ object PromQlQueries {
         .orderBy(col("event_type"), col("step_ts"))
     }),
 
+    // [N] keep_firing_for with keepSteps > 0 — the BRIDGING branch q138
+    // structurally cannot reach (its keep < step), now hash-checked: for
+    // 2h / keep 2h on an hourly grid, with a flickering condition
+    // (hour() % 5 < 3, hours ≥ 22 forced off, and data holes where an
+    // hour carries no events) that produces 3-step runs, 2-step bridged
+    // gaps, and longer resetting gaps. The oracle replays the per-series
+    // state machine as a BOUNDED recursive CTE over active-step ranks
+    // (≤ #grid steps iterations) — bridge keeps the ORIGINAL run start,
+    // kept tails clip at min(prev+1+K, maxIdx, next−1) and carry the
+    // run's last value — so the typed fold's every branch hashes green.
+    "q257_alert_keep_bridging" -> ((s, d) => {
+      val src = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      AlertRules.evalRule(src,
+        AlertRules.Rule("KeepBridge",
+          """sum by (event_type) (count_over_time({event_type=~".+"}[1h])) > 0 and on() hour() % 5 < 3 and on() hour() < 22""",
+          forSec = 2 * 3600, keepFiringSec = 2 * 3600),
+        "2024-01-14 00:00:00", "2024-01-16 23:00:00", stepSec = 3600)
+        .select(col("alertname"), col("event_type"), col("step_ts"),
+          col("alertstate"), round(col("value"), 6).as("value"))
+        .orderBy(col("event_type"), col("step_ts"))
+    }),
+
     // The remaining arithmetic operators: % (Go math.Mod — fmod in both
     // engines, an EXACT double operation), ^ (libm pow; the pow branch
     // goes through abs so negative bases can't produce NaN rows), and
@@ -1017,6 +1040,49 @@ object PromQlQueries {
         .select(col("record"), col("batch"), col("n_samples"), col("sum_v"),
           col("seq_equal"))
         .orderBy(col("record"))
+    }),
+
+    // [N] MULTI-CYCLE rule-group evaluation (rules/group.go run loop): a
+    // FORWARD reference — a rule reading a LATER-declared rule's record
+    // — reads the PREVIOUS cycle's sample, semantics a single whole-grid
+    // pass cannot see (it has no previous cycle). Two faces: the
+    // upstream-exact iterative replay (8 hourly cycles, each a
+    // sequential one-instant eval against storage-so-far) and the
+    // declarative single-plan twin (forward reads = the target's frame
+    // shifted one cycle later; plan size independent of cycle count —
+    // the 100 TB face). `plan_equal` proves them identical; lookback
+    // 5400 s admits exactly the k−1 cycle under either staleness
+    // boundary convention, so the oracle is a pure shift-by-one and the
+    // forward read is genuinely load-bearing (cycles 2..8 carry real
+    // values; cycle 1 is empty, as upstream).
+    "q253_rulegroup_cycles" -> ((s, d) => {
+      import graft.metrics.RuleGroup
+      val src0 = PromQlParser.PromSource(events(s, d), "event_type",
+        Seq("user_id", "event_type"), "ts", "event_id", "value")
+      val rules = Seq(
+        RuleGroup.Rule("purchase:lag", """{event_type="purchase:tot"}"""),
+        RuleGroup.Rule("purchase:tot",
+          """sum by (event_type, user_id) (sum_over_time({event_type="purchase"}[1h]))"""))
+      val cycles = (1 to 8).map(k => f"2024-01-15 $k%02d:00:00")
+      val iter = RuleGroup.evalCyclesIterative(src0, rules, cycles, 5400L)
+      val plan = RuleGroup.evalCyclesPlan(src0, rules,
+        cycles.head, cycles.last, 3600L, 5400L)
+      val names = rules.map(_.record)
+      def aggOf(df: DataFrame) = df
+        .filter(col("event_type").isin(names: _*))
+        .groupBy(col("event_type").as("record"))
+        .agg(count(lit(1)).as("n_samples"),
+          round(sum(round(col("value"), 6).cast("decimal(18,6)"))
+            .cast("double"), 4).as("sum_v"))
+      aggOf(plan.df)
+        .join(aggOf(iter.df)
+          .withColumnRenamed("n_samples", "n_it")
+          .withColumnRenamed("sum_v", "sum_it"), Seq("record"))
+        .withColumn("plan_equal",
+          col("n_samples") === col("n_it") && col("sum_v") === col("sum_it"))
+        .select(col("record"), col("n_samples"), col("sum_v"),
+          col("plan_equal"))
+        .orderBy(col("record"))
     })
   )
 
@@ -1272,6 +1338,33 @@ object PromQlQueries {
         |SELECT a.record, m.batch, CAST(a.n_samples AS BIGINT) AS n_samples,
         |  a.sum_v, TRUE AS seq_equal
         |FROM ag a JOIN meta m USING (record) ORDER BY a.record""".stripMargin,
+
+    // The forward reference is a pure shift-by-one over cycles (lookback
+    // 5400 s admits exactly the previous hourly cycle), so the oracle
+    // recomputes tot per cycle and reads lag as tot at k−1.
+    "q253_rulegroup_cycles" ->
+      """WITH cycles AS (
+        |  SELECT unnest(generate_series(1, 8)) AS k
+        |), tot AS (
+        |  SELECT c.k, e.user_id,
+        |    CAST(sum(CAST(round(e.value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS v
+        |  FROM cycles c JOIN events e
+        |    ON e.event_type = 'purchase'
+        |   AND e.ts <= make_timestamp((1705276800 + c.k * 3600) * 1000000)
+        |   AND e.ts > make_timestamp((1705276800 + (c.k - 1) * 3600)
+        |     * 1000000)
+        |  GROUP BY 1, 2
+        |), rws AS (
+        |  SELECT 'purchase:tot' AS record, v FROM tot
+        |  UNION ALL
+        |  SELECT 'purchase:lag', v FROM tot WHERE k < 8
+        |)
+        |SELECT record, count(*) AS n_samples,
+        |  round(CAST(sum(CAST(round(v, 6) AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |    AS sum_v,
+        |  TRUE AS plan_equal
+        |FROM rws GROUP BY 1 ORDER BY record""".stripMargin,
 
     "q89_counter_increase" ->
       """WITH d AS (
@@ -1757,6 +1850,61 @@ object PromQlQueries {
         |  SELECT 'tail', user_id, event_type, round(value, 6)
         |  FROM iv WHERE frac >= 0.3
         |) ORDER BY which, event_type, user_id""".stripMargin,
+
+    // The bridging state machine replayed as a BOUNDED recursive CTE
+    // over active-step ranks: consecutive steps extend the run, a gap
+    // ≤ keepSteps+1 from a firing step bridges (ORIGINAL run start
+    // kept), anything else resets to pending; kept tails clip at
+    // min(prev+1+K, maxIdx, next−1) and carry the run's last value.
+    "q257_alert_keep_bridging" ->
+      """WITH RECURSIVE steps AS (
+        |  SELECT make_timestamp((1705190400 + i * 3600) * 1000000)
+        |    AS step_ts, i
+        |  FROM (SELECT unnest(generate_series(0, 71)) AS i)
+        |), act AS (
+        |  SELECT s.i, e.event_type, CAST(count(*) AS DOUBLE) AS value,
+        |    row_number() OVER (PARTITION BY e.event_type ORDER BY s.i) AS r
+        |  FROM steps s JOIN events e
+        |    ON e.ts <= s.step_ts AND e.ts > s.step_ts - INTERVAL 1 HOUR
+        |  WHERE hour(s.step_ts) % 5 < 3 AND hour(s.step_ts) < 22
+        |  GROUP BY 1, 2
+        |), walk AS (
+        |  SELECT event_type, i, value, r, i AS active_at, FALSE AS firing
+        |  FROM act WHERE r = 1
+        |  UNION ALL
+        |  SELECT a.event_type, a.i, a.value, a.r,
+        |    CASE WHEN a.i = w.i + 1 THEN w.active_at
+        |         WHEN w.firing AND a.i <= w.i + 3 THEN w.active_at
+        |         ELSE a.i END,
+        |    CASE WHEN a.i = w.i + 1
+        |           THEN (w.firing OR a.i - w.active_at >= 2)
+        |         WHEN w.firing AND a.i <= w.i + 3 THEN TRUE
+        |         ELSE FALSE END
+        |  FROM act a JOIN walk w
+        |    ON a.event_type = w.event_type AND a.r = w.r + 1
+        |), kept AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(i + 1,
+        |      least(i + 3, 71, coalesce(nxt - 1, 9999)))) AS j,
+        |    value
+        |  FROM (
+        |    SELECT event_type, i, value, firing,
+        |      lead(i) OVER (PARTITION BY event_type ORDER BY i) AS nxt
+        |    FROM walk)
+        |  WHERE firing
+        |)
+        |SELECT * FROM (
+        |  SELECT 'KeepBridge' AS alertname, event_type,
+        |    make_timestamp((1705190400 + i * 3600) * 1000000) AS step_ts,
+        |    CASE WHEN firing THEN 'firing' ELSE 'pending' END AS alertstate,
+        |    round(value, 6) AS value
+        |  FROM walk
+        |  UNION ALL
+        |  SELECT 'KeepBridge', event_type,
+        |    make_timestamp((1705190400 + j * 3600) * 1000000), 'firing',
+        |    round(value, 6)
+        |  FROM kept
+        |) ORDER BY event_type, step_ts""".stripMargin,
 
     "q138_alert_keep_firing" ->
       """WITH steps AS (

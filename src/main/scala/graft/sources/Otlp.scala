@@ -27,6 +27,7 @@ object Otlp {
       StructField("stringValue", StringType)))))))
 
   private val dpType = ArrayType(StructType(Seq(
+    StructField("startTimeUnixNano", StringType),
     StructField("timeUnixNano", StringType),
     StructField("asDouble", DoubleType),
     StructField("asInt", StringType),
@@ -81,6 +82,10 @@ object Otlp {
       // rounds ~1.5% of µs values to N-1 (e.g. µs ≡ 16 mod 64).
       timestamp_micros(expr("cast(dp.timeUnixNano as long) div 1000"))
         .as("ts"),
+      // nullable: most exporters omit it; deltaToCumulative treats a
+      // CHANGE in start_ts as a collector restart (accumulation reset)
+      timestamp_micros(expr("cast(dp.startTimeUnixNano as long) div 1000"))
+        .as("start_ts"),
       coalesce(col("dp.asDouble"), col("dp.asInt").cast("double")).as("value"))
   }
 
@@ -264,8 +269,11 @@ object Otlp {
     * cumulative sum. Names keep their dots here — parse() normalizes. */
   def render(df: DataFrame, docKey: Column, metricCol: Column, tsCol: Column,
              valueCol: Column, attrCols: Seq[(String, Column)],
-             temporality: Int = 2): DataFrame = {
+             temporality: Int = 2,
+             startTsCol: Option[Column] = None): DataFrame = {
     val dp = struct(
+      startTsCol.map(c => (unix_micros(c) * 1000L).cast("string"))
+        .getOrElse(lit(null).cast("string")).as("startTimeUnixNano"),
       (unix_micros(tsCol) * 1000L).cast("string").as("timeUnixNano"),
       valueCol.cast("double").as("asDouble"),
       array(attrCols.map { case (k, c) =>
@@ -293,22 +301,51 @@ object Otlp {
     * per-series running total — a keyed DECIMAL prefix sum of 6-dp
     * deltas (exact, association-free), the canonical Spark shape for
     * the conversion. Cumulative and gauge rows pass through unchanged.
-    * Simplification vs upstream (documented): upstream tracks
-    * startTimeUnixNano to detect stream restarts; the fixture wire
-    * carries none, so the running sum is unconditional per series. */
-  def deltaToCumulative(samples: DataFrame,
-                        seriesKey: Seq[Column]): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(seriesKey: _*).orderBy(col("ts"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    samples.withColumn("value",
-      when(col("kind") === "sum" && col("temporality") === 1,
-        sum(round(col("value"), 6).cast("decimal(18,6)")).over(w)
-          .cast("double"))
-        .otherwise(col("value")))
+    *
+    * Restart detection (upstream deltatocumulative semantics): when a
+    * series' `start_ts` CHANGES between consecutive points, the
+    * producing collector restarted and the running total resets to zero
+    * at the new segment — implemented as a lag-change flag folded into a
+    * segment index, then the prefix sum keyed on (series, segment). Both
+    * windows share one partitioning, so the whole conversion costs a
+    * single hash shuffle on the series key regardless of scale. Points
+    * with a null `start_ts` (exporter omitted it) never trigger a reset.
+    *
+    * `orderCols` breaks ties between equal-`ts` points (other engine
+    * windows order by (tsCol, orderCol)); default keeps ts-only order
+    * for wires whose points are unique per series-timestamp. */
+  def deltaToCumulative(samples: DataFrame, seriesKey: Seq[Column],
+                        orderCols: Seq[Column] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = col("ts") +: orderCols
+    val wSeq = Window.partitionBy(seriesKey: _*).orderBy(ord: _*)
+    val wRun = wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isDelta = col("kind") === "sum" && col("temporality") === 1
+    // full per-series prefix sum of the delta points (non-delta rows
+    // contribute null, which sum() skips)
+    val dec = when(isDelta, round(col("value"), 6).cast("decimal(18,6)"))
+    val hasStart = samples.columns.contains("start_ts")
+    val restart =
+      if (!hasStart) lit(false)
+      else col("start_ts").isNotNull &&
+        lag(col("start_ts"), 1).over(wSeq).isNotNull &&
+        col("start_ts") =!= lag(col("start_ts"), 1).over(wSeq)
+    // every window here shares ONE (partitionBy seriesKey, orderBy ord)
+    // spec, so the whole conversion — restarts included — costs a single
+    // hash shuffle + sort regardless of scale: cumulative = full prefix
+    // sum minus the prefix recorded at the most recent restart boundary
+    // (`last(..., ignoreNulls)` carries it forward within the partition).
+    samples
+      .withColumn("__ps", sum(dec).over(wRun))
+      .withColumn("__base",
+        last(when(restart, coalesce(lag(col("__ps"), 1).over(wSeq),
+            lit(0).cast("decimal(18,6)"))), ignoreNulls = true).over(wRun))
+      .withColumn("value",
+        when(isDelta,
+          (col("__ps") - coalesce(col("__base"), lit(0))).cast("double"))
+          .otherwise(col("value")))
       .withColumn("temporality",
-        when(col("kind") === "sum" && col("temporality") === 1, lit(2))
-          .otherwise(col("temporality")))
+        when(isDelta, lit(2)).otherwise(col("temporality")))
+      .drop("__ps", "__base")
   }
 }

@@ -44,17 +44,55 @@ object RemoteWrite {
   /** Parse a frame holding one remote-write request document per row in
     * `jsonCol` into samples: `metric` (the `__name__` label), `labels`
     * (the remaining label map), `ts` (timestamp), `value` (double). */
-  def parse(df: DataFrame, jsonCol: String = "json"): DataFrame = {
+  def parse(df: DataFrame, jsonCol: String = "json"): DataFrame =
+    fromTimeseries(df.select(from_json(col(jsonCol), schema)
+      .getField("timeseries").as("__tss")))
+
+  /** The shared downstream half of both wire faces: explode an
+    * array<struct<labels,samples>> `__tss` column into samples. */
+  private def fromTimeseries(tss: DataFrame): DataFrame = {
     val labelMap = map_from_entries(transform(col("ts_row.labels"),
       l => struct(l.getField("name"), l.getField("value"))))
-    df.select(from_json(col(jsonCol), schema).as("d"))
-      .select(explode(col("d.timeseries")).as("ts_row"))
+    tss.select(explode(col("__tss")).as("ts_row"))
       .select(labelMap.as("__labels"), explode(col("ts_row.samples")).as("s"))
       .select(
         element_at(col("__labels"), "__name__").as("metric"),
         map_filter(col("__labels"), (k, _) => k =!= "__name__").as("labels"),
         timestamp_millis(col("s.timestamp")).as("ts"),
         col("s.value").as("value"))
+  }
+
+  /** REAL-BYTES face of [[parse]]: decode `prometheus.WriteRequest`
+    * protobuf from `binCol` ([[graft.functions.ProtoWire]] — actual
+    * length-delimited wire bytes, message-grain expression) and hand the
+    * decoded timeseries to the SAME downstream column math as the JSON
+    * face, so the two wires are structurally incapable of diverging past
+    * the codec layer. */
+  def parsePb(df: DataFrame, binCol: String = "pb"): DataFrame =
+    fromTimeseries(df.select(
+      graft.functions.ProtoWire.decodeCol(col(binCol)).as("__tss")))
+
+  /** [[render]]'s real-bytes twin: one `WriteRequest` protobuf document
+    * per `docKey` group in column `pb`. Same grouping/ordering rules
+    * (ascending-timestamp samples; `__name__` leads the label list). */
+  def renderPb(df: DataFrame, docKey: Column, metricCol: Column, tsCol: Column,
+               valueCol: Column, labelCols: Seq[(String, Column)]): DataFrame = {
+    val labels = array(
+      (("__name__", metricCol) +: labelCols).map { case (k, c) =>
+        struct(lit(k).as("name"), c.cast("string").as("value"))
+      }: _*)
+    val sampleOrd = struct(
+      unix_millis(tsCol).as("timestamp"),
+      valueCol.cast("double").as("value"))
+    df.groupBy(docKey.as("__doc"), labels.as("__labels"))
+      .agg(array_sort(collect_list(sampleOrd)).as("__samples"))
+      .groupBy(col("__doc"))
+      .agg(graft.functions.ProtoWire.encodeCol(collect_list(
+        struct(col("__labels").as("labels"),
+          transform(col("__samples"), s => struct(
+            s.getField("value").as("value"),
+            s.getField("timestamp").as("timestamp"))).as("samples"))))
+        .as("pb"))
   }
 
   // ---------- remote-write 2.0 (interned symbols, exemplars) ----------

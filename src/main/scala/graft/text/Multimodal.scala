@@ -15,6 +15,12 @@ case class MediaFeatures(
 /** A decoded-and-embedded media row: resized dims + feature vector. */
 case class MediaVec(media_id: Long, rw: Int, rh: Int, feat: Array[Double])
 
+/** REAL-decode features: exact integer channel sums + 2×2 average-pool
+  * cell sums (row-major (cy, cx, channel)) from parsed PPM pixels. */
+case class PpmFeatures(media_id: Long, w: Int, h: Int, n_pixels: Long,
+                       sum_r: Long, sum_g: Long, sum_b: Long,
+                       pool: Array[Long])
+
 /** Multimodal column support (SURVEY §2 E56 [N]): media (image/audio/video)
   * travel as opaque `binary` columns beside typed metadata structs; decode /
   * feature-extract runs partition-batched over the binary payloads.
@@ -83,6 +89,103 @@ object Multimodal {
         col(wCol).cast("int"), col(hCol).cast("int"))
       .as[(Long, Array[Byte], Int, Int)]
       .mapPartitions(_.grouped(64).flatMap(b => decodeBatch(b.toSeq)))
+  }
+
+  // ---- REAL pixel decode (round-13 upgrade over the md5 stub) ----
+
+  /** Binary PPM (P6) encoder for deterministic synthetic images: header
+    * (with a comment line, so the parser's comment handling is
+    * load-bearing) + RGB raster where byte `idx` carries
+    * `(id*7 + idx*13) mod 256` — a closed form an oracle recomputes
+    * WITHOUT parsing bytes, which is what lets the real decode path
+    * hash-check end to end (q256). */
+  def synthPpm(id: Long, w: Int, h: Int): Array[Byte] = {
+    val header = s"P6\n# synthetic $id\n$w $h\n255\n".getBytes("US-ASCII")
+    val n = w * h * 3
+    val out = new Array[Byte](header.length + n)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < n) {
+      out(header.length + i) = ((id * 7 + i.toLong * 13) % 256).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** REAL PPM (P6) parse: magic, whitespace/comment-tolerant header
+    * (width, height, maxval), then the raw RGB raster. Throws on
+    * malformed or truncated input — a decoder that silently pads is how
+    * corrupt media poisons a training set. */
+  def decodePpm(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    var pos = 0
+    def fail(msg: String) = throw new IllegalArgumentException(s"PPM: $msg")
+    def skipWs(): Unit = {
+      var more = true
+      while (more && pos < bytes.length) {
+        val b = bytes(pos)
+        if (b == ' ' || b == '\n' || b == '\r' || b == '\t') pos += 1
+        else if (b == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
+        else more = false
+      }
+    }
+    def int(): Int = {
+      skipWs()
+      var v = 0; var any = false
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1; any = true
+      }
+      if (!any) fail(s"expected integer at byte $pos")
+      v
+    }
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6')
+      fail("not a P6 file")
+    pos = 2
+    val w = int(); val h = int(); val maxval = int()
+    if (maxval != 255) fail(s"unsupported maxval $maxval")
+    pos += 1 // the single whitespace byte terminating the header
+    val n = w * h * 3
+    if (pos + n > bytes.length)
+      fail(s"truncated raster: need $n bytes, have ${bytes.length - pos}")
+    val raster = java.util.Arrays.copyOfRange(bytes, pos, pos + n)
+    (w, h, raster)
+  }
+
+  /** Real per-image features from DECODED pixels, all exact integers so
+    * the oracle's closed form matches bit for bit: per-channel sums over
+    * the full raster plus 2×2 average-pool cell sums (the "resize"
+    * path at provable grain) — `pool` is row-major (cy, cx, channel),
+    * cell of pixel (x,y) = (2y/h, 2x/w). */
+  def ppmFeatures(id: Long, bytes: Array[Byte]): PpmFeatures = {
+    val (w, h, raster) = decodePpm(bytes)
+    val sums = new Array[Long](3)
+    val pool = new Array[Long](12)
+    var i = 0
+    while (i < w * h) {
+      val x = i % w; val y = i / w
+      val cell = (y * 2 / h) * 2 + (x * 2 / w)
+      var c = 0
+      while (c < 3) {
+        val v = (raster(i * 3 + c) & 0xff).toLong
+        sums(c) += v
+        pool(cell * 3 + c) += v
+        c += 1
+      }
+      i += 1
+    }
+    PpmFeatures(id, w, h, w.toLong * h, sums(0), sums(1), sums(2), pool)
+  }
+
+  /** Partition-batched REAL decode: same 64-row batch shape as
+    * [[extractVecs]] (the vectorized-decoder call contract), but the
+    * decoder parses actual image bytes instead of hashing them. */
+  def extractPpm(spark: SparkSession, media: DataFrame, idCol: String,
+                 blobCol: String): Dataset[PpmFeatures] = {
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(64).flatMap(_.map { case (id, bytes) =>
+        ppmFeatures(id, bytes)
+      }))
   }
 
   /** Build the multimodal frame: blob + typed metadata + embedding struct

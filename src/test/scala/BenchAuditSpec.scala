@@ -46,4 +46,49 @@ class BenchAuditSpec extends AnyFunSuite {
     assert(graft.Bench.loadVerdict(0.20, None) == "null")
     assert(graft.Bench.loadVerdict(0.20, Some(0.0)) == "null") // degenerate base
   }
+
+  test("Bench.hazeBands: a contiguous elevated band self-indicts; " +
+    "scattered singles and short runs do not") {
+    def row(n: String, base: Double, now: Double) = (n, base, now)
+    // the round-12 signature: q65..q72 uniformly 3-5x, neighbors quiet
+    val run = Seq(
+      row("q60", 1.0, 1.1), row("q61", 0.5, 0.6),
+      row("q65", 0.3, 1.1), row("q66", 0.4, 1.6),
+      row("q67", 0.2, 0.9), row("q68", 0.5, 2.4),
+      row("q70", 0.3, 1.2),
+      row("q73", 1.0, 0.9), row("q74", 2.0, 1.8))
+    assert(graft.Bench.hazeBands(run) ==
+      Seq("q65", "q66", "q67", "q68", "q70"))
+    // a single elevated query is a code regression candidate, not haze
+    val single = Seq(row("a", 1.0, 1.0), row("b", 0.5, 2.0), row("c", 1.0, 1.0))
+    assert(graft.Bench.hazeBands(single).isEmpty)
+    // a 3-run band is below minLen=4
+    val short3 = Seq(row("a", 0.3, 1.0), row("b", 0.3, 1.0), row("c", 0.3, 1.0),
+      row("d", 1.0, 1.0))
+    assert(graft.Bench.hazeBands(short3).isEmpty)
+    // tiny absolute bumps never band (sub-0.15s jitter)
+    val tiny = (1 to 6).map(i => row(s"t$i", 0.02, 0.09))
+    assert(graft.Bench.hazeBands(tiny).isEmpty)
+    // zero/missing baselines break a band
+    val broken = Seq(row("a", 0.3, 1.0), row("b", 0.3, 1.0),
+      row("c", 0.0, 9.9), row("d", 0.3, 1.0), row("e", 0.3, 1.0))
+    assert(graft.Bench.hazeBands(broken).isEmpty)
+  }
+
+  test("parseBenchExtras + effectiveTimes: haze-stamped queries gate on " +
+    "min-of-reps; clean queries keep their median") {
+    val art =
+      """{"queries":{"q01":3.0,"q02":1.0,"q03":4.0},
+         "mins":{"q01":0.8,"q02":0.9,"q03":3.9},
+         "suspect":["q03"],"haze_suspect":["q01"]}"""
+    val (mins, suspect, haze) = BenchAudit.parseBenchExtras(art)
+    assert(mins("q01") === 0.8 && suspect === Set("q03") && haze === Set("q01"))
+    val eff = BenchAudit.effectiveTimes(art)
+    assert(eff === Map("q01" -> 0.8, "q02" -> 1.0, "q03" -> 3.9))
+  }
+
+  test("effectiveTimes tolerates artifacts without the round-12 fields") {
+    assert(BenchAudit.effectiveTimes("""{"queries":{"q01":1.5}}""") ===
+      Map("q01" -> 1.5))
+  }
 }

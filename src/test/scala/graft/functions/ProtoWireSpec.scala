@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The protobuf wire codec itself: golden bytes (hand-assembled from the
+  * public wire format, so the encoder is pinned to the spec and not just
+  * to its own decoder), roundtrip identity, proto3-default tolerance,
+  * and unknown-field skipping (forward compatibility — a real
+  * WriteRequest may carry fields this schema subset doesn't model,
+  * e.g. exemplars=3 / histograms=4). */
+class ProtoWireSpec extends AnyFunSuite {
+  import ProtoWire._
+
+  private val fixture = Seq(
+    Series(
+      Seq(Label("__name__", "http_requests_total"), Label("job", "api")),
+      Seq(Sample(1.5, 1704067200000L), Sample(2.5, 1704067215000L))),
+    Series(
+      Seq(Label("__name__", "up")),
+      Seq(Sample(1.0, 1704067200000L))))
+
+  test("roundtrip identity on a two-series request") {
+    assert(decode(encode(fixture)) == fixture)
+  }
+
+  test("golden bytes: a minimal request matches the hand-assembled wire") {
+    // WriteRequest{ts{label{name:"a",value:"b"}, sample{value:1.0,
+    // timestamp:5}}}:
+    //   0A          field1 LEN (timeseries)
+    //   15          len 21 = label entry (2+6) + sample entry (2+11)
+    //     0A 06     field1 LEN (label), len 6
+    //       0A 01 61   name="a"
+    //       12 01 62   value="b"
+    //     12 0B     field2 LEN (sample), len 11 = (1+8) + (1+1)
+    //       09 00..F0 3F  field1 I64 double 1.0 (LE)
+    //       10 05         field2 VARINT ts=5
+    val expected = Array(
+      0x0A, 0x15,
+      0x0A, 0x06, 0x0A, 0x01, 0x61, 0x12, 0x01, 0x62,
+      0x12, 0x0B, 0x09, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0xF0, 0x3F,
+      0x10, 0x05).map(_.toByte)
+    val got = encode(Seq(Series(Seq(Label("a", "b")), Seq(Sample(1.0, 5L)))))
+    assert(got.toSeq == expected.toSeq)
+    assert(decode(expected) ==
+      Seq(Series(Seq(Label("a", "b")), Seq(Sample(1.0, 5L)))))
+  }
+
+  test("proto3 defaults: omitted fields read as 0 / empty string") {
+    // a canonical Go encoder omits zero values: sample{} is empty bytes
+    //   0A 04  timeseries len 4
+    //     0A 00  empty label
+    //     12 00  empty sample
+    val wire = Array(0x0A, 0x04, 0x0A, 0x00, 0x12, 0x00).map(_.toByte)
+    assert(decode(wire) ==
+      Seq(Series(Seq(Label("", "")), Seq(Sample(0.0, 0L)))))
+  }
+
+  test("unknown fields skip cleanly on every wire type") {
+    // timeseries carrying an unknown field 3 (LEN — e.g. exemplars),
+    // an unknown varint field 7, and an unknown fixed32 field 8
+    // around one real label
+    val wire = Array(
+      0x0A, 0x13,                         // len 19 = 4 + 2 + 5 + 8
+      0x1A, 0x02, 0x08, 0x01,             // field3 LEN (2 bytes)
+      0x38, 0x2A,                         // field7 VARINT 42
+      0x45, 0x01, 0x02, 0x03, 0x04,       // field8 I32
+      0x0A, 0x06, 0x0A, 0x01, 0x61, 0x12, 0x01, 0x62).map(_.toByte)
+    assert(decode(wire) == Seq(Series(Seq(Label("a", "b")), Nil)))
+  }
+
+  test("truncated input fails loudly, never silently drops samples") {
+    val full = encode(fixture)
+    intercept[IllegalArgumentException] {
+      decode(full.dropRight(3))
+    }
+  }
+
+  test("negative and large timestamps/values survive (varint 10-byte path)") {
+    val s = Seq(Series(Seq(Label("n", "v")),
+      Seq(Sample(-123.456, -1L), Sample(Double.MaxValue, Long.MaxValue))))
+    assert(decode(encode(s)) == s)
+  }
+}

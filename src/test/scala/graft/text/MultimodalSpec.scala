@@ -37,4 +37,47 @@ class MultimodalSpec extends AnyFunSuite {
     val f = Multimodal.decodeStub(1L, Array.emptyByteArray)
     assert(f.n_bytes == 0L && f.byte_mean == 0.0 && f.distinct_bytes == 0L)
   }
+
+  test("PPM: synth -> real parse roundtrips dims and raster exactly") {
+    val bytes = Multimodal.synthPpm(42L, 5, 3)
+    val (w, h, raster) = Multimodal.decodePpm(bytes)
+    assert(w == 5 && h == 3 && raster.length == 45)
+    assert((0 until 45).forall(i =>
+      (raster(i) & 0xff) == ((42L * 7 + i * 13) % 256).toInt))
+  }
+
+  test("PPM: comment-tolerant header, arbitrary whitespace") {
+    val raster = Array.tabulate[Byte](6)(i => (i * 10).toByte)
+    val wire = "P6 # inline\n# full comment line\n 2\t1 \n255\n"
+      .getBytes("US-ASCII") ++ raster
+    val (w, h, r) = Multimodal.decodePpm(wire)
+    assert(w == 2 && h == 1 && r.toSeq == raster.toSeq)
+  }
+
+  test("PPM: malformed input fails loudly (never pads)") {
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm("P5\n1 1\n255\n".getBytes ++ Array[Byte](0))
+    }
+    intercept[IllegalArgumentException] { // truncated raster
+      Multimodal.decodePpm(Multimodal.synthPpm(1L, 4, 4).dropRight(5))
+    }
+    intercept[IllegalArgumentException] { // 16-bit maxval unsupported
+      Multimodal.decodePpm("P6\n1 1\n65535\n".getBytes ++ new Array[Byte](6))
+    }
+  }
+
+  test("PPM features: channel sums and 2x2 pool sums are exact integers") {
+    // 2x2 image: every pixel lands in its own pool cell
+    val bytes = Multimodal.synthPpm(7L, 2, 2)
+    val f = Multimodal.ppmFeatures(7L, bytes)
+    def v(i: Int) = ((7L * 7 + i * 13) % 256)
+    assert(f.n_pixels == 4 && f.w == 2 && f.h == 2)
+    assert(f.sum_r == v(0) + v(3) + v(6) + v(9))
+    assert(f.sum_g == v(1) + v(4) + v(7) + v(10))
+    assert(f.sum_b == v(2) + v(5) + v(8) + v(11))
+    // pixel order: (0,0) (1,0) (0,1) (1,1) -> cells 0,1,2,3
+    assert(f.pool.toSeq == Seq(
+      v(0), v(1), v(2), v(3), v(4), v(5),
+      v(6), v(7), v(8), v(9), v(10), v(11)))
+  }
 }
