@@ -204,6 +204,123 @@ object ProtoWire {
     ExpressionUtils.column(PbWriteRequestEncode(ExpressionUtils.expression(series)))
   def decodeCol(bytes: Column): Column =
     ExpressionUtils.column(PbWriteRequestDecode(ExpressionUtils.expression(bytes)))
+
+  // ---------- remote-write 2.0 (io.prometheus.write.v2.Request) ----------
+  //
+  //   Request    { reserved 1..3; repeated string symbols = 4;
+  //                repeated TimeSeries timeseries = 5; }
+  //   TimeSeries { repeated uint32 labels_refs = 1 [packed];
+  //                repeated Sample samples = 2;
+  //                repeated Exemplar exemplars = 4; /* 3,5,6 skipped */ }
+  //   Exemplar   { repeated uint32 labels_refs = 1 [packed];
+  //                double value = 2; int64 timestamp = 3; }
+  //
+  // labels_refs is PACKED (proto3 default for scalar repeated): one
+  // LEN-delimited run of varints. The decoder also accepts the unpacked
+  // spelling (repeated wiretype-0 fields) — spec-required tolerance.
+
+  final case class ExemplarV2(labelsRefs: Seq[Int], value: Double, timestamp: Long)
+  final case class SeriesV2(labelsRefs: Seq[Int], samples: Seq[Sample],
+                            exemplars: Seq[ExemplarV2])
+  final case class RequestV2(symbols: Seq[String], timeseries: Seq[SeriesV2])
+
+  /** The decoded Catalyst shape — matches
+    * [[graft.sources.RemoteWrite]]'s rw2 JSON schema field for field. */
+  val requestV2Type: DataType = StructType(Seq(
+    StructField("symbols", ArrayType(StringType)),
+    StructField("timeseries", ArrayType(StructType(Seq(
+      StructField("labelsRefs", ArrayType(IntegerType)),
+      StructField("samples", ArrayType(StructType(Seq(
+        StructField("value", DoubleType),
+        StructField("timestamp", LongType))))),
+      StructField("exemplars", ArrayType(StructType(Seq(
+        StructField("labelsRefs", ArrayType(IntegerType)),
+        StructField("value", DoubleType),
+        StructField("timestamp", LongType)))))))))))
+
+  private def packedBytes(xs: Seq[Int]): Array[Byte] = {
+    val w = new Writer; xs.foreach(x => w.varint(x.toLong & 0xffffffffL)); w.bytes
+  }
+  private def exemplarBytes(e: ExemplarV2): Array[Byte] = {
+    val w = new Writer
+    if (e.labelsRefs.nonEmpty) w.lenDelim(1, packedBytes(e.labelsRefs))
+    w.fixed64(2, java.lang.Double.doubleToLongBits(e.value))
+    w.int64(3, e.timestamp)
+    w.bytes
+  }
+  private def seriesV2Bytes(ts: SeriesV2): Array[Byte] = {
+    val w = new Writer
+    if (ts.labelsRefs.nonEmpty) w.lenDelim(1, packedBytes(ts.labelsRefs))
+    ts.samples.foreach(s => w.lenDelim(2, sampleBytes(s)))
+    ts.exemplars.foreach(e => w.lenDelim(4, exemplarBytes(e)))
+    w.bytes
+  }
+
+  /** A full v2 `Request` message as real protobuf bytes. */
+  def encodeV2(req: RequestV2): Array[Byte] = {
+    val w = new Writer
+    req.symbols.foreach(s => w.str(4, s))
+    req.timeseries.foreach(ts => w.lenDelim(5, seriesV2Bytes(ts)))
+    w.bytes
+  }
+
+  private def readPacked(r: Reader): Seq[Int] = {
+    val out = Seq.newBuilder[Int]
+    while (r.hasMore) out += r.varint().toInt
+    out.result()
+  }
+  private def readExemplar(r: Reader): ExemplarV2 = {
+    val refs = Seq.newBuilder[Int]
+    var value = 0.0; var ts = 0L
+    while (r.hasMore) {
+      val t = r.varint(); val f = (t >>> 3).toInt; val wt = (t & 7).toInt
+      (f, wt) match {
+        case (1, 2) => refs ++= readPacked(r.lenDelim())
+        case (1, 0) => refs += r.varint().toInt // unpacked spelling
+        case (2, 1) => value = java.lang.Double.longBitsToDouble(r.fixed64())
+        case (3, 0) => ts = r.varint()
+        case _ => r.skip(wt)
+      }
+    }
+    ExemplarV2(refs.result(), value, ts)
+  }
+  private def readSeriesV2(r: Reader): SeriesV2 = {
+    val refs = Seq.newBuilder[Int]
+    val samples = Seq.newBuilder[Sample]
+    val exemplars = Seq.newBuilder[ExemplarV2]
+    while (r.hasMore) {
+      val t = r.varint(); val f = (t >>> 3).toInt; val wt = (t & 7).toInt
+      (f, wt) match {
+        case (1, 2) => refs ++= readPacked(r.lenDelim())
+        case (1, 0) => refs += r.varint().toInt
+        case (2, 2) => samples += readSample(r.lenDelim())
+        case (4, 2) => exemplars += readExemplar(r.lenDelim())
+        case _ => r.skip(wt) // histograms=3, metadata=5, created_ts=6
+      }
+    }
+    SeriesV2(refs.result(), samples.result(), exemplars.result())
+  }
+
+  /** Parse real v2 `Request` protobuf bytes. */
+  def decodeV2(bytes: Array[Byte]): RequestV2 = {
+    val r = new Reader(bytes, 0, bytes.length)
+    val symbols = Seq.newBuilder[String]
+    val series = Seq.newBuilder[SeriesV2]
+    while (r.hasMore) {
+      val t = r.varint(); val f = (t >>> 3).toInt; val wt = (t & 7).toInt
+      (f, wt) match {
+        case (4, 2) => symbols += r.utf8()
+        case (5, 2) => series += readSeriesV2(r.lenDelim())
+        case _ => r.skip(wt)
+      }
+    }
+    RequestV2(symbols.result(), series.result())
+  }
+
+  def encodeV2Col(req: Column): Column =
+    ExpressionUtils.column(PbRequestV2Encode(ExpressionUtils.expression(req)))
+  def decodeV2Col(bytes: Column): Column =
+    ExpressionUtils.column(PbRequestV2Decode(ExpressionUtils.expression(bytes)))
 }
 
 /** array<struct<labels,samples>> (the [[ProtoWire.writeRequestType]]
@@ -235,6 +352,101 @@ case class PbWriteRequestEncode(child: Expression) extends UnaryExpression with 
     ProtoWire.encode(series)
   }
   override protected def withNewChildInternal(c: Expression): PbWriteRequestEncode = copy(c)
+}
+
+/** struct<symbols, timeseries> (the rw2 shape; field ORDER within each
+  * struct is resolved BY NAME at bind time, so both the render path's
+  * (timestamp, value) sample spelling and the canonical (value,
+  * timestamp) encode identically) → real v2 `Request` protobuf bytes. */
+case class PbRequestV2Encode(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+
+  private def fieldIdx(st: StructType, name: String): Int = st.fieldIndex(name)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case st: StructType if st.fieldNames.contains("symbols") &&
+      st.fieldNames.contains("timeseries") => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expects struct<symbols, timeseries>, got ${other.catalogString}")
+  }
+
+  // ordinals resolved once from the bound child schema
+  private lazy val topSt = child.dataType.asInstanceOf[StructType]
+  private lazy val symIdx = fieldIdx(topSt, "symbols")
+  private lazy val tssIdx = fieldIdx(topSt, "timeseries")
+  private lazy val serSt = topSt(tssIdx).dataType.asInstanceOf[ArrayType]
+    .elementType.asInstanceOf[StructType]
+  private lazy val refsIdx = fieldIdx(serSt, "labelsRefs")
+  private lazy val samplesIdx = fieldIdx(serSt, "samples")
+  private lazy val exIdx =
+    if (serSt.fieldNames.contains("exemplars")) fieldIdx(serSt, "exemplars") else -1
+  private lazy val samSt = serSt(samplesIdx).dataType.asInstanceOf[ArrayType]
+    .elementType.asInstanceOf[StructType]
+  private lazy val samValIdx = fieldIdx(samSt, "value")
+  private lazy val samTsIdx = fieldIdx(samSt, "timestamp")
+  private lazy val exSt = if (exIdx < 0) null else
+    serSt(exIdx).dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+  private lazy val exRefsIdx = if (exSt == null) -1 else fieldIdx(exSt, "labelsRefs")
+  private lazy val exValIdx = if (exSt == null) -1 else fieldIdx(exSt, "value")
+  private lazy val exTsIdx = if (exSt == null) -1 else fieldIdx(exSt, "timestamp")
+
+  override def nullSafeEval(v: Any): Any = {
+    val row = v.asInstanceOf[InternalRow]
+    val syms = row.getArray(symIdx)
+    val symbols = (0 until syms.numElements()).map(i => syms.getUTF8String(i).toString)
+    val tss = row.getArray(tssIdx)
+    val series = (0 until tss.numElements()).map { i =>
+      val sr = tss.getStruct(i, serSt.length)
+      val refsArr = sr.getArray(refsIdx)
+      val refs = (0 until refsArr.numElements()).map(refsArr.getInt)
+      val ss = sr.getArray(samplesIdx)
+      val samples = (0 until ss.numElements()).map { j =>
+        val s = ss.getStruct(j, samSt.length)
+        ProtoWire.Sample(s.getDouble(samValIdx), s.getLong(samTsIdx))
+      }
+      val exemplars =
+        if (exIdx < 0 || sr.isNullAt(exIdx)) Nil
+        else {
+          val ea = sr.getArray(exIdx)
+          (0 until ea.numElements()).map { j =>
+            val e = ea.getStruct(j, exSt.length)
+            val er = e.getArray(exRefsIdx)
+            ProtoWire.ExemplarV2((0 until er.numElements()).map(er.getInt),
+              e.getDouble(exValIdx), e.getLong(exTsIdx))
+          }.toSeq
+        }
+      ProtoWire.SeriesV2(refs, samples, exemplars)
+    }
+    ProtoWire.encodeV2(ProtoWire.RequestV2(symbols, series))
+  }
+  override protected def withNewChildInternal(c: Expression): PbRequestV2Encode = copy(c)
+}
+
+/** Real v2 `Request` protobuf bytes → [[ProtoWire.requestV2Type]]. */
+case class PbRequestV2Decode(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ProtoWire.requestV2Type
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expects binary, got ${other.catalogString}")
+  }
+  override def nullSafeEval(v: Any): Any = {
+    val req = ProtoWire.decodeV2(v.asInstanceOf[Array[Byte]])
+    InternalRow(
+      new GenericArrayData(req.symbols.map(UTF8String.fromString).toArray[Any]),
+      new GenericArrayData(req.timeseries.map { ts =>
+        InternalRow(
+          new GenericArrayData(ts.labelsRefs.toArray[Any]),
+          new GenericArrayData(ts.samples.map(s =>
+            InternalRow(s.value, s.timestamp)).toArray[Any]),
+          new GenericArrayData(ts.exemplars.map(e =>
+            InternalRow(new GenericArrayData(e.labelsRefs.toArray[Any]),
+              e.value, e.timestamp)).toArray[Any]))
+      }.toArray[Any]))
+  }
+  override protected def withNewChildInternal(c: Expression): PbRequestV2Decode = copy(c)
 }
 
 /** Real `prometheus.WriteRequest` protobuf bytes →

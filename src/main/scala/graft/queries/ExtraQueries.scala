@@ -781,6 +781,86 @@ object ExtraQueries {
         .orderBy(col("lang"))
     }),
 
+    // [N] The COMPLETE remote-write v1 wire: snappy(protobuf(...)) —
+    // the actual Content-Encoding every Prometheus ships. ProtoWire
+    // renders real WriteRequest bytes, Snappy (pure-JVM block format:
+    // uvarint preamble, literal/copy-1/copy-2 elements from a greedy
+    // 4-gram matcher) compresses them, the decompressor walks the
+    // elements back, and parsePb lands the samples. `wire_ok` asserts
+    // decompress∘compress = id on every document's exact bytes;
+    // `compressed_smaller` reports that the interned label bytes
+    // actually compress (repeated label keys/values across series). The
+    // oracle checks the parsed aggregates from the raw table — a wrong
+    // copy offset or length anywhere shreds the protobuf and goes red.
+    "q258_remote_write_wire" -> ((s, d) => {
+      import graft.sources.RemoteWrite
+      import graft.functions.Snappy
+      val ev = events(s, d)
+        .filter(col("ts") < lit("2024-01-03").cast("timestamp"))
+      val pbDocs = RemoteWrite.renderPb(ev, col("user_id"),
+        concat(lit("app_events_"), col("event_type")),
+        col("ts"), col("value"), Seq("user" -> col("user_id")))
+      val wire = pbDocs
+        .withColumn("sz", Snappy.compressCol(col("pb")))
+        .withColumn("pb2", Snappy.decompressCol(col("sz")))
+      val flags = wire.agg(
+        min(col("pb2") === col("pb")).as("wire_ok"),
+        sum(length(col("sz"))).as("__csz"),
+        sum(length(col("pb"))).as("__rsz"),
+        count(lit(1)).as("n_docs"))
+        .select(col("wire_ok"), col("n_docs"),
+          (col("__csz") < col("__rsz")).as("compressed_smaller"))
+      val parsed = RemoteWrite.parsePb(wire.select(col("pb2").as("pb")))
+      parsed.groupBy(col("metric"))
+        .agg(count(lit(1)).as("n_samples"),
+          round(sum(round(col("value"), 6).cast("decimal(18,6)"))
+            .cast("double"), 4).as("sum_value"),
+          max(col("ts")).as("max_ts"))
+        .crossJoin(broadcast(flags))
+        .select(col("metric"), col("n_samples"), col("sum_value"),
+          col("max_ts"), col("n_docs"), col("wire_ok"),
+          col("compressed_smaller"))
+        .orderBy(col("metric"))
+    }),
+
+    // [N] Remote-write 2.0 as REAL protobuf (io.prometheus.write.v2
+    // .Request): interned symbol table (field 4), PACKED uint32
+    // labels_refs, embedded samples AND exemplars — rendered from the
+    // SAME assembled request struct as the JSON face (q194) and parsed
+    // back through the SAME downstream explodes, so the only thing
+    // under test is the wire itself. Aggregates (samples + exemplar
+    // accounting incl. the total-ordered newest trace) hash against the
+    // raw table.
+    "q259_remote_write_v2_pb" -> ((s, d) => {
+      import graft.sources.RemoteWrite
+      val ev = events(s, d)
+        .filter(col("ts") < lit("2024-01-03").cast("timestamp"))
+        .withColumn("trace_id",
+          concat(lit("t"), get_json_object(col("props"), "$.k")))
+      val docs = RemoteWrite.renderV2Pb(ev, col("user_id"),
+        concat(lit("app_events_"), col("event_type")),
+        col("ts"), col("value"), Seq("user" -> col("user_id")),
+        "trace_id" -> col("trace_id"))
+      val parsed = graft.CacheBag.register(RemoteWrite.parseV2Pb(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val samples = parsed.filter(!col("is_exemplar"))
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n_samples"),
+          round(sum(round(col("value"), 6).cast("decimal(18,6)"))
+            .cast("double"), 4).as("sum_value"),
+          max(col("ts")).as("max_ts"))
+      val exemplars = parsed.filter(col("is_exemplar"))
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n_exemplars"),
+          max_by(col("ex_labels")("trace_id"),
+            struct(col("ts"), col("value"), col("ex_labels")("trace_id")))
+            .as("top_trace"))
+      samples.join(exemplars, Seq("metric"))
+        .select(col("metric"), col("n_samples"), col("sum_value"),
+          col("max_ts"), col("n_exemplars"), col("top_trace"))
+        .orderBy(col("metric"))
+    }),
+
     // [N] REAL protobuf remote-write bytes — closes the documented
     // JSON-stand-in delta: the same sample frame rendered through BOTH
     // wire faces, JSON documents AND actual `prometheus.WriteRequest`
@@ -2654,6 +2734,52 @@ object ExtraQueries {
         |  CAST(sum(CASE WHEN c = 2 AND x * 2 // w = 1 AND y * 2 // h = 1
         |    THEN v END) AS BIGINT) AS pool11_b
         |FROM px GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // The full wire (snappy + protobuf) must land on the raw table's
+    // aggregates; wire_ok/compressed_smaller are engine-proved booleans.
+    "q258_remote_write_wire" ->
+      """SELECT 'app_events_' || event_type AS metric, count(*) AS n_samples,
+        |  round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE),
+        |    4) AS sum_value,
+        |  max(date_trunc('milliseconds', ts)) AS max_ts,
+        |  (SELECT count(DISTINCT user_id) FROM events
+        |   WHERE ts < TIMESTAMP '2024-01-03') AS n_docs,
+        |  TRUE AS wire_ok, TRUE AS compressed_smaller
+        |FROM events WHERE ts < TIMESTAMP '2024-01-03'
+        |GROUP BY 1 ORDER BY metric""".stripMargin,
+
+    // Same exemplar total-order as q194; only the wire changed.
+    "q259_remote_write_v2_pb" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, ts, value,
+        |    't' || CAST(json_extract(props, '$.k') AS VARCHAR) AS trace
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-03'
+        |), ex AS (
+        |  SELECT event_type, user_id, trace, ts, value
+        |  FROM e
+        |  QUALIFY row_number() OVER (PARTITION BY event_type, user_id
+        |    ORDER BY ts DESC, value DESC, trace DESC) = 1
+        |), sam AS (
+        |  SELECT 'app_events_' || event_type AS metric, count(*) AS n_samples,
+        |    round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |      AS sum_value,
+        |    max(date_trunc('milliseconds', ts)) AS max_ts
+        |  FROM e GROUP BY 1
+        |), exm AS (
+        |  SELECT 'app_events_' || event_type AS metric,
+        |    count(*) AS n_exemplars
+        |  FROM ex GROUP BY 1
+        |), top AS (
+        |  SELECT 'app_events_' || event_type AS metric, trace AS top_trace
+        |  FROM ex
+        |  QUALIFY row_number() OVER (PARTITION BY event_type
+        |    ORDER BY date_trunc('milliseconds', ts) DESC, value DESC,
+        |             trace DESC) = 1
+        |)
+        |SELECT s.metric, s.n_samples, s.sum_value, s.max_ts,
+        |  x.n_exemplars, t.top_trace
+        |FROM sam s JOIN exm x USING (metric) JOIN top t USING (metric)
+        |ORDER BY s.metric""".stripMargin,
 
     // Both wire faces must land on the raw table's aggregates (ms
     // timestamp unit, the remote-write grain).

@@ -277,8 +277,14 @@ object RemoteWrite {
     * `(metric, labels, ts, value)` plus per-series exemplars exploded
     * into `(metric, labels, ex_labels, ex_value, ex_ts)` rows — callers
     * split on `is_exemplar`. */
-  def parseV2(df: DataFrame, jsonCol: String = "json"): DataFrame = {
-    val base = df.select(from_json(col(jsonCol), rw2Schema).as("d"))
+  def parseV2(df: DataFrame, jsonCol: String = "json"): DataFrame =
+    parseV2Struct(df.select(from_json(col(jsonCol), rw2Schema).as("d")))
+
+  /** The shared downstream half of both v2 wire faces: a `d` struct
+    * column (symbols + timeseries) exploded into sample and exemplar
+    * rows. */
+  private def parseV2Struct(parsed: DataFrame): DataFrame = {
+    val base = parsed
       .select(col("d.symbols").as("__sym"),
         explode(col("d.timeseries")).as("ts_row"))
       .withColumn("__labels", resolveRefs(col("ts_row.labelsRefs"), col("__sym")))
@@ -314,7 +320,18 @@ object RemoteWrite {
   def renderV2(df: DataFrame, docKey: Column, metricCol: Column,
                tsCol: Column, valueCol: Column,
                labelCols: Seq[(String, Column)],
-               exLabel: (String, Column)): DataFrame = {
+               exLabel: (String, Column)): DataFrame =
+    renderV2Assembled(df, docKey, metricCol, tsCol, valueCol, labelCols,
+      exLabel)
+      .select(col("__doc"), to_json(col("__req")).as("json"))
+
+  /** The shared assembly half of both v2 wire faces: one row per
+    * `docKey` group with the full request as a struct column `__req`. */
+  private def renderV2Assembled(df: DataFrame, docKey: Column,
+                                metricCol: Column, tsCol: Column,
+                                valueCol: Column,
+                                labelCols: Seq[(String, Column)],
+                                exLabel: (String, Column)): DataFrame = {
     val sample = struct(
       unix_millis(tsCol).as("timestamp"),
       valueCol.cast("double").as("value"))
@@ -341,25 +358,50 @@ object RemoteWrite {
           array(s.getField("__m"), s.getField("__ex").getField("exv")),
           flatten(transform(s.getField("__lbl"), l =>
             array(l.getField("k"), l.getField("v")))))))))))
-      .select(col("__doc"), to_json(struct(
-        col("symbols"),
-        transform(col("__series"), s => {
-          def ref(c: Column) = (array_position(col("symbols"), c) - 1).cast("int")
-          struct(
-            concat(
-              array(ref(lit("__name__")), ref(s.getField("__m"))),
-              flatten(transform(s.getField("__lbl"), l =>
-                array(ref(l.getField("k")), ref(l.getField("v"))))))
-              .as("labelsRefs"),
-            s.getField("samples").as("samples"),
-            array(struct(
-              array(ref(lit(exLabel._1)), ref(s.getField("__ex").getField("exv")))
-                .as("labelsRefs"),
-              s.getField("__ex").getField("exval").as("value"),
-              s.getField("__ex").getField("exts").as("timestamp")))
-              .as("exemplars"))
-        }).as("timeseries"))).as("json"))
+      .select(col("__doc"), requestV2Struct(exLabel._1).as("__req"))
   }
+
+  /** The assembled v2 request as ONE struct column (symbols +
+    * ref-resolved timeseries) — shared by the JSON and protobuf faces. */
+  private def requestV2Struct(exLabelName: String): Column = {
+    def ref(c: Column) = (array_position(col("symbols"), c) - 1).cast("int")
+    struct(
+      col("symbols"),
+      transform(col("__series"), s =>
+        struct(
+          concat(
+            array(ref(lit("__name__")), ref(s.getField("__m"))),
+            flatten(transform(s.getField("__lbl"), l =>
+              array(ref(l.getField("k")), ref(l.getField("v"))))))
+            .as("labelsRefs"),
+          s.getField("samples").as("samples"),
+          array(struct(
+            array(ref(lit(exLabelName)), ref(s.getField("__ex").getField("exv")))
+              .as("labelsRefs"),
+            s.getField("__ex").getField("exval").as("value"),
+            s.getField("__ex").getField("exts").as("timestamp")))
+            .as("exemplars"))).as("timeseries"))
+  }
+
+  /** [[renderV2]]'s real-bytes twin: one v2 `Request` protobuf document
+    * per `docKey` group in column `pb` ([[graft.functions.ProtoWire]]
+    * encodeV2 — interned symbols, PACKED labels_refs, embedded samples
+    * and exemplars), built from the SAME request struct as the JSON
+    * face. */
+  def renderV2Pb(df: DataFrame, docKey: Column, metricCol: Column,
+                 tsCol: Column, valueCol: Column,
+                 labelCols: Seq[(String, Column)],
+                 exLabel: (String, Column)): DataFrame =
+    renderV2Assembled(df, docKey, metricCol, tsCol, valueCol, labelCols,
+      exLabel)
+      .select(col("__doc"),
+        graft.functions.ProtoWire.encodeV2Col(col("__req")).as("pb"))
+
+  /** REAL-BYTES face of [[parseV2]]: decode v2 `Request` protobuf and
+    * hand the decoded struct to the SAME downstream column math. */
+  def parseV2Pb(df: DataFrame, binCol: String = "pb"): DataFrame =
+    parseV2Struct(df.select(
+      graft.functions.ProtoWire.decodeV2Col(col(binCol)).as("d")))
 
   /** Render a sample frame INTO remote-write request documents — the
     * inverse used by the replay harness and oracle (one request per

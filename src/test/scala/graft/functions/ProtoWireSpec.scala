@@ -80,4 +80,52 @@ class ProtoWireSpec extends AnyFunSuite {
       Seq(Sample(-123.456, -1L), Sample(Double.MaxValue, Long.MaxValue))))
     assert(decode(encode(s)) == s)
   }
+
+  // ---- remote-write 2.0 ----
+
+  private val v2Fixture = RequestV2(
+    Seq("", "__name__", "up", "job", "api", "trace_id", "t1"),
+    Seq(
+      SeriesV2(Seq(1, 2, 3, 4),
+        Seq(Sample(1.0, 1704067200000L), Sample(2.0, 1704067215000L)),
+        Seq(ExemplarV2(Seq(5, 6), 1.5, 1704067210000L))),
+      SeriesV2(Seq(1, 2), Seq(Sample(0.0, 0L)), Nil)))
+
+  test("v2 roundtrip: symbols, packed refs, samples, exemplars") {
+    assert(decodeV2(encodeV2(v2Fixture)) == v2Fixture)
+  }
+
+  test("v2 golden: symbols land in field 4, packed labels_refs in LEN") {
+    val req = RequestV2(Seq("a"), Seq(SeriesV2(Seq(300), Nil, Nil)))
+    // symbols: tag (4<<3)|2 = 0x22, len 1, 'a'
+    // timeseries: tag (5<<3)|2 = 0x2A, len 4:
+    //   packed refs: tag 0x0A, len 2, varint 300 = AC 02
+    val expected = Array(
+      0x22, 0x01, 'a'.toInt,
+      0x2A, 0x04, 0x0A, 0x02, 0xAC, 0x02).map(_.toByte)
+    assert(encodeV2(req).toSeq == expected.toSeq)
+    assert(decodeV2(expected) == req)
+  }
+
+  test("v2 decoder accepts the UNPACKED labels_refs spelling") {
+    // series: two unpacked wiretype-0 field-1 entries: 08 01 08 02
+    val wire = Array(0x2A, 0x04, 0x08, 0x01, 0x08, 0x02).map(_.toByte)
+    assert(decodeV2(wire) == RequestV2(Nil, Seq(SeriesV2(Seq(1, 2), Nil, Nil))))
+  }
+
+  test("v2 decoder skips reserved/unknown fields (histograms=3, metadata=5)") {
+    // series with field 3 (LEN, 2 bytes) and field 6 (varint) around refs
+    val wire = Array(0x2A, 0x0A,
+      0x1A, 0x02, 0x08, 0x01,  // histograms (skipped)
+      0x30, 0x07,              // created_timestamp (skipped)
+      0x0A, 0x02, 0x01, 0x02).map(_.toByte)
+    assert(decodeV2(wire) == RequestV2(Nil, Seq(SeriesV2(Seq(1, 2), Nil, Nil))))
+  }
+
+  test("v1+v2 wires through snappy: the full Content-Encoding stack") {
+    val pb = encode(fixture)
+    assert(Snappy.decompress(Snappy.compress(pb)).toSeq == pb.toSeq)
+    val pb2 = encodeV2(v2Fixture)
+    assert(decodeV2(Snappy.decompress(Snappy.compress(pb2))) == v2Fixture)
+  }
 }
