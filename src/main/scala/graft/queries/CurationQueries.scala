@@ -24,6 +24,21 @@ object CurationQueries {
       .repartition(s.sparkContext.defaultParallelism)
       .withColumn("toks", TextOps.tokens(col("text")))
 
+  /** The q209 hash-linear classifier's per-doc sigmoid score `p` (6 dp)
+    * — shared by the per-lang rollup (q209) and the threshold-sweep
+    * calibration face (q261). */
+  private def classifierScores(s: SparkSession, d: String): DataFrame =
+    docsWithTokens(s, d)
+      .select(col("lang"), col("doc_id"),
+        explode(concat(col("toks"), TextOps.shingles(col("toks"), 2))).as("f"))
+      .withColumn("b", pmod(TextOps.md5Hash48(col("f"), "qc"), lit(256)))
+      .withColumn("w_milli",
+        pmod(TextOps.md5Hash48(col("b").cast("string"), "qw"), lit(2001)) - 1000)
+      .groupBy(col("lang"), col("doc_id"))
+      .agg(count(lit(1)).as("nf"), sum(col("w_milli")).as("sw"))
+      .withColumn("sc", col("sw").cast("double") / (col("nf") * 1000.0))
+      .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-col("sc"))), 6))
+
   /** The q92 near-dup cluster pipeline (banded MinHash LSH candidates →
     * signature-verify → pointer-doubling connected components), shared
     * with the canonical-selection face (q190). */
@@ -569,18 +584,7 @@ object CurationQueries {
     // rule-based (q168), LM-based (q88/q187), and classifier-based
     // curation archetypes are now all present.
     "q209_quality_classifier" -> ((s, d) => {
-      val feats = docsWithTokens(s, d)
-        .select(col("lang"), col("doc_id"),
-          explode(concat(col("toks"), TextOps.shingles(col("toks"), 2))).as("f"))
-      val scored = feats
-        .withColumn("b", pmod(TextOps.md5Hash48(col("f"), "qc"), lit(256)))
-        .withColumn("w_milli",
-          pmod(TextOps.md5Hash48(col("b").cast("string"), "qw"), lit(2001)) - 1000)
-        .groupBy(col("lang"), col("doc_id"))
-        .agg(count(lit(1)).as("nf"), sum(col("w_milli")).as("sw"))
-        .withColumn("sc", col("sw").cast("double") / (col("nf") * 1000.0))
-        .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-col("sc"))), 6))
-      scored.groupBy(col("lang"))
+      classifierScores(s, d).groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("p") > 0.5, 1).otherwise(0)).as("n_keep"),
           round(sum(col("p").cast("decimal(18,6)")).cast("double") /
@@ -643,6 +647,80 @@ object CurationQueries {
     // hash uniformity, which the output MEASURES (max/min shard load vs
     // the uniform ideal). Within a shard the write order is the hash
     // order (the shard's own deterministic shuffle); head_doc pins it.
+    // [N] Length-bucketed batch assembly — the training data-loader's
+    // dynamic-padding op: width-64 length buckets, per-(bucket, shard)
+    // doc_id order, a 4096-token budget → floor(budget/cap) examples per
+    // batch (min 1 so oversized docs get singleton batches), batch_id by
+    // integer division on the rank — every step a closed form, no
+    // recursion, one shuffle on the (bucket, shard) key, and the shard
+    // (the q153 rule) bounds every window partition at corpus scale.
+    // Waste accounting is EXACT integers under both padding policies —
+    // static (pad to the bucket cap) and dynamic (pad to the batch max)
+    // — the numbers a capacity planner actually compares.
+    "q260_length_bucketed_batches" -> ((s, d) => {
+      val budget = 4096
+      val docs = docsWithTokens(s, d)
+        .select(col("doc_id"), greatest(size(col("toks")), lit(1)).as("n_toks"))
+        .withColumn("bucket", expr("(n_toks - 1) div 64"))
+        .withColumn("cap", (col("bucket") + 1) * 64)
+        .withColumn("shard", pmod(col("doc_id"), lit(8)))
+      val w = Window.partitionBy(col("bucket"), col("shard"))
+        .orderBy(col("doc_id"))
+      val batched = docs
+        .withColumn("rk", row_number().over(w))
+        .withColumn("per_batch",
+          greatest(expr(s"$budget div cap"), lit(1L)))
+        .withColumn("batch_id", expr("(rk - 1) div per_batch"))
+      val perBatch = batched
+        .groupBy(col("bucket"), col("cap"), col("shard"), col("batch_id"))
+        .agg(count(lit(1)).as("n"), sum(col("n_toks")).as("toks"),
+          max(col("n_toks")).as("bmax"))
+      perBatch.groupBy(col("bucket"), col("cap"))
+        .agg(sum(col("n")).as("n_docs"),
+          count(lit(1)).as("n_batches"),
+          sum(col("toks")).as("sum_tokens"),
+          sum(col("n") * col("cap") - col("toks")).as("waste_static"),
+          sum(col("n") * col("bmax") - col("toks")).as("waste_dynamic"))
+        .orderBy(col("bucket"))
+    }),
+
+    // [N] Classifier threshold sweep (precision/recall/F1 calibration —
+    // how a filtering threshold is actually chosen): q209's sigmoid
+    // scores against a deterministic reference label (lang = 'en'),
+    // swept over 20 thresholds WITHOUT a thresholds × docs cross join —
+    // scores land in 20 exact DECIMAL buckets (p ∈ (k/20, (k+1)/20]),
+    // one keyed agg, then suffix sums over the 20-row bucket table give
+    // TP/PP at every threshold (the unpartitioned window runs at
+    // 20-row grain, never data grain). PR/F1 divisions are int/int
+    // double ops, identical in both engines.
+    "q261_threshold_sweep" -> ((s, d) => {
+      val scored = classifierScores(s, d)
+        .select(col("doc_id"), col("p"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        // bucket j: p in (j/20, (j+1)/20]; DECIMAL product keeps the
+        // boundary exact (double p*20 rounds 0.15*20 up past 3)
+        .withColumn("j", greatest(
+          ceil(col("p").cast("decimal(9,6)") * 20) - 1, lit(0L)))
+      val buckets = scored.groupBy(col("j"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      val wDesc = Window.orderBy(col("j").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val totals = scored.agg(sum(col("y")).as("all_pos"),
+        count(lit(1)).as("all_n"))
+      buckets
+        .withColumn("pp", sum(col("n")).over(wDesc))
+        .withColumn("tp", sum(col("pos")).over(wDesc))
+        .crossJoin(broadcast(totals))
+        .select(
+          round(col("j").cast("double") / 20, 2).as("threshold"),
+          col("pp").as("predicted_pos"), col("tp"),
+          round(col("tp").cast("double") / col("pp"), 6).as("precision"),
+          round(col("tp").cast("double") / col("all_pos"), 6).as("recall"),
+          round(lit(2.0) * col("tp") /
+            (col("pp") + col("all_pos")), 6).as("f1"))
+        .orderBy(col("threshold"))
+    }),
+
     "q245_corpus_shuffle_shards" -> ((s, d) => {
       val hashed = docsWithTokens(s, d)
         .withColumn("h", md5(concat(lit("shuf|"), col("doc_id"))))
@@ -1470,6 +1548,83 @@ object CurationQueries {
 
     // Same md5 permutation key, same nibble ranges; skew = share of the
     // uniform ideal. All aggregation integer except the one ratio.
+    // Same width-64 bucketing, same shard-bounded rank division, exact
+    // integer waste under both padding policies.
+    "q260_length_bucketed_batches" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    greatest(len(string_split_regex(trim(text), '\s+')), 1) AS n_toks
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, n_toks,
+        |    (n_toks - 1) // 64 AS bucket,
+        |    ((n_toks - 1) // 64 + 1) * 64 AS cap,
+        |    doc_id % 8 AS shard
+        |  FROM d
+        |), r AS (
+        |  SELECT *, greatest(4096 // cap, 1) AS per_batch,
+        |    row_number() OVER (PARTITION BY bucket, shard ORDER BY doc_id)
+        |      AS rk
+        |  FROM b
+        |), pb AS (
+        |  SELECT bucket, cap, shard, (rk - 1) // per_batch AS batch_id,
+        |    count(*) AS n, sum(n_toks) AS toks, max(n_toks) AS bmax
+        |  FROM r GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT bucket, cap, CAST(sum(n) AS BIGINT) AS n_docs,
+        |  count(*) AS n_batches,
+        |  CAST(sum(toks) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(n * cap - toks) AS BIGINT) AS waste_static,
+        |  CAST(sum(n * bmax - toks) AS BIGINT) AS waste_dynamic
+        |FROM pb GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
+
+    // q209's exact scoring chain, then DECIMAL-bucketed suffix sums —
+    // F1 = 2TP/(PP + P), the integer-safe identity.
+    "q261_threshold_sweep" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), feats AS (
+        |  SELECT lang, doc_id, f FROM (
+        |    SELECT lang, doc_id,
+        |      list_concat(toks,
+        |        list_distinct([array_to_string(toks[i:i+1], ' ')
+        |          for i in generate_series(1, len(toks) - 1)])) AS fs
+        |    FROM t
+        |  ), unnest(fs) AS u(f)
+        |), w AS (
+        |  SELECT lang, doc_id,
+        |    CAST(concat('0x', substr(md5('qw|' ||
+        |      (CAST(concat('0x', substr(md5('qc|' || f), 1, 12)) AS BIGINT) % 256)
+        |      ), 1, 12)) AS BIGINT) % 2001 - 1000 AS w_milli
+        |  FROM feats
+        |), doc AS (
+        |  SELECT lang, doc_id, count(*) AS nf, sum(w_milli) AS sw
+        |  FROM w GROUP BY 1, 2
+        |), p AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    round(1.0 / (1.0 + exp(-(CAST(sw AS DOUBLE) / (nf * 1000.0)))), 6)
+        |      AS p
+        |  FROM doc
+        |), jb AS (
+        |  SELECT greatest(CAST(ceil(CAST(p AS DECIMAL(9,6)) * 20) AS BIGINT)
+        |      - 1, 0) AS j,
+        |    count(*) AS n, sum(y) AS pos
+        |  FROM p GROUP BY 1
+        |), sw2 AS (
+        |  SELECT j, n, pos,
+        |    sum(n) OVER (ORDER BY j DESC ROWS UNBOUNDED PRECEDING) AS pp,
+        |    sum(pos) OVER (ORDER BY j DESC ROWS UNBOUNDED PRECEDING) AS tp
+        |  FROM jb
+        |)
+        |SELECT round(CAST(j AS DOUBLE) / 20, 2) AS threshold,
+        |  CAST(pp AS BIGINT) AS predicted_pos, CAST(tp AS BIGINT) AS tp,
+        |  round(CAST(tp AS DOUBLE) / pp, 6) AS precision,
+        |  round(CAST(tp AS DOUBLE) /
+        |    (SELECT sum(y) FROM p), 6) AS recall,
+        |  round(2.0 * tp / (pp + (SELECT sum(y) FROM p)), 6) AS f1
+        |FROM sw2 ORDER BY threshold""".stripMargin,
+
     "q245_corpus_shuffle_shards" ->
       """WITH h AS (
         |  SELECT doc_id, md5('shuf|' || doc_id) AS h,
