@@ -216,15 +216,34 @@ final class MetricsServer(observed: Observed, port: Int = 0,
       synchronized {
         ingestedDf = Some(ingestedDf.map(_.unionByName(shaped)).getOrElse(shaped))
       }
-    // Remote-write RECEIVER (POST /api/v1/write, the v1 WriteRequest
-    // mapping): ingested samples become immediately queryable — the
-    // serving `src` def unions them in before tombstone masking.
-    server.createContext("/api/v1/write", MetricsServer.bodyHandler { body =>
-      import boundSrc.df.sparkSession.implicits._
-      val parsed = graft.sources.RemoteWrite.parse(
-        Seq(body).toDF("json"))
-      appendIngest(shapeIngest(parsed, "labels"))
-      """{"status":"success","data":null}"""
+    // Remote-write RECEIVER (POST /api/v1/write): the REAL wire — a
+    // stock Prometheus POSTs `Content-Encoding: snappy` over protobuf
+    // (v1 `prometheus.WriteRequest`, or v2 `io.prometheus.write.v2
+    // .Request` selected by the Content-Type proto= parameter) — plus
+    // the JSON mapping for hand-written bodies. All three wires land in
+    // the same shapeIngest → immediately queryable union.
+    server.createContext("/api/v1/write", MetricsServer.rawBodyHandler {
+      (enc, ctype, raw) =>
+        import boundSrc.df.sparkSession.implicits._
+        val body =
+          if (enc.exists(_.equalsIgnoreCase("snappy")))
+            graft.functions.Snappy.decompress(raw)
+          else raw
+        val isV2 = ctype.exists(_.contains("write.v2"))
+        val isJson = body.nonEmpty && body(0) == '{' &&
+          !ctype.exists(_.contains("protobuf"))
+        val parsed =
+          if (isJson)
+            graft.sources.RemoteWrite.parse(
+              Seq(new String(body, "UTF-8")).toDF("json"))
+          else if (isV2)
+            graft.sources.RemoteWrite.parseV2Pb(Seq(body).toDF("pb"))
+              .filter(!col("is_exemplar"))
+              .select(col("metric"), col("labels"), col("ts"), col("value"))
+          else
+            graft.sources.RemoteWrite.parsePb(Seq(body).toDF("pb"))
+        appendIngest(shapeIngest(parsed, "labels"))
+        """{"status":"success","data":null}"""
     })
     // OTLP receiver (POST /api/v1/otlp/v1/metrics, the 3.x endpoint):
     // same ingest path through the OTLP/JSON translation.
@@ -999,6 +1018,31 @@ object MetricsServer {
         s""""queryIndex":$queryIndex}"""
     }.toSeq
   }
+
+  /** Raw-bytes variant for wire receivers that must see the body
+    * unmangled (a UTF-8 String round-trip corrupts protobuf/snappy
+    * bytes) plus the Content-Encoding/Content-Type headers that select
+    * the decode path. Same Prometheus-style error envelope. */
+  private def rawBodyHandler(f: (Option[String], Option[String], Array[Byte]) => String): HttpHandler =
+    new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val (code, body) =
+          try {
+            val enc = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+            val ct = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+            (200, f(enc, ct, ex.getRequestBody.readAllBytes()))
+          } catch {
+            case e: Throwable =>
+              val msg = jsonEscape(String.valueOf(e.getMessage))
+              (400, s"""{"status":"error","errorType":"bad_data","error":"$msg"}""")
+          }
+        val bytes = body.getBytes("UTF-8")
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(code, bytes.length.toLong)
+        val os = ex.getResponseBody
+        try os.write(bytes) finally os.close()
+      }
+    }
 
   /** Wraps a request-BODY → JSON function (ingest receivers: remote
     * write, OTLP). Same Prometheus-style error envelope. */

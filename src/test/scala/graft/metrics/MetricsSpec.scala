@@ -716,6 +716,73 @@ class MetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("write receiver speaks the REAL wire: snappy(protobuf) v1 and v2") {
+    import graft.functions.{ProtoWire, Snappy}
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "cpu", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val src = PromQlParser.PromSource(df, "event_type",
+      Seq("user_id", "event_type"), "ts", "event_id", "value")
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    def postBytes(port: Int, body: Array[Byte],
+                  headers: Seq[(String, String)]): (Int, String) = {
+      val url = new java.net.URI(s"http://127.0.0.1:$port/api/v1/write").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      val os = conn.getOutputStream
+      try os.write(body) finally os.close()
+      val code = conn.getResponseCode
+      val in = if (code == 200) conn.getInputStream else conn.getErrorStream
+      (code, scala.io.Source.fromInputStream(in).mkString)
+    }
+    def get(port: Int, pathAndQuery: String): (Int, String) = {
+      val url = new java.net.URI(s"http://127.0.0.1:$port$pathAndQuery").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val code = conn.getResponseCode
+      val in = if (code == 200) conn.getInputStream else conn.getErrorStream
+      (code, scala.io.Source.fromInputStream(in).mkString)
+    }
+    Observed.use(spark) { obs =>
+      val srv = new MetricsServer(obs, promSource = Some(src))
+      try {
+        // v1: exactly what a stock Prometheus sends — snappy-compressed
+        // WriteRequest protobuf with Content-Encoding: snappy
+        val pb1 = ProtoWire.encode(Seq(ProtoWire.Series(
+          Seq(ProtoWire.Label("__name__", "cpu"),
+            ProtoWire.Label("user_id", "2")),
+          Seq(ProtoWire.Sample(5.0, 1704103260000L)))))
+        val (c1, b1) = postBytes(srv.boundPort, Snappy.compress(pb1), Seq(
+          "Content-Encoding" -> "snappy",
+          "Content-Type" -> "application/x-protobuf"))
+        assert(c1 == 200 && b1.contains("success"), b1)
+        val (cq, bq) = get(srv.boundPort, "/api/v1/query?query=" +
+          enc("sum(cpu)") + "&time=2024-01-01T10:02:00Z")
+        assert(cq == 200 && bq.contains("\"12.0\""), bq) // 7 stored + 5 wire
+        // v2: interned symbols, packed refs, proto= selects the decoder
+        val pb2 = ProtoWire.encodeV2(ProtoWire.RequestV2(
+          Seq("", "__name__", "mem", "user_id", "3"),
+          Seq(ProtoWire.SeriesV2(Seq(1, 2, 3, 4),
+            Seq(ProtoWire.Sample(2.5, 1704103290000L)), Nil))))
+        val (c2, b2) = postBytes(srv.boundPort, Snappy.compress(pb2), Seq(
+          "Content-Encoding" -> "snappy",
+          "Content-Type" ->
+            "application/x-protobuf;proto=io.prometheus.write.v2.Request"))
+        assert(c2 == 200 && b2.contains("success"), b2)
+        val (cm, bm) = get(srv.boundPort, "/api/v1/query?query=" +
+          enc("""mem{user_id="3"}""") + "&time=2024-01-01T10:02:00Z")
+        assert(cm == 200 && bm.contains("\"2.5\""), bm)
+        // corrupt snappy framing errors cleanly, server stays up
+        val (ce, be) = postBytes(srv.boundPort,
+          Array[Byte](0x63, 0x10, 0x41), Seq("Content-Encoding" -> "snappy"))
+        assert(ce == 400 && be.contains("snappy"), be)
+        val (cq2, bq2) = get(srv.boundPort, "/api/v1/query?query=" +
+          enc("sum(cpu)") + "&time=2024-01-01T10:02:00Z")
+        assert(cq2 == 200 && bq2.contains("\"12.0\""), bq2)
+      } finally srv.close()
+    }
+  }
+
   test("remote-read STREAMED_XOR_CHUNKS: negotiated, real decodable chunk bytes") {
     val df = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "cpu", 7.0),
