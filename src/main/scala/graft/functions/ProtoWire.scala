@@ -321,6 +321,129 @@ object ProtoWire {
     ExpressionUtils.column(PbRequestV2Encode(ExpressionUtils.expression(req)))
   def decodeV2Col(bytes: Column): Column =
     ExpressionUtils.column(PbRequestV2Decode(ExpressionUtils.expression(bytes)))
+
+  // ---------- remote-read (prometheus.ReadRequest / ReadResponse) ----------
+  //
+  //   ReadRequest  { repeated Query queries = 1;
+  //                  repeated ResponseType accepted_response_types = 2
+  //                    [packed enum: SAMPLES=0, STREAMED_XOR_CHUNKS=1]; }
+  //   Query        { int64 start_timestamp_ms = 1;
+  //                  int64 end_timestamp_ms = 2;
+  //                  repeated LabelMatcher matchers = 3;
+  //                  ReadHints hints = 4 (skipped); }
+  //   LabelMatcher { Type type = 1 [EQ=0 NEQ=1 RE=2 NRE=3];
+  //                  string name = 2; string value = 3; }
+  //   ReadResponse { repeated QueryResult results = 1; }
+  //   QueryResult  { repeated TimeSeries timeseries = 1; }
+  //
+  // TimeSeries/Label/Sample are the v1 WriteRequest shapes — shared.
+  // These messages are KB-sized driver work (a read request, a response
+  // frame), so they stay plain functions, not expressions.
+
+  final case class MatcherPb(mtype: Int, name: String, value: String)
+  final case class ReadQueryPb(startMs: Long, endMs: Long,
+                               matchers: Seq[MatcherPb])
+  final case class ReadRequestPb(queries: Seq[ReadQueryPb],
+                                 acceptedTypes: Seq[Int])
+
+  private def matcherBytes(m: MatcherPb): Array[Byte] = {
+    val w = new Writer
+    if (m.mtype != 0) w.int64(1, m.mtype.toLong)
+    w.str(2, m.name); w.str(3, m.value)
+    w.bytes
+  }
+  private def readQueryBytes(q: ReadQueryPb): Array[Byte] = {
+    val w = new Writer
+    if (q.startMs != 0) w.int64(1, q.startMs)
+    if (q.endMs != 0) w.int64(2, q.endMs)
+    q.matchers.foreach(m => w.lenDelim(3, matcherBytes(m)))
+    w.bytes
+  }
+
+  def encodeReadRequest(req: ReadRequestPb): Array[Byte] = {
+    val w = new Writer
+    req.queries.foreach(q => w.lenDelim(1, readQueryBytes(q)))
+    if (req.acceptedTypes.nonEmpty)
+      w.lenDelim(2, packedBytes(req.acceptedTypes))
+    w.bytes
+  }
+
+  private def readMatcher(r: Reader): MatcherPb = {
+    var t = 0; var name = ""; var value = ""
+    while (r.hasMore) {
+      val tag = r.varint(); val f = (tag >>> 3).toInt; val wt = (tag & 7).toInt
+      (f, wt) match {
+        case (1, 0) => t = r.varint().toInt
+        case (2, 2) => name = r.utf8()
+        case (3, 2) => value = r.utf8()
+        case _ => r.skip(wt)
+      }
+    }
+    MatcherPb(t, name, value)
+  }
+  private def readReadQuery(r: Reader): ReadQueryPb = {
+    var start = 0L; var end = 0L
+    val ms = Seq.newBuilder[MatcherPb]
+    while (r.hasMore) {
+      val tag = r.varint(); val f = (tag >>> 3).toInt; val wt = (tag & 7).toInt
+      (f, wt) match {
+        case (1, 0) => start = r.varint()
+        case (2, 0) => end = r.varint()
+        case (3, 2) => ms += readMatcher(r.lenDelim())
+        case _ => r.skip(wt) // hints = 4
+      }
+    }
+    ReadQueryPb(start, end, ms.result())
+  }
+
+  def decodeReadRequest(bytes: Array[Byte]): ReadRequestPb = {
+    val r = new Reader(bytes, 0, bytes.length)
+    val qs = Seq.newBuilder[ReadQueryPb]
+    val at = Seq.newBuilder[Int]
+    while (r.hasMore) {
+      val tag = r.varint(); val f = (tag >>> 3).toInt; val wt = (tag & 7).toInt
+      (f, wt) match {
+        case (1, 2) => qs += readReadQuery(r.lenDelim())
+        case (2, 2) => at ++= readPacked(r.lenDelim())
+        case (2, 0) => at += r.varint().toInt // unpacked enum spelling
+        case _ => r.skip(wt)
+      }
+    }
+    ReadRequestPb(qs.result(), at.result())
+  }
+
+  def encodeReadResponse(results: Seq[Seq[Series]]): Array[Byte] = {
+    val w = new Writer
+    results.foreach { tss =>
+      val qr = new Writer
+      tss.foreach(ts => qr.lenDelim(1, seriesBytes(ts)))
+      w.lenDelim(1, qr.bytes)
+    }
+    w.bytes
+  }
+
+  def decodeReadResponse(bytes: Array[Byte]): Seq[Seq[Series]] = {
+    val r = new Reader(bytes, 0, bytes.length)
+    val out = Seq.newBuilder[Seq[Series]]
+    while (r.hasMore) {
+      val tag = r.varint(); val f = (tag >>> 3).toInt; val wt = (tag & 7).toInt
+      (f, wt) match {
+        case (1, 2) =>
+          val qr = r.lenDelim()
+          val tss = Seq.newBuilder[Series]
+          while (qr.hasMore) {
+            val t2 = qr.varint(); val f2 = (t2 >>> 3).toInt; val w2 = (t2 & 7).toInt
+            (f2, w2) match {
+              case (1, 2) => tss += readSeries(qr.lenDelim())
+              case _ => qr.skip(w2)
+            }
+          }
+          out += tss.result()
+        case _ => r.skip(wt)
+      }
+    }
+    out.result()
+  }
 }
 
 /** array<struct<labels,samples>> (the [[ProtoWire.writeRequestType]]

@@ -261,36 +261,72 @@ final class MetricsServer(observed: Observed, port: Int = 0,
     // ingest-unioned `src` serving /api/v1/query: matchers render to a
     // selector, compile through selectorCond (pushdown-eligible), and
     // the collect rides the usual maxResultRows cap.
-    server.createContext("/api/v1/read", MetricsServer.bodyHandlerCt { body =>
-      // Response-type negotiation (storage/remote NegotiateResponseType):
-      // first accepted type the server supports wins; empty → SAMPLES.
-      val streamed = RemoteRead.acceptedTypes(body)
-        .find(t => t == "STREAMED_XOR_CHUNKS" || t == "SAMPLES")
-        .contains("STREAMED_XOR_CHUNKS")
-      val queries = RemoteRead.parseRequest(body)
-      if (!streamed) {
-        val results = queries.map { q =>
-          val s0 = src
-          val cond = PromQlParser.selectorCond(
-            s0, RemoteRead.selectorString(q.matchers))
-          val rows = s0.df.filter(cond)
-            .withColumn("__ts_ms", expr(s"unix_millis(${s0.tsCol})"))
-            .filter(col("__ts_ms") >= q.startMs && col("__ts_ms") <= q.endMs)
-            .select(s0.seriesKey.map(PromQlParser.labelCol) :+ col("__ts_ms") :+
-              col(s0.valueCol).cast("double").as("__v"): _*)
-            .orderBy(s0.seriesKey.map(PromQlParser.labelCol) :+ col("__ts_ms"): _*)
-            .limit(maxResultRows + 1)
-            .collect()
-          if (rows.length > maxResultRows)
-            throw new MetricsServer.ResultTooLarge(maxResultRows)
-          rows
+    server.createContext("/api/v1/read", MetricsServer.rawBodyHandlerBin {
+      (enc0, raw0) =>
+      // Real wire first (a federating Prometheus sends snappy'd
+      // ReadRequest protobuf and expects snappy'd ReadResponse protobuf
+      // back); the JSON mapping stays for hand-written bodies.
+      val raw = if (enc0.exists(_.equalsIgnoreCase("snappy")))
+        graft.functions.Snappy.decompress(raw0) else raw0
+      val isJson = raw.nonEmpty && raw(0) == '{'
+      def collectSamples(q: RemoteRead.ReadQuery): Array[org.apache.spark.sql.Row] = {
+        val s0 = src
+        val cond = PromQlParser.selectorCond(
+          s0, RemoteRead.selectorString(q.matchers))
+        val rows = s0.df.filter(cond)
+          .withColumn("__ts_ms", expr(s"unix_millis(${s0.tsCol})"))
+          .filter(col("__ts_ms") >= q.startMs && col("__ts_ms") <= q.endMs)
+          .select(s0.seriesKey.map(PromQlParser.labelCol) :+ col("__ts_ms") :+
+            col(s0.valueCol).cast("double").as("__v"): _*)
+          .orderBy(s0.seriesKey.map(PromQlParser.labelCol) :+ col("__ts_ms"): _*)
+          .limit(maxResultRows + 1)
+          .collect()
+        if (rows.length > maxResultRows)
+          throw new MetricsServer.ResultTooLarge(maxResultRows)
+        rows
+      }
+      if (!isJson) {
+        // protobuf face: SAMPLES responses (the default negotiation
+        // outcome); the streamed-chunk face stays on the JSON mapping
+        // below (documented frame stand-in). Absent end (proto3 zero)
+        // reads open-ended.
+        import graft.functions.ProtoWire
+        val req = ProtoWire.decodeReadRequest(raw)
+        val queries = req.queries.map { q =>
+          RemoteRead.ReadQuery(q.startMs,
+            if (q.endMs == 0L) Long.MaxValue else q.endMs,
+            q.matchers.map { m =>
+              val op = m.mtype match {
+                case 0 => "="
+                case 1 => "!="
+                case 2 => "=~"
+                case 3 => "!~"
+                case other => throw new IllegalArgumentException(
+                  s"unknown matcher type: $other")
+              }
+              (m.name, op, m.value)
+            })
         }
-        // JSON stand-in Content-Type (upstream: snappy'd protobuf as
-        // application/x-protobuf — the documented codec swap)
-        ("application/json",
-          MetricsServer.remoteReadJson(results, boundSrc.metricCol,
+        val results = queries.map(collectSamples)
+        val body = graft.functions.Snappy.compress(
+          MetricsServer.remoteReadPb(results, boundSrc.metricCol,
             boundSrc.seriesKey))
+        ("application/x-protobuf", Some("snappy"), body)
       } else {
+        val body = new String(raw, "UTF-8")
+        // Response-type negotiation (storage/remote
+        // NegotiateResponseType): first accepted type the server
+        // supports wins; empty → SAMPLES.
+        val streamed = RemoteRead.acceptedTypes(body)
+          .find(t => t == "STREAMED_XOR_CHUNKS" || t == "SAMPLES")
+          .contains("STREAMED_XOR_CHUNKS")
+        val queries = RemoteRead.parseRequest(body)
+        if (!streamed) {
+          val results = queries.map(collectSamples)
+          ("application/json", None,
+            MetricsServer.remoteReadJson(results, boundSrc.metricCol,
+              boundSrc.seriesKey).getBytes("UTF-8"))
+        } else {
         // STREAMED_XOR_CHUNKS: series are cut into ≤120-sample XOR chunks
         // IN SPARK (keyed window + collect_list + the XorChunkEncode
         // expression), so the driver only ever holds encoded chunk rows —
@@ -329,7 +365,8 @@ final class MetricsServer(observed: Observed, port: Int = 0,
             boundSrc.seriesKey, qi)
         }
         ("application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse",
-          frames.mkString("", "\n", "\n"))
+          None, frames.mkString("", "\n", "\n").getBytes("UTF-8"))
+        }
       }
     })
     server.createContext("/api/v1/admin/tsdb/delete_series",
@@ -872,6 +909,34 @@ object MetricsServer {
       s"""{"timeseries":${seriesJson(rs)}}""").mkString(",")}]}"""
   }
 
+  /** [[remoteReadJson]]'s real-bytes twin: the same series grouping
+    * rendered as a `prometheus.ReadResponse` protobuf message
+    * ([[graft.functions.ProtoWire]]) — what an actual federating
+    * Prometheus expects back (snappy framing applied by the handler). */
+  private[metrics] def remoteReadPb(results: Seq[Array[Row]],
+      metricCol: String, seriesKey: Seq[String]): Array[Byte] = {
+    import graft.functions.ProtoWire
+    def seriesOf(rows: Array[Row]): Seq[ProtoWire.Series] = {
+      val grouped = scala.collection.mutable.LinkedHashMap
+        .empty[Seq[(String, String)], scala.collection.mutable.ArrayBuffer[Row]]
+      rows.foreach { r =>
+        val ls = seriesKey.map { k =>
+          (if (k == metricCol) "__name__" else k) ->
+            String.valueOf(r.getAs[Any](k))
+        }
+        grouped.getOrElseUpdate(ls,
+          scala.collection.mutable.ArrayBuffer.empty) += r
+      }
+      grouped.map { case (ls, rs) =>
+        ProtoWire.Series(
+          ls.map { case (n, v) => ProtoWire.Label(n, v) },
+          rs.toSeq.map(r => ProtoWire.Sample(
+            r.getAs[Double]("__v"), r.getAs[Long]("__ts_ms"))))
+      }.toSeq
+    }
+    ProtoWire.encodeReadResponse(results.map(seriesOf))
+  }
+
   /** RFC3339 UTC instant for status payloads. */
   private[metrics] def iso(ms: Long): String =
     java.time.Instant.ofEpochMilli(ms).toString
@@ -1038,6 +1103,38 @@ object MetricsServer {
           }
         val bytes = body.getBytes("UTF-8")
         ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(code, bytes.length.toLong)
+        val os = ex.getResponseBody
+        try os.write(bytes) finally os.close()
+      }
+    }
+
+  /** Raw-request, BINARY-response variant (the protobuf remote-read
+    * face): f(contentEncoding, rawBody) → (contentType, optional
+    * response Content-Encoding, bytes). Errors keep the JSON envelope. */
+  private def rawBodyHandlerBin(
+      f: (Option[String], Array[Byte]) => (String, Option[String], Array[Byte])): HttpHandler =
+    new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val (code, ctype, cenc, bytes) =
+          try {
+            val enc = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+            val (ct, ce, b) = f(enc, ex.getRequestBody.readAllBytes())
+            (200, ct, ce, b)
+          } catch {
+            case e: ResultTooLarge =>
+              val msg = jsonEscape(String.valueOf(e.getMessage))
+              (422, "application/json", None,
+                s"""{"status":"error","errorType":"too_many_results","error":"$msg"}"""
+                  .getBytes("UTF-8"))
+            case e: Throwable =>
+              val msg = jsonEscape(String.valueOf(e.getMessage))
+              (400, "application/json", None,
+                s"""{"status":"error","errorType":"bad_data","error":"$msg"}"""
+                  .getBytes("UTF-8"))
+          }
+        ex.getResponseHeaders.set("Content-Type", ctype)
+        cenc.foreach(ex.getResponseHeaders.set("Content-Encoding", _))
         ex.sendResponseHeaders(code, bytes.length.toLong)
         val os = ex.getResponseBody
         try os.write(bytes) finally os.close()

@@ -122,6 +122,32 @@ class ProtoWireSpec extends AnyFunSuite {
     assert(decodeV2(wire) == RequestV2(Nil, Seq(SeriesV2(Seq(1, 2), Nil, Nil))))
   }
 
+  test("remote-read messages: request + response roundtrip, enum forms") {
+    val req = ReadRequestPb(
+      Seq(ReadQueryPb(1000L, 2000L, Seq(
+        MatcherPb(0, "__name__", "up"), MatcherPb(2, "job", "a.*"))),
+        ReadQueryPb(0L, 0L, Seq(MatcherPb(3, "x", "y")))),
+      acceptedTypes = Seq(1, 0))
+    assert(decodeReadRequest(encodeReadRequest(req)) == req)
+    // golden: one query, EQ matcher (type 0 omitted as proto3 default)
+    //   0A 0E (query len 14): 08 E8 07 (start=1000), 1A 09 matcher:
+    //     12 01 61 (name "a"), 12?? no: name field 2, value field 3
+    val g = ReadRequestPb(Seq(ReadQueryPb(1000L, 0L,
+      Seq(MatcherPb(0, "a", "b")))), Nil)
+    val expected = Array(
+      0x0A, 0x0B,
+      0x08, 0xE8, 0x07,
+      0x1A, 0x06, 0x12, 0x01, 'a'.toInt, 0x1A, 0x01, 'b'.toInt)
+      .map(_.toByte)
+    assert(encodeReadRequest(g).toSeq == expected.toSeq)
+    // unpacked accepted_response_types spelling decodes too
+    val unpacked = Array(0x10, 0x01, 0x10, 0x00).map(_.toByte)
+    assert(decodeReadRequest(unpacked) == ReadRequestPb(Nil, Seq(1, 0)))
+    // response roundtrip reuses the v1 TimeSeries shapes
+    val resp = Seq(fixture, Nil)
+    assert(decodeReadResponse(encodeReadResponse(resp)) == resp)
+  }
+
   test("v1+v2 wires through snappy: the full Content-Encoding stack") {
     val pb = encode(fixture)
     assert(Snappy.decompress(Snappy.compress(pb)).toSeq == pb.toSeq)

@@ -779,6 +779,35 @@ class MetricsSpec extends AnyFunSuite {
         val (cq2, bq2) = get(srv.boundPort, "/api/v1/query?query=" +
           enc("sum(cpu)") + "&time=2024-01-01T10:02:00Z")
         assert(cq2 == 200 && bq2.contains("\"12.0\""), bq2)
+        // REMOTE-READ over the real wire: snappy(ReadRequest pb) in,
+        // snappy(ReadResponse pb) out — both ingested-and-stored samples
+        // visible, matcher enum decoded, labels/samples byte-real.
+        val rr = ProtoWire.encodeReadRequest(ProtoWire.ReadRequestPb(
+          Seq(ProtoWire.ReadQueryPb(1704103200000L, 1704103500000L,
+            Seq(ProtoWire.MatcherPb(0, "__name__", "cpu")))),
+          acceptedTypes = Seq(0)))
+        val url = new java.net.URI(
+          s"http://127.0.0.1:${srv.boundPort}/api/v1/read").toURL
+        val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.setRequestProperty("Content-Encoding", "snappy")
+        conn.setRequestProperty("Content-Type", "application/x-protobuf")
+        val os2 = conn.getOutputStream
+        try os2.write(Snappy.compress(rr)) finally os2.close()
+        assert(conn.getResponseCode == 200)
+        assert(conn.getHeaderField("Content-Type") == "application/x-protobuf")
+        assert(conn.getHeaderField("Content-Encoding") == "snappy")
+        val respBytes = conn.getInputStream.readAllBytes()
+        val resp = ProtoWire.decodeReadResponse(Snappy.decompress(respBytes))
+        assert(resp.length == 1)
+        val series = resp.head
+        assert(series.length == 2, series) // stored user 1 + wire user 2
+        val byUser = series.map(s =>
+          s.labels.find(_.name == "user_id").get.value -> s.samples).toMap
+        assert(byUser("1") == Seq(ProtoWire.Sample(7.0, 1704103200000L)))
+        assert(byUser("2") == Seq(ProtoWire.Sample(5.0, 1704103260000L)))
+        assert(series.forall(_.labels.exists(l =>
+          l.name == "__name__" && l.value == "cpu")))
       } finally srv.close()
     }
   }
