@@ -721,6 +721,31 @@ object CurationQueries {
         .orderBy(col("threshold"))
     }),
 
+    // [N] Output-integrity shard MANIFEST — the reproducibility artifact
+    // a curated-corpus export ships beside its shards: per shard (q245's
+    // md5 hash-range assignment), doc/char accounting plus an ORDER-
+    // INVARIANT content fingerprint — bit_xor and sum of per-doc 48-bit
+    // content hashes (+ min/max) — so a re-export, a copy, or a
+    // different engine can verify byte-level content equality without
+    // any ordering contract. Order invariance is what makes the
+    // fingerprint one keyed agg with map-side partials (a concat-based
+    // digest would need a global sort); one shuffle on the shard key at
+    // any scale, manifest is 16 rows.
+    "q262_shard_manifest" -> ((s, d) => {
+      val hashed = documents(s, d)
+        .withColumn("shard",
+          conv(substring(md5(concat(lit("shuf|"), col("doc_id"))), 1, 1),
+            16, 10).cast("int"))
+        .withColumn("h", TextOps.md5Hash48(col("text"), "mf"))
+      hashed.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("n_chars"),
+          expr("bit_xor(h)").as("h_xor"),
+          sum(col("h")).as("h_sum"),
+          min(col("h")).as("h_min"), max(col("h")).as("h_max"))
+        .orderBy(col("shard"))
+    }),
+
     "q245_corpus_shuffle_shards" -> ((s, d) => {
       val hashed = docsWithTokens(s, d)
         .withColumn("h", md5(concat(lit("shuf|"), col("doc_id"))))
@@ -1624,6 +1649,24 @@ object CurationQueries {
         |    (SELECT sum(y) FROM p), 6) AS recall,
         |  round(2.0 * tp / (pp + (SELECT sum(y) FROM p)), 6) AS f1
         |FROM sw2 ORDER BY threshold""".stripMargin,
+
+    // Same hashes, same order-invariant folds — any content or
+    // membership drift flips h_xor/h_sum.
+    "q262_shard_manifest" ->
+      """WITH h AS (
+        |  SELECT CAST(concat('0x', substr(md5('shuf|' || doc_id), 1, 1))
+        |      AS BIGINT) AS shard,
+        |    CAST(concat('0x', substr(md5('mf|' || text), 1, 12))
+        |      AS BIGINT) AS hv,
+        |    len(text) AS nc
+        |  FROM documents
+        |)
+        |SELECT CAST(shard AS INT) AS shard, count(*) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS n_chars,
+        |  bit_xor(hv) AS h_xor,
+        |  CAST(sum(hv) AS BIGINT) AS h_sum,
+        |  min(hv) AS h_min, max(hv) AS h_max
+        |FROM h GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "q245_corpus_shuffle_shards" ->
       """WITH h AS (

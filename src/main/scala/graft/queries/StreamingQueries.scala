@@ -339,6 +339,22 @@ object StreamingQueries {
         .orderBy(col("event_type"), col("bucket"), col("which"), col("rn"))
     }),
 
+    // RESTART-AWARE online delta→cumulative (q254's streaming face): the
+    // running total resets when a point's accumulation epoch changes
+    // (epoch boundary 2024-01-10 01:00 — q254's hourly start_ts-change
+    // rule at raw grain), the pre-restart peak latches at the reset, and
+    // the flushed per-series summary must land digit-for-digit on the
+    // batch segment sums the oracle computes from the raw table.
+    "s263_stream_delta_restart" -> ((s, d) => {
+      val mid = java.time.Instant.parse("2024-01-10T01:00:00Z").toEpochMilli
+      val t = StreamOps.replayEvents(s, d, "s263_sink", 3, flushPerType = true)(
+        ds => StreamOps.streamDeltaToCumulativeRestarts(ds, mid).toDF(),
+        OutputMode.Append)
+      t.select(col("event_type"), col("bucket"), col("n_points"),
+          col("cum_premid"), col("cum_final"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
     // ONLINE stale-marker synthesis on scrape gaps — the scrape-loop
     // half of q238's staleness story: per (metric, instance) registers
     // track the last present hour; a jump of ≥2 hours is a missed-scrape
@@ -621,6 +637,24 @@ object StreamingQueries {
         |)
         |SELECT event_type, bucket, which, CAST(rn AS BIGINT) AS rn, cum
         |FROM marks ORDER BY event_type, bucket, which, rn""".stripMargin,
+
+    // Batch segment sums at the same epoch boundary: pre-restart peak =
+    // the pre-boundary sum (0 when a series starts after it), final =
+    // the post-boundary segment only (full sum when never restarted).
+    "s263_stream_delta_restart" ->
+      """WITH s AS (
+        |  SELECT event_type, CAST(user_id % 3 AS VARCHAR) AS bucket,
+        |    ts, CAST(round(value, 6) AS DECIMAL(18,6)) AS v
+        |  FROM events
+        |)
+        |SELECT event_type, bucket, count(*) AS n_points,
+        |  round(CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP
+        |    '2024-01-10 01:00:00' THEN v END), 0) AS DOUBLE), 4)
+        |    AS cum_premid,
+        |  round(CAST(coalesce(
+        |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-10 01:00:00' THEN v END),
+        |    sum(v)) AS DOUBLE), 4) AS cum_final
+        |FROM s GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
 
     // The batch twin: lag over DISTINCT present hours per (metric,
     // instance); a step > 1h is a gap (one marker), the span in hours

@@ -83,6 +83,12 @@ case class OooOut(event_type: String, n_in_order: Long, n_ooo: Long,
 /** Streaming delta→cumulative state: per in-key bucket the converter's
   * registers — running total in 1e-6 fixed point + point count. */
 case class D2cState(subs: Map[String, Seq[Long]])
+/** Per-bucket registers of the restart-aware face: fixed-point units of
+  * the CURRENT accumulation segment, the pre-restart peak, restart-seen
+  * flag (0/1), point count. */
+case class D2cRState(subs: Map[String, Seq[Long]])
+case class D2cROut(event_type: String, bucket: String, n_points: Long,
+                   cum_premid: Double, cum_final: Double)
 case class D2cOut(event_type: String, bucket: String, which: String,
                   rn: Long, cum: Double)
 
@@ -705,6 +711,54 @@ object StreamOps {
               }
             }
           state.update(D2cState(subs))
+          out.result().iterator
+      }
+  }
+
+  /** Restart-aware ONLINE delta→cumulative (q254's streaming face, the
+    * way the upstream deltatocumulative processor actually holds state):
+    * one fixed-point running total per (metric, bucket) that RESETS when
+    * a point's accumulation epoch changes — here the epoch boundary is
+    * derived from event time (points at/after `restartMs` belong to the
+    * restarted collector), mirroring q254's start_ts-change rule. The
+    * pre-restart peak is latched at the reset. Registers are O(1) per
+    * series; flush sentinels emit the per-series summary, which must
+    * land digit-for-digit on the batch segment sums. */
+  def streamDeltaToCumulativeRestarts(ds: Dataset[Ev],
+                                      restartMs: Long): Dataset[D2cROut] = {
+    import ds.sparkSession.implicits._
+    def vUnits(v: Double): Long =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(1000000)).toLongExact
+    def cumOf(units: Long): Double =
+      java.math.BigDecimal.valueOf(units.toDouble / 1e6)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    ds.groupByKey(_.event_type)
+      .flatMapGroupsWithState[D2cRState, D2cROut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (etype, events, state: GroupState[D2cRState]) =>
+          var subs = if (state.exists) state.get.subs
+            else Map.empty[String, Seq[Long]]
+          val out = Vector.newBuilder[D2cROut]
+          events.toSeq.sortBy(e => (e.user_id == -1L, e.ts.getTime, e.event_id))
+            .foreach { e =>
+              if (e.user_id == -1L)
+                subs.toSeq.sortBy(_._1).foreach {
+                  case (b, Seq(cur, pre, restarted, n)) =>
+                    val premid = if (restarted == 1L) pre else cur
+                    out += D2cROut(etype, b, n, cumOf(premid), cumOf(cur))
+                }
+              else {
+                val b = (e.user_id % 3).toString
+                val Seq(cur0, pre0, restarted0, n0) =
+                  subs.getOrElse(b, Seq(0L, 0L, 0L, 0L))
+                val restartNow = restarted0 == 0L && e.ts.getTime >= restartMs
+                val (cur1, pre1, r1) =
+                  if (restartNow) (0L, cur0, 1L) else (cur0, pre0, restarted0)
+                subs += b -> Seq(cur1 + vUnits(e.value), pre1, r1, n0 + 1)
+              }
+            }
+          state.update(D2cRState(subs))
           out.result().iterator
       }
   }
