@@ -1682,18 +1682,40 @@ object PromQlParser {
     * name — backtick quoting stops Spark's struct-field dot parsing. */
   private[metrics] def labelCol(name: String): Column = col(s"`$name`")
 
+  /** The literal alternatives of a regex that is a pure `|`-alternation
+    * of metacharacter-free strings (upstream FastRegexMatcher's "set
+    * matches" optimization), or None when real regex machinery is
+    * needed. Empty alternatives are kept — `a|` legitimately matches
+    * the empty string. */
+  private[metrics] def literalAlternatives(re: String): Option[Seq[String]] = {
+    val meta = ".?+*()[]{}^$\\"
+    if (re.exists(meta.contains(_))) None
+    else Some(re.split("\\|", -1).toSeq)
+  }
+
   private def matcherCondFor(metricCol: String, sel: Selector): Column = {
     val metricCond = sel.metric.map(m => labelCol(metricCol) === lit(m))
     val ms = sel.matchers.map { m =>
       // `{__name__="cpu"}` ≡ `cpu`, and `{__name__=~"cpu|mem"}` is the
       // Grafana multi-metric idiom — the reserved label IS the metric col
       val c = if (m.label == "__name__") labelCol(metricCol) else labelCol(m.label)
+      // Literal-alternation fast path: an IN list reaches the parquet
+      // scan as a pushed filter (PushedFilters: In(label, [...])) while
+      // RLIKE never pushes — at 100 TB that is row-group pruning vs a
+      // full scan. NULL semantics match RLIKE's (both yield null →
+      // filtered) so the rewrite is observation-equivalent.
+      def anchored = s"^(?:${m.value})$$"
       m.op match {
         case "="  => c === lit(m.value)
         case "!=" => c =!= lit(m.value)
-        // Prometheus regex matchers are fully anchored
-        case "=~" => c.cast("string").rlike(s"^(?:${m.value})$$")
-        case "!~" => !c.cast("string").rlike(s"^(?:${m.value})$$")
+        case "=~" => literalAlternatives(m.value) match {
+          case Some(alts) => c.cast("string").isin(alts: _*)
+          case None => c.cast("string").rlike(anchored)
+        }
+        case "!~" => literalAlternatives(m.value) match {
+          case Some(alts) => !c.cast("string").isin(alts: _*)
+          case None => !c.cast("string").rlike(anchored)
+        }
       }
     }
     (metricCond.toSeq ++ ms).reduceOption(_ && _).getOrElse(lit(true))

@@ -33,7 +33,12 @@ object Tombstones {
       val m = t.matchers.foldLeft(lit(true)) { case (a, (label, op, v)) =>
         op match {
           case "="  => a && col(label).cast("string") === v
-          case "=~" => a && col(label).cast("string").rlike("^(?:" + v + ")$")
+          case "=~" => a && (PromQlParser.literalAlternatives(v) match {
+            // same IN-list fast path as the selector compiler — a
+            // deletion mask rides the scan too
+            case Some(alts) => col(label).cast("string").isin(alts: _*)
+            case None => col(label).cast("string").rlike("^(?:" + v + ")$")
+          })
           case "!=" => a && col(label).cast("string") =!= v
           case other => throw new IllegalArgumentException(
             s"unsupported tombstone matcher op: $other")

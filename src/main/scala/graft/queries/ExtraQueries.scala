@@ -781,6 +781,42 @@ object ExtraQueries {
         .orderBy(col("lang"))
     }),
 
+    // [N] REAL audio decode (WAV/RIFF 16-bit PCM) — the audio face of
+    // the multimodal story beside q256's pixels: deterministic synthetic
+    // waveforms (sample i = ((doc_id·31 + i·17) mod 65536) − 32768)
+    // rendered as canonical RIFF bytes with an unknown LIST chunk
+    // between fmt and data (the chunk WALK is load-bearing), decoded by
+    // a real parser (fmt validation, RIFF odd-size padding, signed LE
+    // samples) in the same 64-row batches. Every feature is an exact
+    // integer — sums, |s| sums, extremes, negative→non-negative zero
+    // crossings — recomputed by the oracle from the closed form.
+    "q264_multimodal_wav" -> ((s, d) => {
+      import graft.text.Multimodal
+      val dims = documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          (pmod(col("doc_id"), lit(200)) + 50).cast("int").as("n"),
+          ((pmod(col("doc_id"), lit(3)) * 4000) + 8000).cast("int").as("rate"))
+      import s.implicits._
+      val blobs = dims.select(col("doc_id"), col("n"), col("rate"))
+        .as[(Long, Int, Int)]
+        .map { case (id, n, r) => (id, Multimodal.synthWav(id, n, r)) }
+        .toDF("doc_id", "blob")
+      val feats = Multimodal.extractWav(s, blobs, "doc_id", "blob").toDF()
+      feats.join(dims.select(col("doc_id").as("media_id"), col("lang"),
+          col("rate").as("grate")), "media_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(when(col("sample_rate") === col("grate"), 1L).otherwise(0L))
+            .as("n_rate_ok"),
+          sum(col("n_samples")).as("n_samples"),
+          sum(col("s_sum")).as("s_sum"),
+          sum(col("s_abs")).as("s_abs"),
+          min(col("s_min")).as("s_min"),
+          max(col("s_max")).as("s_max"),
+          sum(col("n_zc")).as("n_zc"))
+        .orderBy(col("lang"))
+    }),
+
     // [N] The COMPLETE remote-write v1 wire: snappy(protobuf(...)) —
     // the actual Content-Encoding every Prometheus ships. ProtoWire
     // renders real WriteRequest bytes, Snappy (pure-JVM block format:
@@ -2734,6 +2770,32 @@ object ExtraQueries {
         |  CAST(sum(CASE WHEN c = 2 AND x * 2 // w = 1 AND y * 2 // h = 1
         |    THEN v END) AS BIGINT) AS pool11_b
         |FROM px GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // Audio sums from the waveform closed form — the oracle never sees a
+    // RIFF byte; zero crossings recompute v(i−1) arithmetically.
+    "q264_multimodal_wav" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(50 + doc_id % 200 AS BIGINT) AS n,
+        |    CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS rate
+        |  FROM documents
+        |), sm AS (
+        |  SELECT d.doc_id, d.lang, d.n, i.i,
+        |    (d.doc_id * 31 + i.i * 17) % 65536 - 32768 AS v,
+        |    CASE WHEN i.i > 0 THEN
+        |      (d.doc_id * 31 + (i.i - 1) * 17) % 65536 - 32768 END AS pv
+        |  FROM d, LATERAL (SELECT unnest(generate_series(0,
+        |    CAST(d.n - 1 AS BIGINT))) AS i) i
+        |)
+        |SELECT lang, count(DISTINCT doc_id) AS n_media,
+        |  count(DISTINCT doc_id) AS n_rate_ok,
+        |  count(*) AS n_samples,
+        |  CAST(sum(v) AS BIGINT) AS s_sum,
+        |  CAST(sum(abs(v)) AS BIGINT) AS s_abs,
+        |  CAST(min(v) AS INT) AS s_min, CAST(max(v) AS INT) AS s_max,
+        |  CAST(sum(CASE WHEN pv < 0 AND v >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zc
+        |FROM sm GROUP BY 1 ORDER BY lang""".stripMargin,
 
     // The full wire (snappy + protobuf) must land on the raw table's
     // aggregates; wire_ok/compressed_smaller are engine-proved booleans.

@@ -21,6 +21,13 @@ case class PpmFeatures(media_id: Long, w: Int, h: Int, n_pixels: Long,
                        sum_r: Long, sum_g: Long, sum_b: Long,
                        pool: Array[Long])
 
+/** REAL-decode audio features from parsed PCM samples — all exact
+  * integers: sum, sum of |s|, extremes, negative→non-negative zero
+  * crossings. */
+case class WavFeatures(media_id: Long, sample_rate: Int, n_samples: Long,
+                       s_sum: Long, s_abs: Long, s_min: Int, s_max: Int,
+                       n_zc: Long)
+
 /** Multimodal column support (SURVEY §2 E56 [N]): media (image/audio/video)
   * travel as opaque `binary` columns beside typed metadata structs; decode /
   * feature-extract runs partition-batched over the binary payloads.
@@ -185,6 +192,103 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(64).flatMap(_.map { case (id, bytes) =>
         ppmFeatures(id, bytes)
+      }))
+  }
+
+  // ---- REAL audio decode (WAV/RIFF, 16-bit PCM) ----
+
+  /** Canonical little-endian RIFF/WAVE encoder for deterministic
+    * synthetic audio: fmt chunk (PCM, mono, 16-bit), an unknown `LIST`
+    * chunk between fmt and data (so the parser's chunk walk is
+    * load-bearing), then `data` with sample i carrying
+    * `((id*31 + i*17) mod 65536) − 32768` — closed-form for the oracle,
+    * exactly like [[synthPpm]]. */
+  def synthWav(id: Long, n: Int, rateHz: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(64 + n * 2)
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def u32(v: Int): Unit = { u16(v & 0xffff); u16((v >>> 16) & 0xffff) }
+    def cc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    val listPayload = "INFOgraft".getBytes("US-ASCII") // 9 bytes, odd → pad
+    val dataSize = n * 2
+    val riffSize = 4 + (8 + 16) + (8 + listPayload.length + 1) + (8 + dataSize)
+    cc("RIFF"); u32(riffSize); cc("WAVE")
+    cc("fmt "); u32(16)
+    u16(1); u16(1); u32(rateHz); u32(rateHz * 2); u16(2); u16(16)
+    cc("LIST"); u32(listPayload.length); out.write(listPayload); out.write(0)
+    cc("data"); u32(dataSize)
+    var i = 0
+    while (i < n) {
+      u16((((id * 31 + i.toLong * 17) % 65536) - 32768).toInt & 0xffff)
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** REAL WAV parse: RIFF/WAVE header, a chunk WALK (unknown chunks —
+    * LIST, fact, cue — skipped by their declared size incl. the odd-size
+    * pad byte, per the RIFF rule), fmt validation (PCM, mono, 16-bit),
+    * then the signed little-endian sample run. Throws on anything
+    * malformed or truncated. */
+  def decodeWav(bytes: Array[Byte]): (Int, Array[Int]) = {
+    def fail(msg: String) = throw new IllegalArgumentException(s"WAV: $msg")
+    def u16(p: Int): Int = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+    def u32(p: Int): Long = (u16(p) & 0xffffL) | ((u16(p + 2) & 0xffffL) << 16)
+    def cc(p: Int): String = new String(bytes, p, 4, "US-ASCII")
+    if (bytes.length < 12 || cc(0) != "RIFF" || cc(8) != "WAVE")
+      fail("not a RIFF/WAVE file")
+    var pos = 12
+    var rate = -1
+    var samples: Array[Int] = null
+    while (pos + 8 <= bytes.length) {
+      val id = cc(pos); val size = u32(pos + 4).toInt
+      val body = pos + 8
+      if (body + size > bytes.length) fail(s"truncated '$id' chunk")
+      id match {
+        case "fmt " =>
+          if (size < 16) fail("fmt chunk too short")
+          val fmt = u16(body); val ch = u16(body + 2); val bits = u16(body + 14)
+          if (fmt != 1) fail(s"unsupported audio format $fmt (want PCM)")
+          if (ch != 1) fail(s"unsupported channel count $ch")
+          if (bits != 16) fail(s"unsupported bit depth $bits")
+          rate = u32(body + 4).toInt
+        case "data" =>
+          if (rate < 0) fail("data chunk before fmt")
+          if (size % 2 != 0) fail("odd data size for 16-bit samples")
+          samples = Array.tabulate(size / 2)(i => u16(body + i * 2).toShort.toInt)
+        case _ => () // unknown chunk: skip by declared size
+      }
+      pos = body + size + (size & 1) // RIFF pads odd chunks to even
+    }
+    if (samples == null) fail("no data chunk")
+    (rate, samples)
+  }
+
+  /** Exact integer audio features from DECODED samples. */
+  def wavFeatures(id: Long, bytes: Array[Byte]): WavFeatures = {
+    val (rate, s) = decodeWav(bytes)
+    var sum = 0L; var abs = 0L; var zc = 0L
+    var mn = Int.MaxValue; var mx = Int.MinValue
+    var i = 0
+    while (i < s.length) {
+      val v = s(i)
+      sum += v; abs += math.abs(v.toLong)
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      if (i > 0 && s(i - 1) < 0 && v >= 0) zc += 1
+      i += 1
+    }
+    WavFeatures(id, rate, s.length.toLong, sum, abs,
+      if (s.isEmpty) 0 else mn, if (s.isEmpty) 0 else mx, zc)
+  }
+
+  /** Partition-batched REAL audio decode — same 64-row batch contract. */
+  def extractWav(spark: SparkSession, media: DataFrame, idCol: String,
+                 blobCol: String): Dataset[WavFeatures] = {
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(64).flatMap(_.map { case (id, bytes) =>
+        wavFeatures(id, bytes)
       }))
   }
 

@@ -1213,4 +1213,37 @@ class PromQlParserSpec extends AnyFunSuite {
     assert(gridMid == Map("2024-01-01 10:02:00.0" -> 12.0,
       "2024-01-01 10:03:00.0" -> 12.0), gridMid)
   }
+
+  test("literal-alternation matchers: detection, equivalence, pushdown") {
+    import PromQlParser.literalAlternatives
+    assert(literalAlternatives("a|b|c") == Some(Seq("a", "b", "c")))
+    assert(literalAlternatives("click") == Some(Seq("click")))
+    assert(literalAlternatives("a|") == Some(Seq("a", "")))
+    assert(literalAlternatives("under_score|dash-ok|colon:ok") ==
+      Some(Seq("under_score", "dash-ok", "colon:ok")))
+    // anything needing regex machinery stays on RLIKE
+    for (re <- Seq("a.*", "a|b+", "a(b)", "a[b]", "a{2}", "^a", "a$", "a\\|b"))
+      assert(literalAlternatives(re).isEmpty, re)
+    // semantics: IN path ≡ regex path on a fixture with empty-alt form
+    val df = Seq(
+      (1L, ts(0), 1L, "click", 1.0), (2L, ts(0), 1L, "view", 2.0),
+      (3L, ts(0), 1L, "clicky", 3.0), (4L, ts(0), 1L, "", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    def vals(q: String) = eval(src(df), q, "2024-01-01 10:01:00")
+      .select("value").collect().map(_.getDouble(0)).toSet
+    assert(vals("""{event_type=~"click|view"}""") == Set(1.0, 2.0))
+    assert(vals("""{event_type=~"click|"}""") == Set(1.0, 4.0))
+    assert(vals("""{event_type!~"click|view"}""") == Set(3.0, 4.0))
+    assert(vals("""{event_type=~"click.*"}""") == Set(1.0, 3.0)) // regex path
+    // and the IN list reaches the parquet scan as a pushed filter —
+    // RLIKE never does; at 100 TB this is row-group pruning vs full scan
+    val real = PromSource(graft.Tables.events(spark, graft.TestSpark.SF),
+      "event_type", Seq("user_id", "event_type"), "ts", "event_id", "value")
+    val q = eval(real, """{event_type=~"click|view"}""", "2024-01-10 00:00:00")
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("In(event_type, [click,view])"),
+      s"IN not pushed:\n${plan.take(2500)}")
+  }
 }

@@ -66,6 +66,47 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV: synth -> real parse roundtrips rate and samples exactly") {
+    val bytes = Multimodal.synthWav(9L, 20, 12000)
+    val (rate, s) = Multimodal.decodeWav(bytes)
+    assert(rate == 12000 && s.length == 20)
+    assert((0 until 20).forall(i =>
+      s(i) == ((9L * 31 + i * 17) % 65536 - 32768).toInt))
+    // the LIST chunk between fmt and data was walked over, not tripped on
+    assert(new String(bytes).contains("LIST"))
+  }
+
+  test("WAV: malformed input fails loudly") {
+    intercept[IllegalArgumentException] { // not RIFF
+      Multimodal.decodeWav("WAVERIFF0000".getBytes)
+    }
+    intercept[IllegalArgumentException] { // truncated data chunk
+      Multimodal.decodeWav(Multimodal.synthWav(1L, 10, 8000).dropRight(3))
+    }
+    intercept[IllegalArgumentException] { // stereo rejected
+      val b = Multimodal.synthWav(1L, 4, 8000)
+      b(22) = 2 // numChannels low byte inside fmt
+      Multimodal.decodeWav(b)
+    }
+  }
+
+  test("WAV features: exact integer sums, extremes, zero crossings") {
+    // id=0: v(i) = 17i - 32768 -> strictly increasing, all negative for
+    // small i; no zero crossing until i reaches 1928
+    val f = Multimodal.wavFeatures(0L, Multimodal.synthWav(0L, 10, 8000))
+    assert(f.n_samples == 10 && f.sample_rate == 8000)
+    assert(f.s_min == -32768 && f.s_max == -32768 + 9 * 17)
+    assert(f.s_sum == (0 until 10).map(i => 17 * i - 32768).sum)
+    assert(f.n_zc == 0)
+    // a waveform that crosses: samples -1, 1 alternate via id choice is
+    // hard to arrange with the formula, so check the rule directly on a
+    // synthetic long run (values wrap mod 65536 -> crossings occur)
+    val g = Multimodal.wavFeatures(7L, Multimodal.synthWav(7L, 5000, 8000))
+    val vs = (0 until 5000).map(i => ((7L * 31 + i * 17) % 65536 - 32768).toInt)
+    assert(g.n_zc == (1 until 5000).count(i => vs(i - 1) < 0 && vs(i) >= 0))
+    assert(g.s_abs == vs.map(v => math.abs(v.toLong)).sum)
+  }
+
   test("PPM features: channel sums and 2x2 pool sums are exact integers") {
     // 2x2 image: every pixel lands in its own pool cell
     val bytes = Multimodal.synthPpm(7L, 2, 2)
