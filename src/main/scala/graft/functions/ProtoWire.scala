@@ -129,6 +129,13 @@ object ProtoWire {
         s"protobuf: bad length $n")
       val r = new Reader(bytes, pos, pos + n); pos += n; r
     }
+    def rawBytes(): Array[Byte] = {
+      val n = varint().toInt
+      if (n < 0 || pos + n > end) throw new IllegalArgumentException(
+        s"protobuf: bad length $n")
+      val out = java.util.Arrays.copyOfRange(bytes, pos, pos + n); pos += n
+      out
+    }
     def utf8(): String = {
       val n = varint().toInt
       if (n < 0 || pos + n > end) throw new IllegalArgumentException(
@@ -420,6 +427,140 @@ object ProtoWire {
       w.lenDelim(1, qr.bytes)
     }
     w.bytes
+  }
+
+  // ---- streamed remote-read (prometheus.ChunkedReadResponse) ----
+  //
+  //   ChunkedReadResponse { repeated ChunkedSeries chunked_series = 1;
+  //                         int64 query_index = 2; }
+  //   ChunkedSeries { repeated Label labels = 1; repeated Chunk chunks = 2; }
+  //   Chunk { int64 min_time_ms = 1; int64 max_time_ms = 2;
+  //           Encoding type = 3 [XOR = 1]; bytes data = 4; }
+  //
+  // Frame transport (storage/remote chunked.go ChunkedWriter): each
+  // message rides as uvarint(len) · 4-byte BIG-ENDIAN CRC32-Castagnoli
+  // of the payload · payload. Streamed responses are NOT snappy'd —
+  // the chunk data bytes are already XOR-compressed.
+
+  final case class ChunkPb(minMs: Long, maxMs: Long, ctype: Int,
+                           data: Seq[Byte])
+  final case class ChunkedSeriesPb(labels: Seq[Label], chunks: Seq[ChunkPb])
+  final case class ChunkedReadResponsePb(series: Seq[ChunkedSeriesPb],
+                                         queryIndex: Long)
+
+  private def chunkBytes(c: ChunkPb): Array[Byte] = {
+    val w = new Writer
+    if (c.minMs != 0) w.int64(1, c.minMs)
+    if (c.maxMs != 0) w.int64(2, c.maxMs)
+    if (c.ctype != 0) w.int64(3, c.ctype.toLong)
+    w.lenDelim(4, c.data.toArray)
+    w.bytes
+  }
+  private def chunkedSeriesBytes(s: ChunkedSeriesPb): Array[Byte] = {
+    val w = new Writer
+    s.labels.foreach(l => w.lenDelim(1, labelBytes(l)))
+    s.chunks.foreach(c => w.lenDelim(2, chunkBytes(c)))
+    w.bytes
+  }
+
+  def encodeChunkedReadResponse(m: ChunkedReadResponsePb): Array[Byte] = {
+    val w = new Writer
+    m.series.foreach(s => w.lenDelim(1, chunkedSeriesBytes(s)))
+    if (m.queryIndex != 0) w.int64(2, m.queryIndex)
+    w.bytes
+  }
+
+  private def readChunk(r: Reader): ChunkPb = {
+    var mn = 0L; var mx = 0L; var t = 0; var data: Seq[Byte] = Nil
+    while (r.hasMore) {
+      val tag = r.varint(); val f = (tag >>> 3).toInt; val wt = (tag & 7).toInt
+      (f, wt) match {
+        case (1, 0) => mn = r.varint()
+        case (2, 0) => mx = r.varint()
+        case (3, 0) => t = r.varint().toInt
+        case (4, 2) => data = scala.collection.immutable.ArraySeq
+          .unsafeWrapArray(r.rawBytes())
+        case _ => r.skip(wt)
+      }
+    }
+    ChunkPb(mn, mx, t, data)
+  }
+  private def readChunkedSeries(r: Reader): ChunkedSeriesPb = {
+    val ls = Seq.newBuilder[Label]; val cs = Seq.newBuilder[ChunkPb]
+    while (r.hasMore) {
+      val tag = r.varint(); val f = (tag >>> 3).toInt; val wt = (tag & 7).toInt
+      (f, wt) match {
+        case (1, 2) => ls += readLabel(r.lenDelim())
+        case (2, 2) => cs += readChunk(r.lenDelim())
+        case _ => r.skip(wt)
+      }
+    }
+    ChunkedSeriesPb(ls.result(), cs.result())
+  }
+
+  def decodeChunkedReadResponse(bytes: Array[Byte]): ChunkedReadResponsePb = {
+    val r = new Reader(bytes, 0, bytes.length)
+    val ss = Seq.newBuilder[ChunkedSeriesPb]
+    var qi = 0L
+    while (r.hasMore) {
+      val tag = r.varint(); val f = (tag >>> 3).toInt; val wt = (tag & 7).toInt
+      (f, wt) match {
+        case (1, 2) => ss += readChunkedSeries(r.lenDelim())
+        case (2, 0) => qi = r.varint()
+        case _ => r.skip(wt)
+      }
+    }
+    ChunkedReadResponsePb(ss.result(), qi)
+  }
+
+  /** CRC32-Castagnoli (the chunked-transport checksum). */
+  def crc32c(b: Array[Byte]): Long = {
+    val c = new java.util.zip.CRC32C
+    c.update(b)
+    c.getValue
+  }
+
+  /** Frame messages per upstream chunked.go: uvarint(len) · BE-CRC32C ·
+    * payload, concatenated. */
+  def frameMessages(msgs: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    msgs.foreach { m =>
+      var x = m.length
+      while ((x & ~0x7f) != 0) { out.write((x & 0x7f) | 0x80); x >>>= 7 }
+      out.write(x)
+      val c = crc32c(m)
+      out.write(((c >> 24) & 0xff).toInt); out.write(((c >> 16) & 0xff).toInt)
+      out.write(((c >> 8) & 0xff).toInt); out.write((c & 0xff).toInt)
+      out.write(m)
+    }
+    out.toByteArray
+  }
+
+  /** Unframe a chunked-transport stream, VERIFYING each CRC. */
+  def unframeMessages(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    var pos = 0
+    val out = Seq.newBuilder[Array[Byte]]
+    while (pos < bytes.length) {
+      var len = 0; var shift = 0; var more = true
+      while (more) {
+        if (pos >= bytes.length) throw new IllegalArgumentException(
+          "chunked frame: truncated length")
+        val b = bytes(pos) & 0xff; pos += 1
+        len |= (b & 0x7f) << shift; shift += 7
+        more = (b & 0x80) != 0
+      }
+      if (pos + 4 + len > bytes.length) throw new IllegalArgumentException(
+        "chunked frame: truncated body")
+      val crc = ((bytes(pos) & 0xffL) << 24) | ((bytes(pos + 1) & 0xffL) << 16) |
+        ((bytes(pos + 2) & 0xffL) << 8) | (bytes(pos + 3) & 0xffL)
+      pos += 4
+      val m = java.util.Arrays.copyOfRange(bytes, pos, pos + len)
+      pos += len
+      if (crc32c(m) != crc) throw new IllegalArgumentException(
+        "chunked frame: CRC32C mismatch")
+      out += m
+    }
+    out.result()
   }
 
   def decodeReadResponse(bytes: Array[Byte]): Seq[Seq[Series]] = {

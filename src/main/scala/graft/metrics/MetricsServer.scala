@@ -285,13 +285,47 @@ final class MetricsServer(observed: Observed, port: Int = 0,
           throw new MetricsServer.ResultTooLarge(maxResultRows)
         rows
       }
+      // series cut into ≤120-sample XOR chunks IN SPARK (keyed window +
+      // collect_list + XorChunkEncode), so the driver only holds encoded
+      // chunk rows — ~10 bytes/sample — and chunking parallelizes across
+      // executors; shared by both streamed faces.
+      def collectChunkRows(q: RemoteRead.ReadQuery): Array[org.apache.spark.sql.Row] = {
+        val s0 = src
+        val cond = PromQlParser.selectorCond(
+          s0, RemoteRead.selectorString(q.matchers))
+        val sKey = s0.seriesKey.map(PromQlParser.labelCol)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(sKey: _*).orderBy(col("__ts_ms"), col("__b"))
+        val rows = s0.df.filter(cond)
+          .withColumn("__ts_ms", expr(s"unix_millis(${s0.tsCol})"))
+          .filter(col("__ts_ms") >= q.startMs && col("__ts_ms") <= q.endMs)
+          .withColumn("__b", graft.functions.VectorFunctions
+            .doubleBits(col(s0.valueCol).cast("double")))
+          .withColumn("__seq", (row_number().over(w) - 1).cast("long"))
+          .withColumn("__chunk", expr("__seq div 120"))
+          .groupBy(sKey :+ col("__chunk"): _*)
+          .agg(min(col("__ts_ms")).as("__min_t"),
+            max(col("__ts_ms")).as("__max_t"),
+            graft.functions.XorChunk.encodeCol(sort_array(collect_list(
+              struct(col("__ts_ms").as("t"), col("__b").as("b")))))
+              .as("__data"))
+          .orderBy(sKey :+ col("__chunk"): _*)
+          .limit(maxResultRows + 1)
+          .collect()
+        if (rows.length > maxResultRows)
+          throw new MetricsServer.ResultTooLarge(maxResultRows)
+        rows
+      }
       if (!isJson) {
-        // protobuf face: SAMPLES responses (the default negotiation
-        // outcome); the streamed-chunk face stays on the JSON mapping
-        // below (documented frame stand-in). Absent end (proto3 zero)
-        // reads open-ended.
+        // protobuf face — the REAL wire both ways: SAMPLES as snappy'd
+        // ReadResponse, STREAMED_XOR_CHUNKS as chunked-transport frames
+        // (uvarint len · BE CRC32C · ChunkedReadResponse pb, upstream
+        // chunked.go; not snappy'd — chunk data is already compressed).
+        // Absent end (proto3 zero) reads open-ended.
         import graft.functions.ProtoWire
         val req = ProtoWire.decodeReadRequest(raw)
+        val streamed = req.acceptedTypes.find(t => t == 0 || t == 1)
+          .contains(1)
         val queries = req.queries.map { q =>
           RemoteRead.ReadQuery(q.startMs,
             if (q.endMs == 0L) Long.MaxValue else q.endMs,
@@ -307,11 +341,20 @@ final class MetricsServer(observed: Observed, port: Int = 0,
               (m.name, op, m.value)
             })
         }
-        val results = queries.map(collectSamples)
-        val body = graft.functions.Snappy.compress(
-          MetricsServer.remoteReadPb(results, boundSrc.metricCol,
-            boundSrc.seriesKey))
-        ("application/x-protobuf", Some("snappy"), body)
+        if (!streamed) {
+          val results = queries.map(collectSamples)
+          val body = graft.functions.Snappy.compress(
+            MetricsServer.remoteReadPb(results, boundSrc.metricCol,
+              boundSrc.seriesKey))
+          ("application/x-protobuf", Some("snappy"), body)
+        } else {
+          val msgs = queries.zipWithIndex.flatMap { case (q, qi) =>
+            MetricsServer.chunkedReadPb(collectChunkRows(q),
+              boundSrc.metricCol, boundSrc.seriesKey, qi)
+          }
+          ("application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse",
+            None, ProtoWire.frameMessages(msgs))
+        }
       } else {
         val body = new String(raw, "UTF-8")
         // Response-type negotiation (storage/remote
@@ -327,42 +370,13 @@ final class MetricsServer(observed: Observed, port: Int = 0,
             MetricsServer.remoteReadJson(results, boundSrc.metricCol,
               boundSrc.seriesKey).getBytes("UTF-8"))
         } else {
-        // STREAMED_XOR_CHUNKS: series are cut into ≤120-sample XOR chunks
-        // IN SPARK (keyed window + collect_list + the XorChunkEncode
-        // expression), so the driver only ever holds encoded chunk rows —
-        // ~10 bytes/sample instead of 16 — and the chunking parallelizes
-        // across executors; one ChunkedReadResponse frame per series.
-        // Wire stand-in (same rule as the SAMPLES path): upstream frames
-        // are 4-byte-BE-length + CRC32C + uncompressed protobuf; here each
-        // frame is one JSON line. The chunk `data` bytes are REAL XOR
-        // chunks (graft.functions.XorChunk), base64 in the JSON mapping.
+        // STREAMED_XOR_CHUNKS over the JSON mapping (hand-written
+        // bodies): one JSON line per series frame, chunk data = the REAL
+        // XOR chunk bytes base64'd. The real framed-protobuf face lives
+        // on the pb branch above.
         val frames = queries.zipWithIndex.flatMap { case (q, qi) =>
-          val s0 = src
-          val cond = PromQlParser.selectorCond(
-            s0, RemoteRead.selectorString(q.matchers))
-          val sKey = s0.seriesKey.map(PromQlParser.labelCol)
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(sKey: _*).orderBy(col("__ts_ms"), col("__b"))
-          val rows = s0.df.filter(cond)
-            .withColumn("__ts_ms", expr(s"unix_millis(${s0.tsCol})"))
-            .filter(col("__ts_ms") >= q.startMs && col("__ts_ms") <= q.endMs)
-            .withColumn("__b", graft.functions.VectorFunctions
-              .doubleBits(col(s0.valueCol).cast("double")))
-            .withColumn("__seq", (row_number().over(w) - 1).cast("long"))
-            .withColumn("__chunk", expr("__seq div 120"))
-            .groupBy(sKey :+ col("__chunk"): _*)
-            .agg(min(col("__ts_ms")).as("__min_t"),
-              max(col("__ts_ms")).as("__max_t"),
-              graft.functions.XorChunk.encodeCol(sort_array(collect_list(
-                struct(col("__ts_ms").as("t"), col("__b").as("b")))))
-                .as("__data"))
-            .orderBy(sKey :+ col("__chunk"): _*)
-            .limit(maxResultRows + 1)
-            .collect()
-          if (rows.length > maxResultRows)
-            throw new MetricsServer.ResultTooLarge(maxResultRows)
-          MetricsServer.chunkedReadFrames(rows, boundSrc.metricCol,
-            boundSrc.seriesKey, qi)
+          MetricsServer.chunkedReadFrames(collectChunkRows(q),
+            boundSrc.metricCol, boundSrc.seriesKey, qi)
         }
         ("application/x-streamed-protobuf; proto=prometheus.ChunkedReadResponse",
           None, frames.mkString("", "\n", "\n").getBytes("UTF-8"))
@@ -1081,6 +1095,35 @@ object MetricsServer {
       }.mkString("[", ",", "]")
       s"""{"chunkedSeries":[{"labels":$labels,"chunks":$chunks}],""" +
         s""""queryIndex":$queryIndex}"""
+    }.toSeq
+  }
+
+  /** [[chunkedReadFrames]]'s real-bytes twin: one `ChunkedReadResponse`
+    * protobuf message per series (same grouping), chunk type XOR = 1,
+    * data = the real XOR chunk bytes. Framing (uvarint · CRC32C ·
+    * payload) is applied by the caller via ProtoWire.frameMessages. */
+  private[metrics] def chunkedReadPb(rows: Array[Row], metricCol: String,
+      seriesKey: Seq[String], queryIndex: Int): Seq[Array[Byte]] = {
+    import graft.functions.ProtoWire
+    val grouped = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[(String, String)], scala.collection.mutable.ArrayBuffer[Row]]
+    rows.foreach { r =>
+      val ls = seriesKey.map { k =>
+        (if (k == metricCol) "__name__" else k) ->
+          String.valueOf(r.getAs[Any](k))
+      }
+      grouped.getOrElseUpdate(ls,
+        scala.collection.mutable.ArrayBuffer.empty) += r
+    }
+    grouped.map { case (ls, rs) =>
+      ProtoWire.encodeChunkedReadResponse(ProtoWire.ChunkedReadResponsePb(
+        Seq(ProtoWire.ChunkedSeriesPb(
+          ls.map { case (n, v) => ProtoWire.Label(n, v) },
+          rs.toSeq.map(r => ProtoWire.ChunkPb(
+            r.getAs[Long]("__min_t"), r.getAs[Long]("__max_t"), 1,
+            scala.collection.immutable.ArraySeq
+              .unsafeWrapArray(r.getAs[Array[Byte]]("__data")))))),
+        queryIndex.toLong))
     }.toSeq
   }
 

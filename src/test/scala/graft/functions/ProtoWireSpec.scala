@@ -148,6 +148,28 @@ class ProtoWireSpec extends AnyFunSuite {
     assert(decodeReadResponse(encodeReadResponse(resp)) == resp)
   }
 
+  test("chunked transport: ChunkedReadResponse pb + uvarint/CRC32C framing") {
+    val m = ChunkedReadResponsePb(Seq(ChunkedSeriesPb(
+      Seq(Label("__name__", "cpu"), Label("job", "a")),
+      Seq(ChunkPb(1000L, 2000L, 1, Seq[Byte](1, 2, 3)),
+        ChunkPb(3000L, 4000L, 1, Seq[Byte](-1, 0, 127))))), 2L)
+    assert(decodeChunkedReadResponse(encodeChunkedReadResponse(m)) == m)
+    // framing roundtrip over multiple messages, CRC verified
+    val msgs = Seq(encodeChunkedReadResponse(m), Array[Byte](9, 9))
+    val framed = frameMessages(msgs)
+    val back = unframeMessages(framed)
+    assert(back.map(_.toSeq) == msgs.map(_.toSeq))
+    // golden CRC32C: "123456789" -> 0xE3069283 (the Castagnoli check value)
+    assert(crc32c("123456789".getBytes("US-ASCII")) == 0xE3069283L)
+    // corrupt payload byte -> CRC rejection
+    val bad = framed.clone(); bad(framed.length - 1) = (bad.last ^ 1).toByte
+    intercept[IllegalArgumentException] { unframeMessages(bad) }
+    // truncated frame -> loud failure
+    intercept[IllegalArgumentException] {
+      unframeMessages(framed.dropRight(1).take(framed.length - 3))
+    }
+  }
+
   test("v1+v2 wires through snappy: the full Content-Encoding stack") {
     val pb = encode(fixture)
     assert(Snappy.decompress(Snappy.compress(pb)).toSeq == pb.toSeq)

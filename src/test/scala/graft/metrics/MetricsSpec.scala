@@ -881,6 +881,49 @@ class MetricsSpec extends AnyFunSuite {
             |"queries":[{"matchers":[{"type":"EQ","name":"__name__","value":"cpu"}]}]}"""
             .stripMargin.replace("\n", ""))
         assert(c3 == 200 && ct3.startsWith("application/json"))
+        // THE REAL STREAMED WIRE: pb ReadRequest negotiating
+        // STREAMED_XOR_CHUNKS(1) gets chunked-transport frames back —
+        // uvarint len · BE CRC32C · ChunkedReadResponse protobuf,
+        // chunk data = real XOR bytes (upstream chunked.go framing)
+        import graft.functions.{ProtoWire, Snappy}
+        val pbReq = ProtoWire.encodeReadRequest(ProtoWire.ReadRequestPb(
+          Seq(ProtoWire.ReadQueryPb(0L, 9999999999999L,
+            Seq(ProtoWire.MatcherPb(0, "__name__", "cpu")))),
+          acceptedTypes = Seq(1, 0)))
+        val url = new java.net.URI(
+          s"http://127.0.0.1:${srv.boundPort}/api/v1/read").toURL
+        val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.setRequestProperty("Content-Encoding", "snappy")
+        val os2 = conn.getOutputStream
+        try os2.write(Snappy.compress(pbReq)) finally os2.close()
+        assert(conn.getResponseCode == 200)
+        assert(conn.getHeaderField("Content-Type")
+          .startsWith("application/x-streamed-protobuf"))
+        assert(conn.getHeaderField("Content-Encoding") == null) // not snappy'd
+        val frameBytes = conn.getInputStream.readAllBytes()
+        val msgs = ProtoWire.unframeMessages(frameBytes) // CRC-verified
+        assert(msgs.length == 2) // one message per series
+        val pbBySeries = msgs.map { m =>
+          val resp = ProtoWire.decodeChunkedReadResponse(m)
+          assert(resp.queryIndex == 0L && resp.series.length == 1)
+          val s = resp.series.head
+          val uid = s.labels.find(_.name == "user_id").get.value
+          val ch = s.chunks.head
+          assert(ch.ctype == 1) // XOR
+          val samples = graft.functions.XorChunk.decode(ch.data.toArray)
+            .map { case (t, b) => (t, java.lang.Double.longBitsToDouble(b)) }
+          assert(samples.head._1 == ch.minMs && samples.last._1 == ch.maxMs)
+          uid -> samples.toSeq
+        }.toMap
+        assert(pbBySeries("1") == bySeries("1") &&
+          pbBySeries("2") == bySeries("2")) // pb face == JSON face exactly
+        // a flipped CRC bit is rejected, never silently decoded
+        val corrupted = frameBytes.clone()
+        corrupted(corrupted.length - 1) = (corrupted.last ^ 0x01).toByte
+        intercept[IllegalArgumentException] {
+          ProtoWire.unframeMessages(corrupted)
+        }
       } finally srv.close()
     }
   }
