@@ -227,12 +227,31 @@ object ProtoWire {
   // spelling (repeated wiretype-0 fields) — spec-required tolerance.
 
   final case class ExemplarV2(labelsRefs: Seq[Int], value: Double, timestamp: Long)
+
+  /** Native histogram on the v2 wire (types.proto `Histogram`, integer
+    * flavour): sint fields are ZIGZAG varints, span/delta runs are
+    * PACKED. `spans` are (offset, length) pairs; deltas are the
+    * upstream delta-coded counts. */
+  final case class HistogramPb(countInt: Long, sum: Double, schema: Int,
+                               zeroCountInt: Long,
+                               negSpans: Seq[(Int, Int)], negDeltas: Seq[Long],
+                               posSpans: Seq[(Int, Int)], posDeltas: Seq[Long],
+                               timestamp: Long)
   final case class SeriesV2(labelsRefs: Seq[Int], samples: Seq[Sample],
-                            exemplars: Seq[ExemplarV2])
+                            exemplars: Seq[ExemplarV2],
+                            histograms: Seq[HistogramPb] = Nil)
   final case class RequestV2(symbols: Seq[String], timeseries: Seq[SeriesV2])
+
+  // zigzag (protobuf sint32/sint64): small negatives stay small
+  private def zigzag(n: Long): Long = (n << 1) ^ (n >> 63)
+  private def unzigzag(v: Long): Long = (v >>> 1) ^ -(v & 1L)
 
   /** The decoded Catalyst shape — matches
     * [[graft.sources.RemoteWrite]]'s rw2 JSON schema field for field. */
+  private val spanType = ArrayType(StructType(Seq(
+    StructField("offset", IntegerType),
+    StructField("length", IntegerType))))
+
   val requestV2Type: DataType = StructType(Seq(
     StructField("symbols", ArrayType(StringType)),
     StructField("timeseries", ArrayType(StructType(Seq(
@@ -243,6 +262,16 @@ object ProtoWire {
       StructField("exemplars", ArrayType(StructType(Seq(
         StructField("labelsRefs", ArrayType(IntegerType)),
         StructField("value", DoubleType),
+        StructField("timestamp", LongType))))),
+      StructField("histograms", ArrayType(StructType(Seq(
+        StructField("countInt", LongType),
+        StructField("sum", DoubleType),
+        StructField("schema", IntegerType),
+        StructField("zeroCountInt", LongType),
+        StructField("negativeSpans", spanType),
+        StructField("negativeDeltas", ArrayType(LongType)),
+        StructField("positiveSpans", spanType),
+        StructField("positiveDeltas", ArrayType(LongType)),
         StructField("timestamp", LongType)))))))))))
 
   private def packedBytes(xs: Seq[Int]): Array[Byte] = {
@@ -255,10 +284,33 @@ object ProtoWire {
     w.int64(3, e.timestamp)
     w.bytes
   }
+  private def spanBytes(sp: (Int, Int)): Array[Byte] = {
+    val w = new Writer
+    if (sp._1 != 0) { w.tag(1, 0); w.varint(zigzag(sp._1.toLong)) } // sint32
+    if (sp._2 != 0) w.int64(2, sp._2.toLong)                       // uint32
+    w.bytes
+  }
+  private def packedZigzag(xs: Seq[Long]): Array[Byte] = {
+    val w = new Writer; xs.foreach(x => w.varint(zigzag(x))); w.bytes
+  }
+  private def histogramBytes(h: HistogramPb): Array[Byte] = {
+    val w = new Writer
+    if (h.countInt != 0) w.int64(1, h.countInt)              // count_int
+    w.fixed64(3, java.lang.Double.doubleToLongBits(h.sum))   // sum
+    if (h.schema != 0) { w.tag(4, 0); w.varint(zigzag(h.schema.toLong)) }
+    if (h.zeroCountInt != 0) w.int64(6, h.zeroCountInt)      // zero_count_int
+    h.negSpans.foreach(sp => w.lenDelim(8, spanBytes(sp)))
+    if (h.negDeltas.nonEmpty) w.lenDelim(9, packedZigzag(h.negDeltas))
+    h.posSpans.foreach(sp => w.lenDelim(11, spanBytes(sp)))
+    if (h.posDeltas.nonEmpty) w.lenDelim(12, packedZigzag(h.posDeltas))
+    if (h.timestamp != 0) w.int64(15, h.timestamp)
+    w.bytes
+  }
   private def seriesV2Bytes(ts: SeriesV2): Array[Byte] = {
     val w = new Writer
     if (ts.labelsRefs.nonEmpty) w.lenDelim(1, packedBytes(ts.labelsRefs))
     ts.samples.foreach(s => w.lenDelim(2, sampleBytes(s)))
+    ts.histograms.foreach(h => w.lenDelim(3, histogramBytes(h)))
     ts.exemplars.foreach(e => w.lenDelim(4, exemplarBytes(e)))
     w.bytes
   }
@@ -291,21 +343,65 @@ object ProtoWire {
     }
     ExemplarV2(refs.result(), value, ts)
   }
+  private def readSpan(r: Reader): (Int, Int) = {
+    var off = 0; var len = 0
+    while (r.hasMore) {
+      val t = r.varint(); val f = (t >>> 3).toInt; val wt = (t & 7).toInt
+      (f, wt) match {
+        case (1, 0) => off = unzigzag(r.varint()).toInt
+        case (2, 0) => len = r.varint().toInt
+        case _ => r.skip(wt)
+      }
+    }
+    (off, len)
+  }
+  private def readPackedZigzag(r: Reader): Seq[Long] = {
+    val out = Seq.newBuilder[Long]
+    while (r.hasMore) out += unzigzag(r.varint())
+    out.result()
+  }
+  private def readHistogram(r: Reader): HistogramPb = {
+    var cnt = 0L; var sum = 0.0; var schema = 0; var zc = 0L; var ts = 0L
+    val ns = Seq.newBuilder[(Int, Int)]; val nd = Seq.newBuilder[Long]
+    val ps = Seq.newBuilder[(Int, Int)]; val pd = Seq.newBuilder[Long]
+    while (r.hasMore) {
+      val t = r.varint(); val f = (t >>> 3).toInt; val wt = (t & 7).toInt
+      (f, wt) match {
+        case (1, 0)  => cnt = r.varint()
+        case (3, 1)  => sum = java.lang.Double.longBitsToDouble(r.fixed64())
+        case (4, 0)  => schema = unzigzag(r.varint()).toInt
+        case (6, 0)  => zc = r.varint()
+        case (8, 2)  => ns += readSpan(r.lenDelim())
+        case (9, 2)  => nd ++= readPackedZigzag(r.lenDelim())
+        case (9, 0)  => nd += unzigzag(r.varint()) // unpacked spelling
+        case (11, 2) => ps += readSpan(r.lenDelim())
+        case (12, 2) => pd ++= readPackedZigzag(r.lenDelim())
+        case (12, 0) => pd += unzigzag(r.varint())
+        case (15, 0) => ts = r.varint()
+        case _ => r.skip(wt) // float flavour / zero_threshold / reset_hint
+      }
+    }
+    HistogramPb(cnt, sum, schema, zc, ns.result(), nd.result(),
+      ps.result(), pd.result(), ts)
+  }
   private def readSeriesV2(r: Reader): SeriesV2 = {
     val refs = Seq.newBuilder[Int]
     val samples = Seq.newBuilder[Sample]
     val exemplars = Seq.newBuilder[ExemplarV2]
+    val histograms = Seq.newBuilder[HistogramPb]
     while (r.hasMore) {
       val t = r.varint(); val f = (t >>> 3).toInt; val wt = (t & 7).toInt
       (f, wt) match {
         case (1, 2) => refs ++= readPacked(r.lenDelim())
         case (1, 0) => refs += r.varint().toInt
         case (2, 2) => samples += readSample(r.lenDelim())
+        case (3, 2) => histograms += readHistogram(r.lenDelim())
         case (4, 2) => exemplars += readExemplar(r.lenDelim())
-        case _ => r.skip(wt) // histograms=3, metadata=5, created_ts=6
+        case _ => r.skip(wt) // metadata=5, created_ts=6
       }
     }
-    SeriesV2(refs.result(), samples.result(), exemplars.result())
+    SeriesV2(refs.result(), samples.result(), exemplars.result(),
+      histograms.result())
   }
 
   /** Parse real v2 `Request` protobuf bytes. */
@@ -654,6 +750,15 @@ case class PbRequestV2Encode(child: Expression) extends UnaryExpression with Cod
   private lazy val exRefsIdx = if (exSt == null) -1 else fieldIdx(exSt, "labelsRefs")
   private lazy val exValIdx = if (exSt == null) -1 else fieldIdx(exSt, "value")
   private lazy val exTsIdx = if (exSt == null) -1 else fieldIdx(exSt, "timestamp")
+  private lazy val histIdx =
+    if (serSt.fieldNames.contains("histograms")) fieldIdx(serSt, "histograms") else -1
+  private lazy val histSt = if (histIdx < 0) null else
+    serSt(histIdx).dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+  private lazy val hIdx: Map[String, Int] =
+    if (histSt == null) Map.empty
+    else Seq("countInt", "sum", "schema", "zeroCountInt", "negativeSpans",
+      "negativeDeltas", "positiveSpans", "positiveDeltas", "timestamp")
+      .map(n => n -> fieldIdx(histSt, n)).toMap
 
   override def nullSafeEval(v: Any): Any = {
     val row = v.asInstanceOf[InternalRow]
@@ -680,7 +785,32 @@ case class PbRequestV2Encode(child: Expression) extends UnaryExpression with Cod
               e.getDouble(exValIdx), e.getLong(exTsIdx))
           }.toSeq
         }
-      ProtoWire.SeriesV2(refs, samples, exemplars)
+      val histograms =
+        if (histIdx < 0 || sr.isNullAt(histIdx)) Nil
+        else {
+          val ha = sr.getArray(histIdx)
+          (0 until ha.numElements()).map { j =>
+            val h = ha.getStruct(j, histSt.length)
+            def spansOf(name: String): Seq[(Int, Int)] = {
+              val a = h.getArray(hIdx(name))
+              (0 until a.numElements()).map { k =>
+                val sp = a.getStruct(k, 2)
+                (sp.getInt(0), sp.getInt(1))
+              }
+            }
+            def deltasOf(name: String): Seq[Long] = {
+              val a = h.getArray(hIdx(name))
+              (0 until a.numElements()).map(a.getLong)
+            }
+            ProtoWire.HistogramPb(
+              h.getLong(hIdx("countInt")), h.getDouble(hIdx("sum")),
+              h.getInt(hIdx("schema")), h.getLong(hIdx("zeroCountInt")),
+              spansOf("negativeSpans"), deltasOf("negativeDeltas"),
+              spansOf("positiveSpans"), deltasOf("positiveDeltas"),
+              h.getLong(hIdx("timestamp")))
+          }.toSeq
+        }
+      ProtoWire.SeriesV2(refs, samples, exemplars, histograms)
     }
     ProtoWire.encodeV2(ProtoWire.RequestV2(symbols, series))
   }
@@ -698,6 +828,8 @@ case class PbRequestV2Decode(child: Expression) extends UnaryExpression with Cod
   }
   override def nullSafeEval(v: Any): Any = {
     val req = ProtoWire.decodeV2(v.asInstanceOf[Array[Byte]])
+    def spans(ss: Seq[(Int, Int)]) =
+      new GenericArrayData(ss.map(sp => InternalRow(sp._1, sp._2)).toArray[Any])
     InternalRow(
       new GenericArrayData(req.symbols.map(UTF8String.fromString).toArray[Any]),
       new GenericArrayData(req.timeseries.map { ts =>
@@ -707,7 +839,14 @@ case class PbRequestV2Decode(child: Expression) extends UnaryExpression with Cod
             InternalRow(s.value, s.timestamp)).toArray[Any]),
           new GenericArrayData(ts.exemplars.map(e =>
             InternalRow(new GenericArrayData(e.labelsRefs.toArray[Any]),
-              e.value, e.timestamp)).toArray[Any]))
+              e.value, e.timestamp)).toArray[Any]),
+          new GenericArrayData(ts.histograms.map(h =>
+            InternalRow(h.countInt, h.sum, h.schema, h.zeroCountInt,
+              spans(h.negSpans),
+              new GenericArrayData(h.negDeltas.toArray[Any]),
+              spans(h.posSpans),
+              new GenericArrayData(h.posDeltas.toArray[Any]),
+              h.timestamp)).toArray[Any]))
       }.toArray[Any]))
   }
   override protected def withNewChildInternal(c: Expression): PbRequestV2Decode = copy(c)

@@ -289,6 +289,41 @@ object NativeHistogramQueries {
         .orderBy(col("event_type"))
     }),
 
+    // [N] q195's REAL-WIRE twin: the same sharded native histograms ride
+    // an actual io.prometheus.write.v2.Request protobuf — interned
+    // symbols, labels as refs, histograms in field 3 with zigzag sint
+    // schema/span offsets and PACKED deltas — then decode back through
+    // the SAME span/delta column math and the SAME merge/quantile
+    // pipeline. Identical oracle as q195: only the wire differs, so any
+    // zigzag/packing/framing defect shreds the buckets and hashes red.
+    "q265_rw2_native_histograms_pb" -> ((s, d) => {
+      import graft.sources.RemoteWrite
+      val sharded = NativeHistogram.fromSamples(
+        events(s, d).withColumn("shard", pmod(col("user_id"), lit(10))),
+        Seq("event_type", "shard"), "value", Schema)
+        .withColumn("sts", lit("2024-01-31 00:00:00").cast("timestamp"))
+      val docs = RemoteWrite.renderV2HistPb(
+        sharded, col("shard"), col("event_type"), col("sts"))
+      val back = RemoteWrite.parseV2HistPb(docs)
+        .withColumnRenamed("metric", "event_type")
+      val merged = NativeHistogram.merge(back, Seq("event_type"))
+      val exactSum = round(col("sum"), 2)
+      val mean = exactSum / col("count")
+      merged.select(
+        col("event_type"),
+        col("count").cast("long").as("n_samples"),
+        size(col("pos")).as("n_buckets"),
+        exactSum.as("sum_value"),
+        round(mean, 6).as("avg_value"),
+        round(NativeHistogram.histogramQuantile(0.5), 6).as("p50"),
+        round(NativeHistogram.histogramQuantile(0.9), 6).as("p90"),
+        round(NativeHistogram.histogramQuantile(0.99), 6).as("p99"),
+        round(NativeHistogram.histogramFraction(1.0, 100.0), 6).as("frac_1_100"),
+        round(NativeHistogram.histogramStdvar(meanCol = Some(mean)), 4).as("stdvar"),
+        round(NativeHistogram.histogramStddev(meanCol = Some(mean)), 4).as("stddev"))
+        .orderBy(col("event_type"))
+    }),
+
     // TWO-SIDED native histogram with a real zero-bucket width: shifted
     // samples (v − 50) populate negative buckets, the zero bucket
     // absorbs |v| ≤ 0.5, and the quantile/fraction walks interpolate
@@ -509,6 +544,8 @@ object NativeHistogramQueries {
     // q139 through the RW2.0 span/delta wire: render -> parse is the
     // identity on histograms, so the twin is IDENTICAL.
     "q195_rw2_native_histograms" -> q195Twin,
+    // identical oracle: only the wire differs between q195 and q265
+    "q265_rw2_native_histograms_pb" -> q195Twin,
     // Two-sided cumulative order rebuilt raw: mirrored negative bounds,
     // the [-0.5, 0.5] zero bucket, the same 9-dp pow pins and the
     // q139-style first-bucket-at-rank quantile CASE.

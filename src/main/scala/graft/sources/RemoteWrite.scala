@@ -72,6 +72,75 @@ object RemoteWrite {
     fromTimeseries(df.select(
       graft.functions.ProtoWire.decodeCol(col(binCol)).as("__tss")))
 
+  /** Native histograms over the REAL v2 wire ([[renderV2Hist]]'s
+    * protobuf twin): per `docKey` one `io.prometheus.write.v2.Request`
+    * with a proper interned symbol table, labels as refs, and each
+    * series' span/delta-encoded histograms riding field 3 (zigzag sint
+    * schema/offsets, packed deltas — [[graft.functions.ProtoWire]]).
+    * Samples/exemplars empty: a histogram series carries histograms. */
+  def renderV2HistPb(hist: DataFrame, docKey: Column, metricCol: Column,
+                     tsCol: Column): DataFrame = {
+    val posEnc = encodeSpans(col("pos"))
+    val negEnc = encodeSpans(col("neg"))
+    val h = struct(
+      col("count").cast("long").as("countInt"),
+      col("sum").as("sum"),
+      col("schema").cast("int").as("schema"),
+      col("zero_count").cast("long").as("zeroCountInt"),
+      negEnc.getField("spans").as("negativeSpans"),
+      negEnc.getField("deltas").as("negativeDeltas"),
+      posEnc.getField("spans").as("positiveSpans"),
+      posEnc.getField("deltas").as("positiveDeltas"),
+      unix_millis(tsCol).as("timestamp"))
+    hist.groupBy(docKey.as("__doc"), metricCol.cast("string").as("__m"))
+      .agg(collect_list(h).as("__hists"))
+      .groupBy(col("__doc"))
+      .agg(collect_list(struct(col("__m"), col("__hists"))).as("__series"))
+      .withColumn("symbols", array_sort(array_distinct(concat(
+        array(lit(""), lit("__name__")),
+        transform(col("__series"), s => s.getField("__m"))))))
+      .select(col("__doc"), graft.functions.ProtoWire.encodeV2Col(struct(
+        col("symbols"),
+        transform(col("__series"), s => {
+          def ref(c: Column) =
+            (array_position(col("symbols"), c) - 1).cast("int")
+          struct(
+            array(ref(lit("__name__")), ref(s.getField("__m")))
+              .as("labelsRefs"),
+            array().cast("array<struct<value:double,timestamp:bigint>>")
+              .as("samples"),
+            array().cast(
+              "array<struct<labelsRefs:array<int>,value:double,timestamp:bigint>>")
+              .as("exemplars"),
+            s.getField("__hists").as("histograms"))
+        }).as("timeseries"))).as("pb"))
+  }
+
+  /** [[parseV2Hist]]'s real-bytes twin: decode the v2 `Request` protobuf
+    * and hand spans/deltas to the SAME [[decodeBuckets]] column math —
+    * output shape identical to the JSON face (native-histogram frame
+    * rows). */
+  def parseV2HistPb(df: DataFrame, binCol: String = "pb"): DataFrame = {
+    val base = df.select(
+        graft.functions.ProtoWire.decodeV2Col(col(binCol)).as("d"))
+      .select(col("d.symbols").as("__sym"),
+        explode(col("d.timeseries")).as("ts_row"))
+      .withColumn("__labels",
+        resolveRefs(col("ts_row.labelsRefs"), col("__sym")))
+      .select(
+        element_at(col("__labels"), "__name__").as("metric"),
+        explode(col("ts_row.histograms")).as("h"))
+    base.select(
+      col("metric"),
+      timestamp_millis(col("h.timestamp")).as("ts"),
+      col("h.schema").as("schema"),
+      col("h.countInt").cast("double").as("count"),
+      col("h.sum").as("sum"),
+      col("h.zeroCountInt").cast("double").as("zero_count"),
+      decodeBuckets(col("h.positiveSpans"), col("h.positiveDeltas")).as("pos"),
+      decodeBuckets(col("h.negativeSpans"), col("h.negativeDeltas")).as("neg"))
+  }
+
   /** [[render]]'s real-bytes twin: one `WriteRequest` protobuf document
     * per `docKey` group in column `pb`. Same grouping/ordering rules
     * (ascending-timestamp samples; `__name__` leads the label list). */
