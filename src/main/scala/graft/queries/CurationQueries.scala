@@ -42,7 +42,9 @@ object CurationQueries {
   /** The q92 near-dup cluster pipeline (banded MinHash LSH candidates →
     * signature-verify → pointer-doubling connected components), shared
     * with the canonical-selection face (q190). */
-  private def dedupComponents(s: SparkSession, d: String): DataFrame = {
+  /** The banded-candidate → signature-verified near-dup pair list that
+    * feeds the component fold (and q266's leakage accounting). */
+  private def dedupPairs(s: SparkSession, d: String): DataFrame = {
     val sig = docsWithTokens(s, d)
       .withColumn("bh", TextOps.minhashBase(TextOps.shingles(col("toks"), 3)))
       .select(col("lang"), col("doc_id"),
@@ -51,13 +53,16 @@ object CurationQueries {
       explode(TextOps.bandKeys(col("sig"), 4, 2)).as("bk"))
     val lhs = banded.select(col("lang"), col("bk"), col("doc_id").as("id1"), col("sig").as("sig1"))
     val rhs = banded.select(col("lang"), col("bk"), col("doc_id").as("id2"), col("sig").as("sig2"))
-    val pairs = lhs.join(rhs, Seq("lang", "bk")).filter(col("id1") < col("id2"))
+    lhs.join(rhs, Seq("lang", "bk")).filter(col("id1") < col("id2"))
       .filter(aggregate(
         zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, v) => acc + v) >= 4)
       .select(col("id1"), col("id2")).distinct()
+  }
+
+  private def dedupComponents(s: SparkSession, d: String): DataFrame = {
     val nodes = documents(s, d).select(col("lang"), col("doc_id"))
-    graft.text.Components.connectedComponents(nodes, pairs, "doc_id")
+    graft.text.Components.connectedComponents(nodes, dedupPairs(s, d), "doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -719,6 +724,51 @@ object CurationQueries {
           round(lit(2.0) * col("tp") /
             (col("pp") + col("all_pos")), 6).as("f1"))
         .orderBy(col("threshold"))
+    }),
+
+    // [N] LEAKAGE-FREE dataset splits — the train/test hygiene rule a
+    // near-dup corpus demands: a naive per-doc hash split puts a
+    // document's near-duplicate on the other side of the boundary (the
+    // classic eval-contamination bug); splitting by the doc's near-dup
+    // COMPONENT id instead keeps every cluster whole. Both splits are
+    // computed side by side over q92's verified pair list and component
+    // fold; `leak_aware` is STRUCTURALLY zero (same component → same
+    // split) and the oracle proves it blind, while `leak_naive` counts
+    // the real cross-split near-dup pairs the naive rule leaks. Scale
+    // shape: the q92 machinery (banded candidates only, pointer-doubling
+    // components) + two broadcast-joined pair lookups.
+    "q266_leakage_free_split" -> ((s, d) => {
+      val pairs = graft.CacheBag.register(dedupPairs(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val nodes = documents(s, d).select(col("lang"), col("doc_id"))
+      val comp = graft.text.Components.connectedComponents(
+        nodes, pairs, "doc_id")
+      def splitOf(c: org.apache.spark.sql.Column) =
+        when(pmod(TextOps.md5Hash48(c.cast("string"), "split"), lit(10)) < 2,
+          lit("test")).otherwise(lit("train"))
+      val assigned = graft.CacheBag.register(comp
+        .withColumn("split_naive", splitOf(col("doc_id")))
+        .withColumn("split_aware", splitOf(col("component")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val leaks = pairs
+        .join(assigned.select(col("doc_id").as("id1"),
+          col("split_naive").as("n1"), col("split_aware").as("a1")), "id1")
+        .join(assigned.select(col("doc_id").as("id2"),
+          col("split_naive").as("n2"), col("split_aware").as("a2")), "id2")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("n1") =!= col("n2"), 1L).otherwise(0L))
+            .as("leak_naive"),
+          sum(when(col("a1") =!= col("a2"), 1L).otherwise(0L))
+            .as("leak_aware"))
+      assigned.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("component")).as("n_components"),
+          sum(when(col("split_aware") === "test", 1L).otherwise(0L))
+            .as("n_test_aware"),
+          sum(when(col("split_naive") === "test", 1L).otherwise(0L))
+            .as("n_test_naive"))
+        .crossJoin(broadcast(leaks))
+        .orderBy(col("lang"))
     }),
 
     // [N] Output-integrity shard MANIFEST — the reproducibility artifact
@@ -1649,6 +1699,77 @@ object CurationQueries {
         |    (SELECT sum(y) FROM p), 6) AS recall,
         |  round(2.0 * tp / (pp + (SELECT sum(y) FROM p)), 6) AS f1
         |FROM sw2 ORDER BY threshold""".stripMargin,
+
+    // q92's closure chain + both split rules; leak_aware is proved zero
+    // BLIND (the oracle recomputes components and splits from scratch).
+    "q266_leakage_free_split" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT lang, doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT lang, doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ')
+        |      for i in generate_series(1, len(toks) - 2)]) AS sh
+        |  FROM t
+        |), base AS (
+        |  SELECT lang, doc_id,
+        |    list_transform(sh, s ->
+        |      concat(md5(concat('mhA|', s)), md5(concat('mhB|', s)))) AS bh
+        |  FROM sh
+        |), sig AS (
+        |  SELECT lang, doc_id,
+        |    [list_min(list_transform(bh, s ->
+        |       CAST(concat('0x', substr(s, j*8 + 1, 8)) AS BIGINT)))
+        |     for j in generate_series(0, 7)] AS sig
+        |  FROM base
+        |), banded AS (
+        |  SELECT lang, doc_id, sig, b AS band,
+        |    concat(sig[b*2+1], ',', sig[b*2+2]) AS key
+        |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bands
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM banded a JOIN banded b
+        |    ON a.lang = b.lang AND a.band = b.band AND a.key = b.key
+        |    AND a.doc_id < b.doc_id
+        |  WHERE len([i for i in generate_series(1, 8) if a.sig[i] = b.sig[i]]) >= 4
+        |), edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION ALL SELECT id2, id1 FROM pairs
+        |), reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |), lbl AS (
+        |  SELECT d.lang, d.doc_id,
+        |    least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component
+        |  FROM documents d LEFT JOIN reach r ON d.doc_id = r.a
+        |  GROUP BY d.lang, d.doc_id
+        |), spl AS (
+        |  SELECT lang, doc_id, component,
+        |    CASE WHEN CAST(concat('0x', substr(md5('split|' || doc_id), 1, 12))
+        |        AS BIGINT) % 10 < 2 THEN 'test' ELSE 'train' END AS sn,
+        |    CASE WHEN CAST(concat('0x', substr(md5('split|' || component), 1,
+        |        12)) AS BIGINT) % 10 < 2 THEN 'test' ELSE 'train' END AS sa
+        |  FROM lbl
+        |), lk AS (
+        |  SELECT count(*) AS n_pairs,
+        |    CAST(coalesce(sum(CASE WHEN s1.sn <> s2.sn THEN 1 END), 0)
+        |      AS BIGINT) AS leak_naive,
+        |    CAST(coalesce(sum(CASE WHEN s1.sa <> s2.sa THEN 1 END), 0)
+        |      AS BIGINT) AS leak_aware
+        |  FROM pairs p JOIN spl s1 ON p.id1 = s1.doc_id
+        |    JOIN spl s2 ON p.id2 = s2.doc_id
+        |)
+        |SELECT s.lang, count(*) AS n_docs,
+        |  count(DISTINCT s.component) AS n_components,
+        |  CAST(sum(CASE WHEN s.sa = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_test_aware,
+        |  CAST(sum(CASE WHEN s.sn = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_test_naive,
+        |  lk.n_pairs, lk.leak_naive, lk.leak_aware
+        |FROM spl s CROSS JOIN lk
+        |GROUP BY s.lang, lk.n_pairs, lk.leak_naive, lk.leak_aware
+        |ORDER BY s.lang""".stripMargin,
 
     // Same hashes, same order-invariant folds — any content or
     // membership drift flips h_xor/h_sum.
