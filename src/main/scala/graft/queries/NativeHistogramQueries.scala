@@ -360,6 +360,54 @@ object NativeHistogramQueries {
     // build and the RW2.0 wire, all three against ONE oracle twin. An
     // off-by-one in the index translation, a gap mis-fill, or a dropped
     // zero bucket shifts every quantile and hashes red.
+    // [N] Exponential-histogram DELTA→cumulative (the deltatocumulative
+    // processor's histogram half): HOURLY per-(type, job) exponential
+    // histograms ride the OTLP wire as aggregationTemporality=1
+    // datapoints; parse carries the DELTA mark, and the conversion at a
+    // checkpoint T is the defining equation — bucket-wise keyed merge
+    // of every delta point ≤ T — evaluated at mid-range AND the end.
+    // Both cumulative builds must equal the DIRECT histogram of the raw
+    // events under the same cut, quantiles and all; n_points counts the
+    // DELTA-marked datapoints merged (wire mark load-bearing: an
+    // unmarked parse would count 0 and hash red). Scale shape: the
+    // conversion is one keyed agg over (series, bucket) — nothing
+    // pairwise, nothing driver-side.
+    "q267_exp_histogram_delta" -> ((s, d) => {
+      import graft.sources.Otlp
+      val mid = lit("2024-01-08 00:00:00").cast("timestamp")
+      val hourly = NativeHistogram.fromSamples(
+        events(s, d).withColumn("job", pmod(col("user_id"), lit(3)))
+          .withColumn("h", date_trunc("hour", col("ts"))),
+        Seq("event_type", "job", "h"), "value", Schema)
+      val docs = Otlp.renderExpHistogram(
+        hourly, col("job"), col("event_type"), col("h"), temporality = 1)
+      val back = graft.CacheBag.register(Otlp.parseExpHistogram(docs)
+        .withColumnRenamed("metric", "event_type")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      def cumAt(tag: String, cond: org.apache.spark.sql.Column) = {
+        val pts = back.filter(cond)
+        val merged = NativeHistogram.merge(pts, Seq("event_type"))
+        val nPoints = pts.filter(col("temporality") === 1)
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n_points"))
+        val exactSum = round(col("sum"), 2)
+        val mean = exactSum / col("count")
+        merged.join(nPoints, Seq("event_type"))
+          .select(
+            lit(tag).as("which"),
+            col("event_type"),
+            col("n_points"),
+            col("count").cast("long").as("n_samples"),
+            size(col("pos")).as("n_buckets"),
+            exactSum.as("sum_value"),
+            round(mean, 6).as("avg_value"),
+            round(NativeHistogram.histogramQuantile(0.5), 6).as("p50"),
+            round(NativeHistogram.histogramQuantile(0.9), 6).as("p90"))
+      }
+      cumAt("final", lit(true))
+        .unionByName(cumAt("mid", col("ts") < mid))
+        .orderBy(col("which"), col("event_type"))
+    }),
+
     "q202_otlp_exp_histogram" -> ((s, d) => {
       import graft.sources.Otlp
       val perJob = NativeHistogram.fromSamples(
@@ -445,6 +493,31 @@ object NativeHistogramQueries {
       |ORDER BY t.event_type""".stripMargin
 
   private val q195Twin: String = q139Twin
+
+  /** q139Twin cut to a checkpoint: the twin's raw CTE gains a ts
+    * filter, the ORDER BY is stripped for subquery use, and a
+    * delta-point count (distinct (job, hour) with events under the cut)
+    * joins in — the conversion-at-checkpoint oracle for q267. */
+  private def q267TwinAt(tag: String, where: String): String = {
+    val cut = q139Twin
+      .replace("SELECT event_type, value FROM events",
+        s"SELECT event_type, value FROM events WHERE $where")
+      .replace("ORDER BY t.event_type", "")
+    s"""SELECT '$tag' AS which, t2.event_type, np.n_points, t2.n_samples,
+       |  t2.n_buckets, t2.sum_value, t2.avg_value, t2.p50, t2.p90
+       |FROM ($cut) t2
+       |JOIN (
+       |  SELECT event_type, count(*) AS n_points FROM (
+       |    SELECT DISTINCT event_type, user_id % 3 AS job,
+       |      date_trunc('hour', ts) AS h
+       |    FROM events WHERE $where) GROUP BY 1
+       |) np USING (event_type)""".stripMargin
+  }
+
+  private val q267Twin: String =
+    q267TwinAt("final", "1 = 1") + "\nUNION ALL\n" +
+      q267TwinAt("mid", "ts < TIMESTAMP '2024-01-08 00:00:00'") +
+      "\nORDER BY which, event_type"
 
   val oracle: Map[String, String] = Map(
     // The twin rebuilds the bucket layout from raw samples with the
@@ -608,6 +681,7 @@ object NativeHistogramQueries {
     // Third wire, same twin: the OTLP exponential-histogram roundtrip
     // must land exactly where the classic build and RW2.0 wire land.
     "q202_otlp_exp_histogram" -> q139Twin,
+    "q267_exp_histogram_delta" -> q267Twin,
 
     // Counter-path twin: the engine's increase of cumulative histograms
     // at consecutive marks IS the (mark − 6h, mark] slice histogram, so

@@ -120,7 +120,7 @@ object Otlp {
     * (base^(offset+i), base^(offset+i+1)], one LOWER than the Prometheus
     * index convention, so offset = min(promIdx) − 1. */
   def renderExpHistogram(hist: DataFrame, docKey: Column, metricCol: Column,
-                         tsCol: Column): DataFrame = {
+                         tsCol: Column, temporality: Int = 2): DataFrame = {
     val idxs = transform(col("pos"), b => b.getField("idx"))
     val m = map_from_entries(col("pos"))
     val dense = transform(
@@ -138,7 +138,7 @@ object Otlp {
       .agg(collect_list(dp).as("dataPoints"))
       .groupBy(col("__doc"))
       .agg(collect_list(struct(col("__metric").as("name"),
-        struct(lit(2).as("aggregationTemporality"),
+        struct(lit(temporality).as("aggregationTemporality"),
           col("dataPoints")).as("exponentialHistogram"))).as("metrics"))
       .select(col("__doc"), to_json(struct(array(struct(
         struct(array(struct(lit("service.name").as("key"),
@@ -163,9 +163,13 @@ object Otlp {
       .select(col("job"), explode(col("sm.metrics")).as("m"))
       .select(col("job"),
         regexp_replace(col("m.name"), "[^a-zA-Z0-9_:]", "_").as("metric"),
+        // DELTA(1) marks points for bucket-wise cumulative conversion
+        // (the deltatocumulative processor covers histograms too)
+        coalesce(col("m.exponentialHistogram.aggregationTemporality"),
+          lit(2)).as("temporality"),
         explode(col("m.exponentialHistogram.dataPoints")).as("dp"))
     parsed.select(
-      col("job"), col("metric"),
+      col("job"), col("metric"), col("temporality"),
       timestamp_micros(expr("cast(dp.timeUnixNano as long) div 1000")).as("ts"),
       col("dp.scale").as("schema"),
       col("dp.count").cast("double").as("count"),
