@@ -186,9 +186,13 @@ object RuleGroup {
       val in = src.copy(df = recs.map(src.df.unionByName).getOrElse(src.df))
       val f = RecordingRules.recordedFrame(in, r.record, r.expr, t, t, 1L,
         lookbackSec)
-      recs = Some(recs.map(_.unionByName(f)).getOrElse(f)
-        .localCheckpoint(true))
+      val next = recs.map(_.unionByName(f)).getOrElse(f).localCheckpoint(true)
+      // the superseded generation's checkpoint blocks are dead once the
+      // next one materializes — free them in-loop (CacheBag discipline)
+      recs.foreach(graft.CacheBag.freeCheckpoint(_))
+      recs = Some(next)
     }
+    recs.foreach(graft.CacheBag.registerCheckpoint(_))
     src.copy(df = recs.map(src.df.unionByName).getOrElse(src.df))
   }
 

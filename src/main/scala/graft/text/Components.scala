@@ -72,11 +72,19 @@ object Components {
       val changed = next.alias("n")
         .join(labels.withColumnRenamed("component", "__old").alias("o"), idCol)
         .filter(col("component") =!= col("__old")).count()
+      // the superseded generation's checkpoint blocks are dead from here
+      // — free them NOW, or a query loop accumulates one generation per
+      // iteration per run (measured: q92 reps 1.2 s → 3.0 s in one
+      // bench triple purely from dead block pressure)
+      graft.CacheBag.freeCheckpoint(labels)
       labels = next
       converged = changed == 0
       iter += 1
     }
     edges.unpersist()
+    // the final generation feeds the returned plan — free it only after
+    // the caller's action completes
+    graft.CacheBag.registerCheckpoint(labels)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge after $maxIter iterations — " +
