@@ -142,12 +142,26 @@ object ProtoWire {
         s"protobuf: bad length $n")
       val s = new String(bytes, pos, n, "UTF-8"); pos += n; s
     }
-    /** Skip one field of any wire type (forward compatibility). */
+    /** Skip one field of any wire type (forward compatibility). Every
+      * advance is bounds-checked: a crafted varint length that truncates
+      * to a negative Int must fail loudly, not move `pos` backwards and
+      * spin the `while (hasMore)` decode loops forever (this reader runs
+      * on untrusted /api/v1/write and /api/v1/read POST bodies). */
     def skip(wt: Int): Unit = wt match {
       case 0 => varint(): Unit
-      case 1 => pos += 8
-      case 2 => val n = varint().toInt; pos += n
-      case 5 => pos += 4
+      case 1 =>
+        if (pos + 8 > end) throw new IllegalArgumentException(
+          "protobuf: truncated fixed64 skip")
+        pos += 8
+      case 2 =>
+        val n = varint().toInt
+        if (n < 0 || pos + n > end) throw new IllegalArgumentException(
+          s"protobuf: bad skip length $n")
+        pos += n
+      case 5 =>
+        if (pos + 4 > end) throw new IllegalArgumentException(
+          "protobuf: truncated fixed32 skip")
+        pos += 4
       case other => throw new IllegalArgumentException(
         s"protobuf: unsupported wire type $other")
     }

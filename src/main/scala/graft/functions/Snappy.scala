@@ -125,6 +125,11 @@ object Snappy {
         case 0 =>
           val l6 = tag >> 2
           val len = (if (l6 < 60) l6 else le(l6 - 59)) + 1
+          // le(4) can yield a negative Int for a crafted 4-byte escape;
+          // a negative len slips past BOTH overrun guards and surfaces as
+          // a raw ArrayIndexOutOfBounds from arraycopy instead of the
+          // uniform error envelope on the network-exposed decompress path.
+          if (len <= 0) fail(s"bad literal length $len")
           if (pos + len > in.length) fail("truncated literal")
           if (op + len > total) fail("literal overruns output")
           System.arraycopy(in, pos, out, op, len)

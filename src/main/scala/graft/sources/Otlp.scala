@@ -306,14 +306,18 @@ object Otlp {
     * deltas (exact, association-free), the canonical Spark shape for
     * the conversion. Cumulative and gauge rows pass through unchanged.
     *
-    * Restart detection (upstream deltatocumulative semantics): when a
-    * series' `start_ts` CHANGES between consecutive points, the
-    * producing collector restarted and the running total resets to zero
-    * at the new segment — implemented as a lag-change flag folded into a
-    * segment index, then the prefix sum keyed on (series, segment). Both
-    * windows share one partitioning, so the whole conversion costs a
-    * single hash shuffle on the series key regardless of scale. Points
-    * with a null `start_ts` (exporter omitted it) never trigger a reset.
+    * Restart detection (upstream deltatocumulative semantics): the
+    * processor tracks a series' LAST KNOWN start timestamp; when a
+    * point's non-null `start_ts` differs from it, the producing
+    * collector restarted and the running total resets to zero at the
+    * new segment. Implemented as `last(start_ts, ignoreNulls)` over the
+    * strictly-preceding frame — NOT `lag(1)`, so a mixed wire where some
+    * points omit startTimeUnixNano still resets when the next non-null
+    * start differs from the last known one (a lag-only compare would
+    * silently keep accumulating across the restart). All windows share
+    * one partitioning, so the whole conversion costs a single hash
+    * shuffle on the series key regardless of scale. Points with a null
+    * `start_ts` (exporter omitted it) never trigger a reset themselves.
     *
     * `orderCols` breaks ties between equal-`ts` points (other engine
     * windows order by (tsCol, orderCol)); default keeps ts-only order
@@ -329,11 +333,16 @@ object Otlp {
     // contribute null, which sum() skips)
     val dec = when(isDelta, round(col("value"), 6).cast("decimal(18,6)"))
     val hasStart = samples.columns.contains("start_ts")
+    // the stream's last KNOWN start: last non-null start_ts over strictly
+    // preceding rows (same partition+order as wSeq — no extra shuffle)
+    val wPrev = wSeq.rowsBetween(Window.unboundedPreceding, -1)
     val restart =
       if (!hasStart) lit(false)
-      else col("start_ts").isNotNull &&
-        lag(col("start_ts"), 1).over(wSeq).isNotNull &&
-        col("start_ts") =!= lag(col("start_ts"), 1).over(wSeq)
+      else {
+        val lastKnown = last(col("start_ts"), ignoreNulls = true).over(wPrev)
+        col("start_ts").isNotNull && lastKnown.isNotNull &&
+          col("start_ts") =!= lastKnown
+      }
     // every window here shares ONE (partitionBy seriesKey, orderBy ord)
     // spec, so the whole conversion — restarts included — costs a single
     // hash shuffle + sort regardless of scale: cumulative = full prefix

@@ -242,6 +242,11 @@ object Multimodal {
     while (pos + 8 <= bytes.length) {
       val id = cc(pos); val size = u32(pos + 4).toInt
       val body = pos + 8
+      // A u32 whose low bits truncate to a negative Int would slip past
+      // the truncation check below and walk `pos` BACKWARDS — loop forever
+      // on malformed input. Reject it first (documented contract: throws
+      // on anything malformed).
+      if (size < 0) fail(s"'$id' chunk size out of range")
       if (body + size > bytes.length) fail(s"truncated '$id' chunk")
       id match {
         case "fmt " =>

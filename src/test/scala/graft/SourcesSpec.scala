@@ -227,4 +227,36 @@ class SourcesSpec extends AnyFunSuite {
     assert(before.getAs[scala.collection.Seq[Row]]("pos").map(_.getInt(0))
       == Seq(-2, -1, 3, 4, 9))
   }
+
+  test("deltaToCumulative: restart detected across null-start gaps " +
+    "(last-known-start semantics, not lag-1)") {
+    import graft.sources.Otlp
+    // one series, four delta points: start A, then a point that OMITS
+    // startTimeUnixNano, then start B (collector restarted), then B again.
+    // upstream deltatocumulative tracks the LAST KNOWN start — the third
+    // point must reset even though its immediate predecessor's start is
+    // null. A lag(1)-only compare silently keeps accumulating.
+    val a = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val b = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val rows = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-02 01:00:00"), Some(a), 10.0),
+      (java.sql.Timestamp.valueOf("2024-01-02 02:00:00"), None: Option[java.sql.Timestamp], 5.0),
+      (java.sql.Timestamp.valueOf("2024-01-02 03:00:00"), Some(b), 7.0),
+      (java.sql.Timestamp.valueOf("2024-01-02 04:00:00"), Some(b), 2.0))
+    val df = rows.toDF("ts", "start_ts", "value")
+      .withColumn("kind", lit("sum")).withColumn("temporality", lit(1))
+      .withColumn("metric", lit("m"))
+    val out = Otlp.deltaToCumulative(df, Seq(col("metric")))
+      .orderBy("ts").select("value").as[Double].collect().toSeq
+    // pre-restart prefix 10, 15; restart at point 3 → 7, 9
+    assert(out == Seq(10.0, 15.0, 7.0, 9.0), out)
+    // and a same-start wire never resets (nulls interleaved or not)
+    val same = rows.map { case (ts, s, v) => (ts, s.map(_ => a), v) }
+      .toDF("ts", "start_ts", "value")
+      .withColumn("kind", lit("sum")).withColumn("temporality", lit(1))
+      .withColumn("metric", lit("m"))
+    val out2 = Otlp.deltaToCumulative(same, Seq(col("metric")))
+      .orderBy("ts").select("value").as[Double].collect().toSeq
+    assert(out2 == Seq(10.0, 15.0, 22.0, 24.0), out2)
+  }
 }

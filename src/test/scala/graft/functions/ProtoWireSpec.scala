@@ -75,6 +75,27 @@ class ProtoWireSpec extends AnyFunSuite {
     }
   }
 
+  test("crafted skip lengths fail loudly instead of looping forever") {
+    // unknown LEN field 7 inside a Label whose varint length truncates
+    // to a NEGATIVE Int (0xFFFFFFFF): an unguarded skip would move pos
+    // backwards and spin `while (hasMore)` forever on an untrusted
+    // /api/v1/write body. Must throw within the uniform envelope.
+    val negLen = Array(
+      0x0A, 0x08,                               // timeseries, len 8
+      0x0A, 0x06,                               // labels, len 6
+      0x3A, 0xFF, 0xFF, 0xFF, 0xFF, 0x0F).map(_.toByte) // field7 LEN 2^32-1
+    intercept[IllegalArgumentException] { decode(negLen) }
+    // unknown LEN field whose (positive) length overruns the buffer
+    val overrun = Array(
+      0x0A, 0x06, 0x0A, 0x04, 0x3A, 0x7F, 0x61, 0x62).map(_.toByte)
+    intercept[IllegalArgumentException] { decode(overrun) }
+    // unknown fixed64/fixed32 fields truncated at the buffer edge
+    val truncF64 = Array(0x0A, 0x04, 0x0A, 0x02, 0x39, 0x01).map(_.toByte)
+    intercept[IllegalArgumentException] { decode(truncF64) }
+    val truncF32 = Array(0x0A, 0x04, 0x0A, 0x02, 0x3D, 0x01).map(_.toByte)
+    intercept[IllegalArgumentException] { decode(truncF32) }
+  }
+
   test("negative and large timestamps/values survive (varint 10-byte path)") {
     val s = Seq(Series(Seq(Label("n", "v")),
       Seq(Sample(-123.456, -1L), Sample(Double.MaxValue, Long.MaxValue))))

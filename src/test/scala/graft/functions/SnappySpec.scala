@@ -78,5 +78,16 @@ class SnappySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { // declared more than delivered
       Snappy.decompress(Array(0x63, 0x10).map(_.toByte) ++ "hello".getBytes)
     }
+    intercept[IllegalArgumentException] { // 4-byte literal-length escape
+      // that truncates to a NEGATIVE Int: must hit the uniform error
+      // envelope, not a raw ArrayIndexOutOfBounds from arraycopy
+      Snappy.decompress(
+        Array(0x05, 0xFC, 0x00, 0x00, 0x00, 0x80).map(_.toByte))
+    }
+    intercept[IllegalArgumentException] { // zero-length escape (len = 0
+      // after +1 on le(4) = -1) is equally malformed
+      Snappy.decompress(
+        Array(0x05, 0xFC, 0xFF, 0xFF, 0xFF, 0xFF).map(_.toByte))
+    }
   }
 }

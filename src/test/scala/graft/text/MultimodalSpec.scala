@@ -88,6 +88,12 @@ class MultimodalSpec extends AnyFunSuite {
       b(22) = 2 // numChannels low byte inside fmt
       Multimodal.decodeWav(b)
     }
+    intercept[IllegalArgumentException] { // negative u32 chunk size:
+      // would walk pos BACKWARDS and loop forever if unchecked
+      val b = "RIFF____WAVEJUNK".getBytes("US-ASCII") ++
+        Array(0xF8, 0xFF, 0xFF, 0xFF).map(_.toByte) // size = -8 as Int
+      Multimodal.decodeWav(b)
+    }
   }
 
   test("WAV features: exact integer sums, extremes, zero crossings") {
