@@ -284,8 +284,163 @@ object AnomalyQueries {
           sum(when(col("cp"), 1).otherwise(0)).as("n_cp_hours"),
           min(when(col("cp"), col("h"))).as("first_cp"))
         .orderBy(col("event_type"))
-    })
+    }),
+
+    // P6's TRUE semantics: a nonlinear AUTOENCODER (dim-12 → 4 → 12,
+    // cubic-soft-clip activation) trained per event_type on pre-cutoff
+    // windows in closed form, scored over every window — and, unlike the
+    // PCA face (q98, rows-only), HASH-GREEN: the fixed Haar encoder +
+    // decimal-routed training moments + IEEE-exact activation make the
+    // whole model reproducible in DuckDB (see graft.anomaly.Ae). The
+    // saturating hidden layer bounds the reconstruction range, so
+    // on-manifold-direction outliers that PCA's off-subspace error
+    // cannot see score loudly (pinned in AeSpec's planted anomaly).
+    "q268_ae_recon" -> ((s, d) => aeRecon(s, d, batch = true)),
   )
+
+  /** Shared by batch q268 and streaming s269 (same semantics → same
+    * oracle SQL, the s94/q89 precedent): train [[graft.anomaly.Ae]] per
+    * event_type on windows ending before Jan 15, score ALL windows,
+    * roll up per type with decimal-routed sums. The streaming face
+    * assembles windows statefully through the replay harness; equality
+    * of the two committed results is exactly the stream-batch parity
+    * claim. */
+  private[queries] def aeRecon(s: SparkSession, d: String,
+                               batch: Boolean): DataFrame = {
+    import graft.anomaly.Ae
+    val cutoff = lit("2024-01-15").cast("timestamp")
+    val wins =
+      if (batch)
+        AnomalyOps.assembleWindows(events(s, d), eventKey,
+          "ts", "event_id", "value", 12)
+      else
+        // localCheckpoint: the fit→score chain self-joins the window
+        // frame, and Catalyst's relation dedup covers file scans but not
+        // the replay harness's MemorySink view (conflicting-attribute
+        // resolve error). Materializing once also avoids re-reading the
+        // sink for each of the two fit aggregations.
+        graft.stream.StreamOps.replayEvents(s, d, "s269_sink", 1)(
+          ds => graft.stream.StreamOps.assemblerVec(ds, 12).toDF(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+          .withColumnRenamed("end_ts", "ts")
+          .localCheckpoint()
+    val models = Ae.fit(wins.filter(col("ts") < cutoff),
+      Seq("event_type"), "win_arr", dim = 12)
+    Ae.score(wins, models, Seq("event_type"), "win_arr", dim = 12)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_windows"),
+        round(sum(round(col("recon_err"), 6).cast("decimal(18,6)"))
+          .cast("double"), 4).as("sum_recon"),
+        round(max(col("recon_err")), 6).as("max_recon"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The q268/s269 oracle, GENERATED so every unrolled expression mirrors
+    * the Spark plan's association exactly: left-assoc `+` chains match
+    * `aggregate`'s left fold (0.0 + t1 ≡ t1 in IEEE), per-row math is
+    * correctly-rounded double ops only (·, −, /, sqrt, compares — no
+    * transcendentals), and every cross-row sum routes through
+    * round-6 → DECIMAL(18,6), so both engines derive bit-identical
+    * models and scores. */
+  private[queries] lazy val aeReconSql: String = {
+    import graft.anomaly.Ae
+    val dim = 12; val k = Ae.K
+    val w1 = Ae.bank(dim)
+    def wlit(x: Double): String = if (x >= 0) "0.25" else "-0.25"
+    def dec6(x: String) = s"CAST(round($x, 6) AS DECIMAL(18,6))"
+    val rowSum = (1 to dim).map(i => s"win_arr[$i]").mkString(" + ")
+    val rowSq = (1 to dim).map(i => s"win_arr[$i] * win_arr[$i]")
+      .mkString(" + ")
+    val zCols = (0 until dim).map(i =>
+      s"(f.win_arr[${i + 1}] - s.mu) / s.sigma AS z_$i").mkString(",\n    ")
+    val aCols = (0 until k).map(j =>
+      (0 until dim).map(i => s"z_$i * ${wlit(w1(j)(i))}").mkString(" + ")
+        + s" AS a_$j").mkString(",\n    ")
+    val hCols = (0 until k).map(j =>
+      s"CASE WHEN a_$j <= -1.5 THEN -1.0 WHEN a_$j >= 1.5 THEN 1.0 " +
+        s"ELSE a_$j - (4.0/27.0) * a_$j * a_$j * a_$j END AS h_$j")
+      .mkString(",\n    ")
+    val moments = (
+      (0 until k).map(j => s"sum(${dec6(s"h_$j")}) AS sh_$j") ++
+        (0 until k).map(j => s"sum(${dec6(s"h_$j * h_$j")}) AS shh_$j") ++
+        (0 until dim).map(i => s"sum(${dec6(s"z_$i")}) AS sz_$i") ++
+        (for { i <- 0 until dim; j <- 0 until k } yield
+          s"sum(${dec6(s"z_$i * h_$j")}) AS szh_${i}_$j")
+      ).mkString(",\n    ")
+    val modelCols = (
+      (0 until k).map(j => s"CAST(sh_$j AS DOUBLE) / n AS hb_$j") ++
+        (0 until k).map(j => s"CAST(shh_$j AS DOUBLE) / n - " +
+          s"(CAST(sh_$j AS DOUBLE) / n) * (CAST(sh_$j AS DOUBLE) / n) AS vh_$j") ++
+        (0 until dim).map(i => s"CAST(sz_$i AS DOUBLE) / n AS zb_$i")
+      ).mkString(",\n    ")
+    val gainCols = (for { i <- 0 until dim; j <- 0 until k } yield
+      s"CASE WHEN vh_$j > 1e-12 THEN " +
+        s"(CAST(szh_${i}_$j AS DOUBLE) / n - zb_$i * hb_$j) / vh_$j " +
+        s"ELSE 0.0 END AS g_${i}_$j").mkString(",\n    ")
+    val eCols = (0 until dim).map { i =>
+      val zhat = s"g.zb_$i" + (0 until k)
+        .map(j => s" + g.g_${i}_$j * (h.h_$j - g.hb_$j)").mkString
+      s"h.z_$i - ($zhat) AS e_$i"
+    }.mkString(",\n    ")
+    val recon = (0 until dim).map(i => s"e_$i * e_$i").mkString(" + ")
+    s"""WITH wins AS (
+       |  SELECT user_id, event_type, ts,
+       |    list(value) OVER (PARTITION BY user_id, event_type
+       |      ORDER BY ts, event_id
+       |      ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS win_arr
+       |  FROM events
+       |), fw AS (
+       |  SELECT event_type, ts, win_arr FROM wins WHERE len(win_arr) = 12
+       |), stats AS (
+       |  SELECT event_type, count(*) AS n,
+       |    sum(${dec6(s"($rowSum)")}) AS sv,
+       |    sum(${dec6(s"($rowSq)")}) AS svv
+       |  FROM fw WHERE ts < TIMESTAMP '2024-01-15' GROUP BY 1
+       |), st AS (
+       |  SELECT event_type,
+       |    CAST(sv AS DOUBLE) / (n * 12) AS mu,
+       |    sqrt(CAST(svv AS DOUBLE) / (n * 12) -
+       |      (CAST(sv AS DOUBLE) / (n * 12)) *
+       |      (CAST(sv AS DOUBLE) / (n * 12))) AS sigma
+       |  FROM stats
+       |), stf AS (
+       |  SELECT * FROM st WHERE sigma > 0
+       |), zh AS (
+       |  SELECT f.event_type, f.ts,
+       |    $zCols
+       |  FROM fw f JOIN stf s ON s.event_type = f.event_type
+       |), aa AS (
+       |  SELECT *,
+       |    $aCols
+       |  FROM zh
+       |), hh AS (
+       |  SELECT *,
+       |    $hCols
+       |  FROM aa
+       |), mom AS (
+       |  SELECT event_type, count(*) AS n,
+       |    $moments
+       |  FROM hh WHERE ts < TIMESTAMP '2024-01-15' GROUP BY 1
+       |), model AS (
+       |  SELECT *,
+       |    $modelCols
+       |  FROM mom
+       |), gains AS (
+       |  SELECT *,
+       |    $gainCols
+       |  FROM model
+       |), errs AS (
+       |  SELECT h.event_type,
+       |    $eCols
+       |  FROM hh h JOIN gains g ON g.event_type = h.event_type
+       |), scored AS (
+       |  SELECT event_type, $recon AS recon FROM errs
+       |)
+       |SELECT event_type, count(*) AS n_windows,
+       |  round(CAST(sum(${dec6("recon")}) AS DOUBLE), 4) AS sum_recon,
+       |  round(max(recon), 6) AS max_recon
+       |FROM scored GROUP BY 1 ORDER BY event_type""".stripMargin
+  }
 
   /** The multivariate window's oracle-able projection — shared by the
     * batch q129 and the streaming s130 twin (same semantics, same SQL). */
@@ -540,6 +695,8 @@ object AnomalyQueries {
         |  round(max(cusum), 4) AS max_cusum,
         |  CAST(sum(CASE WHEN cp THEN 1 ELSE 0 END) AS BIGINT) AS n_cp_hours,
         |  min(CASE WHEN cp THEN h END) AS first_cp
-        |FROM cus GROUP BY 1 ORDER BY event_type""".stripMargin
+        |FROM cus GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q268_ae_recon" -> aeReconSql
   )
 }

@@ -155,6 +155,16 @@ object StreamingQueries {
         .orderBy(col("event_type"), col("model_source"))
     }),
 
+    // P6 streaming face of the TRUE nonlinear autoencoder (q268's twin):
+    // stateful window assembly through the replay harness, then the same
+    // closed-form-trained Ae model broadcast onto the stream. Unlike
+    // s112's PCA path, the AE is exactly reproducible in SQL, so this
+    // streaming row is FULLY hash-green — committed sink equals the
+    // batch q268 result, which is precisely the stream-batch parity
+    // claim (shared oracle, the s94/q89 precedent).
+    "s269_stream_ae_score" -> ((s, d) =>
+      AnomalyQueries.aeRecon(s, d, batch = false)),
+
     // E46/P13+P6: stream–static model join scoring each arriving event.
     "s61_stream_static_score" -> ((s, d) => {
       val model = Threshold.fit(Tables.events(s, d), Seq("event_type"), "value", 3.0)
@@ -872,6 +882,10 @@ object StreamingQueries {
         |         AS DECIMAL(18,6))
         |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE), 4) AS sum_static_score
         |FROM full_wins GROUP BY 1, 2 ORDER BY event_type, model_source""".stripMargin,
+
+    // The streaming AE twin shares q268's generated oracle verbatim —
+    // stateful assembly must reproduce the batch windows exactly.
+    "s269_stream_ae_score" -> AnomalyQueries.aeReconSql,
 
     // Stream–static score: every event joins the batch-fitted model.
     "s61_stream_static_score" ->
