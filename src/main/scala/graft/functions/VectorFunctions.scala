@@ -202,6 +202,62 @@ case class VecD2Units(left: Expression, right: Expression) extends BinaryExpress
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecD2Units = copy(l, r)
 }
 
+/** Exact-decimal DOT PRODUCT in integer 1e-9 units: Σ round(a_i·b_i, 9).
+  * The q52 LSH sign bits and the q157 SemDeDup τ-gate both hinge on
+  * FP-boundary decisions (sign of a dot, cos > τ); accumulating per-term
+  * 9-dp-rounded products in integer units makes those decisions exact
+  * and association-free — bit-equal to the oracle's unnest + DECIMAL(28,9)
+  * per-dim sum, in one fused pass (the VecD2Units discipline; HALF_UP
+  * equals DuckDB's round-half-away-from-zero for negative terms too).
+  * Either side may be float or double. */
+case class VecDotUnits(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(a, _), ArrayType(b, _))
+      if (a == FloatType || a == DoubleType) &&
+        (b == FloatType || b == DoubleType) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"expects (array<float|double>, array<float|double>), got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = VecD2Units.checkDims(a.numElements(), b.numElements())
+    val lf = isFloat(left); val rf = isFloat(right)
+    var s = 0L; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) VecD2Units.nullElement(i)
+      val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+      s += VecD2Units.signedUnits(x * y)
+      i += 1
+    }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lg = if (isFloat(left)) "getFloat" else "getDouble"
+    val rg = if (isFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = graft.functions.VecD2Units.checkDims($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) graft.functions.VecD2Units.nullElement($i);
+         |  $s += graft.functions.VecD2Units.signedUnits(
+         |    (double) $a.$lg($i) * (double) $b.$rg($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDotUnits = copy(l, r)
+}
+
 object VecD2Units {
   /** Dimension guard shared by eval and codegen: a vector/centroid
     * length mismatch is a data bug, not a shorter distance. */
@@ -223,6 +279,11 @@ object VecD2Units {
     new java.math.BigDecimal(v)
       .setScale(9, java.math.RoundingMode.HALF_UP)
       .movePointRight(9).longValueExact()
+
+  /** Same 9-dp HALF_UP unit conversion for SIGNED terms (dot products):
+    * BigDecimal HALF_UP rounds ties AWAY from zero for negatives too,
+    * which is exactly DuckDB's round() rule. */
+  def signedUnits(v: Double): Long = units(v)
 }
 
 /** IEEE-754 raw bit pattern of a double as BIGINT — the Gorilla /
@@ -257,6 +318,8 @@ object VectorFunctions {
     ExpressionUtils.column(VecNorm(ExpressionUtils.expression(a)))
   def vecD2Units(a: Column, b: Column): Column =
     ExpressionUtils.column(VecD2Units(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def vecDotUnits(a: Column, b: Column): Column =
+    ExpressionUtils.column(VecDotUnits(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** SQL registration: `SELECT vec_cosine(a, b)` etc. */
   def register(spark: SparkSession): Unit = {

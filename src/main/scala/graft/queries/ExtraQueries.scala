@@ -79,14 +79,49 @@ object ExtraQueries {
         .orderBy(col("event_type"), col("hash_id"))
     }),
 
-    // E18: approximate distinct (HLL sketch) — declared WITHOUT oracle
-    // (sketch estimates are engine-specific; SURVEY E18 policy); accuracy
-    // vs exact is asserted in EntrySpec within rsd bounds.
+    // E18: approximate distinct — a DETERMINISTIC KMV (k-minimum-values /
+    // bottom-k) sketch, HASH-GREEN since round 14: hashes are the
+    // md5Hash48 both engines replay exactly, the bottom-64 per group is a
+    // total order (hash, value tiebreak), and the estimator
+    // (k−1)·2^48/h_(k) plus its error-vs-exact column are fixed double
+    // expressions over exact integers. Groups with fewer than k distinct
+    // values report the kept count itself (the KMV exact-below-k rule).
+    // Scale shape: the bottom-k refines in two phases — per (group, hash
+    // mod 32) salt first (the q99 salted-window discipline), then the
+    // tiny 32k-row survivor set per group — so no single-reducer sort at
+    // 100 TB. Spark's HLL (approx_count_distinct) stays the spec-only
+    // sibling: EntrySpec pins its rsd, but sketch registers are
+    // engine-specific, hence not oracle-comparable.
     "q70_approx_distinct" -> ((s, d) => {
-      lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+      val k = 64
+      val dv = lineitem(s, d)
+        .select(col("l_returnflag"), col("l_partkey")).distinct()
+      val hashed = dv.withColumn("h",
+        graft.text.TextOps.md5Hash48(col("l_partkey").cast("string"), "kmv"))
+      val w1 = Window.partitionBy(col("l_returnflag"), pmod(col("h"), lit(32)))
+        .orderBy(col("h"), col("l_partkey"))
+      val w2 = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("h"), col("l_partkey"))
+      val bot = hashed
+        .withColumn("r1", row_number().over(w1)).filter(col("r1") <= k)
+        .withColumn("r", row_number().over(w2)).filter(col("r") <= k)
+      val sk = bot.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_hash"),
+          sum(col("h")).as("bottomk_sum"))
+      val ex = dv.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("exact_parts"))
+      sk.join(ex, "l_returnflag")
+        .withColumn("est_raw",
+          when(col("n_kept") === k,
+            lit((k - 1).toDouble) * lit(281474976710656.0) /
+              col("kth_hash").cast("double"))
+            .otherwise(col("n_kept").cast("double")))
+        .select(col("l_returnflag"),
+          col("exact_parts"),
+          round(col("est_raw"), 4).as("est_parts"),
+          round((col("est_raw") - col("exact_parts")) / col("exact_parts"), 6)
+            .as("rel_err"),
+          col("kth_hash"), col("bottomk_sum"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -209,23 +244,33 @@ object ExtraQueries {
     // WITHIN each cluster drop any vector with a lower-id neighbor at
     // cosine > τ — pairwise work is cluster-scoped (the pruning that
     // survives 100 TB; a brute all-pairs dedup is quadratic in the
-    // corpus). Declared rows-only per the q52/q72 policy: the
-    // nearest-centroid argmax sits on FP boundaries cross-engine; the
-    // soundness invariant (every drop has a REAL lower-id partner at
-    // cos > τ) is pinned in TextOpsSpec instead.
+    // corpus). HASH-GREEN since round 14: assignment runs on exact-unit
+    // d² (assignD2) and the τ gate is the EXACT squared form
+    // cos > τ ⇔ dot > 0 ∧ 16·dot² > ‖a‖²·‖b‖² (τ = 1/4), evaluated on
+    // integer 1e-9 units widened to DECIMAL(12,0) — products stay ≤
+    // DECIMAL(25,0), exact in both engines, so no FP boundary decides a
+    // drop. Soundness (every drop has a REAL lower-id partner) stays
+    // pinned in TextOpsSpec.
     "q157_semantic_dedup" -> ((s, d) => {
       val emb = embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism)
       val cents = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
-      val assigned = graft.text.Ivf.assign(emb, cents)
+      val assigned = graft.text.Ivf.assignD2(emb, cents)
+      val norms = emb.select(col("vec_id"),
+        VectorFunctions.vecDotUnits(col("embedding"), col("embedding"))
+          .cast("decimal(12,0)").as("nn"))
       val a = assigned.select(col("list_id"), col("vec_id").as("id1"),
         col("embedding").as("v1"))
       val b = assigned.select(col("list_id"), col("vec_id").as("id2"),
         col("embedding").as("v2"))
       val dropped = a.join(b, Seq("list_id")).filter(col("id1") < col("id2"))
-        .withColumn("cos", VectorFunctions.vecCosine(col("v1"), col("v2")))
-        .filter(col("cos") > 0.25)
+        .withColumn("du",
+          VectorFunctions.vecDotUnits(col("v1"), col("v2")).cast("decimal(12,0)"))
+        .join(broadcast(norms.select(col("vec_id").as("id1"), col("nn").as("n1"))), "id1")
+        .join(broadcast(norms.select(col("vec_id").as("id2"), col("nn").as("n2"))), "id2")
+        .filter(col("du") > 0 &&
+          lit(16) * col("du") * col("du") > col("n1") * col("n2"))
         .select(col("id2").as("vec_id")).distinct()
         .withColumn("is_dropped", lit(true))
       emb.select(col("vec_id"), col("label"))
@@ -2204,6 +2249,90 @@ object ExtraQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Exact twin of the Spark plan: d²-argmin assignment + the squared
+    // τ gate (cos > 1/4 ⇔ dot > 0 ∧ 16·dot² > ‖a‖²·‖b‖²) evaluated on
+    // scale-9 decimals — Spark compares the same quantities in integer
+    // 1e-9 units; both sides are exact, so the booleans agree.
+    "q157_semantic_dedup" ->
+      """WITH comps AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), cents AS (
+        |  SELECT vec_id AS cid, dim, x AS c FROM comps WHERE vec_id < 8
+        |), assigned AS (
+        |  SELECT vec_id, (min(struct_pack(d := d2, cid := cid))).cid AS list_id
+        |  FROM (
+        |    SELECT p.vec_id, s.cid,
+        |      sum(CAST(round((p.x - s.c) * (p.x - s.c), 9)
+        |        AS DECIMAL(28,9))) AS d2
+        |    FROM comps p JOIN cents s USING (dim) GROUP BY 1, 2
+        |  ) GROUP BY 1
+        |), pd AS (
+        |  SELECT a1.vec_id AS id1, a2.vec_id AS id2,
+        |    sum(CAST(round(c1.x * c2.x, 9) AS DECIMAL(28,9))) AS dot
+        |  FROM assigned a1 JOIN assigned a2 ON a2.list_id = a1.list_id
+        |    AND a1.vec_id < a2.vec_id
+        |  JOIN comps c1 ON c1.vec_id = a1.vec_id
+        |  JOIN comps c2 ON c2.vec_id = a2.vec_id AND c2.dim = c1.dim
+        |  GROUP BY 1, 2
+        |), norms AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CAST(round(x * x, 9) AS DECIMAL(28,9)))
+        |      AS DECIMAL(12,9)) AS nn
+        |  FROM comps GROUP BY 1
+        |), dropped AS (
+        |  SELECT DISTINCT pd.id2 AS vec_id
+        |  FROM pd JOIN norms n1 ON n1.vec_id = pd.id1
+        |          JOIN norms n2 ON n2.vec_id = pd.id2
+        |  WHERE pd.dot > 0
+        |    AND 16 * (CAST(pd.dot AS DECIMAL(12,9)) * CAST(pd.dot AS DECIMAL(12,9)))
+        |        > n1.nn * n2.nn
+        |)
+        |SELECT e.label, count(*) AS n_vecs,
+        |  CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept
+        |FROM embeddings e LEFT JOIN dropped d ON d.vec_id = e.vec_id
+        |GROUP BY 1 ORDER BY e.label""".stripMargin,
+
+    // The KMV sketch replayed verbatim: same md5-48 hashes, same bottom-64
+    // total order, same estimator arithmetic. (No salt phase needed here —
+    // pre-filtering each salt to its own bottom-64 is a superset of the
+    // global bottom-64, so the global rank is identical.)
+    "q70_approx_distinct" ->
+      """WITH dv AS (
+        |  SELECT DISTINCT l_returnflag, l_partkey FROM lineitem
+        |), hashed AS (
+        |  SELECT l_returnflag, l_partkey,
+        |    CAST(concat('0x', substr(md5('kmv|' || l_partkey), 1, 12))
+        |      AS BIGINT) AS h
+        |  FROM dv
+        |), bot AS (
+        |  SELECT l_returnflag, h,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY h, l_partkey) AS r
+        |  FROM hashed
+        |), sk AS (
+        |  SELECT l_returnflag, count(*) AS n_kept, max(h) AS kth_hash,
+        |    CAST(sum(h) AS BIGINT) AS bottomk_sum
+        |  FROM bot WHERE r <= 64 GROUP BY 1
+        |), ex AS (
+        |  SELECT l_returnflag, count(*) AS exact_parts FROM dv GROUP BY 1
+        |), j AS (
+        |  SELECT s.l_returnflag, exact_parts, n_kept, kth_hash, bottomk_sum,
+        |    CASE WHEN n_kept = 64
+        |      THEN CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+        |           / CAST(kth_hash AS DOUBLE)
+        |      ELSE CAST(n_kept AS DOUBLE) END AS est_raw
+        |  FROM sk s JOIN ex USING (l_returnflag)
+        |)
+        |SELECT l_returnflag, exact_parts, round(est_raw, 4) AS est_parts,
+        |  round((est_raw - exact_parts) / exact_parts, 6) AS rel_err,
+        |  kth_hash, bottomk_sum
+        |FROM j ORDER BY l_returnflag""".stripMargin,
+
     "q64_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,

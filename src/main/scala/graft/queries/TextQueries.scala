@@ -288,23 +288,31 @@ object TextQueries {
     }),
 
     // E54 scale path: LSH-bucketed ANN — 4 data-derived hyperplanes →
-    // 16 sign buckets; search only the query's bucket. Declared without
-    // oracle (sign boundaries are FP-sensitive cross-engine) → rows-only.
+    // 16 sign buckets; search only the query's bucket. HASH-GREEN since
+    // round 14: the sign bits come from EXACT integer-unit dot products
+    // (VecDotUnits — Σ round(x·p, 9 dp) in 1e-9 units, association-free)
+    // and the within-bucket ranking from exact-unit d² with vec_id
+    // tiebreaks, so both the bucketing and the top-k are bit-reproducible
+    // in the oracle's unnest + DECIMAL(28,9) formulation.
     "q52_ann_lsh_buckets" -> ((s, d) => {
       val emb = embeddings(s, d)
       val planes = emb.filter(col("vec_id") < 4)
         .select(col("vec_id").as("plane_id"), col("embedding").as("pv"))
       val bucketed = emb.crossJoin(broadcast(planes))
-        .withColumn("bit", when(VectorFunctions.vecDot(col("embedding"), col("pv")) > 0, 1).otherwise(0))
+        .withColumn("bit",
+          when(VectorFunctions.vecDotUnits(col("embedding"), col("pv")) > 0, 1)
+            .otherwise(0))
         .groupBy(col("vec_id"), col("embedding"))
         .agg(sum(col("bit") * pow(lit(2), col("plane_id"))).cast("long").as("bucket"))
       val q = bucketed.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qv"), col("bucket"))
       val cand = bucketed.join(q, "bucket").filter(col("vec_id") =!= col("query_id"))
-        .withColumn("sim", VectorFunctions.vecCosine(col("embedding"), col("qv")))
-      val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+        .withColumn("u", VectorFunctions.vecD2Units(col("embedding"), col("qv")))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("u"), col("vec_id"))
       cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
-        .select(col("query_id"), col("rank"), col("vec_id"), round(col("sim"), 6).as("sim"),
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"),
+          (col("u").cast("decimal(28,0)") / lit(1000000000L)).as("dist2"),
           col("bucket"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -356,15 +364,18 @@ object TextQueries {
     }),
 
     // E54 [N] scale path #2: IVF ANN — inverted lists by nearest centroid,
-    // search only nprobe probed lists. Rows-only (argmax assignment near
-    // centroid boundaries is FP-order-sensitive cross-engine); recall vs
-    // brute force asserted in TextOpsSpec.
+    // search only nprobe probed lists. HASH-GREEN since round 14: every
+    // ranking decision (assignment argmin, probe order, final top-k) runs
+    // on exact integer-unit d² (VecD2Units, the q240 discipline), so the
+    // oracle's unnest + DECIMAL(28,9) per-dim sums reproduce it bit for
+    // bit — no FP boundary left to disagree on. The trained-kmeans
+    // variant stays cosine/spec-verified (TextOpsSpec).
     "q72_ann_ivf" -> ((s, d) => {
       // Raw emb feeds the centroid collect + query broadcast (pruned scans);
       // only the corpus side of the assignment is repartitioned for map-side
-      // cosine parallelism (the test parquet is a single row-group).
+      // parallelism (the test parquet is a single row-group).
       val emb = embeddings(s, d)
-      graft.text.Ivf.search(emb,
+      graft.text.Ivf.searchD2(emb,
         queryIds = Seq(0L, 1L, 2L), k = 3, nCentroids = 8, nprobe = 2,
         corpus = Some(emb.repartition(s.sparkContext.defaultParallelism)))
         .orderBy(col("query_id"), col("rank"))
@@ -1038,6 +1049,89 @@ object TextQueries {
         |)
         |SELECT query_id, rank, vec_id, round(sim, 6) AS sim
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // Exact-unit twin of the Spark plan: sign bits from per-dim
+    // DECIMAL(28,9) dot sums, within-bucket rank on the same decimal d²
+    // (≡ VecDotUnits/VecD2Units integer units bit for bit).
+    "q52_ann_lsh_buckets" ->
+      """WITH comps AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), dots AS (
+        |  SELECT c.vec_id, p.vec_id AS plane_id,
+        |    sum(CAST(round(c.x * p.x, 9) AS DECIMAL(28,9))) AS dot
+        |  FROM comps c JOIN comps p ON p.dim = c.dim AND p.vec_id < 4
+        |  GROUP BY 1, 2
+        |), buckets AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN dot > 0 THEN power(2, plane_id) ELSE 0 END)
+        |      AS BIGINT) AS bucket
+        |  FROM dots GROUP BY 1
+        |), q AS (
+        |  SELECT vec_id AS query_id, bucket FROM buckets WHERE vec_id < 3
+        |), cand AS (
+        |  SELECT q.query_id, b.vec_id, q.bucket,
+        |    sum(CAST(round((c.x - qc.x) * (c.x - qc.x), 9)
+        |      AS DECIMAL(28,9))) AS dist2
+        |  FROM q JOIN buckets b ON b.bucket = q.bucket
+        |    AND b.vec_id <> q.query_id
+        |  JOIN comps c ON c.vec_id = b.vec_id
+        |  JOIN comps qc ON qc.vec_id = q.query_id AND qc.dim = c.dim
+        |  GROUP BY 1, 2, 3
+        |), ranked AS (
+        |  SELECT query_id, vec_id, bucket, dist2,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dist2, vec_id) AS rank
+        |  FROM cand
+        |)
+        |SELECT query_id, rank, vec_id, dist2, bucket
+        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // IVF on exact-unit d²: assignment argmin, probe order, and final
+    // top-k all on DECIMAL(28,9) per-dim sums (≡ VecD2Units).
+    "q72_ann_ivf" ->
+      """WITH comps AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), cents AS (
+        |  SELECT vec_id AS cid, dim, x AS c FROM comps WHERE vec_id < 8
+        |), assigned AS (
+        |  SELECT vec_id, (min(struct_pack(d := d2, cid := cid))).cid AS list_id
+        |  FROM (
+        |    SELECT p.vec_id, s.cid,
+        |      sum(CAST(round((p.x - s.c) * (p.x - s.c), 9)
+        |        AS DECIMAL(28,9))) AS d2
+        |    FROM comps p JOIN cents s USING (dim) GROUP BY 1, 2
+        |  ) GROUP BY 1
+        |), probe AS (
+        |  SELECT query_id, cid AS list_id FROM (
+        |    SELECT q.vec_id AS query_id, s.cid,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        sum(CAST(round((q.x - s.c) * (q.x - s.c), 9)
+        |          AS DECIMAL(28,9))), s.cid) AS crn
+        |    FROM comps q JOIN cents s USING (dim)
+        |    WHERE q.vec_id IN (0, 1, 2)
+        |    GROUP BY q.vec_id, s.cid
+        |  ) WHERE crn <= 2
+        |), cand AS (
+        |  SELECT pr.query_id, a.vec_id, a.list_id,
+        |    sum(CAST(round((c.x - qc.x) * (c.x - qc.x), 9)
+        |      AS DECIMAL(28,9))) AS dist2
+        |  FROM probe pr JOIN assigned a ON a.list_id = pr.list_id
+        |    AND a.vec_id <> pr.query_id
+        |  JOIN comps c ON c.vec_id = a.vec_id
+        |  JOIN comps qc ON qc.vec_id = pr.query_id AND qc.dim = c.dim
+        |  GROUP BY 1, 2, 3
+        |), ranked AS (
+        |  SELECT query_id, vec_id, list_id, dist2,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dist2, vec_id) AS rank
+        |  FROM cand
+        |)
+        |SELECT query_id, rank, vec_id, dist2, list_id
+        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "q53_lang_quality" ->
       """WITH t AS (

@@ -62,6 +62,69 @@ object Ivf {
     emb.select(col("vec_id"), col("embedding"), best.getField("id").as("list_id"))
   }
 
+  /** EXACT-decimal assignment: argmin of Σ round((x−c)², 9 dp) in integer
+    * 1e-9 units (VecD2Units — association-free, so the oracle's unnest +
+    * DECIMAL(28,9) per-dim sum reproduces every boundary decision bit for
+    * bit). Same map-side shape as [[assign]]: centroids fold as a literal
+    * inside one projection, ties to the smallest centroid_id via the
+    * lexicographic struct min. This is what converts the ANN rows from
+    * rows-only to hash-green: L2 argmin on exact integers has no FP
+    * boundary to disagree on. */
+  def assignD2(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centroids.select(col("centroid_id").cast("long"), col("cv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+      .sortBy(_._1)
+    val centArr = array(cents.map { case (id, v) =>
+      struct(lit(id).as("id"), typedlit(v).as("cv"))
+    }: _*)
+    val best = array_min(transform(centArr, c =>
+      struct(VectorFunctions.vecD2Units(col("embedding"), c.getField("cv")).as("u"),
+        c.getField("id").as("id"))))
+    emb.select(col("vec_id"), col("embedding"),
+      best.getField("id").as("list_id"))
+  }
+
+  /** Top-`nprobe` centroid lists per query, ranked on exact-unit d² with
+    * centroid_id tiebreak (the hash-green twin of [[probeLists]]). */
+  def probeListsD2(queries: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cu"), col("centroid_id"))
+    queries.crossJoin(broadcast(centroids))
+      .withColumn("cu", VectorFunctions.vecD2Units(col("qv"),
+        col("cv").cast("array<double>")))
+      .withColumn("crn", row_number().over(w)).filter(col("crn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id").as("list_id"))
+  }
+
+  /** Hash-green IVF search: first-`nCentroids` vectors as centroids,
+    * exact-unit d² everywhere (assignment, probe ranking, final top-k),
+    * dist² rematerialized as the exact decimal units/1e9 (the q240
+    * representation). Plan shape identical to [[search]]. */
+  def searchD2(emb: DataFrame, queryIds: Seq[Long], k: Int, nCentroids: Int,
+               nprobe: Int, corpus: Option[DataFrame] = None): DataFrame = {
+    val centroids = emb.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    searchD2With(emb, centroids, queryIds, k, nprobe, corpus)
+  }
+
+  /** As [[searchD2]] with an explicit centroid frame. */
+  def searchD2With(emb: DataFrame, centroids: DataFrame, queryIds: Seq[Long],
+                   k: Int, nprobe: Int, corpus: Option[DataFrame] = None): DataFrame = {
+    val lists = assignD2(corpus.getOrElse(emb), centroids)
+    val queries = emb.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val probed = probeListsD2(queries, centroids, nprobe)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("u"), col("vec_id"))
+    lists.join(broadcast(probed), "list_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("u", VectorFunctions.vecD2Units(col("embedding"),
+        col("qv").cast("array<double>")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"),
+        (col("u").cast("decimal(28,0)") / lit(1000000000L)).as("dist2"),
+        col("list_id"))
+  }
+
   /** Top-`nprobe` centroid lists per query vector. */
   def probeLists(queries: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("centroid_id"))

@@ -33,6 +33,27 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(r.forall(row => row.getDouble(0) > 0.0 && !row.getDouble(0).isNaN))
   }
 
+  test("vecDotUnits: exact 9-dp units, signed HALF_UP, matches BigDecimal") {
+    val rows = emb.limit(20)
+      .select(col("embedding"),
+        VectorFunctions.vecDotUnits(col("embedding"), col("embedding")).as("du"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0)
+      val expect = v.map { x =>
+        new java.math.BigDecimal(x.toDouble * x.toDouble)
+          .setScale(9, java.math.RoundingMode.HALF_UP)
+          .movePointRight(9).longValueExact()
+      }.sum
+      assert(r.getLong(1) == expect)
+    }
+    // signed terms: antiparallel vectors give a negative exact dot
+    import spark.implicits._
+    val d = Seq((Seq(0.5f, -0.25f), Seq(0.5f, 0.5f))).toDF("a", "b")
+      .select(VectorFunctions.vecDotUnits(col("a"), col("b"))).as[Long].head()
+    assert(d == 250000000L - 125000000L)
+  }
+
   test("SQL registration: vec_cosine usable from spark.sql") {
     VectorFunctions.register(spark)
     Tables.embeddings(spark, TestSpark.SF).createOrReplaceTempView("emb_t")

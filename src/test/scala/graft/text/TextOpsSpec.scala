@@ -270,29 +270,35 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n_dropped")).sum > 0,
       "fixture plants near-dup embeddings; something must drop")
     // soundness: cluster pruning can narrow the pair set but never invent
-    // one — every dropped vec must have a GLOBAL lower-id partner at
-    // cos > τ (recomputed brute-force, no clusters)
+    // one — every dropped vec must have a GLOBAL lower-id partner passing
+    // the SAME exact τ gate (recomputed brute-force, no clusters):
+    // dot > 0 ∧ 16·dot² > ‖a‖²·‖b‖² on integer 1e-9 units (q157's gate)
     val emb = graft.Tables.embeddings(spark, SF)
+    import graft.functions.VectorFunctions.{vecDotUnits => vdu}
+    val norms = emb.select($"vec_id",
+      vdu($"embedding", $"embedding").cast("decimal(12,0)").as("nn"))
+    def exactDups(pairs: org.apache.spark.sql.DataFrame): Set[Long] =
+      pairs
+        .withColumn("du", vdu($"v1", $"v2").cast("decimal(12,0)"))
+        .join(norms.select($"vec_id".as("id1"), $"nn".as("n1")), "id1")
+        .join(norms.select($"vec_id".as("id2"), $"nn".as("n2")), "id2")
+        .filter($"du" > 0 && lit(16) * $"du" * $"du" > $"n1" * $"n2")
+        .select($"id2").distinct().collect().map(_.getLong(0)).toSet
     val a = emb.select($"vec_id".as("id1"), $"embedding".as("v1"))
     val b = emb.select($"vec_id".as("id2"), $"embedding".as("v2"))
-    val globalDups = a.crossJoin(b).filter($"id1" < $"id2")
-      .withColumn("cos",
-        graft.functions.VectorFunctions.vecCosine($"v1", $"v2"))
-      .filter($"cos" > 0.25)
-      .select($"id2").distinct().collect().map(_.getLong(0)).toSet
+    val globalDups = exactDups(a.crossJoin(b).filter($"id1" < $"id2"))
     // re-derive the dropped ids through the same cluster pipeline
     val cents = emb.filter($"vec_id" < 8)
       .select($"vec_id".as("centroid_id"), $"embedding".as("cv"))
-    val assigned = graft.text.Ivf.assign(emb, cents)
+    val assigned = graft.text.Ivf.assignD2(emb, cents)
     val ca = assigned.select($"list_id", $"vec_id".as("id1"), $"embedding".as("v1"))
     val cb = assigned.select($"list_id", $"vec_id".as("id2"), $"embedding".as("v2"))
-    val droppedIds = ca.join(cb, Seq("list_id")).filter($"id1" < $"id2")
-      .withColumn("cos",
-        graft.functions.VectorFunctions.vecCosine($"v1", $"v2"))
-      .filter($"cos" > 0.25)
-      .select($"id2").distinct().collect().map(_.getLong(0)).toSet
+    val droppedIds = exactDups(
+      ca.join(cb, Seq("list_id")).filter($"id1" < $"id2")
+        .select($"id1", $"id2", $"v1", $"v2"))
     assert(droppedIds.subsetOf(globalDups),
       s"invented drops: ${droppedIds -- globalDups}")
+    assert(droppedIds.nonEmpty, "cluster-scoped dedup found nothing")
   }
 
   test("q181 both rankings keep WindowGroupLimit pushdown (scale-true MRL)") {
