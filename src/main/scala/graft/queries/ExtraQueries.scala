@@ -862,6 +862,43 @@ object ExtraQueries {
         .orderBy(col("lang"))
     }),
 
+    // [N] REAL compressed-image decode (PNG, JDK Inflater) — closes the
+    // compressed-multimodal delta beside q256's uncompressed PPM: the
+    // synthetic encoder writes spec-conformant PNGs (CRC'd chunks, zlib
+    // DEFLATE stream split across two IDAT chunks, per-row filter types
+    // cycling None/Sub/Up/Average/Paeth), and the decoder walks chunks,
+    // verifies every CRC32, inflates, and un-filters through all five
+    // predictors before the raw raster reappears. Raw pixel byte idx
+    // carries (doc_id*7 + idx*13) mod 256, so the oracle recomputes every
+    // channel/pool sum from the closed form — one wrong predictor or one
+    // mis-inflated byte anywhere and the hash goes red.
+    "q270_multimodal_png" -> ((s, d) => {
+      import graft.text.Multimodal
+      val dims = documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          (pmod(col("doc_id"), lit(11)) + 6).cast("int").as("w"),
+          (pmod(col("doc_id"), lit(8)) + 5).cast("int").as("h"))
+      import s.implicits._
+      val blobs = dims.select(col("doc_id"), col("w"), col("h"))
+        .as[(Long, Int, Int)]
+        .map { case (id, w, h) => (id, Multimodal.synthPng(id, w, h)) }
+        .toDF("doc_id", "blob")
+      val feats = Multimodal.extractPng(s, blobs, "doc_id", "blob").toDF()
+      feats.join(dims.select(col("doc_id").as("media_id"), col("lang"),
+          col("w").as("gw"), col("h").as("gh")), "media_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(when(col("w") === col("gw") && col("h") === col("gh"), 1L)
+            .otherwise(0L)).as("n_dim_ok"),
+          sum(col("n_pixels")).as("n_pixels"),
+          sum(col("sum_r")).as("sum_r"),
+          sum(col("sum_g")).as("sum_g"),
+          sum(col("sum_b")).as("sum_b"),
+          sum(element_at(col("pool"), 1)).as("pool00_r"),
+          sum(element_at(col("pool"), 12)).as("pool11_b"))
+        .orderBy(col("lang"))
+    }),
+
     // [N] The COMPLETE remote-write v1 wire: snappy(protobuf(...)) —
     // the actual Content-Encoding every Prometheus ships. ProtoWire
     // renders real WriteRequest bytes, Snappy (pure-JVM block format:
@@ -2925,6 +2962,35 @@ object ExtraQueries {
         |  CAST(sum(CASE WHEN pv < 0 AND v >= 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_zc
         |FROM sm GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // Same closed form as q256 — the oracle never sees a PNG byte; the
+    // engine's DEFLATE + filter reconstruction must land on it exactly.
+    "q270_multimodal_png" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(6 + doc_id % 11 AS BIGINT) AS w,
+        |    CAST(5 + doc_id % 8 AS BIGINT) AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT d.doc_id, d.lang, d.w, d.h, i.idx,
+        |    (d.doc_id * 7 + i.idx * 13) % 256 AS v,
+        |    i.idx % 3 AS c,
+        |    (i.idx // 3) % d.w AS x,
+        |    (i.idx // 3) // d.w AS y
+        |  FROM d, LATERAL (SELECT unnest(generate_series(0,
+        |    CAST(3 * d.w * d.h - 1 AS BIGINT))) AS idx) i
+        |)
+        |SELECT lang, count(DISTINCT doc_id) AS n_media,
+        |  count(DISTINCT doc_id) AS n_dim_ok,
+        |  CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pixels,
+        |  CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+        |  CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+        |  CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b,
+        |  CAST(sum(CASE WHEN c = 0 AND x * 2 // w = 0 AND y * 2 // h = 0
+        |    THEN v END) AS BIGINT) AS pool00_r,
+        |  CAST(sum(CASE WHEN c = 2 AND x * 2 // w = 1 AND y * 2 // h = 1
+        |    THEN v END) AS BIGINT) AS pool11_b
+        |FROM px GROUP BY 1 ORDER BY lang""".stripMargin,
 
     // The full wire (snappy + protobuf) must land on the raw table's
     // aggregates; wire_ok/compressed_smaller are engine-proved booleans.

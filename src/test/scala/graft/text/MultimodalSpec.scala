@@ -113,6 +113,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(g.s_abs == vs.map(v => math.abs(v.toLong)).sum)
   }
 
+  test("PNG: synth -> real decode roundtrips through DEFLATE + all 5 filters") {
+    // h=7 covers filter types 0..4 plus repeats; w=5 exercises partial
+    // left-neighbor windows (x < bpp on the first pixel of each row).
+    val bytes = Multimodal.synthPng(42L, 5, 7)
+    val (w, h, raster) = Multimodal.decodePng(bytes)
+    assert(w == 5 && h == 7 && raster.length == 105)
+    assert((0 until 105).forall(i =>
+      (raster(i) & 0xff) == ((42L * 7 + i * 13) % 256).toInt))
+    // the stream really was split across two IDAT chunks (concatenation
+    // on the decode path is load-bearing)
+    def countIdat(b: Array[Byte]): Int =
+      b.sliding(4).count(_.sameElements("IDAT".getBytes("US-ASCII")))
+    assert(countIdat(bytes) == 2)
+  }
+
+  test("PNG: 1x1 and single-row edge shapes decode") {
+    val (w1, h1, r1) = Multimodal.decodePng(Multimodal.synthPng(3L, 1, 1))
+    assert(w1 == 1 && h1 == 1 && r1.length == 3)
+    assert((0 until 3).forall(i => (r1(i) & 0xff) == ((3L * 7 + i * 13) % 256).toInt))
+    val (w2, h2, r2) = Multimodal.decodePng(Multimodal.synthPng(5L, 9, 1))
+    assert(w2 == 9 && h2 == 1 && r2.length == 27)
+  }
+
+  test("PNG: malformed input fails loudly") {
+    val good = Multimodal.synthPng(1L, 4, 4)
+    intercept[IllegalArgumentException] { // bad signature
+      Multimodal.decodePng("NOTAPNG!".getBytes ++ good.drop(8))
+    }
+    intercept[IllegalArgumentException] { // corrupt a raster byte -> CRC red
+      val b = good.clone(); b(40) = (b(40) ^ 0xff).toByte
+      Multimodal.decodePng(b)
+    }
+    intercept[IllegalArgumentException] { // truncated mid-IDAT
+      Multimodal.decodePng(good.dropRight(16))
+    }
+    intercept[IllegalArgumentException] { // chunk length that would
+      // truncate negative: reject before pos moves
+      val b = good.clone()
+      b(8) = 0xff.toByte; b(9) = 0xff.toByte // IHDR length -> huge
+      Multimodal.decodePng(b)
+    }
+  }
+
+  test("PNG features: shared closed form with PPM (same id, same sums)") {
+    val viaPng = Multimodal.pngFeatures(7L, Multimodal.synthPng(7L, 2, 2))
+    val viaPpm = Multimodal.ppmFeatures(7L, Multimodal.synthPpm(7L, 2, 2))
+    assert(viaPng.sum_r == viaPpm.sum_r && viaPng.sum_g == viaPpm.sum_g &&
+      viaPng.sum_b == viaPpm.sum_b)
+    assert(viaPng.pool.toSeq == viaPpm.pool.toSeq)
+  }
+
   test("PPM features: channel sums and 2x2 pool sums are exact integers") {
     // 2x2 image: every pixel lands in its own pool cell
     val bytes = Multimodal.synthPpm(7L, 2, 2)
