@@ -13,6 +13,63 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object ExtraQueries {
 
+  /** Bucket-size threshold above which within-label near-dup pairing
+    * leaves the exact all-pairs path. 1024² ≈ 0.5 M pairs per bucket is
+    * the largest quadratic a single task should ever carry. */
+  val NearDupCap = 1024
+
+  /** Sorted-neighborhood width on the guarded path: each row pairs with
+    * its W successors in projection order — fan-out n·W, never n². */
+  val NearDupWindow = 64
+
+  /** Within-label pair generation with a HARD fan-out bound (the q65
+    * scale guard). Input needs (label, vec_id, embedding); output is
+    * (label, id1, v1, id2, v2) with id1 < id2.
+    *
+    * Buckets with at most `cap` rows take the exact all-pairs path
+    * (n ≤ cap ⇒ at most cap·n/2 pairs per bucket). Larger buckets use
+    * the sorted-neighborhood method: rows sort by an exact integer-unit
+    * projection onto the bucket's min-id vector (near-parallel vectors
+    * land near each other in projection order), and each row pairs only
+    * with its `w` successors — n·w pairs, linear in the bucket. A hot
+    * label at 100 TB therefore degrades to a declared recall trade-off
+    * instead of a quadratic task. All joins are keyed equi-joins on
+    * label; the projection plane is one row per label (argmin join),
+    * never a crossJoin.
+    */
+  def boundedLabelPairs(e: DataFrame, cap: Int, w: Int): DataFrame = {
+    val sized = e.withColumn("__n",
+      count(lit(1)).over(Window.partitionBy(col("label"))))
+    val small = sized.filter(col("__n") <= cap).drop("__n")
+    val sa = small.select(col("label"), col("vec_id").as("id1"), col("embedding").as("v1"))
+    val sb = small.select(col("label"), col("vec_id").as("id2"), col("embedding").as("v2"))
+    val exact = sa.join(sb, Seq("label")).filter(col("id1") < col("id2"))
+      .select(col("label"), col("id1"), col("v1"), col("id2"), col("v2"))
+
+    val large = sized.filter(col("__n") > cap).drop("__n")
+    // per-label projection plane: the bucket's min-vec_id embedding
+    // (deterministic, data-derived, one row per label)
+    val planes = large.groupBy(col("label"))
+      .agg(min_by(col("embedding"), col("vec_id")).as("pv"))
+    val keyed = large.join(planes, Seq("label"))
+      .withColumn("__k",
+        VectorFunctions.vecDotUnits(col("embedding"), col("pv").cast("array<double>")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("label")).orderBy(col("__k"), col("vec_id"))))
+    val la = keyed.select(col("label"), col("vec_id").as("id1"),
+      col("embedding").as("v1"), col("__rn").as("__rn1"))
+    val lb = keyed.select(col("label"), col("vec_id").as("id2"),
+      col("embedding").as("v2"), col("__rn").as("__rn2"))
+    val windowed = la.join(lb, Seq("label"))
+      .filter(col("__rn2") > col("__rn1") && col("__rn2") <= col("__rn1") + w)
+      .select(col("label"),
+        least(col("id1"), col("id2")).as("id1"),
+        when(col("id1") < col("id2"), col("v1")).otherwise(col("v2")).as("v1"),
+        greatest(col("id1"), col("id2")).as("id2"),
+        when(col("id1") < col("id2"), col("v2")).otherwise(col("v1")).as("v2"))
+    exact.unionByName(windowed)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E19: explicit GROUPING SETS (rollup/cube siblings are q12/q13).
     "q64_grouping_sets" -> ((s, d) => {
@@ -28,14 +85,18 @@ object ExtraQueries {
     }),
 
     // E53 [N]: embedding-cosine near-dup — pairs bucketed by label (an
-    // equi-join key), cosine via the native codegen expression.
+    // equi-join key), cosine via the native codegen expression. The
+    // within-bucket fan-out is GUARDED (the round-13 verdict's one scale
+    // footnote): buckets over [[NearDupCap]] rows leave the exact
+    // all-pairs path for a sorted-neighborhood bound — see
+    // [[boundedLabelPairs]]. Every testdata bucket (≤218 rows at sf0.1)
+    // stays exact, so the oracle is unchanged; the hot-label path is
+    // pinned by ExtraQueriesGuardSpec on a synthetic 2k-row bucket.
     "q65_embedding_neardup" -> ((s, d) => {
       val e = embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("label"), col("vec_id"), col("embedding"))
-      val a = e.select(col("label"), col("vec_id").as("id1"), col("embedding").as("v1"))
-      val b = e.select(col("label"), col("vec_id").as("id2"), col("embedding").as("v2"))
-      a.join(b, Seq("label")).filter(col("id1") < col("id2"))
+      boundedLabelPairs(e, NearDupCap, NearDupWindow)
         .withColumn("cos", VectorFunctions.vecCosine(col("v1"), col("v2")))
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_pairs"),

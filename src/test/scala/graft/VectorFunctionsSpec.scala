@@ -67,7 +67,7 @@ class VectorFunctionsSpec extends AnyFunSuite {
 
   test("GraftExtensions installs the native functions into a session") {
     val exts = new org.apache.spark.sql.SparkSessionExtensions
-    new graft.functions.GraftExtensions().apply(exts)
+    new graft.GraftExtensions().apply(exts)
     val reg = new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
     org.apache.spark.sql.graft.ColumnBridge.registerInto(exts, reg)
     assert(Seq("vec_dot", "vec_cosine", "vec_norm").forall(n =>
