@@ -2294,6 +2294,13 @@ object ExtraQueries {
     // near-ties resolve differently across engines) — PqSpec pins the
     // semantics: code bounds, SSE non-increase vs the init codebooks,
     // bit-stable retrain, recon-error soundness.
+    // HASH-GREEN since round 14 (was rows-only by FP policy): Pq's
+    // assignment argmins and reconstruction errors now run on exact
+    // integer 1e-9 units (VecD2Units), and the trained centroids'
+    // decimal-routed means + float casts replay in DuckDB — so the full
+    // train→encode pipeline, codes INCLUDED, oracle-checks. The code key
+    // is concat_ws (cross-engine canonical form); sum_d2_units is the
+    // exact integer reconstruction error total.
     "q175_product_quantization" -> ((s, d) => {
       import graft.text.Pq
       val emb = embeddings(s, d)
@@ -2302,8 +2309,10 @@ object ExtraQueries {
         .join(emb.select(col("vec_id"), col("label")), "vec_id")
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_vecs"),
-          countDistinct(col("codes").cast("string")).as("n_distinct_codes"),
-          round(avg(col("sq_err")), 3).as("avg_sq_err"))
+          countDistinct(concat_ws("_",
+            transform(col("codes"), c => c.cast("string"))))
+            .as("n_distinct_codes"),
+          sum(col("sq_err")).as("sum_d2_units"))
         .orderBy(col("label"))
     }),
 
@@ -4214,6 +4223,69 @@ object ExtraQueries {
         |  round(CAST(sum(bytes) AS DOUBLE) / CAST(sum(n_samples) AS BIGINT), 6)
         |    AS bytes_per_sample
         |FROM per GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // The full PQ train→encode pipeline from scratch: subvector split
+    // (m=4, subD from the data), first-16-by-id init (cid = rank),
+    // exact-decimal argmin assignment (per-dim round((x−c)²,9) sums —
+    // the VecD2Units rule), Lloyd update as the 6-dp decimal mean CAST
+    // THROUGH FLOAT (the codebook storage type), re-assignment against
+    // the trained books, codes string-agg'd in sub order. A single
+    // misassigned code or one float-cast divergence anywhere shreds
+    // n_distinct_codes/sum_d2_units and hashes red.
+    "q175_product_quantization" ->
+      """WITH comps AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), dims AS (
+        |  SELECT CAST(max(i) + 1 AS INT) // 4 AS subd FROM comps
+        |), subs AS (
+        |  SELECT vec_id, i // (SELECT subd FROM dims) AS sub,
+        |    i % (SELECT subd FROM dims) AS pos, x
+        |  FROM comps
+        |), firstk AS (
+        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        |  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY 1 LIMIT 16)
+        |), init AS (
+        |  SELECT f.cid, s.sub, s.pos, s.x AS c
+        |  FROM subs s JOIN firstk f USING (vec_id)
+        |), a1 AS (
+        |  SELECT vec_id, sub, (min(struct_pack(d := d2, cid := cid))).cid AS cid
+        |  FROM (
+        |    SELECT s.vec_id, s.sub, c.cid,
+        |      sum(CAST(round((s.x - c.c) * (s.x - c.c), 9)
+        |        AS DECIMAL(28,9))) AS d2
+        |    FROM subs s JOIN init c ON c.sub = s.sub AND c.pos = s.pos
+        |    GROUP BY 1, 2, 3
+        |  ) GROUP BY 1, 2
+        |), books AS (
+        |  SELECT a.sub, a.cid, s.pos,
+        |    CAST(CAST(CAST(sum(CAST(round(s.x, 6) AS DECIMAL(28,6)))
+        |      AS DOUBLE) / count(*) AS FLOAT) AS DOUBLE) AS c
+        |  FROM subs s JOIN a1 a ON a.vec_id = s.vec_id AND a.sub = s.sub
+        |  GROUP BY 1, 2, 3
+        |), a2 AS (
+        |  SELECT vec_id, sub,
+        |    (min(struct_pack(d := d2, cid := cid))).cid AS cid,
+        |    (min(struct_pack(d := d2, cid := cid))).d AS d2
+        |  FROM (
+        |    SELECT s.vec_id, s.sub, b.cid,
+        |      sum(CAST(round((s.x - b.c) * (s.x - b.c), 9)
+        |        AS DECIMAL(28,9))) AS d2
+        |    FROM subs s JOIN books b ON b.sub = s.sub AND b.pos = s.pos
+        |    GROUP BY 1, 2, 3
+        |  ) GROUP BY 1, 2
+        |), enc AS (
+        |  SELECT vec_id,
+        |    string_agg(CAST(cid AS VARCHAR), '_' ORDER BY sub) AS code_key,
+        |    sum(d2) AS d2n
+        |  FROM a2 GROUP BY 1
+        |)
+        |SELECT e.label, count(*) AS n_vecs,
+        |  count(DISTINCT enc.code_key) AS n_distinct_codes,
+        |  CAST(sum(enc.d2n) * 1000000000 AS BIGINT) AS sum_d2_units
+        |FROM enc JOIN embeddings e USING (vec_id)
+        |GROUP BY 1 ORDER BY e.label""".stripMargin,
 
     // Window counts from one 12h join (3h counts are conditional sums
     // inside it); burn = (err/tot)/0.01 as the same double chain the

@@ -26,6 +26,13 @@ import org.apache.spark.sql.functions._
   * corpus row once, map-side; the (sub, cid, pos) update aggregation
   * shuffles |corpus|·m·subDim value rows ONCE per iteration, keyed —
   * the standard distributed-kmeans shape.
+  *
+  * HASH-GREEN since round 14: every distance is an EXACT integer in 1e-9
+  * units (`VecD2Units` — Σ round((aᵢ−bᵢ)², 9 dp), association-free), so
+  * assignment argmins, reconstruction errors, and ADC totals are
+  * bit-reproducible in a DuckDB twin — the same conversion that
+  * de-fused q52/q72/q157. `sq_err`/`adc_dist` columns are LONGs in
+  * those units.
   */
 object Pq {
 
@@ -56,7 +63,7 @@ object Pq {
   }
 
   /** Encode: `m` codes per vector (+ the summed squared reconstruction
-    * error of the chosen centroids). */
+    * error of the chosen centroids, in exact integer 1e-9 units). */
   def encode(emb: DataFrame, codebooks: DataFrame, m: Int): DataFrame = {
     val cents = codebooks.collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2)))
@@ -76,24 +83,29 @@ object Pq {
     * driver (m·k float ops), then each encoded row costs m array-index
     * lookups — no float math per corpus row at all. That is the 100 TB
     * contract: the corpus is 4-byte codes, the scan is additions over a
-    * broadcast-literal table. Returns the approximate top-n by (dist,
-    * vec_id) total order. */
+    * broadcast-literal table. Table entries are exact integer 1e-9 units
+    * (per-term 9-dp HALF_UP, the VecD2Units rule replayed on the
+    * driver), so totals and the (dist, vec_id) top-n order are
+    * bit-reproducible. */
   def adcSearch(encoded: DataFrame, codebooks: DataFrame,
                 query: Seq[Float], m: Int, topN: Int): DataFrame = {
     val cents = codebooks.collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2)))
     val subD = cents.head._3.length
     require(query.length == subD * m, "query dim mismatch")
-    def l2sq(a: Seq[Float], b: Seq[Float]): Double =
-      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
-    // lut(sub): centroid_id → d²(query_sub, centroid). Keyed by ID, not
-    // array position: a centroid left empty by the Lloyd step makes IDs
-    // non-contiguous, and a positional table would then read the wrong
-    // centroid's distance for every code above the gap.
-    val lut: Map[Int, Map[Long, Double]] = cents.groupBy(_._1).map {
+    def l2units(a: Seq[Float], b: Seq[Float]): Long =
+      a.zip(b).map { case (x, y) =>
+        val d = x.toDouble - y.toDouble
+        graft.functions.VecD2Units.units(d * d)
+      }.sum
+    // lut(sub): centroid_id → d²-units(query_sub, centroid). Keyed by ID,
+    // not array position: a centroid left empty by the Lloyd step makes
+    // IDs non-contiguous, and a positional table would then read the
+    // wrong centroid's distance for every code above the gap.
+    val lut: Map[Int, Map[Long, Long]] = cents.groupBy(_._1).map {
       case (sub, cs) =>
         val q = query.slice(sub * subD, (sub + 1) * subD)
-        sub -> cs.map(c => c._2 -> l2sq(q, c._3)).toMap
+        sub -> cs.map(c => c._2 -> l2units(q, c._3)).toMap
     }
     val tables = array((0 until m).map(sub =>
       typedlit(lut(sub))): _*)
@@ -101,7 +113,7 @@ object Pq {
       zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
         (code, sub) => element_at(element_at(tables, sub + 1),
           code.cast("long"))),
-      lit(0.0), (acc, d) => acc + d)
+      lit(0L), (acc, d) => acc + d)
     encoded.withColumn("adc_dist", dist)
       // A code absent from the codebook yields a null distance, which an
       // ascending sort would rank FIRST — drop it rather than pollute top-N.
@@ -120,22 +132,23 @@ object Pq {
   /** Map-side nearest-centroid per subspace: an m-branch conditional,
     * each branch folding its subspace's k-element literal array. Ties
     * break to the smaller centroid id (the fold keeps the earlier entry
-    * of the id-sorted array). */
+    * of the id-sorted array). Distances are EXACT integer 1e-9 units
+    * (`VecD2Units`), so the argmin is bit-reproducible in the oracle. */
   private def assignSubs(subs: DataFrame,
                          cents: Seq[(Int, Long, Seq[Float])],
                          m: Int): DataFrame = {
-    def d2(a: Column, cv: Column): Column = {
-      val na = VectorFunctions.vecNorm(a)
-      val nb = VectorFunctions.vecNorm(cv)
-      na * na + nb * nb - lit(2.0) * VectorFunctions.vecDot(a, cv)
-    }
+    def d2(a: Column, cv: Column): Column =
+      VectorFunctions.vecD2Units(a, cv)
     val bySub = cents.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
     def bestFor(sub: Int): Column = {
+      // float→double promotion is exact, and VecD2Units wants its
+      // centroid side as array<double>
       val arr = array(bySub(sub).map { case (_, id, cv) =>
-        struct(d2(col("sv"), typedlit(cv)).as("d"), lit(id).as("id"))
+        struct(d2(col("sv"), typedlit(cv.map(_.toDouble))).as("d"),
+          lit(id).as("id"))
       }: _*)
       aggregate(arr,
-        struct(lit(Double.MaxValue).as("d"), lit(-1L).as("id")),
+        struct(lit(Long.MaxValue).as("d"), lit(-1L).as("id")),
         (acc, c) => when(c.getField("d") < acc.getField("d"), c).otherwise(acc))
     }
     val best = (1 until m).foldLeft(when(col("sub") === 0, bestFor(0))) {

@@ -38,11 +38,11 @@ class PqSpec extends AnyFunSuite {
           slice(col("embedding"), i * subD + 1, subD).as("cv"))): _*)).as("x"))
       .select(col("x.sub").as("sub"), col("cid").as("centroid_id"),
         col("x.cv").as("cv"))
-    def sse(books: org.apache.spark.sql.DataFrame): Double =
-      Pq.encode(emb, books, M).agg(sum(col("sq_err"))).head().getDouble(0)
+    def sse(books: org.apache.spark.sql.DataFrame): Long =
+      Pq.encode(emb, books, M).agg(sum(col("sq_err"))).head().getLong(0)
     val sseInit = sse(init)
     val sseTrained = sse(Pq.train(emb, M, K))
-    assert(sseTrained <= sseInit + 1e-6,
+    assert(sseTrained <= sseInit,
       s"Lloyd step worsened SSE: $sseTrained > $sseInit")
     // and it genuinely moved: strictly better on this corpus
     assert(sseTrained < sseInit)
@@ -66,8 +66,8 @@ class PqSpec extends AnyFunSuite {
     // own row IF the query is in the corpus: its ADC dist is the sq_err
     // of its own codes — and nothing can beat a smaller ADC total than
     // the table minima sum
-    val minPossible = gotRows.map(_.getAs[Double]("adc_dist")).min
-    assert(minPossible >= 0.0)
+    val minPossible = gotRows.map(_.getAs[Long]("adc_dist")).min
+    assert(minPossible >= 0L)
     // recall@10 vs exact brute-force L2 on the raw vectors
     import graft.functions.VectorFunctions
     val q = typedlit(query)
