@@ -184,9 +184,10 @@ object AnomalyQueries {
     // Multivariate PCA on the flattened [4 × 3] window (dim 12, k = 2):
     // one GLOBAL model (the corpus-level face; per-key models are the
     // same fit keyed differently), reconstruction error per window,
-    // per-user rollup. Eigenvectors are FP-iteration outputs — rows-only
-    // by the declared q52/q72/q98 policy; semantics pinned in MultiVarSpec
-    // (planted cross-feature anomaly out-scores every clean window).
+    // per-user rollup. HASH-GREEN since round 14: the deterministic
+    // power-iteration solver (Pca.powerPcs) replays in the oracle's
+    // recursive CTE, so the whole train+score chain is oracle-checked;
+    // MultiVarSpec still pins the planted cross-feature anomaly.
     "q131_multivar_pca_recon" -> ((s, d) => {
       val wins = graft.anomaly.MultiVar.coWindowMat(events(s, d),
           "user_id", "ts", "event_id", "event_type", "value",
@@ -611,6 +612,146 @@ object AnomalyQueries {
         |FROM full_wins GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q129_multivar_window" -> multiVarWinSql,
+    // q131 replayed blind: the q129 co-window twin feeds the same
+    // recursive-CTE power iteration as q98 (dim 12, k = 2, one global
+    // key) and the same list_reduce scoring folds.
+    "q131_multivar_pca_recon" ->
+      """WITH RECURSIVE f AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS step_ts, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts), event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE event_type IN ('click', 'view', 'purchase')
+        |), s AS (
+        |  SELECT user_id, step_ts,
+        |    max(CASE WHEN event_type = 'click' THEN value END) AS c,
+        |    max(CASE WHEN event_type = 'view' THEN value END) AS v,
+        |    max(CASE WHEN event_type = 'purchase' THEN value END) AS p
+        |  FROM f WHERE rn = 1 GROUP BY 1, 2
+        |), filled AS (
+        |  SELECT user_id, step_ts,
+        |    last_value(c IGNORE NULLS) OVER fill AS c,
+        |    last_value(v IGNORE NULLS) OVER fill AS v,
+        |    last_value(p IGNORE NULLS) OVER fill AS p
+        |  FROM s
+        |  WINDOW fill AS (PARTITION BY user_id ORDER BY step_ts
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), complete AS (
+        |  SELECT * FROM filled
+        |  WHERE c IS NOT NULL AND v IS NOT NULL AND p IS NOT NULL
+        |), winsq AS (
+        |  SELECT user_id, step_ts AS end_ts,
+        |    flatten(list([c, v, p]) OVER w4) AS win,
+        |    count(*) OVER w4 AS nw
+        |  FROM complete
+        |  WINDOW w4 AS (PARTITION BY user_id ORDER BY step_ts
+        |                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |), full_wins AS (
+        |  SELECT user_id, win, row_number() OVER () AS rid
+        |  FROM winsq WHERE nw = 4
+        |), train_e AS (
+        |  SELECT rid, generate_subscripts(win, 1) AS i, unnest(win) AS x
+        |  FROM full_wins
+        |), nrows AS (
+        |  SELECT count(DISTINCT rid) AS n FROM train_e
+        |), sm AS (
+        |  SELECT i, CAST(sum(CAST(round(x, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sv
+        |  FROM train_e GROUP BY 1
+        |), m AS (
+        |  SELECT i, sv / (SELECT n FROM nrows) AS mv FROM sm
+        |), q AS (
+        |  SELECT a.i, b.i AS j,
+        |    CAST(sum(CAST(round(a.x * b.x, 9) AS DECIMAL(38,9))) AS DOUBLE) AS qv
+        |  FROM train_e a JOIN train_e b ON a.rid = b.rid AND b.i >= a.i
+        |  GROUP BY 1, 2
+        |), covu AS (
+        |  SELECT q.i, q.j, qv / (SELECT n FROM nrows) - mi.mv * mj.mv AS c
+        |  FROM q JOIN m mi ON mi.i = q.i JOIN m mj ON mj.i = q.j
+        |), cov AS (
+        |  SELECT i, j, c FROM covu
+        |  UNION ALL
+        |  SELECT j, i, c FROM covu WHERE i <> j
+        |), matrows AS (
+        |  SELECT i, list(c ORDER BY j) AS r FROM cov GROUP BY 1
+        |), mats AS (
+        |  SELECT list(r ORDER BY i) AS mat FROM matrows
+        |), pit AS (
+        |  SELECT 0 AS comp, 0 AS step,
+        |    list_transform(range(1, 13), i -> CAST(i AS DOUBLE) / sqrt(650.0)) AS v,
+        |    mat, CAST(0.0 AS DOUBLE) AS lam
+        |  FROM mats
+        |  UNION ALL
+        |  SELECT
+        |    CASE WHEN step < 60 THEN comp ELSE comp + 1 END,
+        |    CASE WHEN step < 60 THEN step + 1 ELSE 0 END,
+        |    CASE WHEN step < 60 THEN
+        |      CASE WHEN mx = 0.0 THEN v ELSE list_transform(u, x -> x / nn) END
+        |      ELSE list_transform(range(1, 13), i -> CAST(i AS DOUBLE) / sqrt(650.0)) END,
+        |    CASE WHEN step < 60 THEN mat
+        |      ELSE list_transform(range(1, 13), i -> list_transform(range(1, 13), j ->
+        |        mat[CAST(i AS INT)][CAST(j AS INT)]
+        |          - lam * v[CAST(i AS INT)] * v[CAST(j AS INT)])) END,
+        |    CASE WHEN step < 60 THEN
+        |      CASE WHEN mx = 0.0 THEN CAST(0.0 AS DOUBLE) ELSE mx * nn END
+        |      ELSE CAST(0.0 AS DOUBLE) END
+        |  FROM (
+        |    SELECT *,
+        |      CASE WHEN mx = 0.0 THEN NULL
+        |        ELSE sqrt(CAST(list_reduce(list_transform(u, x ->
+        |          CAST(round(x * x, 9) AS DECIMAL(38,9))), (a, b) -> a + b) AS DOUBLE))
+        |      END AS nn
+        |    FROM (
+        |      SELECT *,
+        |        list_reduce(list_transform(w, x -> abs(x)),
+        |          (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS mx,
+        |        list_transform(w, x -> x / list_reduce(list_transform(w, y -> abs(y)),
+        |          (a, b) -> CASE WHEN b > a THEN b ELSE a END)) AS u
+        |      FROM (
+        |        SELECT comp, step, v, mat, lam,
+        |          list_transform(range(1, 13), i -> CAST(
+        |            list_reduce(list_transform(range(1, 13), j ->
+        |              CAST(round(mat[CAST(i AS INT)][CAST(j AS INT)]
+        |                * v[CAST(j AS INT)], 9) AS DECIMAL(38,9))),
+        |              (a, b) -> a + b) AS DOUBLE)) AS w
+        |        FROM pit
+        |        WHERE step < 60 OR comp < 1
+        |      )
+        |    )
+        |  )
+        |), pcs AS (
+        |  SELECT list(v ORDER BY comp) AS pcs FROM pit WHERE step = 60
+        |), means AS (
+        |  SELECT list(mv ORDER BY i) AS mean FROM m
+        |), xc AS (
+        |  SELECT f.user_id, f.rid, p.pcs,
+        |    list_transform(range(1, 13), i ->
+        |      f.win[CAST(i AS INT)] - me.mean[CAST(i AS INT)]) AS xcv
+        |  FROM full_wins f, pcs p, means me
+        |), proj AS (
+        |  SELECT *, list_transform(range(1, 3), c ->
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, 13), i ->
+        |        pcs[CAST(c AS INT)][CAST(i AS INT)] * xcv[CAST(i AS INT)])),
+        |      (a, b) -> a + b)) AS pr
+        |  FROM xc
+        |), recon AS (
+        |  SELECT *, list_transform(range(1, 13), i ->
+        |    (CAST(0.0 AS DOUBLE)
+        |      + pr[1] * pcs[1][CAST(i AS INT)])
+        |      + pr[2] * pcs[2][CAST(i AS INT)]) AS rec
+        |  FROM proj
+        |), err AS (
+        |  SELECT user_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, 13), i ->
+        |        (xcv[CAST(i AS INT)] - rec[CAST(i AS INT)])
+        |          * (xcv[CAST(i AS INT)] - rec[CAST(i AS INT)]))),
+        |      (a, b) -> a + b) AS e
+        |  FROM recon
+        |)
+        |SELECT user_id, count(*) AS n_windows,
+        |  round(max(e), 4) AS max_recon_err
+        |FROM err GROUP BY 1 ORDER BY user_id""".stripMargin,
+
 
     "q42_anomaly_topk" ->
       s"""$scoredSql, hourly AS (

@@ -42,12 +42,15 @@ object RegistryQueries {
 
     // P12→P13→P6 with a TRAINED model (the autoencoder stand-in,
     // reference CHANGELOG.md:139): per-key PCA fitted on pre-cutoff window
-    // vectors (distributed covariance agg + driver eigen — Pca.scala),
-    // registered with a trained_at stamp, resolved through the same as-of
-    // lookup as q63, then post-cutoff windows scored by reconstruction
-    // error map-side. Declared rows-only (eigenvectors are FP-iteration
-    // outputs, not reproducible in a SQL oracle); semantics pinned in
-    // PcaSpec incl. the planted-anomaly ordering vs the rolling-mean proxy.
+    // vectors (decimal-routed covariance agg + the DETERMINISTIC deflated
+    // power iteration — Pca.scala), registered with a trained_at stamp,
+    // resolved through the same as-of lookup as q63, then post-cutoff
+    // windows scored by reconstruction error map-side. HASH-GREEN since
+    // round 14 (was rows-only): the solver's every cross-term sum is an
+    // exact 1e-9-unit integer and the rest single IEEE ops, so the oracle
+    // replays the training — 60 power steps × 3 deflated components — in
+    // a recursive CTE and the scoring folds with list_reduce. Output sums
+    // are decimal-routed (order-free); max is order-free by nature.
     "q98_pca_recon" -> ((s, d) => {
       val cutoff = lit("2024-01-15").cast("timestamp")
       val wins = AnomalyOps.assembleWindows(events(s, d),
@@ -60,13 +63,145 @@ object RegistryQueries {
           "event_type", "win_arr")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_windows"),
-          round(avg(col("recon_err")), 2).as("avg_err"),
-          round(max(col("recon_err")), 2).as("max_err"))
+          round(sum(round(col("recon_err"), 6).cast("decimal(28,6)"))
+            .cast("double"), 4).as("sum_err"),
+          round(max(round(col("recon_err"), 6)), 6).as("max_err"))
         .orderBy(col("event_type"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // The ENTIRE trained-PCA chain replayed blind: window assembly,
+    // decimal-routed covariance stats, the deterministic deflated power
+    // iteration (60 steps x 3 components as a recursive CTE whose every
+    // cross-term sum is an exact 9-dp decimal and whose max/divide/sqrt
+    // are single IEEE ops), then reconstruction scoring with the same
+    // left-fold order as Spark's aggregate() (list_reduce seeded by a
+    // prepended 0.0). One wrong rounding or fold order anywhere in 180
+    // solver steps and the hash goes red.
+    "q98_pca_recon" ->
+      """WITH RECURSIVE wins AS (
+        |  SELECT user_id, event_type, ts,
+        |    list(value) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS win
+        |  FROM events
+        |), full_wins AS (
+        |  SELECT *, row_number() OVER () AS rid FROM wins WHERE len(win) = 12
+        |), train_e AS (
+        |  SELECT event_type, rid, generate_subscripts(win, 1) AS i, unnest(win) AS x
+        |  FROM full_wins WHERE ts < TIMESTAMP '2024-01-15'
+        |), nrows AS (
+        |  SELECT event_type, count(DISTINCT rid) AS n FROM train_e GROUP BY 1
+        |), s AS (
+        |  SELECT event_type, i,
+        |    CAST(sum(CAST(round(x, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sv
+        |  FROM train_e GROUP BY 1, 2
+        |), m AS (
+        |  SELECT s.event_type, s.i, s.sv / n.n AS mv
+        |  FROM s JOIN nrows n USING (event_type)
+        |), q AS (
+        |  SELECT a.event_type, a.i, b.i AS j,
+        |    CAST(sum(CAST(round(a.x * b.x, 9) AS DECIMAL(38,9))) AS DOUBLE) AS qv
+        |  FROM train_e a JOIN train_e b ON a.rid = b.rid AND b.i >= a.i
+        |  GROUP BY 1, 2, 3
+        |), covu AS (
+        |  SELECT q.event_type, q.i, q.j, qv / n.n - mi.mv * mj.mv AS c
+        |  FROM q JOIN nrows n USING (event_type)
+        |  JOIN m mi ON mi.event_type = q.event_type AND mi.i = q.i
+        |  JOIN m mj ON mj.event_type = q.event_type AND mj.i = q.j
+        |), cov AS (
+        |  SELECT event_type, i, j, c FROM covu
+        |  UNION ALL
+        |  SELECT event_type, j, i, c FROM covu WHERE i <> j
+        |), matrows AS (
+        |  SELECT event_type, i, list(c ORDER BY j) AS r FROM cov GROUP BY 1, 2
+        |), mats AS (
+        |  SELECT event_type, list(r ORDER BY i) AS mat FROM matrows GROUP BY 1
+        |), pit AS (
+        |  SELECT event_type, 0 AS comp, 0 AS step,
+        |    list_transform(range(1, 13), i -> CAST(i AS DOUBLE) / sqrt(650.0)) AS v,
+        |    mat, CAST(0.0 AS DOUBLE) AS lam
+        |  FROM mats
+        |  UNION ALL
+        |  SELECT event_type,
+        |    CASE WHEN step < 60 THEN comp ELSE comp + 1 END,
+        |    CASE WHEN step < 60 THEN step + 1 ELSE 0 END,
+        |    CASE WHEN step < 60 THEN
+        |      CASE WHEN mx = 0.0 THEN v ELSE list_transform(u, x -> x / nn) END
+        |      ELSE list_transform(range(1, 13), i -> CAST(i AS DOUBLE) / sqrt(650.0)) END,
+        |    CASE WHEN step < 60 THEN mat
+        |      ELSE list_transform(range(1, 13), i -> list_transform(range(1, 13), j ->
+        |        mat[CAST(i AS INT)][CAST(j AS INT)]
+        |          - lam * v[CAST(i AS INT)] * v[CAST(j AS INT)])) END,
+        |    CASE WHEN step < 60 THEN
+        |      CASE WHEN mx = 0.0 THEN CAST(0.0 AS DOUBLE) ELSE mx * nn END
+        |      ELSE CAST(0.0 AS DOUBLE) END
+        |  FROM (
+        |    SELECT *,
+        |      CASE WHEN mx = 0.0 THEN NULL
+        |        ELSE sqrt(CAST(list_reduce(list_transform(u, x ->
+        |          CAST(round(x * x, 9) AS DECIMAL(38,9))), (a, b) -> a + b) AS DOUBLE))
+        |      END AS nn
+        |    FROM (
+        |      SELECT *,
+        |        list_reduce(list_transform(w, x -> abs(x)),
+        |          (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS mx,
+        |        list_transform(w, x -> x / list_reduce(list_transform(w, y -> abs(y)),
+        |          (a, b) -> CASE WHEN b > a THEN b ELSE a END)) AS u
+        |      FROM (
+        |        SELECT event_type, comp, step, v, mat, lam,
+        |          list_transform(range(1, 13), i -> CAST(
+        |            list_reduce(list_transform(range(1, 13), j ->
+        |              CAST(round(mat[CAST(i AS INT)][CAST(j AS INT)]
+        |                * v[CAST(j AS INT)], 9) AS DECIMAL(38,9))),
+        |              (a, b) -> a + b) AS DOUBLE)) AS w
+        |        FROM pit
+        |        WHERE step < 60 OR comp < 2
+        |      )
+        |    )
+        |  )
+        |), pcs AS (
+        |  SELECT event_type, list(v ORDER BY comp) AS pcs
+        |  FROM pit WHERE step = 60 GROUP BY 1
+        |), means AS (
+        |  SELECT event_type, list(mv ORDER BY i) AS mean FROM m GROUP BY 1
+        |), score_w AS (
+        |  SELECT f.event_type, f.rid, f.win, p.pcs, me.mean
+        |  FROM full_wins f
+        |  JOIN pcs p USING (event_type) JOIN means me USING (event_type)
+        |  WHERE f.ts >= TIMESTAMP '2024-01-15'
+        |), xc AS (
+        |  SELECT *, list_transform(range(1, 13), i ->
+        |    win[CAST(i AS INT)] - mean[CAST(i AS INT)]) AS xcv
+        |  FROM score_w
+        |), proj AS (
+        |  SELECT *, list_transform(range(1, 4), c ->
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, 13), i ->
+        |        pcs[CAST(c AS INT)][CAST(i AS INT)] * xcv[CAST(i AS INT)])),
+        |      (a, b) -> a + b)) AS pr
+        |  FROM xc
+        |), recon AS (
+        |  SELECT *, list_transform(range(1, 13), i ->
+        |    ((CAST(0.0 AS DOUBLE)
+        |      + pr[1] * pcs[1][CAST(i AS INT)])
+        |      + pr[2] * pcs[2][CAST(i AS INT)])
+        |      + pr[3] * pcs[3][CAST(i AS INT)]) AS rec
+        |  FROM proj
+        |), err AS (
+        |  SELECT event_type, rid,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, 13), i ->
+        |        (xcv[CAST(i AS INT)] - rec[CAST(i AS INT)])
+        |          * (xcv[CAST(i AS INT)] - rec[CAST(i AS INT)]))),
+        |      (a, b) -> a + b) AS e
+        |  FROM recon
+        |)
+        |SELECT event_type, count(*) AS n_windows,
+        |  round(CAST(sum(CAST(round(e, 6) AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_err,
+        |  round(max(round(e, 6)), 6) AS max_err
+        |FROM err GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     "q62_trainer" ->
       """SELECT event_type, date_trunc('day', ts) AS trained_at,
         |  round(avg(value), 6) AS mean,
