@@ -225,7 +225,14 @@ object ExtraQueries {
     }),
 
     // E56 [N]: multimodal feature extraction through the partition-batched
-    // decode-stub pipeline; rows-only (mapPartitions stub is not SQL).
+    // decode-stub pipeline. HASH-GREEN since round 14 (the LAST rows-only
+    // row converted): every stub feature is integer-derived from the blob
+    // bytes — byte sums, distinct byte counts, and the FNV-ish rolling
+    // head hash (which WRAPS signed 64-bit; the oracle replays the wrap
+    // as a HUGEINT fold mod 2^64) — so the mapPartitions decode plumbing
+    // itself is now oracle-checked blind from the text. The per-group
+    // byte_mean sum is decimal-routed; the hash column aggregates under
+    // bit_xor (closed over int64, order-free).
     "q67_multimodal_features" -> ((s, d) => {
       val mm = Multimodal.multimodalTable(documents(s, d), embeddings(s, d))
       val feats = Multimodal.extractFeatures(s, mm.select(col("doc_id"), col("payload.blob").as("blob")),
@@ -234,9 +241,11 @@ object ExtraQueries {
           feats("media_id") === col("doc_id"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_media"),
-          round(avg(col("byte_mean")), 6).as("avg_byte_mean"),
-          round(avg(col("distinct_bytes")), 6).as("avg_distinct_bytes"),
-          sum(col("n_bytes")).as("total_bytes"))
+          round(sum(round(col("byte_mean"), 6).cast("decimal(28,6)"))
+            .cast("double"), 4).as("sum_byte_mean"),
+          sum(col("distinct_bytes")).as("sum_distinct_bytes"),
+          sum(col("n_bytes")).as("total_bytes"),
+          expr("bit_xor(head_hash)").as("xor_head_hash"))
         .orderBy(col("lang"))
     }),
 
@@ -3032,6 +3041,42 @@ object ExtraQueries {
         |  CAST(sum(CASE WHEN pv < 0 AND v >= 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_zc
         |FROM sm GROUP BY 1 ORDER BY lang""".stripMargin,
+
+
+    // The decode-stub features recomputed blind from the text: byte
+    // sums / distinct bytes per char fold, and the FNV-ish head hash
+    // replayed as a HUGEINT fold mod 2^64 then mapped back to the
+    // signed 64-bit value Scala's wrapping multiply produced —
+    // bit_xor aggregates it order-free.
+    "q67_multimodal_features" ->
+      """WITH feats AS (
+        |  SELECT d.doc_id, d.lang,
+        |    octet_length(encode(d.text)) AS n_bytes,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(d.text) + 1),
+        |        i -> CAST(ascii(d.text[CAST(i AS INT)]) AS BIGINT))),
+        |      (a, b) -> a + b) AS DOUBLE)
+        |      / octet_length(encode(d.text)) AS byte_mean,
+        |    length(list_distinct(list_transform(range(1, length(d.text) + 1),
+        |      i -> d.text[CAST(i AS INT)]))) AS distinct_bytes,
+        |    list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |      list_transform(range(1, least(length(d.text), 16) + 1),
+        |        i -> CAST(ascii(d.text[CAST(i AS INT)]) AS HUGEINT))),
+        |      (h, c) -> (h * 31 + c) % CAST('18446744073709551616' AS HUGEINT)) AS hraw
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |), hashed AS (
+        |  SELECT *, CAST(CASE WHEN hraw >= CAST('9223372036854775808' AS HUGEINT)
+        |    THEN hraw - CAST('18446744073709551616' AS HUGEINT) ELSE hraw END
+        |    AS BIGINT) AS head_hash
+        |  FROM feats
+        |)
+        |SELECT lang, count(*) AS n_media,
+        |  round(CAST(sum(CAST(round(byte_mean, 6) AS DECIMAL(28,6))) AS DOUBLE), 4)
+        |    AS sum_byte_mean,
+        |  CAST(sum(distinct_bytes) AS BIGINT) AS sum_distinct_bytes,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  bit_xor(head_hash) AS xor_head_hash
+        |FROM hashed GROUP BY 1 ORDER BY lang""".stripMargin,
 
     // Same closed form as q256 — the oracle never sees a PNG byte; the
     // engine's DEFLATE + filter reconstruction must land on it exactly.
