@@ -103,16 +103,28 @@ object Pca {
   def fit(windows: DataFrame, keyCol: String, vecCol: String,
           dim: Int, k: Int): DataFrame = {
     require(k <= dim, s"k=$k must be <= dim=$dim")
-    val xi = (0 until dim).map(i => element_at(col(vecCol), i + 1))
+    // Bind each element to a plain double column and PERSIST that narrow
+    // frame for the one aggregation pass: the dim(dim+3)/2 decimal
+    // aggregates otherwise inline the element extraction into the partial
+    // agg and re-evaluate the upstream plan per expression — measured 7.8 s
+    // vs 1.1 s on q131's window/pivot input (the cache is rows × dim
+    // doubles, freed before fit returns).
+    val bound = windows.select(col(keyCol) +:
+      (0 until dim).map(i =>
+        element_at(col(vecCol), i + 1).as(s"__x_$i")): _*)
+      .persist()
+    val xi = (0 until dim).map(i => col(s"__x_$i"))
     def d9(c: org.apache.spark.sql.Column) =
       sum(round(c, 9).cast("decimal(38,9)"))
     val aggs =
       (0 until dim).map(i => d9(xi(i)).as(s"s_$i")) ++
         (for { i <- 0 until dim; j <- i until dim }
           yield d9(xi(i) * xi(j)).as(s"q_${i}_$j"))
-    val stats = windows.groupBy(col(keyCol))
-      .agg(count(lit(1)).as("n"), aggs: _*)
-      .collect() // n_keys rows of dim + dim(dim+1)/2 decimals — driver-sized
+    val stats =
+      try bound.groupBy(col(keyCol))
+        .agg(count(lit(1)).as("n"), aggs: _*)
+        .collect() // n_keys rows of dim + dim(dim+1)/2 decimals — driver-sized
+      finally bound.unpersist(blocking = false)
     val models: Seq[(String, Long, Seq[Double], Seq[Seq[Double]])] =
       stats.toIndexedSeq.map { r: Row =>
         val key = r.get(0).toString
