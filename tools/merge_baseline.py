@@ -7,6 +7,11 @@ one unusually warm recording run can't set optimistic baselines that read
 as drift later. __probe__ = mean of the two runs' MINIMUM probe samples
 (the quietest observed cost of the fixed workload).
 
+Effective-times policy (VERDICT r13 item 9 / the BenchAudit rule): a query
+a run stamped `suspect` (rep spread >3x) or `haze_suspect` (elevated band)
+contributes that run's MIN-of-reps instead of its median — a
+load-inflated median must never become a committed baseline.
+
     python3 tools/merge_baseline.py runA.json runB.json [extra.json ...]
 
 Extra runs contribute only queries absent from the first two (e.g. a
@@ -18,16 +23,27 @@ runs = [json.load(open(p)) for p in sys.argv[1:]]
 if len(runs) < 2:
     sys.exit("need at least two bench_full.json runs")
 
+
+def effective(run, q):
+    """Median, unless this run stamped q as load-affected -> min-of-reps."""
+    v = run["queries"].get(q)
+    if v is None:
+        return None
+    stamped = set(run.get("suspect") or []) | set(run.get("haze_suspect") or [])
+    if q in stamped and run.get("mins", {}).get(q) is not None:
+        return run["mins"][q]
+    return v
+
+
 a, b = runs[0], runs[1]
 merged = {}
 for q in sorted(set(a["queries"]) | set(b["queries"])):
-    va, vb = a["queries"].get(q), b["queries"].get(q)
-    vals = [v for v in (va, vb) if v is not None]
+    vals = [v for v in (effective(a, q), effective(b, q)) if v is not None]
     merged[q] = round(sum(vals) / len(vals), 3)
 for extra in runs[2:]:
     for q, v in extra["queries"].items():
         if q not in merged:
-            merged[q] = round(v, 3)
+            merged[q] = round(effective(extra, q), 3)
 
 def _median(xs):
     s = sorted(xs)
