@@ -969,6 +969,41 @@ object ExtraQueries {
         .orderBy(col("lang"))
     }),
 
+    // [N] gzip corpus ingestion — the compressed-TEXT face beside q270's
+    // compressed pixels, and the storage format crawl corpora actually
+    // ship (.jsonl.gz shards, WARC members): each document's text is
+    // gzipped into a real RFC-1952 member (JDK GZIPOutputStream), then a
+    // REAL decoder (GZIPInputStream, drained fully so the trailing
+    // CRC32/ISIZE verify) recovers the bytes in the shared 64-row
+    // mapPartitions batches. The oracle recomputes byte counts and byte
+    // sums blind from the raw text — one corrupted or padded byte on the
+    // decode path and the hash goes red. compressed_smaller is the
+    // engine-proved flag that the DEFLATE layer actually compresses this
+    // corpus (gzip sizes are codec-dependent, so only the boolean is
+    // asserted, the q258 discipline).
+    "q271_gzip_corpus" -> ((s, d) => {
+      import graft.text.Multimodal
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+      import s.implicits._
+      val blobs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val raw = t.getBytes("UTF-8")
+          (id, raw.length.toLong, Multimodal.gzipBytes(raw))
+        }
+        .toDF("doc_id", "raw_len", "gz")
+      val feats = Multimodal.extractGzip(s, blobs, "doc_id", "gz").toDF()
+      feats.join(blobs.select(col("doc_id").as("media_id"),
+          col("raw_len"), length(col("gz")).as("gz_len")), "media_id")
+        .join(docs.select(col("doc_id").as("media_id"), col("lang")), "media_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bytes")).as("total_bytes"),
+          sum(col("byte_sum")).as("total_byte_sum"),
+          min(col("n_bytes") === col("raw_len")).as("len_ok"),
+          (sum(col("gz_len")) < sum(col("n_bytes"))).as("compressed_smaller"))
+        .orderBy(col("lang"))
+    }),
+
     // [N] The COMPLETE remote-write v1 wire: snappy(protobuf(...)) —
     // the actual Content-Encoding every Prometheus ships. ProtoWire
     // renders real WriteRequest bytes, Snappy (pure-JVM block format:
@@ -3077,6 +3112,26 @@ object ExtraQueries {
         |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
         |  bit_xor(head_hash) AS xor_head_hash
         |FROM hashed GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    // Byte counts/sums recomputed blind from the raw text (ASCII corpus,
+    // proven in MultimodalSpec); the gzip layer must be an exact identity
+    // on every document for the totals to land. The booleans are
+    // engine-proved (codec-size-dependent quantities never hash).
+    "q271_gzip_corpus" ->
+      """WITH f AS (
+        |  SELECT d.doc_id, d.lang,
+        |    octet_length(encode(d.text)) AS n_bytes,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(d.text) + 1),
+        |        i -> CAST(ascii(d.text[CAST(i AS INT)]) AS BIGINT))),
+        |      (a, b) -> a + b) AS byte_sum
+        |  FROM documents d
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(sum(byte_sum) AS BIGINT) AS total_byte_sum,
+        |  TRUE AS len_ok, TRUE AS compressed_smaller
+        |FROM f GROUP BY 1 ORDER BY lang""".stripMargin,
 
     // Same closed form as q256 — the oracle never sees a PNG byte; the
     // engine's DEFLATE + filter reconstruction must land on it exactly.

@@ -21,6 +21,10 @@ case class PpmFeatures(media_id: Long, w: Int, h: Int, n_pixels: Long,
                        sum_r: Long, sum_g: Long, sum_b: Long,
                        pool: Array[Long])
 
+/** Exact-integer features of a gzip-DECODED text blob (byte count + byte
+  * sum) — any decode defect moves one of them and reddens the hash. */
+case class GzipFeatures(media_id: Long, n_bytes: Long, byte_sum: Long)
+
 /** REAL-decode audio features from parsed PCM samples — all exact
   * integers: sum, sum of |s|, extremes, negative→non-negative zero
   * crossings. */
@@ -516,6 +520,53 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(64).flatMap(_.map { case (id, bytes) =>
         pngFeatures(id, bytes)
+      }))
+  }
+
+  // ---- gzip corpus blobs (the compressed-TEXT face beside PNG's pixels) ----
+
+  /** Real gzip encode (RFC 1952 member: header + DEFLATE + CRC32 + ISIZE)
+    * via the JDK stream — the storage format crawl corpora actually ship
+    * (WARC members, .jsonl.gz shards). */
+  def gzipBytes(raw: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(raw); gz.close()
+    bos.toByteArray
+  }
+
+  /** Real gzip decode with the loud-failure contract: the full stream is
+    * drained so the trailing CRC32/ISIZE are VERIFIED (a truncated or
+    * bit-flipped member throws — silently-padded text is how corrupt
+    * shards poison a training set). */
+  def gunzipBytes(bytes: Array[Byte]): Array[Byte] = {
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream(bytes.length * 3 + 64)
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      out.toByteArray
+    } catch {
+      case e: java.io.IOException =>
+        throw new IllegalArgumentException(s"gzip: ${e.getMessage}")
+    }
+  }
+
+  /** Partition-batched gzip decode — the 64-row batch contract shared by
+    * every decoder in this file. */
+  def extractGzip(spark: SparkSession, media: DataFrame, idCol: String,
+                  blobCol: String): Dataset[GzipFeatures] = {
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(blobCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(64).flatMap(_.map { case (id, gz) =>
+        val raw = gunzipBytes(gz)
+        var s = 0L; var i = 0
+        while (i < raw.length) { s += raw(i) & 0xff; i += 1 }
+        GzipFeatures(id, raw.length.toLong, s)
       }))
   }
 

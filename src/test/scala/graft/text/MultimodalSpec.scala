@@ -164,6 +164,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaPng.pool.toSeq == viaPpm.pool.toSeq)
   }
 
+  test("gzip: roundtrip identity; truncation and bit flips fail loudly") {
+    val raw = ("the quick brown fox " * 40).getBytes("UTF-8")
+    val gz = Multimodal.gzipBytes(raw)
+    assert(gz.length < raw.length, "DEFLATE must compress repetitive text")
+    assert(Multimodal.gunzipBytes(gz).toSeq == raw.toSeq)
+    intercept[IllegalArgumentException] { // truncated member: ISIZE/CRC gone
+      Multimodal.gunzipBytes(gz.dropRight(6))
+    }
+    intercept[IllegalArgumentException] { // bit flip in the deflate body
+      val b = gz.clone(); b(gz.length / 2) = (b(gz.length / 2) ^ 0x40).toByte
+      Multimodal.gunzipBytes(b)
+    }
+    intercept[IllegalArgumentException] { // not a gzip member at all
+      Multimodal.gunzipBytes("plainly not gzip".getBytes)
+    }
+  }
+
   test("PPM features: channel sums and 2x2 pool sums are exact integers") {
     // 2x2 image: every pixel lands in its own pool cell
     val bytes = Multimodal.synthPpm(7L, 2, 2)
