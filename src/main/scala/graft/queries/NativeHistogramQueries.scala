@@ -384,27 +384,34 @@ object NativeHistogramQueries {
       val back = graft.CacheBag.register(Otlp.parseExpHistogram(docs)
         .withColumnRenamed("metric", "event_type")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      def cumAt(tag: String, cond: org.apache.spark.sql.Column) = {
-        val pts = back.filter(cond)
-        val merged = NativeHistogram.merge(pts, Seq("event_type"))
-        val nPoints = pts.filter(col("temporality") === 1)
-          .groupBy(col("event_type")).agg(count(lit(1)).as("n_points"))
-        val exactSum = round(col("sum"), 2)
-        val mean = exactSum / col("count")
-        merged.join(nPoints, Seq("event_type"))
-          .select(
-            lit(tag).as("which"),
-            col("event_type"),
-            col("n_points"),
-            col("count").cast("long").as("n_samples"),
-            size(col("pos")).as("n_buckets"),
-            exactSum.as("sum_value"),
-            round(mean, 6).as("avg_value"),
-            round(NativeHistogram.histogramQuantile(0.5), 6).as("p50"),
-            round(NativeHistogram.histogramQuantile(0.9), 6).as("p90"))
-      }
-      cumAt("final", lit(true))
-        .unionByName(cumAt("mid", col("ts") < mid))
+      // ONE merge pass for both report points: each parsed point belongs
+      // to "final" always and to "mid" when ts < mid, so exploding that
+      // tag array and merging by (which, event_type) computes both rows
+      // in a single window + groupBy + join chain — the earlier
+      // two-invocation form (cumAt("final") ∪ cumAt("mid")) ran the merge
+      // machinery twice over the same persisted frame for identical
+      // total row volume (guide §2.4: two operations keyed the same way
+      // share one pass). Row-for-row identical output by construction.
+      val tagged = back.withColumn("which",
+        explode(when(col("ts") < mid, array(lit("final"), lit("mid")))
+          .otherwise(array(lit("final")))))
+      val merged = NativeHistogram.merge(tagged, Seq("which", "event_type"))
+      val nPoints = tagged.filter(col("temporality") === 1)
+        .groupBy(col("which"), col("event_type"))
+        .agg(count(lit(1)).as("n_points"))
+      val exactSum = round(col("sum"), 2)
+      val mean = exactSum / col("count")
+      merged.join(nPoints, Seq("which", "event_type"))
+        .select(
+          col("which"),
+          col("event_type"),
+          col("n_points"),
+          col("count").cast("long").as("n_samples"),
+          size(col("pos")).as("n_buckets"),
+          exactSum.as("sum_value"),
+          round(mean, 6).as("avg_value"),
+          round(NativeHistogram.histogramQuantile(0.5), 6).as("p50"),
+          round(NativeHistogram.histogramQuantile(0.9), 6).as("p90"))
         .orderBy(col("which"), col("event_type"))
     }),
 

@@ -586,21 +586,37 @@ object TextQueries {
             .when(col("bucket") < 90, "val").otherwise("test"))
         .withColumn("sh8",
           transform(TextOps.shingles(col("toks"), 8), sh => TextOps.md5Hash48(sh, "dc")))
-      val trainHashes = split.filter(col("split") === "train")
-        .select(explode(col("sh8")).as("h")).distinct()
+      // trainHashes is PERSISTED (longs only — the q48/q74 bounded-persist
+      // discipline, NOT the reverted nested-array split frame): it feeds
+      // two consumers (the Bloom bitmap build and the exact verify join),
+      // and each recompute pays the full train-side tokenize→shingle→md5
+      // chain. Guide §2.4/§5: one materialization, two reads.
+      val trainHashes = graft.CacheBag.register(
+        split.filter(col("split") === "train")
+          .select(explode(col("sh8")).as("h")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val bitmap = Bloom.build(trainHashes, "h", K)
       val testSh = split.filter(col("split") === "test")
         .select(col("lang"), col("doc_id"), explode(col("sh8")).as("h"))
       val cand = testSh.filter(Bloom.mightContain(bitmap, col("h"), K))
-      val candDocs = cand.select(col("lang"), col("doc_id")).distinct()
-        .groupBy(col("lang")).agg(count(lit(1)).as("n_candidate_docs"))
-      val contaminated = cand.join(trainHashes, "h")
-        .select(col("lang"), col("doc_id")).distinct()
-        .groupBy(col("lang")).agg(count(lit(1)).as("n_contaminated"))
+      // ONE pass over the test-side chain: the candidate-doc count and the
+      // contaminated-doc count differ only in whether a candidate hash is
+      // confirmed by trainHashes, so a left join carrying a hit flag +
+      // one doc-grain agg computes both (the earlier two-consumer form —
+      // distinct + separate verify-join-distinct — ran the whole test
+      // tokenize→shingle→md5→4-probe chain twice; guide §2.3/§2.4).
+      // Identical sets by construction: n_candidate_docs counts distinct
+      // candidate docs, n_contaminated those with ≥1 verified hash.
+      val perDoc = cand
+        .join(trainHashes.withColumn("__hit", lit(1)), Seq("h"), "left")
+        .groupBy(col("lang"), col("doc_id"))
+        .agg(max(col("__hit")).as("__hit"))
+      val candAgg = perDoc.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_candidate_docs"),
+          sum(when(col("__hit") === 1, 1L).otherwise(0L)).as("n_contaminated"))
       split.filter(col("split") === "test")
         .groupBy(col("lang")).agg(count(lit(1)).as("n_test"))
-        .join(candDocs, Seq("lang"), "left")
-        .join(contaminated, Seq("lang"), "left")
+        .join(candAgg, Seq("lang"), "left")
         .select(col("lang"), col("n_test"),
           coalesce(col("n_candidate_docs"), lit(0L)).as("n_candidate_docs"),
           coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
@@ -701,12 +717,19 @@ object TextQueries {
     // scalar discipline as Pq.train's Lloyd step. All counts integer →
     // the argmax and everything downstream is hash-provable.
     "q244_bpe_trainer" -> ((s, d) => {
-      val words = docsWithTokens(s, d)
+      // PERSISTED: the distinct-word table is the anchor of FOUR actions
+      // (three per-merge argmax collects + the final symbol rollup), and
+      // every one re-ran the corpus scan + explode + groupBy without it
+      // (guide §2.4). The frame is vocabulary-sized (distinct words ×
+      // (count + char array)), the same driver-bounded class as the BPE
+      // merge table itself.
+      val words = graft.CacheBag.register(docsWithTokens(s, d)
         .select(explode(col("toks")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("wc"))
         // split to characters; Spark's split(limit=-1) keeps a trailing
         // "" element that DuckDB's string_split does not — strip it
         .withColumn("sym", array_remove(split(col("w"), ""), ""))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       def pairCounts(df: DataFrame): DataFrame = df
         .select(col("wc"), explode(zip_with(
           slice(col("sym"), lit(1), size(col("sym")) - 1),

@@ -52,8 +52,13 @@ object Components {
     while (!converged && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("b") === labels(idCol))
         .groupBy(col("a")).agg(min(col("component")).as("__nbr"))
+      // The previous generation's label rides along as `__old` so the
+      // convergence check below is a FILTER over the already-checkpointed
+      // rows — the earlier form re-joined `next` against `labels` on the
+      // id (one extra shuffle join per round, measured ~15-20% of the CC
+      // loop at sf0.1) purely to recover a value this select still has.
       val prop = labels.join(nbrMin, labels(idCol) === nbrMin("a"), "left")
-        .select(labels(idCol),
+        .select(labels(idCol), col("component").as("__old"),
           least(col("component"), coalesce(col("__nbr"), col("component")))
             .as("component"))
       // pointer doubling: follow the label one hop through itself. Applied
@@ -63,21 +68,19 @@ object Components {
       val doubled = if (iter < 2) prop else {
         val ptr = prop.select(col(idCol).as("__pid"), col("component").as("__pcomp"))
         prop.join(ptr, prop("component") === ptr("__pid"), "left")
-          .select(prop(idCol),
+          .select(prop(idCol), prop("__old"),
             least(prop("component"), coalesce(col("__pcomp"), prop("component")))
               .as("component"))
       }
       val next = doubled
         .localCheckpoint(true) // truncate lineage; also materializes for the count
-      val changed = next.alias("n")
-        .join(labels.withColumnRenamed("component", "__old").alias("o"), idCol)
-        .filter(col("component") =!= col("__old")).count()
+      val changed = next.filter(col("component") =!= col("__old")).count()
       // the superseded generation's checkpoint blocks are dead from here
       // — free them NOW, or a query loop accumulates one generation per
       // iteration per run (measured: q92 reps 1.2 s → 3.0 s in one
       // bench triple purely from dead block pressure)
       graft.CacheBag.freeCheckpoint(labels)
-      labels = next
+      labels = next.select(col(idCol), col("component"))
       converged = changed == 0
       iter += 1
     }
