@@ -189,12 +189,24 @@ object AnomalyQueries {
     // recursive CTE, so the whole train+score chain is oracle-checked;
     // MultiVarSpec still pins the planted cross-feature anomaly.
     "q131_multivar_pca_recon" -> ((s, d) => {
-      val wins = graft.anomaly.MultiVar.coWindowMat(events(s, d),
-          "user_id", "ts", "event_id", "event_type", "value",
-          Seq("click", "view", "purchase"), 4)
-        .withColumn("mkey", lit("all"))
-      val models = graft.anomaly.MultiVar.fitMat(wins, "mkey", "mat", 4, 3, 2)
-      graft.anomaly.MultiVar.reconstructionError(wins, models, "mkey", "mat")
+      // PERSISTED, pre-FLATTENED: the pivot/LOCF/window-assembly chain
+      // feeds BOTH the covariance fit and the scoring join — without the
+      // persist the whole groupBy+pivot+2-window chain runs twice (guide
+      // §2.4). The cached column is the flat w·f vector, not the nested
+      // [w × f] matrix: nested-array columnar cache builds cost more than
+      // they save (the q48 shingle-array lesson), while a flat
+      // array<double> caches cheaply and is what Pca.fit/score consume
+      // anyway (fitMat/reconstructionError are exactly these two calls
+      // after flatten — row-for-row identical).
+      val wins = graft.CacheBag.register(
+        graft.anomaly.MultiVar.coWindowMat(events(s, d),
+            "user_id", "ts", "event_id", "event_type", "value",
+            Seq("click", "view", "purchase"), 4)
+          .withColumn("mkey", lit("all"))
+          .withColumn("__flat", flatten(col("mat"))).drop("mat")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val models = graft.anomaly.Pca.fit(wins, "mkey", "__flat", 12, 2)
+      graft.anomaly.Pca.reconstructionError(wins, models, "mkey", "__flat")
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_windows"),
           round(max(col("recon_err")), 4).as("max_recon_err"))
@@ -312,8 +324,14 @@ object AnomalyQueries {
     val cutoff = lit("2024-01-15").cast("timestamp")
     val wins =
       if (batch)
-        AnomalyOps.assembleWindows(events(s, d), eventKey,
-          "ts", "event_id", "value", 12)
+        // PERSISTED: three consumers (fit's two grouped aggregations +
+        // the scoring join) each re-ran the shuffle+sort window assembly
+        // without it (guide §2.4). Bounded: one 12-double array per
+        // window row, no raw text.
+        graft.CacheBag.register(
+          AnomalyOps.assembleWindows(events(s, d), eventKey,
+            "ts", "event_id", "value", 12)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else
         // localCheckpoint: the fit→score chain self-joins the window
         // frame, and Catalyst's relation dedup covers file scans but not

@@ -53,8 +53,13 @@ object RegistryQueries {
     // are decimal-routed (order-free); max is order-free by nature.
     "q98_pca_recon" -> ((s, d) => {
       val cutoff = lit("2024-01-15").cast("timestamp")
-      val wins = AnomalyOps.assembleWindows(events(s, d),
-        Seq("user_id", "event_type"), "ts", "event_id", "value", 12)
+      // PERSISTED: the window assembly feeds the covariance fit AND the
+      // post-cutoff scoring join — one materialization, two reads
+      // (guide §2.4). Bounded: one 12-double array per window row.
+      val wins = graft.CacheBag.register(
+        AnomalyOps.assembleWindows(events(s, d),
+          Seq("user_id", "event_type"), "ts", "event_id", "value", 12)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val registry = Pca.fit(wins.filter(col("ts") < cutoff),
           "event_type", "win_arr", dim = 12, k = 3)
         .withColumn("trained_at", lit("2024-01-14").cast("timestamp"))

@@ -86,8 +86,14 @@ object TextQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val candIds = cand.select(
         explode(array(col("id1"), col("id2"))).as("doc_id")).distinct()
-      val candSh = toks.join(broadcast(candIds), Seq("doc_id"))
-        .select(col("doc_id"), TextOps.shingles(col("toks"), 3).as("sh"))
+      // candSh is read TWICE (the id1 and id2 sides of the verify join);
+      // persist it so candidate docs re-tokenize + re-shingle once, not
+      // twice (guide §2.4). Bounded: candidate ids × one shingle array —
+      // the same candidate-only frame a 100 TB run would fetch by id.
+      val candSh = graft.CacheBag.register(
+        toks.join(broadcast(candIds), Seq("doc_id"))
+          .select(col("doc_id"), TextOps.shingles(col("toks"), 3).as("sh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       cand
         .join(candSh.select(col("doc_id").as("id1"), col("sh").as("sh1")), Seq("id1"))
         .join(candSh.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))

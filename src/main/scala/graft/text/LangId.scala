@@ -66,10 +66,16 @@ object LangId {
       .agg(count(lit(1)).as("score"))
     val baseline = docIds.select(col("doc_id"), col("lang"),
       lit("unknown").as("profile_lang"), lit(0L).as("score"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("profile_lang"))
+    // argmax as ONE hash aggregation (min_by over the (−score,
+    // profile_lang) struct — struct ordering is field-by-field, so this
+    // is exactly "highest score, language name breaks ties", the same row
+    // the previous row_number()-over-sorted-window form kept): a hash agg
+    // does map-side partial aggregation and never sorts, where the window
+    // sorted every doc's rows after the shuffle (guide §2.3/§4).
     scored.unionByName(baseline)
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang"), col("profile_lang").as("predicted"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min_by(col("profile_lang"),
+        struct((-col("score")).as("ns"), col("profile_lang"))).as("predicted"))
+      .select(col("doc_id"), col("lang"), col("predicted"))
   }
 }
