@@ -266,6 +266,10 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** Checkpoint cleanup for queries that start their stream directly
+    * (s78's DSv2 source) — same semantics as the private helper. */
+  def deleteRecursivelyPublic(f: java.io.File): Unit = deleteRecursively(f)
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
