@@ -25,21 +25,29 @@ object ExplainAudit {
   /** Physical-plan metrics for one declared batch query. Executes the
     * query once (AQE finalizes the plan only on execution). */
   def metricsFor(spark: SparkSession, name: String, dir: String): PlanMetrics = {
-    val plan = graft.SparkEntry.queries(name)(spark, dir)
-      .queryExecution.explainString(FormattedMode)
-    // formatted mode lists each operator in both tree and detail — count
-    // only the numbered detail headers "(n) Op"
-    def ops(op: String) = s"\\(\\d+\\) $op".r.findAllIn(plan).size
-    // AQE finalizes the plan only on execution of THIS df (count() runs a
-    // clone) — collect, then read the *(n) whole-stage-codegen markers.
-    val df = graft.SparkEntry.queries(name)(spark, dir)
-    val rows = df.collect().length.toLong
-    val codegen = "\\*\\(\\d+\\)".r
-      .findAllIn(df.queryExecution.executedPlan.toString).size
-    PlanMetrics(ops("Exchange"), ops("BroadcastHashJoin"), ops("SortMergeJoin"),
-      ops("BroadcastNestedLoopJoin"), ops("CartesianProduct"), codegen,
-      plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
-      rows)
+    try {
+      val plan = graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.explainString(FormattedMode)
+      // formatted mode lists each operator in both tree and detail — count
+      // only the numbered detail headers "(n) Op"
+      def ops(op: String) = s"\\(\\d+\\) $op".r.findAllIn(plan).size
+      // AQE finalizes the plan only on execution of THIS df (count() runs a
+      // clone) — collect, then read the *(n) whole-stage-codegen markers.
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val rows = df.collect().length.toLong
+      val codegen = "\\*\\(\\d+\\)".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+      PlanMetrics(ops("Exchange"), ops("BroadcastHashJoin"), ops("SortMergeJoin"),
+        ops("BroadcastNestedLoopJoin"), ops("CartesianProduct"), codegen,
+        plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
+        rows)
+    } finally
+      // Harness discipline (Bench/Verify do the same): drop query-local
+      // persisted frames so one query's cache cannot rewrite the NEXT
+      // query's plan around an InMemoryTableScan — without this the
+      // recorded exchange counts depend on audit ORDER (q180's persisted
+      // train-hash frame changed q81's count when audited in sequence).
+      graft.CacheBag.drain(blocking = true)
   }
 
   def batchQueryNames: Seq[String] =
