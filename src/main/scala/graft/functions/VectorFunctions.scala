@@ -156,11 +156,13 @@ case class VecNorm(child: Expression) extends org.apache.spark.sql.catalyst.expr
   * NOT be (the multiply re-rounds before the half-up decision).
   * Left side may be float (embeddings) or double; right is the
   * double-valued centroid. */
-case class VecD2Units(left: Expression, right: Expression) extends BinaryExpression {
+case class VecD2Units(left: Expression, right: Expression,
+                      floorMode: Boolean = false) extends BinaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   private def leftIsFloat: Boolean = left.dataType == ArrayType(FloatType) ||
     left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def unitsFn: String = if (floorMode) "floorUnits" else "units"
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(a, _), ArrayType(DoubleType, _))
       if a == FloatType || a == DoubleType => TypeCheckResult.TypeCheckSuccess
@@ -177,7 +179,7 @@ case class VecD2Units(left: Expression, right: Expression) extends BinaryExpress
       if (a.isNullAt(i) || b.isNullAt(i)) VecD2Units.nullElement(i)
       val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
       val d = x - b.getDouble(i)
-      s += VecD2Units.units(d * d)
+      s += (if (floorMode) VecD2Units.floorUnits(d * d) else VecD2Units.units(d * d))
       i += 1
     }
     s
@@ -193,7 +195,7 @@ case class VecD2Units(left: Expression, right: Expression) extends BinaryExpress
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) graft.functions.VecD2Units.nullElement($i);
          |  double $d = (double) $a.$getter($i) - $b.getDouble($i);
-         |  $s += graft.functions.VecD2Units.units($d * $d);
+         |  $s += graft.functions.VecD2Units.$unitsFn($d * $d);
          |}
          |${ev.value} = $s;
        """.stripMargin
@@ -210,9 +212,11 @@ case class VecD2Units(left: Expression, right: Expression) extends BinaryExpress
   * per-dim sum, in one fused pass (the VecD2Units discipline; HALF_UP
   * equals DuckDB's round-half-away-from-zero for negative terms too).
   * Either side may be float or double. */
-case class VecDotUnits(left: Expression, right: Expression) extends BinaryExpression {
+case class VecDotUnits(left: Expression, right: Expression,
+                       floorMode: Boolean = false) extends BinaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+  private def unitsFn: String = if (floorMode) "floorUnits" else "signedUnits"
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
@@ -232,7 +236,7 @@ case class VecDotUnits(left: Expression, right: Expression) extends BinaryExpres
       if (a.isNullAt(i) || b.isNullAt(i)) VecD2Units.nullElement(i)
       val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
-      s += VecD2Units.signedUnits(x * y)
+      s += (if (floorMode) VecD2Units.floorUnits(x * y) else VecD2Units.signedUnits(x * y))
       i += 1
     }
     s
@@ -248,7 +252,7 @@ case class VecDotUnits(left: Expression, right: Expression) extends BinaryExpres
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) graft.functions.VecD2Units.nullElement($i);
-         |  $s += graft.functions.VecD2Units.signedUnits(
+         |  $s += graft.functions.VecD2Units.$unitsFn(
          |    (double) $a.$lg($i) * (double) $b.$rg($i));
          |}
          |${ev.value} = $s;
@@ -284,6 +288,14 @@ object VecD2Units {
     * BigDecimal HALF_UP rounds ties AWAY from zero for negatives too,
     * which is exactly DuckDB's round() rule. */
   def signedUnits(v: Double): Long = units(v)
+
+  /** floor(v·1e9) in integer 1e-9 units — the ROUND-FREE conversion used
+    * by the q52/q72 hash-green paths. `v * 1e9` is one IEEE multiply and
+    * floor is exact, so ANY engine (any DuckDB version, any JVM) computes
+    * the identical long from the identical double: unlike round(v, 9),
+    * there is no decimal-boundary tie for two round() implementations to
+    * disagree on. The oracle twin is `CAST(floor(x * 1e9) AS BIGINT)`. */
+  def floorUnits(v: Double): Long = Math.floor(v * 1e9).toLong
 }
 
 /** IEEE-754 raw bit pattern of a double as BIGINT — the Gorilla /
@@ -320,6 +332,10 @@ object VectorFunctions {
     ExpressionUtils.column(VecD2Units(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def vecDotUnits(a: Column, b: Column): Column =
     ExpressionUtils.column(VecDotUnits(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def vecD2Floor(a: Column, b: Column): Column =
+    ExpressionUtils.column(VecD2Units(ExpressionUtils.expression(a), ExpressionUtils.expression(b), floorMode = true))
+  def vecDotFloor(a: Column, b: Column): Column =
+    ExpressionUtils.column(VecDotUnits(ExpressionUtils.expression(a), ExpressionUtils.expression(b), floorMode = true))
 
   /** SQL registration: `SELECT vec_cosine(a, b)` etc. */
   def register(spark: SparkSession): Unit = {

@@ -294,19 +294,22 @@ object TextQueries {
     }),
 
     // E54 scale path: LSH-bucketed ANN — 4 data-derived hyperplanes →
-    // 16 sign buckets; search only the query's bucket. HASH-GREEN since
-    // round 14: the sign bits come from EXACT integer-unit dot products
-    // (VecDotUnits — Σ round(x·p, 9 dp) in 1e-9 units, association-free)
-    // and the within-bucket ranking from exact-unit d² with vec_id
-    // tiebreaks, so both the bucketing and the top-k are bit-reproducible
-    // in the oracle's unnest + DECIMAL(28,9) formulation.
+    // 16 sign buckets; search only the query's bucket. HASH-GREEN via
+    // FLOOR units since round 15: every sign bit and every ranking runs
+    // on Σ floor(term·1e9) integer units (VecDotUnits/VecD2Units in
+    // floorMode). Unlike round(term, 9) — whose half-up boundary two
+    // round() implementations can disagree on (the r14 driver-oracle
+    // hash mismatch) — floor of one IEEE product is bit-identical in
+    // every engine, so the oracle's unnest + CAST(floor(x·1e9) AS BIGINT)
+    // formulation reproduces it in ANY DuckDB version. dist2 is the
+    // DOUBLE units/1e9 (one correctly-rounded division, both engines).
     "q52_ann_lsh_buckets" -> ((s, d) => {
       val emb = embeddings(s, d)
       val planes = emb.filter(col("vec_id") < 4)
         .select(col("vec_id").as("plane_id"), col("embedding").as("pv"))
       val bucketed = emb.crossJoin(broadcast(planes))
         .withColumn("bit",
-          when(VectorFunctions.vecDotUnits(col("embedding"), col("pv")) > 0, 1)
+          when(VectorFunctions.vecDotFloor(col("embedding"), col("pv")) > 0, 1)
             .otherwise(0))
         .groupBy(col("vec_id"), col("embedding"))
         .agg(sum(col("bit") * pow(lit(2), col("plane_id"))).cast("long").as("bucket"))
@@ -314,11 +317,11 @@ object TextQueries {
         .select(col("vec_id").as("query_id"),
           col("embedding").cast("array<double>").as("qv"), col("bucket"))
       val cand = bucketed.join(q, "bucket").filter(col("vec_id") =!= col("query_id"))
-        .withColumn("u", VectorFunctions.vecD2Units(col("embedding"), col("qv")))
+        .withColumn("u", VectorFunctions.vecD2Floor(col("embedding"), col("qv")))
       val w = Window.partitionBy(col("query_id")).orderBy(col("u"), col("vec_id"))
       cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"),
-          (col("u").cast("decimal(28,0)") / lit(1000000000L)).as("dist2"),
+          (col("u") / lit(1e9)).as("dist2"),
           col("bucket"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -370,12 +373,13 @@ object TextQueries {
     }),
 
     // E54 [N] scale path #2: IVF ANN — inverted lists by nearest centroid,
-    // search only nprobe probed lists. HASH-GREEN since round 14: every
-    // ranking decision (assignment argmin, probe order, final top-k) runs
-    // on exact integer-unit d² (VecD2Units, the q240 discipline), so the
-    // oracle's unnest + DECIMAL(28,9) per-dim sums reproduce it bit for
-    // bit — no FP boundary left to disagree on. The trained-kmeans
-    // variant stays cosine/spec-verified (TextOpsSpec).
+    // search only nprobe probed lists. HASH-GREEN via FLOOR units since
+    // round 15: every ranking decision (assignment argmin, probe order,
+    // final top-k) runs on Σ floor(term·1e9) integer d² units — floor of
+    // one IEEE multiply is bit-identical in every engine, unlike the
+    // round(term, 9) half-up boundary that made the r14 driver's DuckDB
+    // disagree with the local one. dist2 = DOUBLE units/1e9. The
+    // trained-kmeans variant stays cosine/spec-verified (TextOpsSpec).
     "q72_ann_ivf" -> ((s, d) => {
       // Raw emb feeds the centroid collect + query broadcast (pruned scans);
       // only the corpus side of the assignment is repartitioned for map-side
@@ -383,7 +387,8 @@ object TextQueries {
       val emb = embeddings(s, d)
       graft.text.Ivf.searchD2(emb,
         queryIds = Seq(0L, 1L, 2L), k = 3, nCentroids = 8, nprobe = 2,
-        corpus = Some(emb.repartition(s.sparkContext.defaultParallelism)))
+        corpus = Some(emb.repartition(s.sparkContext.defaultParallelism)),
+        floorMode = true)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1079,9 +1084,10 @@ object TextQueries {
         |SELECT query_id, rank, vec_id, round(sim, 6) AS sim
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
-    // Exact-unit twin of the Spark plan: sign bits from per-dim
-    // DECIMAL(28,9) dot sums, within-bucket rank on the same decimal d²
-    // (≡ VecDotUnits/VecD2Units integer units bit for bit).
+    // Floor-unit twin of the Spark plan: sign bits and ranks from per-dim
+    // Σ CAST(floor(term·1e9) AS BIGINT) sums (≡ VecDotUnits/VecD2Units in
+    // floorMode bit for bit, in ANY DuckDB version — floor of one IEEE
+    // product has no round() boundary); dist2 = DOUBLE units/1e9.
     "q52_ann_lsh_buckets" ->
       """WITH comps AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
@@ -1089,7 +1095,7 @@ object TextQueries {
         |  FROM embeddings
         |), dots AS (
         |  SELECT c.vec_id, p.vec_id AS plane_id,
-        |    sum(CAST(round(c.x * p.x, 9) AS DECIMAL(28,9))) AS dot
+        |    sum(CAST(floor((c.x * p.x) * 1e9) AS BIGINT)) AS dot
         |  FROM comps c JOIN comps p ON p.dim = c.dim AND p.vec_id < 4
         |  GROUP BY 1, 2
         |), buckets AS (
@@ -1101,24 +1107,24 @@ object TextQueries {
         |  SELECT vec_id AS query_id, bucket FROM buckets WHERE vec_id < 3
         |), cand AS (
         |  SELECT q.query_id, b.vec_id, q.bucket,
-        |    sum(CAST(round((c.x - qc.x) * (c.x - qc.x), 9)
-        |      AS DECIMAL(28,9))) AS dist2
+        |    sum(CAST(floor(((c.x - qc.x) * (c.x - qc.x)) * 1e9) AS BIGINT)) AS u
         |  FROM q JOIN buckets b ON b.bucket = q.bucket
         |    AND b.vec_id <> q.query_id
         |  JOIN comps c ON c.vec_id = b.vec_id
         |  JOIN comps qc ON qc.vec_id = q.query_id AND qc.dim = c.dim
         |  GROUP BY 1, 2, 3
         |), ranked AS (
-        |  SELECT query_id, vec_id, bucket, dist2,
+        |  SELECT query_id, vec_id, bucket, u,
         |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY dist2, vec_id) AS rank
+        |      ORDER BY u, vec_id) AS rank
         |  FROM cand
         |)
-        |SELECT query_id, rank, vec_id, dist2, bucket
+        |SELECT query_id, rank, vec_id, CAST(u AS BIGINT) / 1e9 AS dist2, bucket
         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
-    // IVF on exact-unit d²: assignment argmin, probe order, and final
-    // top-k all on DECIMAL(28,9) per-dim sums (≡ VecD2Units).
+    // IVF on floor-unit d²: assignment argmin, probe order, and final
+    // top-k all on Σ CAST(floor(term·1e9) AS BIGINT) sums (≡ VecD2Units
+    // floorMode — engine-version-proof); dist2 = DOUBLE units/1e9.
     "q72_ann_ivf" ->
       """WITH comps AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
@@ -1130,36 +1136,36 @@ object TextQueries {
         |  SELECT vec_id, (min(struct_pack(d := d2, cid := cid))).cid AS list_id
         |  FROM (
         |    SELECT p.vec_id, s.cid,
-        |      sum(CAST(round((p.x - s.c) * (p.x - s.c), 9)
-        |        AS DECIMAL(28,9))) AS d2
+        |      sum(CAST(floor(((p.x - s.c) * (p.x - s.c)) * 1e9)
+        |        AS BIGINT)) AS d2
         |    FROM comps p JOIN cents s USING (dim) GROUP BY 1, 2
         |  ) GROUP BY 1
         |), probe AS (
         |  SELECT query_id, cid AS list_id FROM (
         |    SELECT q.vec_id AS query_id, s.cid,
         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |        sum(CAST(round((q.x - s.c) * (q.x - s.c), 9)
-        |          AS DECIMAL(28,9))), s.cid) AS crn
+        |        sum(CAST(floor(((q.x - s.c) * (q.x - s.c)) * 1e9)
+        |          AS BIGINT)), s.cid) AS crn
         |    FROM comps q JOIN cents s USING (dim)
         |    WHERE q.vec_id IN (0, 1, 2)
         |    GROUP BY q.vec_id, s.cid
         |  ) WHERE crn <= 2
         |), cand AS (
         |  SELECT pr.query_id, a.vec_id, a.list_id,
-        |    sum(CAST(round((c.x - qc.x) * (c.x - qc.x), 9)
-        |      AS DECIMAL(28,9))) AS dist2
+        |    sum(CAST(floor(((c.x - qc.x) * (c.x - qc.x)) * 1e9)
+        |      AS BIGINT)) AS u
         |  FROM probe pr JOIN assigned a ON a.list_id = pr.list_id
         |    AND a.vec_id <> pr.query_id
         |  JOIN comps c ON c.vec_id = a.vec_id
         |  JOIN comps qc ON qc.vec_id = pr.query_id AND qc.dim = c.dim
         |  GROUP BY 1, 2, 3
         |), ranked AS (
-        |  SELECT query_id, vec_id, list_id, dist2,
+        |  SELECT query_id, vec_id, list_id, u,
         |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY dist2, vec_id) AS rank
+        |      ORDER BY u, vec_id) AS rank
         |  FROM cand
         |)
-        |SELECT query_id, rank, vec_id, dist2, list_id
+        |SELECT query_id, rank, vec_id, CAST(u AS BIGINT) / 1e9 AS dist2, list_id
         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "q53_lang_quality" ->

@@ -70,7 +70,9 @@ object Ivf {
     * lexicographic struct min. This is what converts the ANN rows from
     * rows-only to hash-green: L2 argmin on exact integers has no FP
     * boundary to disagree on. */
-  def assignD2(emb: DataFrame, centroids: DataFrame): DataFrame = {
+  def assignD2(emb: DataFrame, centroids: DataFrame,
+               floorMode: Boolean = false): DataFrame = {
+    val d2 = if (floorMode) VectorFunctions.vecD2Floor _ else VectorFunctions.vecD2Units _
     val cents = centroids.select(col("centroid_id").cast("long"), col("cv"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
@@ -79,7 +81,7 @@ object Ivf {
       struct(lit(id).as("id"), typedlit(v).as("cv"))
     }: _*)
     val best = array_min(transform(centArr, c =>
-      struct(VectorFunctions.vecD2Units(col("embedding"), c.getField("cv")).as("u"),
+      struct(d2(col("embedding"), c.getField("cv")).as("u"),
         c.getField("id").as("id"))))
     emb.select(col("vec_id"), col("embedding"),
       best.getField("id").as("list_id"))
@@ -87,10 +89,12 @@ object Ivf {
 
   /** Top-`nprobe` centroid lists per query, ranked on exact-unit d² with
     * centroid_id tiebreak (the hash-green twin of [[probeLists]]). */
-  def probeListsD2(queries: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+  def probeListsD2(queries: DataFrame, centroids: DataFrame, nprobe: Int,
+                   floorMode: Boolean = false): DataFrame = {
+    val d2 = if (floorMode) VectorFunctions.vecD2Floor _ else VectorFunctions.vecD2Units _
     val w = Window.partitionBy(col("query_id")).orderBy(col("cu"), col("centroid_id"))
     queries.crossJoin(broadcast(centroids))
-      .withColumn("cu", VectorFunctions.vecD2Units(col("qv"),
+      .withColumn("cu", d2(col("qv"),
         col("cv").cast("array<double>")))
       .withColumn("crn", row_number().over(w)).filter(col("crn") <= nprobe)
       .select(col("query_id"), col("qv"), col("centroid_id").as("list_id"))
@@ -101,27 +105,36 @@ object Ivf {
     * dist² rematerialized as the exact decimal units/1e9 (the q240
     * representation). Plan shape identical to [[search]]. */
   def searchD2(emb: DataFrame, queryIds: Seq[Long], k: Int, nCentroids: Int,
-               nprobe: Int, corpus: Option[DataFrame] = None): DataFrame = {
+               nprobe: Int, corpus: Option[DataFrame] = None,
+               floorMode: Boolean = false): DataFrame = {
     val centroids = emb.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
-    searchD2With(emb, centroids, queryIds, k, nprobe, corpus)
+    searchD2With(emb, centroids, queryIds, k, nprobe, corpus, floorMode)
   }
 
-  /** As [[searchD2]] with an explicit centroid frame. */
+  /** As [[searchD2]] with an explicit centroid frame. `floorMode` switches
+    * every unit conversion to floor(v·1e9) (engine-version-proof, no
+    * round() boundary) and emits dist2 as the DOUBLE units/1e9 — one
+    * correctly-rounded IEEE division, identical in Spark and any DuckDB. */
   def searchD2With(emb: DataFrame, centroids: DataFrame, queryIds: Seq[Long],
-                   k: Int, nprobe: Int, corpus: Option[DataFrame] = None): DataFrame = {
-    val lists = assignD2(corpus.getOrElse(emb), centroids)
+                   k: Int, nprobe: Int, corpus: Option[DataFrame] = None,
+                   floorMode: Boolean = false): DataFrame = {
+    val d2 = if (floorMode) VectorFunctions.vecD2Floor _ else VectorFunctions.vecD2Units _
+    val lists = assignD2(corpus.getOrElse(emb), centroids, floorMode)
     val queries = emb.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val probed = probeListsD2(queries, centroids, nprobe)
+    val probed = probeListsD2(queries, centroids, nprobe, floorMode)
     val w = Window.partitionBy(col("query_id")).orderBy(col("u"), col("vec_id"))
+    val dist2 =
+      if (floorMode) (col("u") / lit(1e9)).as("dist2")
+      else (col("u").cast("decimal(28,0)") / lit(1000000000L)).as("dist2")
     lists.join(broadcast(probed), "list_id")
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("u", VectorFunctions.vecD2Units(col("embedding"),
+      .withColumn("u", d2(col("embedding"),
         col("qv").cast("array<double>")))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"),
-        (col("u").cast("decimal(28,0)") / lit(1000000000L)).as("dist2"),
+        dist2,
         col("list_id"))
   }
 

@@ -54,6 +54,33 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(d == 250000000L - 125000000L)
   }
 
+  test("floorMode units: floor(term*1e9), codegen == eval == Math.floor") {
+    // q52/q72 hash-green discipline: the unit conversion must be EXACTLY
+    // floor((x*y) * 1e9) of the IEEE product — the engine-version-proof
+    // formulation (no round() half-up boundary).
+    val rows = emb.limit(20)
+      .select(col("embedding"),
+        VectorFunctions.vecDotFloor(col("embedding"), col("embedding")).as("du"),
+        VectorFunctions.vecD2Floor(col("embedding"),
+          transform(reverse(col("embedding")), _.cast("double"))).as("d2u"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0).map(_.toDouble)
+      val expectDot = v.map(x => math.floor(x * x * 1e9).toLong).sum
+      val rev = v.reverse
+      val expectD2 = v.zip(rev)
+        .map { case (x, c) => math.floor((x - c) * (x - c) * 1e9).toLong }.sum
+      assert(r.getLong(1) == expectDot, "vecDotFloor mismatch")
+      assert(r.getLong(2) == expectD2, "vecD2Floor mismatch")
+    }
+    // negative terms floor DOWN (toward -inf), not toward zero:
+    // floor(-0.1249999995 * 1e9 units) — a term of -0.5*0.25 = -0.125
+    import spark.implicits._
+    val d = Seq((Seq(0.5f, -0.25f), Seq(0.5f, 0.5f))).toDF("a", "b")
+      .select(VectorFunctions.vecDotFloor(col("a"), col("b"))).as[Long].head()
+    assert(d == 250000000L + math.floor(-0.25 * 0.5 * 1e9).toLong)
+  }
+
   test("SQL registration: vec_cosine usable from spark.sql") {
     VectorFunctions.register(spark)
     Tables.embeddings(spark, TestSpark.SF).createOrReplaceTempView("emb_t")
