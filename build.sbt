@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver invokes `sbt "runMain graft.Bench"` and parses ONE raw JSON
+// line from the output. sbt's default LoggedOutput prefixes every forked
+// stdout line with "[info] ", so the line never starts with '{' and the
+// driver has recorded parsed:null for 14 straight rounds (BENCH_r01..r14)
+// even when the complete JSON sat inside its 2000-char tail. StdoutOutput
+// passes the forked process's stdout through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
