@@ -176,24 +176,46 @@ object RuleGroup {
                           cycleTs: Seq[String],
                           lookbackSec: Long = 300L): PromSource = {
     // Only the RECORDS accumulate (rule-output grain — series × cycles,
-    // model-sized); the base frame stays out of the fold, and an eager
-    // localCheckpoint truncates each step's lineage — a naive
-    // union-into-the-input fold DOUBLES the logical plan per step
-    // (recordedFrame embeds the whole accumulated plan), which is
-    // exponential in rules × cycles.
-    var recs: Option[org.apache.spark.sql.DataFrame] = None
+    // model-sized); the base frame stays out of the fold. Two step-cost
+    // cuts over the naive fold, both read off the group's own dependency
+    // analysis (readsOf — the same analysis evalBatched batches on), so
+    // the evaluated semantics are unchanged:
+    //   1. A record name NO rule reads (no pin on it, no read-all rule)
+    //     can never influence a later evaluation, so its frames skip the
+    //     in-loop materialization entirely and stay lazy until the final
+    //     output union — each such frame is consumed exactly once there,
+    //     so laziness costs no re-evaluation (q253: the 8 'purchase:lag'
+    //     checkpoints vanish; only the read 'purchase:tot' chain
+    //     materializes).
+    //   2. The in-loop localCheckpoint materializes ONLY the step's NEW
+    //     frame; the visible storage is the lazy union of those
+    //     checkpointed leaves. The previous form re-checkpointed the
+    //     whole accumulated union every step — O(cycles²) rows
+    //     re-materialized for no reader.
+    // Lineage stays bounded: every materialized leaf is a checkpoint,
+    // and each step's plan embeds base + (#read-records-so-far) leaves.
+    val recNames = rules.map(_.record)
+    val rds = rules.map(r => RuleGroup.readsOf(r.expr, src.metricCol))
+    val readNames: Set[String] =
+      if (rds.exists(_._2)) recNames.toSet // a read-all rule reads every record
+      else recNames.filter(n => rds.exists(_._1.contains(n))).toSet
+    val matRecs = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+    val lazyRecs = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.DataFrame]
     for (t <- cycleTs; r <- rules) {
-      val in = src.copy(df = recs.map(src.df.unionByName).getOrElse(src.df))
+      val visible = matRecs.reduceOption(_ unionByName _)
+      val in = src.copy(df = visible.map(src.df.unionByName).getOrElse(src.df))
       val f = RecordingRules.recordedFrame(in, r.record, r.expr, t, t, 1L,
         lookbackSec)
-      val next = recs.map(_.unionByName(f)).getOrElse(f).localCheckpoint(true)
-      // the superseded generation's checkpoint blocks are dead once the
-      // next one materializes — free them in-loop (CacheBag discipline)
-      recs.foreach(graft.CacheBag.freeCheckpoint(_))
-      recs = Some(next)
+      if (readNames.contains(r.record)) {
+        val ck = f.localCheckpoint(true)
+        graft.CacheBag.registerCheckpoint(ck)
+        matRecs += ck
+      } else lazyRecs += f
     }
-    recs.foreach(graft.CacheBag.registerCheckpoint(_))
-    src.copy(df = recs.map(src.df.unionByName).getOrElse(src.df))
+    val all = (matRecs ++ lazyRecs).reduceOption(_ unionByName _)
+    src.copy(df = all.map(src.df.unionByName).getOrElse(src.df))
   }
 
   /** Declarative multi-cycle twin: ONE whole-grid plan per rule,
